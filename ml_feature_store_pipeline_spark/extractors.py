@@ -1,0 +1,140 @@
+"""Feature extractors: whole-relation DataFrame → DataFrame transformers.
+
+Re-expresses the reference's ``FeatureExtractor`` ABC (`ML Feature Store
+Pipeline.py:59-67`) and ``UserEventExtractor`` (`:163-198`) Spark-first:
+the pandas ``groupby("user_id").agg(...)`` with three custom lambdas
+(`:165-174`) becomes ONE ``groupBy().agg()`` of native Column expressions —
+Catalyst plans it as a partial → shuffle → final hash aggregation, so the
+map-side combine the reference can't do is free, and no Python runs per row.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import FeatureConfig
+from .functions import conditional_count, conditional_mean, days_active, safe_div
+
+
+class FeatureExtractor(ABC):
+    """Extractor contract (reference `:59-67`): a whole-relation transform
+    plus a declaration of the features it produces."""
+
+    @abstractmethod
+    def extract(self, df: DataFrame) -> DataFrame:
+        """Build the (lazy) feature DataFrame from raw input."""
+
+    @abstractmethod
+    def get_feature_configs(self) -> list[FeatureConfig]:
+        """Declared output features (reference `:185-198`)."""
+
+
+class UserEventExtractor(FeatureExtractor):
+    """Per-user aggregate features from an event log (reference `:163-198`).
+
+    Column names are configurable because the driver's events table uses
+    ``ts``/``value`` where the reference uses ``timestamp``/``amount``
+    (FIXTURES.md §2 mapping); semantics are identical.
+
+    Semantic traps preserved exactly (SURVEY §2.C, verified against pandas):
+
+    - ``total_purchases`` counts rows with amount > 0, NOT rows with
+      event_type == 'purchase' (`:167`).
+    - ``avg_amount`` is the mean over positive amounts only, 0.0 for users
+      with none (`:169` + fillna `:177`).
+    - ``days_active`` is elapsed-time floor + 1, not calendar datediff
+      (`:173`; the 23:00 → 01:00 trap).
+    """
+
+    def __init__(
+        self,
+        user_col: str = "user_id",
+        event_type_col: str = "event_type",
+        amount_col: str = "amount",
+        timestamp_col: str = "timestamp",
+    ) -> None:
+        self.user_col = user_col
+        self.event_type_col = event_type_col
+        self.amount_col = amount_col
+        self.timestamp_col = timestamp_col
+
+    def _distinct_event_types(self) -> Column:
+        return F.countDistinct(self.event_type_col)  # C6 `:172`
+
+    def extract(self, df: DataFrame) -> DataFrame:
+        amount = F.col(self.amount_col)
+        purchase = amount > 0
+        agg = df.groupBy(self.user_col).agg(
+            F.count(self.event_type_col).alias("total_events"),  # C1 `:166`
+            conditional_count(purchase).alias("total_purchases"),  # C2 `:167`
+            F.sum(amount).alias("total_amount"),  # C3 `:168`
+            conditional_mean(amount, purchase).alias("avg_amount"),  # C4 `:169,:177`
+            F.max(self.timestamp_col).alias("last_event_time"),  # C5 `:170`
+            F.min(self.timestamp_col).alias("first_event_time"),  # C5 `:171`
+            self._distinct_event_types().alias("unique_event_types"),
+            days_active(F.col(self.timestamp_col)).alias("days_active"),  # C7 `:173`
+        )
+        # C8 derived ratios (`:180-181`)
+        return agg.withColumn(
+            "purchase_rate", safe_div(F.col("total_purchases"), F.col("total_events"))
+        ).withColumn(
+            "avg_events_per_day", safe_div(F.col("total_events"), F.col("days_active"))
+        )
+
+    def get_feature_configs(self) -> list[FeatureConfig]:
+        """The 11 feature declarations (reference `:185-198`)."""
+        mk = FeatureConfig
+        return [
+            mk("total_events", "int64", "Total events per user", ["activity"]),
+            mk("total_purchases", "int64", "Rows with positive amount", ["purchase"]),
+            mk("total_amount", "float64", "Sum of amounts", ["purchase"]),
+            mk("avg_amount", "float64", "Mean positive amount (0 if none)", ["purchase"]),
+            mk("last_event_time", "datetime64[ns]", "Most recent event", ["recency"]),
+            mk("first_event_time", "datetime64[ns]", "Earliest event", ["recency"]),
+            mk("unique_event_types", "int64", "Distinct event types", ["diversity"]),
+            mk("days_active", "int64", "Elapsed-floor day span + 1", ["activity"]),
+            mk("purchase_rate", "float64", "total_purchases / total_events", ["ratio"]),
+            mk("avg_events_per_day", "float64", "total_events / days_active", ["ratio"]),
+            mk("user_id", "int64", "Entity key", ["key"]),
+        ]
+
+
+class ApproxUserEventExtractor(UserEventExtractor):
+    """100 TB-scale variant: ``approx_count_distinct`` for unique_event_types
+    (SURVEY C6 flag — inexact, rsd 1%). Use when exact distinct's per-group
+    hash sets dominate the shuffle; all other aggregates are identical and
+    already stream in O(1) state per group."""
+
+    def _distinct_event_types(self) -> Column:
+        return F.approx_count_distinct(self.event_type_col)
+
+
+class PandasGroupedExtractor(FeatureExtractor):
+    """Escape hatch for arbitrary pandas feature logic (SURVEY §2.J J1):
+    ``groupBy(keys).applyInPandas(fn, schema)`` — Arrow-batched grouped-map,
+    one pandas frame per group, never row-at-a-time. Prefer the pure-Column
+    extractors; use this only when semantics genuinely need pandas."""
+
+    def __init__(
+        self,
+        keys: list[str],
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        output_schema: T.StructType,
+        configs: list[FeatureConfig] | None = None,
+    ) -> None:
+        self.keys = keys
+        self.fn = fn
+        self.output_schema = output_schema
+        self.configs = configs or []
+
+    def extract(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(*self.keys).applyInPandas(self.fn, schema=self.output_schema)
+
+    def get_feature_configs(self) -> list[FeatureConfig]:
+        return self.configs

@@ -1,0 +1,116 @@
+"""Column-expression building blocks (all JVM-side, codegen-friendly).
+
+Every helper returns a ``pyspark.sql.Column`` so composed plans stay inside
+whole-stage codegen — no Python UDFs on these paths. The semantic traps
+from the reference (conditional count/mean, elapsed-floor days) live here
+with their citations so extractors and queries share one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Reference aggregation semantics (SURVEY §2.C)
+# ---------------------------------------------------------------------------
+
+
+def conditional_count(pred: Column) -> Column:
+    """Count of rows satisfying ``pred`` — `(amount > 0).sum()` at
+    `ML Feature Store Pipeline.py:167` (keys on the predicate, NOT on
+    event_type == 'purchase')."""
+    return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+
+
+def conditional_mean(value: Column, pred: Column, default: float = 0.0) -> Column:
+    """Mean of ``value`` over rows where ``pred`` holds; ``default`` when no
+    row qualifies — `x[x>0].mean()` then `fillna(0)` (`:169, :177`).
+    ``avg`` ignores the ``when``'s nulls, which matches pandas exactly."""
+    return F.coalesce(F.avg(F.when(pred, value)), F.lit(default))
+
+
+def days_active(ts: Column) -> Column:
+    """Elapsed-floor day span + 1 — `(max − min).days + 1` (`:173`).
+
+    Pandas ``Timedelta.days`` floors *elapsed time*, not calendar dates:
+    23:00 → 01:00 next day is `.days == 0` → 1, while ``datediff`` would
+    say 2. Hence the unix-seconds floor, NOT ``datediff`` (SURVEY C7).
+    """
+    span = F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts))
+    return (F.floor(span / F.lit(86400)) + F.lit(1)).cast("long")
+
+
+def safe_div(num: Column, den: Column) -> Column:
+    """NULL-safe ratio; 0.0 when the denominator is 0/NULL (ratios `:180-181`
+    can't divide by zero there — total_events ≥ 1 per group — but the
+    general operator guards anyway)."""
+    return F.coalesce(num / F.nullif(den, F.lit(0)), F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic aggregation (oracle-stable across engines & row order)
+# ---------------------------------------------------------------------------
+# Floating-point sums depend on accumulation order, which Spark does not
+# guarantee across partitions. For oracle-compared queries we sum exact
+# decimals: double → decimal cast is per-value deterministic, decimal sums
+# are associative, and the final double cast is deterministic — so Spark
+# and DuckDB agree bit-for-bit regardless of parallelism.
+
+
+def dsum(col: Column, scale: int = 4, precision: int = 28) -> Column:
+    """Order-insensitive, engine-stable sum of a double column."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def davg(col: Column, scale: int = 4, precision: int = 28) -> Column:
+    """Order-insensitive mean: exact decimal sum ÷ count, divided as doubles."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double") / F.count(col)
+
+
+def dsum_sql(expr: str, scale: int = 4, precision: int = 28) -> str:
+    """DuckDB twin of :func:`dsum` for ``oracle_sql`` strings."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def davg_sql(expr: str, scale: int = 4, precision: int = 28) -> str:
+    """DuckDB twin of :func:`davg`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE) / COUNT({expr})"
+
+
+# ---------------------------------------------------------------------------
+# Vector math over array<float>/array<double> columns (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns via ``zip_with`` + ``aggregate`` —
+    JVM-side, no UDF. Cast to double first for stable arithmetic."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Text primitives (north-star text analysis; used by operators/text.py)
+# ---------------------------------------------------------------------------
+
+#: Whitespace tokenizer pattern shared by Spark and the DuckDB oracles.
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empty strings removed (leading/trailing
+    whitespace would otherwise produce '' entries)."""
+    return F.filter(F.split(F.trim(text), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")

@@ -1,0 +1,115 @@
+"""Query/oracle registry backing ``__spark_entry__.py``.
+
+Each entry pairs a PySpark query (built on this package's operators) with
+an ANSI-SQL twin that DuckDB executes over the same parquet tables. The
+driver hash-compares values order-insensitively, so:
+
+- every computed column is aliased identically on both sides;
+- floating-point aggregates use the deterministic decimal-sum recipe from
+  ``functions.dsum``/``dsum_sql`` (order-insensitive, engine-stable);
+- top-k queries carry a total tiebreak so the SET of rows is well-defined.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extractors import UserEventExtractor
+from .functions import davg_sql, dsum, dsum_sql
+from .sources.readers import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    """Decorator: add a (query, oracle) pair to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def query_registry() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_registry() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's C1–C8 extractor on the driver events table
+# (ts → timestamp, value → amount per FIXTURES.md §2).
+# ---------------------------------------------------------------------------
+
+
+def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    extractor = UserEventExtractor(amount_col="value", timestamp_col="ts")
+    return extractor.extract(events)
+
+
+_FLAGSHIP_ORACLE = f"""
+WITH agg AS (
+  SELECT
+    user_id,
+    COUNT(event_type) AS total_events,
+    CAST(COALESCE(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS total_purchases,
+    {dsum_sql('value')} AS total_amount,
+    COALESCE(
+      CAST(SUM(CASE WHEN value > 0 THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE)
+        / NULLIF(COUNT(CASE WHEN value > 0 THEN 1 END), 0),
+      0.0) AS avg_amount,
+    MAX(ts) AS last_event_time,
+    MIN(ts) AS first_event_time,
+    COUNT(DISTINCT event_type) AS unique_event_types,
+    CAST(FLOOR(DATE_DIFF('second', MIN(ts), MAX(ts)) / 86400.0) + 1 AS BIGINT) AS days_active
+  FROM events GROUP BY user_id
+)
+SELECT *,
+  COALESCE(CAST(total_purchases AS DOUBLE) / NULLIF(total_events, 0), 0.0) AS purchase_rate,
+  COALESCE(CAST(total_events AS DOUBLE) / NULLIF(days_active, 0), 0.0) AS avg_events_per_day
+FROM agg
+"""
+
+
+@register("user_features", _FLAGSHIP_ORACLE)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-decimal build of the flagship query for oracle hashing
+    (the library extractor keeps plain double sums; semantics identical)."""
+    events = read_table(spark, sf_dir, "events")
+    value, pred = F.col("value"), F.col("value") > 0
+    agg = events.groupBy("user_id").agg(
+        F.count("event_type").alias("total_events"),
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("total_purchases"),
+        dsum(value).alias("total_amount"),
+        F.coalesce(
+            F.sum(F.when(pred, value).cast("decimal(28,4)")).cast("double")
+            / F.count(F.when(pred, F.lit(1))),
+            F.lit(0.0),
+        ).alias("avg_amount"),
+        F.max("ts").alias("last_event_time"),
+        F.min("ts").alias("first_event_time"),
+        F.countDistinct("event_type").alias("unique_event_types"),
+        (
+            F.floor((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 86400)
+            + F.lit(1)
+        ).cast("long").alias("days_active"),
+    )
+    return agg.withColumn(
+        "purchase_rate",
+        F.coalesce(F.col("total_purchases") / F.nullif(F.col("total_events"), F.lit(0)), F.lit(0.0)),
+    ).withColumn(
+        "avg_events_per_day",
+        F.coalesce(F.col("total_events") / F.nullif(F.col("days_active"), F.lit(0)), F.lit(0.0)),
+    )

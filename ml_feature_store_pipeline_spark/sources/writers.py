@@ -1,0 +1,71 @@
+"""Sinks: CSV/parquet writers + atomic small-table overwrite (SURVEY §2.A).
+
+``atomic_overwrite_parquet`` implements the A5 metadata-upsert pattern:
+parquet has no ``INSERT OR REPLACE`` (`ML Feature Store Pipeline.py:329-341`),
+so the (tiny) metadata table is rewritten via temp-path + rename — readers
+never observe a half-written table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (reference A2 `:606`)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str, mode: str = "append") -> None:
+    """Feature sink (reference A4 `:317-326`): append = new partition dirs;
+    version reads prune to one directory subtree."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
+    """Overwrite a SMALL table atomically: write to a sibling temp dir, then
+    swap directories. Only for driver-managed small tables (metadata); big
+    tables use partition-level operations instead."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def drop_partition_dirs(store_path: str, partition_col: str, values: list[str]) -> int:
+    """Physical partition drop (reference A9 delete-by-version `:514-521`):
+    removing ``{store}/{col}={value}`` subtrees is a metadata-only delete —
+    no job scans or rewrites the surviving data."""
+    dropped = 0
+    for v in values:
+        d = os.path.join(store_path, f"{partition_col}={v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            dropped += 1
+    return dropped
+
+
+def list_partition_values(store_path: str, partition_col: str) -> list[str]:
+    prefix = f"{partition_col}="
+    if not os.path.isdir(store_path):
+        return []
+    return sorted(
+        d[len(prefix):]
+        for d in os.listdir(store_path)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(store_path, d))
+    )
+
+
+def spark_for(df: DataFrame) -> SparkSession:
+    return df.sparkSession
