@@ -1,0 +1,67 @@
+"""End-to-end demo: the reference's ``main()`` flow (`ML Feature Store
+Pipeline.py:610-675`), Spark-native.
+
+generate → extract → register (validate/hash/persist) → read → serve →
+metadata → list versions → cleanup → dashboard. Run:
+
+    python examples/demo_pipeline.py [store_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ml_feature_store_pipeline_spark import FeatureMetadata, UserEventExtractor, get_spark
+from ml_feature_store_pipeline_spark.generator import generate_events
+from ml_feature_store_pipeline_spark.store import FeatureStore
+
+
+def main() -> None:
+    store_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="feature_store_")
+    spark = get_spark("demo_pipeline")
+
+    events = generate_events(spark, n_events=1000, n_users=100, seed=42)
+    print(f"events: {events.count()} rows, schema {events.columns}")
+
+    extractor = UserEventExtractor()
+    features = extractor.extract(events)
+
+    store = FeatureStore(spark, store_dir)
+    meta = FeatureMetadata(
+        description="User event features from synthetic demo data",
+        features_config=extractor.get_feature_configs(),
+        lineage={"source": "generate_events(seed=42)", "extractor": "UserEventExtractor"},
+        tags=["demo", "user_features"],
+    )
+    version = store.register_features(features, meta)
+    print(f"registered version {version[:8]}… at {store_dir}")
+
+    back = store.get_features(version)
+    print(f"read back: {back.count()} users")
+
+    one_user = back.select("user_id").limit(1).collect()[0][0]
+    served = store.serve_features(one_user)
+    print(f"served user {one_user}: total_events={served['total_events']}, "
+          f"purchase_rate={served['purchase_rate']:.3f}")
+
+    m = store.get_feature_metadata(version)
+    print(f"metadata: quality score {m.data_quality_metrics.overall_score:.4f}, "
+          f"{len(m.features_config)} declared features")
+
+    # register a second version, then retention
+    v2 = store.register_features(
+        extractor.extract(generate_events(spark, n_events=2000, n_users=100, seed=7)), meta
+    )
+    print(f"second version {v2[:8]}…")
+    print("versions:", [(v["feature_version"][:8], v["description"][:30]) for v in store.list_feature_versions()])
+    doomed = store.cleanup_old_versions(keep_n=1)
+    print(f"cleanup removed {len(doomed)} version(s); dashboard: {store.get_monitoring_dashboard()['metrics']['total_creations']} creations, "
+          f"partitions now {len(store.get_monitoring_dashboard()['partitions'])}")
+
+
+if __name__ == "__main__":
+    main()

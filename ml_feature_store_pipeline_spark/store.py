@@ -1,0 +1,259 @@
+"""Offline/online feature store over version-partitioned parquet.
+
+Re-expresses the reference's ``AdvancedFeatureStore`` (`ML Feature Store
+Pipeline.py:229-541`) on Spark:
+
+- the SQLite ``features`` table (`:262-280`) → a parquet table partitioned
+  by ``feature_version``: append = write one new partition directory,
+  version reads prune to one subtree, retention = drop directories. At
+  100 TB the intended-but-broken SQLite indexes (`:277-278`) become
+  partition pruning (version) + parquet row-group min/max stats (user_id,
+  helped by sorting within partitions at write).
+- the ``feature_metadata`` table (`:282-292`) → a tiny typed parquet table,
+  upserted read-modify-write through an atomic directory swap (A5 has no
+  parquet INSERT OR REPLACE).
+- asyncio/aiosqlite (`:261, :317, :373`) → not replicated: Spark supplies
+  the parallelism; the public API is synchronous (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from .cache import CacheBackend, InMemoryTTLCache, cache_key
+from .config import DataQualityMetrics, FeatureMetadata
+from .monitor import FeatureMonitor
+from .quality import DataQualityValidator
+from .schemas import CREATED_AT_COLUMN, METADATA_SCHEMA, VERSION_COLUMN
+from .sources.writers import atomic_overwrite_parquet, drop_partition_dirs, list_partition_values
+from .versioning import content_version
+
+
+def _utc_now_iso() -> str:
+    """ISO-8601 UTC stamp (reference H2 `:634`) — lexicographic == chronological."""
+    return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None).isoformat()
+
+
+class FeatureStore:
+    """Versioned feature store (reference K1–K7)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        cache: CacheBackend | None = None,
+        validator: DataQualityValidator | None = None,
+        cache_ttl: int = 3600,
+        alert_threshold: float = 0.8,
+        sort_within_partitions_by: str | None = "user_id",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.features_path = os.path.join(path, "features")
+        self.metadata_path = os.path.join(path, "feature_metadata")
+        self.cache = cache or InMemoryTTLCache()
+        self.validator = validator or DataQualityValidator()
+        self.cache_ttl = cache_ttl  # reference hardcodes 3600 (`:350, :412`)
+        self.monitor = FeatureMonitor(alert_threshold=alert_threshold)
+        self.sort_col = sort_within_partitions_by
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------------ K1
+    def register_features(self, features: DataFrame, metadata: FeatureMetadata) -> str:
+        """Validate → content-hash → stamp → append partition → metadata upsert
+        → monitor → cache (reference `:295-353`)."""
+        metrics, _prof = self.validator.validate(features)
+        version = content_version(features)
+
+        stamped = features.withColumn(VERSION_COLUMN, F.lit(version)).withColumn(
+            CREATED_AT_COLUMN, F.lit(_utc_now_iso())
+        )
+        if self.sort_col and self.sort_col in features.columns:
+            # sort within output files so parquet row-group min/max stats make
+            # later user_id point-lookups skip row groups (the scalable stand-in
+            # for the reference's intended INDEX(user_id))
+            stamped = stamped.sortWithinPartitions(self.sort_col)
+        stamped.write.mode("append").partitionBy(VERSION_COLUMN).parquet(self.features_path)
+
+        metadata.feature_version = version
+        metadata.created_at = metadata.created_at or _utc_now_iso()
+        metadata.data_quality_metrics = metrics
+        self._upsert_metadata(metadata)
+
+        n_rows = features.count()
+        self.monitor.log_feature_creation(version, n_rows, metrics.overall_score)
+        # The reference eagerly caches the whole frame at register (`:349-350`);
+        # at scale that collect is wrong, so the serving cache fills lazily on
+        # first read instead (same hit behavior from the second access on).
+        return version
+
+    def _upsert_metadata(self, metadata: FeatureMetadata) -> None:
+        """A5: INSERT OR REPLACE ≈ filter-out + union + atomic overwrite."""
+        d = metadata.to_dict()
+        new_row = self.spark.createDataFrame([d], schema=METADATA_SCHEMA)
+        existing = self._read_metadata()
+        if existing is not None:
+            merged = existing.filter(
+                F.col(VERSION_COLUMN) != metadata.feature_version
+            ).unionByName(new_row)
+        else:
+            merged = new_row
+        # materialize before the swap — the plan must not read the dir being replaced
+        rows = merged.collect()
+        merged_df = self.spark.createDataFrame(rows, schema=METADATA_SCHEMA)
+        atomic_overwrite_parquet(merged_df, self.metadata_path)
+
+    def _read_metadata(self) -> DataFrame | None:
+        if not os.path.isdir(self.metadata_path):
+            return None
+        return self.spark.read.schema(METADATA_SCHEMA).parquet(self.metadata_path)
+
+    # ------------------------------------------------------------------ K2
+    def latest_version(self) -> str | None:
+        """F1 `:373-380`: top-1 by created_at (TakeOrderedAndProject, no full sort)."""
+        meta = self._read_metadata()
+        if meta is None:
+            return None
+        head = meta.orderBy(F.desc(CREATED_AT_COLUMN)).limit(1).collect()
+        return head[0][VERSION_COLUMN] if head else None
+
+    def get_features(
+        self,
+        version: str | None = None,
+        user_ids: list[int] | None = None,
+        use_cache: bool = True,
+    ) -> DataFrame:
+        """Partition-pruned version read with optional user filter (reference
+        `:363-416`). Returns a LAZY DataFrame; the B1 version predicate prunes
+        to one partition directory, the B2 IN-list reaches parquet row groups
+        as pushed filters."""
+        version = version or self.latest_version()
+        if version is None:
+            raise ValueError("feature store is empty — no registered versions")
+        df = self.spark.read.parquet(self.features_path).filter(
+            F.col(VERSION_COLUMN) == version
+        )
+        if user_ids is not None:
+            df = df.filter(F.col("user_id").isin([int(u) for u in user_ids]))
+        self.monitor.log_feature_access(version, len(user_ids) if user_ids else None)
+        return df
+
+    # ------------------------------------------------------------------ K3
+    def serve_features(self, user_id: int, version: str | None = None) -> dict[str, Any]:
+        """Single-entity online lookup (reference `:427-446`).
+
+        The reference re-runs a table scan per (version, user) on cache miss
+        (`:382-401`). Here the WHOLE version slice is collected once into the
+        driver TTL cache and point lookups are dict hits — same results, one
+        job per version instead of one per user (SURVEY §3.3). Feature rows
+        are ~100 columns × O(entity count); a 100M-user version would instead
+        use the pushed-filter path (`get_features(user_ids=[...])`).
+        """
+        version = version or self.latest_version()
+        if version is None:
+            return {}
+        key = cache_key(version) + "_serving_index"
+        index: dict[int, dict[str, Any]] | None = self.cache.get(key)
+        if index is None:
+            rows = self.get_features(version=version, use_cache=False).collect()
+            index = {r["user_id"]: self._serving_dict(r) for r in rows}
+            self.cache.set(key, index, ttl=self.cache_ttl)
+        else:
+            self.monitor.log_feature_access(version, 1)
+        return index.get(int(user_id), {})
+
+    @staticmethod
+    def _serving_dict(row: Row) -> dict[str, Any]:
+        d = row.asDict()
+        d.pop(VERSION_COLUMN, None)  # B5 `:438-439`
+        d.pop(CREATED_AT_COLUMN, None)
+        return d
+
+    # ------------------------------------------------------------------ K4
+    def get_feature_metadata(self, version: str) -> FeatureMetadata | None:
+        """A7 point lookup (reference `:456-475`)."""
+        meta = self._read_metadata()
+        if meta is None:
+            return None
+        rows = meta.filter(F.col(VERSION_COLUMN) == version).limit(1).collect()
+        if not rows:
+            return None
+        return self._metadata_from_row(rows[0])
+
+    @staticmethod
+    def _metadata_from_row(row: Row) -> FeatureMetadata:
+        from .config import FeatureConfig
+
+        d = row.asDict(recursive=True)
+        return FeatureMetadata(
+            feature_version=d[VERSION_COLUMN],
+            description=d.get("description") or "",
+            created_at=d.get(CREATED_AT_COLUMN) or "",
+            features_config=[FeatureConfig(**c) for c in (d.get("features_config") or [])],
+            data_quality_metrics=DataQualityMetrics(**d["data_quality_metrics"])
+            if d.get("data_quality_metrics")
+            else None,
+            lineage=d.get("lineage") or {},
+            tags=d.get("tags") or [],
+        )
+
+    # ------------------------------------------------------------------ K5
+    def list_feature_versions(self) -> list[dict[str, Any]]:
+        """A8/F2 ordered listing (reference `:481-497`)."""
+        meta = self._read_metadata()
+        if meta is None:
+            return []
+        rows = meta.orderBy(F.desc(CREATED_AT_COLUMN)).collect()
+        return [
+            {
+                "feature_version": r[VERSION_COLUMN],
+                "description": r["description"],
+                "created_at": r[CREATED_AT_COLUMN],
+                "quality_score": (
+                    r["data_quality_metrics"]["overall_score"]
+                    if r["data_quality_metrics"] is not None
+                    else None
+                ),
+                "tags": list(r["tags"] or []),
+            }
+            for r in rows
+        ]
+
+    # ------------------------------------------------------------------ K6
+    def cleanup_old_versions(self, keep_n: int = 5) -> list[str]:
+        """Keep newest N versions (reference `:503-528`). Physical delete is a
+        partition-directory drop — no data rewrite; metadata rows filtered via
+        the same atomic overwrite as the upsert."""
+        versions = [v["feature_version"] for v in self.list_feature_versions()]  # newest first
+        doomed = versions[keep_n:]
+        if not doomed:
+            return []
+        drop_partition_dirs(self.features_path, VERSION_COLUMN, doomed)
+        meta = self._read_metadata()
+        if meta is not None:
+            kept = meta.filter(~F.col(VERSION_COLUMN).isin(doomed))
+            rows = kept.collect()
+            atomic_overwrite_parquet(
+                self.spark.createDataFrame(rows, schema=METADATA_SCHEMA), self.metadata_path
+            )
+        for v in doomed:
+            if isinstance(self.cache, InMemoryTTLCache):
+                self.cache.delete_prefix(cache_key(v))
+        return doomed
+
+    # ------------------------------------------------------------------ K7
+    def get_monitoring_dashboard(self) -> dict[str, Any]:
+        """Dashboard dict, same shape as reference `:534-541`."""
+        return {
+            "metrics": self.monitor.get_metrics(),
+            "alerts": list(self.monitor.alerts),
+            "cache_info": self.cache.info(),
+            "store_path": self.path,
+            "partitions": list_partition_values(self.features_path, VERSION_COLUMN),
+        }

@@ -1,0 +1,70 @@
+"""Quality validator tests against hand-computed C9–C13 values (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.quality import DataQualityValidator, profile
+
+
+def test_duplicate_fraction_matches_pandas_duplicated(spark):
+    # [1,1,2] ⇒ duplicated fraction 1/3 (verified reference semantics, SURVEY C10)
+    df = spark.createDataFrame([(1,), (1,), (2,)], "x long")
+    prof = profile(df)
+    assert prof.duplicate_percentage == pytest.approx(1 / 3)
+
+
+def test_null_fraction_over_cell_grid(spark):
+    df = spark.createDataFrame([(1, None), (None, "a"), (3, "b")], "x: long, y: string")
+    prof = profile(df)
+    # 2 nulls / 6 cells
+    assert prof.null_percentage == pytest.approx(2 / 6)
+
+
+def test_quartiles_linear_interpolation(spark):
+    # pandas quantile(0.25) of [1,2,3,4] = 1.75 (linear interpolation) — C11
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    prof = profile(df)
+    q1, q3 = prof.quartiles["v"]
+    assert q1 == pytest.approx(1.75)
+    assert q3 == pytest.approx(3.25)
+
+
+def test_outlier_fraction_iqr(spark):
+    # 9 values 1..9 plus one 1000: Q1=3.25, Q3=7.75, IQR=4.5 → band [-3.5, 14.5]
+    vals = [(float(i),) for i in range(1, 10)] + [(1000.0,)]
+    df = spark.createDataFrame(vals, "v double")
+    prof = profile(df)
+    assert prof.outlier_counts["v"] == 1
+    assert prof.outlier_percentage == pytest.approx(1 / 10)
+
+
+def test_score_formula_and_default_checks(spark):
+    df = spark.createDataFrame([(1, 1.0), (1, 1.0), (2, 4.0)], "user_id long, v double")
+    metrics, prof = DataQualityValidator().validate(df)
+    # dup 1/3, no nulls, no IQR outliers with 3 points, all default checks pass
+    assert metrics.schema_violations == 0
+    assert metrics.overall_score == pytest.approx(1 - 1 / 3)
+
+
+def test_custom_check_failure_and_exception_count_as_violations(spark):
+    df = spark.createDataFrame([(1,)], "user_id long")
+    v = DataQualityValidator()
+    v.add_check("always_false", lambda d: False)
+    v.add_check("raises", lambda d: 1 / 0)
+    metrics, _ = v.validate(df)
+    assert metrics.schema_violations == 2  # each worth 0.1 in the score (`:152`)
+    assert metrics.overall_score == pytest.approx(0.8)
+
+
+def test_all_null_column_detected(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "user_id: long, dead: string")
+    metrics, _ = DataQualityValidator().validate(df)
+    assert metrics.schema_violations == 1  # no_all_null_columns fails
+
+
+def test_missing_user_id_column_flagged(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    metrics, _ = DataQualityValidator().validate(df)
+    assert metrics.schema_violations == 1  # has_user_id fails

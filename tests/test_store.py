@@ -1,0 +1,132 @@
+"""Store lifecycle round-trip tests (SURVEY §5.3): register → get → serve →
+metadata → list → cleanup; cache behavior; version-hash determinism (§5.4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.config import FeatureMetadata
+from ml_feature_store_pipeline_spark.extractors import UserEventExtractor
+from ml_feature_store_pipeline_spark.store import FeatureStore
+from ml_feature_store_pipeline_spark.versioning import content_version
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return FeatureStore(spark, str(tmp_path / "fs"))
+
+
+@pytest.fixture()
+def features(events_frame):
+    return UserEventExtractor().extract(events_frame)
+
+
+def _meta(desc="test features"):
+    return FeatureMetadata(description=desc, lineage={"source": "unit-test"}, tags=["t1"])
+
+
+def test_register_get_roundtrip(store, features):
+    version = store.register_features(features, _meta())
+    assert len(version) == 32  # md5 hex
+    out = store.get_features(version)
+    assert out.count() == 5
+    # stamped columns present; feature columns intact
+    assert "feature_version" in out.columns and "created_at" in out.columns
+    got = {r["user_id"]: r["total_events"] for r in out.collect()}
+    assert got[1] == 3
+
+
+def test_get_latest_resolves_newest(store, features):
+    v1 = store.register_features(features, _meta("v1"))
+    more = features.withColumn("total_amount", F.col("total_amount") + 1.0)
+    v2 = store.register_features(more, _meta("v2"))
+    assert v1 != v2
+    latest = store.get_features()  # no version → latest by created_at
+    assert latest.select("feature_version").distinct().collect()[0][0] == v2
+
+
+def test_user_filter_pushdown(store, features):
+    version = store.register_features(features, _meta())
+    two = store.get_features(version, user_ids=[1, 3])
+    assert sorted(r["user_id"] for r in two.collect()) == [1, 3]
+
+
+def test_serving_path(store, features):
+    store.register_features(features, _meta())
+    d = store.serve_features(1)
+    assert d["total_events"] == 3
+    assert "feature_version" not in d and "created_at" not in d  # B5 drop
+    assert store.serve_features(99999) == {}  # unknown entity → {} (`:434-435`)
+    # second lookup is a cache hit (no new Spark job needed)
+    info_before = store.cache.info()
+    store.serve_features(2)
+    assert store.cache.info()["hits"] >= info_before["hits"] + 1
+
+
+def test_metadata_roundtrip(store, features):
+    meta = _meta("metadata round trip")
+    meta.tags = ["a", "b"]
+    version = store.register_features(features, meta)
+    back = store.get_feature_metadata(version)
+    assert back is not None
+    assert back.description == "metadata round trip"
+    assert back.lineage == {"source": "unit-test"}
+    assert back.tags == ["a", "b"]
+    assert back.data_quality_metrics is not None
+    assert 0.0 <= back.data_quality_metrics.overall_score <= 1.0
+    assert store.get_feature_metadata("nonexistent") is None
+
+
+def test_list_versions_newest_first(store, features):
+    store.register_features(features, _meta("first"))
+    store.register_features(
+        features.withColumn("total_amount", F.col("total_amount") * 2), _meta("second")
+    )
+    listing = store.list_feature_versions()
+    assert [v["description"] for v in listing] == ["second", "first"]
+    assert all("quality_score" in v for v in listing)
+
+
+def test_cleanup_keeps_newest_n(store, features):
+    versions = []
+    for i in range(4):
+        df = features.withColumn("total_amount", F.col("total_amount") + i)
+        versions.append(store.register_features(df, _meta(f"v{i}")))
+    doomed = store.cleanup_old_versions(keep_n=2)
+    assert set(doomed) == set(versions[:2])
+    remaining = [v["feature_version"] for v in store.list_feature_versions()]
+    assert remaining == [versions[3], versions[2]]
+    # physical partition dirs gone
+    for v in doomed:
+        assert not os.path.isdir(os.path.join(store.features_path, f"feature_version={v}"))
+    # surviving data still readable
+    assert store.get_features(versions[3]).count() == 5
+
+
+def test_version_hash_order_insensitive(spark, features):
+    """§5.4 determinism: repartition/shuffle must not change the version id —
+    a stronger guarantee than the reference's row-order-sensitive md5 (H1)."""
+    v_a = content_version(features)
+    v_b = content_version(features.repartition(7))
+    v_c = content_version(features.orderBy(F.desc("user_id")))
+    assert v_a == v_b == v_c
+    changed = features.withColumn("total_amount", F.col("total_amount") + 0.001)
+    assert content_version(changed) != v_a
+
+
+def test_register_identical_content_is_idempotent_version(store, features):
+    v1 = store.register_features(features, _meta("one"))
+    v2 = store.register_features(features, _meta("two"))
+    assert v1 == v2  # content-addressed: same content ⇒ same id
+
+
+def test_dashboard_shape(store, features):
+    store.register_features(features, _meta())
+    store.serve_features(1)
+    dash = store.get_monitoring_dashboard()
+    assert set(dash) == {"metrics", "alerts", "cache_info", "store_path", "partitions"}
+    assert dash["metrics"]["total_creations"] == 1
+    assert len(dash["partitions"]) == 1
