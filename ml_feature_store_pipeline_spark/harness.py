@@ -39,11 +39,18 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def _ensure_loaded() -> None:
+    """Import the registry modules (idempotent; deferred to avoid cycles)."""
+    from . import harness_northstar, harness_queries  # noqa: F401
+
+
 def query_registry() -> dict[str, QueryFn]:
+    _ensure_loaded()
     return dict(_QUERIES)
 
 
 def oracle_registry() -> dict[str, str]:
+    _ensure_loaded()
     return dict(_ORACLES)
 
 

@@ -1,0 +1,351 @@
+"""North-star query registry: dedup, similarity search, text analysis,
+multimodal plumbing, windowed aggregation (BASELINE.json extensions).
+
+The MinHash/SimHash oracles are generated SQL that reproduces the md5-based
+signatures bit-for-bit in DuckDB — the point of deriving every hash from
+md5 instead of Spark-private xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dsum, dsum_sql
+from .harness import register
+from .operators import dedup, multimodal, similarity, text
+from .sources.readers import read_table
+
+#: DuckDB token list identical to functions.tokens()
+_SQL_TOKS = "list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS.format(t='text')} AS toks FROM documents)
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpeish,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_whitespace,
+           CASE WHEN LEN(toks) > 0
+                THEN CAST(LEN(array_to_string(toks, '')) AS DOUBLE) / LEN(toks)
+                ELSE 0.0 END AS mean_token_len,
+           CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS punct_ratio,
+           CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS digit_ratio
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_sql() -> str:
+    toks = _SQL_TOKS.format(t="lower(text)")
+    hits = {
+        lang: f"CAST(LEN(list_filter({toks}, x -> x IN ({', '.join(repr(w) for w in words)}))) AS BIGINT)"
+        for lang, words in text.STOPWORDS.items()
+    }
+    hit_cols = ",\n           ".join(f"{expr} AS hits_{lang}" for lang, expr in hits.items())
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in text.STOPWORDS) + ")"
+    guess = "'und'"
+    for lang in reversed(list(text.STOPWORDS)):
+        guess = f"CASE WHEN hits_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {guess} END"
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+           {hit_cols}
+      FROM documents
+    )
+    SELECT doc_id, {guess} AS lang_guess,
+           hits_en, hits_de, hits_fr, hits_es
+    FROM h
+    """
+
+
+@register("language_id", _lang_sql())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(LEN({_SQL_TOKS.format(t='text')}) AS BIGINT) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS punct,
+             CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS digit,
+             CAST(LEN(list_filter({_SQL_TOKS.format(t='lower(text)')},
+                  x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+               / GREATEST(LEN({_SQL_TOKS.format(t='text')}), 1) AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tok AS n_tokens,
+           ROUND(
+             (CASE WHEN n_tok < 5 THEN n_tok / 5.0 WHEN n_tok > 5000 THEN 0.5 ELSE 1.0 END)
+             * (1.0 - LEAST(punct * 2, 1.0))
+             * (1.0 - LEAST(digit * 2, 1.0))
+             * (0.5 + LEAST(stop_ratio * 2, 0.5)), 6) AS quality_score
+    FROM t
+    """,
+)
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact, MinHash LSH, SimHash, n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text)",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest id per content (deterministic survivor).
+    Shuffles a 16-byte digest, not the document text."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    return dedup.exact_dedup(docs, ["content_hash"], "doc_id").select("doc_id", "content_hash")
+
+
+_MINHASH_N = 8
+_MINHASH_BANDS = 4
+_SHINGLE_N = 3
+
+
+def _minhash_sig_sql() -> str:
+    toks = _SQL_TOKS.format(t="text")
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}|' || sh)) AS m{i}" for i in range(_MINHASH_N)
+    )
+    concat = " || '|' || ".join(f"m{i}" for i in range(_MINHASH_N))
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ') AS sh
+      FROM t, UNNEST(generate_series(1, LEN(toks) - {_SHINGLE_N - 1})) AS u(i)
+      WHERE LEN(toks) >= {_SHINGLE_N}
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    SELECT doc_id, {concat} AS signature FROM sig
+    """
+
+
+@register("minhash_signatures", _minhash_sig_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local MinHash signatures (no shuffle until the final exchange)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", _MINHASH_N, _SHINGLE_N)
+    return sig.filter(F.col("signature")[0].isNotNull()).select(
+        "doc_id", F.concat_ws("|", "signature").alias("signature")
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    rows = _MINHASH_N // _MINHASH_BANDS
+    band_cols = []
+    for b in range(_MINHASH_BANDS):
+        parts = " || '|' || ".join(f"m{i}" for i in range(b * rows, (b + 1) * rows))
+        band_cols.append(f"({b}, md5({parts}))")
+    mins = ", ".join(f"MIN(md5('{i}|' || sh)) AS m{i}" for i in range(_MINHASH_N))
+    toks = _SQL_TOKS.format(t="text")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ') AS sh
+      FROM t, UNNEST(generate_series(1, LEN(toks) - {_SHINGLE_N - 1})) AS u(i)
+      WHERE LEN(toks) >= {_SHINGLE_N}
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bb AS (
+      SELECT doc_id, band.* FROM sig,
+      LATERAL (SELECT * FROM (VALUES {', '.join(band_cols)}) AS v(band_id, bucket)) AS band
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bb a JOIN bb b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+@register("minhash_candidate_pairs", _minhash_pairs_sql())
+def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+
+
+def _simhash_sql() -> str:
+    toks = _SQL_TOKS.format(t="text")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, UNNEST({toks}) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("simhash_docs", _simhash_sql())
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS.format(t='text')} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ') AS sh
+      FROM t, UNNEST(generate_series(1, LEN(toks) - {_SHINGLE_N - 1})) AS u(i)
+      WHERE LEN(toks) >= {_SHINGLE_N}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.3
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.3 via inverted-index self-join."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_COS_SQL.format(a='q.qv', b='c.embedding')} AS cosine
+      FROM q, embeddings c
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 9) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine (the ANN baseline): corpus scanned once,
+    queries broadcast, all math codegen'd."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 9).alias("cosine"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 9) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact mode for the oracle; the LSH
+    candidate path is ``embedding_near_dup_pairs(exact=False)``)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+    return out.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+
+
+@register("lsh_ann_topk")  # approximate — no SQL oracle; driver rows-only check
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the 100 TB path: score only co-bucketed
+    candidates). Approximate by design ⇒ no exact oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(queries, emb, k=5, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed decode — no codecs in this container)
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_decode")  # mapInPandas path — no SQL oracle (binary+UDF)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: text → fake payload bytes → Arrow-batched
+    mapInPandas feature extraction (deterministic stub; real codecs absent)."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    return multimodal.decode_image_features(payloads, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregation (batch equivalent of the streaming ingest path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "windowed_user_counts",
+    f"""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, user_id,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_windowed_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window per-user aggregation — the batch twin of
+    ``streaming.streaming_feature_aggregation`` (same grouping, same epoch
+    alignment as DuckDB's time_bucket)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "total_value")
+    )

@@ -1,0 +1,605 @@
+"""The full query/oracle inventory (SURVEY §2 line-by-line + north-star).
+
+Imported for side effects by ``harness`` — every ``@register`` call here
+adds a (PySpark query, DuckDB oracle) pair to the registry that
+``__spark_entry__.queries()/oracle_sql()`` expose.
+
+Conventions (driver hash-compare contract):
+- identical column aliases on both sides;
+- float aggregates via the decimal-sum recipe (``functions.dsum``);
+- top-k queries carry total tiebreaks so the selected SET is unique;
+- md5-derived hashes (not xxhash64) wherever the oracle must reproduce
+  hash values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import davg, davg_sql, dsum, dsum_sql, token_count, tokens
+from .harness import register
+from .operators import dedup, joins, similarity, text, windows
+from .sources.readers import read_table
+
+
+# ---------------------------------------------------------------------------
+# A/B-series: scans, filters, projections (reference A6, B1–B4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+    """,
+)
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 equality + comparison predicates and B4 projection, pushed to parquet."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "filter_in_list",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+)
+def q_filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: IN-list as ``isin`` — literal semi-join, pushed to the scan."""
+    return (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "iqr_outlier_summary",
+    """
+    WITH q AS (
+      SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events
+    )
+    SELECT ROUND(q1, 6) AS q1, ROUND(q3, 6) AS q3,
+           CAST(COUNT(CASE WHEN value < q1 - 1.5*(q3-q1) OR value > q3 + 1.5*(q3-q1) THEN 1 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM events, q GROUP BY q1, q3
+    """,
+)
+def q_iqr_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/C11/C12: exact-percentile IQR band + violation count (2 jobs → one row)."""
+    events = read_table(spark, sf_dir, "events")
+    q = events.agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    return (
+        events.crossJoin(F.broadcast(q))
+        .groupBy("q1", "q3")
+        .agg(
+            F.sum(
+                (
+                    (F.col("value") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+                    | (F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+            "n_outliers",
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C-series: aggregations & quality stats (C9–C12, C6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_null_dup_stats",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT (user_id, event_type, value)) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT (user_id, event_type, value)) AS DOUBLE) / COUNT(*) AS dup_fraction,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type
+    FROM events
+    """,
+)
+def q_quality_null_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 null counts + C10 duplicate fraction in ONE aggregation pass."""
+    events = read_table(spark, sf_dir, "events")
+    key = F.struct("user_id", "event_type", "value")
+    return events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(key).alias("n_distinct"),
+        ((F.count(F.lit(1)) - F.countDistinct(key)) / F.count(F.lit(1))).alias("dup_fraction"),
+        F.sum(F.col("value").isNull().cast("long")).alias("nulls_value"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias("nulls_event_type"),
+    )
+
+
+@register(
+    "lineitem_quartiles",
+    """
+    SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS qty_q1,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_q3,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS price_q1,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS price_q3,
+           ROUND(quantile_cont(l_discount, 0.25), 6) AS disc_q1,
+           ROUND(quantile_cont(l_discount, 0.75), 6) AS disc_q3
+    FROM lineitem
+    """,
+)
+def q_lineitem_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: exact linear-interpolation percentiles (pandas-compatible), one pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = [("l_quantity", "qty"), ("l_extendedprice", "price"), ("l_discount", "disc")]
+    aggs = []
+    for c, short in cols:
+        aggs.append(F.round(F.expr(f"percentile({c}, 0.25)"), 6).alias(f"{short}_q1"))
+        aggs.append(F.round(F.expr(f"percentile({c}, 0.75)"), 6).alias(f"{short}_q3"))
+    return li.agg(*aggs)
+
+
+@register(
+    "events_per_type",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value,
+           {davg_sql('value')} AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "distinct_parts_per_flag",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 exact count-distinct per group (the approx variant is
+    ``ApproxUserEventExtractor`` / ``approx_count_distinct``, flagged inexact)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-series: sorts / limits / top-k (F1–F3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_latest_events",
+    """
+    SELECT event_id, ts, user_id, event_type FROM events
+    ORDER BY ts DESC, event_id ASC LIMIT 20
+    """,
+)
+def q_topk_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: ORDER BY … LIMIT — Catalyst plans TakeOrderedAndProject (heap
+    top-k per partition + merge), never a full sort."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(20)
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3's general form: keep-latest-N per key via row_number (N=1)."""
+    return windows.top_n_per_group(
+        read_table(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        1,
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# D-series: joins (built-out surface; reference has none — SURVEY §2.D)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_counts",
+    f"""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           COALESCE({dsum_sql('o.o_totalprice')}, 0.0) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT equi-join + B7 null-fill: customers with zero orders keep 0/0.0."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "revenue_by_region",
+    f"""
+    SELECT r.r_name, COUNT(o.o_orderkey) AS n_orders, {dsum_sql('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact survives one pipeline of BROADCAST hash joins (dims are
+    tiny) — zero shuffles until the final group-by."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("o_orderkey").alias("n_orders"), dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', scale=6)} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', scale=6)} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2-key groupBy, 8 aggregates, partial→final hash agg.
+    Per-row products stay double (deterministic); sums go through decimals."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price, scale=6).alias("sum_disc_price"),
+        dsum(charge, scale=6).alias("sum_charge"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_topk",
+    f"""
+    SELECT o.o_orderkey, {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', scale=6)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (broadcast) → fact join → agg →
+    top-k with tiebreak."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, scale=6).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "semi_join_customers",
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 as a real semi-join (EXISTS)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return joins.semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 retention shape (NOT EXISTS)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return joins.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@register(
+    "asof_events_orders",
+    """
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event sees the latest order at-or-before its
+    timestamp — the leakage-free feature-lookup primitive. Union+window
+    implementation: one shuffle, no range explosion."""
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    return joins.asof_join(
+        e,
+        o,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "asof_prev_order",
+    """
+    SELECT cur.o_orderkey, cur.o_custkey, prev.o_orderkey AS prev_orderkey,
+           prev.o_totalprice AS prev_totalprice
+    FROM orders cur ASOF LEFT JOIN orders prev
+      ON cur.o_custkey = prev.o_custkey AND cur.o_orderdate > prev.o_orderdate
+    """,
+)
+def q_asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict as-of self-join: each order sees the customer's latest EARLIER
+    order (tests the exclusive-bound mode).
+
+    DuckDB ASOF breaks o_orderdate ties arbitrarily; the driver data has
+    unique (custkey, orderdate) pairs so both engines agree (verified)."""
+    o = read_table(spark, sf_dir, "orders")
+    prev = o.select(
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey").alias("prev_orderkey"),
+        F.col("o_totalprice").alias("prev_totalprice"),
+    )
+    return joins.asof_join(
+        o,
+        prev,
+        key="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="o_orderdate",
+        value_cols=["prev_orderkey", "prev_totalprice"],
+        strict=True,
+    ).select("o_orderkey", "o_custkey", "prev_orderkey", "prev_totalprice")
+
+
+@register(
+    "band_join_price_tiers",
+    f"""
+    WITH bands(tier, lo, hi) AS (
+      VALUES ('budget', 0.0, 925.0), ('mid', 925.0, 950.0),
+             ('high', 950.0, 975.0), ('premium', 975.0, 1e12)
+    )
+    SELECT b.tier, COUNT(p.p_partkey) AS n_parts, {davg_sql('p.p_retailprice')} AS avg_price
+    FROM part p LEFT JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.tier
+    """,
+)
+def q_band_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join via broadcast nested-loop — interval dim is tiny."""
+    p = read_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 925.0), ("mid", 925.0, 950.0), ("high", 950.0, 975.0), ("premium", 975.0, 1e12)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        joins.band_join(p, bands, "p_retailprice")
+        .groupBy("tier")
+        .agg(F.count("p_partkey").alias("n_parts"), davg(F.col("p_retailprice")).alias("avg_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E-series: window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "running_revenue",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame aggregate per key (decimal-summed for determinism)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "lag_lead_events",
+    """
+    SELECT event_id, user_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    )
+    SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) rolled up per user."""
+    sess = windows.sessionize(read_table(spark, sf_dir, "events"), "user_id", "ts", 1800)
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G-series: set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_summary",
+    """
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT * FROM building UNION SELECT * FROM rich)) AS n_union,
+      (SELECT COUNT(*) FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)) AS n_intersect,
+      (SELECT COUNT(*) FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)) AS n_except,
+      (SELECT COUNT(*) FROM (SELECT * FROM building UNION ALL SELECT * FROM rich)) AS n_union_all
+    """,
+)
+def q_set_ops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-series: union / union all / intersect / except on key sets."""
+    c = read_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    vals = [
+        building.union(rich).distinct().count(),
+        building.intersect(rich).count(),
+        building.exceptAll(rich).distinct().count(),
+        building.unionAll(rich).count(),
+    ]
+    return spark.createDataFrame(
+        [tuple(vals)], "n_union long, n_intersect long, n_except long, n_union_all long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# H-series: scalar functions (JSON, hashing, strings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: JSON decode as a typed column expression."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS fp_raw,
+           md5(array_to_string(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''), ' ')) AS fp_normalized
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 md5 + normalized content fingerprint (north-star text op)."""
+    return text.fingerprint(read_table(spark, sf_dir, "documents"), "doc_id", "text")

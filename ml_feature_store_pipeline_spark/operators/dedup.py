@@ -1,0 +1,281 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star training-data operators (BASELINE.json) — none exist in the
+reference; its only dedup-adjacent computation is the duplicate-row
+fraction (C10 `ML Feature Store Pipeline.py:123`), whose machinery
+(count vs distinct-count) exact_dedup generalizes.
+
+Design rules for 100 TB:
+
+- signatures (MinHash, SimHash) are computed ROW-LOCALLY from the token
+  array — no explode, no shuffle, whole-stage codegen throughout;
+- candidate generation shuffles only (band_id, bucket, doc_id) tuples —
+  never document text;
+- all hashes derive from ``md5`` hex strings so results are reproducible
+  across engines (the DuckDB oracle computes identical signatures), unlike
+  ``xxhash64`` which is Spark-private.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content (deterministic, unlike
+    ``dropDuplicates`` which keeps an arbitrary encounter-order row).
+
+    One hash aggregation on the content columns; at scale, pre-hash wide
+    content to a digest column first so the shuffle carries 16 bytes/row.
+    """
+    return (
+        df.groupBy(*content_cols)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, *content_cols)
+    )
+
+
+def duplicate_stats(df: DataFrame, content_cols: list[str] | None = None) -> DataFrame:
+    """C10 generalized: total rows, distinct rows, duplicate fraction."""
+    cols = content_cols or df.columns
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.struct(*cols)).alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(F.struct(*cols)))
+            / F.count(F.lit(1))
+        ).alias("dup_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingles as space-joined strings, row-local.
+
+    ``sequence`` would count DOWN for size < n, so the short-doc case is
+    guarded to an empty array.
+    """
+    toks = tokens(text)
+    count = F.size(toks) - F.lit(n - 1)
+    make = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count >= 1, make).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int, shingle_n: int = 3) -> Column:
+    """MinHash signature: per seed i, the lexicographic min of
+    ``md5(i | shingle)`` over the doc's shingles. Row-local (array_min over
+    transform), zero shuffle; empty docs get nulls.
+
+    Hex-string minima are order-isomorphic to integer minima of the same
+    hash, so collision behavior matches classic integer MinHash."""
+    sh = word_shingles(text, shingle_n)
+
+    def min_for_seed(i: int) -> Column:
+        # NOTE: the lambda must stay single-argument — a second parameter
+        # (even defaulted) makes PySpark pass the array INDEX into it.
+        prefix = F.lit(f"{i}|")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[min_for_seed(i) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("signature"),
+    )
+
+
+def lsh_band_buckets(
+    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Explode a signature into (band_id, bucket) pairs; bucket is the md5
+    of the band's slice. Output is 3 small columns per (doc, band)."""
+    cols = []
+    for b in range(bands):
+        band_slice = F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", band_slice)).alias("bucket"),
+            )
+        )
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("bb")
+    ).select(id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs agreeing on ALL rows of ≥1 band.
+
+    Pipeline: row-local signatures → band buckets → self-equi-join on
+    (band_id, bucket) → distinct (a, b) pairs. The join input is
+    (int, 32-char, id) — at 100 TB the shuffle is tiny relative to the
+    corpus, and hot buckets (boilerplate docs) are handled by AQE skew
+    splitting; a bucket-size cap can be added upstream of the join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    bb = lsh_band_buckets(sig, id_col, bands, rows_per_band)
+    a, b = bb.alias("a"), bb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join — the exact-similarity scale pattern)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram sets, computed via an
+    inverted-index self-join: explode distinct shingles, equi-join on
+    shingle, count intersections, then |A∪B| = |A|+|B|−|A∩B|.
+
+    Only docs that SHARE a shingle ever meet — no cross product. For
+    common-shingle skew, drop ultra-frequent shingles first (stop-shingle
+    cut) — standard at corpus scale.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def token_hash(tok: Column) -> Column:
+    """32-bit integer hash from the md5 hex prefix — engine-portable."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document over its (non-distinct) tokens.
+
+    Exploded-aggregation form: per bit, sum(±1) over token hashes, bit set
+    iff the sum is ≥ 0. The shuffle carries 32 small longs per doc (partial
+    aggregation compacts them map-side); the alternative row-local fold
+    exists but this form keeps the expression tree flat and codegen-able.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = token_hash(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; docs equal
+    in ≥1 byte meet (pigeonhole covers hamming ≤ 3), then filter by exact
+    ``bit_count(xor)``."""
+    sig = simhash(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(0xFF)).alias("byte"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band_id").alias("band_id"), F.col("bb.byte").alias("byte"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

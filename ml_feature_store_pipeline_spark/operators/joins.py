@@ -1,0 +1,120 @@
+"""Join operators (SURVEY §2.D).
+
+The reference contains zero joins — D1–D3 are degenerate forms (point
+lookup, IN-list, retention anti-join). This module supplies the real join
+surface a feature platform needs, Spark-first:
+
+- equi joins go through ``df.join`` so Catalyst/AQE pick broadcast vs
+  shuffled-hash vs sort-merge (with explicit hints where the caller knows
+  better);
+- the point-in-time **as-of join** — the canonical leakage-free
+  training-set construction — is a union + window ``last(ignoreNulls)``:
+  one shuffle on (key), no cross product, no per-group pandas. Spark has
+  no native batch as-of (SURVEY §2.D build plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_join(big: DataFrame, small: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Equi join with an explicit broadcast of the small side — dims like
+    region/nation/part always take this path; no shuffle of the big side."""
+    return big.join(F.broadcast(small), on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS (reference D2's scalable form — B2's IN-list as a real join)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS (reference D3 retention shape)."""
+    return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Point-in-time join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) for the same key.
+
+    Implementation: tag both sides, union on (key, ts), and take
+    ``last(value, ignoreNulls=True)`` over a window ordered by (ts, side)
+    — right rows sort before left rows at equal ts unless ``strict``.
+    One shuffle on ``key``; state per row is O(value_cols). At 100 TB this
+    beats per-group ``merge_asof`` pandas by keeping everything JVM-side,
+    and beats a range join by avoiding the O(n·m) candidate explosion.
+    """
+    # side marker: right=0 sorts before left=1 at equal ts ⇒ inclusive match;
+    # strict mode flips the order so an equal-ts right row is NOT visible.
+    lside, rside = (0, 1) if strict else (1, 0)
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(lside))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"__v_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(rside).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    for c in left.columns:
+        if c not in (key,):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = r_tagged.select(*l_tagged.columns).unionByName(l_tagged)
+
+    w = Window.partitionBy(key).orderBy("__ts", "__side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = unioned.select(
+        "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols]
+    )
+    out = filled.filter(F.col("__side") == lside)
+    keep = [c for c in left.columns] + [F.col(f"__asof_{c}").alias(c) for c in value_cols]
+    return out.select(*keep)
+
+
+def band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range (band) join: match ``fact.value_col`` into [lo, hi) intervals.
+
+    The band table is small by construction ⇒ broadcast nested-loop with a
+    range predicate — no shuffle of the fact side. For large interval
+    tables, bucketize both sides on interval width and equi-join the bucket
+    id first (not needed at current scales).
+    """
+    pred = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), pred, "left")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew mitigation: replicate the small side across ``salt_buckets``
+    salts and scatter the big side's hot keys uniformly. Prefer AQE's
+    skew-join splitting (enabled in session conf); use this when a single
+    key is pathological enough to defeat it."""
+    salted_left = left.withColumn("__salt", (F.rand(42) * salt_buckets).cast("int"))
+    salts = left.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
+    salted_right = right.crossJoin(F.broadcast(salts))
+    out = salted_left.join(salted_right, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (north-star, BASELINE.json).
+
+Baseline: brute-force cosine top-k — exact, one scan of the corpus per
+query batch, all math in ``zip_with``/``aggregate`` expressions (JVM,
+codegen; no Python in the loop). Scale path: LSH bucketing (random
+hyperplanes) so each query only scores its bucket's candidates — the
+classic recall/throughput trade, flagged inexact.
+
+An embedding-cosine near-dup operator rides the same machinery
+(pairs with cosine ≥ τ via sign-LSH candidates).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import cosine_similarity, dot, l2_norm
+
+
+def _normalized(df: DataFrame, vec_col: str) -> DataFrame:
+    """Pre-normalize so cosine = dot — one pass, halves per-pair flops."""
+    norm = l2_norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    return df.withColumn(vec_col, F.when(norm > 0, unit))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Broadcast the (small) query set against the corpus scan; per-query
+    top-k via row_number with id tiebreak. The corpus is read ONCE
+    regardless of query count; per-executor work is queries×rows×dim
+    multiply-adds inside codegen.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
+    """Sign-LSH bucket id: ``n_planes`` pseudo-random hyperplanes with
+    deterministic ±1/±0.5… weights derived from md5(seed, plane, dim-index)
+    — reproducible across runs and engines, no driver-side weight shipping.
+    """
+    bits = []
+    for p in range(n_planes):
+        # weight_j ∈ {-1, +1} from one hash bit per (plane, j). The prefix is
+        # bound OUTSIDE the lambda: a second lambda parameter (even defaulted)
+        # would make PySpark pass the array index into it.
+        prefix = F.lit(f"{seed}_{p}_")
+        w = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(
+                F.conv(F.substring(F.md5(F.concat(prefix, j.cast("string"))), 1, 8), 16, 10)
+                .cast("long")
+                .bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, wj: x.cast("double") * wj),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing an LSH bucket
+    with the query in ANY of ``n_tables`` hash tables. Inexact (recall < 1)
+    — the large-scale variant of :func:`cosine_topk`; candidate volume
+    shrinks ~2^n_planes-fold per table."""
+    def with_buckets(df: DataFrame, id_col: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    hyperplane_signature(F.col(vec_col), dim, n_planes, seed=1000 + t).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb")
+        ).select(id_col, vec_col, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+
+    qb = with_buckets(queries, query_id).withColumnRenamed(vec_col, "__qv")
+    cb = with_buckets(corpus, corpus_id).withColumnRenamed(vec_col, "__cv")
+    cands = (
+        qb.join(cb, ["table_id", "bucket"])
+        .select(query_id, corpus_id, "__qv", "__cv")
+        .distinct()
+    )
+    scored = cands.select(
+        query_id, corpus_id, cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+
+    Candidates from sign-LSH co-bucketing (high-cosine pairs collide with
+    probability (1 − θ/π)^n_planes per table), verified exactly. ``exact``
+    switches to the all-pairs O(n²) check — for oracle comparison and
+    small corpora only.
+    """
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if exact:
+        cands = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        def with_buckets(side: DataFrame, id_name: str, v_name: str) -> DataFrame:
+            tables = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        hyperplane_signature(F.col(v_name), dim, n_planes, seed=1000 + t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+            return side.select(id_name, v_name, F.explode(tables).alias("tb")).select(
+                id_name, v_name, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")
+            )
+
+        la = with_buckets(left, "id_a", "__va")
+        lb = with_buckets(right, "id_b", "__vb")
+        cands = (
+            la.join(lb, ["table_id", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+            .distinct()
+        )
+    return (
+        cands.select(
+            "id_a", "id_b", cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,113 @@
+"""Text analysis operators (north-star, BASELINE.json): token counting,
+language id, quality scoring, document fingerprinting.
+
+All pure Column expressions — a 100 TB documents scan stays entirely in
+whole-stage codegen; nothing here crosses into Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import token_count, tokens
+
+#: Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+#: Deliberately small + hardcoded: portable to the SQL oracle verbatim.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "y"],
+}
+
+#: BPE-ish token estimate: words + digit runs + punctuation marks each count.
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc surface statistics: chars, whitespace tokens, BPE-ish token
+    estimate, mean word length, punctuation ratio, digit ratio."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_chars = F.length(text)
+    # count regex matches by split-length (regexp_extract_all exists too but
+    # split keeps the oracle SQL identical in shape)
+    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    bpeish = F.size(F.regexp_extract_all(text, F.lit(BPEISH_PATTERN), 0))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        token_count(text).alias("n_tokens"),
+        bpeish.cast("long").alias("n_tokens_bpeish"),
+        (
+            (n_chars - F.length(F.regexp_replace(text, r"\s", "")))
+        ).cast("long").alias("n_whitespace"),
+        F.when(F.size(toks) > 0, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / F.size(toks))
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_digit / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(words)))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-ratio language guess: the language with the most stopword
+    hits wins; 'und' (undetermined) when nothing hits. Deterministic
+    tie-break by language code order."""
+    text = F.col(text_col)
+    hit_cols = [stopword_hits(text, lang).alias(f"hits_{lang}") for lang in STOPWORDS]
+    scored = df.select(F.col(id_col), text.alias("__t"), *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    guess = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        guess = F.when((F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    return scored.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}") for lang in STOPWORDS],
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: penalize too-short/too-long docs,
+    high punctuation/digit density, low stopword ratio, short mean words.
+    The standard cheap pre-filter in training-data pipelines."""
+    text = F.col(text_col)
+    n_tok = token_count(text)
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+    digit = F.length(F.regexp_replace(text, r"[^0-9]", "")) / F.greatest(F.length(text), F.lit(1))
+    stop_ratio = stopword_hits(text, "en") / F.greatest(n_tok, F.lit(1))
+    len_score = F.when(n_tok < 5, n_tok / 5.0).when(n_tok > 5000, F.lit(0.5)).otherwise(F.lit(1.0))
+    score = (
+        len_score
+        * (F.lit(1.0) - F.least(punct * 2, F.lit(1.0)))
+        * (F.lit(1.0) - F.least(digit * 2, F.lit(1.0)))
+        * (F.lit(0.5) + F.least(stop_ratio * 2, F.lit(0.5)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized content fingerprints: md5 of the raw text and of the
+    whitespace-normalized lowercase text (robust to spacing/case edits)."""
+    text = F.col(text_col)
+    normalized = F.concat_ws(" ", tokens(F.lower(text)))
+    return df.select(
+        F.col(id_col),
+        F.md5(text).alias("fp_raw"),
+        F.md5(normalized).alias("fp_normalized"),
+    )

