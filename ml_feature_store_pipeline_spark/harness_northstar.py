@@ -16,6 +16,14 @@ from .harness import register
 from .operators import dedup, multimodal, similarity, text
 from .sources.readers import read_table
 
+
+def _par(spark: SparkSession) -> int:
+    """Target parallelism for CPU-bound per-row stages: the driver testdata
+    arrives as ONE small parquet file, which would serialize heavy hashing
+    onto a single core; at production scale file counts make this a no-op."""
+    return spark.sparkContext.defaultParallelism
+
+
 #: DuckDB token list identical to functions.tokens()
 _SQL_TOKS = "list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> x <> '')"
 
@@ -45,7 +53,8 @@ _SQL_TOKS = "list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> x <> '')
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.text_stats(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return text.text_stats(docs, "doc_id", "text")
 
 
 def _lang_sql() -> str:
@@ -148,7 +157,7 @@ def _minhash_sig_sql() -> str:
 @register("minhash_signatures", _minhash_sig_sql())
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-local MinHash signatures (no shuffle until the final exchange)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     sig = dedup.minhash_signatures(docs, "doc_id", "text", _MINHASH_N, _SHINGLE_N)
     return sig.filter(F.col("signature")[0].isNotNull()).select(
         "doc_id", F.concat_ws("|", "signature").alias("signature")
@@ -185,7 +194,8 @@ def _minhash_pairs_sql() -> str:
 def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return dedup.lsh_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+        docs, "doc_id", "text", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+        parallelism=_par(spark),
     )
 
 
@@ -208,7 +218,8 @@ def _simhash_sql() -> str:
 
 @register("simhash_docs", _simhash_sql())
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return dedup.simhash(docs, "doc_id", "text")
 
 
 @register(
@@ -237,7 +248,9 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.3 via inverted-index self-join."""
     docs = read_table(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.3)
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.3, parallelism=_par(spark)
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

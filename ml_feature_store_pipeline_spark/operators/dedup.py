@@ -133,30 +133,48 @@ def lsh_candidate_pairs(
     *,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int = 10_000,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs agreeing on ALL rows of ≥1 band.
 
-    Pipeline: row-local signatures → band buckets → self-equi-join on
-    (band_id, bucket) → distinct (a, b) pairs. The join input is
-    (int, 32-char, id) — at 100 TB the shuffle is tiny relative to the
-    corpus, and hot buckets (boilerplate docs) are handled by AQE skew
-    splitting; a bucket-size cap can be added upstream of the join.
+    Pipeline: row-local signatures → band buckets → groupBy(bucket) →
+    bucket-local pair expansion → distinct (a, b) pairs. Grouping (instead
+    of a bucket self-join) computes the signature pipeline ONCE, and the
+    shuffle carries only (band_id, bucket, id) tuples — never text.
+
+    ``max_bucket_size`` caps the quadratic expansion of degenerate buckets
+    (boilerplate near-identical docs): a capped bucket still links its
+    members transitively through the retained ids, which is what dedup
+    needs. ``parallelism`` repartitions the input first — signature hashing
+    is CPU-bound, so a small file count must not serialize it.
     """
+    if parallelism:
+        df = df.repartition(parallelism)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes)
     bb = lsh_band_buckets(sig, id_col, bands, rows_per_band)
-    a, b = bb.alias("a"), bb.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    grouped = (
+        bb.groupBy("band_id", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket_size).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # bucket-local (a, b) expansion: ids are sorted, so pairing each element
+    # with its successors yields id_a < id_b without least/greatest
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pair_array).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +189,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.0,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram sets, computed via an
     inverted-index self-join: explode distinct shingles, equi-join on
@@ -180,14 +199,30 @@ def ngram_jaccard_pairs(
     common-shingle skew, drop ultra-frequent shingles first (stop-shingle
     cut) — standard at corpus scale.
     """
+    if parallelism:
+        df = df.repartition(parallelism)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # inverted index: shingle → sorted doc list → local pair expansion →
+    # count co-occurrences. One shuffle on shingle; no self-join (which
+    # would recompute the shingling) and skew-cappable per posting list.
+    postings = sh.groupBy("sh").agg(F.sort_array(F.collect_list(id_col)).alias("ids")).filter(
+        F.size("ids") > 1
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        postings.select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
