@@ -1,0 +1,92 @@
+"""Dedup operator tests: exact, shingles, MinHash/LSH, Jaccard, SimHash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.operators import dedup
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "hi"),  # too short for 3-gram shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    out = dedup.exact_dedup(hashed, ["h"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_duplicate_stats(docs):
+    row = dedup.duplicate_stats(docs, ["text"]).collect()[0]
+    assert row["n_rows"] == 5 and row["n_distinct"] == 4
+    assert row["dup_fraction"] == pytest.approx(1 / 5)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "text: string")
+    out = [r["sh"] for r in df.select(dedup.word_shingles(F.col("text"), 3).alias("sh")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []  # shorter than n → empty, not a descending-sequence error
+    assert out[2] == []
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    rows = {r["doc_id"]: r["signature"] for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+    assert all(v is None for v in rows[5])  # no shingles → null mins
+
+
+def test_lsh_pairs_find_exact_and_near_dups(docs):
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide in every band
+    assert all(a < b for a, b in got)
+
+
+def test_lsh_bucket_cap_limits_pairs(spark):
+    # 10 identical docs, cap at 4 → C(4,2)=6 pairs instead of C(10,2)=45
+    df = spark.createDataFrame([(i, "same text for every doc here") for i in range(10)], "doc_id long, text string")
+    pairs = dedup.lsh_candidate_pairs(df, "doc_id", "text", max_bucket_size=4)
+    assert pairs.count() == 6
+
+
+def test_ngram_jaccard_exact_values(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c}; jaccard = 1/2
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == pytest.approx(0.5)
+
+
+def test_ngram_jaccard_threshold(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}  # only the exact dup survives jaccard ≥ 0.99
+
+
+def test_simhash_properties(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]  # identical docs → identical simhash
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far  # near dup closer in hamming space
+    assert all(0 <= s < (1 << dedup.SIMHASH_BITS) for s in sigs.values())
+
+
+def test_simhash_near_pairs(docs):
+    out = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got[(1, 2)] == 0
+    assert all(h <= 3 for h in got.values())

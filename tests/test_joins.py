@@ -1,0 +1,103 @@
+"""Join operator tests: as-of (inclusive/strict), band, semi/anti, salted."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.operators import joins
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes_and_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:05"), "t1"),
+            (1, ts("2024-01-01 10:00:10"), "t2"),
+            (2, ts("2024-01-01 10:00:03"), "t3"),
+            (3, ts("2024-01-01 10:00:01"), "t4"),  # no quote ever for key 3
+        ],
+        "key long, t_ts timestamp, trade_id string",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100.0),
+            (1, ts("2024-01-01 10:00:05"), 101.0),  # equal-ts vs t1
+            (1, ts("2024-01-01 10:00:07"), 102.0),
+            (2, ts("2024-01-01 10:00:04"), 200.0),  # after t3 — must NOT match
+        ],
+        "key long, q_ts timestamp, price double",
+    )
+    return trades, quotes
+
+
+def test_asof_inclusive(quotes_and_trades):
+    trades, quotes = quotes_and_trades
+    out = joins.asof_join(
+        trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts", value_cols=["price"]
+    )
+    got = {r["trade_id"]: r["price"] for r in out.collect()}
+    assert got == {"t1": 101.0, "t2": 102.0, "t3": None, "t4": None}
+
+
+def test_asof_strict(quotes_and_trades):
+    trades, quotes = quotes_and_trades
+    out = joins.asof_join(
+        trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
+        value_cols=["price"], strict=True,
+    )
+    got = {r["trade_id"]: r["price"] for r in out.collect()}
+    # strict: the 10:00:05 quote is NOT visible to the 10:00:05 trade
+    assert got["t1"] == 100.0
+    assert got["t2"] == 102.0
+
+
+def test_asof_preserves_left_rowcount(quotes_and_trades):
+    trades, quotes = quotes_and_trades
+    out = joins.asof_join(
+        trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts", value_cols=["price"]
+    )
+    assert out.count() == trades.count()
+    assert set(out.columns) == set(trades.columns) | {"price"}
+
+
+def test_band_join(spark):
+    fact = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 150.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0)], "tier string, lo double, hi double"
+    )
+    out = {r["id"]: r["tier"] for r in joins.band_join(fact, bands, "v").collect()}
+    assert out == {1: "low", 2: "mid", 3: None}  # out-of-band keeps row (left join)
+
+
+def test_semi_anti_partition(spark):
+    left = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "k long")
+    semi = joins.semi_join(left, right, "k")
+    anti = joins.anti_join(left, right, "k")
+    assert semi.count() + anti.count() == 10
+    assert {r["k"] % 2 for r in semi.collect()} == {0}
+    assert {r["k"] % 2 for r in anti.collect()} == {1}
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame([(i % 3, i) for i in range(100)], "k long, v long")
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, name string")
+    plain = left.join(right, "k").groupBy("name").count()
+    salted = joins.salted_join(left, right, "k").groupBy("name").count()
+    assert {(r["name"], r["count"]) for r in plain.collect()} == {
+        (r["name"], r["count"]) for r in salted.collect()
+    }
+
+
+def test_broadcast_join_plan_is_broadcast(spark):
+    left = spark.createDataFrame([(i, i * 2) for i in range(100)], "k long, v long")
+    right = spark.createDataFrame([(1, "x")], "k long, tag string")
+    plan = joins.broadcast_join(left, right, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,81 @@
+"""Multimodal plumbing + Structured Streaming smoke tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from ml_feature_store_pipeline_spark.operators import multimodal
+from ml_feature_store_pipeline_spark.streaming import streaming_feature_aggregation
+
+
+@pytest.fixture()
+def payloads(spark):
+    docs = spark.createDataFrame(
+        [(1, "first document"), (2, "second document"), (3, "")],
+        "doc_id long, text string",
+    )
+    return multimodal.attach_fake_payload(docs, "doc_id", "text")
+
+
+def test_payload_schema(payloads):
+    assert [f.name for f in payloads.schema.fields] == ["doc_id", "payload", "media"]
+    assert payloads.schema["payload"].dataType.simpleString() == "binary"
+    row = payloads.collect()[0]
+    assert row["media"]["media_type"] == "image"
+    assert bytes(row["payload"]) == b"first document"
+
+
+def test_decode_fake_is_deterministic(payloads):
+    a = {r["doc_id"]: r for r in multimodal.decode_image_features(payloads, fake=True).collect()}
+    b = {r["doc_id"]: r for r in multimodal.decode_image_features(payloads, fake=True, batch_partitions=3).collect()}
+    assert a.keys() == b.keys() == {1, 2, 3}
+    for k in a:
+        assert a[k]["sha1"] == b[k]["sha1"]
+        assert a[k]["features"] == b[k]["features"]
+        assert len(a[k]["features"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in a[k]["features"])
+    assert a[1]["n_bytes"] == len(b"first document")
+
+
+def test_decode_without_codec_raises(payloads):
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_image_features(payloads, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "image codecs" in str(exc_info.value)
+
+
+def test_streaming_windowed_aggregation(spark, tmp_path):
+    """Drive the streaming path end-to-end with a file source + memory sink."""
+    src = str(tmp_path / "stream_src")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1, "click", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "purchase", 25.0, "{}"),
+        (3, base + dt.timedelta(minutes=6), 2, "view", 0.0, "{}"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = streaming_feature_aggregation(stream, window_duration="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM stream_out").collect()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["window"]["start"].minute): r for r in out}
+    assert got[(1, 0)]["total_events"] == 2
+    assert got[(1, 0)]["total_purchases"] == 1
+    assert got[(1, 0)]["avg_amount"] == pytest.approx(25.0)
+    assert got[(2, 5)]["total_events"] == 1

@@ -1,0 +1,103 @@
+"""Similarity search tests: exact cosine vs numpy, LSH recall, near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.functions import cosine_similarity, dot, l2_norm
+from ml_feature_store_pipeline_spark.operators import similarity
+
+DIM = 16
+N = 60
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    return rng.normal(size=(N, DIM)).astype("float32")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def np_cosine(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_vector_primitives_match_numpy(spark, vectors):
+    a, b = vectors[0], vectors[1]
+    df = spark.createDataFrame(
+        [([float(x) for x in a], [float(x) for x in b])], "a array<float>, b array<float>"
+    )
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("dot"),
+        l2_norm(F.col("a")).alias("na"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+    ).collect()[0]
+    assert row["dot"] == pytest.approx(float(np.dot(a.astype("f8"), b.astype("f8"))), rel=1e-9)
+    assert row["na"] == pytest.approx(float(np.linalg.norm(a.astype("f8"))), rel=1e-9)
+    assert row["cos"] == pytest.approx(np_cosine(a.astype("f8"), b.astype("f8")), rel=1e-9)
+
+
+def test_cosine_topk_matches_numpy(spark, corpus, vectors):
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(queries, corpus, k=5)
+    rows = out.collect()
+    v = vectors.astype("f8")
+    for q in range(3):
+        sims = [(np_cosine(v[q], v[i]), i) for i in range(N)]
+        expected = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
+        got = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert got == expected
+
+
+def test_cosine_topk_self_is_rank_one(corpus):
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = similarity.cosine_topk(queries, corpus, k=1).collect()[0]
+    assert top["vec_id"] == 0
+    assert top["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall_reasonable(spark, corpus, vectors):
+    """LSH is approximate; with 4 tables × 8 planes on 60 random vectors the
+    true nearest neighbor (self) must always be found, and results must be a
+    subset of scored candidates with correct ordering."""
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(queries, corpus, k=3, dim=DIM).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranked = sorted(rows, key=lambda r: r["rank"])
+        assert ranked[0]["vec_id"] == q  # self shares every bucket → rank 1
+        cosines = [r["cosine"] for r in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_embedding_near_dup_finds_planted_duplicate(spark, vectors):
+    planted = np.vstack([vectors, vectors[0] * 1.001])  # scaled copy: cosine ≈ 1
+    rows = [(i, [float(x) for x in planted[i]]) for i in range(len(planted))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_near_dup_pairs(df, dim=DIM, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, N) in got
+
+
+def test_embedding_near_dup_exact_equals_lsh_superset(spark, vectors):
+    """Exact mode finds every pair the LSH mode finds (LSH ⊆ exact)."""
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup_pairs(df, dim=DIM, threshold=0.5, exact=True).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup_pairs(df, dim=DIM, threshold=0.5).collect()}
+    assert approx <= exact
