@@ -1,0 +1,126 @@
+"""Physical-plan assertions: the properties that matter at 100 TB.
+
+Each test pins a scale property of a real query's plan — if a refactor
+regresses pushdown, pruning, broadcast choice, or partial aggregation,
+these fail before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark import plans
+from ml_feature_store_pipeline_spark.extractors import UserEventExtractor
+from ml_feature_store_pipeline_spark.harness import query_registry
+from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return query_registry()
+
+
+def test_filter_pushdown_reaches_parquet(spark, registry):
+    df = registry["scan_filter_project"](spark, SF)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "o_orderstatus" in pushed
+    assert "o_totalprice" in pushed
+
+
+def test_column_pruning(spark, registry):
+    df = registry["scan_filter_project"](spark, SF)
+    read_cols = set(plans.scan_read_schema(df))
+    # orders has 6 columns; the scan must read only the 3 needed
+    assert read_cols == {"o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"}
+
+
+def test_in_list_pushdown(spark, registry):
+    df = registry["filter_in_list"](spark, SF)
+    assert any("In(c_mktsegment" in p or "c_mktsegment" in p for p in plans.pushed_filters(df))
+
+
+def test_flagship_has_partial_aggregation(spark):
+    events = read_table(spark, SF, "events")
+    df = UserEventExtractor(amount_col="value", timestamp_col="ts").extract(events)
+    assert plans.has_partial_aggregation(df)
+    # exact countDistinct forces the 2-exchange expand plan: partial aggs on
+    # (user, event_type), shuffle, merge, shuffle on user. That extra
+    # exchange is the price of exactness…
+    assert plans.count_exchanges(df) == 2
+
+
+def test_approx_flagship_saves_an_exchange(spark):
+    # …and the approx variant (HLL sketch) collapses it back to ONE shuffle —
+    # the 100 TB configuration (SURVEY C6 flag).
+    from ml_feature_store_pipeline_spark.extractors import ApproxUserEventExtractor
+
+    events = read_table(spark, SF, "events")
+    df = ApproxUserEventExtractor(amount_col="value", timestamp_col="ts").extract(events)
+    assert plans.has_partial_aggregation(df)
+    assert plans.count_exchanges(df) == 1
+
+
+def test_flagship_single_aggregation_no_joins(spark):
+    events = read_table(spark, SF, "events")
+    df = UserEventExtractor(amount_col="value", timestamp_col="ts").extract(events)
+    plan = plans.executed_plan(df)
+    assert "Join" not in plan  # all 8 aggregates + ratios in ONE pass
+    assert plans.whole_stage_codegen_spans(df) >= 1
+
+
+def test_star_join_broadcasts_dims(spark, registry):
+    df = registry["revenue_by_region"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") == 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_range_explosion(spark, registry):
+    df = registry["asof_events_orders"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark, registry):
+    df = registry["topk_latest_events"](spark, SF)
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)
+
+
+def test_version_read_prunes_partitions(spark, tmp_path):
+    """Partition pruning: a version-filtered store read lists ONE directory."""
+    from ml_feature_store_pipeline_spark.config import FeatureMetadata
+    from ml_feature_store_pipeline_spark.store import FeatureStore
+
+    store = FeatureStore(spark, str(tmp_path / "fs"))
+    events = read_table(spark, SF, "events")
+    feats = UserEventExtractor(amount_col="value", timestamp_col="ts").extract(events)
+    v1 = store.register_features(feats, FeatureMetadata(description="v1"))
+    v2 = store.register_features(
+        feats.withColumn("total_amount", F.col("total_amount") * 2),
+        FeatureMetadata(description="v2"),
+    )
+    df = store.get_features(v1)
+    plan = plans.formatted_plan(df)
+    # the scan's partition filter must pin the version column
+    assert "feature_version" in plan
+    assert df.rdd.getNumPartitions() <= spark.sparkContext.defaultParallelism * 2
+    got = df.select("feature_version").distinct().collect()
+    assert [r[0] for r in got] == [v1]
+
+
+def test_user_filter_pushed_to_store_scan(spark, tmp_path):
+    from ml_feature_store_pipeline_spark.config import FeatureMetadata
+    from ml_feature_store_pipeline_spark.store import FeatureStore
+
+    store = FeatureStore(spark, str(tmp_path / "fs2"))
+    events = read_table(spark, SF, "events")
+    feats = UserEventExtractor(amount_col="value", timestamp_col="ts").extract(events)
+    store.register_features(feats, FeatureMetadata(description="v1"))
+    df = store.get_features(user_ids=[1, 2, 3])
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "user_id" in pushed
