@@ -41,7 +41,7 @@ def register(name: str, sql: str | None = None):
 
 def _ensure_loaded() -> None:
     """Import the registry modules (idempotent; deferred to avoid cycles)."""
-    from . import harness_northstar, harness_queries  # noqa: F401
+    from . import harness_northstar, harness_olap, harness_queries  # noqa: F401
 
 
 def query_registry() -> dict[str, QueryFn]:

@@ -1,0 +1,168 @@
+"""OLAP surface beyond the reference: grouping sets (rollup/cube), pivot/
+unpivot, and classic TPC-H filter/join shapes (Q5/Q6).
+
+The reference has no grouping sets (SURVEY §2.C note) — Spark provides them
+natively and a complete analytics engine exposes them, so they're covered
+here with oracles like everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import davg, davg_sql, dsum, dsum_sql
+from .harness import register
+from .sources.readers import read_table
+
+
+@register(
+    "rollup_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (flag, status) → (flag) → (). One pass —
+    Catalyst expands grouping sets without rescanning."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+@register(
+    "cube_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n, {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations in one pass."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "add_to_cart", "search"]
+
+
+@register(
+    "pivot_event_values",
+    f"""
+    SELECT user_id,
+           {', '.join(
+               "CAST(SUM(CASE WHEN event_type = '" + t + "' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE)"
+               " AS " + t for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into value-sum columns (explicit value list — no
+    extra distinct-scan job, stable output schema)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double"))
+    )
+
+
+@register(
+    "unpivot_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price' AS metric, l_extendedprice AS val FROM lineitem
+    """,
+)
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() — one scan (vs the oracle's two-scan UNION ALL)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (metric, val)"),
+    )
+
+
+@register(
+    "tpch_q6",
+    f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', scale=6)} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25.0
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — every predicate must reach the
+    parquet reader (asserted in test_plans)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 25.0)
+    )
+    return f.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "tpch_q5_like",
+    f"""
+    SELECT n.n_name, {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', scale=6)} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: selective region filter flows through broadcast dims
+    into the two fact tables; only the orders↔lineitem join shuffles."""
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue"))
+    )

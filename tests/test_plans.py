@@ -86,6 +86,24 @@ def test_asof_join_is_single_shuffle_no_range_explosion(spark, registry):
     assert "Window" in plan
 
 
+def test_q6_all_predicates_pushed(spark, registry):
+    df = registry["tpch_q6"](spark, SF)
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    # scan reads only the 4 referenced columns of 11
+    assert set(plans.scan_read_schema(df)) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+
+
+def test_q5_broadcasts_dims_single_fact_shuffle(spark, registry):
+    df = registry["tpch_q5_like"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # nation, region, dims-bundle
+    assert plan.count("SortMergeJoin") <= 1  # only orders⋈lineitem may shuffle
+
+
 def test_topk_uses_take_ordered_not_full_sort(spark, registry):
     df = registry["topk_latest_events"](spark, SF)
     assert "TakeOrderedAndProject" in plans.executed_plan(df)

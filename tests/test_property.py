@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis): Spark operators vs pandas ground truth
+on randomized inputs — SURVEY §5's determinism/semantics strategy.
+
+Each example round-trips through Spark, so example counts are kept small;
+the generators bias toward the traps (ties, empty groups, boundary spans).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.extractors import UserEventExtractor
+from ml_feature_store_pipeline_spark.operators import joins
+from ml_feature_store_pipeline_spark.versioning import content_version
+
+BASE = dt.datetime(2024, 1, 1)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user_id — few users → collisions
+        st.sampled_from(["click", "view", "purchase"]),
+        st.one_of(st.just(0.0), st.floats(min_value=0.01, max_value=100.0, allow_nan=False)),
+        st.integers(min_value=0, max_value=3 * 86400),  # offset seconds (tie-prone)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=events_strategy)
+def test_extractor_matches_pandas_reference(spark, rows):
+    """The flagship aggregation reproduces the reference's pandas semantics
+    (`ML Feature Store Pipeline.py:165-181`) on arbitrary inputs."""
+    data = [(u, t, round(a, 4), BASE + dt.timedelta(seconds=s)) for u, t, a, s in rows]
+    sdf = spark.createDataFrame(
+        data, "user_id long, event_type string, amount double, timestamp timestamp"
+    )
+    out = {r["user_id"]: r.asDict() for r in UserEventExtractor().extract(sdf).collect()}
+
+    pdf = pd.DataFrame(data, columns=["user_id", "event_type", "amount", "timestamp"])
+    for uid, g in pdf.groupby("user_id"):
+        got = out[uid]
+        assert got["total_events"] == len(g)
+        assert got["total_purchases"] == int((g.amount > 0).sum())
+        assert got["total_amount"] == pytest.approx(g.amount.sum())
+        pos = g.amount[g.amount > 0]
+        assert got["avg_amount"] == pytest.approx(pos.mean() if len(pos) else 0.0)
+        assert got["unique_event_types"] == g.event_type.nunique()
+        expected_days = (g.timestamp.max() - g.timestamp.min()).days + 1
+        assert got["days_active"] == expected_days
+        assert got["purchase_rate"] == pytest.approx(int((g.amount > 0).sum()) / len(g))
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left (probes)
+        st.tuples(st.integers(1, 3), st.integers(0, 1000)), min_size=1, max_size=15
+    ),
+    st.lists(  # right (updates)
+        st.tuples(st.integers(1, 3), st.integers(0, 1000), st.integers(0, 999)),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda r: (r[0], r[1]),  # one update per (key, ts) — merge_asof tie contract
+    ),
+)
+
+
+@SETTINGS
+@given(data=asof_strategy)
+def test_asof_join_matches_merge_asof(spark, data):
+    """The union+window as-of join reproduces pandas merge_asof (backward,
+    inclusive) for arbitrary key/timestamp layouts including equal-ts."""
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left_rows)],
+        "key long, ts timestamp, row_id long",
+    )
+    right = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), float(v)) for k, s, v in right_rows],
+        "key long, rts timestamp, val double",
+    ) if right_rows else spark.createDataFrame([], "key long, rts timestamp, val double")
+
+    out = joins.asof_join(
+        left, right, key="key", left_ts="ts", right_ts="rts", value_cols=["val"]
+    )
+    got = {r["row_id"]: r["val"] for r in out.collect()}
+
+    lp = pd.DataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left_rows)],
+        columns=["key", "ts", "row_id"],
+    ).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(
+            [(k, BASE + dt.timedelta(seconds=s), float(v)) for k, s, v in right_rows],
+            columns=["key", "ts", "val"],
+        )
+        .astype({"key": "int64", "ts": "datetime64[ns]", "val": "float64"})
+        .sort_values("ts", kind="stable")
+    )
+    merged = pd.merge_asof(lp, rp, on="ts", by="key", direction="backward")
+    for _, row in merged.iterrows():
+        expected = None if pd.isna(row["val"]) else row["val"]
+        assert got[row["row_id"]] == expected
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(0, 10, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    ),
+    seed=st.integers(0, 2**16),
+)
+def test_content_version_permutation_invariant(spark, rows, seed):
+    df = spark.createDataFrame([(a, round(b, 3)) for a, b in rows], "a long, b double")
+    assert content_version(df) == content_version(df.repartition(3).orderBy(F.rand(seed)))
