@@ -362,3 +362,52 @@ def q_windowed_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# MLlib feature-engineering variants (library twins of the md5-parity ops;
+# MLlib internals are Spark-private → rows-only driver checks)
+# ---------------------------------------------------------------------------
+
+
+@register("ml_tfidf_vectors")
+def q_ml_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document vectors (Tokenizer → HashingTF → IDF); vector column
+    surfaced as array<double> plus its nnz for a stable tabular shape."""
+    from pyspark.ml.functions import vector_to_array
+
+    from .operators import mlfeatures
+
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    out = mlfeatures.tfidf_vectors(docs, "doc_id", "text")
+    arr = vector_to_array("tfidf")
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x != 0)).alias("nnz"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x), 6).alias("sq_norm"),
+    )
+
+
+@register("ml_minhash_near_dup")
+def q_ml_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH approx similarity join (token-set Jaccard distance ≤ 0.3
+    — tight, because the synthetic corpus's ~30-word vocabulary makes loose
+    token-set thresholds degenerate toward a cross product)."""
+    from .operators import mlfeatures
+
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    out = mlfeatures.minhash_near_dup_ml(docs, "doc_id", "text", max_jaccard_distance=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance"))
+
+
+@register("ml_brp_ann_topk")
+def q_ml_brp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH Euclidean ANN, top-5 per query."""
+    from .operators import mlfeatures
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = mlfeatures.brp_ann(queries, emb, k=5, bucket_length=4.0)
+    return out.select("query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank")

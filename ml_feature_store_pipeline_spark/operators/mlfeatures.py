@@ -1,0 +1,148 @@
+"""MLlib feature engineering (BASELINE.json: "DataFrame transformations +
+MLlib feature engineering").
+
+Pipelines over the built-in distributed estimators/transformers:
+
+- TF-IDF document vectors (Tokenizer → HashingTF → IDF);
+- MLlib ``MinHashLSH`` near-dup join over binarized term vectors — the
+  library twin of our md5-based ``operators.dedup`` implementation (which
+  exists for cross-engine oracle parity; this one for MLlib interop);
+- ``BucketedRandomProjectionLSH`` approximate nearest neighbors over the
+  embeddings table (Euclidean-bucketed ANN — complements the sign-LSH
+  cosine variant in ``operators.similarity``);
+- ``StandardScaler`` embedding normalization.
+
+Everything is fit/transform on DataFrames — estimators run distributed
+aggregation jobs (IDF's document frequencies, scaler's moments) and
+transformers are narrow per-row ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import (
+    HashingTF,
+    IDF,
+    MinHashLSH,
+    BucketedRandomProjectionLSH,
+    RegexTokenizer,
+    StandardScaler,
+)
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import TOKEN_SPLIT_RE
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_features: int = 1 << 12,
+    binary: bool = False,
+) -> DataFrame:
+    """(id, tfidf vector) via Tokenizer → HashingTF → IDF.
+
+    HashingTF is stateless (hash-bucketed counts — no vocabulary shuffle);
+    IDF.fit is ONE aggregation over document frequencies. At corpus scale
+    this is the cheap, bounded-memory TF-IDF.
+    """
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="__tokens", pattern=TOKEN_SPLIT_RE, minTokenLength=1
+    )
+    tf = HashingTF(
+        inputCol="__tokens", outputCol="__tf", numFeatures=num_features, binary=binary
+    )
+    tokenized = tf.transform(tok.transform(df))
+    idf_model = IDF(inputCol="__tf", outputCol="tfidf").fit(tokenized)
+    return idf_model.transform(tokenized).select(F.col(id_col), F.col("tfidf"))
+
+
+def minhash_near_dup_ml(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.7,
+    num_features: int = 1 << 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MLlib MinHashLSH ``approxSimilarityJoin`` over
+    binary term-presence vectors. Returns (id_a, id_b, jaccard_distance)
+    with id_a < id_b.
+
+    Note: MLlib's Jaccard here is over hashed TOKEN sets (HashingTF
+    buckets), not word n-gram shingles — coarser than
+    ``dedup.ngram_jaccard_pairs`` but fully library-managed.
+    """
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="__tokens", pattern=TOKEN_SPLIT_RE, minTokenLength=1
+    )
+    tf = HashingTF(
+        inputCol="__tokens", outputCol="__vec", numFeatures=num_features, binary=True
+    )
+    # MinHashLSH requires ≥1 non-zero entry — drop token-less docs
+    vecs = tf.transform(tok.transform(df)).filter(F.size("__tokens") > 0).select(id_col, "__vec")
+    mh = MinHashLSH(inputCol="__vec", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed)
+    model = mh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, max_jaccard_distance, distCol="jaccard_distance")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_distance"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def brp_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k by Euclidean distance via
+    BucketedRandomProjectionLSH ``approxSimilarityJoin`` + per-query rank.
+
+    Returns (query_id, corpus_id, distance, rank). Approximate: only pairs
+    co-hashed in ≥1 table are scored.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(query_id), array_to_vector(F.col(vec_col)).alias("__v"))
+    c = corpus.select(F.col(corpus_id), array_to_vector(F.col(vec_col)).alias("__v"))
+    brp = BucketedRandomProjectionLSH(
+        inputCol="__v", outputCol="__hashes", bucketLength=bucket_length,
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = brp.fit(c)
+    joined = model.approxSimilarityJoin(q, c, float("inf"), distCol="distance")
+    scored = joined.select(
+        F.col(f"datasetA.{query_id}").alias(query_id),
+        F.col(f"datasetB.{corpus_id}").alias(corpus_id),
+        "distance",
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("distance"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def standardize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Zero-mean/unit-variance embedding scaling (fit = one moments job);
+    returns (id, scaled array<double>)."""
+    as_vec = df.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("__v"))
+    model = StandardScaler(inputCol="__v", outputCol="__scaled", withMean=True, withStd=True).fit(as_vec)
+    return model.transform(as_vec).select(
+        F.col(id_col), vector_to_array("__scaled").alias("scaled_embedding")
+    )

@@ -65,9 +65,20 @@ class FeatureStore:
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------------ K1
-    def register_features(self, features: DataFrame, metadata: FeatureMetadata) -> str:
+    def register_features(
+        self, features: DataFrame, metadata: FeatureMetadata, *, enforce_schema: bool = True
+    ) -> str:
         """Validate → content-hash → stamp → append partition → metadata upsert
-        → monitor → cache (reference `:295-353`)."""
+        → monitor → cache (reference `:295-353`).
+
+        Unlike the reference — which inserts whatever columns the frame has
+        (`:320-321`, schema effectively trusted) — declared ``features_config``
+        entries are checked against the actual schema (SURVEY §1.3: strictly
+        more checking, flagged as such). ``enforce_schema=False`` restores the
+        reference's trusting behavior.
+        """
+        if enforce_schema and metadata.features_config:
+            self._check_schema(features, metadata)
         metrics, _prof = self.validator.validate(features)
         version = content_version(features)
 
@@ -92,6 +103,25 @@ class FeatureStore:
         # at scale that collect is wrong, so the serving cache fills lazily on
         # first read instead (same hit behavior from the second access on).
         return version
+
+    def _check_schema(self, features: DataFrame, metadata: FeatureMetadata) -> None:
+        """Declared configs must exist in the frame with the declared dtype."""
+        from .schemas import dtype_to_spark
+
+        actual = {f.name: f.dataType for f in features.schema.fields}
+        problems = []
+        for cfg in metadata.features_config:
+            if cfg.name not in actual:
+                problems.append(f"declared feature {cfg.name!r} missing from DataFrame")
+            else:
+                expected = dtype_to_spark(cfg.dtype)
+                if actual[cfg.name] != expected:
+                    problems.append(
+                        f"{cfg.name}: declared {cfg.dtype} ({expected.simpleString()}) "
+                        f"but DataFrame has {actual[cfg.name].simpleString()}"
+                    )
+        if problems:
+            raise ValueError("feature schema mismatch: " + "; ".join(problems))
 
     def _upsert_metadata(self, metadata: FeatureMetadata) -> None:
         """A5: INSERT OR REPLACE ≈ filter-out + union + atomic overwrite."""

@@ -1,0 +1,70 @@
+"""MLlib feature-engineering tests (TF-IDF, MinHashLSH, BRP-LSH, scaler)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.operators import mlfeatures
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "spark engine query plan optimizer"),
+        (2, "spark engine query plan optimizer"),  # exact dup of 1
+        (3, "spark engine query plan runtime"),  # near dup
+        (4, "bananas oranges apples pears grapes"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_shapes_and_idf_downweighting(spark, docs):
+    out = {r["doc_id"]: r["tfidf"] for r in mlfeatures.tfidf_vectors(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].size == 1 << 12
+    # identical docs → identical vectors
+    assert out[1].toArray().tolist() == out[2].toArray().tolist()
+    # terms common to 3 of 4 docs get lower idf weight than 1-doc terms
+    assert out[4].toArray().max() > 0
+
+
+def test_minhash_lsh_ml_finds_dups(docs):
+    pairs = mlfeatures.minhash_near_dup_ml(docs, "doc_id", "text", max_jaccard_distance=0.9)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_distance"] for r in pairs.collect()}
+    assert got[(1, 2)] == pytest.approx(0.0)  # identical → distance 0
+    assert (1, 4) not in got  # disjoint vocab never a candidate at 0.9
+    assert all(a < b for a, b in got)
+
+
+def test_brp_ann_self_nearest(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype("f8")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = mlfeatures.brp_ann(queries, corpus, k=3, bucket_length=4.0)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == q  # self at distance 0
+        assert best["distance"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_standardize_embeddings_moments(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(loc=3.0, scale=2.0, size=(200, 4)).astype("f8")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)], "vec_id long, embedding array<float>"
+    )
+    out = mlfeatures.standardize_embeddings(df)
+    arr = np.array([r["scaled_embedding"] for r in out.collect()])
+    assert arr.shape == (200, 4)
+    np.testing.assert_allclose(arr.mean(axis=0), 0.0, atol=1e-6)
+    np.testing.assert_allclose(arr.std(axis=0, ddof=1), 1.0, atol=1e-2)

@@ -130,3 +130,26 @@ def test_dashboard_shape(store, features):
     assert set(dash) == {"metrics", "alerts", "cache_info", "store_path", "partitions"}
     assert dash["metrics"]["total_creations"] == 1
     assert len(dash["partitions"]) == 1
+
+
+def test_register_enforces_declared_schema(store, features):
+    """SURVEY §1.3: declared configs are validated against the actual schema —
+    strictly more checking than the reference's trusted inserts."""
+    from ml_feature_store_pipeline_spark.config import FeatureConfig
+
+    meta = _meta("schema check")
+    meta.features_config = [
+        FeatureConfig("total_events", "int64"),
+        FeatureConfig("no_such_column", "float64"),
+    ]
+    with pytest.raises(ValueError, match="no_such_column"):
+        store.register_features(features, meta)
+    # wrong dtype also rejected
+    meta.features_config = [FeatureConfig("total_events", "float64")]
+    with pytest.raises(ValueError, match="total_events"):
+        store.register_features(features, meta)
+    # matching declaration (or opting out) registers fine
+    meta.features_config = [FeatureConfig("total_events", "int64")]
+    assert store.register_features(features, meta)
+    meta.features_config = [FeatureConfig("no_such_column", "float64")]
+    assert store.register_features(features, meta, enforce_schema=False)
