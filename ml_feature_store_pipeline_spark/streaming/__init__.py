@@ -1,3 +1,9 @@
 from .ingest import streaming_feature_aggregation, upsert_sink
+from .stateful import dedup_stream, sessionize_stream
 
-__all__ = ["streaming_feature_aggregation", "upsert_sink"]
+__all__ = [
+    "dedup_stream",
+    "sessionize_stream",
+    "streaming_feature_aggregation",
+    "upsert_sink",
+]

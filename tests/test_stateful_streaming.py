@@ -1,0 +1,159 @@
+"""Stateful streaming operators: session windows via applyInPandasWithState
+and bounded-state streaming dedup.
+
+Sessions are driven closed two ways — by a later same-key event past the gap
+(in-batch), and by event-time timeout once later batches advance the
+watermark — using checkpointed ``availableNow`` runs so watermark/state
+persist across restarts exactly as in production."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.operators import windows
+from ml_feature_store_pipeline_spark.streaming import dedup_stream, sessionize_stream
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _m(minutes: float) -> dt.datetime:
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def _run_once(spark, src: str, ckpt: str, out: str) -> None:
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    sessions = sessionize_stream(
+        stream, gap_seconds=600.0, watermark="0 seconds"
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_sessionize_stream_closes_by_gap_and_timeout(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    # batch 1: user 1 has two events 2 min apart (one session, still open);
+    # user 2 one event. Nothing can close yet.
+    b1 = [
+        (1, _m(0), 1, "click", 0.0),
+        (2, _m(2), 1, "purchase", 25.0),
+        (3, _m(0), 2, "view", 0.0),
+    ]
+    spark.createDataFrame(b1, EVENTS_DDL).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, out)
+
+    # batch 2: user 1 reappears 58 min later — past the 10 min gap, so the
+    # first session closes IN the function; watermark advances to minute 60.
+    b2 = [(4, _m(60), 1, "click", 0.0)]
+    spark.createDataFrame(b2, EVENTS_DDL).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, out)
+
+    got = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    first = got[(1, _m(0))]
+    assert first["session_end"] == _m(2)
+    assert first["n_events"] == 2
+    assert first["total_amount"] == pytest.approx(25.0)
+    # user 2's session (timeout at minute 10) closes via event-time timeout —
+    # fired in batch 2 or at latest batch 3 depending on watermark commit timing.
+
+    # batch 3: unrelated user far in the future → watermark passes every
+    # pending timeout; user 2's and user 1's second session both close.
+    b3 = [(5, _m(600), 99, "view", 0.0)]
+    spark.createDataFrame(b3, EVENTS_DDL).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, out)
+    _run_once(spark, src, ckpt, out)  # extra tick: fire timeouts vs final watermark
+
+    got = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(2, _m(0))]["n_events"] == 1
+    assert got[(2, _m(0))]["session_end"] == _m(0)
+    second = got[(1, _m(60))]
+    assert second["n_events"] == 1
+    assert second["session_end"] == _m(60)
+
+
+def test_sessionize_stream_matches_batch_twin(spark, tmp_path):
+    """Closed sessions from the stream == operators.windows.sessionize on
+    the same data (once every session is past the watermark)."""
+    src, ckpt, out = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "o")
+    rows = [
+        (1, _m(0), 1, "click", 1.0),
+        (2, _m(5), 1, "click", 2.0),
+        (3, _m(30), 1, "view", 0.0),   # gap 25 min > 10 → new session
+        (4, _m(0), 2, "view", 0.0),
+        (5, _m(9), 2, "purchase", 9.0),  # within gap → same session
+    ]
+    spark.createDataFrame(rows, EVENTS_DDL).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, out)
+    # advance watermark far enough to close everything, then tick timeouts
+    spark.createDataFrame(
+        [(6, _m(10000), 99, "view", 0.0)], EVENTS_DDL
+    ).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, out)
+    _run_once(spark, src, ckpt, out)
+
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).filter(F.col("user_id") != 99).collect()
+    }
+
+    batch = windows.sessionize(
+        spark.createDataFrame(rows, EVENTS_DDL), "user_id", "ts", 600
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in (
+            batch.groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .collect()
+        )
+    }
+    assert streamed == expected
+
+
+def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "o")
+    rows = [
+        (1, _m(0), 1, "click", 0.0),
+        (1, _m(0), 1, "click", 0.0),   # exact dup, same batch
+        (2, _m(1), 1, "view", 0.0),
+    ]
+    spark.createDataFrame(rows, EVENTS_DDL).write.mode("append").parquet(src)
+    q = (
+        dedup_stream(
+            spark.readStream.schema(EVENTS_DDL).parquet(src),
+            ["event_id"],
+            watermark="5 minutes",
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r["event_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(ids) == [1, 2]
