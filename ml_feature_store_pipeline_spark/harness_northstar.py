@@ -325,6 +325,19 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(queries, emb, k=5, dim=64)
 
 
+@register("ivf_ann_topk")  # approximate — no SQL oracle; driver rows-only check
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer → probe nprobe nearest cells →
+    exact cosine within probed lists. Approximate at nprobe<n_cells ⇒ no
+    exact oracle; full-probe==brute-force is property-tested
+    (test_similarity.py::test_ivf_topk_full_probe_equals_exact)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(queries, emb, k=5, n_cells=8, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed decode — no codecs in this container)
 # ---------------------------------------------------------------------------

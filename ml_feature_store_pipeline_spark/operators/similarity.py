@@ -142,6 +142,88 @@ def lsh_topk(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance between two array columns (codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k by cosine: the other classic
+    scale path next to :func:`lsh_topk`.
+
+    Both sides are L2-normalized so Euclidean cell geometry matches cosine
+    ranking; a KMeans coarse quantizer (MLlib, fit on an optional sample)
+    partitions the corpus into ``n_cells`` inverted lists; each query scores
+    only the lists of its ``nprobe`` nearest centroids. ``nprobe == n_cells``
+    probes everything and is EXACTLY :func:`cosine_topk` (property-tested).
+
+    Scale shape: centroids are n_cells×dim driver-side floats broadcast to
+    executors — assignment and probing are narrow broadcast joins; the only
+    shuffle is the final per-query top-k. Candidate volume per query is
+    ~``nprobe/n_cells`` of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    qn = _normalized(queries.select(F.col(query_id), F.col(vec_col)), vec_col)
+    cn = _normalized(corpus.select(F.col(corpus_id), F.col(vec_col)), vec_col)
+
+    train = cn if train_fraction is None else cn.sample(train_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__v")))
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+
+    # inverted lists: each corpus vector → its nearest centroid's cell
+    cw = Window.partitionBy(corpus_id).orderBy(F.asc("__d"), F.asc("cell"))
+    assigned = (
+        cn.crossJoin(F.broadcast(cent))
+        .withColumn("__d", _l2sq(F.col(vec_col), F.col("center")))
+        .withColumn("__r", F.row_number().over(cw))
+        .filter(F.col("__r") == 1)
+        .select(corpus_id, F.col(vec_col).alias("__cv"), "cell")
+    )
+    # probe list: each query → its nprobe nearest cells
+    qw = Window.partitionBy(query_id).orderBy(F.asc("__d"), F.asc("cell"))
+    probes = (
+        qn.crossJoin(F.broadcast(cent))
+        .withColumn("__d", _l2sq(F.col(vec_col), F.col("center")))
+        .withColumn("__r", F.row_number().over(qw))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id, F.col(vec_col).alias("__qv"), "cell")
+    )
+    scored = probes.join(assigned, "cell").select(
+        query_id,
+        corpus_id,
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

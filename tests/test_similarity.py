@@ -101,3 +101,30 @@ def test_embedding_near_dup_exact_equals_lsh_superset(spark, vectors):
     exact = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup_pairs(df, dim=DIM, threshold=0.5, exact=True).collect()}
     approx = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup_pairs(df, dim=DIM, threshold=0.5).collect()}
     assert approx <= exact
+
+
+def test_ivf_topk_full_probe_equals_exact(spark, corpus):
+    """nprobe == n_cells probes every inverted list → IVF must return
+    exactly the brute-force top-k (same ids, same ranks)."""
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(queries, corpus, k=5).collect()
+    ivf = similarity.ivf_topk(
+        queries, corpus, k=5, n_cells=4, nprobe=4
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert [(r["query_id"], r["vec_id"], r["rank"]) for r in sorted(ivf, key=key)] == [
+        (r["query_id"], r["vec_id"], r["rank"]) for r in sorted(exact, key=key)
+    ]
+
+
+def test_ivf_topk_partial_probe_finds_self(spark, corpus):
+    """A query vector always lands in the cell it was assigned to, so even
+    nprobe=1 must find the vector itself at rank 1."""
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(queries, corpus, k=3, n_cells=6, nprobe=1).collect()
+    rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert rank1 == {q: q for q in range(5)}
