@@ -142,3 +142,26 @@ def test_user_filter_pushed_to_store_scan(spark, tmp_path):
     df = store.get_features(user_ids=[1, 2, 3])
     pushed = " ".join(plans.pushed_filters(df))
     assert "user_id" in pushed
+
+
+def test_q4_exists_is_semi_join_no_fanout(spark, registry):
+    """Correlated EXISTS must plan as a LEFT SEMI join (one probe row per
+    order), never an inner join + distinct."""
+    df = registry["tpch_q4_like"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_q12_prunes_orders_scan(spark, registry):
+    df = registry["tpch_q12_like"](spark, SF)
+    # orders scan must read only the join key + priority
+    schemas = plans.formatted_plan(df)
+    assert "o_totalprice" not in schemas and "o_custkey" not in schemas
+
+
+def test_q18_topk_is_take_ordered(spark, registry):
+    """Global ORDER BY + LIMIT 100 must be TakeOrdered — never a full sort
+    of the joined result."""
+    df = registry["tpch_q18_like"](spark, SF)
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)
