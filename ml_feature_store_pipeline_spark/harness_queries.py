@@ -603,3 +603,61 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H7 md5 + normalized content fingerprint (north-star text op)."""
     return text.fingerprint(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "training_set_pit",
+    """
+    WITH ord AS (
+      SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ), ordd AS (
+      SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM ord WHERE rn = 1
+    ), labels AS (
+      SELECT event_id, user_id, ts, value AS label
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.label,
+           o.o_orderdate AS ord__asof_ts, o.o_orderkey AS ord__o_orderkey,
+           o.o_totalprice AS ord__o_totalprice,
+           e.ts AS act__asof_ts, e.value AS act__value,
+           e.event_type AS act__event_type
+    FROM labels l
+    ASOF LEFT JOIN ordd o ON l.user_id = o.user_id AND l.ts >= o.o_orderdate
+    ASOF LEFT JOIN events e ON l.user_id = e.user_id AND l.ts > e.ts
+    """,
+)
+def q_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training set (operators.pit.training_set): purchase
+    events are the labels; each label row gets (a) the customer's latest
+    order at-or-before the label time (inclusive as-of over a
+    deterministically deduped orders view) and (b) the strictly-previous
+    event (prev-value semantics). One shuffle per feature view."""
+    from .operators.pit import FeatureView, training_set
+
+    e = read_table(spark, sf_dir, "events")
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("label")
+    )
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    w = Window.partitionBy("user_id", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    ordd = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    return training_set(
+        labels,
+        {
+            "ord": FeatureView(ordd, "o_orderdate", ["o_orderkey", "o_totalprice"]),
+            "act": FeatureView(e, "ts", ["value", "event_type"], strict=True),
+        },
+        key="user_id",
+        label_ts="ts",
+    ).select(
+        "event_id", "user_id", "ts", "label",
+        "ord__asof_ts", "ord__o_orderkey", "ord__o_totalprice",
+        "act__asof_ts", "act__value", "act__event_type",
+    )

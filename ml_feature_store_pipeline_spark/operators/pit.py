@@ -1,0 +1,79 @@
+"""Point-in-time training-set assembly — THE feature-store read pattern.
+
+The reference serves features at "now" (``serve_features_async``, ``ML
+Feature Store Pipeline.py:427-446``); training needs the leakage-free
+historical variant: for each label row (entity, label_ts), the latest value
+of every feature as of label_ts. This module assembles that over any number
+of feature tables by chaining :func:`operators.joins.asof_join` — one
+shuffle per feature table, no range explosion, all JVM-side.
+
+Scale shape: each feature table contributes exactly one exchange on the
+entity key (the union+window as-of), and the label set rides through them
+pipelined. ``staleness_seconds`` nulls out values older than the label's
+freshness horizon — the standard guard against serving stale features to
+training."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .joins import asof_join
+
+
+@dataclass
+class FeatureView:
+    """One feature table: ``df`` must carry the entity key column (same name
+    as the label side), ``ts_col``, and the ``features`` columns. ``strict``
+    excludes feature rows AT the label timestamp (prev-value semantics)."""
+
+    df: DataFrame
+    ts_col: str
+    features: list[str] = field(default_factory=list)
+    strict: bool = False
+
+
+def training_set(
+    labels: DataFrame,
+    views: dict[str, FeatureView],
+    *,
+    key: str,
+    label_ts: str,
+    staleness_seconds: float | None = None,
+) -> DataFrame:
+    """For each label row, attach ``{name}__{feature}`` = the feature's
+    latest value as of the label's timestamp, plus ``{name}__asof_ts`` (the
+    matched feature row's timestamp — the freshness audit column).
+
+    With ``staleness_seconds``, features whose as-of timestamp is older than
+    ``label_ts - staleness`` come back NULL (asof_ts stays, so the staleness
+    decision is auditable).
+    """
+    out = labels
+    for name, view in views.items():
+        ts_alias = f"{name}__asof_ts"
+        feat_aliases = [f"{name}__{c}" for c in view.features]
+        right = view.df.select(
+            F.col(key),
+            F.col(view.ts_col),
+            F.col(view.ts_col).alias(ts_alias),
+            *[F.col(c).alias(a) for c, a in zip(view.features, feat_aliases)],
+        )
+        out = asof_join(
+            out,
+            right,
+            key=key,
+            left_ts=label_ts,
+            right_ts=view.ts_col,
+            value_cols=[ts_alias, *feat_aliases],
+            strict=view.strict,
+        )
+        if staleness_seconds is not None:
+            fresh = (
+                F.unix_timestamp(F.col(label_ts)) - F.unix_timestamp(F.col(ts_alias))
+            ) <= F.lit(staleness_seconds)
+            for a in feat_aliases:
+                out = out.withColumn(a, F.when(fresh, F.col(a)))
+    return out
