@@ -64,17 +64,36 @@ def _numeric_columns(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC_TYPES)]
 
 
-def profile(df: DataFrame) -> QualityProfile:
-    """Run the two-pass quality profile."""
+def profile(
+    df: DataFrame, *, approximate: bool = False, percentile_accuracy: int = 10000
+) -> QualityProfile:
+    """Run the two-pass quality profile.
+
+    ``approximate=True`` is the 100 TB variant: HLL ``approx_count_distinct``
+    for the duplicate check (no exact-distinct exchange of full-width rows)
+    and KLL-sketch ``percentile_approx`` for quartiles (mergeable, bounded
+    memory). Exact mode stays the default — it is what the oracle gate and
+    the reference's pandas semantics (C10/C11) hash-match against.
+    """
     cols = df.columns
     numeric = _numeric_columns(df)
 
-    aggs = [F.count(F.lit(1)).alias("__n"), F.countDistinct(F.struct(*cols)).alias("__distinct")]
+    distinct = (
+        F.approx_count_distinct(F.struct(*cols))
+        if approximate
+        else F.countDistinct(F.struct(*cols))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n"), distinct.alias("__distinct")]
     aggs += [F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}") for c in cols]
     for c in numeric:
         # exact linear-interpolation percentile (pandas default) — C11 `:131-132`;
-        # approx_percentile is the flagged large-scale variant, NOT used here.
-        aggs.append(F.expr(f"percentile(`{c}`, array(0.25, 0.75))").alias(f"__q_{c}"))
+        # percentile_approx is the flagged large-scale variant (approximate=True).
+        q_expr = (
+            f"percentile_approx(`{c}`, array(0.25, 0.75), {percentile_accuracy})"
+            if approximate
+            else f"percentile(`{c}`, array(0.25, 0.75))"
+        )
+        aggs.append(F.expr(q_expr).alias(f"__q_{c}"))
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
 

@@ -69,3 +69,17 @@ def list_partition_values(store_path: str, partition_col: str) -> list[str]:
 
 def spark_for(df: DataFrame) -> SparkSession:
     return df.sparkSession
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — interchange format; splittable but row-oriented,
+    so parquet/ORC stay the at-scale defaults."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", *partition_cols: str) -> None:
+    """ORC sink (columnar alternative to parquet; same partitioning rules)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)

@@ -68,3 +68,26 @@ def test_missing_user_id_column_flagged(spark):
     df = spark.createDataFrame([(1,)], "x long")
     metrics, _ = DataQualityValidator().validate(df)
     assert metrics.schema_violations == 1  # has_user_id fails
+
+
+def test_approximate_profile_tracks_exact(spark):
+    """The sketch-based 100 TB profile must track the exact one: identical
+    nulls/counts (those stay exact), HLL distinct within its published ~2-5%
+    error, approx quartiles close enough that the IQR band decision holds."""
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    df = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    exact = profile(df)
+    approx = profile(df, approximate=True)
+
+    assert approx.row_count == exact.row_count
+    assert approx.null_counts == exact.null_counts
+    assert approx.numeric_non_null == exact.numeric_non_null
+    assert approx.distinct_rows == pytest.approx(exact.distinct_rows, rel=0.05)
+    for c, (q1, q3) in exact.quartiles.items():
+        aq1, aq3 = approx.quartiles[c]
+        spread = (q3 - q1) or 1.0
+        assert abs(aq1 - q1) / spread < 0.05
+        assert abs(aq3 - q3) / spread < 0.05
