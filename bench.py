@@ -34,6 +34,8 @@ HEADLINE = [
     "cosine_topk",
     "text_stats",
     "windowed_user_counts",
+    "training_set_pit",
+    "tpch_q18_like",
 ]
 
 
