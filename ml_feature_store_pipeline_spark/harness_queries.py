@@ -661,3 +661,48 @@ def q_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ord__asof_ts", "ord__o_orderkey", "ord__o_totalprice",
         "act__asof_ts", "act__value", "act__event_type",
     )
+
+
+@register(
+    "sample_events_10pct",
+    """
+    SELECT event_id, user_id, ts
+    FROM events
+    WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < 1000
+    """,
+)
+def q_sample_events_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by event_id hash — same rows on any engine,
+    any partitioning (operators.sampling). The sample predicate is a scan
+    filter: no shuffle, no sampling state."""
+    from .operators.sampling import deterministic_sample
+
+    e = read_table(spark, sf_dir, "events")
+    return deterministic_sample(e, "event_id", 0.10).select("event_id", "user_id", "ts")
+
+
+@register(
+    "train_test_split_counts",
+    """
+    SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 10000 < 2000
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/20 split keyed on the ENTITY (user_id): every event
+    of a user lands on one side, and assignments never move as data grows."""
+    from .operators.sampling import split_column
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("split", split_column(F.col("user_id"), 0.20))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

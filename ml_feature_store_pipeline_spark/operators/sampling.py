@@ -1,0 +1,81 @@
+"""Deterministic sampling & splits for training-data pipelines.
+
+Random ``df.sample`` is irreproducible across runs/engines and unstable
+under repartitioning. Everything here buckets rows by ``md5`` of a key —
+the same row lands in the same bucket on any engine, any partitioning,
+any day, so samples are auditable and splits never leak between train and
+test as data grows (a new row's split is a pure function of its key).
+
+All expressions are hex-string → integer conversions inside codegen — no
+shuffle, no UDF; a sample is a pushed-down filter on top of the scan.
+``stratified_sample`` wraps ``sampleBy`` for the seeded-random variant and
+is flagged non-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets): first 8 hex chars of
+    ``md5(salt || key)`` as an integer, mod buckets. Engine-portable
+    (DuckDB twin: ``CAST(concat('0x', substr(md5(...), 1, 8)) AS BIGINT)``)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    *,
+    buckets: int = 10000,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash. Reproducible and
+    stable: the same keys survive regardless of partitioning or engine;
+    ``salt`` selects an independent sample."""
+    cut = int(round(fraction * buckets))
+    return df.filter(hash_bucket(F.col(key_col), buckets, salt) < cut)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.2,
+    *,
+    buckets: int = 10000,
+    salt: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe split: a key's assignment never changes as the table
+    grows, and grouping the split by an ENTITY key (user, document) rather
+    than a row id keeps correlated rows on one side."""
+    cut = int(round(test_fraction * buckets))
+    bucket = hash_bucket(F.col(key_col), buckets, salt)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def split_column(
+    key: Column,
+    test_fraction: float = 0.2,
+    *,
+    buckets: int = 10000,
+    salt: str = "",
+) -> Column:
+    """The split as a labeling column ('train' / 'test') for single-pass
+    writes partitioned by split."""
+    cut = int(round(test_fraction * buckets))
+    return F.when(hash_bucket(key, buckets, salt) < cut, F.lit("test")).otherwise(
+        F.lit("train")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum random sampling (``sampleBy``). Seeded but NOT
+    engine-portable or partitioning-stable — prefer
+    :func:`deterministic_sample` for anything that must be reproduced."""
+    return df.sampleBy(strata_col, fractions, seed)

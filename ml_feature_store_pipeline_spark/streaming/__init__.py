@@ -1,8 +1,9 @@
-from .ingest import streaming_feature_aggregation, upsert_sink
+from .ingest import enrich_stream, streaming_feature_aggregation, upsert_sink
 from .stateful import dedup_stream, sessionize_stream
 
 __all__ = [
     "dedup_stream",
+    "enrich_stream",
     "sessionize_stream",
     "streaming_feature_aggregation",
     "upsert_sink",

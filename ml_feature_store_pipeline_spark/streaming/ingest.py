@@ -71,3 +71,17 @@ def upsert_sink(
         )
 
     return write
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach (slowly-changing) dimension
+    attributes to each event. Spark plans the static side as a broadcast
+    against every micro-batch — no stream-side shuffle, no state. The dim
+    table is re-read per batch, so an overwritten dim parquet shows up on
+    the next trigger without restarting the query."""
+    return events.join(F.broadcast(dim), on, how)

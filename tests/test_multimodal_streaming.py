@@ -79,3 +79,27 @@ def test_streaming_windowed_aggregation(spark, tmp_path):
     assert got[(1, 0)]["total_purchases"] == 1
     assert got[(1, 0)]["avg_amount"] == pytest.approx(25.0)
     assert got[(2, 5)]["total_events"] == 1
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each streamed event picks up its dim attributes
+    without stream-side state."""
+    from ml_feature_store_pipeline_spark.streaming import enrich_stream
+
+    src = str(tmp_path / "enrich_src")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batch = spark.createDataFrame(
+        [(1, base, 1, "click", 0.0, "{}"), (2, base, 2, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    batch.write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame([(1, "gold"), (3, "bronze")], "user_id long, tier string")
+
+    out = enrich_stream(spark.readStream.schema(batch.schema).parquet(src), dim, "user_id")
+    q = out.writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try:
+        q.processAllAvailable()
+        rows = {r["event_id"]: r["tier"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    finally:
+        q.stop()
+    assert rows == {1: "gold", 2: None}
