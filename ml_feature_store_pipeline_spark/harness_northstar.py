@@ -424,3 +424,28 @@ def q_ml_brp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mlfeatures.brp_ann(queries, emb, k=5, bucket_length=4.0)
     return out.select("query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank")
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS.format(t='text')} AS toks FROM documents
+    ), n AS (
+      SELECT doc_id, toks, LEN(toks) AS n FROM t WHERE LEN(toks) > 0
+    ), c AS (
+      SELECT doc_id, toks,
+             GREATEST(CAST(FLOOR((n - 16 - 1) / 48.0) AS BIGINT) + 1, 1) AS nc
+      FROM n
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+           CAST(LEN(toks[(i-1)*48 + 1 : (i-1)*48 + 64]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[(i-1)*48 + 1 : (i-1)*48 + 64], ' ') AS chunk_text
+    FROM c, UNNEST(generate_series(1, nc)) AS u(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16 overlap) —
+    the LLM-pipeline pre-tokenizer step; pure array codegen, no UDF."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)

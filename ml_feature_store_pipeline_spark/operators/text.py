@@ -111,3 +111,46 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(text).alias("fp_raw"),
         F.md5(normalized).alias("fp_normalized"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the pre-tokenizer
+    chunking step of an LLM training/RAG pipeline.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the final chunk
+    may be short but is never empty; token-less docs produce no chunks.
+    Everything is array slicing inside codegen (``sequence`` + ``slice`` +
+    ``posexplode``) — no UDF, no shuffle; output grows ~1/(1-overlap ratio)×
+    the token count, linear in corpus size.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 1, 1+stride, ... — last start covers the tail
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        # short docs (n <= overlap) still get one chunk
+        F.greatest(F.floor((n - F.lit(overlap) - 1) / stride) + 1, F.lit(1))
+    )
+    starts = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.transform(starts, lambda i: F.slice(toks, i * stride + 1, chunk_tokens))
+    return (
+        df.select(F.col(id_col), n_chunks.alias("__nc"), F.posexplode(chunks))
+        .filter((F.col("__nc") > 0) & (F.col("pos") < F.col("__nc")))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("int").alias("chunk_id"),
+            F.size("col").cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "col").alias("chunk_text"),
+        )
+    )

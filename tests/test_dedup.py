@@ -90,3 +90,40 @@ def test_simhash_near_pairs(docs):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
     assert got[(1, 2)] == 0
     assert all(h <= 3 for h in got.values())
+
+
+class TestChunking:
+    def _chunks(self, spark, rows, **kw):
+        from ml_feature_store_pipeline_spark.operators import text as t
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = t.chunk_documents(df, "doc_id", "text", **kw)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+        return got
+
+    def test_empty_and_short_docs(self, spark):
+        got = self._chunks(
+            spark,
+            [(1, ""), (2, "   "), (3, "one two"), (4, "a b c d e f g h")],
+            chunk_tokens=4, overlap=2,
+        )
+        assert 1 not in got and 2 not in got          # token-less → no chunks
+        assert list(got[3]) == [0]                     # short doc → one chunk
+        assert got[3][0]["chunk_text"] == "one two"
+        # 8 tokens, chunk 4, stride 2 → starts 0,2,4 (start 6 adds no new token)
+        assert [got[4][i]["chunk_text"] for i in sorted(got[4])] == [
+            "a b c d", "c d e f", "e f g h",
+        ]
+
+    def test_overlap_and_coverage(self, spark):
+        words = " ".join(f"w{i}" for i in range(150))
+        got = self._chunks(spark, [(1, words)], chunk_tokens=64, overlap=16)
+        chunks = [got[1][i]["chunk_text"].split() for i in sorted(got[1])]
+        # consecutive chunks share exactly `overlap` tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-16:] == b[:16]
+        # stitched back together (drop the overlap) == original token stream
+        stitched = chunks[0] + [w for c in chunks[1:] for w in c[16:]]
+        assert stitched == words.split()
+        assert all(len(c) <= 64 for c in chunks)
