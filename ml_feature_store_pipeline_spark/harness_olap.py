@@ -275,3 +275,52 @@ def q_tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "psi_order_price_drift",
+    """
+    WITH binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 60000.0) AS BIGINT), 0), 9) AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN 'e' ELSE 'a' END AS side
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), counts AS (
+      SELECT b.bin,
+             COALESCE(SUM(CASE WHEN side = 'e' THEN 1 END), 0) AS n_e,
+             COALESCE(SUM(CASE WHEN side = 'a' THEN 1 END), 0) AS n_a
+      FROM (SELECT UNNEST(generate_series(0, 9)) AS bin) b
+      LEFT JOIN binned USING (bin) GROUP BY b.bin
+    ), fr AS (
+      SELECT bin,
+             GREATEST(CAST(n_e AS DOUBLE) / SUM(n_e) OVER (), 1e-6) AS ef,
+             GREATEST(CAST(n_a AS DOUBLE) / SUM(n_a) OVER (), 1e-6) AS af
+      FROM counts
+    )
+    SELECT CAST(bin AS INT) AS bin, ROUND(ef, 9) AS expected_frac,
+           ROUND(af, 9) AS actual_frac,
+           ROUND((af - ef) * LN(af / ef), 9) AS psi_contrib
+    FROM fr
+    """,
+)
+def q_psi_order_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift PSI: order-price distribution before vs after
+    1998-01-01 over 10 fixed [0, 600k) bins (operators.drift). Two
+    partial-agg scans + broadcast bin join — never shuffles row data."""
+    from .operators.drift import psi_table
+
+    o = read_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    t = psi_table(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        bins=10,
+    )
+    return t.select(
+        "bin",
+        F.round("expected_frac", 9).alias("expected_frac"),
+        F.round("actual_frac", 9).alias("actual_frac"),
+        F.round("psi_contrib", 9).alias("psi_contrib"),
+    )

@@ -1,0 +1,95 @@
+"""Feature-drift monitoring: population stability index over histograms.
+
+The reference's monitor alerts on a single quality score (``ML Feature
+Store Pipeline.py:211-220``); production feature stores also need
+DISTRIBUTION drift between a baseline snapshot (training time) and the
+serving population. PSI over fixed-width bins is the standard check:
+``PSI = Σ (a_i − e_i) · ln(a_i / e_i)`` over bin fractions, with
+ε-smoothing so empty bins stay finite. Rule of thumb: <0.1 stable,
+0.1–0.25 drifting, >0.25 alarm.
+
+Scale shape: each side is ONE partial-aggregated groupBy over a codegen'd
+bin expression (shuffles ``bins`` rows per partition, never data), and the
+bin tables join broadcast. Fixed, explicit [lo, hi) keeps bin edges
+deterministic across engines and snapshots — never derive edges from the
+actual side or drift becomes invisible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bin_index(col: Column, lo: float, hi: float, bins: int) -> Column:
+    """Fixed-width bin in [0, bins): outliers clamp into the edge bins,
+    nulls are excluded by the aggregation (count ignores them)."""
+    width = (hi - lo) / bins
+    raw = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+
+
+def histogram(df: DataFrame, value_col: str, lo: float, hi: float, bins: int) -> DataFrame:
+    """(bin, n) counts over fixed-width bins — one partial-agg shuffle of
+    ≤ ``bins`` rows per partition."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bin_index(F.col(value_col), lo, hi, bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_table(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-bin PSI decomposition: (bin, expected_frac, actual_frac,
+    psi_contrib). Empty bins appear with ε-smoothed fractions, so the
+    output always has exactly ``bins`` rows — auditable bin-by-bin."""
+    spark = expected.sparkSession
+    all_bins = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    e = histogram(expected, value_col, lo, hi, bins).withColumnRenamed("n", "n_e")
+    a = histogram(actual, value_col, lo, hi, bins).withColumnRenamed("n", "n_a")
+    joined = (
+        all_bins.join(F.broadcast(e), "bin", "left")
+        .join(F.broadcast(a), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_e", F.lit(0)).alias("n_e"),
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        )
+    )
+    tot = joined.select(F.sum("n_e").alias("te"), F.sum("n_a").alias("ta"))
+    ef = F.greatest(F.col("n_e") / F.col("te"), F.lit(eps))
+    af = F.greatest(F.col("n_a") / F.col("ta"), F.lit(eps))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            ef.alias("expected_frac"),
+            af.alias("actual_frac"),
+            ((af - ef) * F.log(af / ef)).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+def psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> float:
+    """Total PSI (driver scalar — collects ``bins`` rows, nothing more)."""
+    t = psi_table(expected, actual, value_col, lo=lo, hi=hi, bins=bins, eps=eps)
+    return float(t.agg(F.sum("psi_contrib")).collect()[0][0])

@@ -91,3 +91,36 @@ def test_approximate_profile_tracks_exact(spark):
         spread = (q3 - q1) or 1.0
         assert abs(aq1 - q1) / spread < 0.05
         assert abs(aq3 - q3) / spread < 0.05
+
+
+class TestDrift:
+    def test_identical_distributions_have_near_zero_psi(self, spark):
+        from ml_feature_store_pipeline_spark.operators import drift
+
+        df = spark.range(0, 2000).select((F.col("id") % 100).cast("double").alias("v"))
+        assert drift.psi(df, df, "v", lo=0.0, hi=100.0, bins=10) == pytest.approx(0.0, abs=1e-12)
+
+    def test_shift_raises_psi_above_alarm(self, spark):
+        from ml_feature_store_pipeline_spark.operators import drift
+
+        base = spark.range(0, 2000).select((F.col("id") % 100).cast("double").alias("v"))
+        shifted = base.select((F.col("v") + 50.0).alias("v"))  # half mass clamps into top bin
+        assert drift.psi(base, shifted, "v", lo=0.0, hi=100.0, bins=10) > 0.25
+
+    def test_empty_bins_stay_finite_and_all_bins_present(self, spark):
+        import math
+
+        from ml_feature_store_pipeline_spark.operators import drift
+
+        e = spark.range(0, 100).select(F.lit(5.0).alias("v"))     # all in bin 0
+        a = spark.range(0, 100).select(F.lit(95.0).alias("v"))    # all in bin 9
+        rows = drift.psi_table(e, a, "v", lo=0.0, hi=100.0, bins=10).collect()
+        assert [r["bin"] for r in rows] == list(range(10))
+        assert all(math.isfinite(r["psi_contrib"]) for r in rows)
+
+    def test_outliers_clamp_into_edge_bins(self, spark):
+        from ml_feature_store_pipeline_spark.operators import drift
+
+        df = spark.createDataFrame([(-50.0,), (500.0,)], "v double")
+        got = {r["bin"]: r["n"] for r in drift.histogram(df, "v", 0.0, 100.0, 10).collect()}
+        assert got == {0: 1, 9: 1}
