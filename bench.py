@@ -53,8 +53,12 @@ def main() -> None:
     registry = query_registry()
     spark = get_spark("bench")
 
-    # warm the JVM/codegen paths once with a trivial action
+    # warm the JVM/codegen/parquet-reader paths once so class-loading cost
+    # doesn't land on the first measured query (region is 5 rows, not a
+    # cache of any measured input)
     spark.range(1000).count()
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+    read_table(spark, sf_dir, "region").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -79,3 +79,10 @@ def stratified_sample(
     engine-portable or partitioning-stable — prefer
     :func:`deterministic_sample` for anything that must be reproduced."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def fold_column(key: Column, k: int = 5, *, salt: str = "") -> Column:
+    """K-fold cross-validation assignment in [0, k): deterministic per key,
+    so folds are reproducible and entity-keyed folds keep a user's rows in
+    one fold. Use a distinct ``salt`` per experiment for fresh folds."""
+    return hash_bucket(key, k, salt).cast("int")

@@ -64,3 +64,16 @@ def test_stratified_sample_respects_fractions(spark):
     counts = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts["true"] == pytest.approx(1000, rel=0.2)
     assert counts["false"] == pytest.approx(200, rel=0.35)
+
+
+def test_fold_column_partitions_keys_evenly(spark, ids):
+    from ml_feature_store_pipeline_spark.operators.sampling import fold_column
+
+    labeled = ids.withColumn("fold", fold_column(F.col("key"), 5))
+    counts = {r["fold"]: r["n"] for r in labeled.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    assert all(c == pytest.approx(1000, rel=0.15) for c in counts.values())
+    # deterministic: same assignment on recompute
+    again = {r["key"]: r["fold"] for r in labeled.collect()}
+    redo = {r["key"]: r["fold"] for r in ids.repartition(7).withColumn("fold", fold_column(F.col("key"), 5)).collect()}
+    assert again == redo
