@@ -83,3 +83,32 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", *partition_cols
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table write — the shuffle-elimination
+    layout for repeated joins/aggregations on the same key.
+
+    Two tables bucketed on the join key with the same bucket count join
+    with ZERO exchanges (asserted in
+    test_plans.py::test_bucketed_join_has_no_exchange); a groupBy on the
+    bucket key also skips its exchange. At 100 TB this converts every
+    recurring fact-fact join on user_id from a full network shuffle into
+    a local per-bucket merge. Bucket metadata lives in the session
+    catalog, so read via ``spark.table(table_name)``.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
