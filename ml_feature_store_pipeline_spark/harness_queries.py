@@ -706,3 +706,51 @@ def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "backfill_snapshots",
+    """
+    WITH ord AS (
+      SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ), ordd AS (
+      SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM ord WHERE rn = 1
+    ), labels AS (
+      SELECT c.c_custkey AS user_id, t.snapshot_ts
+      FROM customer c, (VALUES (TIMESTAMP '1997-01-01 00:00:00'),
+                               (TIMESTAMP '1999-01-01 00:00:00'),
+                               (TIMESTAMP '2001-01-01 00:00:00')) t(snapshot_ts)
+    )
+    SELECT l.user_id, l.snapshot_ts,
+           o.o_orderdate AS ord__asof_ts, o.o_orderkey AS ord__o_orderkey,
+           o.o_totalprice AS ord__o_totalprice
+    FROM labels l
+    ASOF LEFT JOIN ordd o ON l.user_id = o.user_id AND l.snapshot_ts >= o.o_orderdate
+    """,
+)
+def q_backfill_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three historical snapshots of every customer's latest-order features
+    in one pass (operators.pit.backfill): the label set is customers ×
+    snapshot dates, then a single as-of join — N materializations for one
+    shuffle."""
+    from .operators.pit import FeatureView, backfill
+
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    w = Window.partitionBy("user_id", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    ordd = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    return backfill(
+        c,
+        ["1997-01-01 00:00:00", "1999-01-01 00:00:00", "2001-01-01 00:00:00"],
+        {"ord": FeatureView(ordd, "o_orderdate", ["o_orderkey", "o_totalprice"])},
+        key="user_id",
+    ).select(
+        "user_id", "snapshot_ts", "ord__asof_ts", "ord__o_orderkey", "ord__o_totalprice"
+    )

@@ -77,3 +77,33 @@ def training_set(
             for a in feat_aliases:
                 out = out.withColumn(a, F.when(fresh, F.col(a)))
     return out
+
+
+def backfill(
+    entities: DataFrame,
+    snapshots: list,
+    views: dict[str, FeatureView],
+    *,
+    key: str,
+    staleness_seconds: float | None = None,
+) -> DataFrame:
+    """Historical feature backfill: feature values for every entity at every
+    snapshot timestamp — N daily/hourly materializations in ONE pass.
+
+    The label set is entities × snapshots (explode of a literal timestamp
+    array — |entities|·|snapshots| narrow rows, no shuffle to build), then
+    one as-of join per feature view exactly like :func:`training_set`.
+    Backfilling a year of daily snapshots costs the same shuffles as one
+    snapshot — the win over running the "as of now" pipeline 365 times.
+    """
+    snap_arr = F.array(*[F.lit(s).cast("timestamp") for s in snapshots])
+    labels = entities.select(
+        F.col(key), F.explode(snap_arr).alias("snapshot_ts")
+    )
+    return training_set(
+        labels,
+        views,
+        key=key,
+        label_ts="snapshot_ts",
+        staleness_seconds=staleness_seconds,
+    )

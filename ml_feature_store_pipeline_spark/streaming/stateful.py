@@ -28,6 +28,7 @@ from typing import TYPE_CHECKING, Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -161,3 +162,33 @@ def dedup_stream(
     stream would grow state forever; this is the 100 TB-safe form.
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: right rows within ``(left_ts,
+    left_ts + max_delay]`` for the same key (attribution shape: purchase
+    follows impression within the window).
+
+    Both sides are watermarked and the join condition is time-bounded in
+    BOTH directions — that's what lets Spark evict buffered state once the
+    watermark passes a row's match window; an unbounded condition would
+    buffer the streams forever. Matches emit as soon as both rows arrive
+    (inner); outer variants wait for the watermark to prove no match."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] > lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, how)

@@ -157,3 +157,42 @@ def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     ids = [r["event_id"] for r in spark.read.parquet(out).collect()]
     assert sorted(ids) == [1, 2]
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Purchases attribute to the view they follow within 30 min, same user;
+    later purchases and other users don't match."""
+    from ml_feature_store_pipeline_spark.streaming import join_streams
+
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purch")
+    views = [
+        (1, _m(0), 1, "view", 0.0),
+        (2, _m(0), 2, "view", 0.0),
+        (3, _m(100), 1, "view", 0.0),
+    ]
+    purchases = [
+        (10, _m(10), 1, "purchase", 9.0),    # within 30 min of view 1
+        (11, _m(90), 2, "purchase", 5.0),    # 90 min after view 2 → no match
+        (12, _m(110), 1, "purchase", 7.0),   # within 30 min of view 3
+    ]
+    spark.createDataFrame(views, EVENTS_DDL).write.parquet(vsrc)
+    spark.createDataFrame(purchases, EVENTS_DDL).write.parquet(psrc)
+
+    v = spark.readStream.schema(EVENTS_DDL).parquet(vsrc).select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"), "user_id"
+    )
+    p = spark.readStream.schema(EVENTS_DDL).parquet(psrc).select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"),
+        F.col("user_id"), F.col("value"),
+    )
+    joined = join_streams(
+        v, p, key="user_id", left_ts="view_ts", right_ts="purchase_ts",
+        max_delay="30 minutes",
+    ).select("view_id", "purchase_id", "value")
+    q = joined.writeStream.outputMode("append").format("memory").queryName("attr").start()
+    try:
+        q.processAllAvailable()
+        got = {(r["view_id"], r["purchase_id"]) for r in spark.sql("SELECT * FROM attr").collect()}
+    finally:
+        q.stop()
+    assert got == {(1, 10), (3, 12)}
