@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from ml_feature_store_pipeline_spark.extractors import ApproxUserEventExtractor, UserEventExtractor
 from ml_feature_store_pipeline_spark.generator import generate_events
-from ml_feature_store_pipeline_spark.operators import dedup, joins, similarity, windows
+from ml_feature_store_pipeline_spark.operators import dedup, joins, sampling, similarity, text, windows
+from ml_feature_store_pipeline_spark.operators.pit import FeatureView, training_set
 from ml_feature_store_pipeline_spark.session import get_spark
 
 VOCAB = (
@@ -133,6 +134,23 @@ def main() -> None:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         timed("cosine_topk_100q", similarity.cosine_topk(queries, vecs, k=10), args.vecs * 100)
+        timed("chunk_documents", text.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8), args.docs)
+        timed(
+            "deterministic_sample_10pct",
+            sampling.deterministic_sample(events, "user_id", 0.10),
+            args.events,
+        )
+        labels = events.filter(F.col("event_type") == "purchase").select("user_id", "timestamp")
+        timed(
+            "training_set_1view",
+            training_set(
+                labels,
+                {"p": FeatureView(purchases, "p_ts", ["p_amount"])},
+                key="user_id",
+                label_ts="timestamp",
+            ),
+            args.events,
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
