@@ -128,3 +128,19 @@ def test_ivf_topk_partial_probe_finds_self(spark, corpus):
     out = similarity.ivf_topk(queries, corpus, k=3, n_cells=6, nprobe=1).collect()
     rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
     assert rank1 == {q: q for q in range(5)}
+
+
+def test_cosine_topk_blas_matches_codegen(spark, corpus):
+    """The BLAS mapInPandas variant must return the same neighbor ids and
+    ranks as the codegen brute force (values equal up to summation order)."""
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.cosine_topk(queries, corpus, k=5).collect()
+    b = similarity.cosine_topk_blas(queries, corpus, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert [(r["query_id"], r["vec_id"], r["rank"]) for r in sorted(a, key=key)] == [
+        (r["query_id"], r["vec_id"], r["rank"]) for r in sorted(b, key=key)
+    ]
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        assert ra["cosine"] == pytest.approx(rb["cosine"], rel=1e-9)

@@ -134,6 +134,9 @@ def main() -> None:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         timed("cosine_topk_100q", similarity.cosine_topk(queries, vecs, k=10), args.vecs * 100)
+        # run twice: first pays Python-worker fork + numpy import, second is steady state
+        timed("cosine_topk_blas_cold", similarity.cosine_topk_blas(queries, vecs, k=10), args.vecs * 100)
+        timed("cosine_topk_blas_warm", similarity.cosine_topk_blas(queries, vecs, k=10), args.vecs * 100)
         timed("chunk_documents", text.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8), args.docs)
         timed(
             "deterministic_sample_10pct",
