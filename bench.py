@@ -36,6 +36,7 @@ HEADLINE = [
     "windowed_user_counts",
     "training_set_pit",
     "tpch_q18_like",
+    "cosine_topk_blas",
 ]
 
 
