@@ -62,6 +62,33 @@ def main() -> None:
     print(f"cleanup removed {len(doomed)} version(s); dashboard: {store.get_monitoring_dashboard()['metrics']['total_creations']} creations, "
           f"partitions now {len(store.get_monitoring_dashboard()['partitions'])}")
 
+    # --- training workflow on top of the store ---------------------------
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_pipeline_spark.operators import drift, sampling
+    from ml_feature_store_pipeline_spark.operators.pit import FeatureView, training_set
+
+    purchases = events.filter(F.col("amount") > 0).select(
+        "user_id", F.col("timestamp").alias("p_ts"), F.col("amount").alias("p_amount")
+    )
+    labels = events.select("user_id", "timestamp", (F.col("amount") > 0).cast("int").alias("label"))
+    ts_df = training_set(
+        labels,
+        {"purch": FeatureView(purchases, "p_ts", ["p_amount"], strict=True)},
+        key="user_id",
+        label_ts="timestamp",
+        staleness_seconds=7 * 86400.0,
+    )
+    train, test = sampling.train_test_split(ts_df, "user_id", 0.2)
+    print(f"point-in-time training set: {ts_df.count()} rows -> "
+          f"train {train.count()} / test {test.count()} (entity-keyed, leakage-safe)")
+
+    early = events.filter(F.col("timestamp") < F.lit("2023-01-01 08:00:00").cast("timestamp"))
+    late = events.filter(F.col("timestamp") >= F.lit("2023-01-01 08:00:00").cast("timestamp"))
+    psi = drift.psi(early, late, "amount", lo=0.0, hi=300.0, bins=10)
+    print(f"amount-distribution PSI early-vs-late: {psi:.4f} "
+          f"({'stable' if psi < 0.1 else 'drifting' if psi < 0.25 else 'ALARM'})")
+
 
 if __name__ == "__main__":
     main()
