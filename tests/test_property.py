@@ -126,3 +126,59 @@ def test_asof_join_matches_merge_asof(spark, data):
 def test_content_version_permutation_invariant(spark, rows, seed):
     df = spark.createDataFrame([(a, round(b, 3)) for a, b in rows], "a long, b double")
     assert content_version(df) == content_version(df.repartition(3).orderBy(F.rand(seed)))
+
+
+chunk_text_strategy = st.lists(
+    st.text(alphabet="abc \t\n", min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SETTINGS
+@given(
+    texts=chunk_text_strategy,
+    chunk=st.integers(min_value=2, max_value=8),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_reconstructs_token_stream(spark, texts, chunk, overlap_frac):
+    """For ANY text and (chunk, overlap): stitching chunks (dropping each
+    successor's overlap prefix) reproduces the whitespace token stream;
+    every chunk is 1..chunk_tokens long; empty docs vanish."""
+    from ml_feature_store_pipeline_spark.operators import text as t
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {}
+    for r in t.chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"].split()
+    for i, raw in enumerate(texts):
+        toks = raw.split()
+        if not toks:
+            assert i not in got
+            continue
+        chunks = [got[i][j] for j in sorted(got[i])]
+        assert all(1 <= len(c) <= chunk for c in chunks)
+        stitched = chunks[0] + [w for c in chunks[1:] for w in c[overlap:]]
+        assert stitched == toks
+
+
+@SETTINGS
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+    salt=st.sampled_from(["", "x", "exp2"]),
+)
+def test_sampling_split_partition_properties(spark, n, frac, salt):
+    """For ANY fraction/salt: split is a partition of the input, the sample
+    equals the test side of the same-parameter split, and both are
+    reproducible."""
+    from ml_feature_store_pipeline_spark.operators import sampling
+
+    ids = spark.range(n).select(F.col("id").alias("k"))
+    train, test = sampling.train_test_split(ids, "k", frac, salt=salt)
+    tr = {r["k"] for r in train.collect()}
+    te = {r["k"] for r in test.collect()}
+    assert tr | te == set(range(n)) and tr.isdisjoint(te)
+    sampled = {r["k"] for r in sampling.deterministic_sample(ids, "k", frac, salt=salt).collect()}
+    assert sampled == te
