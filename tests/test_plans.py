@@ -189,3 +189,36 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS ev_b")
         spark.sql("DROP TABLE IF EXISTS us_b")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALE.md's skew claim, executed: one hot key dominating the build
+    side must trigger AQE's skew-join split (skew=true in the final
+    adaptive plan) instead of one straggler task."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(300_000).select(
+            F.lit(1).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(10_000).select((F.col("id") % 100 + 2).alias("k"), F.col("id").alias("v"))
+        )
+        right = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = big.join(right, "k")
+        assert len(j.collect()) == 310_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final
+        assert "skewed" in final  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
