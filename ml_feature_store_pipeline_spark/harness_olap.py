@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .functions import davg, davg_sql, dsum, dsum_sql
 from .harness import register
@@ -394,4 +395,73 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (100.0 * dsum(promo, scale=6) / dsum(rev, scale=6)).alias("promo_revenue_pct")
         )
+    )
+
+
+@register(
+    "order_price_rank_stats",
+    """
+    SELECT o_orderkey,
+           NTILE(10) OVER w AS decile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_in_status,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND UNBOUNDED FOLLOWING) AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_order_price_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth: ntile / percent_rank / cume_dist /
+    first_value / nth_value over one totally-ordered window (orderkey
+    tiebreak makes every function deterministic cross-engine)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_in_status"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_cheapest"),
+    )
+
+
+@register(
+    "rolling_hour_user_spend",
+    """
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(CAST(value AS DECIMAL(28,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           )::DOUBLE, 6) AS spend_1h,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS n_events_1h
+    FROM events
+    """,
+)
+def q_rolling_hour_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (sliding 1 hour per user) — the frame type
+    rows-based running_revenue can't express. Spark orders by unix seconds
+    with a [-3600, 0] range; DuckDB uses the interval frame directly —
+    equal because driver timestamps are whole-second-free microseconds
+    (range is closed on both engines)."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts") + F.col("ts").cast("double") % 1)
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double"), 6).alias("spend_1h"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
     )

@@ -153,3 +153,18 @@ def test_register_enforces_declared_schema(store, features):
     assert store.register_features(features, meta)
     meta.features_config = [FeatureConfig("no_such_column", "float64")]
     assert store.register_features(features, meta, enforce_schema=False)
+
+
+def test_yaml_config_roundtrip(tmp_path):
+    """A10: create_advanced_config writes the reference's YAML shape and
+    load_config reads it back structurally intact."""
+    from ml_feature_store_pipeline_spark.config import create_advanced_config, load_config
+
+    p = str(tmp_path / "cfg.yaml")
+    written = create_advanced_config(p)
+    assert written == p
+    cfg = load_config(p)
+    assert isinstance(cfg, dict) and cfg
+    # the reference's documented knobs survive the round-trip
+    flat = str(cfg)
+    assert "cache" in flat and "quality" in flat
