@@ -462,3 +462,60 @@ def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.cosine_topk_blas(queries, emb, k=5)
+
+
+@register(
+    "scrub_pii_docs",
+    """
+    WITH s0 AS (SELECT doc_id, text FROM documents),
+    s1 AS (
+      SELECT doc_id,
+             CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g') AS t
+      FROM s0
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             CAST(LEN(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
+             regexp_replace(t, 'https?://[^\\s]+', '<url>', 'g') AS t
+      FROM s1
+    )
+    SELECT doc_id, n_email, n_url,
+           CAST(LEN(regexp_extract_all(t, '\\d{7,}')) AS BIGINT) AS n_long_digits,
+           regexp_replace(t, '\\d{7,}', '<long_digits>', 'g') AS scrubbed_text
+    FROM s2
+    """,
+)
+def q_scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails → urls → long digit runs, chained) with per-kind
+    audit counts — chained regexp_replace, all codegen."""
+    return text.scrub_pii(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "repetition_stats_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS.format(t='text')} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+      FROM t, UNNEST(generate_series(1, LEN(toks) - 1)) AS u(i)
+      WHERE LEN(toks) >= 2
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram),
+    agg AS (
+      SELECT doc_id,
+             CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_ngram_frac,
+             CAST(SUM(n - 1) AS DOUBLE) / SUM(n) AS dup_ngram_frac
+      FROM pg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.top_ngram_frac, 0.0) AS top_ngram_frac,
+           COALESCE(agg.dup_ngram_frac, 0.0) AS dup_ngram_frac
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher repetition signals: most-repeated-bigram fraction and
+    duplicate-bigram fraction per doc (explode → two narrow partial-agg
+    shuffles)."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return text.repetition_stats(docs, "doc_id", "text", ngram=2)

@@ -154,3 +154,73 @@ def chunk_documents(
             F.concat_ws(" ", "col").alias("chunk_text"),
         )
     )
+
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters: emails before bare digit runs
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "long_digits": r"\d{7,}",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    replacement_fmt: str = "<{kind}>",
+) -> DataFrame:
+    """Mask emails, URLs, and long digit runs — the minimum scrub before
+    text enters a training corpus. Chained ``regexp_replace`` (codegen, no
+    UDF); returns (id, scrubbed text, per-kind match counts) so the scrub
+    is auditable."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            .cast("bigint").alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement_fmt.format(kind=kind))
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed_text"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 2,
+) -> DataFrame:
+    """C4/Gopher-style repetition quality signals per document:
+
+    - ``top_ngram_frac``: occurrences of the single most-repeated word
+      n-gram ÷ total n-grams (boilerplate/spam indicator);
+    - ``dup_ngram_frac``: fraction of n-gram occurrences that are repeats
+      of an already-seen n-gram.
+
+    Shape: explode n-grams → per-(doc, gram) counts → per-doc max/sum —
+    two partial-aggregated shuffles of narrow rows, linear in token count.
+    Token-less/short docs get 0.0 (nothing to repeat).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
+        ),
+    ).otherwise(F.array())
+    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+    per_gram = exploded.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("n"))
+    return per_gram.groupBy(id_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("gram").isNotNull(), F.col("n"))) / F.sum("n"), F.lit(0.0)
+        ).alias("top_ngram_frac"),
+        F.coalesce(
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("n") - 1))
+            / F.sum(F.when(F.col("gram").isNotNull(), F.col("n"))),
+            F.lit(0.0),
+        ).alias("dup_ngram_frac"),
+    )

@@ -127,3 +127,40 @@ class TestChunking:
         stitched = chunks[0] + [w for c in chunks[1:] for w in c[16:]]
         assert stitched == words.split()
         assert all(len(c) <= 64 for c in chunks)
+
+
+class TestScrubAndRepetition:
+    def test_scrub_masks_and_counts(self, spark):
+        from ml_feature_store_pipeline_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, "write bob@x.com and alice@y.org or call 123456789 via https://a.b/c?d=1")],
+            "doc_id long, text string",
+        )
+        r = t.scrub_pii(df, "doc_id", "text").collect()[0]
+        assert r["n_email"] == 2 and r["n_url"] == 1 and r["n_long_digits"] == 1
+        s = r["scrubbed_text"]
+        assert "<email>" in s and "<url>" in s and "<long_digits>" in s
+        assert "bob@" not in s and "123456789" not in s and "https://" not in s
+
+    def test_scrub_clean_text_untouched(self, spark):
+        from ml_feature_store_pipeline_spark.operators import text as t
+
+        df = spark.createDataFrame([(1, "perfectly ordinary sentence 42")], "doc_id long, text string")
+        r = t.scrub_pii(df, "doc_id", "text").collect()[0]
+        assert r["scrubbed_text"] == "perfectly ordinary sentence 42"
+        assert r["n_email"] == r["n_url"] == r["n_long_digits"] == 0
+
+    def test_repetition_extremes(self, spark):
+        from ml_feature_store_pipeline_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, "x x x x x"),            # all bigrams identical
+             (2, "a b c d e"),            # all bigrams distinct
+             (3, "solo"), (4, "")],       # too short for bigrams
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in t.repetition_stats(df, "doc_id", "text").collect()}
+        assert got[1]["top_ngram_frac"] == 1.0 and got[1]["dup_ngram_frac"] == 0.75
+        assert got[2]["top_ngram_frac"] == 0.25 and got[2]["dup_ngram_frac"] == 0.0
+        assert got[3]["top_ngram_frac"] == 0.0 and got[4]["dup_ngram_frac"] == 0.0
