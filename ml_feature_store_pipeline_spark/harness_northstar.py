@@ -519,3 +519,48 @@ def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles)."""
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     return text.repetition_stats(docs, "doc_id", "text", ngram=2)
+
+
+def _near_dup_clusters_sql() -> str:
+    toks = _SQL_TOKS.format(t="text")
+    return f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ') AS sh
+      FROM t, UNNEST(generate_series(1, LEN(toks) - {_SHINGLE_N - 1})) AS u(i)
+      WHERE LEN(toks) >= {_SHINGLE_N}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    cc(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, cc.comp FROM edges e JOIN cc ON e.dst = cc.node
+    )
+    SELECT node, MIN(comp) AS component FROM cc GROUP BY node
+    """
+
+
+@register("near_dup_clusters", _near_dup_clusters_sql())
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → components (iterative min-label propagation; the
+    DuckDB oracle is the same graph closed by a recursive CTE). The cluster
+    assignment is what dedup actually ships: keep min-id per component."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    return dedup.connected_components(pairs)

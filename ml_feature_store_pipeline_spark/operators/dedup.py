@@ -336,3 +336,70 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup candidate pairs into components: (node, component)
+    where component = the minimum node id reachable through the pair graph.
+
+    Iterative min-label propagation (the large-graph CC algorithm — cf.
+    GraphX/GraphFrames): each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(diameter) rounds, and
+    near-dup graphs are shallow (clusters are quasi-cliques, diameter ≤ 2-3
+    almost always). Each round is one join + one groupBy on narrow (node,
+    label) rows; ``localCheckpoint`` cuts the lineage so round N's plan
+    doesn't replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                (F.coalesce("nmin", F.col("comp")) < F.col("comp")).alias("changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The end product of near-dup detection: docs minus all but the
+    minimum-id member of each duplicate cluster. Docs in no pair survive
+    untouched (anti-join against the non-survivor set — never scans text)."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

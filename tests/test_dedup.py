@@ -164,3 +164,34 @@ class TestScrubAndRepetition:
         assert got[1]["top_ngram_frac"] == 1.0 and got[1]["dup_ngram_frac"] == 0.75
         assert got[2]["top_ngram_frac"] == 0.25 and got[2]["dup_ngram_frac"] == 0.0
         assert got[3]["top_ngram_frac"] == 0.0 and got[4]["dup_ngram_frac"] == 0.0
+
+
+class TestConnectedComponents:
+    def test_chains_cycles_and_separate_clusters(self, spark):
+        from ml_feature_store_pipeline_spark.operators import dedup as d
+
+        pairs = spark.createDataFrame(
+            # chain 1-2-3-4, cycle 5-6-7-5, pair 10-11
+            [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5), (10, 11)],
+            "id_a long, id_b long",
+        )
+        got = {r["node"]: r["component"] for r in d.connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10}
+
+    def test_long_path_converges(self, spark):
+        from ml_feature_store_pipeline_spark.operators import dedup as d
+
+        n = 40  # diameter 40 ≫ typical; still must converge (min ripples fast)
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+        got = {r["node"]: r["component"] for r in d.connected_components(pairs, max_iter=50).collect()}
+        assert set(got.values()) == {0} and len(got) == n + 1
+
+    def test_survivors_keep_min_and_untouched_docs(self, spark):
+        from ml_feature_store_pipeline_spark.operators import dedup as d
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        kept = sorted(r["doc_id"] for r in d.dedup_survivors(docs, pairs, "doc_id").collect())
+        assert kept == [1, 10, 99]
