@@ -37,6 +37,8 @@ HEADLINE = [
     "training_set_pit",
     "tpch_q18_like",
     "cosine_topk_blas",
+    "chunk_documents",
+    "scrub_pii_docs",
 ]
 
 
