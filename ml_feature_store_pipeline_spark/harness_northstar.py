@@ -564,3 +564,30 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
     return dedup.connected_components(pairs)
+
+
+@register(
+    "sliding_window_counts",
+    f"""
+    WITH cand AS (
+      SELECT ts, value,
+             time_bucket(INTERVAL '3 hours', ts) - s * INTERVAL '3 hours' AS wstart
+      FROM events, UNNEST([0, 1]) AS u(s)
+    )
+    SELECT wstart AS window_start, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM cand
+    WHERE ts >= wstart AND ts < wstart + INTERVAL '6 hours'
+    GROUP BY 1
+    """,
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) 6h/3h windows — the hopping-window batch twin
+    (`F.window(duration, slide)`): each event lands in duration/slide
+    windows. DuckDB twin explodes the two candidate window starts; both
+    engines align window origins to the epoch."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
