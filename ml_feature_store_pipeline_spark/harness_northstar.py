@@ -591,3 +591,23 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
+
+
+@register(
+    "dedup_survivors_docs",
+    _near_dup_clusters_sql().replace(
+        "    SELECT node, MIN(comp) AS component FROM cc GROUP BY node",
+        """    , losers AS (
+      SELECT node FROM cc GROUP BY node HAVING node <> MIN(comp)
+    )
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN losers ON d.doc_id = losers.node
+    WHERE losers.node IS NULL""",
+    ),
+)
+def q_dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup output: the corpus minus every non-minimum
+    member of each Jaccard>=0.3 cluster (pairs → components → anti-join)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    return dedup.dedup_survivors(docs, pairs, "doc_id").select("doc_id")
