@@ -325,17 +325,38 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(queries, emb, k=5, dim=64)
 
 
-@register("ivf_ann_topk")  # approximate — no SQL oracle; driver rows-only check
+_TOPK_IDS_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_COS_SQL.format(a='q.qv', b='c.embedding')} AS cosine
+      FROM q, embeddings c
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("ivf_ann_topk", _TOPK_IDS_SQL)
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer → probe nprobe nearest cells →
-    exact cosine within probed lists. Approximate at nprobe<n_cells ⇒ no
-    exact oracle; full-probe==brute-force is property-tested
-    (test_similarity.py::test_ivf_topk_full_probe_equals_exact)."""
+    exact cosine within probed lists. Registered at FULL probe
+    (nprobe == n_cells), which is exactly brute force (property-tested:
+    test_similarity.py::test_ivf_topk_full_probe_equals_exact), so the
+    driver gets an ids-only exact oracle; cosine floats are dropped because
+    the normalized-path summation differs in final ulps from SQL. The
+    approximate nprobe<n_cells path stays pytest-covered."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(queries, emb, k=5, n_cells=8, nprobe=3)
+    out = similarity.ivf_topk(queries, emb, k=5, n_cells=8, nprobe=8)
+    return out.select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -349,7 +370,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas feature extraction (deterministic stub; real codecs absent)."""
     docs = read_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
-    return multimodal.decode_image_features(payloads, fake=True)
+    out = multimodal.decode_image_features(payloads, fake=True)
+    # The driver's canonicalizer sorts on every column and cannot hash an
+    # array column — serialize the vector so the rows-only check can run.
+    return out.select("doc_id", "n_bytes", "sha1", F.to_json("features").alias("features_json"))
 
 
 # ---------------------------------------------------------------------------
@@ -451,17 +475,19 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
 
 
-@register("cosine_topk_blas")  # exact, but float-sum order differs from SQL — rows-only
+@register("cosine_topk_blas", _TOPK_IDS_SQL)
 def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow+BLAS exact top-k (mapInPandas matmul): same ids/ranks as
-    cosine_topk (property-tested); cosine values differ from the SQL oracle
-    only in float summation order, so the driver check is rows-only.
-    Measured 15x the codegen path at 100 queries x 200k vectors warm."""
+    cosine_topk (property-tested). Cosine floats differ from SQL only in
+    summation order, so the oracle compares ids+rank (exact, vec_id
+    tiebreak) and drops the float column. Measured 15x the codegen path
+    at 100 queries x 200k vectors warm."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.cosine_topk_blas(queries, emb, k=5)
+    out = similarity.cosine_topk_blas(queries, emb, k=5)
+    return out.select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
 
 
 @register(
