@@ -134,6 +134,10 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_N = 8
 _MINHASH_BANDS = 4
 _SHINGLE_N = 3
+# Stop-shingle document-frequency cap for ngram_jaccard_pairs (applied on
+# BOTH engines; at sf0.01 max df is 7, so driver results are unchanged —
+# the cap's explosion guard is pytest-covered with a synthetic hot shingle).
+_NGRAM_MAX_DF = 1000
 
 
 def _minhash_sig_sql() -> str:
@@ -226,10 +230,14 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS.format(t='text')} AS toks FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ') AS sh
       FROM t, UNNEST(generate_series(1, LEN(toks) - {_SHINGLE_N - 1})) AS u(i)
       WHERE LEN(toks) >= {_SHINGLE_N}
+    ),
+    df AS (SELECT sh, COUNT(*) AS d FROM sh0 GROUP BY sh),
+    sh AS (  -- stop-shingle cut: same document-frequency cap as the Spark side
+      SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN df USING (sh) WHERE df.d <= {_NGRAM_MAX_DF}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -246,10 +254,12 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard ≥ 0.3 via inverted-index self-join."""
+    """Exact n-gram Jaccard ≥ 0.3 via inverted-index self-join, with the
+    stop-shingle document-frequency cut active (and mirrored in the oracle)."""
     docs = read_table(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.3, parallelism=_par(spark)
+        docs, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.3,
+        max_doc_frequency=_NGRAM_MAX_DF, parallelism=_par(spark)
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

@@ -173,6 +173,11 @@ def lsh_candidate_pairs(
     """
     if parallelism:
         df = df.repartition(parallelism)
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): trailing "
+            "signature rows would be silently dropped, weakening LSH recall"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes)
     bb = lsh_band_buckets(sig, id_col, bands, rows_per_band)
@@ -211,21 +216,40 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.0,
+    max_doc_frequency: int | None = 10_000,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram sets, computed via an
     inverted-index self-join: explode distinct shingles, equi-join on
     shingle, count intersections, then |A∪B| = |A|+|B|−|A∩B|.
 
-    Only docs that SHARE a shingle ever meet — no cross product. For
-    common-shingle skew, drop ultra-frequent shingles first (stop-shingle
-    cut) — standard at corpus scale.
+    Only docs that SHARE a shingle ever meet — no cross product.
+
+    ``max_doc_frequency`` is the stop-shingle cut that makes this safe at
+    corpus scale: a shingle appearing in d docs expands to d·(d−1)/2 pairs,
+    so ONE boilerplate shingle shared by 1M docs would emit ~5·10¹¹ pairs
+    from a single posting list. Shingles with document frequency above the
+    cap are removed from the universe BEFORE sizes and intersections, so
+    the result is exact Jaccard over the filtered vocabulary (the standard
+    stop-shingle semantics — mirrored in the SQL oracle). The per-posting
+    pair expansion is then bounded by cap²/2. ``None`` disables the cut
+    (oracle comparison on tiny corpora only).
     """
     if parallelism:
         df = df.repartition(parallelism)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("sh")
     )
+    if max_doc_frequency is not None:
+        # Hot-shingle set is tiny by construction (few shingles exceed the
+        # cap) → Spark broadcasts the anti-join; `sh` itself never reshuffles.
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_frequency)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # inverted index: shingle → sorted doc list → local pair expansion →
     # count co-occurrences. One shuffle on shingle; no self-join (which

@@ -76,6 +76,46 @@ def test_ngram_jaccard_threshold(docs):
     assert got == {(1, 2)}  # only the exact dup survives jaccard ≥ 0.99
 
 
+def test_lsh_rejects_non_divisible_bands(docs):
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=3)
+
+
+def test_ngram_df_cut_stops_hot_shingle_explosion(spark):
+    # 40 docs share ONE boilerplate shingle ("legal footer text") but are
+    # otherwise unique. Uncapped, the hot posting list alone expands to
+    # C(40,2)=780 pairs; with the cut it contributes none, and only the
+    # genuinely-similar pair (100, 101) remains.
+    rows = [(i, f"legal footer text unique{i} body{i} tail{i}") for i in range(40)]
+    rows += [(100, "x y z w v"), (101, "x y z w q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_doc_frequency=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_doc_frequency=None)
+    assert uncapped.count() == 780 + 1
+
+
+def test_ngram_df_cut_semantics_match_filtered_universe(spark):
+    # With the cut, jaccard is exact over the filtered vocabulary: sizes
+    # shrink along with intersections (not just the postings).
+    rows = [
+        (1, "hot shingle here a b c"),   # shingles: {hot shingle here, shingle here a, here a b, a b c}
+        (2, "hot shingle here a b d"),
+        (3, "hot shingle here q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # "hot shingle here" appears in all 3 docs; cap at 2 removes it.
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_doc_frequency=2).collect()
+    }
+    # docs 1,2 share {shingle here a, here a b} of filtered sizes 3 and 3 → 2/4
+    assert out[(1, 2)] == pytest.approx(2 / 4)
+    # docs 1,3 and 2,3 shared only the removed shingle → no pair at all
+    assert (1, 3) not in out and (2, 3) not in out
+
+
 def test_simhash_properties(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert sigs[1] == sigs[2]  # identical docs → identical simhash
