@@ -55,9 +55,47 @@ def asof_join(
     One shuffle on ``key``; state per row is O(value_cols). At 100 TB this
     beats per-group ``merge_asof`` pandas by keeping everything JVM-side,
     and beats a range join by avoiding the O(n·m) candidate explosion.
+
+    Ties among right rows at equal (key, ts) are broken deterministically
+    by the greatest ``value_cols`` tuple, so results are stable across
+    runs, partitionings, and engines.
+
+    SKEW CONTRACT: the window partitions by ``key`` only — a single hot
+    key serializes its whole timeline into ONE task, and AQE cannot split
+    a window partition. For hot-key workloads use
+    :func:`asof_join_bucketed`, which is equivalent but partitions by
+    (key, coarse time bucket).
     """
-    # side marker: right=0 sorts before left=1 at equal ts ⇒ inclusive match;
-    # strict mode flips the order so an equal-ts right row is NOT visible.
+    unioned, lside = _asof_union(left, right, key=key, left_ts=left_ts,
+                                 right_ts=right_ts, value_cols=value_cols, strict=strict)
+    w = Window.partitionBy(key).orderBy("__ts", "__side", "__tie").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = unioned.select(
+        "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols]
+    )
+    out = filled.filter(F.col("__side") == lside)
+    keep = [c for c in left.columns] + [F.col(f"__asof_{c}").alias(c) for c in value_cols]
+    return out.select(*keep)
+
+
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool,
+) -> tuple[DataFrame, int]:
+    """Tag and union both sides for the window-based as-of strategies.
+
+    Returns (unioned, left_side_marker). Columns added: ``__ts``,
+    ``__side`` (right sorts before left at equal ts unless strict),
+    ``__tie`` (struct of right values — deterministic right-vs-right
+    tiebreak; null for left rows), ``__v_<c>`` carriers.
+    """
     lside, rside = (0, 1) if strict else (1, 0)
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(lside))
     for c in value_cols:
@@ -71,17 +109,81 @@ def asof_join(
     for c in left.columns:
         if c not in (key,):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    # right-vs-right tiebreak: greatest value tuple wins; for left rows the
+    # struct is all-null (left-vs-left order never affects the fill)
+    tie = F.struct(*[F.col(f"__v_{c}") for c in value_cols])
+    l_tagged = l_tagged.withColumn("__tie", tie)
+    r_tagged = r_tagged.withColumn("__tie", tie)
     unioned = r_tagged.select(*l_tagged.columns).unionByName(l_tagged)
+    return unioned, lside
 
-    w = Window.partitionBy(key).orderBy("__ts", "__side").rowsBetween(
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Skew-safe as-of join: identical results to :func:`asof_join`, but
+    windows partition by (key, floor(ts / bucket_seconds)) so a hot key's
+    timeline splits across time buckets instead of serializing into one
+    task.
+
+    Three bounded stages replace the one unbounded window:
+
+    1. in-bucket pass — the plain union+window trick within each
+       (key, bucket): finds each left row's match when it exists in the
+       same bucket; task size ≤ rows per (key, bucket);
+    2. per-bucket summary — ``max_by`` of right values over (key, bucket)
+       (partial-aggregated map-side), then a carry-forward window over the
+       SUMMARY table partitioned by key — one row per populated bucket,
+       so the hot key's window sees #buckets rows, not #rows;
+    3. merge — left rows with no in-bucket match take their bucket's
+       carry-in via an equi-join on (key, bucket).
+
+    Correctness at bucket boundaries: a carried-in right row is from a
+    strictly earlier bucket, hence strictly earlier ts than every left ts
+    in this bucket, so inclusive/strict semantics only matter within a
+    bucket — where the __side ordering handles them.
+    """
+    unioned, lside = _asof_union(left, right, key=key, left_ts=left_ts,
+                                 right_ts=right_ts, value_cols=value_cols, strict=strict)
+    ts_secs = F.col("__ts").cast("timestamp").cast("long") if dict(unioned.dtypes)["__ts"].startswith("timestamp") else F.col("__ts").cast("long")
+    unioned = unioned.withColumn("__bucket", F.floor(ts_secs / F.lit(bucket_seconds)))
+
+    w = Window.partitionBy(key, "__bucket").orderBy("__ts", "__side", "__tie").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    filled = unioned.select(
-        "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols]
+    local = unioned.select(
+        "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__loc_{c}") for c in value_cols]
+    ).filter(F.col("__side") == lside)
+
+    vals = F.struct(*[F.col(f"__v_{c}").alias(c) for c in value_cols])
+    summary = (
+        unioned.filter(F.col("__side") != lside)
+        .groupBy(key, "__bucket")
+        .agg(F.max_by(vals, F.struct(F.col("__ts"), F.col("__tie"))).alias("__last"))
     )
-    out = filled.filter(F.col("__side") == lside)
-    keep = [c for c in left.columns] + [F.col(f"__asof_{c}").alias(c) for c in value_cols]
-    return out.select(*keep)
+    grid = unioned.select(key, "__bucket").distinct()
+    wc = Window.partitionBy(key).orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        grid.join(summary, [key, "__bucket"], "left")
+        .withColumn("__carry", F.last("__last", ignorenulls=True).over(wc))
+        .select(key, "__bucket", "__carry")
+    )
+
+    merged = local.join(carry, [key, "__bucket"], "left")
+    keep = [c for c in left.columns] + [
+        F.coalesce(F.col(f"__loc_{c}"), F.col(f"__carry.{c}")).alias(c) for c in value_cols
+    ]
+    return merged.select(*keep)
 
 
 def band_join(

@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .joins import asof_join
+from .joins import asof_join, asof_join_bucketed
 
 
 @dataclass
@@ -42,6 +42,7 @@ def training_set(
     key: str,
     label_ts: str,
     staleness_seconds: float | None = None,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """For each label row, attach ``{name}__{feature}`` = the feature's
     latest value as of the label's timestamp, plus ``{name}__asof_ts`` (the
@@ -50,6 +51,11 @@ def training_set(
     With ``staleness_seconds``, features whose as-of timestamp is older than
     ``label_ts - staleness`` come back NULL (asof_ts stays, so the staleness
     decision is auditable).
+
+    ``bucket_seconds`` switches every as-of to the skew-safe
+    :func:`~.joins.asof_join_bucketed` form (identical results) — use it
+    when one entity dominates the label or feature volume, since the plain
+    window serializes each key into a single task.
     """
     out = labels
     for name, view in views.items():
@@ -61,15 +67,17 @@ def training_set(
             F.col(view.ts_col).alias(ts_alias),
             *[F.col(c).alias(a) for c, a in zip(view.features, feat_aliases)],
         )
-        out = asof_join(
-            out,
-            right,
+        asof_kwargs = dict(
             key=key,
             left_ts=label_ts,
             right_ts=view.ts_col,
             value_cols=[ts_alias, *feat_aliases],
             strict=view.strict,
         )
+        if bucket_seconds is None:
+            out = asof_join(out, right, **asof_kwargs)
+        else:
+            out = asof_join_bucketed(out, right, bucket_seconds=bucket_seconds, **asof_kwargs)
         if staleness_seconds is not None:
             fresh = (
                 F.unix_timestamp(F.col(label_ts)) - F.unix_timestamp(F.col(ts_alias))
@@ -86,6 +94,7 @@ def backfill(
     *,
     key: str,
     staleness_seconds: float | None = None,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Historical feature backfill: feature values for every entity at every
     snapshot timestamp — N daily/hourly materializations in ONE pass.
@@ -106,4 +115,5 @@ def backfill(
         key=key,
         label_ts="snapshot_ts",
         staleness_seconds=staleness_seconds,
+        bucket_seconds=bucket_seconds,
     )

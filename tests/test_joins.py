@@ -67,6 +67,75 @@ def test_asof_preserves_left_rowcount(quotes_and_trades):
     assert set(out.columns) == set(trades.columns) | {"price"}
 
 
+def test_asof_tie_picks_greatest_value_deterministically(spark):
+    # two right rows at the SAME (key, ts) with different values: the
+    # greatest value tuple must win, on every run and partitioning
+    trades = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:05"), "t1")], "key long, t_ts timestamp, trade_id string"
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100.0, "a"),
+            (1, ts("2024-01-01 10:00:00"), 105.0, "b"),
+            (1, ts("2024-01-01 10:00:00"), 101.0, "c"),
+        ],
+        "key long, q_ts timestamp, price double, src string",
+    ).repartition(4)
+    for _ in range(3):
+        out = joins.asof_join(
+            trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
+            value_cols=["price", "src"],
+        ).collect()
+        assert (out[0]["price"], out[0]["src"]) == (105.0, "b")
+
+
+def _bucketed_equals_plain(spark, trades, quotes, *, strict, bucket_seconds):
+    plain = joins.asof_join(
+        trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
+        value_cols=["price"], strict=strict,
+    )
+    bucketed = joins.asof_join_bucketed(
+        trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
+        value_cols=["price"], strict=strict, bucket_seconds=bucket_seconds,
+    )
+    key = lambda r: (r["key"], r["t_ts"], r["trade_id"])
+    a = sorted(plain.collect(), key=key)
+    b = sorted(bucketed.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_asof_bucketed_equals_plain(spark, quotes_and_trades):
+    trades, quotes = quotes_and_trades
+    for strict in (False, True):
+        _bucketed_equals_plain(spark, trades, quotes, strict=strict, bucket_seconds=4)
+
+
+def test_asof_bucketed_hot_key(spark):
+    # ONE key, 5000 left rows across ~14 hours: the plain form serializes
+    # this into a single window task; the bucketed form must (a) split the
+    # window across (key, hour-bucket) partitions and (b) agree exactly,
+    # including carry-forward across right-empty buckets.
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    trades = spark.range(5000).select(
+        F.lit(1).alias("key"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 10).alias("t_ts"),
+        F.concat(F.lit("t"), F.col("id")).alias("trade_id"),
+    )
+    # sparse right side: one quote every ~37 minutes, none in many buckets
+    quotes = spark.range(20).select(
+        F.lit(1).alias("key"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 2221 + 1).alias("q_ts"),
+        (F.col("id") * 1.5).alias("price"),
+    )
+    _bucketed_equals_plain(spark, trades, quotes, strict=False, bucket_seconds=3600)
+    bucketed = joins.asof_join_bucketed(
+        trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
+        value_cols=["price"], bucket_seconds=3600,
+    )
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan.split("Window")[1][:400]  # window keyed by (key, bucket)
+
+
 def test_band_join(spark):
     fact = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 150.0)], "id long, v double")
     bands = spark.createDataFrame(

@@ -76,6 +76,20 @@ def test_staleness_nulls_values_keeps_audit_ts(spark, frames):
     assert by_id[2]["f__asof_ts"] == ts("2024-01-15 00:00:00")  # audit col survives
 
 
+def test_bucketed_training_set_equals_plain(spark, frames):
+    labels, feats = frames
+    views = {"f": FeatureView(feats, "fts", ["score"])}
+    plain = training_set(labels, views, key="user_id", label_ts="ts")
+    # 1-day buckets: label/feature pairs span buckets, so carry-forward is hit
+    bucketed = training_set(
+        labels, views, key="user_id", label_ts="ts", bucket_seconds=86_400
+    )
+    key = lambda r: r["label_id"]
+    assert sorted(map(tuple, plain.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, bucketed.collect()), key=lambda t: t[0]
+    )
+
+
 def test_two_views_chain_without_column_clashes(spark, frames):
     labels, feats = frames
     other = spark.createDataFrame(
