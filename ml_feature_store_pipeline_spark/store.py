@@ -52,6 +52,7 @@ class FeatureStore:
         cache_ttl: int = 3600,
         alert_threshold: float = 0.8,
         sort_within_partitions_by: str | None = "user_id",
+        max_serving_index_rows: int = 5_000_000,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -62,6 +63,7 @@ class FeatureStore:
         self.cache_ttl = cache_ttl  # reference hardcodes 3600 (`:350, :412`)
         self.monitor = FeatureMonitor(alert_threshold=alert_threshold)
         self.sort_col = sort_within_partitions_by
+        self.max_serving_index_rows = max_serving_index_rows
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------------ K1
@@ -181,19 +183,36 @@ class FeatureStore:
         The reference re-runs a table scan per (version, user) on cache miss
         (`:382-401`). Here the WHOLE version slice is collected once into the
         driver TTL cache and point lookups are dict hits — same results, one
-        job per version instead of one per user (SURVEY §3.3). Feature rows
-        are ~100 columns × O(entity count); a 100M-user version would instead
-        use the pushed-filter path (`get_features(user_ids=[...])`).
+        job per version instead of one per user (SURVEY §3.3).
+
+        The collect is size-guarded: a version larger than
+        ``max_serving_index_rows`` (checked with a limit-bounded probe, not a
+        full count) is never pulled to the driver — lookups fall back to the
+        pushed-filter path (``get_features(user_ids=[user_id])``), where the
+        B1+B2 predicates reach the parquet scan and row-group stats skip
+        non-matching files. Same dict either way.
         """
         version = version or self.latest_version()
         if version is None:
             return {}
         key = cache_key(version) + "_serving_index"
+        too_big_key = key + "_too_big"
         index: dict[int, dict[str, Any]] | None = self.cache.get(key)
         if index is None:
-            rows = self.get_features(version=version, use_cache=False).collect()
-            index = {r["user_id"]: self._serving_dict(r) for r in rows}
-            self.cache.set(key, index, ttl=self.cache_ttl)
+            limit = self.max_serving_index_rows
+            if not self.cache.get(too_big_key):
+                slice_df = self.get_features(version=version, use_cache=False)
+                if slice_df.limit(limit + 1).count() <= limit:
+                    rows = slice_df.collect()
+                    index = {r["user_id"]: self._serving_dict(r) for r in rows}
+                    self.cache.set(key, index, ttl=self.cache_ttl)
+                else:
+                    self.cache.set(too_big_key, True, ttl=self.cache_ttl)
+            if index is None:  # oversized version: pushed-filter point lookup
+                rows = self.get_features(
+                    version=version, user_ids=[int(user_id)], use_cache=False
+                ).collect()
+                return self._serving_dict(rows[0]) if rows else {}
         else:
             self.monitor.log_feature_access(version, 1)
         return index.get(int(user_id), {})

@@ -66,6 +66,21 @@ def test_serving_path(store, features):
     assert store.cache.info()["hits"] >= info_before["hits"] + 1
 
 
+def test_serving_size_guard_falls_back_to_pushed_filter(spark, tmp_path, features):
+    # Threshold forced below the version size: the driver index must never be
+    # built; lookups go through the pushed-filter path and return the SAME
+    # dicts the collected index would.
+    big = FeatureStore(spark, str(tmp_path / "fs_big"), max_serving_index_rows=2)
+    small = FeatureStore(spark, str(tmp_path / "fs_small"))  # default: indexes fine
+    big.register_features(features, _meta())
+    small.register_features(features, _meta())
+    for uid in (1, 2, 99999):
+        assert big.serve_features(uid) == small.serve_features(uid)
+    # the oversized decision is cached — no index ever appears under the hood
+    assert all("_serving_index" not in k or "_too_big" in k
+               for k in getattr(big.cache, "_data", {}))
+
+
 def test_metadata_roundtrip(store, features):
     meta = _meta("metadata round trip")
     meta.tags = ["a", "b"]
