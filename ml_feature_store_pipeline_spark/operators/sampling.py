@@ -77,8 +77,38 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum random sampling (``sampleBy``). Seeded but NOT
     engine-portable or partitioning-stable — prefer
-    :func:`deterministic_sample` for anything that must be reproduced."""
+    :func:`stratified_sample_deterministic` for anything that must be
+    reproduced."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def stratified_sample_deterministic(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    buckets: int = 10000,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum md5-bucket sampling — the engine-portable, partitioning-
+    stable twin of ``sampleBy``, for class-balancing training mixes (e.g.
+    downsample boilerplate web text, keep all books).
+
+    The stratum only chooses the CUT; membership is still a pure function
+    of the key, so enlarging one stratum's fraction strictly grows its
+    sample (nested samples — handy for data-mix ablations). Unlisted strata
+    get ``default_fraction``. Pure codegen filter on the scan, no shuffle.
+    """
+    cut_map = F.create_map(
+        *[x for k, v in fractions.items()
+          for x in (F.lit(k), F.lit(int(round(v * buckets))))]
+    )
+    cut = F.coalesce(
+        cut_map[F.col(strata_col)], F.lit(int(round(default_fraction * buckets)))
+    )
+    return df.filter(hash_bucket(F.col(key_col), buckets, salt) < cut)
 
 
 def fold_column(key: Column, k: int = 5, *, salt: str = "") -> Column:

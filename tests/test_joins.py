@@ -170,3 +170,47 @@ def test_broadcast_join_plan_is_broadcast(spark):
     right = spark.createDataFrame([(1, "x")], "k long, tag string")
     plan = joins.broadcast_join(left, right, "k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_bucketed_matches_band_join(spark):
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 49.9, 50.0, 120.0, 999.0])],
+        "id long, v double",
+    )
+    # overlapping intervals: width 75, stride 50 — a value can land in 2
+    tiers = spark.createDataFrame(
+        [(f"t{i}", i * 50.0, i * 50.0 + 75.0) for i in range(20)],
+        "tier string, lo double, hi double",
+    )
+    expect = {
+        (r["id"], r["tier"])
+        for r in joins.band_join(fact, tiers, "v").collect()
+        if r["tier"] is not None
+    }
+    got = {
+        (r["id"], r["tier"])
+        for r in joins.interval_join_bucketed(fact, tiers, "v", bucket_width=50.0).collect()
+    }
+    assert got == expect and len(got) > len(fact.collect())  # overlap produced dups
+
+
+def test_interval_join_bucketed_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, 5.0), (2, -100.0)], "id long, v double")
+    tiers = spark.createDataFrame([("t", 0.0, 10.0)], "tier string, lo double, hi double")
+    out = {r["id"]: r["tier"] for r in
+           joins.interval_join_bucketed(fact, tiers, "v", bucket_width=10.0, how="left").collect()}
+    assert out == {1: "t", 2: None}
+    with pytest.raises(ValueError):
+        joins.interval_join_bucketed(fact, tiers, "v", bucket_width=0.0)
+
+
+def test_key_skew_profile_values(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import key_skew_profile
+
+    rows = [(1,)] * 60 + [(2,)] * 30 + [(3,)] * 10
+    df = spark.createDataFrame(rows, "k long")
+    out = {r["k"]: r for r in key_skew_profile(df, ["k"], top_n=2).collect()}
+    assert set(out) == {1, 2}                     # top-2 only
+    assert out[1]["n_rows"] == 60
+    assert out[1]["share"] == pytest.approx(0.6)
+    assert out[1]["skew_ratio"] == pytest.approx(1.8)  # 0.6 share × 3 keys

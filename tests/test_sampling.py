@@ -77,3 +77,35 @@ def test_fold_column_partitions_keys_evenly(spark, ids):
     again = {r["key"]: r["fold"] for r in labeled.collect()}
     redo = {r["key"]: r["fold"] for r in ids.repartition(7).withColumn("fold", fold_column(F.col("key"), 5)).collect()}
     assert again == redo
+
+
+def test_stratified_deterministic_nested_and_default(spark):
+    rows = [(i, "a" if i % 2 == 0 else ("b" if i % 4 == 1 else "c")) for i in range(4000)]
+    df = spark.createDataFrame(rows, "key long, cls string")
+    small = sampling.stratified_sample_deterministic(
+        df, "key", "cls", {"a": 0.1, "b": 0.5}, default_fraction=0.0
+    )
+    big = sampling.stratified_sample_deterministic(
+        df, "key", "cls", {"a": 0.3, "b": 1.0}, default_fraction=0.2
+    )
+    s = {(r["key"], r["cls"]) for r in small.collect()}
+    b = {(r["key"], r["cls"]) for r in big.collect()}
+    assert s <= b                                # growing fractions nest the sample
+    assert not any(c == "c" for _, c in s)       # default 0.0 drops unlisted strata
+    by_cls = {}
+    for _, c in b:
+        by_cls[c] = by_cls.get(c, 0) + 1
+    assert by_cls["b"] == 1000                   # fraction 1.0 keeps the whole stratum
+    assert by_cls["a"] == pytest.approx(600, rel=0.2)
+    assert by_cls["c"] == pytest.approx(200, rel=0.3)
+
+
+def test_stratified_deterministic_stable_under_repartition(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "key long, cls string")
+    frac = {"a": 0.25, "b": 0.75}
+    one = {r["key"] for r in
+           sampling.stratified_sample_deterministic(df, "key", "cls", frac).collect()}
+    two = {r["key"] for r in
+           sampling.stratified_sample_deterministic(df.repartition(17), "key", "cls", frac).collect()}
+    assert one == two
