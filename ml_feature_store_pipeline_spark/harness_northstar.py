@@ -757,3 +757,58 @@ def q_interval_join_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice")).alias("sum_price"),
     )
+
+
+@register(
+    "tfidf_terms_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_transform({_SQL_TOKS.format(t='text')}, x -> lower(x)) AS toks
+      FROM documents
+    ),
+    dt AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM dt GROUP BY 1, 2),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, dft.df_t,
+           ROUND(tf.tf * (LN((1.0 + nd) / (1.0 + df_t)) + 1.0), 6) AS tfidf
+    FROM tf JOIN dft USING (term), n
+    """,
+)
+def q_tfidf_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF per (doc, term) with real terms - the transparent,
+    fully-oracle-checked twin of the MLlib HashingTF pipeline (whose private
+    hashing forces ml_tfidf_vectors to a rows-only check)."""
+    from .operators.text import tfidf_terms
+
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    out = tfidf_terms(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "term", "tf", "df_t", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+@register(
+    "scd2_event_type_history",
+    """
+    WITH p AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (SELECT * FROM p WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM c
+    """,
+)
+def q_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 change history of each user's event_type stream: consecutive
+    duplicate observations compress into [valid_from, valid_to) runs
+    (operators.windows.scd2_compress; event_id breaks timestamp ties)."""
+    from .operators.windows import scd2_compress
+
+    e = read_table(spark, sf_dir, "events")
+    return scd2_compress(
+        e, ["user_id"], "ts", ["event_type"], order_tiebreak=["event_id"]
+    )

@@ -224,3 +224,49 @@ def repetition_stats(
             F.lit(0.0),
         ).alias("dup_ngram_frac"),
     )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_df: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact TF-IDF per (doc, term) — the transparent, oracle-checkable twin
+    of MLlib's HashingTF+IDF (``mlfeatures.tfidf_vectors``), with real terms
+    instead of hash buckets (usable for keyword extraction / topic slices).
+
+    Output: (id, term, tf, df_t, tfidf) with sklearn-style smooth idf
+    ``ln((1+N)/(1+df)) + 1``. Shapes: one explode + two partial-aggregated
+    groupBys (doc-term, then term); N broadcasts as a 1-row literal. The
+    term-frequency table is linear in corpus tokens — never densified into
+    per-doc vectors.
+
+    ``min_df`` prunes hapax/noise terms early (df < min_df dropped AFTER
+    df is computed, so idf stays corpus-true).
+    """
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    dt = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = dt.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    if min_df > 1:
+        df_t = df_t.filter(F.col("df_t") >= min_df)
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df_t",
+            (
+                F.col("tf")
+                * (F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df_t"))) + F.lit(1.0))
+            ).alias("tfidf"),
+        )
+    )

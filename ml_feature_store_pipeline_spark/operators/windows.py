@@ -85,3 +85,41 @@ def sessionize(
         session_col,
         F.sum("__start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     ).drop("__start")
+
+
+def scd2_compress(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    *,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing history from a change log: one row per
+    (key, attribute-state) run, with [valid_from, valid_to) intervals
+    (valid_to null = current) — the feature-history shape that lets
+    point-in-time reads join on an interval instead of scanning every
+    observation.
+
+    Two window passes over ONE (key, ts) shuffle (same partitioning, so
+    Catalyst plans a single exchange + sort, like sessionize): flag rows
+    whose attribute tuple differs from the previous observation, keep only
+    change points, then ``lead(ts)`` closes each interval. Consecutive
+    duplicate observations compress away — the usual 100:1+ reduction for
+    slowly-changing feature values. ``order_tiebreak`` columns make
+    equal-timestamp observations deterministic (pass the change-log's
+    unique id).
+    """
+    order = [F.asc(ts_col)] + [F.asc(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    # eqNullSafe: a change INTO a null attribute value must still flag
+    changed = ~F.lag(state).over(w).eqNullSafe(state)
+    points = df.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return points.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )

@@ -222,3 +222,30 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark, registry):
+    # the point of bucketizing: the range predicate must ride an equi-join
+    # (hash/sort-merge on the bucket id), never a nested-loop cross product
+    df = registry["interval_join_price_buckets"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_key_skew_profile_partial_agg_and_topn(spark, registry):
+    df = registry["key_skew_profile_events"](spark, SF)
+    assert plans.has_partial_aggregation(df)       # count combines map-side
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)  # no full sort
+
+
+def test_stratified_sample_is_scan_filter_no_shuffle(spark):
+    from ml_feature_store_pipeline_spark.operators.sampling import (
+        stratified_sample_deterministic,
+    )
+
+    e = read_table(spark, SF, "events")
+    out = stratified_sample_deterministic(
+        e, "event_id", "event_type", {"purchase": 1.0}, default_fraction=0.1
+    )
+    assert plans.count_exchanges(out) == 0         # membership is a pure filter

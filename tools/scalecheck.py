@@ -154,6 +154,40 @@ def main() -> None:
             ),
             args.events,
         )
+        # hot-key stress: EVERY row on one key — the plain as-of serializes
+        # this into a single window task; the bucketed form splits it
+        hot = events.select(
+            F.lit(1).alias("user_id"), F.col("timestamp"), F.col("event_type")
+        )
+        hot_purch = purchases.withColumn("user_id", F.lit(1))
+        timed(
+            "asof_join_bucketed_1key",
+            joins.asof_join_bucketed(
+                hot, hot_purch, key="user_id", left_ts="timestamp", right_ts="p_ts",
+                value_cols=["p_amount"], bucket_seconds=3600,
+            ),
+            args.events,
+        )
+        timed(
+            "ngram_jaccard_capped",
+            dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.3,
+                parallelism=spark.sparkContext.defaultParallelism,
+            ),
+            args.docs,
+        )
+        tiers = spark.range(2000).select(
+            (F.col("id") * 5.0).alias("lo"),
+            (F.col("id") * 5.0 + 7.5).alias("hi"),
+            F.col("id").alias("tier_id"),
+        )
+        timed(
+            "interval_join_2k_bands",
+            joins.interval_join_bucketed(
+                events.select("amount"), tiers, "amount", bucket_width=5.0
+            ),
+            args.events,
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
