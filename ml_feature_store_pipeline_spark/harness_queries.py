@@ -308,8 +308,10 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: 2-key groupBy, 8 aggregates, partial→final hash agg.
-    Per-row products stay double (deterministic); sums go through decimals."""
-    li = read_table(spark, sf_dir, "lineitem").filter(
+    Per-row products stay double (deterministic); sums go through decimals.
+    parallelize: decimal partial-agg is CPU-bound and must not fuse into a
+    1-task scan (single-row-group testdata)."""
+    li = read_table(spark, sf_dir, "lineitem", parallelize=True).filter(
         F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -25,13 +25,38 @@ TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
     "lineitem": ("l_shipdate",),
 }
 
+#: (session id, sf_dir, table) -> scan partition count, so the
+#: ``parallelize`` probe plans each scan once per session, not per query.
+_SCAN_PARTITIONS: dict[tuple[int, str, str], int] = {}
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver test table (TESTDATA.md): ``{sf_dir}/{name}.parquet``."""
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, *, parallelize: bool = False
+) -> DataFrame:
+    """Read one driver test table (TESTDATA.md): ``{sf_dir}/{name}.parquet``.
+
+    ``parallelize=True`` round-robin-repartitions up to the cluster's default
+    parallelism when the scan yields fewer partitions — the testdata tables
+    are single-row-group files, so a scan is one task no matter how small
+    ``maxPartitionBytes`` goes, and any CPU-heavy work fused into the scan
+    stage (decimal aggregation, regex, hashing) serializes onto one core. On
+    a real multi-file 100 TB table the scan already has >= cores partitions
+    and this is a no-op — the guard exists so the rescue never adds an
+    exchange where the layout is healthy. Filter pushdown and column pruning
+    survive the repartition (Catalyst pushes through RepartitionOperation;
+    asserted in test_plans.py).
+    """
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if parallelize:
+        target = spark.sparkContext.defaultParallelism
+        key = (id(spark), sf_dir, name)
+        if key not in _SCAN_PARTITIONS:  # probe plans the scan; cache it
+            _SCAN_PARTITIONS[key] = df.rdd.getNumPartitions()
+        if _SCAN_PARTITIONS[key] < target:
+            df = df.repartition(target)
     for c in TIMESTAMP_COLS.get(name, ()):
         if c not in df.columns:
             continue

@@ -249,3 +249,14 @@ def test_stratified_sample_is_scan_filter_no_shuffle(spark):
         e, "event_id", "event_type", {"purchase": 1.0}, default_fraction=0.1
     )
     assert plans.count_exchanges(out) == 0         # membership is a pure filter
+
+
+def test_parallelize_keeps_pushdown_and_pruning(spark):
+    # the small-file parallelism rescue must not cost the scan its
+    # pushed filters or pruned schema (repartition sits above the scan)
+    li = read_table(spark, SF, "lineitem", parallelize=True)
+    q = li.filter(F.col("l_quantity") > 49).select("l_orderkey", "l_quantity")
+    pushed = " ".join(plans.pushed_filters(q))
+    assert "l_quantity" in pushed
+    assert set(plans.scan_read_schema(q)) == {"l_orderkey", "l_quantity"}
+    assert q.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
