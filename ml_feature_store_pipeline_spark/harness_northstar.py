@@ -812,3 +812,108 @@ def q_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_compress(
         e, ["user_id"], "ts", ["event_type"], order_tiebreak=["event_id"]
     )
+
+
+@register(
+    "pit_scd2_orders_state",
+    """
+    WITH p AS (
+      SELECT o_custkey AS user_id, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    c AS (SELECT * FROM p WHERE prev IS NULL OR prev <> o_orderstatus),
+    h AS (
+      SELECT user_id, o_orderstatus, o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (PARTITION BY user_id ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM c
+    )
+    SELECT e.event_id, e.user_id, e.ts, h.o_orderstatus AS status_asof
+    FROM events e
+    LEFT JOIN h ON e.user_id = h.user_id
+              AND e.ts >= h.valid_from
+              AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    """,
+)
+def q_pit_scd2_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free PIT read via compressed history: the order-status change
+    log compresses to SCD2 runs (scd2_compress), then every event joins the
+    run covering its timestamp (pit.scd2_read — key-equi join, interval as
+    join filter, at most one match per event). The log-vs-history twin of
+    asof_events_orders: same semantics, right side shrunk to change points."""
+    from .operators.pit import scd2_read
+    from .operators.windows import scd2_compress
+
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    hist = scd2_compress(
+        o, ["user_id"], "o_orderdate", ["o_orderstatus"], order_tiebreak=["o_orderkey"]
+    )
+    out = scd2_read(e, hist, key="user_id", ts_col="ts")
+    return out.select(
+        "event_id", "user_id", "ts", F.col("o_orderstatus").alias("status_asof")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    f"""
+    WITH n AS (
+      SELECT label,
+             SQRT(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+      FROM embeddings
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND({dsum_sql('l2', scale=8)} / COUNT(*), 6) AS avg_norm,
+           ROUND(MIN(l2), 6) AS min_norm, ROUND(MAX(l2), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus health profile: per-label vector counts and L2-norm
+    range — the standard pre-ANN sanity check (un-normalized or degenerate
+    embedding batches show up as wild norm spreads). Norms are a JVM-side
+    left fold (F.aggregate); the cross-row mean goes through the decimal-sum
+    recipe so the hash is partition-order-proof."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    n = emb.select("label", F.sqrt(sq).alias("l2"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            (dsum(F.col("l2"), scale=8) / F.count(F.lit(1))).cast("double"), 6
+        ).alias("avg_norm"),
+        F.round(F.min("l2"), 6).alias("min_norm"),
+        F.round(F.max("l2"), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "token_histogram_docs",
+    f"""
+    WITH t AS (
+      SELECT CAST(len({_SQL_TOKS.format(t='text')}) AS BIGINT) AS tc FROM documents
+    )
+    SELECT CAST(FLOOR(tc / 20) * 20 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM t GROUP BY 1
+    """,
+)
+def q_token_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram (width-20 buckets) — the corpus length profile
+    every filtering/chunking decision starts from. Fixed-width buckets keep
+    the agg a single partial→final groupBy (mergeable across any partition
+    split), unlike quantile sketches."""
+    from .functions import token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select((F.floor(token_count(F.col("text")) / 20) * 20).alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -465,3 +465,50 @@ def q_rolling_hour_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double"), 6).alias("spend_1h"),
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
     )
+
+
+@register(
+    "tpch_q7_like",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           YEAR(l.l_shipdate) AS ship_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', scale=6)} AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (nation-pair shipping volume): the widest join tree in
+    the registry — two broadcast dim chains (supplier→nation, customer→
+    nation) hang off the lineitem↔orders shuffle join, and the nation-pair
+    disjunction prunes through both chains before the facts meet."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("volume"))
+    )

@@ -117,3 +117,58 @@ def backfill(
         staleness_seconds=staleness_seconds,
         bucket_seconds=bucket_seconds,
     )
+
+
+def scd2_read(
+    left: DataFrame,
+    history: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time read against an SCD2 history table (the output shape of
+    :func:`operators.windows.scd2_compress`): each left row picks up the
+    attribute row whose ``[valid_from, valid_to)`` interval covers its
+    timestamp (open ``valid_to`` = NULL means "current").
+
+    This is the OTHER leakage-free read pattern: where :func:`training_set`
+    as-of-joins the raw observation log (one window over labels ∪
+    observations), ``scd2_read`` joins a pre-compressed run-length history —
+    the right choice when attributes change rarely, because the join's right
+    side is orders of magnitude smaller than the log.
+
+    Scale shape: a plain equi-join on ``key`` with the interval predicate in
+    the join condition (each left row matches at most ONE history row since
+    intervals per key are disjoint — no range explosion), so Catalyst plans
+    a hash/sort-merge join on the key and the interval check rides along as
+    a join filter; one exchange per side, broadcastable when the compressed
+    history is small.
+    """
+    h = history.select(
+        F.col(key),
+        F.col(valid_from),
+        F.col(valid_to),
+        *[
+            F.col(c)
+            for c in history.columns
+            if c not in (key, valid_from, valid_to)
+        ],
+    )
+    lt, lk = F.col(f"__l.{ts_col}"), F.col(f"__l.{key}")
+    cond = (
+        (lk == F.col(f"__h.{key}"))
+        & (lt >= F.col(f"__h.{valid_from}"))
+        & (F.col(f"__h.{valid_to}").isNull() | (lt < F.col(f"__h.{valid_to}")))
+    )
+    out = left.alias("__l").join(h.alias("__h"), cond, how)
+    return out.select(
+        *[F.col(f"__l.{c}") for c in left.columns],
+        *[
+            F.col(f"__h.{c}")
+            for c in h.columns
+            if c not in (key, valid_from, valid_to)
+        ],
+    )

@@ -110,3 +110,91 @@ def test_two_views_chain_without_column_clashes(spark, frames):
     assert by_id[1]["a__score"] == 2.0
     assert by_id[1]["b__tier"] == "bronze"
     assert by_id[3]["b__tier"] is None
+
+
+# ---------------------------------------------------------------------------
+# scd2_compress + scd2_read (interval-based PIT)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def changelog(spark):
+    # user 1: A (t1), A (t2, dup -> compresses away), B (t3), NULL (t4 -> a
+    # change INTO null must still open a run); user 2: single open run
+    return spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), "A", 1),
+            (1, ts("2024-01-02 00:00:00"), "A", 2),
+            (1, ts("2024-01-03 00:00:00"), "B", 3),
+            (1, ts("2024-01-04 00:00:00"), None, 4),
+            (2, ts("2024-01-02 00:00:00"), "Z", 5),
+        ],
+        "user_id long, cts timestamp, state string, row_id long",
+    )
+
+
+def test_scd2_compress_runs_and_open_interval(spark, changelog):
+    from ml_feature_store_pipeline_spark.operators.windows import scd2_compress
+
+    h = scd2_compress(
+        changelog, ["user_id"], "cts", ["state"], order_tiebreak=["row_id"]
+    )
+    rows = {(r["user_id"], r["state"]): r for r in h.collect()}
+    assert len(rows) == 4  # dup A row compressed away
+    assert rows[(1, "A")]["valid_to"] == ts("2024-01-03 00:00:00")
+    assert rows[(1, "B")]["valid_to"] == ts("2024-01-04 00:00:00")
+    assert rows[(1, None)]["valid_to"] is None  # change INTO null opens a run
+    assert rows[(2, "Z")]["valid_to"] is None
+
+
+def test_scd2_read_picks_covering_interval(spark, changelog):
+    from ml_feature_store_pipeline_spark.operators.pit import scd2_read
+    from ml_feature_store_pipeline_spark.operators.windows import scd2_compress
+
+    h = scd2_compress(
+        changelog, ["user_id"], "cts", ["state"], order_tiebreak=["row_id"]
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, 1, ts("2023-12-31 00:00:00")),  # before history -> null
+            (101, 1, ts("2024-01-01 00:00:00")),  # boundary: valid_from inclusive
+            (102, 1, ts("2024-01-02 12:00:00")),  # inside compressed A run
+            (103, 1, ts("2024-01-03 00:00:00")),  # boundary: valid_to exclusive
+            (104, 1, ts("2024-05-01 00:00:00")),  # open (null-state) run
+            (105, 2, ts("2024-06-01 00:00:00")),  # open run, other key
+            (106, 3, ts("2024-06-01 00:00:00")),  # unknown key -> null
+        ],
+        "probe_id long, user_id long, pts timestamp",
+    )
+    out = scd2_read(probes, h, key="user_id", ts_col="pts")
+    assert out.count() == 7  # at most ONE match per probe, left rows kept
+    got = {r["probe_id"]: r["state"] for r in out.collect()}
+    assert got == {100: None, 101: "A", 102: "A", 103: "B", 104: None, 105: "Z", 106: None}
+
+
+def test_scd2_read_matches_asof_on_dense_log(spark, changelog):
+    # on non-null attrs, reading the compressed history == as-of joining the
+    # raw log (the two PIT paths agree)
+    from ml_feature_store_pipeline_spark.operators.joins import asof_join
+    from ml_feature_store_pipeline_spark.operators.pit import scd2_read
+    from ml_feature_store_pipeline_spark.operators.windows import scd2_compress
+
+    log = changelog.filter("state IS NOT NULL")
+    h = scd2_compress(log, ["user_id"], "cts", ["state"], order_tiebreak=["row_id"])
+    probes = spark.createDataFrame(
+        [(i, 1, ts(f"2024-01-0{d} 12:00:00")) for i, d in enumerate((1, 2, 3, 4))]
+        + [(9, 2, ts("2024-01-05 00:00:00"))],
+        "probe_id long, user_id long, pts timestamp",
+    )
+    via_hist = {
+        r["probe_id"]: r["state"]
+        for r in scd2_read(probes, h, key="user_id", ts_col="pts").collect()
+    }
+    via_asof = {
+        r["probe_id"]: r["state"]
+        for r in asof_join(
+            probes, log, key="user_id", left_ts="pts", right_ts="cts",
+            value_cols=["state"],
+        ).collect()
+    }
+    assert via_hist == via_asof
