@@ -917,3 +917,49 @@ def q_token_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "kmv_distinct_orderkeys",
+    None,  # replaced below via sketches.kmv_distinct_sql
+)
+def q_kmv_distinct_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch over lineitem.l_orderkey — the
+    mergeable cardinality estimator (operators/sketches.py): md5-derived
+    hash fractions, k smallest kept via TakeOrderedAndProject (partial
+    per-partition selection; nothing O(N) shuffles). Oracle replays the
+    sketch bit-for-bit in DuckDB."""
+    from .operators import sketches
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return sketches.kmv_distinct(li, "l_orderkey", k=256)
+
+
+@register(
+    "weighted_sample_events",
+    None,  # replaced below
+)
+def q_weighted_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res) of events
+    by value: training-mix construction where high-value rows must be
+    overrepresented but reruns must pick the SAME sample (md5-seeded keys,
+    id tiebreak)."""
+    from .operators import sketches
+
+    e = read_table(spark, sf_dir, "events")
+    return sketches.weighted_sample(e, "event_id", "value", k=100)
+
+
+def _install_sketch_oracles() -> None:
+    from .harness import _ORACLES
+    from .operators import sketches
+
+    _ORACLES["kmv_distinct_orderkeys"] = sketches.kmv_distinct_sql(
+        "(SELECT l_orderkey FROM lineitem)", "l_orderkey", k=256
+    )
+    _ORACLES["weighted_sample_events"] = sketches.weighted_sample_sql(
+        "events", "event_id", "value", k=100
+    )
+
+
+_install_sketch_oracles()

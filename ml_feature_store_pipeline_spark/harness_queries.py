@@ -756,3 +756,27 @@ def q_backfill_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "snapshot_ts", "ord__asof_ts", "ord__o_orderkey", "ord__o_totalprice"
     )
+
+
+@register(
+    "quartiles_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS price_q1,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS price_med,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS price_q3
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_quartiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (grouped C11): one partial→final hash agg —
+    percentile's merge buffer makes group quantiles a normal aggregate, no
+    per-group sort or window."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("price_q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("price_med"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("price_q3"),
+    )

@@ -1,0 +1,146 @@
+"""Deterministic, mergeable sketch operators (beyond-reference; north-star
+"novel sketch" family).
+
+Both sketches derive their randomness from ``md5`` of the value itself, not
+an engine RNG — so results are reproducible run-to-run, identical across
+engines (the DuckDB oracles replay them bit-for-bit), and independent of
+partitioning. The md5→uniform recipe uses the first 13 hex digits = 52
+bits, which is exactly double-mantissa-sized: the integer is exact in a
+double in BOTH engines and the final division by 16^13 is a power-of-two
+scale (also exact), so the uniforms are bit-identical everywhere.
+
+- :func:`kmv_distinct` — K-Minimum-Values cardinality estimator (the
+  classic bottom-k / Theta-sketch idea, Bar-Yossef et al. 2002): keep the
+  k smallest hash fractions; estimate N ≈ (k−1)/h_(k). Mergeable: the
+  bottom-k of a union is the bottom-k of the merged bottom-k sets, so
+  per-partition partials combine losslessly — which is exactly what
+  Spark's ``TakeOrderedAndProject`` does here (partial top-k per
+  partition, single merge; no full shuffle, no full sort).
+- :func:`weighted_sample` — weighted sampling without replacement
+  (Efraimidis–Spirakis A-Res): per-row key ln(u)/w, take the k largest.
+  Same TakeOrdered shape: one partial top-k per partition + merge.
+
+Scale: both reduce arbitrarily large inputs to k rows with map-side
+partial selection — the shuffle carries at most k rows per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 16^13 = 2^52: the largest hex-prefix whose integer value is exact in a
+#: double — the whole md5→uniform pipeline stays bit-identical across
+#: engines (see module docstring).
+_HASH_DENOM = float(16**13)
+
+
+def hash_fraction(col: Column) -> Column:
+    """Deterministic uniform in [0, 1): md5 of the value's string form,
+    first 13 hex digits as an integer, scaled by 16^13. Bit-identical in
+    Spark and DuckDB (see :func:`hash_fraction_sql`)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast("double")
+        / F.lit(_HASH_DENOM)
+    )
+
+
+def hash_fraction_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`hash_fraction` over SQL expression ``expr``.
+
+    DuckDB has no base-16 string→int conversion, so the 13 hex digits are
+    folded positionally: digit_i · 16^(12−i). Every intermediate is an
+    exact-in-double integer < 2^52, so the sum equals Spark's ``conv``
+    exactly.
+    """
+    return (
+        "(list_sum(list_transform(range(13), i -> "
+        f"(strpos('0123456789abcdef', substr(md5(CAST(({expr}) AS VARCHAR)), i + 1, 1)) - 1)"
+        " * power(16, 12 - i))) / power(16, 13))"
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, *, k: int = 256) -> DataFrame:
+    """KMV cardinality estimate of ``col``: one row
+    ``(k_seen, max_frac, distinct_est)``.
+
+    ``k_seen < k`` means the hash universe was smaller than the sketch —
+    the estimate is then the exact distinct count. Estimator:
+    (k−1)/h_(k), the unbiased bottom-k form. Relative error ~ 1/sqrt(k−2)
+    (k=256 → ~6%).
+
+    Plan shape: distinct hash fractions (one hash-agg), then
+    ``TakeOrderedAndProject`` for the bottom-k — partial per partition,
+    merged once; nothing proportional to N crosses the network.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = df.select(hash_fraction(F.col(col)).alias("h")).distinct()
+    bottom = h.orderBy("h").limit(k)
+    return bottom.agg(
+        F.count(F.lit(1)).alias("k_seen"),
+        F.round(F.max("h"), 12).alias("max_frac"),
+        F.round(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.max("h")
+            ),
+            4,
+        ).alias("distinct_est"),
+    )
+
+
+def kmv_distinct_sql(table_expr: str, expr: str, *, k: int = 256) -> str:
+    """DuckDB oracle for :func:`kmv_distinct` (same estimator, same hash)."""
+    frac = hash_fraction_sql(expr)
+    return f"""
+    WITH h AS (SELECT DISTINCT {frac} AS h FROM {table_expr}),
+    bottom AS (SELECT h FROM h ORDER BY h LIMIT {k})
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_seen,
+           ROUND(MAX(h), 12) AS max_frac,
+           ROUND(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE {float(k - 1)} / MAX(h) END, 4) AS distinct_est
+    FROM bottom
+    """
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res,
+    Efraimidis–Spirakis 2006): per row, key = ln(u)/w with u =
+    ``hash_fraction(id)``; the k largest keys win. P(row in sample) is
+    proportional-to-weight without replacement. Rows with weight <= 0 or
+    null are excluded (they can never win a weighted draw).
+
+    Deterministic given the data — reruns and engines agree on everything
+    except exact ln() ulps; the id tiebreak pins the order when keys tie.
+    Plan: ``TakeOrderedAndProject`` — per-partition partial top-k, one
+    merge, no full sort.
+    """
+    u = hash_fraction(F.col(id_col))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("__key"))
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out.select(id_col, weight_col)
+
+
+def weighted_sample_sql(
+    table_expr: str, id_expr: str, weight_expr: str, *, k: int
+) -> str:
+    """DuckDB oracle for :func:`weighted_sample`."""
+    frac = hash_fraction_sql(id_expr)
+    return f"""
+    SELECT {id_expr}, {weight_expr}
+    FROM {table_expr}
+    WHERE {weight_expr} > 0
+    ORDER BY LN({frac}) / CAST({weight_expr} AS DOUBLE) DESC, {id_expr} ASC
+    LIMIT {k}
+    """

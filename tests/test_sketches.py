@@ -1,0 +1,68 @@
+"""KMV cardinality sketch + deterministic weighted sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.operators import sketches
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(50).select(F.col("id").alias("v"))
+    row = sketches.kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["k_seen"] == 50
+    assert row["distinct_est"] == 50.0  # under-filled sketch = exact count
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    row = sketches.kmv_distinct(df, "v", k=256).collect()[0]
+    # rel error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(row["distinct_est"] - n) / n < 0.25
+    # duplicates must not move the estimate (it sketches the SET)
+    dup = df.union(df).union(df)
+    row2 = sketches.kmv_distinct(dup, "v", k=256).collect()[0]
+    assert row2["distinct_est"] == row["distinct_est"]
+
+
+def test_kmv_merge_equals_union(spark):
+    # bottom-k of a union == bottom-k of the merged per-part bottom-k sets:
+    # computing the sketch on a union equals sketching the concatenated
+    # bottom-k outputs (the mergeability that makes it a sketch)
+    a = spark.range(0, 5_000).select(F.col("id").alias("v"))
+    b = spark.range(3_000, 9_000).select(F.col("id").alias("v"))
+    direct = sketches.kmv_distinct(a.union(b), "v", k=128).collect()[0]
+    ha = sketches.hash_fraction(F.col("v"))
+    part_a = a.select(ha.alias("h")).distinct().orderBy("h").limit(128)
+    part_b = b.select(ha.alias("h")).distinct().orderBy("h").limit(128)
+    merged = part_a.union(part_b).select(F.col("h").alias("v"))
+    # re-sketch the merged partials; hash_fraction(v) != v, so emulate by
+    # taking bottom-k of the partials' h directly
+    bottom = merged.distinct().orderBy("v").limit(128)
+    est = bottom.agg(
+        F.round(F.lit(127.0) / F.max("v"), 4).alias("e"), F.count(F.lit(1)).alias("k")
+    ).collect()[0]
+    assert est["k"] == 128
+    assert est["e"] == direct["distinct_est"]
+
+
+def test_weighted_sample_deterministic_and_filtered(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 5) - 1.0) for i in range(200)], "id long, w double"
+    )  # weights -1..3; <=0 excluded
+    s1 = sketches.weighted_sample(df, "id", "w", k=20).collect()
+    s2 = sketches.weighted_sample(df, "id", "w", k=20).collect()
+    assert [r["id"] for r in s1] == [r["id"] for r in s2]
+    assert all(r["w"] > 0 for r in s1)
+    assert len(s1) == 20
+
+
+def test_weighted_sample_bias(spark):
+    # weight 10 vs weight 1: heavy ids must dominate the sample
+    rows = [(i, 10.0) for i in range(100)] + [(i, 1.0) for i in range(100, 200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sketches.weighted_sample(df, "id", "w", k=50).collect()
+    heavy = sum(1 for r in got if r["id"] < 100)
+    assert heavy > 35  # E[heavy] ≈ 46; far above the uniform 25
