@@ -963,3 +963,34 @@ def _install_sketch_oracles() -> None:
 
 
 _install_sketch_oracles()
+
+
+@register(
+    "incremental_user_value_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value) AS mean,
+           MIN(value) AS min, MAX(value) AS max,
+           GREATEST(CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) / COUNT(value)
+                    - (CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value))
+                      * (CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value)),
+                    0.0) AS var_pop
+    FROM events GROUP BY user_id
+    """,
+)
+def q_incremental_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance proven in-query: the event history
+    splits at its midpoint into two batches, each folds to a mergeable
+    per-user state (count/sums/min/max/sum-of-squares), the states merge,
+    and finalize() produces the stats — which the oracle computes in ONE
+    pass over the full table. merge(state(b1), state(b2)) == full scan is
+    the contract that makes O(batch) feature refresh correct at 100 TB."""
+    from .operators import incremental
+
+    e = read_table(spark, sf_dir, "events")
+    mid = F.lit("2024-07-01 00:00:00").cast("timestamp")
+    s1 = incremental.aggregate_state(e.filter(F.col("ts") < mid), ["user_id"], "value")
+    s2 = incremental.aggregate_state(e.filter(F.col("ts") >= mid), ["user_id"], "value")
+    return incremental.finalize(incremental.merge_states(s1, s2))

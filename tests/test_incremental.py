@@ -1,0 +1,63 @@
+"""Incremental aggregate maintenance: merge(partials) == full recompute."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.operators import incremental
+
+
+def _rows(df):
+    return {
+        tuple(r[k] for k in ("user_id",)): r.asDict() for r in df.collect()
+    }
+
+
+def test_merge_of_batches_equals_full_recompute(spark):
+    data = [(i % 7, float(i) * 0.5 - 10) for i in range(1000)]
+    df = spark.createDataFrame(data, "user_id long, value double")
+    full = incremental.finalize(
+        incremental.aggregate_state(df, ["user_id"], "value")
+    )
+    # three arbitrary batches, merged in a nested order (associativity)
+    b1 = df.filter("value < -5")
+    b2 = df.filter("value >= -5 AND value < 100")
+    b3 = df.filter("value >= 100")
+    s = lambda d: incremental.aggregate_state(d, ["user_id"], "value")
+    merged = incremental.finalize(
+        incremental.merge_states(incremental.merge_states(s(b1), s(b2)), s(b3))
+    )
+    f, m = _rows(full), _rows(merged)
+    assert f.keys() == m.keys()
+    for k in f:
+        for col in ("n_rows", "total", "mean", "min", "max", "var_pop"):
+            a, b = f[k][col], m[k][col]
+            if isinstance(a, float):
+                assert math.isclose(a, b, rel_tol=0, abs_tol=0), (k, col, a, b)
+            else:
+                assert a == b, (k, col)
+
+
+def test_nulls_count_rows_not_moments(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (1, None), (1, 4.0)], "user_id long, value double"
+    )
+    out = incremental.finalize(
+        incremental.aggregate_state(df, ["user_id"], "value")
+    ).collect()[0]
+    assert out["n_rows"] == 3
+    assert out["total"] == 6.0
+    assert out["mean"] == 3.0
+    assert out["var_pop"] == 1.0
+
+
+def test_all_null_group_yields_null_stats(spark):
+    df = spark.createDataFrame([(1, None), (1, None)], "user_id long, value double")
+    out = incremental.finalize(
+        incremental.aggregate_state(df, ["user_id"], "value")
+    ).collect()[0]
+    assert out["n_rows"] == 2
+    assert out["mean"] is None and out["var_pop"] is None
+    assert out["min"] is None and out["max"] is None
