@@ -47,6 +47,10 @@ HEADLINE = [
 HEADLINE_R2 = [
     "dedup_survivors_docs",
     "psi_order_price_drift",
+    "tfidf_terms_docs",
+    "pit_scd2_orders_state",
+    "incremental_user_value_stats",
+    "kmv_distinct_orderkeys",
 ]
 
 

@@ -260,3 +260,50 @@ def test_parallelize_keeps_pushdown_and_pruning(spark):
     assert "l_quantity" in pushed
     assert set(plans.scan_read_schema(q)) == {"l_orderkey", "l_quantity"}
     assert q.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_q7_broadcasts_both_dim_chains(spark, registry):
+    df = registry["tpch_q7_like"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier and customer chains
+    assert plans.has_partial_aggregation(df)
+
+
+def test_q15_argmax_joins_are_broadcast(spark, registry):
+    df = registry["tpch_q15_like"](spark, SF)
+    plan = plans.executed_plan(df)
+    # scalar max and supplier dim both ride broadcasts; revenue aggregates once
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_column_local_disjunctions(spark, registry):
+    df = registry["tpch_q19_like"](spark, SF)
+    pushed = " ".join(plans.pushed_filters(df))
+    # the OR-of-ANDs can't push whole, but each side's column-local
+    # disjunction must reach its scan
+    assert "p_brand" in pushed
+    assert "l_quantity" in pushed or "l_partkey" in pushed
+    assert plans.has_broadcast_join(df)
+
+
+def test_kmv_and_weighted_sample_use_takeordered(spark, registry):
+    for name in ("kmv_distinct_orderkeys", "weighted_sample_events"):
+        df = registry[name](spark, SF)
+        assert "TakeOrderedAndProject" in plans.executed_plan(df), name
+
+
+def test_scd2_compress_single_exchange(spark):
+    from ml_feature_store_pipeline_spark.operators.windows import scd2_compress
+
+    e = read_table(spark, SF, "events")
+    h = scd2_compress(e, ["user_id"], "ts", ["event_type"], order_tiebreak=["event_id"])
+    # both window passes share the (user_id) partitioning: exactly one exchange
+    assert plans.count_exchanges(h) == 1
+
+
+def test_scd2_read_is_equi_join_on_key(spark, registry):
+    df = registry["pit_scd2_orders_state"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
