@@ -112,3 +112,44 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction for one partition directory (a version subtree
+    of the feature store, or any parquet leaf dir).
+
+    Streaming micro-batches and per-executor writes leave partitions as
+    hundreds of small files; at 100 TB that means listing storms, tiny
+    scan tasks, and row-group stats too fine to prune well. Compaction
+    rewrites the directory into ``ceil(total_bytes / target_file_bytes)``
+    files via an atomic temp-path + rename swap (same crash-safety contract
+    as :func:`atomic_overwrite_parquet` — readers never see a half state).
+
+    Uses ``coalesce`` (narrow — each output task concatenates input
+    splits, no shuffle). Returns ``{"files_before", "files_after",
+    "bytes", "compacted"}``; skips (``compacted=False``) when the dir
+    already has fewer than ``min_files`` files, so idempotent re-runs are
+    free. Row ORDER within the partition is not preserved (parquet dirs
+    never promise one); bucketed tables must NOT be compacted this way —
+    their file count IS the bucket contract.
+    """
+    names = [n for n in os.listdir(path) if n.endswith(".parquet")]
+    total = sum(os.path.getsize(os.path.join(path, n)) for n in names)
+    n_out = max(1, -(-total // target_file_bytes))
+    if len(names) < min_files or n_out >= len(names):
+        return {"files_before": len(names), "files_after": len(names), "bytes": total, "compacted": False}
+    df = spark.read.parquet(path)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len([n for n in os.listdir(path) if n.endswith(".parquet")])
+    return {"files_before": len(names), "files_after": after, "bytes": total, "compacted": True}
