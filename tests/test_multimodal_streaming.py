@@ -103,3 +103,48 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     finally:
         q.stop()
     assert rows == {1: "gold", 2: None}
+
+
+def test_foreachbatch_upsert_sink_writes_feature_table(spark, tmp_path):
+    """The full ingest loop: stream -> windowed agg -> foreachBatch upsert
+    into a parquet feature table a batch reader can consume."""
+    from ml_feature_store_pipeline_spark.streaming import upsert_sink
+
+    src = str(tmp_path / "sink_src")
+    store = str(tmp_path / "feature_table")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1, "purchase", 10.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 2, "purchase", 30.0, "{}"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = streaming_feature_aggregation(stream, window_duration="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")  # append + watermark: only closed windows emit
+        .foreachBatch(upsert_sink(store))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append a late batch that closes the first window
+        late = spark.createDataFrame(
+            [(4, base + dt.timedelta(hours=2), 3, "view", 0.0, "{}")], batch.schema
+        )
+        late.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(store)
+    assert {"window_start", "window_end", "epoch_id", "user_id"} <= set(out.columns)
+    got = {r["user_id"]: r for r in out.collect()}
+    assert got[1]["total_events"] == 2
+    assert got[1]["total_purchases"] == 1
+    assert got[2]["total_amount"] == 30.0
