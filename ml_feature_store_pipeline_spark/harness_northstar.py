@@ -994,3 +994,30 @@ def q_incremental_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFram
     s1 = incremental.aggregate_state(e.filter(F.col("ts") < mid), ["user_id"], "value")
     s2 = incremental.aggregate_state(e.filter(F.col("ts") >= mid), ["user_id"], "value")
     return incremental.finalize(incremental.merge_states(s1, s2))
+
+
+def _edit_distance_pairs_sql() -> str:
+    return (
+        "WITH pairs AS (" + _minhash_pairs_sql() + ")"
+        + """
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(substr(a.text, 1, 400), substr(b.text, 1, 400)) AS BIGINT)
+             AS edit_distance
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.id_a
+    JOIN documents b ON b.doc_id = p.id_b
+    WHERE levenshtein(substr(a.text, 1, 400), substr(b.text, 1, 400)) <= 40
+    """
+    )
+
+
+@register("near_dup_edit_distance", _edit_distance_pairs_sql())
+def q_near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-propose / Levenshtein-verify near-dup detection (dedup.
+    edit_distance_pairs): banding bounds the candidate set, a 400-char
+    prefix bounds the O(len^2) distance itself."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup.edit_distance_pairs(
+        docs, "doc_id", "text", max_distance=40, parallelism=_par(spark)
+    )
+    return out.withColumn("edit_distance", F.col("edit_distance").cast("long"))

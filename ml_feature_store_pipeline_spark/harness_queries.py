@@ -780,3 +780,51 @@ def q_quartiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("price_med"),
         F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("price_q3"),
     )
+
+
+@register(
+    "top3_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def q_top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (the per-key sibling of TakeOrdered): row_number over
+    (group, value desc) + rank filter — one exchange on the group key, and
+    Spark's WindowGroupLimit pushes the k-cutoff below the sort so each
+    partition keeps only k rows. Orderkey tiebreak pins the set."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "distinct_users_per_type_2stage",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_distinct_users_per_type_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via the skew-safe dedupe-then-count rewrite
+    (operators.skew.exact_distinct_two_stage): the hot key's distinct set
+    spreads over the (key, value) shuffle instead of one final task. Same
+    answer as COUNT(DISTINCT) — the oracle IS count-distinct."""
+    from .operators.skew import exact_distinct_two_stage
+
+    e = read_table(spark, sf_dir, "events")
+    return exact_distinct_two_stage(e, ["event_type"], "user_id")

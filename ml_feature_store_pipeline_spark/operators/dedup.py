@@ -439,3 +439,44 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int,
+    prefix_chars: int = 400,
+    num_hashes: int = 32,
+    bands: int = 8,
+    parallelism: int | None = None,
+    max_bucket_size: int | None = 1_000,
+) -> DataFrame:
+    """Near-duplicate pairs verified by EDIT DISTANCE: MinHash-LSH proposes
+    candidates (no all-pairs), then ``levenshtein`` on a fixed prefix
+    confirms. The LSH⇒verify split is the only way edit distance survives
+    scale — Levenshtein is O(len²) PER PAIR, so it must never meet more
+    than the banding survivors, and ``prefix_chars`` caps the quadratic
+    term itself (doc pairs that diverge beyond the prefix are already
+    non-duplicates at any sane threshold).
+
+    Returns (id_a, id_b, edit_distance) for candidates with distance <=
+    ``max_distance``. Distance is computed on ``substr(text, 1,
+    prefix_chars)`` of both sides — deterministic, engine-portable
+    (unit-cost Levenshtein is identical in Spark and DuckDB).
+    """
+    pairs = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        parallelism=parallelism, max_bucket_size=max_bucket_size,
+    )
+    txt = df.select(F.col(id_col), F.substring(F.col(text_col), 1, prefix_chars).alias("__t"))
+    a = txt.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"))
+    b = txt.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_distance", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("edit_distance") <= max_distance)
+        .select("id_a", "id_b", "edit_distance")
+    )

@@ -307,3 +307,26 @@ def test_scd2_read_is_equi_join_on_key(spark, registry):
     plan = plans.executed_plan(df)
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grouped_topk_uses_window_group_limit(spark, registry):
+    df = registry["top3_orders_per_priority"](spark, SF)
+    plan = plans.executed_plan(df)
+    # Spark 3.5+ pushes the rank filter below the window sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_two_stage_distinct_shuffles_pair_first(spark):
+    from ml_feature_store_pipeline_spark.operators.skew import exact_distinct_two_stage
+
+    e = read_table(spark, SF, "events")
+    df = exact_distinct_two_stage(e, ["event_type"], "user_id")
+    plan = plans.executed_plan(df)
+    # stage-1 exchange must be keyed by the (key, value) PAIR - that's the
+    # skew spread - and no Expand (the countDistinct plan marker) appears
+    assert "Expand" not in plan
+    assert plan.count("Exchange") >= 2
+    import re
+    # plans print top-down, so the DEEPEST (stage-1) exchange is the last
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert "user_id" in exchanges[-1] and "event_type" in exchanges[-1]
