@@ -1,9 +1,15 @@
-from .ingest import enrich_stream, streaming_feature_aggregation, upsert_sink
+from .ingest import (
+    enrich_stream,
+    incremental_state_sink,
+    streaming_feature_aggregation,
+    upsert_sink,
+)
 from .stateful import dedup_stream, join_streams, sessionize_stream
 
 __all__ = [
     "dedup_stream",
     "enrich_stream",
+    "incremental_state_sink",
     "join_streams",
     "sessionize_stream",
     "streaming_feature_aggregation",

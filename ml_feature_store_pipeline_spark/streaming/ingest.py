@@ -85,3 +85,33 @@ def enrich_stream(
     table is re-read per batch, so an overwritten dim parquet shows up on
     the next trigger without restarting the query."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def incremental_state_sink(
+    state_path: str, keys: list[str], value_col: str
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink that maintains a mergeable aggregate STATE
+    table (operators.incremental): each micro-batch folds to per-key
+    partials and merges with the stored state — O(batch + |state|) per
+    trigger, never a rescan of history. The merged state is swapped in
+    atomically (temp-path + rename), so a crash between triggers leaves
+    the previous consistent state and Spark's checkpoint replays the
+    batch. Read-side: ``incremental.finalize(spark.read.parquet(path))``.
+    """
+    import os
+
+    from ..operators import incremental
+    from ..sources.writers import atomic_overwrite_parquet
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        new = incremental.aggregate_state(batch, keys, value_col)
+        spark = batch.sparkSession
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            new = incremental.merge_states(prev, new)
+        # the merge result lazily reads state_path, which the swap is about
+        # to replace — materialize the plan before touching the directory
+        new = new.localCheckpoint()
+        atomic_overwrite_parquet(new, state_path)
+
+    return write

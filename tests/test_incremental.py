@@ -61,3 +61,40 @@ def test_all_null_group_yields_null_stats(spark):
     assert out["n_rows"] == 2
     assert out["mean"] is None and out["var_pop"] is None
     assert out["min"] is None and out["max"] is None
+
+
+def test_streaming_state_sink_equals_batch_recompute(spark, tmp_path):
+    """Stream micro-batches through incremental_state_sink; the final
+    finalized state must equal a one-pass batch aggregation of all data."""
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.streaming.ingest import incremental_state_sink
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = "user_id long, value double"
+    b1 = spark.createDataFrame([(1, 2.0), (2, 8.0), (1, 4.0)], schema)
+    b2 = spark.createDataFrame([(1, 6.0), (3, 1.0)], schema)
+    b1.write.parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(incremental_state_sink(state, ["user_id"], "value"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = incremental.finalize(spark.read.parquet(state))
+    batch = incremental.finalize(
+        incremental.aggregate_state(b1.unionByName(b2), ["user_id"], "value")
+    )
+    s = {r["user_id"]: r.asDict() for r in streamed.collect()}
+    b = {r["user_id"]: r.asDict() for r in batch.collect()}
+    assert s == b
+    assert s[1]["mean"] == 4.0 and s[1]["n_rows"] == 3
