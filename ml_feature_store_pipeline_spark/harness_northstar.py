@@ -1021,3 +1021,27 @@ def q_near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", max_distance=40, parallelism=_par(spark)
     )
     return out.withColumn("edit_distance", F.col("edit_distance").cast("long"))
+
+
+def _hist_quantile_oracle() -> str:
+    from .operators import sketches
+
+    return sketches.histogram_quantile_sql(
+        "lineitem", "l_extendedprice", [0.5, 0.9, 0.99],
+        lo_sql="(SELECT MIN(l_extendedprice) FROM lineitem)",
+        hi_sql="(SELECT MAX(l_extendedprice) FROM lineitem)",
+        n_buckets=256,
+    )
+
+
+@register("hist_quantile_prices", _hist_quantile_oracle())
+def q_hist_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimates (p50/p90/p99 of line prices):
+    the scale-path quantile — one fixed-width counting pass + interpolation,
+    error bounded by bucket width, state mergeable across partitions/days
+    (exact `percentile` must hold every value; this holds 256 counts). The
+    oracle replays the estimator bit-for-bit."""
+    from .operators import sketches
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return sketches.histogram_quantiles(li, "l_extendedprice", [0.5, 0.9, 0.99])

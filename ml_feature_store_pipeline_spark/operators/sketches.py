@@ -144,3 +144,145 @@ def weighted_sample_sql(
     ORDER BY LN({frac}) / CAST({weight_expr} AS DOUBLE) DESC, {id_expr} ASC
     LIMIT {k}
     """
+
+
+def histogram_state(
+    df: DataFrame, col: str, *, lo: Column | float, hi: Column | float, n_buckets: int = 256
+) -> DataFrame:
+    """Fixed-width histogram state over ``[lo, hi]``: one row per non-empty
+    bucket ``(bucket, n)``. The mergeable quantile/distribution sketch —
+    bucket counts are monoids, so daily states union+sum into monthly
+    exactly (unlike exact ``percentile``, which must hold every value).
+    One partial-aggregated groupBy; values outside [lo, hi] clamp into the
+    edge buckets; nulls are dropped.
+    """
+    lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
+    hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
+    span = hi_c.cast("double") - lo_c.cast("double")
+    frac = F.when(span > 0, (F.col(col).cast("double") - lo_c) / span).otherwise(F.lit(0.0))
+    b = F.least(
+        F.greatest(F.floor(frac * n_buckets).cast("long"), F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantile_from_histogram(
+    state: DataFrame, qs: list[float], *, lo: float, hi: float, n_buckets: int = 256
+) -> DataFrame:
+    """Interpolated quantile estimates from a histogram state: one row per
+    requested q with ``(q, est)``. Error is bounded by one bucket width —
+    the knob is ``n_buckets``, not data size.
+
+    Estimator: find the bucket where the running count crosses ``q*N``,
+    then interpolate linearly inside it (assumes uniform within-bucket
+    mass, the standard histogram quantile). All double arithmetic in a
+    fixed order, so Spark and an SQL twin agree bit-for-bit. The state is
+    at most ``n_buckets`` rows — the window cumsum is driver-trivial but
+    stays distributed for composability.
+    """
+    cum = _cum_counts(state)
+    width = (hi - lo) / n_buckets
+    return _interpolate_quantiles(cum, qs, lo=F.lit(float(lo)), width=F.lit(width))
+
+
+def _cum_counts(state: DataFrame) -> DataFrame:
+    """Running + grand totals over a histogram state. The state is at most
+    ``n_buckets`` rows, so the unpartitioned window is a non-issue."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return state.select(
+        "bucket", "n", F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+
+
+def _interpolate_quantiles(cum: DataFrame, qs: list[float], *, lo: Column, width: Column) -> DataFrame:
+    """Join the (tiny) cumulative state against the requested quantiles and
+    pick, per q, the first bucket whose running count crosses ``q*N`` — a
+    broadcast join + min_by instead of one filter/limit branch per q, so
+    the histogram state (and anything upstream of it) is evaluated once
+    regardless of how many quantiles are requested."""
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = (
+        cum.join(F.broadcast(qdf), F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("bucket"), F.col("n"), F.col("cum"), F.col("total"),
+                    lo.alias("lo"), width.alias("width"),
+                ),
+                F.col("bucket"),
+            ).alias("h")
+        )
+    )
+    return hit.select(
+        "q",
+        (
+            F.col("h.lo")
+            + (
+                F.col("h.bucket").cast("double")
+                + (F.col("q") * F.col("h.total") - (F.col("h.cum") - F.col("h.n"))) / F.col("h.n")
+            )
+            * F.col("h.width")
+        ).alias("est"),
+    )
+
+
+def histogram_quantile_sql(
+    table_expr: str, expr: str, qs: list[float], *, lo_sql: str, hi_sql: str, n_buckets: int = 256
+) -> str:
+    """DuckDB oracle: the same state + interpolation, lo/hi from scalar
+    subqueries so both engines derive bounds from the data identically."""
+    q_rows = ", ".join(f"({float(q)})" for q in qs)
+    return f"""
+    WITH bounds AS (SELECT CAST({lo_sql} AS DOUBLE) AS lo, CAST({hi_sql} AS DOUBLE) AS hi),
+    st AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(
+               CASE WHEN hi - lo > 0 THEN (CAST({expr} AS DOUBLE) - lo) / (hi - lo) ELSE 0.0 END
+               * {n_buckets}) AS BIGINT), 0), {n_buckets - 1}) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM {table_expr}, bounds WHERE {expr} IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, n,
+             SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER () AS total
+      FROM st
+    ),
+    qq AS (SELECT q FROM (VALUES {q_rows}) AS v(q))
+    SELECT q,
+           (SELECT lo + (CAST(bucket AS DOUBLE) + (q * total - (cum - n)) / n)
+                        * ((hi - lo) / {n_buckets})
+            FROM cum, bounds
+            WHERE cum >= q * total ORDER BY bucket LIMIT 1) AS est
+    FROM qq
+    """
+
+
+def histogram_quantiles(
+    df: DataFrame, col: str, qs: list[float], *, n_buckets: int = 256
+) -> DataFrame:
+    """End-to-end histogram quantiles with data-derived bounds: min/max agg
+    (broadcast — no driver collect), one histogram pass, interpolated
+    estimates. The one-job composition of :func:`histogram_state` +
+    :func:`quantile_from_histogram` for when you don't need to persist the
+    mergeable state."""
+    bounds = df.agg(
+        F.min(F.col(col)).cast("double").alias("__lo"),
+        F.max(F.col(col)).cast("double").alias("__hi"),
+    )
+    state = histogram_state(
+        df.crossJoin(F.broadcast(bounds)), col,
+        lo=F.col("__lo"), hi=F.col("__hi"), n_buckets=n_buckets,
+    )
+    cum = _cum_counts(state).crossJoin(F.broadcast(bounds))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    return _interpolate_quantiles(cum, qs, lo=F.col("__lo"), width=width)

@@ -66,3 +66,43 @@ def test_weighted_sample_bias(spark):
     got = sketches.weighted_sample(df, "id", "w", k=50).collect()
     heavy = sum(1 for r in got if r["id"] < 100)
     assert heavy > 35  # E[heavy] ≈ 46; far above the uniform 25
+
+
+def test_histogram_state_merges(spark):
+    # bucket counts are monoids: state(a)+state(b) summed == state(a ∪ b)
+    a = spark.range(0, 6_000).select((F.col("id") % 997).cast("double").alias("v"))
+    b = spark.range(0, 4_000).select((F.col("id") % 613).cast("double").alias("v"))
+    lo, hi = 0.0, 996.0
+    sa = sketches.histogram_state(a, "v", lo=lo, hi=hi, n_buckets=64)
+    sb = sketches.histogram_state(b, "v", lo=lo, hi=hi, n_buckets=64)
+    merged = sa.unionByName(sb).groupBy("bucket").agg(F.sum("n").alias("n"))
+    direct = sketches.histogram_state(a.unionByName(b), "v", lo=lo, hi=hi, n_buckets=64)
+    got = {r["bucket"]: r["n"] for r in merged.collect()}
+    want = {r["bucket"]: r["n"] for r in direct.collect()}
+    assert got == want
+
+
+def test_histogram_quantile_accuracy(spark):
+    # uniform data: estimate within one bucket width of the exact quantile
+    n, n_buckets = 50_000, 256
+    df = spark.range(n).select(F.col("id").cast("double").alias("v"))
+    got = {r["q"]: r["est"] for r in sketches.histogram_quantiles(df, "v", [0.5, 0.9, 0.99], n_buckets=n_buckets).collect()}
+    exact = df.agg(F.expr("percentile(v, array(0.5, 0.9, 0.99))").alias("p")).collect()[0]["p"]
+    width = (n - 1) / n_buckets
+    for q, ex in zip([0.5, 0.9, 0.99], exact):
+        assert abs(got[q] - ex) <= width + 1e-9, (q, got[q], ex)
+
+
+def test_histogram_quantiles_clamp_and_state_path_agree(spark):
+    # out-of-range values clamp into edge buckets instead of vanishing, and
+    # the persisted-state path reproduces the end-to-end composition when
+    # given the same bounds
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
+    lo, hi = 10.0, 89.0  # 10 values clamp low, 10 clamp high
+    state = sketches.histogram_state(df, "v", lo=lo, hi=hi, n_buckets=16)
+    assert state.agg(F.sum("n")).collect()[0][0] == 100
+    via_state = {
+        r["q"]: r["est"]
+        for r in sketches.quantile_from_histogram(state, [0.5], lo=lo, hi=hi, n_buckets=16).collect()
+    }
+    assert lo <= via_state[0.5] <= hi

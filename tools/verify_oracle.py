@@ -85,6 +85,16 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            # the driver canonicalizer sort_values()es raw cells — nested
+            # types crash it (round-1 multimodal_decode), so fail them here
+            nested = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if nested:
+                failed.append(name)
+                print(f"FAIL {name}: nested output columns (driver-unsafe): {nested}")
+                continue
             spark_pdf = sdf.toPandas()
         except Exception as e:
             failed.append(name)
