@@ -1045,3 +1045,53 @@ def q_hist_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     return sketches.histogram_quantiles(li, "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+def _cms_heavy_hitters_oracle() -> str:
+    from .operators import sketches
+
+    bucket_data = sketches.cms_bucket_sql("s.seed", "e.user_id", width=512)
+    bucket_probe = sketches.cms_bucket_sql("s.seed", "p.user_id", width=512)
+    return f"""
+    WITH seeds AS (SELECT range AS seed FROM range(4)),
+    st AS (
+      SELECT s.seed, {bucket_data} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events e, seeds s WHERE e.user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1 ORDER BY n_true DESC, user_id ASC LIMIT 20
+    ),
+    pb AS (
+      SELECT p.user_id, p.n_true, s.seed, {bucket_probe} AS bucket
+      FROM probe p, seeds s
+    )
+    SELECT pb.user_id, pb.n_true, CAST(MIN(COALESCE(st.n, 0)) AS BIGINT) AS n_est
+    FROM pb LEFT JOIN st ON st.seed = pb.seed AND st.bucket = pb.bucket
+    GROUP BY pb.user_id, pb.n_true
+    """
+
+
+@register("cms_heavy_hitters_events", _cms_heavy_hitters_oracle())
+def q_cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005) over
+    events.user_id: fixed depth×width state (mergeable monoid counts,
+    ≤2048 cells regardless of input size), probed for the exact top-20
+    users. est ≥ true always; collisions only inflate. The oracle replays
+    the md5-derived hashing bit-for-bit, so even collision noise matches.
+    Scale: state build is one partial-aggregated groupBy (shuffle is
+    O(depth·width) per partition); probing is a broadcast join."""
+    from .operators import sketches
+
+    e = read_table(spark, sf_dir, "events")
+    state = sketches.cms_state(e, "user_id", depth=4, width=512)
+    probe = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.col("n_true").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    return sketches.cms_estimate(state, probe, "user_id", depth=4, width=512)

@@ -286,3 +286,73 @@ def histogram_quantiles(
     cum = _cum_counts(state).crossJoin(F.broadcast(bounds))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
     return _interpolate_quantiles(cum, qs, lo=F.col("__lo"), width=width)
+
+
+def cms_bucket(seed: Column | int, col: Column, *, width: int) -> Column:
+    """Count-min bucket for one hash row: md5("seed:value") first 13 hex
+    digits mod width. Same exact-in-double trick as :func:`hash_fraction`,
+    so Spark and DuckDB agree on every bucket."""
+    s = seed if isinstance(seed, Column) else F.lit(int(seed))
+    h = F.md5(F.concat_ws(":", s.cast("string"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % width
+
+
+def cms_bucket_sql(seed_expr: str, expr: str, *, width: int) -> str:
+    """DuckDB twin of :func:`cms_bucket` (positional hex fold, see
+    :func:`hash_fraction_sql`)."""
+    return (
+        "(CAST(list_sum(list_transform(range(13), i -> "
+        "(strpos('0123456789abcdef', substr("
+        f"md5(CAST(({seed_expr}) AS VARCHAR) || ':' || CAST(({expr}) AS VARCHAR))"
+        ", i + 1, 1)) - 1) * power(16, 12 - i))) AS BIGINT)"
+        f" % {width})"
+    )
+
+
+def cms_state(df: DataFrame, col: str, *, depth: int = 4, width: int = 512) -> DataFrame:
+    """Count-min sketch state over ``col``: one row per touched cell
+    ``(seed, bucket, n)`` — at most ``depth*width`` rows no matter how big
+    the input. Counts are monoids, so per-partition/per-day states
+    union+sum into the exact combined sketch (same mergeability argument
+    as :func:`histogram_state`).
+
+    Plan shape: explode ×depth, then one partial-aggregated groupBy — the
+    map-side combine collapses every partition to ≤ depth·width cells, so
+    the shuffle is O(depth·width·partitions), independent of row count.
+    Nulls are dropped (they can't be queried anyway).
+    """
+    seeds = F.array([F.lit(i) for i in range(depth)])
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(seeds).alias("seed"), F.col(col).alias("__v"))
+        .select("seed", cms_bucket(F.col("seed"), F.col("__v"), width=width).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    state: DataFrame, keys: DataFrame, key_col: str, *, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Point-frequency estimates from a count-min state: for each row of
+    ``keys``, est = min over hash rows of the cell count (Cormode &
+    Muthukrishnan 2005 — never under-counts, over-counts only on
+    collisions). Keeps every ``keys`` column and appends ``n_est``.
+
+    The state is ≤ depth·width rows — broadcast — so probing N keys is one
+    scan of ``keys`` with a broadcast hash join; nothing shuffles.
+    """
+    seeds = F.array([F.lit(i) for i in range(depth)])
+    probes = keys.select(
+        F.struct(*keys.columns).alias("__row"),
+        F.explode(seeds).alias("seed"),
+        F.col(key_col).alias("__v"),
+    ).select(
+        "__row", "seed",
+        cms_bucket(F.col("seed"), F.col("__v"), width=width).alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(state), ["seed", "bucket"], "left")
+    est = joined.groupBy("__row").agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_est")
+    )
+    return est.select("__row.*", "n_est")

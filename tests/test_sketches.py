@@ -106,3 +106,34 @@ def test_histogram_quantiles_clamp_and_state_path_agree(spark):
         for r in sketches.quantile_from_histogram(state, [0.5], lo=lo, hi=hi, n_buckets=16).collect()
     }
     assert lo <= via_state[0.5] <= hi
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    # skewed stream: key 0 appears 500x, keys 1..200 once each
+    rows = [(0,)] * 500 + [(i,) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "k long")
+    state = sketches.cms_state(df, "k", depth=4, width=64)
+    keys = spark.createDataFrame([(i,) for i in range(0, 201)], "k long")
+    est = {r["k"]: r["n_est"] for r in
+           sketches.cms_estimate(state, keys, "k", depth=4, width=64).collect()}
+    assert est[0] >= 500          # CMS never undercounts
+    assert all(est[i] >= 1 for i in range(1, 201))
+    # state size is bounded by depth*width, not by input size
+    assert state.count() <= 4 * 64
+
+    # merge: state(a)+state(b) cell-summed == state(a ∪ b)
+    a, b = df.filter(F.col("k") < 100), df.filter(F.col("k") >= 100)
+    sa = sketches.cms_state(a, "k", depth=4, width=64)
+    sb = sketches.cms_state(b, "k", depth=4, width=64)
+    merged = sa.unionByName(sb).groupBy("seed", "bucket").agg(F.sum("n").alias("n"))
+    got = {(r["seed"], r["bucket"]): r["n"] for r in merged.collect()}
+    want = {(r["seed"], r["bucket"]): r["n"] for r in state.collect()}
+    assert got == want
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    state = sketches.cms_state(df, "k", depth=4, width=4096)  # wide → no collisions
+    probe = spark.createDataFrame([(999_999,)], "k long")
+    est = sketches.cms_estimate(state, probe, "k", depth=4, width=4096).collect()[0]
+    assert est["n_est"] == 0
