@@ -406,30 +406,33 @@ def connected_components(
         .localCheckpoint()
     )
 
-    def label_sum(df: DataFrame):
-        # labels only ever decrease, so the total strictly drops while any
-        # node changed — an O(1)-row convergence probe with no self-join
-        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         # one round = 2 shuffles: propagate each node's label to its
         # neighbors (join on src, emit at dst), then min-combine with the
-        # node's own label (union + partial-aggregated groupBy)
+        # node's own label (union + partial-aggregated groupBy). The node's
+        # own row is tagged so the SAME aggregation also yields the previous
+        # label — the convergence probe compares new vs old directly, which
+        # works for any id type (a numeric-sum probe would NULL out on
+        # string ids and terminate the loop after one round).
         msgs = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), F.col("comp")
+            F.col("dst").alias("node"), F.col("comp"), F.lit(0).alias("__own")
         )
+        own = labels.select("node", "comp", F.lit(1).alias("__own"))
         new_labels = (
-            msgs.union(labels.select("node", "comp"))
+            msgs.union(own)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                # every node appears exactly once tagged __own=1, so this is
+                # its previous label (never null)
+                F.min(F.when(F.col("__own") == 1, F.col("comp"))).alias("__prev"),
+            )
             .localCheckpoint()
         )
-        new_sum = label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
+        converged = new_labels.filter(F.col("comp") != F.col("__prev")).isEmpty()
+        labels = new_labels.select("node", "comp")
+        if converged:
             break
-        prev_sum = new_sum
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 

@@ -226,6 +226,18 @@ class TestConnectedComponents:
         got = {r["node"]: r["component"] for r in d.connected_components(pairs, max_iter=50).collect()}
         assert set(got.values()) == {0} and len(got) == n + 1
 
+    def test_string_ids_multi_hop(self, spark):
+        # regression: a numeric-sum convergence probe NULLs out on string
+        # ids and stops after one round, mislabeling multi-hop chains
+        from ml_feature_store_pipeline_spark.operators import dedup as d
+
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+            "id_a string, id_b string",
+        )
+        got = {r["node"]: r["component"] for r in d.connected_components(pairs).collect()}
+        assert got == {"b": "b", "c": "b", "d": "b", "e": "b", "x": "x", "y": "x"}
+
     def test_survivors_keep_min_and_untouched_docs(self, spark):
         from ml_feature_store_pipeline_spark.operators import dedup as d
 
