@@ -50,11 +50,18 @@ def asof_join(
     ``right_ts <= left_ts`` (``<`` when ``strict``) for the same key.
 
     Implementation: tag both sides, union on (key, ts), and take
-    ``last(value, ignoreNulls=True)`` over a window ordered by (ts, side)
-    — right rows sort before left rows at equal ts unless ``strict``.
-    One shuffle on ``key``; state per row is O(value_cols). At 100 TB this
-    beats per-group ``merge_asof`` pandas by keeping everything JVM-side,
-    and beats a range join by avoiding the O(n·m) candidate explosion.
+    ``last(ignoreNulls=True)`` of ONE nullable struct holding all value
+    columns, over a window ordered by (ts, side) — right rows sort before
+    left rows at equal ts unless ``strict``. One shuffle on ``key``; state
+    per row is O(value_cols). At 100 TB this beats per-group ``merge_asof``
+    pandas by keeping everything JVM-side, and beats a range join by
+    avoiding the O(n·m) candidate explosion.
+
+    The WHOLE matched row is taken (true ASOF-join semantics, as in
+    DuckDB/QuestDB): if the latest right row carries a NULL in one value
+    column, that NULL surfaces — it is NOT back-filled from an older row.
+    (A per-column ``last(ignoreNulls)`` fill would silently mix columns
+    from different right rows.)
 
     Ties among right rows at equal (key, ts) are broken deterministically
     by the greatest ``value_cols`` tuple, so results are stable across
@@ -71,11 +78,9 @@ def asof_join(
     w = Window.partitionBy(key).orderBy("__ts", "__side", "__tie").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    filled = unioned.select(
-        "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols]
-    )
+    filled = unioned.withColumn("__asof", F.last("__vals", ignorenulls=True).over(w))
     out = filled.filter(F.col("__side") == lside)
-    keep = [c for c in left.columns] + [F.col(f"__asof_{c}").alias(c) for c in value_cols]
+    keep = [c for c in left.columns] + [F.col(f"__asof.{c}").alias(c) for c in value_cols]
     return out.select(*keep)
 
 
@@ -94,7 +99,11 @@ def _asof_union(
     Returns (unioned, left_side_marker). Columns added: ``__ts``,
     ``__side`` (right sorts before left at equal ts unless strict),
     ``__tie`` (struct of right values — deterministic right-vs-right
-    tiebreak; null for left rows), ``__v_<c>`` carriers.
+    tiebreak; all-null fields for left rows), ``__v_<c>`` carriers, and
+    ``__vals`` — ONE nullable struct of all value columns that is NULL for
+    left rows and populated for right rows, so ``last(__vals,
+    ignoreNulls)`` picks the whole latest right ROW (true ASOF semantics;
+    a NULL field inside it stays NULL).
     """
     lside, rside = (0, 1) if strict else (1, 0)
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(lside))
@@ -115,6 +124,13 @@ def _asof_union(
     l_tagged = l_tagged.withColumn("__tie", tie)
     r_tagged = r_tagged.withColumn("__tie", tie)
     unioned = r_tagged.select(*l_tagged.columns).unionByName(l_tagged)
+    unioned = unioned.withColumn(
+        "__vals",
+        F.when(
+            F.col("__side") != lside,
+            F.struct(*[F.col(f"__v_{c}").alias(c) for c in value_cols]),
+        ),
+    )
     return unioned, lside
 
 
@@ -159,15 +175,14 @@ def asof_join_bucketed(
     w = Window.partitionBy(key, "__bucket").orderBy("__ts", "__side", "__tie").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    local = unioned.select(
-        "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__loc_{c}") for c in value_cols]
+    local = unioned.withColumn(
+        "__loc", F.last("__vals", ignorenulls=True).over(w)
     ).filter(F.col("__side") == lside)
 
-    vals = F.struct(*[F.col(f"__v_{c}").alias(c) for c in value_cols])
     summary = (
         unioned.filter(F.col("__side") != lside)
         .groupBy(key, "__bucket")
-        .agg(F.max_by(vals, F.struct(F.col("__ts"), F.col("__tie"))).alias("__last"))
+        .agg(F.max_by(F.col("__vals"), F.struct(F.col("__ts"), F.col("__tie"))).alias("__last"))
     )
     grid = unioned.select(key, "__bucket").distinct()
     wc = Window.partitionBy(key).orderBy("__bucket").rowsBetween(
@@ -179,10 +194,14 @@ def asof_join_bucketed(
         .select(key, "__bucket", "__carry")
     )
 
-    merged = local.join(carry, [key, "__bucket"], "left")
-    keep = [c for c in left.columns] + [
-        F.coalesce(F.col(f"__loc_{c}"), F.col(f"__carry.{c}")).alias(c) for c in value_cols
-    ]
+    # whole-row merge: the in-bucket match (a full right row) wins; only
+    # when the bucket had NO right row does the carried-in row apply —
+    # coalescing at STRUCT level keeps ASOF row semantics (a NULL field in
+    # the matched row stays NULL), identical to the plain form
+    merged = local.join(carry, [key, "__bucket"], "left").withColumn(
+        "__match", F.coalesce(F.col("__loc"), F.col("__carry"))
+    )
+    keep = [c for c in left.columns] + [F.col(f"__match.{c}").alias(c) for c in value_cols]
     return merged.select(*keep)
 
 

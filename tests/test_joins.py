@@ -89,6 +89,28 @@ def test_asof_tie_picks_greatest_value_deterministically(spark):
         assert (out[0]["price"], out[0]["src"]) == (105.0, "b")
 
 
+def test_asof_null_in_matched_row_stays_null(spark):
+    # ASOF row semantics: the whole LATEST right row is taken — a NULL
+    # field in it must surface as NULL, never be back-filled from an older
+    # row (which would mix columns across right rows). Matches DuckDB ASOF.
+    trades = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:10"), "t1")], "key long, t_ts timestamp, trade_id string"
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100.0, "old"),
+            (1, ts("2024-01-01 10:00:05"), None, "new"),  # latest row: NULL price
+        ],
+        "key long, q_ts timestamp, price double, src string",
+    )
+    kw = dict(key="key", left_ts="t_ts", right_ts="q_ts", value_cols=["price", "src"])
+    plain = joins.asof_join(trades, quotes, **kw).collect()[0]
+    assert (plain["price"], plain["src"]) == (None, "new")
+    for bs in (2, 3600):
+        bucketed = joins.asof_join_bucketed(trades, quotes, **kw, bucket_seconds=bs).collect()[0]
+        assert (bucketed["price"], bucketed["src"]) == (None, "new")
+
+
 def _bucketed_equals_plain(spark, trades, quotes, *, strict, bucket_seconds):
     plain = joins.asof_join(
         trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
