@@ -204,19 +204,30 @@ def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
+    # 64-bit twin of dedup.simhash: bits 0–31 hash from md5 chars 1–8,
+    # bits 32–63 from chars 9–16 (two independent 32-bit hashes — no
+    # unsigned-64 arithmetic). The signed long is assembled as hi/lo
+    # 32-bit halves with an explicit two's-complement sign adjustment,
+    # because DuckDB's `<<` overflow-checks (1::BIGINT << 63 errors).
     toks = _SQL_TOKS.format(t="text")
     bit_sums = ", ".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        f"SUM(CASE WHEN ({'hlo' if i < 32 else 'hhi'} >> {i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(dedup.SIMHASH_BITS)
     )
-    sig = " + ".join(
-        f"CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(dedup.SIMHASH_BITS)
-    )
+    lo = " + ".join(f"CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    hi = " + ".join(f"CASE WHEN b{i} >= 0 THEN {1 << (i - 32)} ELSE 0 END" for i in range(32, 64))
     return f"""
     WITH tok AS (SELECT doc_id, UNNEST({toks}) AS tok FROM documents),
-    h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
-    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
-    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+    h AS (SELECT doc_id,
+            CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hlo,
+            CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hhi
+          FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+    parts AS (SELECT doc_id, CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi FROM bits)
+    SELECT doc_id,
+           CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+                * 4294967296 + lo AS BIGINT) AS simhash
+    FROM parts
     """
 
 
@@ -224,6 +235,33 @@ def _simhash_sql() -> str:
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     return dedup.simhash(docs, "doc_id", "text")
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    # Twin of dedup.simhash_near_pairs: docs agreeing on ≥1 of the 8
+    # byte-bands, filtered by exact hamming. The SQL self-join is the
+    # oracle-only formulation — the Spark side uses the capped
+    # group-expand (max_bucket_size is inert at oracle scales).
+    return f"""
+    WITH sig AS ({_simhash_sql()}),
+    bands AS (
+      SELECT doc_id, simhash, b AS band_id, (simhash >> (8 * b)) & 255 AS byte
+      FROM sig, UNNEST(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS u(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.byte = b.byte AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("simhash_near_pairs", _simhash_pairs_sql(3))
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via 8 byte-bands over the
+    64-bit signature + capped bucket group-expand."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 @register(

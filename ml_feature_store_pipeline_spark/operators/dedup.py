@@ -298,7 +298,8 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 8  # byte-bands; pigeonhole covers hamming ≤ SIMHASH_BANDS − 1
 
 
 def token_hash(tok: Column) -> Column:
@@ -307,39 +308,64 @@ def token_hash(tok: Column) -> Column:
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash per document over its (non-distinct) tokens.
+    """64-bit SimHash per document over its (non-distinct) tokens, stored
+    as a signed ``long`` (bit 63 is the sign bit).
 
     Exploded-aggregation form: per bit, sum(±1) over token hashes, bit set
-    iff the sum is ≥ 0. The shuffle carries 32 small longs per doc (partial
-    aggregation compacts them map-side); the alternative row-local fold
-    exists but this form keeps the expression tree flat and codegen-able.
+    iff the sum is ≥ 0. Bits 0–31 come from the first 8 md5 hex chars of
+    the token, bits 32–63 from the next 8 — two independent 32-bit hashes,
+    so no 64-bit unsigned arithmetic is needed anywhere (the DuckDB oracle
+    mirrors the same hi/lo split). The shuffle carries 64 small longs per
+    doc (partial aggregation compacts them map-side).
     """
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = token_hash(F.col("tok"))
+    md5c = F.md5(F.col("tok"))
+    h_lo = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(h_lo if i < 32 else h_hi, i % 32).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
-    sig = None
+    # bitwise-OR of disjoint single-bit terms: bit 63 as a long literal is
+    # Long.MIN, which plain addition could not build without overflow
+    sig = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+        one_bit = F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+        sig = sig.bitwiseOR(F.when(F.col(f"b{i}") >= 0, one_bit).otherwise(F.lit(0).cast("long")))
+    return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    *,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; docs equal
-    in ≥1 byte meet (pigeonhole covers hamming ≤ 3), then filter by exact
-    ``bit_count(xor)``."""
+    """Near-dup pairs by SimHash: band the 64 bits into 8 bytes; docs equal
+    in ≥1 byte meet (pigeonhole guarantees recall for hamming ≤ 7), then
+    exact ``bit_count(xor)`` filters to ``max_hamming``.
+
+    Scale shape: same capped group-expand as :func:`lsh_candidate_pairs` —
+    group by (band_id, byte), sort members, expand successor pairs locally.
+    The former bucket SELF-JOIN keyed on only bands×256 distinct values
+    (1024 at 32 bits) capped parallelism forever and emitted ~(N/buckets)²
+    candidate pairs per bucket; 8×256 = 2048 keys is still too few for a
+    join, but grouping makes each bucket one task and ``max_bucket_size``
+    bounds the quadratic expansion of degenerate buckets (a capped bucket
+    still links its members transitively through the retained ids, which
+    is what downstream clustering needs).
+    """
     sig = simhash(df, id_col, text_col)
+    member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
     bands = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
+        member.alias("m"),
         F.explode(
             F.array(
                 *[
@@ -347,28 +373,36 @@ def simhash_near_pairs(
                         F.lit(b).alias("band_id"),
                         F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(0xFF)).alias("byte"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", F.col("bb.band_id").alias("band_id"), F.col("bb.byte").alias("byte"))
-    a, b = bands.alias("a"), bands.alias("b")
+    ).select("m", F.col("bb.band_id").alias("band_id"), F.col("bb.byte").alias("byte"))
+    grouped = (
+        bands.groupBy("band_id", "byte")
+        .agg(F.slice(F.sort_array(F.collect_list("m")), 1, max_bucket_size).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # bucket-local (a, b) expansion with the hamming distance computed in
+    # place: members are sorted by id, so successor pairing gives id_a < id_b
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.greatest(F.size("ms") - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.byte") == F.col("b.byte"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
+        grouped.select(F.explode(pair_array).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), F.col("p.hamming").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

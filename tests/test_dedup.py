@@ -122,7 +122,7 @@ def test_simhash_properties(docs):
     ham_near = bin(sigs[1] ^ sigs[3]).count("1")
     ham_far = bin(sigs[1] ^ sigs[4]).count("1")
     assert ham_near < ham_far  # near dup closer in hamming space
-    assert all(0 <= s < (1 << dedup.SIMHASH_BITS) for s in sigs.values())
+    assert all(-(1 << 63) <= s < (1 << 63) for s in sigs.values())  # signed 64-bit
 
 
 def test_simhash_near_pairs(docs):
@@ -130,6 +130,26 @@ def test_simhash_near_pairs(docs):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
     assert got[(1, 2)] == 0
     assert all(h <= 3 for h in got.values())
+
+
+def test_simhash_near_pairs_degenerate_bucket_is_capped(spark, docs):
+    # 300 identical docs put ALL members into the same byte-bucket of every
+    # band — the old band self-join would emit C(300,2)=44850 pairs; the
+    # capped group-expand must retain max_bucket_size members per bucket
+    # and emit exactly C(cap,2) distinct pairs (same sorted prefix in every
+    # band), still transitively linking the retained ids.
+    n, cap = 300, 20
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same exact text for every doc").alias("text")
+    )
+    out = dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=0, max_bucket_size=cap)
+    assert out.count() == cap * (cap - 1) // 2
+    # and the cap is inert on small corpora: same result as a huge cap
+    a = set(map(tuple, dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()))
+    b = set(map(tuple, dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3, max_bucket_size=10
+    ).collect()))
+    assert a == b
 
 
 class TestChunking:
