@@ -128,7 +128,10 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("content_hash")
     )
-    return dedup.exact_dedup(docs, ["content_hash"], "doc_id").select("doc_id", "content_hash")
+    # content is already a 16-byte digest — raw grouping IS the digest path
+    return dedup.exact_dedup(docs, ["content_hash"], "doc_id", method="raw").select(
+        "doc_id", "content_hash"
+    )
 
 
 _MINHASH_N = 8

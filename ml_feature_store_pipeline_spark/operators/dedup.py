@@ -28,18 +28,41 @@ from ..functions import tokens
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str, *, method: str = "digest"
+) -> DataFrame:
     """Keep the lowest-id row per distinct content (deterministic, unlike
     ``dropDuplicates`` which keeps an arbitrary encounter-order row).
 
-    One hash aggregation on the content columns; at scale, pre-hash wide
-    content to a digest column first so the shuffle carries 16 bytes/row.
+    ``method="digest"`` (default, the 100 TB shape): survivor ids come from
+    one aggregation over ``(md5(to_json(struct(content))), id)`` — the
+    grouping exchange carries a 32-char digest + id per row, never document
+    text — then a left-semi join on the compact id key recovers the rows.
+    Text crosses the wire once as 8-byte-keyed join payload; grouping raw
+    content instead would sort/hash-compare megabyte keys in the shuffle.
+    ``to_json`` keeps null vs empty-string distinct; md5 collisions are
+    accepted (~n²/2¹²⁸).
+
+    ``method="raw"``: single groupBy on the raw content columns — the
+    shuffle key IS the content. Right when the content columns are already
+    short digests (or for engine-portable oracle comparison).
     """
-    return (
-        df.groupBy(*content_cols)
+    if method == "raw":
+        return (
+            df.groupBy(*content_cols)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, *content_cols)
+        )
+    if method != "digest":
+        raise ValueError(f"method must be 'digest' or 'raw', got {method!r}")
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
+    survivors = (
+        df.select(F.col(id_col), digest.alias("__digest"))
+        .groupBy("__digest")
         .agg(F.min(id_col).alias(id_col))
-        .select(id_col, *content_cols)
+        .select(id_col)
     )
+    return df.join(survivors, id_col, "left_semi").select(id_col, *content_cols)
 
 
 def duplicate_stats(df: DataFrame, content_cols: list[str] | None = None) -> DataFrame:

@@ -22,7 +22,32 @@ def docs(spark):
 
 def test_exact_dedup_keeps_min_id(spark, docs):
     hashed = docs.select("doc_id", F.md5("text").alias("h"))
-    out = dedup.exact_dedup(hashed, ["h"], "doc_id")
+    for method in ("digest", "raw"):
+        out = dedup.exact_dedup(hashed, ["h"], "doc_id", method=method)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+    with pytest.raises(ValueError):
+        dedup.exact_dedup(hashed, ["h"], "doc_id", method="nope")
+
+
+def test_exact_dedup_digest_distinguishes_null_from_empty(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_exact_dedup_digest_shuffle_carries_digest_not_text(spark, docs):
+    # the grouping exchange must partition on the md5 digest and carry only
+    # (digest, id) — the text column appears in NO aggregation exchange
+    out = dedup.exact_dedup(docs, ["text"], "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    agg_exchanges = [
+        seg for seg in plan.split("Exchange hashpartitioning(")[1:]
+        if seg[: seg.index(")")].startswith("__digest")
+    ]
+    assert agg_exchanges, f"no digest-keyed exchange in plan:\n{plan}"
+    assert "Exchange hashpartitioning(text" not in plan
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
 
 
