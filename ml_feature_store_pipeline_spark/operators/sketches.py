@@ -208,10 +208,15 @@ def _interpolate_quantiles(cum: DataFrame, qs: list[float], *, lo: Column, width
     pick, per q, the first bucket whose running count crosses ``q*N`` — a
     broadcast join + min_by instead of one filter/limit branch per q, so
     the histogram state (and anything upstream of it) is evaluated once
-    regardless of how many quantiles are requested."""
+    regardless of how many quantiles are requested.
+
+    The quantile list is the LEFT side of an outer join, so an empty/all-
+    null input still emits one ``(q, NULL)`` row per requested quantile —
+    the same contract as the SQL oracle's scalar subquery (an inner join
+    would silently return 0 rows on empty state)."""
     qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
     hit = (
-        cum.join(F.broadcast(qdf), F.col("cum") >= F.col("q") * F.col("total"))
+        qdf.join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("total"), "left")
         .groupBy("q")
         .agg(
             F.min_by(

@@ -30,9 +30,16 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str, mode: str 
 
 
 def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
-    """Overwrite a SMALL table atomically: write to a sibling temp dir, then
-    swap directories. Only for driver-managed small tables (metadata); big
-    tables use partition-level operations instead."""
+    """Overwrite a SMALL table via a temp-dir write + two-rename swap.
+    Only for driver-managed small tables (metadata); big tables use
+    partition-level operations instead.
+
+    SINGLE-WRITER contract, not true atomicity: the swap is two renames
+    (path→old, tmp→path), so a concurrent reader can hit a brief ENOENT
+    window between them, and a crash between the renames leaves the data
+    in the ``.old-*`` sibling (recovery: rename it back). True atomicity
+    needs a symlink/manifest indirection — out of scope for a local
+    metadata dir."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
@@ -128,8 +135,12 @@ def compact_partition(
     hundreds of small files; at 100 TB that means listing storms, tiny
     scan tasks, and row-group stats too fine to prune well. Compaction
     rewrites the directory into ``ceil(total_bytes / target_file_bytes)``
-    files via an atomic temp-path + rename swap (same crash-safety contract
-    as :func:`atomic_overwrite_parquet` — readers never see a half state).
+    files via a temp-path write + two-rename swap (same SINGLE-WRITER
+    contract as :func:`atomic_overwrite_parquet`: a concurrent reader can
+    hit a brief ENOENT window between the renames, and a crash between
+    them leaves the data stranded in the ``.old-*`` sibling — rename it
+    back to recover; readers never see a HALF-WRITTEN state, but the swap
+    is not one atomic operation).
 
     Uses ``coalesce`` (narrow — each output task concatenates input
     splits, no shuffle). Returns ``{"files_before", "files_after",

@@ -108,6 +108,18 @@ def test_histogram_quantiles_clamp_and_state_path_agree(spark):
     assert lo <= via_state[0.5] <= hi
 
 
+def test_histogram_quantiles_empty_and_all_null_emit_null_rows(spark):
+    # engine parity with the SQL oracle: empty/all-null input must yield
+    # one (q, NULL) row per requested quantile, not 0 rows
+    for df in (
+        spark.createDataFrame([], "v double"),
+        spark.createDataFrame([(None,), (None,)], "v double"),
+    ):
+        out = sketches.histogram_quantiles(df, "v", [0.25, 0.5, 0.75]).collect()
+        assert sorted(r["q"] for r in out) == [0.25, 0.5, 0.75]
+        assert all(r["est"] is None for r in out)
+
+
 def test_cms_never_undercounts_and_merges(spark):
     # skewed stream: key 0 appears 500x, keys 1..200 once each
     rows = [(0,)] * 500 + [(i,) for i in range(1, 201)]
