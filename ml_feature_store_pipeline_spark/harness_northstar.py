@@ -411,17 +411,18 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (stubbed decode — no codecs in this container)
+# multimodal: real binary decode (numpy PPM codec — no external deps)
 # ---------------------------------------------------------------------------
 
 
 @register("multimodal_decode")  # mapInPandas path — no SQL oracle (binary+UDF)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing: text → fake payload bytes → Arrow-batched
-    mapInPandas feature extraction (deterministic stub; real codecs absent)."""
+    """Binary-payload pipeline: text → deterministic P6 PPM payload →
+    Arrow-batched mapInPandas decode (REAL numpy header parse + pixel
+    statistics — bytes→pixels→features, not a hash stub)."""
     docs = read_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
-    out = multimodal.decode_image_features(payloads, fake=True)
+    out = multimodal.decode_image_features(payloads)
     # The driver's canonicalizer sorts on every column and cannot hash an
     # array column — serialize the vector so the rows-only check can run.
     return out.select("doc_id", "n_bytes", "sha1", F.to_json("features").alias("features_json"))

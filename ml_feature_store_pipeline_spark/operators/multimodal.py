@@ -6,12 +6,14 @@ Python worker touches a whole batch of payloads at once — the correct
 shape for a 100 TB media pipeline (payloads never pass through the driver,
 partitions bound worker memory).
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode step is stubbed: ``decode_image_features`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces
-deterministic pseudo-features from the payload bytes (hash-derived), so the
-plumbing — schema, batching, partitioning, UDF signature — is fully
-testable.
+The decode step is REAL for binary PPM (P6): a dependency-free numpy
+parser turns header + raw RGB bytes into an (h, w, 3) pixel array and
+channel statistics — so the path genuinely exercises bytes → pixels →
+features. Formats that need an external codec (JPEG/PNG magic detected)
+raise ``NotImplementedError`` inside the executors' first batch: this
+container ships no PIL/ffmpeg, and silently faking those would hide it.
+A hash-derived stub (``fake=True``) remains for plumbing tests that only
+care about Arrow batching, not pixels.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,7 +31,7 @@ from pyspark.sql import types as T
 MEDIA_META_STRUCT = T.StructType(
     [
         T.StructField("media_type", T.StringType(), False),  # image|audio|video
-        T.StructField("format", T.StringType(), True),  # png|jpeg|wav|mp4…
+        T.StructField("format", T.StringType(), True),  # ppm|png|jpeg|wav|mp4…
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), True),
@@ -45,18 +48,99 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Build a deterministic binary payload column from text (test stand-in
-    for real image bytes) plus a media metadata struct."""
-    payload = F.encode(F.col(text_col), "UTF-8").cast("binary")
+# ---------------------------------------------------------------------------
+# PPM (P6) codec — pure numpy, no external deps
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Serialize an ``(h, w, 3)`` uint8 array as a binary P6 PPM."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) pixel array, got shape {pixels.shape}")
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse a binary P6 PPM into an ``(h, w, 3)`` uint8 array.
+
+    Header grammar: ``P6``, then whitespace-separated width, height,
+    maxval (``#`` comments allowed between tokens), then ONE whitespace
+    byte, then ``w*h*3`` raw RGB bytes. Raises ``ValueError`` on anything
+    malformed — decode errors must surface per-batch, not as garbage
+    features.
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPMs supported, got {maxval}")
+    need = w * h * 3
+    data = payload[pos : pos + need]
+    if len(data) != need:
+        raise ValueError(f"PPM body has {len(data)} bytes, expected {need}")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def ppm_features(pixels: np.ndarray) -> list[float]:
+    """The 8 base image features, each scaled into [0, 1]: per-channel
+    means and population stds (R, G, B), then overall mean and std."""
+    px = pixels.astype(np.float64)
+    means = px.mean(axis=(0, 1)) / 255.0
+    stds = px.std(axis=(0, 1)) / 255.0
+    return [*means, *stds, float(px.mean() / 255.0), float(px.std() / 255.0)]
+
+
+def _fake_pixels(text: str, width: int, height: int) -> np.ndarray:
+    """Deterministic pseudo-image from a text seed: a linear byte ramp
+    ``(i*a + b) mod 256`` with (a, b) drawn from md5(text) — reproducible
+    across platforms and hand-computable in tests."""
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    a = 1 + 2 * (digest[0] % 127)  # odd → full-period mod 256
+    b = digest[1]
+    vals = (np.arange(width * height * 3, dtype=np.int64) * a + b) % 256
+    return vals.astype(np.uint8).reshape(height, width, 3)
+
+
+def attach_fake_payload(
+    df: DataFrame, id_col: str, text_col: str, *, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Build a REAL binary P6 PPM payload column (pixels deterministically
+    derived from the text — test stand-in for actual camera bytes) plus a
+    media metadata struct. Generation runs as an Arrow-batched pandas UDF
+    on the executors; payload bytes never touch the driver."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_ppm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_ppm(_fake_pixels(t if t is not None else "", width, height))
+        )
+
     meta = F.struct(
         F.lit("image").alias("media_type"),
-        F.lit("fake").alias("format"),
-        F.lit(64).cast("int").alias("width"),
-        F.lit(64).cast("int").alias("height"),
+        F.lit("ppm").alias("format"),
+        F.lit(width).cast("int").alias("width"),
+        F.lit(height).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    return df.select(F.col(id_col).alias("doc_id"), payload.alias("payload"), meta.alias("media"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), make_ppm(F.col(text_col)).alias("payload"), meta.alias("media")
+    )
 
 
 def decode_image_features(
@@ -68,22 +152,33 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode payloads → fixed-size feature vectors via ``mapInPandas``.
 
-    Real decoding requires an image codec not present in this container —
-    ``fake=False`` raises ``NotImplementedError`` **inside the executors'
-    first batch** (fail-fast, documented stub). ``fake=True`` derives
-    deterministic features from sha1(payload) so tests exercise the full
-    distributed path: Arrow batches in, Arrow batches out, no driver hop.
+    The real path dispatches on magic bytes: binary PPM decodes with the
+    numpy parser (header → pixel array → channel mean/std features);
+    JPEG/PNG — or anything else — raise ``NotImplementedError`` in the
+    executors' first batch (fail-fast: those codecs aren't in this
+    container). ``fake=True`` keeps the sha1-derived stub features for
+    tests that exercise only the Arrow plumbing.
+
+    Feature vectors are ``feature_dim`` floats in [0, 1]: the 8 base
+    stats (see :func:`ppm_features`) truncated, or zero-padded beyond 8.
     """
     if batch_partitions:
         df = df.repartition(batch_partitions)
 
+    def fit(vals: list[float]) -> list[float]:
+        return (vals + [0.0] * feature_dim)[:feature_dim]
+
+    def real_features(b: bytes) -> list[float]:
+        if b.startswith(b"P6"):
+            return fit(ppm_features(decode_ppm(b)))
+        magic = "jpeg" if b.startswith(b"\xff\xd8") else "png" if b.startswith(b"\x89PNG") else "unknown"
+        raise NotImplementedError(
+            f"image codecs unavailable in this environment for format={magic}; "
+            "supply binary PPM (P6) payloads or use fake=True stub features"
+        )
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable in this environment; "
-                    "use fake=True for deterministic stub features"
-                )
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -91,11 +186,12 @@ def decode_image_features(
                     "sha1": pdf["payload"].map(lambda b: hashlib.sha1(b).hexdigest()),
                 }
             )
-            out["features"] = out["sha1"].map(
-                lambda h: [
-                    int(h[2 * i : 2 * i + 2], 16) / 255.0 for i in range(feature_dim)
-                ]
-            )
+            if fake:
+                out["features"] = out["sha1"].map(
+                    lambda h: fit([int(h[2 * i : 2 * i + 2], 16) / 255.0 for i in range(8)])
+                )
+            else:
+                out["features"] = pdf["payload"].map(real_features)
             yield out
 
     return df.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)

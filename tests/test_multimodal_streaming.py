@@ -26,7 +26,9 @@ def test_payload_schema(payloads):
     assert payloads.schema["payload"].dataType.simpleString() == "binary"
     row = payloads.collect()[0]
     assert row["media"]["media_type"] == "image"
-    assert bytes(row["payload"]) == b"first document"
+    payload = bytes(row["payload"])
+    assert payload.startswith(b"P6\n8 8\n255\n")           # real binary PPM
+    assert len(payload) == 11 + 8 * 8 * 3                   # header + RGB body
 
 
 def test_decode_fake_is_deterministic(payloads):
@@ -38,12 +40,50 @@ def test_decode_fake_is_deterministic(payloads):
         assert a[k]["features"] == b[k]["features"]
         assert len(a[k]["features"]) == 8
         assert all(0.0 <= x <= 1.0 for x in a[k]["features"])
-    assert a[1]["n_bytes"] == len(b"first document")
+    assert a[1]["n_bytes"] == 11 + 8 * 8 * 3
 
 
-def test_decode_without_codec_raises(payloads):
+def test_ppm_roundtrip_and_real_decode_features(spark):
+    import numpy as np
+
+    # hand-computed: 1×2 image [red, green]
+    px = np.array([[[255, 0, 0], [0, 255, 0]]], dtype=np.uint8)
+    payload = multimodal.encode_ppm(px)
+    assert (multimodal.decode_ppm(payload) == px).all()
+    # comment + multi-whitespace header variants parse too
+    hdr_variant = b"P6 # a comment\n2 1\n255\n" + px.tobytes()
+    assert (multimodal.decode_ppm(hdr_variant) == px).all()
+
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    row = multimodal.decode_image_features(df).collect()[0]
+    assert row["n_bytes"] == len(payload)
+    # means: R and G average 127.5/255 = 0.5, B is 0; stds likewise
+    exp_all_std = float(np.std([255, 0, 0, 0, 255, 0]) / 255.0)
+    got = row["features"]
+    assert got[0] == pytest.approx(0.5) and got[1] == pytest.approx(0.5) and got[2] == 0.0
+    assert got[3] == pytest.approx(0.5) and got[4] == pytest.approx(0.5) and got[5] == 0.0
+    assert got[6] == pytest.approx(85 / 255)
+    assert got[7] == pytest.approx(exp_all_std, rel=1e-6)
+
+
+def test_real_decode_matches_attached_payload_pixels(spark, payloads):
+    import numpy as np
+
+    # end-to-end: attach (pandas-UDF PPM encode) → decode (numpy parse) —
+    # features must equal a local recomputation from the same pixel rule
+    got = {r["doc_id"]: r["features"] for r in multimodal.decode_image_features(payloads).collect()}
+    for doc_id, text in [(1, "first document"), (2, "second document"), (3, "")]:
+        px = multimodal._fake_pixels(text, 8, 8)
+        exp = multimodal.ppm_features(px)
+        assert got[doc_id] == pytest.approx(exp, rel=1e-6), doc_id
+
+
+def test_decode_without_codec_raises(spark):
+    jpegish = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0 not decodable here")], "doc_id long, payload binary"
+    )
     with pytest.raises(Exception) as exc_info:
-        multimodal.decode_image_features(payloads, fake=False).collect()
+        multimodal.decode_image_features(jpegish, fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or "image codecs" in str(exc_info.value)
 
 
