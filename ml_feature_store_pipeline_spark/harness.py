@@ -45,75 +45,68 @@ def _ensure_loaded() -> None:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries, so the
-# registry is emitted in an explicit priority order: these 50 oracle-backed
-# queries (one per capability family, every core join/window/PIT query
-# included) first, then the remaining oracle-backed entries (capabilities
-# already evidenced inside the window), then the no-oracle rows-only entries.
+# registry is emitted in an explicit priority order. Round-3 rotation (per
+# VERDICT r2): ~1/3 representative anchors that stay green every round (one
+# per capability family, including every operator changed this round), then
+# every oracle-backed query that has NEVER had a driver-green row (20), then
+# the 12 queries last driver-verified in round 1 — so after this round every
+# one of the 83 oracle-backed entries has at least one driver-green row.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # flagship + core OLAP
+    # anchors: flagship + one per family; dedup/asof/simhash anchors also
+    # re-verify the operators rewritten this round
     "user_features",
     "tpch_q1",
     "tpch_q3_topk",
-    # join family
-    "semi_join_customers",
-    "anti_join_customers",
     "asof_events_orders",
-    "asof_prev_order",
-    "band_join_price_tiers",
-    # window family
-    "running_revenue",
-    "lag_lead_events",
-    "sessionize_events",
-    # set ops / JSON / fingerprints
-    "set_ops_summary",
-    "json_props_extract",
-    "doc_fingerprints",
-    # point-in-time / sampling
     "training_set_pit",
-    "backfill_snapshots",
-    "sample_events_10pct",
-    "train_test_split_counts",
-    # text analysis
-    "text_stats",
-    "language_id",
-    "doc_quality_scores",
-    "chunk_documents",
-    "scrub_pii_docs",
-    # dedup
-    "dedup_exact_docs",
     "minhash_candidate_pairs",
-    "simhash_docs",
-    "ngram_jaccard_pairs",
     "near_dup_clusters",
     "dedup_survivors_docs",
-    # similarity search
+    "dedup_exact_docs",
     "cosine_topk",
-    "cosine_topk_blas",
     "ivf_ann_topk",
-    "embedding_near_dup",
-    # streaming batch twin
+    "text_stats",
+    "sessionize_events",
     "windowed_user_counts",
-    # OLAP operators
-    "rollup_lineitem",
-    "pivot_event_values",
-    "unpivot_lineitem",
-    # TPC-H shapes
-    "tpch_q6",
-    "tpch_q5_like",
-    "tpch_q12_like",
-    "tpch_q10_like",
-    # drift
+    "simhash_docs",
+    "ngram_jaccard_pairs",
     "psi_order_price_drift",
-    # analytic windows
-    "order_price_rank_stats",
-    "rolling_hour_user_spend",
-    "latest_event_per_user",
-    "topk_latest_events",
-    # scans / quality
-    "scan_filter_project",
-    "customer_order_counts",
-    "quality_null_dup_stats",
-    "iqr_outlier_summary",
+    # new this round: 64-bit banded simhash near-dup pairs
+    "simhash_near_pairs",
+    # never driver-verified (local-gate green in r2, judge-confirmed)
+    "tfidf_terms_docs",
+    "kmv_distinct_orderkeys",
+    "cms_heavy_hitters_events",
+    "hist_quantile_prices",
+    "incremental_user_value_stats",
+    "pit_scd2_orders_state",
+    "scd2_event_type_history",
+    "near_dup_edit_distance",
+    "weighted_sample_events",
+    "stratified_sample_counts",
+    "interval_join_price_buckets",
+    "key_skew_profile_events",
+    "tpch_q7_like",
+    "tpch_q15_like",
+    "tpch_q19_like",
+    "token_histogram_docs",
+    "embedding_norm_stats",
+    "quartiles_by_priority",
+    "top3_orders_per_priority",
+    "distinct_users_per_type_2stage",
+    # driver-green in round 1 only — refresh
+    "cube_orders",
+    "distinct_parts_per_flag",
+    "events_per_type",
+    "filter_in_list",
+    "lineitem_quartiles",
+    "minhash_signatures",
+    "repetition_stats_docs",
+    "revenue_by_region",
+    "sliding_window_counts",
+    "tpch_q14",
+    "tpch_q18_like",
+    "tpch_q4_like",
 )
 
 
