@@ -1,7 +1,8 @@
 """Driver-window invariants: the driver hash-verifies only the FIRST 50
-``queries()`` entries, so the registry order is load-bearing — every
-oracle-backed core query must land inside that window (round-1 verdict:
-17 core queries sat unchecked at slots 50-66)."""
+``queries()`` entries, so the registry order is load-bearing. Round-3
+rotation (VERDICT r2): the window must contain every oracle-backed query
+with no prior driver-green row, so that r1+r2+r3 history covers all 83
+oracle-backed entries at least once."""
 
 from __future__ import annotations
 
@@ -11,25 +12,46 @@ from ml_feature_store_pipeline_spark.harness import (
     query_registry,
 )
 
-# The 17 queries the round-1 driver never checked — they must stay in-window.
-CORE_UNCHECKED_R1 = [
-    "tpch_q1",
-    "tpch_q3_topk",
-    "semi_join_customers",
-    "anti_join_customers",
-    "asof_events_orders",
-    "asof_prev_order",
-    "band_join_price_tiers",
-    "running_revenue",
-    "lag_lead_events",
-    "sessionize_events",
-    "set_ops_summary",
-    "json_props_extract",
-    "doc_fingerprints",
-    "training_set_pit",
-    "sample_events_10pct",
-    "train_test_split_counts",
-    "backfill_snapshots",
+# Queries with NO driver-green row before round 3 (r2 verdict list + the
+# entry added in r3) — the rotation exists to get these checked.
+NEVER_DRIVER_VERIFIED_PRE_R3 = [
+    "tfidf_terms_docs",
+    "kmv_distinct_orderkeys",
+    "cms_heavy_hitters_events",
+    "hist_quantile_prices",
+    "incremental_user_value_stats",
+    "pit_scd2_orders_state",
+    "scd2_event_type_history",
+    "near_dup_edit_distance",
+    "weighted_sample_events",
+    "stratified_sample_counts",
+    "interval_join_price_buckets",
+    "key_skew_profile_events",
+    "tpch_q7_like",
+    "tpch_q15_like",
+    "tpch_q19_like",
+    "token_histogram_docs",
+    "embedding_norm_stats",
+    "quartiles_by_priority",
+    "top3_orders_per_priority",
+    "distinct_users_per_type_2stage",
+    "simhash_near_pairs",
+]
+
+# Last driver-verified in round 1 — refreshed this round.
+DRIVER_GREEN_R1_ONLY = [
+    "cube_orders",
+    "distinct_parts_per_flag",
+    "events_per_type",
+    "filter_in_list",
+    "lineitem_quartiles",
+    "minhash_signatures",
+    "repetition_stats_docs",
+    "revenue_by_region",
+    "sliding_window_counts",
+    "tpch_q14",
+    "tpch_q18_like",
+    "tpch_q4_like",
 ]
 
 
@@ -45,8 +67,10 @@ def test_every_window_entry_has_an_oracle():
     assert missing == []
 
 
-def test_core_round1_unchecked_queries_are_in_window():
-    out = [n for n in CORE_UNCHECKED_R1 if n not in DRIVER_WINDOW]
+def test_all_previously_unverified_queries_are_in_window():
+    out = [n for n in NEVER_DRIVER_VERIFIED_PRE_R3 if n not in DRIVER_WINDOW]
+    assert out == []
+    out = [n for n in DRIVER_GREEN_R1_ONLY if n not in DRIVER_WINDOW]
     assert out == []
 
 
