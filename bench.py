@@ -53,6 +53,18 @@ HEADLINE_R2 = [
     "kmv_distinct_orderkeys",
 ]
 
+#: Added in round 3: the skew-safe bucketed variants (so the mitigation's
+#: overhead vs the plain forms is measured every round) and the rewritten
+#: 64-bit simhash near-pair pipeline. "r02_headline_total" covers exactly
+#: HEADLINE + HEADLINE_R2 — the round-2 definition (23.81 s reference).
+#: Measurement methodology (warm-up + best-of-2) is FROZEN as of round 2,
+#: so round-over-round deltas are pure engine.
+HEADLINE_R3 = [
+    "asof_events_orders_bucketed",
+    "training_set_pit_bucketed",
+    "simhash_near_pairs",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -90,7 +102,7 @@ def main() -> None:
     # page cache, so min() reports steady-state engine time instead of
     # whichever run a noisy neighbor landed on. Both runs materialize fully.
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2:
+    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3:
         fn = registry[name]
         best = float("inf")
         for _ in range(2):
@@ -108,6 +120,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "r01_subset_total": round(sum(timings[n] for n in HEADLINE), 3),
+                "r02_headline_total": round(
+                    sum(timings[n] for n in HEADLINE + HEADLINE_R2), 3
+                ),
                 "sf": sf,
             }
         )

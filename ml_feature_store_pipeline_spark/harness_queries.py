@@ -387,28 +387,45 @@ def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
 
 
-@register(
-    "asof_events_orders",
-    """
+_ASOF_EVENTS_ORDERS_SQL = """
     SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
     FROM events e ASOF LEFT JOIN orders o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-    """,
-)
-def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time join: each event sees the latest order at-or-before its
-    timestamp — the leakage-free feature-lookup primitive. Union+window
-    implementation: one shuffle, no range explosion."""
+    """
+
+
+def _asof_events_orders(spark: SparkSession, sf_dir: str, bucket_seconds: int | None) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
-    return joins.asof_join(
-        e,
-        o,
+    kw = dict(
         key="user_id",
         left_ts="ts",
         right_ts="o_orderdate",
         value_cols=["o_orderkey", "o_totalprice"],
-    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+    )
+    joined = (
+        joins.asof_join(e, o, **kw)
+        if bucket_seconds is None
+        else joins.asof_join_bucketed(e, o, bucket_seconds=bucket_seconds, **kw)
+    )
+    return joined.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@register("asof_events_orders", _ASOF_EVENTS_ORDERS_SQL)
+def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event sees the latest order at-or-before its
+    timestamp — the leakage-free feature-lookup primitive. Union+window
+    implementation: one shuffle, no range explosion."""
+    return _asof_events_orders(spark, sf_dir, None)
+
+
+@register("asof_events_orders_bucketed", _ASOF_EVENTS_ORDERS_SQL)
+def q_asof_events_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe bucketed form of asof_events_orders — IDENTICAL results
+    (same oracle proves it), but windows partition by (key, day-bucket) so
+    a hot key splits across tasks. Perf-tracked in bench.py so the
+    mitigation's overhead vs the plain window is measured every round."""
+    return _asof_events_orders(spark, sf_dir, 86_400)
 
 
 @register(
@@ -607,9 +624,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(read_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@register(
-    "training_set_pit",
-    """
+_TRAINING_SET_PIT_SQL = """
     WITH ord AS (
       SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
@@ -629,14 +644,10 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM labels l
     ASOF LEFT JOIN ordd o ON l.user_id = o.user_id AND l.ts >= o.o_orderdate
     ASOF LEFT JOIN events e ON l.user_id = e.user_id AND l.ts > e.ts
-    """,
-)
-def q_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time training set (operators.pit.training_set): purchase
-    events are the labels; each label row gets (a) the customer's latest
-    order at-or-before the label time (inclusive as-of over a
-    deterministically deduped orders view) and (b) the strictly-previous
-    event (prev-value semantics). One shuffle per feature view."""
+    """
+
+
+def _training_set_pit(spark: SparkSession, sf_dir: str, bucket_seconds: int | None) -> DataFrame:
     from .operators.pit import FeatureView, training_set
 
     e = read_table(spark, sf_dir, "events")
@@ -658,11 +669,30 @@ def q_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         key="user_id",
         label_ts="ts",
+        bucket_seconds=bucket_seconds,
     ).select(
         "event_id", "user_id", "ts", "label",
         "ord__asof_ts", "ord__o_orderkey", "ord__o_totalprice",
         "act__asof_ts", "act__value", "act__event_type",
     )
+
+
+@register("training_set_pit", _TRAINING_SET_PIT_SQL)
+def q_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training set (operators.pit.training_set): purchase
+    events are the labels; each label row gets (a) the customer's latest
+    order at-or-before the label time (inclusive as-of over a
+    deterministically deduped orders view) and (b) the strictly-previous
+    event (prev-value semantics). One shuffle per feature view."""
+    return _training_set_pit(spark, sf_dir, None)
+
+
+@register("training_set_pit_bucketed", _TRAINING_SET_PIT_SQL)
+def q_training_set_pit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe PIT training set: every as-of runs in the bucketed form
+    (day buckets) — IDENTICAL results (same oracle), perf-tracked in
+    bench.py against the plain-window form."""
+    return _training_set_pit(spark, sf_dir, 86_400)
 
 
 @register(
