@@ -241,20 +241,27 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_sql(max_hamming: int) -> str:
-    # Twin of dedup.simhash_near_pairs: docs agreeing on ≥1 of the 8
-    # byte-bands, filtered by exact hamming. The SQL self-join is the
-    # oracle-only formulation — the Spark side uses the capped
-    # group-expand (max_bucket_size is inert at oracle scales).
+    # Twin of dedup.simhash_near_pairs: docs agreeing on ≥1 band, filtered
+    # by exact hamming. Same minimal banding as the Spark side (result is
+    # band-count-invariant, but matching keeps both plans comparable). The
+    # SQL self-join is the oracle-only formulation — the Spark side uses
+    # the capped group-expand (max_bucket_size is inert at oracle scales).
+    specs = dedup.simhash_band_specs(max_hamming + 1)
+    band_rows = ", ".join(
+        f"({b}, (simhash >> {lo}) & {(1 << w) - 1})" if w < dedup.SIMHASH_BITS
+        else f"({b}, simhash)"
+        for b, (lo, w) in enumerate(specs)
+    )
     return f"""
     WITH sig AS ({_simhash_sql()}),
     bands AS (
-      SELECT doc_id, simhash, b AS band_id, (simhash >> (8 * b)) & 255 AS byte
-      FROM sig, UNNEST(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS u(b)
+      SELECT doc_id, simhash, band.* FROM sig,
+      LATERAL (SELECT * FROM (VALUES {band_rows}) AS v(band_id, band_val)) AS band
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.byte = b.byte AND a.doc_id < b.doc_id
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
 

@@ -34,14 +34,16 @@ def exact_dedup(
     """Keep the lowest-id row per distinct content (deterministic, unlike
     ``dropDuplicates`` which keeps an arbitrary encounter-order row).
 
-    ``method="digest"`` (default, the 100 TB shape): survivor ids come from
-    one aggregation over ``(md5(to_json(struct(content))), id)`` — the
-    grouping exchange carries a 32-char digest + id per row, never document
-    text — then a left-semi join on the compact id key recovers the rows.
-    Text crosses the wire once as 8-byte-keyed join payload; grouping raw
-    content instead would sort/hash-compare megabyte keys in the shuffle.
-    ``to_json`` keeps null vs empty-string distinct; md5 collisions are
-    accepted (~n²/2¹²⁸).
+    ``method="digest"`` (default, the 100 TB shape): one aggregation keyed
+    on ``md5(to_json(struct(content)))`` taking ``min(struct(id, content))``
+    — the exchange partitions/sorts on a 32-char digest instead of
+    hash-comparing megabyte text keys, and map-side partial aggregation
+    collapses each partition to one carried row per distinct digest before
+    anything moves (duplicate-heavy corpora shuffle only the survivors).
+    Exact duplicate ROWS (same id, same content) also collapse — a
+    join-back-on-id formulation would re-emit every copy. ``to_json``
+    keeps null vs empty-string distinct; md5 collisions are accepted
+    (~n²/2¹²⁸).
 
     ``method="raw"``: single groupBy on the raw content columns — the
     shuffle key IS the content. Right when the content columns are already
@@ -56,13 +58,15 @@ def exact_dedup(
     if method != "digest":
         raise ValueError(f"method must be 'digest' or 'raw', got {method!r}")
     digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
-    survivors = (
-        df.select(F.col(id_col), digest.alias("__digest"))
+    # min over struct(id, content…) orders by id first — deterministic
+    # lowest-id survivor; content fields only tie-break md5 collisions
+    row = F.struct(F.col(id_col), *[F.col(c) for c in content_cols])
+    return (
+        df.select(digest.alias("__digest"), row.alias("__row"))
         .groupBy("__digest")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+        .agg(F.min("__row").alias("__row"))
+        .select("__row.*")
     )
-    return df.join(survivors, id_col, "left_semi").select(id_col, *content_cols)
 
 
 def duplicate_stats(df: DataFrame, content_cols: list[str] | None = None) -> DataFrame:
@@ -322,7 +326,19 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 64
-SIMHASH_BANDS = 8  # byte-bands; pigeonhole covers hamming ≤ SIMHASH_BANDS − 1
+
+
+def simhash_band_specs(n_bands: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) for each of ``n_bands`` disjoint bands covering
+    the 64-bit signature; the last band absorbs the remainder bits.
+    Pigeonhole: a pair with hamming ≤ n_bands − 1 agrees on ≥ 1 band."""
+    if not 1 <= n_bands <= SIMHASH_BITS:
+        raise ValueError(f"n_bands must be in [1, {SIMHASH_BITS}], got {n_bands}")
+    w = SIMHASH_BITS // n_bands
+    return [
+        (b * w, w if b < n_bands - 1 else SIMHASH_BITS - (n_bands - 1) * w)
+        for b in range(n_bands)
+    ]
 
 
 def token_hash(tok: Column) -> Column:
@@ -342,18 +358,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     doc (partial aggregation compacts them map-side).
     """
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    # hoist the md5→conv derivation into the projection: each aggregate
+    # expression below references a plain long column, so the hash is
+    # computed ONCE per token instead of once per (token, bit) — the
+    # aggregate planner does not CSE across aggregate expressions
     md5c = F.md5(F.col("tok"))
-    h_lo = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
-    h_hi = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
+    hashed = toks.select(
+        F.col(id_col),
+        F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long").alias("__hlo"),
+        F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long").alias("__hhi"),
+    )
     bit_sums = [
         F.sum(
             F.when(
-                F.shiftright(h_lo if i < 32 else h_hi, i % 32).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(F.col("__hlo" if i < 32 else "__hhi"), i % 32).bitwiseAND(F.lit(1))
+                == 1,
+                1,
             ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(SIMHASH_BITS)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
     # bitwise-OR of disjoint single-bit terms: bit 63 as a long literal is
     # Long.MIN, which plain addition could not build without overflow
     sig = F.lit(0).cast("long")
@@ -369,40 +394,58 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     *,
+    bands: int | None = None,
     max_bucket_size: int = 10_000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 8 bytes; docs equal
-    in ≥1 byte meet (pigeonhole guarantees recall for hamming ≤ 7), then
-    exact ``bit_count(xor)`` filters to ``max_hamming``.
+    """Near-dup pairs by SimHash: band the 64 bits, docs equal in ≥1 band
+    meet (pigeonhole guarantees recall for hamming ≤ bands − 1), then exact
+    ``bit_count(xor)`` filters to ``max_hamming``.
+
+    The RESULT is invariant to the band count whenever ``bands >
+    max_hamming`` — banding only generates candidates, and pigeonhole
+    makes every pair within the hamming budget a candidate under any such
+    banding. So the default uses the MINIMAL count, ``max_hamming + 1``,
+    giving the widest (most selective) bands: 4 bands of 16 bits collide
+    on ~2⁻¹⁶·4 of random pairs, vs ~2⁻⁸·8 for byte-bands — ~100× fewer
+    junk candidates for the same output.
 
     Scale shape: same capped group-expand as :func:`lsh_candidate_pairs` —
-    group by (band_id, byte), sort members, expand successor pairs locally.
-    The former bucket SELF-JOIN keyed on only bands×256 distinct values
-    (1024 at 32 bits) capped parallelism forever and emitted ~(N/buckets)²
-    candidate pairs per bucket; 8×256 = 2048 keys is still too few for a
-    join, but grouping makes each bucket one task and ``max_bucket_size``
+    group by (band_id, value), sort members, expand successor pairs
+    locally. The former bucket SELF-JOIN keyed on bands×2⁸ distinct values
+    capped parallelism forever and emitted ~(N/buckets)² candidate pairs
+    per bucket; grouping makes each bucket one task and ``max_bucket_size``
     bounds the quadratic expansion of degenerate buckets (a capped bucket
     still links its members transitively through the retained ids, which
     is what downstream clustering needs).
     """
+    n_bands = bands if bands is not None else max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"bands ({n_bands}) must exceed max_hamming ({max_hamming}) or "
+            "pigeonhole recall breaks"
+        )
     sig = simhash(df, id_col, text_col)
+
+    def band_value(lo: int, width: int) -> Column:
+        shifted = F.shiftright(F.col("simhash"), lo)
+        if width >= SIMHASH_BITS:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
-    bands = sig.select(
+    bands_df = sig.select(
         member.alias("m"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(0xFF)).alias("byte"),
-                    )
-                    for b in range(SIMHASH_BANDS)
+                    F.struct(F.lit(b).alias("band_id"), band_value(lo, w).alias("band_val"))
+                    for b, (lo, w) in enumerate(simhash_band_specs(n_bands))
                 ]
             )
         ).alias("bb"),
-    ).select("m", F.col("bb.band_id").alias("band_id"), F.col("bb.byte").alias("byte"))
+    ).select("m", F.col("bb.band_id").alias("band_id"), F.col("bb.band_val").alias("band_val"))
     grouped = (
-        bands.groupBy("band_id", "byte")
+        bands_df.groupBy("band_id", "band_val")
         .agg(F.slice(F.sort_array(F.collect_list("m")), 1, max_bucket_size).alias("ms"))
         .filter(F.size("ms") > 1)
     )

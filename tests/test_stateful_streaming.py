@@ -159,6 +159,54 @@ def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2]
 
 
+def test_dedup_stream_matches_batch_exact_dedup_twin(spark, tmp_path):
+    """Streamed dedup output == operators.dedup.exact_dedup on the union of
+    all batches — in-batch AND cross-batch duplicates (within the watermark
+    horizon) collapse to the same surviving row set as the batch twin."""
+    from ml_feature_store_pipeline_spark.operators import dedup as batch_dedup
+
+    src, ckpt, out = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "o")
+    b1 = [
+        (1, _m(0), 1, "click", 0.0),
+        (1, _m(0), 1, "click", 0.0),   # in-batch dup
+        (2, _m(1), 1, "view", 0.0),
+    ]
+    b2 = [
+        (1, _m(0), 1, "click", 0.0),   # cross-batch dup, inside watermark
+        (3, _m(2), 2, "view", 4.0),
+    ]
+
+    def run() -> None:
+        q = (
+            dedup_stream(
+                spark.readStream.schema(EVENTS_DDL).parquet(src),
+                ["event_id"],
+                watermark="30 minutes",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(b1, EVENTS_DDL).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(b2, EVENTS_DDL).write.mode("append").parquet(src)
+    run()
+
+    streamed = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    twin = batch_dedup.exact_dedup(
+        spark.createDataFrame(b1 + b2, EVENTS_DDL),
+        ["ts", "user_id", "event_type", "value"],
+        "event_id",
+    )
+    expected = sorted(tuple(r) for r in twin.collect())
+    assert streamed == expected
+
+
 def test_stream_stream_interval_join_attribution(spark, tmp_path):
     """Purchases attribute to the view they follow within 30 min, same user;
     later purchases and other users don't match."""
