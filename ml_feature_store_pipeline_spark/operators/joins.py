@@ -184,7 +184,16 @@ def asof_join_bucketed(
         .groupBy(key, "__bucket")
         .agg(F.max_by(F.col("__vals"), F.struct(F.col("__ts"), F.col("__tie"))).alias("__last"))
     )
-    grid = unioned.select(key, "__bucket").distinct()
+    # carry grid = buckets holding left rows (they need a carry-in) ∪
+    # buckets holding right rows (they forward values) — built from the
+    # LEFT side + the already-aggregated summary, so the right input isn't
+    # scanned a third time just to enumerate its buckets
+    grid = (
+        unioned.filter(F.col("__side") == lside)
+        .select(key, "__bucket")
+        .unionByName(summary.select(key, "__bucket"))
+        .distinct()
+    )
     wc = Window.partitionBy(key).orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
