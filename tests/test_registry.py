@@ -86,6 +86,26 @@ def test_registry_and_window_have_no_duplicates():
     assert len(set(names)) == len(names)
 
 
+def test_survey_section8_names_match_registry():
+    """Every query name cited in SURVEY §8's queries() column must exist in
+    the live registry (r2 verdict: `ml_minhash_pairs` had drifted)."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
+    sec = text.split("## 8.")[1].split("\n## ")[0]
+    names = set(query_registry())
+    cited = []
+    for line in sec.splitlines():
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) < 5 or cells[1] in ("family", "---"):
+            continue
+        for tok in re.findall(r"`([a-z0-9_]+)`", cells[4]):
+            cited.append(tok)
+    unknown = [t for t in cited if t not in names]
+    assert cited and unknown == [], unknown
+
+
 def test_multimodal_decode_output_is_hashable(spark):
     """The round-1 driver crashed canonicalizing an array<float> column —
     the registry entry must emit only scalar columns."""
