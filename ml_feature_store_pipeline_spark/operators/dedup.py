@@ -208,11 +208,7 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes)
     bb = lsh_band_buckets(sig, id_col, bands, rows_per_band)
-    grouped = (
-        bb.groupBy("band_id", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket_size).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    grouped = _capped_bucket_lists(bb, ["band_id", "bucket"], F.col(id_col), max_bucket_size)
     # bucket-local (a, b) expansion: ids are sorted, so pairing each element
     # with its successors yields id_a < id_b without least/greatest
     pair_array = F.flatten(
@@ -228,6 +224,31 @@ def lsh_candidate_pairs(
         grouped.select(F.explode(pair_array).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
+    )
+
+
+def _capped_bucket_lists(
+    df: DataFrame, bucket_cols: list[str], member: Column, max_bucket_size: int
+) -> DataFrame:
+    """Per bucket, the sorted list of the ``max_bucket_size`` smallest
+    members (as ``ids``), buckets of ≥ 2 members only.
+
+    The cap is enforced BEFORE collection via a rank-filter window —
+    ``slice(sort_array(collect_list(...)))`` would materialize the ENTIRE
+    bucket as one in-memory array first, which OOMs the moment a
+    degenerate bucket (boilerplate corpus) reaches tens of millions of
+    members; the window's sort spills to disk instead, so memory stays
+    bounded no matter how pathological the bucket. The retained set is
+    identical (the sorted prefix)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*bucket_cols).orderBy(member.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(member)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
 
 
@@ -444,11 +465,9 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("m", F.col("bb.band_id").alias("band_id"), F.col("bb.band_val").alias("band_val"))
-    grouped = (
-        bands_df.groupBy("band_id", "band_val")
-        .agg(F.slice(F.sort_array(F.collect_list("m")), 1, max_bucket_size).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
+    grouped = _capped_bucket_lists(
+        bands_df, ["band_id", "band_val"], F.col("m"), max_bucket_size
+    ).withColumnRenamed("ids", "ms")
     # bucket-local (a, b) expansion with the hamming distance computed in
     # place: members are sorted by id, so successor pairing gives id_a < id_b
     pair_array = F.flatten(

@@ -130,6 +130,16 @@ def main() -> None:
             args.docs,
         )
         timed("simhash", dedup.simhash(docs, "doc_id", "text"), args.docs)
+        timed(
+            "simhash_near_pairs",
+            dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3),
+            args.docs,
+        )
+        timed(
+            "exact_dedup_digest",
+            dedup.exact_dedup(docs, ["text"], "doc_id"),
+            args.docs,
+        )
         queries = vecs.filter(F.col("vec_id") < 100).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
