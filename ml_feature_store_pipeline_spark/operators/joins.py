@@ -75,7 +75,7 @@ def asof_join(
     """
     unioned, lside = _asof_union(left, right, key=key, left_ts=left_ts,
                                  right_ts=right_ts, value_cols=value_cols, strict=strict)
-    w = Window.partitionBy(key).orderBy("__ts", "__side", "__tie").rowsBetween(
+    w = Window.partitionBy(key).orderBy("__ts", "__side", "__vals").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     filled = unioned.withColumn("__asof", F.last("__vals", ignorenulls=True).over(w))
@@ -98,12 +98,16 @@ def _asof_union(
 
     Returns (unioned, left_side_marker). Columns added: ``__ts``,
     ``__side`` (right sorts before left at equal ts unless strict),
-    ``__tie`` (struct of right values — deterministic right-vs-right
-    tiebreak; all-null fields for left rows), ``__v_<c>`` carriers, and
-    ``__vals`` — ONE nullable struct of all value columns that is NULL for
-    left rows and populated for right rows, so ``last(__vals,
-    ignoreNulls)`` picks the whole latest right ROW (true ASOF semantics;
-    a NULL field inside it stays NULL).
+    ``__v_<c>`` carriers, and ``__vals`` — ONE nullable struct of all
+    value columns that is NULL for left rows and populated for right
+    rows, so ``last(__vals, ignoreNulls)`` picks the whole latest right
+    ROW (true ASOF semantics; a NULL field inside it stays NULL).
+
+    ``__vals`` doubles as the deterministic right-vs-right tiebreak:
+    ordering by (ts, side, __vals) makes the greatest value tuple win at
+    equal (key, ts) — a separate tiebreak struct would shuffle every
+    value column TWICE for nothing. Left rows (NULL ``__vals``) sort
+    among themselves arbitrarily, which never affects the fill.
     """
     lside, rside = (0, 1) if strict else (1, 0)
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(lside))
@@ -118,11 +122,6 @@ def _asof_union(
     for c in left.columns:
         if c not in (key,):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    # right-vs-right tiebreak: greatest value tuple wins; for left rows the
-    # struct is all-null (left-vs-left order never affects the fill)
-    tie = F.struct(*[F.col(f"__v_{c}") for c in value_cols])
-    l_tagged = l_tagged.withColumn("__tie", tie)
-    r_tagged = r_tagged.withColumn("__tie", tie)
     unioned = r_tagged.select(*l_tagged.columns).unionByName(l_tagged)
     unioned = unioned.withColumn(
         "__vals",
@@ -150,17 +149,25 @@ def asof_join_bucketed(
     timeline splits across time buckets instead of serializing into one
     task.
 
-    Three bounded stages replace the one unbounded window:
+    The big side is shuffled row-by-row exactly ONCE (the in-bucket
+    window exchange). The carry table is built by a second pass whose
+    shuffle is PARTIALLY AGGREGATED map-side — it moves one row per
+    (key, bucket) per map task, not per input row:
 
-    1. in-bucket pass — the plain union+window trick within each
-       (key, bucket): finds each left row's match when it exists in the
-       same bucket; task size ≤ rows per (key, bucket);
-    2. per-bucket summary — ``max_by`` of right values over (key, bucket)
-       (partial-aggregated map-side), then a carry-forward window over the
-       SUMMARY table partitioned by key — one row per populated bucket,
-       so the hot key's window sees #buckets rows, not #rows;
-    3. merge — left rows with no in-bucket match take their bucket's
-       carry-in via an equi-join on (key, bucket).
+    1. in-bucket match — ``last(__vals, ignoreNulls)`` over the
+       (key, bucket) window finds each left row's match when a right row
+       exists earlier in the same bucket; task size ≤ rows per
+       (key, bucket);
+    2. per-bucket summary ∪ carry grid in ONE ``groupBy(key, bucket)``:
+       ``max_by(__vals, (ts, tie))`` picks the bucket's latest right row,
+       and because ``max_by`` skips rows whose ordering expression is
+       NULL, left rows contribute only their grouping key — a bucket with
+       no right row surfaces with a NULL summary, which IS the carry
+       grid (no separate distinct, no rescan);
+    3. carry-forward window over the bucket-level table partitioned by
+       key (#buckets rows per key, not #rows), then an equi-join back on
+       (key, bucket) — AQE broadcasts it, and even unbroadcast the big
+       side's window partitioning satisfies the join (no new exchange).
 
     Correctness at bucket boundaries: a carried-in right row is from a
     strictly earlier bucket, hence strictly earlier ts than every left ts
@@ -172,36 +179,25 @@ def asof_join_bucketed(
     ts_secs = F.col("__ts").cast("timestamp").cast("long") if dict(unioned.dtypes)["__ts"].startswith("timestamp") else F.col("__ts").cast("long")
     unioned = unioned.withColumn("__bucket", F.floor(ts_secs / F.lit(bucket_seconds)))
 
-    w = Window.partitionBy(key, "__bucket").orderBy("__ts", "__side", "__tie").rowsBetween(
+    w_cur = Window.partitionBy(key, "__bucket").orderBy("__ts", "__side", "__vals").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local = unioned.withColumn(
-        "__loc", F.last("__vals", ignorenulls=True).over(w)
+        "__loc", F.last("__vals", ignorenulls=True).over(w_cur)
     ).filter(F.col("__side") == lside)
 
-    summary = (
-        unioned.filter(F.col("__side") != lside)
-        .groupBy(key, "__bucket")
-        .agg(F.max_by(F.col("__vals"), F.struct(F.col("__ts"), F.col("__tie"))).alias("__last"))
-    )
-    # carry grid = buckets holding left rows (they need a carry-in) ∪
-    # buckets holding right rows (they forward values) — built from the
-    # LEFT side + the already-aggregated summary, so the right input isn't
-    # scanned a third time just to enumerate its buckets
-    grid = (
-        unioned.filter(F.col("__side") == lside)
-        .select(key, "__bucket")
-        .unionByName(summary.select(key, "__bucket"))
-        .distinct()
+    summary = unioned.groupBy(key, "__bucket").agg(
+        F.max_by(
+            "__vals",
+            F.when(F.col("__vals").isNotNull(), F.struct(F.col("__ts"), F.col("__vals"))),
+        ).alias("__last")
     )
     wc = Window.partitionBy(key).orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    carry = (
-        grid.join(summary, [key, "__bucket"], "left")
-        .withColumn("__carry", F.last("__last", ignorenulls=True).over(wc))
-        .select(key, "__bucket", "__carry")
-    )
+    carry = summary.withColumn(
+        "__carry", F.last("__last", ignorenulls=True).over(wc)
+    ).select(key, "__bucket", "__carry")
 
     # whole-row merge: the in-bucket match (a full right row) wins; only
     # when the bucket had NO right row does the carried-in row apply —
