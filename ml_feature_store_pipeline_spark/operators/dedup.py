@@ -289,15 +289,24 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("sh")
     )
     if max_doc_frequency is not None:
-        # Hot-shingle set is tiny by construction (few shingles exceed the
-        # cap) → Spark broadcasts the anti-join; `sh` itself never reshuffles.
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_doc_frequency)
-            .select("sh")
+        # Stop-shingle cut as a count-over-window on the SAME exchange the
+        # posting aggregation needs: partitionBy(sh) shuffles the exploded
+        # shingles once, the per-shingle document frequency is a full-frame
+        # count over that partitioning, and the groupBy below reuses the
+        # exchange (no second shuffle). The former two-pass form (separate
+        # groupBy-count + broadcast anti-join) recomputed the whole
+        # tokenize→shingle→explode subtree a second time — ~2× the CPU of
+        # the cut itself. WindowExec spills per-group buffers to disk, so a
+        # degenerate boilerplate shingle stays memory-bounded here and is
+        # dropped before any collect_list sees it.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_doc_frequency)
+            .drop("__df")
         )
-        sh = sh.join(hot, "sh", "left_anti")
     # inverted index: shingle → sorted doc list → local pair expansion →
     # count co-occurrences. One shuffle on shingle; no self-join (which
     # would recompute the shingling) and skew-cappable per posting list.
