@@ -422,17 +422,58 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_decode")  # mapInPandas path — no SQL oracle (binary+UDF)
+# The fake payload is a REAL binary P6 PPM whose pixels are the ramp
+# (i*a + b) mod 256 with (a, b) drawn from md5(text) bytes 0-1
+# (multimodal._fake_pixels). The oracle re-derives those pixels purely in
+# SQL — md5 hex → (a, b) → generate_series ramp — and aggregates the same
+# exact-integer statistics the Spark side computes FROM THE DECODED BYTES.
+# Any decode defect (header skip off-by-one, channel order, truncation)
+# breaks a sum, so this hash-checks the whole encode→parse→pixels path.
+# 8×8×3 = 192 pixel bytes + the 11-byte "P6\n8 8\n255\n" header = 203.
+_MULTIMODAL_SQL = """
+    WITH d AS (
+      SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+    ), ab AS (
+      SELECT doc_id,
+             1 + 2 * ((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 127) AS a,
+             (16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+              + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b
+      FROM d
+    ), px AS (
+      SELECT doc_id, i, (i * a + b) % 256 AS v
+      FROM ab, UNNEST(generate_series(0, 191)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(203 AS BIGINT) AS n_bytes,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS b_sum,
+           CAST(SUM(v * v) AS BIGINT) AS px_sq_sum
+    FROM px GROUP BY doc_id
+    """
+
+
+@register("multimodal_decode", _MULTIMODAL_SQL)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload pipeline: text → deterministic P6 PPM payload →
     Arrow-batched mapInPandas decode (REAL numpy header parse + pixel
-    statistics — bytes→pixels→features, not a hash stub)."""
+    reconstruction — bytes→pixels→stats, not a hash stub). Emits the
+    exact-integer pixel statistics so the DuckDB oracle (which re-derives
+    the expected pixels from the generator formula, never touching the
+    binary) can hash-verify the decode; the float feature path
+    (decode_image_features) is a pure function of these sums and stays
+    pytest-verified (test_multimodal_streaming)."""
     docs = read_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
-    out = multimodal.decode_image_features(payloads)
-    # The driver's canonicalizer sorts on every column and cannot hash an
-    # array column — serialize the vector so the rows-only check can run.
-    return out.select("doc_id", "n_bytes", "sha1", F.to_json("features").alias("features_json"))
+    out = multimodal.decode_image_stats(payloads)
+    # sha1 is decode-side only (DuckDB can't reconstruct the binary blob
+    # to hash it) — drop it from the oracle-compared projection
+    return out.select(
+        "doc_id", "n_bytes", "width", "height", "r_sum", "g_sum", "b_sum", "px_sq_sum"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,20 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("g_sum", T.LongType(), True),
+        T.StructField("b_sum", T.LongType(), True),
+        T.StructField("px_sq_sum", T.LongType(), True),
+        T.StructField("sha1", T.StringType(), True),
+    ]
+)
+
 
 # ---------------------------------------------------------------------------
 # PPM (P6) codec — pure numpy, no external deps
@@ -195,3 +209,44 @@ def decode_image_features(
             yield out
 
     return df.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """Decode PPM payloads → EXACT integer pixel statistics per image:
+    parsed header dims plus per-channel pixel sums and the global
+    sum-of-squares (all int64, no float rounding anywhere).
+
+    This is the oracle-checkable face of the decode path: the float
+    features of :func:`decode_image_features` are pure functions of these
+    sums, but float means/stds can't be hash-compared across engines,
+    while integer sums can — an independent oracle that re-derives the
+    expected pixels from the generation formula pins the ENTIRE
+    bytes→header-parse→pixel-reconstruction path exactly (any codec bug —
+    off-by-one header skip, channel swap, truncation — shifts a sum).
+    Same Arrow-batched ``mapInPandas`` shape as the feature decode:
+    payloads never touch the driver.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                px = decode_ppm(b).astype(np.int64)
+                h, w, _ = px.shape
+                rows.append(
+                    (
+                        doc_id,
+                        len(b),
+                        w,
+                        h,
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int((px * px).sum()),
+                        hashlib.sha1(b).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(decode, schema=IMAGE_STATS_SCHEMA)

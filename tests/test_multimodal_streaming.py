@@ -78,6 +78,28 @@ def test_real_decode_matches_attached_payload_pixels(spark, payloads):
         assert got[doc_id] == pytest.approx(exp, rel=1e-6), doc_id
 
 
+def test_decode_stats_exact_integers_consistent_with_features(spark, payloads):
+    import numpy as np
+
+    # the oracle-facing integer stats must (a) equal a local recomputation
+    # from the pixel rule, and (b) determine the float features exactly
+    stats = {r["doc_id"]: r for r in multimodal.decode_image_stats(payloads).collect()}
+    feats = {r["doc_id"]: r for r in multimodal.decode_image_features(payloads).collect()}
+    for doc_id, text in [(1, "first document"), (2, "second document"), (3, "")]:
+        px = multimodal._fake_pixels(text, 8, 8).astype(np.int64)
+        s = stats[doc_id]
+        assert (s["width"], s["height"]) == (8, 8)
+        assert s["n_bytes"] == 11 + 192 == feats[doc_id]["n_bytes"]
+        assert s["sha1"] == feats[doc_id]["sha1"]
+        assert s["r_sum"] == int(px[:, :, 0].sum())
+        assert s["g_sum"] == int(px[:, :, 1].sum())
+        assert s["b_sum"] == int(px[:, :, 2].sum())
+        assert s["px_sq_sum"] == int((px * px).sum())
+        # features are a pure function of the sums: overall mean check
+        mean_all = (s["r_sum"] + s["g_sum"] + s["b_sum"]) / 192 / 255.0
+        assert feats[doc_id]["features"][6] == pytest.approx(mean_all, rel=1e-6)
+
+
 def test_decode_without_codec_raises(spark):
     jpegish = spark.createDataFrame(
         [(1, b"\xff\xd8\xff\xe0 not decodable here")], "doc_id long, payload binary"
