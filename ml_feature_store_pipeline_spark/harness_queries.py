@@ -428,6 +428,20 @@ def q_asof_events_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     return _asof_events_orders(spark, sf_dir, 86_400)
 
 
+@register("asof_events_orders_auto", _ASOF_EVENTS_ORDERS_SQL)
+def q_asof_events_orders_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-adaptive as-of: a one-pass count-by-key probe picks the plain
+    window (uniform keys — this data) or the bucketed twin (hot keys), so
+    users never pay skew insurance they don't need. Same oracle as both
+    twins — the choice is pure performance, never semantics."""
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    return joins.asof_join_auto(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
 @register(
     "asof_prev_order",
     """

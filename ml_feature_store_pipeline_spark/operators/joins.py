@@ -210,6 +210,58 @@ def asof_join_bucketed(
     return merged.select(*keep)
 
 
+def _should_bucket_asof(max_key_rows: int, total_rows: int, shuffle_partitions: int,
+                        threshold: float) -> bool:
+    """Pure decision rule for :func:`asof_join_auto`: bucket when the
+    hottest key's share of the union is ``threshold×`` an even per-task
+    share — i.e. the single-task timeline the plain window would build for
+    that key is predicted to be a straggler."""
+    if total_rows == 0:
+        return False
+    return (max_key_rows / total_rows) * shuffle_partitions >= threshold
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+    bucket_seconds: int = 86_400,
+    skew_threshold: float = 4.0,
+) -> DataFrame:
+    """As-of join that picks :func:`asof_join` vs :func:`asof_join_bucketed`
+    from a measured key-skew profile, so uniform workloads don't pay the
+    bucketed form's carry-pass insurance (~1.7× on unskewed data) and hot-key
+    workloads don't straggle on a single window task.
+
+    Probe cost: ONE partial-aggregated count-by-key over the union of both
+    sides' key columns (the same shuffle key the join itself uses, carrying
+    counts only) collapsed to a single driver row — the 2-column scan is a
+    small fraction of the join that follows, and at 100 TB it's exactly the
+    pre-flight a planner would run. Decision: bucket when the hottest key
+    holds ≥ ``skew_threshold`` tasks' worth of the union's rows
+    (:func:`_should_bucket_asof`), i.e. when the plain window's per-key
+    task is predicted to straggle. Both branches return IDENTICAL results
+    (shared-oracle + property tested), so the choice is pure performance.
+    """
+    keys = left.select(F.col(key)).unionAll(right.select(F.col(key)))
+    probe = (
+        keys.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("max_n"), F.sum("__n").alias("total"))
+        .collect()[0]
+    )
+    partitions = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    kw = dict(key=key, left_ts=left_ts, right_ts=right_ts, value_cols=value_cols, strict=strict)
+    if _should_bucket_asof(probe["max_n"] or 0, probe["total"] or 0, partitions, skew_threshold):
+        return asof_join_bucketed(left, right, bucket_seconds=bucket_seconds, **kw)
+    return asof_join(left, right, **kw)
+
+
 def band_join(
     fact: DataFrame,
     bands: DataFrame,

@@ -158,6 +158,27 @@ def test_asof_bucketed_hot_key(spark):
     assert "__bucket" in plan.split("Window")[1][:400]  # window keyed by (key, bucket)
 
 
+def test_should_bucket_asof_decision_rule():
+    # uniform: hottest key holds ~1 task's share → plain
+    assert not joins._should_bucket_asof(100, 32_000, 32, threshold=4.0)
+    # hot: one key holds a quarter of the table on 32 partitions → bucketed
+    assert joins._should_bucket_asof(8_000, 32_000, 32, threshold=4.0)
+    assert not joins._should_bucket_asof(0, 0, 32, threshold=4.0)  # empty input
+
+
+def test_asof_auto_matches_plain_on_both_skew_regimes(spark, quotes_and_trades):
+    # auto must return plain-identical rows whichever branch the probe picks:
+    # the uniform fixture takes the plain branch, the hot-key frame the
+    # bucketed one (threshold 0 forces it) — results equal either way
+    trades, quotes = quotes_and_trades
+    kw = dict(key="key", left_ts="t_ts", right_ts="q_ts", value_cols=["price"])
+    expected = sorted(map(tuple, joins.asof_join(trades, quotes, **kw).collect()))
+    for threshold in (1e9, 0.0):  # force plain branch, then bucketed branch
+        auto = joins.asof_join_auto(trades, quotes, **kw, skew_threshold=threshold,
+                                    bucket_seconds=4)
+        assert sorted(map(tuple, auto.collect())) == expected, threshold
+
+
 def test_band_join(spark):
     fact = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 150.0)], "id long, v double")
     bands = spark.createDataFrame(
