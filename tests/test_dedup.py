@@ -150,6 +150,44 @@ def test_simhash_properties(docs):
     assert all(-(1 << 63) <= s < (1 << 63) for s in sigs.values())  # signed 64-bit
 
 
+def test_simhash_packed_equals_unpacked(spark, docs):
+    # the packed (16×4-field) aggregation must be BIT-EXACT with the
+    # unpacked 64-sum reference, including the tie case (2·cnt == n, bit
+    # set) that a strict > would flip
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text", packed=True).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text", packed=False).collect()}
+    assert a == b
+    # adversarial shapes: 1-token docs (every count 0 or 1, n=1), 2-token
+    # docs with distinct tokens (exact 2·cnt == n ties on disagreeing bits)
+    edge = spark.createDataFrame(
+        [(1, "solo"), (2, "alpha beta"), (3, "x x x x"), (4, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    pa = {r["doc_id"]: r["simhash"] for r in dedup.simhash(edge, "doc_id", "text", packed=True).collect()}
+    pb = {r["doc_id"]: r["simhash"] for r in dedup.simhash(edge, "doc_id", "text", packed=False).collect()}
+    assert pa == pb
+    # the xxhash64 fast path: packed==unpacked under the alternate hash too,
+    # and identical docs still collide exactly
+    xa = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text", hash_fn="xxhash64").collect()}
+    xb = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text", packed=False, hash_fn="xxhash64").collect()}
+    assert xa == xb
+    assert xa[1] == xa[2]  # identical docs → identical signature
+
+
+def test_simhash_packed_overflow_guard(spark):
+    import pytest as _pytest
+
+    big = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40_000)))], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception) as ei:
+        dedup.simhash(big, "doc_id", "text", packed=True).collect()
+    msg = str(ei.value)
+    assert "packed accumulators overflow" in msg or "overflow" in msg.lower()
+    # and the escape hatch handles the same doc
+    assert dedup.simhash(big, "doc_id", "text", packed=False).count() == 1
+
+
 def test_simhash_near_pairs(docs):
     out = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
