@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import dsum, dsum_sql
+from .functions import dsum, dsum_sql, tokens
 from .harness import register
 from .operators import dedup, multimodal, similarity, text
 from .sources.readers import read_table
@@ -372,15 +372,41 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
 
-@register("lsh_ann_topk")  # approximate — no SQL oracle; driver rows-only check
+@register(
+    "lsh_ann_topk",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (the 100 TB path: score only co-bucketed
-    candidates). Approximate by design ⇒ no exact oracle."""
+    candidates), verified by a BOUNDED-QUALITY oracle: the approximate
+    result's recall@5 against the exact brute-force top-k (both computed
+    here, deterministic — the hyperplanes are md5-seeded) must clear 0.8;
+    measured 0.93 at sf0.01 with these params (4 planes × 16 tables —
+    recall-oriented for this small corpus; raise planes as the corpus
+    grows). The oracle asserts the bound + the query count, so a recall
+    collapse or a query-set change fails the hash check — the per-row ANN
+    output itself is approximate by design and has no exact twin."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(queries, emb, k=5, dim=64)
+    exact = similarity.cosine_topk(queries, emb, k=5).select("query_id", "vec_id")
+    approx = similarity.lsh_topk(
+        queries, emb, k=5, dim=64, n_planes=4, n_tables=16
+    ).select("query_id", "vec_id")
+    hits = exact.intersect(approx).agg(F.count(F.lit(1)).alias("n_hit"))
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.countDistinct("query_id").alias("n_queries")
+    )
+    return hits.crossJoin(totals).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(5).cast("int").alias("k"),
+        (F.col("n_hit") / F.col("n_exact") >= 0.8).alias("recall_ok"),
+    )
 
 
 _TOPK_IDS_SQL = f"""
@@ -507,10 +533,22 @@ def q_windowed_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("ml_tfidf_vectors")
+@register(
+    "ml_tfidf_vectors",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS nnz_bounded_ok,
+           TRUE AS norms_positive_ok
+    FROM documents
+    """,
+)
 def q_ml_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF document vectors (Tokenizer → HashingTF → IDF); vector column
-    surfaced as array<double> plus its nnz for a stable tabular shape."""
+    """TF-IDF document vectors (Tokenizer → HashingTF → IDF), verified by
+    an INVARIANT oracle — HashingTF's murmur buckets are Spark-private, so
+    exact values have no SQL twin; what IS checkable: every vector's nnz is
+    bounded by the doc's distinct-token count (collisions only merge), and
+    every tokened doc has a positive squared norm (would break if IDF
+    zeroed everything or the pipeline dropped rows). The full pipeline
+    runs; the oracle hash-fails if either invariant breaks on any doc."""
     from pyspark.ml.functions import vector_to_array
 
     from .operators import mlfeatures
@@ -518,36 +556,134 @@ def q_ml_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     out = mlfeatures.tfidf_vectors(docs, "doc_id", "text")
     arr = vector_to_array("tfidf")
-    return out.select(
+    stats = out.select(
         "doc_id",
         F.size(F.filter(arr, lambda x: x != 0)).alias("nnz"),
-        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x), 6).alias("sq_norm"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x).alias("sq"),
+    )
+    # RegexTokenizer lowercases by default — mirror it for the bound
+    dt = docs.select(
+        "doc_id", F.size(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("ndt")
+    )
+    return (
+        stats.join(dt, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.max(F.col("nnz") - F.col("ndt")) <= 0).alias("nnz_bounded_ok"),
+            (
+                F.sum(F.when((F.col("ndt") > 0) & (F.col("sq") <= 0), 1).otherwise(0)) == 0
+            ).alias("norms_positive_ok"),
+        )
     )
 
 
-@register("ml_minhash_near_dup")
+@register(
+    "ml_minhash_near_dup",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct({_SQL_TOKS.format(t='lower(text)')}) AS tks
+      FROM documents
+    ), n AS (SELECT doc_id, tks FROM t WHERE len(tks) > 0),
+    p AS (
+      SELECT len(list_intersect(a.tks, b.tks)) AS i,
+             len(a.tks) + len(b.tks) - len(list_intersect(a.tks, b.tks)) AS u
+      FROM n a JOIN n b ON a.doc_id < b.doc_id
+    )
+    -- the DISTANCE form (1 - i/u <= 0.3), not the similarity form
+    -- (i/u >= 0.7): mathematically equal, but IEEE doubles disagree at the
+    -- exact-7/10 boundary (1 - 0.7 rounds up past 0.3) and MLlib filters
+    -- on distance — the ground truth must use the same arithmetic
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok,
+           TRUE AS precision_ok
+    FROM p WHERE 1 - CAST(i AS DOUBLE) / u <= 0.3
+    """,
+)
 def q_ml_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib MinHashLSH approx similarity join (token-set Jaccard distance ≤ 0.3
-    — tight, because the synthetic corpus's ~30-word vocabulary makes loose
-    token-set thresholds degenerate toward a cross product)."""
-    from .operators import mlfeatures
+    """MLlib MinHashLSH approx similarity join (token-set Jaccard distance
+    ≤ 0.3), verified against GROUND TRUTH: the exact qualifying-pair count
+    (token-set Jaccard ≥ 0.7, via the scalable inverted-index operator —
+    no all-pairs scan) is hash-compared with DuckDB's independent
+    computation, and the MLlib result's recall AND precision against that
+    exact pair set must clear 0.95 (measured 1.0 at sf0.01/sf0.001 with
+    seed 42). A missed pair, a phantom pair, or any tokenization drift
+    fails the check."""
+    from .operators import dedup, mlfeatures
 
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
-    out = mlfeatures.minhash_near_dup_ml(docs, "doc_id", "text", max_jaccard_distance=0.3)
-    return out.select("id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance"))
+    # RegexTokenizer lowercases — mirror it for the exact ground truth
+    lowered = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    # threshold=0 then filter on the DISTANCE form — 1 - i/u ≤ 0.3 and
+    # i/u ≥ 0.7 disagree in IEEE doubles at the exact-7/10 boundary, and
+    # MLlib (like the SQL twin above) filters on distance
+    exact = (
+        dedup.ngram_jaccard_pairs(
+            lowered, "doc_id", "text", shingle_n=1, threshold=0.0, max_doc_frequency=None
+        )
+        .filter(F.lit(1.0) - F.col("jaccard") <= 0.3)
+        .select("id_a", "id_b")
+    )
+    ml = mlfeatures.minhash_near_dup_ml(
+        docs, "doc_id", "text", max_jaccard_distance=0.3
+    ).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_ret = ml.agg(F.count(F.lit(1)).alias("n_ret"))
+    n_common = exact.join(ml, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        n_exact.crossJoin(n_ret)
+        .crossJoin(n_common)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact_pairs"),
+            (F.col("n_common") / F.col("n_exact") >= 0.95).alias("recall_ok"),
+            (F.col("n_common") / F.col("n_ret") >= 0.95).alias("precision_ok"),
+        )
+    )
 
 
-@register("ml_brp_ann_topk")
+@register(
+    "ml_brp_ann_topk",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def q_ml_brp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BucketedRandomProjectionLSH Euclidean ANN, top-5 per query."""
+    """BucketedRandomProjectionLSH Euclidean ANN (top-5 per query),
+    verified by a BOUNDED-QUALITY oracle: recall@5 against the exact
+    brute-force Euclidean top-k (computed here — corpus scan × broadcast
+    queries, the cosine_topk shape) must clear 0.9; measured 0.98 at
+    sf0.01 / 0.94 at sf0.001 with seed 42."""
+    from pyspark.sql.window import Window
+
     from .operators import mlfeatures
+    from .operators.similarity import _l2sq
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = mlfeatures.brp_ann(queries, emb, k=5, bucket_length=4.0)
-    return out.select("query_id", "vec_id", F.round("distance", 6).alias("distance"), "rank")
+    scored = emb.select("vec_id", F.col("embedding").alias("__cv")).crossJoin(
+        F.broadcast(queries.select("query_id", F.col("embedding").alias("__qv")))
+    ).select("query_id", "vec_id", _l2sq(F.col("__qv"), F.col("__cv")).alias("__d"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 5)
+        .select("query_id", "vec_id")
+    )
+    approx = mlfeatures.brp_ann(queries, emb, k=5, bucket_length=4.0).select(
+        "query_id", "vec_id"
+    )
+    hits = exact.intersect(approx).agg(F.count(F.lit(1)).alias("n_hit"))
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.countDistinct("query_id").alias("n_queries")
+    )
+    return hits.crossJoin(totals).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(5).cast("int").alias("k"),
+        (F.col("n_hit") / F.col("n_exact") >= 0.9).alias("recall_ok"),
+    )
 
 
 @register(
