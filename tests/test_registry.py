@@ -1,8 +1,9 @@
 """Driver-window invariants: the driver hash-verifies only the FIRST 50
-``queries()`` entries, so the registry order is load-bearing. Round-3
-rotation (VERDICT r2): the window must contain every oracle-backed query
-with no prior driver-green row, so that r1+r2+r3 history covers all 83
-oracle-backed entries at least once."""
+``queries()`` entries, so the registry order is load-bearing. Round-4
+rotation (VERDICT r3): the window must contain the 3 queries with no prior
+driver row (skew-safe asof/PIT twins + the auto-selector), the 5 whose
+oracles were upgraded from rows-only after r3, every operator rewritten
+since its last driver row, and a refresh slice of round-2-only greens."""
 
 from __future__ import annotations
 
@@ -12,46 +13,30 @@ from ml_feature_store_pipeline_spark.harness import (
     query_registry,
 )
 
-# Queries with NO driver-green row before round 3 (r2 verdict list + the
-# entry added in r3) — the rotation exists to get these checked.
-NEVER_DRIVER_VERIFIED_PRE_R3 = [
-    "tfidf_terms_docs",
-    "kmv_distinct_orderkeys",
-    "cms_heavy_hitters_events",
-    "hist_quantile_prices",
-    "incremental_user_value_stats",
-    "pit_scd2_orders_state",
-    "scd2_event_type_history",
-    "near_dup_edit_distance",
-    "weighted_sample_events",
-    "stratified_sample_counts",
-    "interval_join_price_buckets",
-    "key_skew_profile_events",
-    "tpch_q7_like",
-    "tpch_q15_like",
-    "tpch_q19_like",
-    "token_histogram_docs",
-    "embedding_norm_stats",
-    "quartiles_by_priority",
-    "top3_orders_per_priority",
-    "distinct_users_per_type_2stage",
-    "simhash_near_pairs",
+# Queries with NO driver row in any CORRECTNESS_r{1,2,3}.json — the r4
+# rotation exists to get these their first driver check.
+NEVER_DRIVER_VERIFIED_PRE_R4 = [
+    "asof_events_orders_bucketed",
+    "training_set_pit_bucketed",
+    "asof_events_orders_auto",
 ]
 
-# Last driver-verified in round 1 — refreshed this round.
-DRIVER_GREEN_R1_ONLY = [
-    "cube_orders",
-    "distinct_parts_per_flag",
-    "events_per_type",
-    "filter_in_list",
-    "lineitem_quartiles",
-    "minhash_signatures",
-    "repetition_stats_docs",
-    "revenue_by_region",
-    "sliding_window_counts",
-    "tpch_q14",
-    "tpch_q18_like",
-    "tpch_q4_like",
+# Rows-only (or r1-errored) until after r3, when their oracles were upgraded
+# to hash / bounded-quality checks — first real driver verification is r4.
+ORACLE_UPGRADED_POST_R3 = [
+    "multimodal_decode",
+    "lsh_ann_topk",
+    "ml_brp_ann_topk",
+    "ml_minhash_near_dup",
+    "ml_tfidf_vectors",
+]
+
+# Operators rewritten after their last driver-green row (bit-packed simhash
+# ee0c905, single-pass ngram jaccard eb07614) — must re-verify.
+REWRITTEN_SINCE_LAST_GREEN = [
+    "simhash_docs",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
 ]
 
 
@@ -68,10 +53,13 @@ def test_every_window_entry_has_an_oracle():
 
 
 def test_all_previously_unverified_queries_are_in_window():
-    out = [n for n in NEVER_DRIVER_VERIFIED_PRE_R3 if n not in DRIVER_WINDOW]
-    assert out == []
-    out = [n for n in DRIVER_GREEN_R1_ONLY if n not in DRIVER_WINDOW]
-    assert out == []
+    for group in (
+        NEVER_DRIVER_VERIFIED_PRE_R4,
+        ORACLE_UPGRADED_POST_R3,
+        REWRITTEN_SINCE_LAST_GREEN,
+    ):
+        out = [n for n in group if n not in DRIVER_WINDOW]
+        assert out == []
 
 
 def test_every_oracle_has_a_query():
