@@ -292,8 +292,11 @@ class FeatureStore:
                 self.spark.createDataFrame(rows, schema=METADATA_SCHEMA), self.metadata_path
             )
         for v in doomed:
-            if isinstance(self.cache, InMemoryTTLCache):
-                self.cache.delete_prefix(cache_key(v))
+            delete_prefix = getattr(self.cache, "delete_prefix", None)
+            if delete_prefix is not None:
+                delete_prefix(cache_key(v))
+            else:
+                self.cache.delete(cache_key(v))
         return doomed
 
     # ------------------------------------------------------------------ K7

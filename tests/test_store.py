@@ -206,3 +206,59 @@ def test_compact_partition_merges_small_files(spark, tmp_path):
     # idempotent: second run is a no-op
     res2 = compact_partition(spark, path, target_file_bytes=64 * 1024 * 1024)
     assert not res2["compacted"]
+
+
+# ---------------------------------------------------------------- J4: disk cache
+def test_disk_cache_roundtrip_and_expiry(tmp_path):
+    import time as _time
+
+    from ml_feature_store_pipeline_spark.cache import DiskTTLCache
+
+    c = DiskTTLCache(str(tmp_path / "spool"))
+    assert c.get("k") is None  # miss on empty
+    c.set("k", {"a": [1, 2, 3]}, ttl=3600)
+    assert c.get("k") == {"a": [1, 2, 3]}
+    # expiry is lazy-on-get, like the in-memory backend
+    c.set("gone", "x", ttl=0)
+    _time.sleep(0.01)
+    assert c.get("gone") is None
+    info = c.info()
+    assert info["entries"] == 1 and info["hits"] == 1 and info["misses"] >= 2
+
+
+def test_disk_cache_survives_reopen_and_prefix_delete(tmp_path):
+    from ml_feature_store_pipeline_spark.cache import DiskTTLCache, cache_key
+
+    spool = str(tmp_path / "spool")
+    c1 = DiskTTLCache(spool)
+    c1.set(cache_key("v1") + "_serving_index", {1: {"f": 2}})
+    c1.set(cache_key("v1") + "_too_big", True)
+    c1.set(cache_key("v2"), "keep")
+
+    # a fresh instance (new driver process) sees durable entries
+    c2 = DiskTTLCache(spool)
+    assert c2.get(cache_key("v1") + "_serving_index") == {1: {"f": 2}}
+    # version cleanup drops exactly the v1 keys
+    assert c2.delete_prefix(cache_key("v1")) == 2
+    assert c2.get(cache_key("v1") + "_too_big") is None
+    assert c2.get(cache_key("v2")) == "keep"
+    c2.clear()
+    assert c2.info()["entries"] == 0
+
+
+def test_store_with_disk_cache_serves_and_cleans(spark, tmp_path, features):
+    from ml_feature_store_pipeline_spark.cache import DiskTTLCache
+
+    cache = DiskTTLCache(str(tmp_path / "spool"))
+    store = FeatureStore(spark, str(tmp_path / "fs"), cache=cache)
+    store.register_features(features, _meta("v1"))
+    assert store.serve_features(1)["total_events"] == 3
+    info_before = store.cache.info()
+    store.serve_features(2)  # second lookup hits the durable index
+    assert store.cache.info()["hits"] >= info_before["hits"] + 1
+
+    # cleanup path invalidates via duck-typed delete_prefix
+    more = features.withColumn("total_amount", F.col("total_amount") + 1.0)
+    store.register_features(more, _meta("v2"))
+    store.cleanup_old_versions(keep_n=1)
+    assert store.cache.info()["entries"] < info_before["entries"] + 2
