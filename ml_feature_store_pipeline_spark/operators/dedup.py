@@ -210,19 +210,25 @@ def lsh_candidate_pairs(
     bb = lsh_band_buckets(sig, id_col, bands, rows_per_band)
     grouped = _capped_bucket_lists(bb, ["band_id", "bucket"], F.col(id_col), max_bucket_size)
     # bucket-local (a, b) expansion: ids are sorted, so pairing each element
-    # with its successors yields id_a < id_b without least/greatest
-    pair_array = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # with its successors yields id_a < id_b without least/greatest. Two
+    # chained generators (posexplode + explode of the successor slice)
+    # STREAM the expansion through codegen one pair at a time — the former
+    # flatten(transform(transform(...))) built the bucket's entire C(n,2)
+    # pair array as ONE interpreted in-memory value, which is ~50M structs
+    # (multiple GiB) for a degenerate bucket at the default cap and OOM'd
+    # the executor on low-entropy corpora at 200k docs.
     return (
-        grouped.select(F.explode(pair_array).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        grouped.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("ids"),
+                    F.col("i") + 2,
+                    F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
+                )
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -554,23 +560,29 @@ def simhash_near_pairs(
         bands_df, ["band_id", "band_val"], F.col("m"), max_bucket_size
     ).withColumnRenamed("ids", "ms")
     # bucket-local (a, b) expansion with the hamming distance computed in
-    # place: members are sorted by id, so successor pairing gives id_a < id_b
-    pair_array = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.greatest(F.size("ms") - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
-                ),
-            ),
-        )
-    )
+    # place: members are sorted by id, so successor pairing gives id_a <
+    # id_b. Streamed through two chained generators (posexplode + explode
+    # of the successor slice) exactly like lsh_candidate_pairs — the former
+    # flatten(transform(transform(...))) materialized the bucket's whole
+    # C(n,2) pair array as one interpreted value and OOM'd on degenerate
+    # buckets (low-entropy corpora collapse the 16-bit band space).
     return (
-        grouped.select(F.explode(pair_array).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), F.col("p.hamming").alias("hamming"))
+        grouped.select(F.posexplode("ms").alias("i", "m"), F.col("ms"))
+        .select(
+            F.col("m"),
+            F.explode(
+                F.slice(
+                    F.col("ms"),
+                    F.col("i") + 2,
+                    F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0)),
+                )
+            ).alias("y"),
+        )
+        .select(
+            F.col("m.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("m.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
