@@ -65,6 +65,17 @@ HEADLINE_R3 = [
     "simhash_near_pairs",
 ]
 
+#: Added in round 4: the skew-adaptive asof (must cost ~plain-form time on
+#: this uniform-key data — that's the point of the probe) and the decode
+#: path's Arrow batch pipeline. "r03_headline_total" covers exactly
+#: HEADLINE + HEADLINE_R2 + HEADLINE_R3 — the round-3 definition (29.86 s
+#: reference).
+HEADLINE_R4 = [
+    "asof_events_orders_auto",
+    "multimodal_decode",
+    "pack_sequences_docs",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -102,7 +113,7 @@ def main() -> None:
     # page cache, so min() reports steady-state engine time instead of
     # whichever run a noisy neighbor landed on. Both runs materialize fully.
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3:
+    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4:
         fn = registry[name]
         best = float("inf")
         for _ in range(2):
@@ -122,6 +133,9 @@ def main() -> None:
                 "r01_subset_total": round(sum(timings[n] for n in HEADLINE), 3),
                 "r02_headline_total": round(
                     sum(timings[n] for n in HEADLINE + HEADLINE_R2), 3
+                ),
+                "r03_headline_total": round(
+                    sum(timings[n] for n in HEADLINE + HEADLINE_R2 + HEADLINE_R3), 3
                 ),
                 "sf": sf,
             }

@@ -66,7 +66,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "near_dup_clusters",
     "dedup_exact_docs",
     "cosine_topk",
-    "ivf_ann_topk",
     "text_stats",
     "sessionize_events",
     "windowed_user_counts",
@@ -74,10 +73,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
     "psi_order_price_drift",
-    # never driver-verified: skew-safe twins + the new auto-selector
+    # never driver-verified: skew-safe twins, the new auto-selector, and the
+    # round-4 sequence-packing op (ivf_ann_topk, r3-green and family-covered
+    # by the three other ANN rows this window, yielded the slot)
     "asof_events_orders_bucketed",
     "training_set_pit_bucketed",
     "asof_events_orders_auto",
+    "pack_sequences_docs",
     # oracle upgraded after r3 (was rows-only / r1-error): first hash check
     "multimodal_decode",
     "lsh_ann_topk",

@@ -711,6 +711,58 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
 
 
+@register(
+    "pack_sequences_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(LEN({_SQL_TOKS.format(t='text')}) AS BIGINT) AS nt
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           TRUE AS each_doc_once_ok,
+           TRUE AS budget_ok,
+           TRUE AS n_packs_ok
+    FROM t
+    """,
+)
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing (128-token budget, partitioned greedy next-fit
+    over md5 groups — `operators/text.py:pack_sequences`), verified by an
+    INVARIANT oracle: pack membership is engine-private (depends on the
+    group split), but (a) token totals must be conserved exactly (DuckDB
+    recounts them from text), (b) every doc appears exactly once, (c) no
+    multi-doc pack exceeds the budget, and (d) the pack count sits between
+    ceil(total/budget) (perfect fill) and n_docs (no packing at all).
+    Breaking any of these — dropped docs, split docs, budget overflow, or
+    degenerate one-doc-per-pack output — fails the hash check."""
+    budget = 128
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    assign = text.pack_sequences(docs, "doc_id", "text", token_budget=budget, n_groups=64)
+    packs = text.pack_stats(assign, token_budget=budget)
+    doc_side = assign.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    pack_side = packs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum(
+            F.when((F.col("n_docs") > 1) & (F.col("tokens_used") > budget), 1).otherwise(0)
+        ).alias("n_over_budget"),
+    )
+    return doc_side.crossJoin(pack_side).select(
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs") == F.col("n_distinct")).alias("each_doc_once_ok"),
+        (F.col("n_over_budget") == 0).alias("budget_ok"),
+        (
+            (F.col("n_packs") >= F.ceil(F.col("total_tokens") / budget))
+            & (F.col("n_packs") <= F.col("n_docs"))
+        ).alias("n_packs_ok"),
+    )
+
+
 @register("cosine_topk_blas", _TOPK_IDS_SQL)
 def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow+BLAS exact top-k (mapInPandas matmul): same ids/ranks as

@@ -270,3 +270,86 @@ def tfidf_terms(
             ).alias("tfidf"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    token_budget: int,
+    n_groups: int = 256,
+    n_tokens_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget pack — LLM-pretraining
+    sequence packing (concatenate short docs into one training sequence so
+    padding doesn't dominate the batch).
+
+    Packing is inherently sequential (each doc's pack depends on the running
+    remainder), so it can't be a window cumsum; the scale shape is
+    PARTITIONED GREEDY: docs are split into ``n_groups`` md5-hash groups
+    (pure function of the id — stable under any partitioning/engine), and
+    each group packs independently with next-fit over its ids in sorted
+    order. Cross-group packing freedom is given up for parallelism — the
+    standard trade in distributed packing, and with n_docs >> n_groups the
+    fill-ratio loss is at most one partial pack per group.
+
+    The Python stage sees ONLY (id, n_tokens, group) — 24-byte rows, never
+    text — via ``applyInPandas`` keyed on the group, so state is one
+    group's id list, bounded by n_docs/n_groups: size ``n_groups`` so that
+    fits one executor. Token counts are JVM-side codegen.
+
+    Semantics: next-fit over ascending ids — a doc joins the current pack
+    if it fits, else opens a new one; a doc longer than the budget gets a
+    pack of its own (never split — splitting is `chunk_documents`).
+    ``pack_id = group * 2^32 + seq`` is globally unique and deterministic.
+
+    Returns (id_col, n_tokens, pack_id); join back on ``id_col`` for texts.
+    """
+    import pandas as pd
+
+    from ..functions import token_count as _tc
+    from .sampling import hash_bucket
+
+    if (text_col is None) == (n_tokens_col is None):
+        raise ValueError("exactly one of text_col / n_tokens_col is required")
+    n_tok = (
+        F.col(n_tokens_col).cast("long") if n_tokens_col else _tc(F.col(text_col))
+    )
+    counts = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        hash_bucket(F.col(id_col), n_groups, salt).alias("__g"),
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_tokens long, pack_id long"
+    budget = int(token_budget)
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        g = int(pdf["__g"].iloc[0])
+        seq = 0
+        used = 0
+        packs = []
+        for nt in pdf["n_tokens"].to_numpy():
+            if used > 0 and used + nt > budget:
+                seq += 1
+                used = 0
+            used += nt
+            packs.append((g << 32) | seq)
+        pdf["pack_id"] = pd.Series(packs, dtype="int64")
+        return pdf[[id_col, "n_tokens", "pack_id"]]
+
+    return counts.groupBy("__g").applyInPandas(pack_group, schema=out_schema)
+
+
+def pack_stats(assignment: DataFrame, token_budget: int) -> DataFrame:
+    """Per-pack rollup of a ``pack_sequences`` assignment: doc count, tokens
+    used, and fill ratio against the budget (the padding-waste metric the
+    packing exists to optimize)."""
+    return assignment.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_used"),
+        (F.sum("n_tokens") / F.lit(float(token_budget))).alias("fill_ratio"),
+    )

@@ -19,6 +19,7 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "asof_events_orders_bucketed",
     "training_set_pit_bucketed",
     "asof_events_orders_auto",
+    "pack_sequences_docs",  # new in r4 — registered BEFORE the window froze
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded

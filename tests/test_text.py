@@ -65,3 +65,93 @@ def test_fingerprint_normalization(spark):
     assert out[1]["fp_normalized"] == out[2]["fp_normalized"]  # case+space insensitive
     assert out[1]["fp_normalized"] != out[3]["fp_normalized"]
     assert out[2]["fp_raw"] == hashlib.md5(b"hello world").hexdigest()  # md5 parity
+
+
+# ------------------------------------------------------------- pack_sequences
+def _pack_input(spark, n=200, tok_range=(5, 40)):
+    lo, hi = tok_range
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # deterministic pseudo-random token counts in [lo, hi]
+        (F.abs(F.xxhash64("id")) % (hi - lo + 1) + lo).cast("long").alias("nt"),
+    )
+
+
+def test_pack_sequences_invariants(spark):
+    docs = _pack_input(spark)
+    out = text.pack_sequences(
+        docs, "doc_id", n_tokens_col="nt", token_budget=100, n_groups=8
+    ).collect()
+    # every doc exactly once, token counts passed through
+    assert sorted(r["doc_id"] for r in out) == list(range(200))
+    nts = {r["doc_id"]: r["n_tokens"] for r in out}
+    for r in docs.collect():
+        assert nts[r["doc_id"]] == r["nt"]
+    # no multi-doc pack exceeds the budget
+    packs: dict[int, list[int]] = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for members in packs.values():
+        if len(members) > 1:
+            assert sum(members) <= 100
+
+
+def test_pack_sequences_stable_under_repartitioning(spark):
+    docs = _pack_input(spark, n=150)
+    a = text.pack_sequences(
+        docs.repartition(1), "doc_id", n_tokens_col="nt", token_budget=64, n_groups=4
+    )
+    b = text.pack_sequences(
+        docs.repartition(13), "doc_id", n_tokens_col="nt", token_budget=64, n_groups=4
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_sequences_oversized_doc_gets_own_pack(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 500), (3, 12), (4, 11)], "doc_id long, nt long"
+    )
+    out = text.pack_sequences(
+        docs, "doc_id", n_tokens_col="nt", token_budget=64, n_groups=1
+    ).collect()
+    by_pack: dict[int, list[int]] = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r["doc_id"])
+    solo = [m for m in by_pack.values() if m == [2]]
+    assert solo, "oversized doc must sit alone in its pack"
+
+
+def test_pack_sequences_from_text_and_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, "")],
+        "doc_id long, text string",
+    )
+    assign = text.pack_sequences(docs, "doc_id", "text", token_budget=5, n_groups=1)
+    rows = {r["doc_id"]: r for r in assign.collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[4]["n_tokens"] == 0
+    stats = text.pack_stats(assign, token_budget=5).collect()
+    assert sum(r["n_docs"] for r in stats) == 4
+    assert sum(r["tokens_used"] for r in stats) == 9
+    for r in stats:
+        assert r["fill_ratio"] == r["tokens_used"] / 5.0
+
+
+def test_pack_sequences_fill_ratio_reasonable(spark):
+    # uniform small docs against a big budget: next-fit fill should beat 80%
+    docs = _pack_input(spark, n=400, tok_range=(8, 24))
+    assign = text.pack_sequences(
+        docs, "doc_id", n_tokens_col="nt", token_budget=256, n_groups=4
+    )
+    stats = text.pack_stats(assign, token_budget=256).collect()
+    full = [s for s in stats if s["fill_ratio"] >= 0.8]
+    assert len(full) >= len(stats) - 4  # at most one trailing partial pack per group
+
+
+def test_pack_sequences_arg_validation(spark):
+    docs = _pack_input(spark, n=10)
+    with pytest.raises(ValueError):
+        text.pack_sequences(docs, "doc_id", token_budget=10)  # neither source
+    with pytest.raises(ValueError):
+        text.pack_sequences(
+            docs, "doc_id", "text", n_tokens_col="nt", token_budget=10
+        )  # both
