@@ -330,3 +330,25 @@ def test_two_stage_distinct_shuffles_pair_first(spark):
     # plans print top-down, so the DEEPEST (stage-1) exchange is the last
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert "user_id" in exchanges[-1] and "event_type" in exchanges[-1]
+
+
+def test_pair_expansion_streams_through_generators(spark):
+    """The bucket pair expansion must be two chained Generate nodes
+    (posexplode + explode of the successor slice), NEVER a
+    flatten(transform(transform(...))): the flattened form materializes a
+    degenerate bucket's entire C(n,2) pair array (~50M structs at the
+    default cap) as one interpreted in-memory value and OOM'd at 200k docs
+    on a low-entropy corpus (round-4 scalecheck)."""
+    from ml_feature_store_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} tok{(i + 1) % 3} tok{(i + 2) % 3} common text here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for df in (
+        dedup.lsh_candidate_pairs(docs, "doc_id", "text"),
+        dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3),
+    ):
+        plan = plans.executed_plan(df)
+        assert plan.count("Generate") >= 2, plan
+        assert "flatten" not in plan.lower(), plan
