@@ -50,7 +50,9 @@ def get_spark(app_name: str = "ml_feature_store_pipeline_spark", *, shuffle_part
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test noise); SPARK_GRAFT_UI=true enables it so
+        # tools/scalecheck.py can read per-stage shuffle bytes over /api/v1.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)

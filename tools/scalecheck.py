@@ -4,8 +4,12 @@ sf0.1 volume and record throughput — the empirical backing for the
 
 Generates synthetic inputs with the distributed generator (no testdata
 mutation), materializes via the no-op sink, prints one JSON line per op.
+With ``SPARK_GRAFT_UI=true`` each line also carries the op's shuffle
+write/read bytes (diffed from the UI REST API's completed-stage totals) —
+the number that decides whether a plan survives 1000 executors.
 
-    python tools/scalecheck.py [--events 20000000] [--docs 200000] [--vecs 200000]
+    SPARK_GRAFT_UI=true python tools/scalecheck.py \
+        [--events 20000000] [--docs 200000] [--vecs 200000] [--ops substr,substr]
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 
 sys.path.insert(0, ".")
 
@@ -32,17 +37,68 @@ VOCAB = (
     "order data column join small line customer query big vector stream group sort filter the a"
 ).split()
 
+ONLY: list[str] = []  # --ops substrings; empty = run everything
+
+
+def want(op: str) -> bool:
+    return not ONLY or any(s in op for s in ONLY)
+
+
+class ShuffleMeter:
+    """Per-op shuffle-volume deltas from the UI REST API (public monitoring
+    surface, /api/v1/applications/{app}/stages). Inactive when the UI is
+    off — every method degrades to None."""
+
+    def __init__(self, spark) -> None:
+        self._url = spark.sparkContext.uiWebUrl
+        self._app = spark.sparkContext.applicationId
+        self._last = self._totals()
+
+    def _totals(self) -> tuple[int, int] | None:
+        if not self._url:
+            return None
+        try:
+            with urllib.request.urlopen(
+                f"{self._url}/api/v1/applications/{self._app}/stages?status=complete", timeout=10
+            ) as resp:
+                stages = json.load(resp)
+            return (
+                sum(s.get("shuffleWriteBytes", 0) for s in stages),
+                sum(s.get("shuffleReadBytes", 0) for s in stages),
+            )
+        except Exception:
+            return None
+
+    def delta(self) -> tuple[int, int] | None:
+        cur = self._totals()
+        prev, self._last = self._last, cur
+        if cur is None or prev is None:
+            return None
+        return (cur[0] - prev[0], cur[1] - prev[1])
+
+
+METER: ShuffleMeter | None = None
+
 
 def log(op: str, seconds: float, rows: int) -> None:
-    print(
-        json.dumps(
-            {"op": op, "sec": round(seconds, 2), "rows": rows, "rows_per_sec": int(rows / max(seconds, 1e-9))}
-        ),
-        flush=True,
-    )
+    rec = {
+        "op": op,
+        "sec": round(seconds, 2),
+        "rows": rows,
+        "rows_per_sec": int(rows / max(seconds, 1e-9)),
+    }
+    d = METER.delta() if METER is not None else None
+    if d is not None:
+        rec["shuffle_write_mb"] = round(d[0] / 1e6, 1)
+        rec["shuffle_read_mb"] = round(d[1] / 1e6, 1)
+    print(json.dumps(rec), flush=True)
 
 
 def timed(op: str, df, rows: int) -> None:
+    if not want(op):
+        return
+    if METER is not None:
+        METER.delta()  # reset baseline to exclude plan-construction jobs
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     log(op, time.time() - t0, rows)
@@ -72,132 +128,224 @@ def synth_vecs(spark, n: int, dim: int = 64):
     return spark.range(n).select(F.col("id").alias("vec_id"), arr.cast("array<float>").alias("embedding"))
 
 
+EVENT_OPS = (
+    "flagship_extract_exact flagship_extract_approx sessionize asof_join "
+    "deterministic_sample_10pct training_set_1view asof_join_bucketed_1key "
+    "interval_join_2k_bands"
+).split()
+DOC_OPS = (
+    "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
+    "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
+    "boilerplate_ngram"
+).split()
+VEC_OPS = "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm".split()
+
+
 def main() -> None:
+    global ONLY, METER
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=20_000_000)
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--vecs", type=int, default=200_000)
+    ap.add_argument("--ops", default="", help="comma-separated substrings; run only matching ops")
     args = ap.parse_args()
+    ONLY = [s for s in args.ops.split(",") if s]
 
     spark = get_spark("scalecheck")
+    METER = ShuffleMeter(spark)
     work = tempfile.mkdtemp(prefix="scalecheck_")
     try:
         # ---- materialize inputs to parquet (so scans are realistic) -------
-        t0 = time.time()
-        generate_events(spark, n_events=args.events, n_users=max(args.events // 200, 1), seed=42).write.mode(
-            "overwrite"
-        ).parquet(f"{work}/events")
-        log("generate_events_parquet", time.time() - t0, args.events)
-        events = spark.read.parquet(f"{work}/events")
+        events = docs = vecs = None
+        if any(want(o) for o in EVENT_OPS):
+            t0 = time.time()
+            generate_events(spark, n_events=args.events, n_users=max(args.events // 200, 1), seed=42).write.mode(
+                "overwrite"
+            ).parquet(f"{work}/events")
+            log("generate_events_parquet", time.time() - t0, args.events)
+            events = spark.read.parquet(f"{work}/events")
 
-        t0 = time.time()
-        synth_docs(spark, args.docs).write.mode("overwrite").parquet(f"{work}/docs")
-        log("generate_docs_parquet", time.time() - t0, args.docs)
-        docs = spark.read.parquet(f"{work}/docs")
+        if any(want(o) for o in DOC_OPS):
+            t0 = time.time()
+            synth_docs(spark, args.docs).write.mode("overwrite").parquet(f"{work}/docs")
+            log("generate_docs_parquet", time.time() - t0, args.docs)
+            docs = spark.read.parquet(f"{work}/docs")
 
-        t0 = time.time()
-        synth_vecs(spark, args.vecs).write.mode("overwrite").parquet(f"{work}/vecs")
-        log("generate_vecs_parquet", time.time() - t0, args.vecs)
-        vecs = spark.read.parquet(f"{work}/vecs")
+        if any(want(o) for o in VEC_OPS):
+            t0 = time.time()
+            synth_vecs(spark, args.vecs).write.mode("overwrite").parquet(f"{work}/vecs")
+            log("generate_vecs_parquet", time.time() - t0, args.vecs)
+            vecs = spark.read.parquet(f"{work}/vecs")
 
         # ---- the load-bearing operators ----------------------------------
-        timed("flagship_extract_exact", UserEventExtractor().extract(events), args.events)
-        timed("flagship_extract_approx", ApproxUserEventExtractor().extract(events), args.events)
-        timed(
-            "sessionize",
-            windows.sessionize(events, "user_id", "timestamp", 1800),
-            args.events,
-        )
-        # as-of: each event sees the user's latest prior purchase
-        purchases = events.filter(F.col("amount") > 0).select(
-            "user_id", F.col("timestamp").alias("p_ts"), F.col("amount").alias("p_amount")
-        )
-        timed(
-            "asof_join",
-            joins.asof_join(
-                events.select("user_id", "timestamp", "event_type"),
-                purchases,
-                key="user_id",
-                left_ts="timestamp",
-                right_ts="p_ts",
-                value_cols=["p_amount"],
-            ),
-            args.events,
-        )
-        timed(
-            "minhash_lsh_pairs",
-            dedup.lsh_candidate_pairs(docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism),
-            args.docs,
-        )
-        timed("simhash", dedup.simhash(docs, "doc_id", "text"), args.docs)
-        timed(
-            "simhash_near_pairs",
-            dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3),
-            args.docs,
-        )
-        timed(
-            "exact_dedup_digest",
-            dedup.exact_dedup(docs, ["text"], "doc_id"),
-            args.docs,
-        )
-        queries = vecs.filter(F.col("vec_id") < 100).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        timed("cosine_topk_100q", similarity.cosine_topk(queries, vecs, k=10), args.vecs * 100)
-        # run twice: first pays Python-worker fork + numpy import, second is steady state
-        timed("cosine_topk_blas_cold", similarity.cosine_topk_blas(queries, vecs, k=10), args.vecs * 100)
-        timed("cosine_topk_blas_warm", similarity.cosine_topk_blas(queries, vecs, k=10), args.vecs * 100)
-        timed("chunk_documents", text.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8), args.docs)
-        timed(
-            "deterministic_sample_10pct",
-            sampling.deterministic_sample(events, "user_id", 0.10),
-            args.events,
-        )
-        labels = events.filter(F.col("event_type") == "purchase").select("user_id", "timestamp")
-        timed(
-            "training_set_1view",
-            training_set(
-                labels,
-                {"p": FeatureView(purchases, "p_ts", ["p_amount"])},
-                key="user_id",
-                label_ts="timestamp",
-            ),
-            args.events,
-        )
-        # hot-key stress: EVERY row on one key — the plain as-of serializes
-        # this into a single window task; the bucketed form splits it
-        hot = events.select(
-            F.lit(1).alias("user_id"), F.col("timestamp"), F.col("event_type")
-        )
-        hot_purch = purchases.withColumn("user_id", F.lit(1))
-        timed(
-            "asof_join_bucketed_1key",
-            joins.asof_join_bucketed(
-                hot, hot_purch, key="user_id", left_ts="timestamp", right_ts="p_ts",
-                value_cols=["p_amount"], bucket_seconds=3600,
-            ),
-            args.events,
-        )
-        timed(
-            "ngram_jaccard_capped",
-            dedup.ngram_jaccard_pairs(
-                docs, "doc_id", "text", threshold=0.3,
-                parallelism=spark.sparkContext.defaultParallelism,
-            ),
-            args.docs,
-        )
-        tiers = spark.range(2000).select(
-            (F.col("id") * 5.0).alias("lo"),
-            (F.col("id") * 5.0 + 7.5).alias("hi"),
-            F.col("id").alias("tier_id"),
-        )
-        timed(
-            "interval_join_2k_bands",
-            joins.interval_join_bucketed(
-                events.select("amount"), tiers, "amount", bucket_width=5.0
-            ),
-            args.events,
-        )
+        if events is not None:
+            timed("flagship_extract_exact", UserEventExtractor().extract(events), args.events)
+            timed("flagship_extract_approx", ApproxUserEventExtractor().extract(events), args.events)
+            timed(
+                "sessionize",
+                windows.sessionize(events, "user_id", "timestamp", 1800),
+                args.events,
+            )
+            # as-of: each event sees the user's latest prior purchase
+            purchases = events.filter(F.col("amount") > 0).select(
+                "user_id", F.col("timestamp").alias("p_ts"), F.col("amount").alias("p_amount")
+            )
+            timed(
+                "asof_join",
+                joins.asof_join(
+                    events.select("user_id", "timestamp", "event_type"),
+                    purchases,
+                    key="user_id",
+                    left_ts="timestamp",
+                    right_ts="p_ts",
+                    value_cols=["p_amount"],
+                ),
+                args.events,
+            )
+        if docs is not None:
+            timed(
+                "minhash_lsh_pairs",
+                dedup.lsh_candidate_pairs(docs, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism),
+                args.docs,
+            )
+            timed("simhash", dedup.simhash(docs, "doc_id", "text"), args.docs)
+            timed(
+                "simhash_near_pairs",
+                dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3),
+                args.docs,
+            )
+            timed(
+                "exact_dedup_digest",
+                dedup.exact_dedup(docs, ["text"], "doc_id"),
+                args.docs,
+            )
+        if vecs is not None:
+            queries = vecs.filter(F.col("vec_id") < 100).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            timed("cosine_topk_100q", similarity.cosine_topk(queries, vecs, k=10), args.vecs * 100)
+            # run twice: first pays Python-worker fork + numpy import, second is steady state
+            timed("cosine_topk_blas_cold", similarity.cosine_topk_blas(queries, vecs, k=10), args.vecs * 100)
+            timed("cosine_topk_blas_warm", similarity.cosine_topk_blas(queries, vecs, k=10), args.vecs * 100)
+        if docs is not None:
+            timed("chunk_documents", text.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8), args.docs)
+        if events is not None:
+            timed(
+                "deterministic_sample_10pct",
+                sampling.deterministic_sample(events, "user_id", 0.10),
+                args.events,
+            )
+            labels = events.filter(F.col("event_type") == "purchase").select("user_id", "timestamp")
+            timed(
+                "training_set_1view",
+                training_set(
+                    labels,
+                    {"p": FeatureView(purchases, "p_ts", ["p_amount"])},
+                    key="user_id",
+                    label_ts="timestamp",
+                ),
+                args.events,
+            )
+            # hot-key stress: EVERY row on one key — the plain as-of serializes
+            # this into a single window task; the bucketed form splits it
+            hot = events.select(
+                F.lit(1).alias("user_id"), F.col("timestamp"), F.col("event_type")
+            )
+            hot_purch = purchases.withColumn("user_id", F.lit(1))
+            timed(
+                "asof_join_bucketed_1key",
+                joins.asof_join_bucketed(
+                    hot, hot_purch, key="user_id", left_ts="timestamp", right_ts="p_ts",
+                    value_cols=["p_amount"], bucket_seconds=3600,
+                ),
+                args.events,
+            )
+        if docs is not None:
+            timed(
+                "ngram_jaccard_capped",
+                dedup.ngram_jaccard_pairs(
+                    docs, "doc_id", "text", threshold=0.3,
+                    parallelism=spark.sparkContext.defaultParallelism,
+                ),
+                args.docs,
+            )
+        if events is not None:
+            tiers = spark.range(2000).select(
+                (F.col("id") * 5.0).alias("lo"),
+                (F.col("id") * 5.0 + 7.5).alias("hi"),
+                F.col("id").alias("tier_id"),
+            )
+            timed(
+                "interval_join_2k_bands",
+                joins.interval_join_bucketed(
+                    events.select("amount"), tiers, "amount", bucket_width=5.0
+                ),
+                args.events,
+            )
+
+        # ---- near-dup END-TO-END: LSH propose → CC cluster → survivors ----
+        # 10% of docs are near-copies of their predecessor (same bag of
+        # words + one extra token), so the pair graph has real clusters and
+        # the CC rounds do real work — the full SURVEY dedup pipeline as one
+        # measured unit, not three separate stages.
+        if docs is not None and want("near_dup_pipeline"):
+            par = spark.sparkContext.defaultParallelism
+            base = F.when(F.col("id") % 10 == 9, F.col("id") - 1).otherwise(F.col("id"))
+            words = F.array(*[F.lit(w) for w in VOCAB])
+            tok = F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.element_at(
+                    words,
+                    ((F.xxhash64(base, i) % len(VOCAB) + len(VOCAB)) % len(VOCAB) + 1).cast("int"),
+                ),
+            )
+            dup_text = F.when(
+                F.col("id") % 10 == 9, F.concat_ws(" ", F.concat_ws(" ", tok), F.lit("extra"))
+            ).otherwise(F.concat_ws(" ", tok))
+            spark.range(args.docs).select(
+                F.col("id").alias("doc_id"), dup_text.alias("text")
+            ).write.mode("overwrite").parquet(f"{work}/dup_docs")
+            ddocs = spark.read.parquet(f"{work}/dup_docs")
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            pairs = dedup.lsh_candidate_pairs(ddocs, "doc_id", "text", parallelism=par)
+            surv = dedup.dedup_survivors(ddocs, pairs, "doc_id")
+            n_surv = surv.count()  # CC runs eagerly inside; count forces the rest
+            log("near_dup_pipeline", time.time() - t0, args.docs)
+            print(json.dumps({"op": "near_dup_pipeline.survivors", "rows": n_surv}), flush=True)
+
+        # ---- degenerate boilerplate corpus: the cap's worst case ----------
+        # Every doc shares an identical header sentence, so ~10 shingles
+        # have document frequency = |corpus|. Uncapped, ONE posting list
+        # expands to n²/2 pairs; the DF cut must drop those shingles before
+        # any pair expansion, and the LSH bucket cap must bound whatever
+        # the header does to the minhash buckets.
+        if docs is not None and (want("boilerplate_lsh") or want("boilerplate_ngram")):
+            header = F.lit("start of the shared legal boilerplate header sentence every single document carries verbatim")
+            boiler = docs.select("doc_id", F.concat_ws(" ", header, F.col("text")).alias("text"))
+            boiler.write.mode("overwrite").parquet(f"{work}/boiler_docs")
+            bdocs = spark.read.parquet(f"{work}/boiler_docs")
+            par = spark.sparkContext.defaultParallelism
+            if want("boilerplate_lsh"):
+                if METER is not None:
+                    METER.delta()
+                t0 = time.time()
+                n_pairs = dedup.lsh_candidate_pairs(
+                    bdocs, "doc_id", "text", max_bucket_size=256, parallelism=par
+                ).count()
+                log("boilerplate_lsh_pairs", time.time() - t0, args.docs)
+                print(json.dumps({"op": "boilerplate_lsh_pairs.count", "rows": n_pairs}), flush=True)
+            if want("boilerplate_ngram"):
+                if METER is not None:
+                    METER.delta()
+                t0 = time.time()
+                n_pairs = dedup.ngram_jaccard_pairs(
+                    bdocs, "doc_id", "text", threshold=0.3,
+                    max_doc_frequency=1000, parallelism=par,
+                ).count()
+                log("boilerplate_ngram_pairs", time.time() - t0, args.docs)
+                print(json.dumps({"op": "boilerplate_ngram_pairs.count", "rows": n_pairs}), flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
