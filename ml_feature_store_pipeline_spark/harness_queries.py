@@ -661,7 +661,12 @@ _TRAINING_SET_PIT_SQL = """
     """
 
 
-def _training_set_pit(spark: SparkSession, sf_dir: str, bucket_seconds: int | None) -> DataFrame:
+def _training_set_pit(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_seconds: int | None,
+    skew_adaptive: bool = False,
+) -> DataFrame:
     from .operators.pit import FeatureView, training_set
 
     e = read_table(spark, sf_dir, "events")
@@ -684,6 +689,7 @@ def _training_set_pit(spark: SparkSession, sf_dir: str, bucket_seconds: int | No
         key="user_id",
         label_ts="ts",
         bucket_seconds=bucket_seconds,
+        skew_adaptive=skew_adaptive,
     ).select(
         "event_id", "user_id", "ts", "label",
         "ord__asof_ts", "ord__o_orderkey", "ord__o_totalprice",
@@ -707,6 +713,16 @@ def q_training_set_pit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day buckets) — IDENTICAL results (same oracle), perf-tracked in
     bench.py against the plain-window form."""
     return _training_set_pit(spark, sf_dir, 86_400)
+
+
+@register("training_set_pit_auto", _TRAINING_SET_PIT_SQL)
+def q_training_set_pit_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-ADAPTIVE PIT training set: each feature view probes its own
+    key-skew (one count-by-key job) and picks plain vs bucketed per view
+    (operators.pit.training_set(skew_adaptive=True)). Same oracle as the
+    fixed forms — the choice is pure performance. Registered r4 (after the
+    window froze); r5 window material."""
+    return _training_set_pit(spark, sf_dir, None, skew_adaptive=True)
 
 
 @register(

@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .joins import asof_join, asof_join_bucketed
+from .joins import asof_join, asof_join_auto, asof_join_bucketed
 
 
 @dataclass
@@ -43,6 +43,7 @@ def training_set(
     label_ts: str,
     staleness_seconds: float | None = None,
     bucket_seconds: int | None = None,
+    skew_adaptive: bool = False,
 ) -> DataFrame:
     """For each label row, attach ``{name}__{feature}`` = the feature's
     latest value as of the label's timestamp, plus ``{name}__asof_ts`` (the
@@ -55,7 +56,12 @@ def training_set(
     ``bucket_seconds`` switches every as-of to the skew-safe
     :func:`~.joins.asof_join_bucketed` form (identical results) — use it
     when one entity dominates the label or feature volume, since the plain
-    window serializes each key into a single task.
+    window serializes each key into a single task. ``skew_adaptive=True``
+    instead lets each view measure its own key skew and pick plain vs
+    bucketed per view (:func:`~.joins.asof_join_auto`; ``bucket_seconds``
+    then only sizes the buckets when the bucketed branch is chosen) — one
+    count-by-key probe job per view, the right default when label/feature
+    skew is unknown.
     """
     out = labels
     for name, view in views.items():
@@ -74,7 +80,11 @@ def training_set(
             value_cols=[ts_alias, *feat_aliases],
             strict=view.strict,
         )
-        if bucket_seconds is None:
+        if skew_adaptive:
+            out = asof_join_auto(
+                out, right, bucket_seconds=bucket_seconds or 86_400, **asof_kwargs
+            )
+        elif bucket_seconds is None:
             out = asof_join(out, right, **asof_kwargs)
         else:
             out = asof_join_bucketed(out, right, bucket_seconds=bucket_seconds, **asof_kwargs)
@@ -95,6 +105,7 @@ def backfill(
     key: str,
     staleness_seconds: float | None = None,
     bucket_seconds: int | None = None,
+    skew_adaptive: bool = False,
 ) -> DataFrame:
     """Historical feature backfill: feature values for every entity at every
     snapshot timestamp — N daily/hourly materializations in ONE pass.
@@ -116,6 +127,7 @@ def backfill(
         label_ts="snapshot_ts",
         staleness_seconds=staleness_seconds,
         bucket_seconds=bucket_seconds,
+        skew_adaptive=skew_adaptive,
     )
 
 

@@ -198,3 +198,14 @@ def test_scd2_read_matches_asof_on_dense_log(spark, changelog):
         ).collect()
     }
     assert via_hist == via_asof
+
+
+def test_training_set_skew_adaptive_matches_plain(spark):
+    """skew_adaptive routes through asof_join_auto per view; on any input
+    both branches must produce the plain form's exact rows."""
+    from ml_feature_store_pipeline_spark.harness_queries import _training_set_pit
+
+    sf = "/root/testdata/sf0.001"
+    plain = _training_set_pit(spark, sf, None)
+    auto = _training_set_pit(spark, sf, None, skew_adaptive=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, auto.collect()))
