@@ -206,6 +206,39 @@ def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_minhash_pairs",
+    _minhash_pairs_sql().replace(
+        "FROM bb a JOIN bb b\n      ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id",
+        "FROM bb a JOIN bb b\n      ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id\n    WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0",
+    ),
+)
+def q_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dup: every 10th doc plays the NEW batch,
+    the rest the standing corpus (`dedup.lsh_candidate_pairs_incremental`).
+    Exact oracle: the FULL pipeline's pair SQL filtered to pairs touching
+    the batch — the incremental form must reproduce it while pruning
+    corpus-only buckets before any pair expansion and reusing the corpus's
+    precomputed signatures. Registered r4 after the window froze; r5
+    window material (local gate + pytest equality until then)."""
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    sigs = dedup.minhash_signatures(
+        corpus.repartition(_par(spark)), "doc_id", "text", _MINHASH_N
+    )
+    return dedup.lsh_candidate_pairs_incremental(
+        new,
+        corpus,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        corpus_signatures=sigs,
+        parallelism=_par(spark),
+    )
+
+
 def _simhash_sql() -> str:
     # 64-bit twin of dedup.simhash: bits 0–31 hash from md5 chars 1–8,
     # bits 32–63 from chars 9–16 (two independent 32-bit hashes — no

@@ -233,6 +233,100 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 10_000,
+    corpus_signatures: DataFrame | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates for a NEW batch against an existing corpus — the
+    continuous-ingestion form of :func:`lsh_candidate_pairs`: pairs
+    (id_a < id_b) sharing ≥1 band bucket where at least one side is new,
+    exactly the full run's output filtered to pairs touching the batch
+    (ids must be disjoint across the two inputs).
+
+    What's saved vs re-running the full pipeline:
+
+    - **Signatures**: pass ``corpus_signatures`` (persisted output of
+      :func:`minhash_signatures` — the natural thing to store next to a
+      100 TB corpus) and the shingle-explode+md5 over the corpus — the
+      CPU-dominant stage, ~60 hashed shingles per doc — runs over the NEW
+      batch only. Without it the corpus is (re)signed here, still skipping
+      the pair stage below.
+    - **Pairs**: buckets containing no new member are dropped BEFORE any
+      expansion. For a small batch against a big corpus, almost every
+      bucket is corpus-only, so the quadratic stage touches a vanishing
+      fraction of the index.
+
+    Same ``max_bucket_size`` rank-by-id cap as the full run (so the
+    retained members — and therefore the emitted pairs — are identical to
+    the full run's for every bucket the batch touches)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): trailing "
+            "signature rows would be silently dropped, weakening LSH recall"
+        )
+    if parallelism:
+        new_docs = new_docs.repartition(parallelism)
+    rows_per_band = num_hashes // bands
+    sig_new = minhash_signatures(new_docs, id_col, text_col, num_hashes).withColumn(
+        "__new", F.lit(True)
+    )
+    sig_corpus = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else minhash_signatures(
+            corpus.repartition(parallelism) if parallelism else corpus,
+            id_col,
+            text_col,
+            num_hashes,
+        )
+    ).withColumn("__new", F.lit(False))
+    tagged = sig_new.unionByName(sig_corpus)
+    member = F.struct(F.col(id_col).alias("id"), F.col("__new").alias("is_new"))
+    # identical band/bucket construction to lsh_band_buckets — required for
+    # bucket-level equality with the full run
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band))
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    bands_df = tagged.select(
+        member.alias("m"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("m", F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket"))
+    grouped = _capped_bucket_lists(
+        bands_df, ["band_id", "bucket"], F.col("m"), max_bucket_size
+    ).withColumnRenamed("ids", "ms")
+    # the incremental prune: corpus-only buckets never reach pair expansion
+    touched = grouped.filter(F.exists("ms", lambda m: m["is_new"]))
+    return (
+        touched.select(F.posexplode("ms").alias("i", "m"), F.col("ms"))
+        .select(
+            F.col("m"),
+            F.explode(
+                F.slice(
+                    F.col("ms"),
+                    F.col("i") + 2,
+                    F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0)),
+                )
+            ).alias("y"),
+        )
+        .filter(F.col("m.is_new") | F.col("y.is_new"))
+        .select(F.col("m.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def _capped_bucket_lists(
     df: DataFrame, bucket_cols: list[str], member: Column, max_bucket_size: int
 ) -> DataFrame:

@@ -330,3 +330,69 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
         kept = sorted(r["doc_id"] for r in d.dedup_survivors(docs, pairs, "doc_id").collect())
         assert kept == [1, 10, 99]
+
+
+# ------------------------------------------------------ incremental LSH pairs
+def _inc_corpus(spark):
+    rows = []
+    for i in range(40):
+        base = f"alpha beta gamma delta epsilon zeta eta theta doc{i % 7} tail{i % 5} word{i}"
+        rows.append((i, base))
+    # near-dups: 100/101 copy docs 0/1 (cross new/corpus), 102 copies 100 (new/new)
+    rows += [(100, rows[0][1]), (101, rows[1][1] + " extra"), (102, rows[0][1])]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_lsh_matches_filtered_full_run(spark):
+    docs = _inc_corpus(spark)
+    new = docs.filter(F.col("doc_id") >= 100)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    full = dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+    expected = sorted(
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] >= 100 or r["id_b"] >= 100
+    )
+    got = dedup.lsh_candidate_pairs_incremental(new, corpus, "doc_id", "text")
+    assert sorted((r["id_a"], r["id_b"]) for r in got.collect()) == expected
+    assert expected, "fixture must actually produce cross-batch pairs"
+    # corpus-corpus pairs exist in the full run but never in the incremental
+    corpus_only = [
+        (r["id_a"], r["id_b"]) for r in full.collect() if r["id_a"] < 100 and r["id_b"] < 100
+    ]
+    if corpus_only:
+        inc = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        assert not inc.intersection(corpus_only)
+
+
+def test_incremental_lsh_accepts_precomputed_signatures(spark):
+    docs = _inc_corpus(spark)
+    new = docs.filter(F.col("doc_id") >= 100)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text")
+    a = dedup.lsh_candidate_pairs_incremental(new, corpus, "doc_id", "text")
+    b = dedup.lsh_candidate_pairs_incremental(
+        new, corpus, "doc_id", "text", corpus_signatures=sigs
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_incremental_lsh_cap_matches_full_run(spark):
+    # one degenerate bucket spanning both sides: cap retention (smallest ids)
+    # must match the full run so emitted pairs agree
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere always") for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    full = dedup.lsh_candidate_pairs(docs, "doc_id", "text", max_bucket_size=6)
+    expected = sorted(
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] % 4 == 0 or r["id_b"] % 4 == 0
+    )
+    got = dedup.lsh_candidate_pairs_incremental(
+        new, corpus, "doc_id", "text", max_bucket_size=6
+    )
+    assert sorted((r["id_a"], r["id_b"]) for r in got.collect()) == expected
