@@ -210,26 +210,39 @@ def lsh_candidate_pairs(
     bb = lsh_band_buckets(sig, id_col, bands, rows_per_band)
     grouped = _capped_bucket_lists(bb, ["band_id", "bucket"], F.col(id_col), max_bucket_size)
     # bucket-local (a, b) expansion: ids are sorted, so pairing each element
-    # with its successors yields id_a < id_b without least/greatest. Two
-    # chained generators (posexplode + explode of the successor slice)
-    # STREAM the expansion through codegen one pair at a time — the former
-    # flatten(transform(transform(...))) built the bucket's entire C(n,2)
-    # pair array as ONE interpreted in-memory value, which is ~50M structs
-    # (multiple GiB) for a degenerate bucket at the default cap and OOM'd
-    # the executor on low-entropy corpora at 200k docs.
+    # with its successors yields id_a < id_b without least/greatest
     return (
-        grouped.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        _expand_successor_pairs(grouped, "ids")
+        .select(F.col("m").alias("id_a"), F.col("y").alias("id_b"))
+        .distinct()
+    )
+
+
+def _expand_successor_pairs(grouped: DataFrame, list_col: str) -> DataFrame:
+    """Stream every (element, successor) pair of a SORTED array column
+    through two chained generators (posexplode + explode of the successor
+    slice) — one pair in flight at a time inside whole-stage codegen.
+
+    Never build the pair set as a flattened array instead: that
+    materializes C(n,2) entries as ONE interpreted in-memory value and
+    OOM'd at the default bucket cap on degenerate buckets (round-4
+    scalecheck; guarded by test_plans.py::
+    test_pair_expansion_streams_through_generators).
+
+    Returns columns ``m`` (element) and ``y`` (successor); sorted input
+    makes every emitted pair ordered m < y."""
+    return (
+        grouped.select(F.posexplode(list_col).alias("i", "m"), F.col(list_col).alias("__lst"))
         .select(
-            "id_a",
+            "m",
             F.explode(
                 F.slice(
-                    F.col("ids"),
+                    F.col("__lst"),
                     F.col("i") + 2,
-                    F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
+                    F.greatest(F.size("__lst") - F.col("i") - 1, F.lit(0)),
                 )
-            ).alias("id_b"),
+            ).alias("y"),
         )
-        .distinct()
     )
 
 
@@ -310,17 +323,7 @@ def lsh_candidate_pairs_incremental(
     # the incremental prune: corpus-only buckets never reach pair expansion
     touched = grouped.filter(F.exists("ms", lambda m: m["is_new"]))
     return (
-        touched.select(F.posexplode("ms").alias("i", "m"), F.col("ms"))
-        .select(
-            F.col("m"),
-            F.explode(
-                F.slice(
-                    F.col("ms"),
-                    F.col("i") + 2,
-                    F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0)),
-                )
-            ).alias("y"),
-        )
+        _expand_successor_pairs(touched, "ms")
         .filter(F.col("m.is_new") | F.col("y.is_new"))
         .select(F.col("m.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
@@ -654,24 +657,9 @@ def simhash_near_pairs(
         bands_df, ["band_id", "band_val"], F.col("m"), max_bucket_size
     ).withColumnRenamed("ids", "ms")
     # bucket-local (a, b) expansion with the hamming distance computed in
-    # place: members are sorted by id, so successor pairing gives id_a <
-    # id_b. Streamed through two chained generators (posexplode + explode
-    # of the successor slice) exactly like lsh_candidate_pairs — the former
-    # flatten(transform(transform(...))) materialized the bucket's whole
-    # C(n,2) pair array as one interpreted value and OOM'd on degenerate
-    # buckets (low-entropy corpora collapse the 16-bit band space).
+    # place: members are sorted by id, so successor pairing gives id_a < id_b
     return (
-        grouped.select(F.posexplode("ms").alias("i", "m"), F.col("ms"))
-        .select(
-            F.col("m"),
-            F.explode(
-                F.slice(
-                    F.col("ms"),
-                    F.col("i") + 2,
-                    F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0)),
-                )
-            ).alias("y"),
-        )
+        _expand_successor_pairs(grouped, "ms")
         .select(
             F.col("m.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
