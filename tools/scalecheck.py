@@ -136,7 +136,7 @@ EVENT_OPS = (
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
     "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
-    "boilerplate_ngram"
+    "boilerplate_ngram pack_sequences incremental_lsh"
 ).split()
 VEC_OPS = "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm".split()
 
@@ -281,6 +281,40 @@ def main() -> None:
                     events.select("amount"), tiers, "amount", bucket_width=5.0
                 ),
                 args.events,
+            )
+
+        if docs is not None:
+            timed(
+                "pack_sequences",
+                text.pack_sequences(
+                    docs, "doc_id", "text", token_budget=2048,
+                    n_groups=spark.sparkContext.defaultParallelism * 8,
+                ),
+                args.docs,
+            )
+
+        # ---- incremental LSH: 1% new batch vs standing corpus -------------
+        # corpus signatures are PERSISTED first (the standing index a real
+        # pipeline keeps next to the corpus) and excluded from the timing —
+        # the measured op is exactly what continuous ingestion pays per
+        # batch: sign the new docs, co-bucket against the stored signatures,
+        # expand only batch-touched buckets.
+        if docs is not None and want("incremental_lsh"):
+            from ml_feature_store_pipeline_spark.operators.dedup import minhash_signatures
+
+            par = spark.sparkContext.defaultParallelism
+            new = docs.filter(F.col("doc_id") % 100 == 0)
+            corp = docs.filter(F.col("doc_id") % 100 != 0)
+            minhash_signatures(corp.repartition(par), "doc_id", "text").write.mode(
+                "overwrite"
+            ).parquet(f"{work}/corp_sigs")
+            sigs = spark.read.parquet(f"{work}/corp_sigs")
+            timed(
+                "incremental_lsh_1pct_batch",
+                dedup.lsh_candidate_pairs_incremental(
+                    new, corp, "doc_id", "text", corpus_signatures=sigs, parallelism=par
+                ),
+                args.docs // 100,
             )
 
         # ---- near-dup END-TO-END: LSH propose → CC cluster → survivors ----
