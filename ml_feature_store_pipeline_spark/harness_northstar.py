@@ -796,6 +796,49 @@ def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_mixture_sample_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(LEN({_SQL_TOKS.format(t='text')}) AS BIGINT) AS nt,
+             CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) + 1 AS w
+      FROM documents
+    ),
+    tot AS (SELECT source, MAX(w) AS w, SUM(nt) AS T FROM t GROUP BY source),
+    m AS (SELECT T AS tm, w AS wm FROM tot ORDER BY T * 1.0 / w, source LIMIT 1),
+    cuts AS (SELECT source, ((10000 * tm * w) // (wm * T)) AS cut FROM tot, m),
+    kept AS (
+      SELECT t.doc_id, t.source, t.nt FROM t JOIN cuts USING (source)
+      WHERE CAST(concat('0x', substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < cut
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(nt) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+    """,
+)
+def q_token_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM data-mix rebalance (`sampling.mixture_sample_by_tokens`): target
+    token share of srcK is ∝ K+1, every source downsampled to the binding
+    one with EXACT integer cut arithmetic — the DuckDB twin recomputes the
+    same totals, binding source, integer cuts, and md5 membership, so the
+    kept per-source doc/token counts hash-match exactly (not a bounded
+    check). Registered r4 after the window froze; r5 window material."""
+    from .functions import token_count
+    from .operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    weights = {s: int(s.removeprefix("src")) + 1 for s in srcs}
+    kept = sampling.mixture_sample_by_tokens(
+        docs, "doc_id", "source", weights, n_tokens=token_count(F.col("text"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("tokens_kept"),
+    )
+
+
 @register("cosine_topk_blas", _TOPK_IDS_SQL)
 def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow+BLAS exact top-k (mapInPandas matmul): same ids/ranks as

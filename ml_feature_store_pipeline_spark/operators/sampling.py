@@ -116,3 +116,74 @@ def fold_column(key: Column, k: int = 5, *, salt: str = "") -> Column:
     so folds are reproducible and entity-keyed folds keep a user's rows in
     one fold. Use a distinct ``salt`` per experiment for fresh folds."""
     return hash_bucket(key, k, salt).cast("int")
+
+
+def token_mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    n_tokens: Column,
+    weights: dict[str, int],
+) -> dict[str, tuple[int, int]]:
+    """Per-source sampling cuts that rebalance a corpus to a TARGET TOKEN
+    MIX — the data-mixing step of an LLM training recipe (weights are
+    relative token shares, e.g. books:4, web:1).
+
+    Kept tokens per source are made proportional to ``weights`` by
+    downsampling everything to the binding source: c = min_s(T_s / w_s)
+    (ties broken by source name), f_s = c·w_s / T_s ≤ 1, so expected kept
+    tokens K_s = c·w_s ∝ w_s, total kept maximal without upsampling.
+
+    Returns {source: (num, den)} with the keep fraction as the exact
+    rational f_s = num/den = (T_m·w_s)/(w_m·T_s); the cut for ``buckets``
+    b is ``(b·num) // den`` — ALL INTEGER arithmetic, so an external
+    engine (the DuckDB oracle) computing the same formula lands on
+    bit-identical cuts; a float f_s would risk rounding the cut
+    differently on a last-ulp disagreement. Dropped sources (weight 0 or
+    no tokens) get (0, 1).
+
+    The aggregate this collects is |sources| rows (data mixes have tens of
+    sources, not millions) — metadata-scale by nature, documented as such.
+    Sources absent from ``weights`` get weight 0 (dropped)."""
+    totals = {
+        r["__src"]: r["__t"] or 0
+        for r in df.groupBy(F.col(source_col).alias("__src"))
+        .agg(F.sum(n_tokens).alias("__t"))
+        .collect()
+    }
+    binding = min(
+        ((src, t) for src, t in totals.items() if weights.get(src, 0) > 0 and t > 0),
+        key=lambda kv: (kv[1] / weights[kv[0]], kv[0]),
+        default=None,
+    )
+    if binding is None:
+        return {src: (0, 1) for src in totals}
+    t_m, w_m = binding[1], weights[binding[0]]
+    return {
+        src: (t_m * weights[src], w_m * t) if weights.get(src, 0) > 0 and t > 0 else (0, 1)
+        for src, t in totals.items()
+    }
+
+
+def mixture_sample_by_tokens(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, int],
+    *,
+    n_tokens: Column,
+    buckets: int = 10000,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically sample ``df`` so kept TOKENS per source follow the
+    ``weights`` mix (see :func:`token_mixture_plan`). Membership is the
+    same md5-bucket predicate as every sampler here — a pure function of
+    the key, stable under repartitioning, engine-portable, and nested
+    (raising a weight strictly grows that source's sample).
+
+    One |sources|-row aggregate chooses the cuts; the sample itself is a
+    codegen filter on the scan — no shuffle of the data."""
+    plan = token_mixture_plan(df, source_col, n_tokens, weights)
+    cuts = {src: (buckets * num) // den for src, (num, den) in plan.items()}
+    cut_map = F.create_map(*[x for k, v in cuts.items() for x in (F.lit(k), F.lit(v))])
+    cut = F.coalesce(cut_map[F.col(source_col)], F.lit(0))
+    return df.filter(hash_bucket(F.col(key_col), buckets, salt) < cut)

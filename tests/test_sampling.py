@@ -109,3 +109,72 @@ def test_stratified_deterministic_stable_under_repartition(spark):
     two = {r["key"] for r in
            sampling.stratified_sample_deterministic(df.repartition(17), "key", "cls", frac).collect()}
     assert one == two
+
+
+# ------------------------------------------------- token mixture sampling
+def _mix_docs(spark):
+    rows = []
+    for i in range(300):
+        src = f"s{i % 3}"
+        # s0 docs are long (20 tokens), s1 medium (10), s2 short (5)
+        n = {0: 20, 1: 10, 2: 5}[i % 3]
+        rows.append((i, src, " ".join(f"w{j}" for j in range(n))))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_token_mixture_plan_proportionality(spark):
+    from ml_feature_store_pipeline_spark.functions import token_count
+    from ml_feature_store_pipeline_spark.operators import sampling
+
+    docs = _mix_docs(spark)
+    # equal weights: every source should target the same kept-token count;
+    # binding source is s2 (fewest tokens: 500 vs 1000 vs 2000)
+    plan = sampling.token_mixture_plan(
+        docs, "source", token_count(F.col("text")), {"s0": 1, "s1": 1, "s2": 1}
+    )
+    fracs = {s: num / den for s, (num, den) in plan.items()}
+    assert fracs["s2"] == 1.0  # binding source keeps everything
+    assert abs(fracs["s0"] - 0.25) < 1e-12 and abs(fracs["s1"] - 0.5) < 1e-12
+    # expected kept tokens equal across sources: f_s * T_s = 500 each
+    assert {s: round(fracs[s] * t) for s, t in {"s0": 2000, "s1": 1000, "s2": 500}.items()} == {
+        "s0": 500, "s1": 500, "s2": 500
+    }
+
+
+def test_mixture_sample_membership_and_drop(spark):
+    from ml_feature_store_pipeline_spark.functions import token_count
+    from ml_feature_store_pipeline_spark.operators import sampling
+
+    docs = _mix_docs(spark)
+    out = sampling.mixture_sample_by_tokens(
+        docs, "doc_id", "source", {"s0": 1, "s1": 1},
+        n_tokens=token_count(F.col("text")),
+    ).collect()
+    # unlisted source dropped entirely
+    assert all(r["source"] != "s2" for r in out)
+    # membership is stable under repartitioning (pure function of doc_id)
+    out2 = sampling.mixture_sample_by_tokens(
+        docs.repartition(7), "doc_id", "source", {"s0": 1, "s1": 1},
+        n_tokens=token_count(F.col("text")),
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # binding source (s1: fewer tokens) keeps all its rows
+    s1_total = sum(1 for i in range(300) if i % 3 == 1)
+    assert sum(1 for r in out if r["source"] == "s1") == s1_total
+
+
+def test_mixture_sample_nested_growth(spark):
+    from ml_feature_store_pipeline_spark.functions import token_count
+    from ml_feature_store_pipeline_spark.operators import sampling
+
+    docs = _mix_docs(spark)
+    kw = dict(n_tokens=token_count(F.col("text")))
+    small = sampling.mixture_sample_by_tokens(
+        docs, "doc_id", "source", {"s0": 1, "s2": 4}, **kw
+    )
+    big = sampling.mixture_sample_by_tokens(
+        docs, "doc_id", "source", {"s0": 2, "s2": 4}, **kw
+    )
+    a = {r["doc_id"] for r in small.filter(F.col("source") == "s0").collect()}
+    b = {r["doc_id"] for r in big.filter(F.col("source") == "s0").collect()}
+    assert a.issubset(b) and len(b) > len(a)
