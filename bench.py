@@ -74,6 +74,7 @@ HEADLINE_R4 = [
     "asof_events_orders_auto",
     "multimodal_decode",
     "pack_sequences_docs",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -911,6 +911,91 @@ def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(docs, "doc_id", "text", ngram=2)
 
 
+def _curation_pipeline_sql() -> str:
+    toks = _SQL_TOKS.format(t="text")
+    return f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, source, lang, text, {toks} AS toks FROM documents
+    ),
+    base AS (  -- stage 1: language + min-length quality gate
+      SELECT doc_id, source, text, toks, CAST(LEN(toks) AS BIGINT) AS nt FROM raw
+      WHERE lang = 'en' AND LEN(toks) >= 20
+    ),
+    ex AS (  -- stage 2: exact dedup, lowest-id survivor per distinct text
+      SELECT doc_id, source, text, toks, nt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ),
+    sh0 AS (  -- stage 3: near-dup survivors (jaccard >= 0.3 on 3-gram sets)
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ') AS sh
+      FROM ex, UNNEST(generate_series(1, LEN(toks) - {_SHINGLE_N - 1})) AS u(i)
+      WHERE LEN(toks) >= {_SHINGLE_N}
+    ),
+    sdf AS (SELECT sh, COUNT(*) AS d FROM sh0 GROUP BY sh),
+    sh AS (
+      SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN sdf USING (sh) WHERE sdf.d <= {_NGRAM_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    cc(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, cc.comp FROM edges e JOIN cc ON e.dst = cc.node
+    ),
+    losers AS (SELECT node FROM cc GROUP BY node HAVING node <> MIN(comp))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens
+    FROM ex LEFT JOIN losers ON ex.doc_id = losers.node
+    WHERE losers.node IS NULL
+    GROUP BY source
+    """
+
+
+@register("corpus_curation_pipeline", _curation_pipeline_sql())
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end LLM corpus-prep DAG as one Spark plan: language +
+    min-length gate → exact dedup (digest-first, lowest-id survivor) →
+    near-dup survivors (n-gram Jaccard ≥ 0.3 → connected components →
+    anti-join) → per-source doc/token summary. Every stage is an
+    already-oracled operator; this entry proves the COMPOSITION end-to-end
+    against a single chained-CTE DuckDB twin (recursive CTE closes the
+    near-dup graph). Registered r4 after the window froze; r5 window
+    material."""
+    from .functions import token_count
+
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    base = docs.withColumn("nt", token_count(F.col("text"))).filter(
+        (F.col("lang") == "en") & (F.col("nt") >= 20)
+    )
+    ex_ids = dedup.exact_dedup(base, ["text"], "doc_id").select("doc_id")
+    ex = base.join(ex_ids, "doc_id", "semi")
+    pairs = dedup.ngram_jaccard_pairs(
+        ex, "doc_id", "text", threshold=0.3,
+        max_doc_frequency=_NGRAM_MAX_DF, parallelism=_par(spark),
+    )
+    surv = dedup.dedup_survivors(ex, pairs, "doc_id")
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+    )
+
+
 def _near_dup_clusters_sql() -> str:
     toks = _SQL_TOKS.format(t="text")
     return f"""
