@@ -151,6 +151,86 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build a persistable IVF index over an embedding corpus: returns
+    ``(centroids, inverted_lists)`` — two plain DataFrames a pipeline
+    writes to parquet next to the corpus and reuses across query batches,
+    so the KMeans fit and the corpus assignment pass are paid ONCE per
+    corpus version, not per query call (the same standing-index split as
+    ``dedup.lsh_candidate_pairs_incremental``).
+
+    ``centroids`` = (cell int, center array<double>); ``inverted_lists`` =
+    (corpus_id, __cv normalized vector, cell). Both are engine-plain —
+    no MLlib model object to serialize."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    cn = _normalized(corpus.select(F.col(corpus_id), F.col(vec_col)), vec_col)
+    train = cn if train_fraction is None else cn.sample(train_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__v")))
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    # inverted lists: each corpus vector → its nearest centroid's cell
+    cw = Window.partitionBy(corpus_id).orderBy(F.asc("__d"), F.asc("cell"))
+    assigned = (
+        cn.crossJoin(F.broadcast(cent))
+        .withColumn("__d", _l2sq(F.col(vec_col), F.col("center")))
+        .withColumn("__r", F.row_number().over(cw))
+        .filter(F.col("__r") == 1)
+        .select(corpus_id, F.col(vec_col).alias("__cv"), "cell")
+    )
+    return cent, assigned
+
+
+def ivf_query(
+    queries: DataFrame,
+    centroids: DataFrame,
+    inverted_lists: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a prebuilt IVF index (:func:`ivf_build`, possibly read back
+    from parquet): each query scores only the inverted lists of its
+    ``nprobe`` nearest centroids. Centroids broadcast (n_cells×dim driver
+    floats); the only shuffle is the final per-query top-k."""
+    qn = _normalized(queries.select(F.col(query_id), F.col(vec_col)), vec_col)
+    qw = Window.partitionBy(query_id).orderBy(F.asc("__d"), F.asc("cell"))
+    probes = (
+        qn.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", _l2sq(F.col(vec_col), F.col("center")))
+        .withColumn("__r", F.row_number().over(qw))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id, F.col(vec_col).alias("__qv"), "cell")
+    )
+    scored = probes.join(inverted_lists, "cell").select(
+        query_id,
+        corpus_id,
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -165,7 +245,8 @@ def ivf_topk(
     train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k by cosine: the other classic
-    scale path next to :func:`lsh_topk`.
+    scale path next to :func:`lsh_topk` — :func:`ivf_build` +
+    :func:`ivf_query` in one call for one-shot use.
 
     Both sides are L2-normalized so Euclidean cell geometry matches cosine
     ranking; a KMeans coarse quantizer (MLlib, fit on an optional sample)
@@ -176,51 +257,28 @@ def ivf_topk(
     Scale shape: centroids are n_cells×dim driver-side floats broadcast to
     executors — assignment and probing are narrow broadcast joins; the only
     shuffle is the final per-query top-k. Candidate volume per query is
-    ~``nprobe/n_cells`` of the corpus.
+    ~``nprobe/n_cells`` of the corpus. For repeated query batches against
+    one corpus, persist :func:`ivf_build`'s output and call
+    :func:`ivf_query` — the fit + assignment are then per-corpus, not
+    per-batch.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    spark = corpus.sparkSession
-    qn = _normalized(queries.select(F.col(query_id), F.col(vec_col)), vec_col)
-    cn = _normalized(corpus.select(F.col(corpus_id), F.col(vec_col)), vec_col)
-
-    train = cn if train_fraction is None else cn.sample(train_fraction, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
-    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__v")))
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, center array<double>",
+    cent, assigned = ivf_build(
+        corpus,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        seed=seed,
+        train_fraction=train_fraction,
     )
-
-    # inverted lists: each corpus vector → its nearest centroid's cell
-    cw = Window.partitionBy(corpus_id).orderBy(F.asc("__d"), F.asc("cell"))
-    assigned = (
-        cn.crossJoin(F.broadcast(cent))
-        .withColumn("__d", _l2sq(F.col(vec_col), F.col("center")))
-        .withColumn("__r", F.row_number().over(cw))
-        .filter(F.col("__r") == 1)
-        .select(corpus_id, F.col(vec_col).alias("__cv"), "cell")
-    )
-    # probe list: each query → its nprobe nearest cells
-    qw = Window.partitionBy(query_id).orderBy(F.asc("__d"), F.asc("cell"))
-    probes = (
-        qn.crossJoin(F.broadcast(cent))
-        .withColumn("__d", _l2sq(F.col(vec_col), F.col("center")))
-        .withColumn("__r", F.row_number().over(qw))
-        .filter(F.col("__r") <= nprobe)
-        .select(query_id, F.col(vec_col).alias("__qv"), "cell")
-    )
-    scored = probes.join(assigned, "cell").select(
-        query_id,
-        corpus_id,
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
+    return ivf_query(
+        queries,
+        cent,
+        assigned,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        k=k,
+        nprobe=nprobe,
     )
 
 

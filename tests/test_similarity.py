@@ -144,3 +144,28 @@ def test_cosine_topk_blas_matches_codegen(spark, corpus):
     ]
     for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
         assert ra["cosine"] == pytest.approx(rb["cosine"], rel=1e-9)
+
+
+def test_ivf_prebuilt_index_roundtrips_through_parquet(spark, tmp_path):
+    """ivf_build output is plain DataFrames: persisting the index and
+    querying the read-back copy must equal the one-shot ivf_topk."""
+    from ml_feature_store_pipeline_spark.operators import similarity
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    oneshot = similarity.ivf_topk(queries, emb, k=5, n_cells=8, nprobe=3)
+
+    cent, lists = similarity.ivf_build(emb, n_cells=8)
+    cent.write.mode("overwrite").parquet(str(tmp_path / "cent"))
+    lists.write.mode("overwrite").parquet(str(tmp_path / "lists"))
+    reread = similarity.ivf_query(
+        queries,
+        spark.read.parquet(str(tmp_path / "cent")),
+        spark.read.parquet(str(tmp_path / "lists")),
+        k=5,
+        nprobe=3,
+    )
+    assert sorted(map(tuple, oneshot.collect())) == sorted(map(tuple, reread.collect()))
