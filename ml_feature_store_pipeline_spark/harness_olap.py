@@ -581,3 +581,113 @@ def q_tpch_q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_q13_like",
+    """
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q_tpch_q13_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join with
+    an extra join-side predicate (must stay in the join condition, NOT a
+    post-filter — a post-filter would turn the left join inner and drop
+    zero-order customers), then a double aggregation. Both aggs partial-
+    aggregate; the second one's input is |customers| rows, not |orders|."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    co = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+
+
+@register(
+    "tpch_q17_like",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dsum_sql('l_extendedprice', scale=6)} AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.aq
+    """,
+)
+def q_tpch_q17_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity outliers vs per-part average): the
+    correlated scalar subquery decorrelates to a self-aggregation + join on
+    l_partkey. The per-part averages frame is |parts| rows — broadcast it
+    so the lineitem side never shuffles. AVG compares only (never summed
+    into the hashed output), so float avg is safe here; the SUM uses the
+    deterministic decimal recipe."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(F.broadcast(pa), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            dsum(F.col("l_extendedprice"), scale=6).alias("total_price"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_like",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (prospective customers): scalar subquery (global avg
+    of positive balances) feeds a filter, NOT EXISTS decorrelates to a
+    LEFT ANTI join on custkey (against the urgent-order subset, so the
+    driver data, where every customer orders, still yields prospects),
+    grouped by nation. The scalar is a 1-row crossJoin broadcast; the anti
+    join shuffles only custkeys, pre-filtered by the pushed-down priority
+    predicate."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double").alias("totacctbal"),
+        )
+    )
