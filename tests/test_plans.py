@@ -352,3 +352,35 @@ def test_pair_expansion_streams_through_generators(spark):
         plan = plans.executed_plan(df)
         assert plan.count("Generate") >= 2, plan
         assert "flatten" not in plan.lower(), plan
+
+
+def test_q13_left_join_with_join_side_predicate(spark, registry):
+    """The priority predicate must live IN the left join (a post-filter
+    would silently drop zero-order customers)."""
+    df = registry["tpch_q13_like"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert "LeftOuter" in plan
+    # both aggregations partial-aggregate
+    assert plan.count("HashAggregate") >= 4
+    # left-join semantics: every customer lands in exactly one bucket, so
+    # the distribution sums to |customers| (an inner join would lose the
+    # zero-non-urgent-order customers and break this)
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    assert sum(rows.values()) == read_table(spark, SF, "customer").count()
+
+
+def test_q17_broadcasts_per_part_averages(spark, registry):
+    df = registry["tpch_q17_like"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q22_anti_join_with_pushed_priority_filter(spark, registry):
+    df = registry["tpch_q22_like"](spark, SF)
+    plan = plans.executed_plan(df)
+    assert "LeftAnti" in plan
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "o_orderpriority" in pushed
