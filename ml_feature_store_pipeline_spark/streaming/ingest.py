@@ -115,3 +115,62 @@ def incremental_state_sink(
         atomic_overwrite_parquet(new, state_path)
 
     return write
+
+
+def incremental_near_dup_sink(
+    sig_path: str,
+    pairs_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 10_000,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink for CONTINUOUS near-dup detection: each
+    micro-batch of documents is checked against the standing corpus via
+    :func:`~..operators.dedup.lsh_candidate_pairs_incremental` (stored
+    MinHash signatures, corpus-only buckets pruned), then its own
+    signatures join the store — O(batch + touched buckets) per trigger,
+    never a rescan of history. Within-batch pairs are emitted too (the
+    incremental operator keeps new-new pairs by construction).
+
+    Both outputs are written to ``epoch={id}`` subdirectories with
+    overwrite, so a replayed batch (Spark checkpoint recovery) lands on
+    the same paths — idempotent, like the atomic swap in
+    :func:`incremental_state_sink`. Readers take the base paths
+    (partition discovery unions the epochs). ``num_hashes``/``bands``
+    must stay fixed for the life of the store — signatures are only
+    comparable under one hash family.
+    """
+    from ..operators.dedup import lsh_candidate_pairs_incremental, minhash_signatures
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            sigs = spark.read.parquet(sig_path)
+            if "epoch" in sigs.columns:
+                # a REPLAYED batch (checkpoint recovery) finds its own
+                # epoch's signatures already stored — including them would
+                # pair every batch doc with itself; the corpus is
+                # everything strictly before this epoch
+                sigs = sigs.filter(F.col("epoch") != epoch_id).drop("epoch")
+        except Exception:
+            # first batch: empty signature store with the right schema
+            sigs = minhash_signatures(batch.limit(0), id_col, text_col, num_hashes)
+        pairs = lsh_candidate_pairs_incremental(
+            batch,
+            batch.limit(0),  # corpus df unused when signatures are supplied
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket_size=max_bucket_size,
+            corpus_signatures=sigs,
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/epoch={epoch_id}")
+        minhash_signatures(batch, id_col, text_col, num_hashes).write.mode(
+            "overwrite"
+        ).parquet(f"{sig_path}/epoch={epoch_id}")
+
+    return write

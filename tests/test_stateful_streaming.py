@@ -244,3 +244,39 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(1, 10), (3, 12)}
+
+
+def test_incremental_near_dup_sink_links_across_batches(spark, tmp_path):
+    """Continuous near-dup: batch 2's docs must pair against batch 1's
+    standing signatures without recomputing them, and a replayed epoch
+    overwrites its own output (idempotent recovery)."""
+    from ml_feature_store_pipeline_spark.streaming.ingest import incremental_near_dup_sink
+
+    sig_path = str(tmp_path / "sigs")
+    pairs_path = str(tmp_path / "pairs")
+    sink = incremental_near_dup_sink(sig_path, pairs_path)
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(0, text_a), (1, text_a), (2, "totally different words here every one unique")],
+        "doc_id long, text string",
+    )
+    sink(b1, 0)
+    first = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert (0, 1) in first  # within-batch duplicate found on the first epoch
+
+    b2 = spark.createDataFrame([(100, text_a)], "doc_id long, text string")
+    sink(b2, 1)
+    both = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_path).collect()}
+    # cross-batch: the new doc links to BOTH standing duplicates
+    assert (0, 100) in both and (1, 100) in both
+    # and epoch 0's output is untouched
+    assert first <= both
+
+    # replaying epoch 1 (checkpoint recovery) is idempotent
+    sink(b2, 1)
+    again = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert again == both
+    # the signature store holds exactly one row per doc seen
+    sigs = spark.read.parquet(sig_path)
+    assert sigs.count() == 4
