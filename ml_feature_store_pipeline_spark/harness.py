@@ -86,22 +86,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ml_brp_ann_topk",
     "ml_minhash_near_dup",
     "ml_tfidf_vectors",
-    # driver-green in round 2 only — refresh
+    # NEW in round 4 — first driver rows (every r4 registration makes this
+    # window; no "registered after the freeze" backlog this round)
+    "training_set_pit_auto",
+    "incremental_minhash_pairs",
+    "token_mixture_sample_docs",
+    "corpus_curation_pipeline",
+    "tpch_q13_like",
+    "tpch_q17_like",
+    "tpch_q22_like",
+    # driver-green in round 2 only — refresh (the 7 double-green entries
+    # chunk_documents / doc_quality_scores / language_id /
+    # order_price_rank_stats / pivot_event_values / rolling_hour_user_spend
+    # / rollup_lineitem yielded their slots to the new queries; r5 window)
     "asof_prev_order",
     "backfill_snapshots",
     "band_join_price_tiers",
-    "chunk_documents",
     "cosine_topk_blas",
-    "doc_quality_scores",
     "embedding_near_dup",
     "json_props_extract",
     "lag_lead_events",
-    "language_id",
-    "order_price_rank_stats",
-    "pivot_event_values",
     "quality_null_dup_stats",
-    "rolling_hour_user_spend",
-    "rollup_lineitem",
     "running_revenue",
     "sample_events_10pct",
     "scrub_pii_docs",

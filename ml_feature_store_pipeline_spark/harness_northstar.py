@@ -219,8 +219,7 @@ def q_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact oracle: the FULL pipeline's pair SQL filtered to pairs touching
     the batch — the incremental form must reproduce it while pruning
     corpus-only buckets before any pair expansion and reusing the corpus's
-    precomputed signatures. Registered r4 after the window froze; r5
-    window material (local gate + pytest equality until then)."""
+    precomputed signatures. In the r4 driver window."""
     docs = read_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
@@ -823,7 +822,7 @@ def q_token_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one with EXACT integer cut arithmetic — the DuckDB twin recomputes the
     same totals, binding source, integer cuts, and md5 membership, so the
     kept per-source doc/token counts hash-match exactly (not a bounded
-    check). Registered r4 after the window froze; r5 window material."""
+    check). In the r4 driver window."""
     from .functions import token_count
     from .operators import sampling
 
@@ -975,8 +974,7 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join) → per-source doc/token summary. Every stage is an
     already-oracled operator; this entry proves the COMPOSITION end-to-end
     against a single chained-CTE DuckDB twin (recursive CTE closes the
-    near-dup graph). Registered r4 after the window froze; r5 window
-    material."""
+    near-dup graph). In the r4 driver window."""
     from .functions import token_count
 
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))

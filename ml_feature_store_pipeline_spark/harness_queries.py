@@ -720,8 +720,7 @@ def q_training_set_pit_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-ADAPTIVE PIT training set: each feature view probes its own
     key-skew (one count-by-key job) and picks plain vs bucketed per view
     (operators.pit.training_set(skew_adaptive=True)). Same oracle as the
-    fixed forms — the choice is pure performance. Registered r4 (after the
-    window froze); r5 window material."""
+    fixed forms — the choice is pure performance. In the r4 driver window."""
     return _training_set_pit(spark, sf_dir, None, skew_adaptive=True)
 
 

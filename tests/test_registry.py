@@ -19,7 +19,15 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "asof_events_orders_bucketed",
     "training_set_pit_bucketed",
     "asof_events_orders_auto",
-    "pack_sequences_docs",  # new in r4 — registered BEFORE the window froze
+    # new in r4 — ALL registered before the window froze, no backlog
+    "pack_sequences_docs",
+    "training_set_pit_auto",
+    "incremental_minhash_pairs",
+    "token_mixture_sample_docs",
+    "corpus_curation_pipeline",
+    "tpch_q13_like",
+    "tpch_q17_like",
+    "tpch_q22_like",
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded
