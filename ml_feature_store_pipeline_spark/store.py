@@ -155,16 +155,40 @@ class FeatureStore:
         head = meta.orderBy(F.desc(CREATED_AT_COLUMN)).limit(1).collect()
         return head[0][VERSION_COLUMN] if head else None
 
+    def version_as_of(self, as_of: str) -> str | None:
+        """Time-travel resolution: the version that was latest at ``as_of``
+        (ISO-8601 UTC, same format as the stamped created_at) — what a
+        training job reads to reproduce the features a past run saw.
+        Top-1 over the filtered metadata table; no data-scale scan."""
+        meta = self._read_metadata()
+        if meta is None:
+            return None
+        head = (
+            meta.filter(F.col(CREATED_AT_COLUMN) <= as_of)
+            .orderBy(F.desc(CREATED_AT_COLUMN))
+            .limit(1)
+            .collect()
+        )
+        return head[0][VERSION_COLUMN] if head else None
+
     def get_features(
         self,
         version: str | None = None,
         user_ids: list[int] | None = None,
         use_cache: bool = True,
+        as_of: str | None = None,
     ) -> DataFrame:
         """Partition-pruned version read with optional user filter (reference
         `:363-416`). Returns a LAZY DataFrame; the B1 version predicate prunes
         to one partition directory, the B2 IN-list reaches parquet row groups
-        as pushed filters."""
+        as pushed filters. ``as_of`` time-travels to the version that was
+        latest at that timestamp (mutually exclusive with ``version``)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_as_of(as_of)
+            if version is None:
+                raise ValueError(f"no version existed at or before {as_of!r}")
         version = version or self.latest_version()
         if version is None:
             raise ValueError("feature store is empty — no registered versions")

@@ -262,3 +262,25 @@ def test_store_with_disk_cache_serves_and_cleans(spark, tmp_path, features):
     store.register_features(more, _meta("v2"))
     store.cleanup_old_versions(keep_n=1)
     assert store.cache.info()["entries"] < info_before["entries"] + 2
+
+
+def test_time_travel_read(spark, tmp_path, features):
+    import time as _time
+
+    store = FeatureStore(spark, str(tmp_path / "fs"))
+    v1 = store.register_features(features, _meta("v1"))
+    between = store._read_metadata().agg(F.max("created_at")).collect()[0][0]
+    _time.sleep(1.1)  # created_at has second resolution
+    more = features.withColumn("total_amount", F.col("total_amount") + 1.0)
+    v2 = store.register_features(more, _meta("v2"))
+
+    # as-of between the two registrations resolves v1; now resolves v2
+    assert store.version_as_of(between) == v1
+    got = store.get_features(as_of=between)
+    assert got.select("feature_version").distinct().collect()[0][0] == v1
+    assert store.get_features().select("feature_version").distinct().collect()[0][0] == v2
+    # before any version: explicit error, not silent latest
+    with pytest.raises(ValueError):
+        store.get_features(as_of="1970-01-01T00:00:00")
+    with pytest.raises(ValueError):
+        store.get_features(version=v1, as_of=between)
