@@ -95,15 +95,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q13_like",
     "tpch_q17_like",
     "tpch_q22_like",
-    # driver-green in round 2 only — refresh (the 7 double-green entries
-    # chunk_documents / doc_quality_scores / language_id /
-    # order_price_rank_stats / pivot_event_values / rolling_hour_user_spend
-    # / rollup_lineitem yielded their slots to the new queries; r5 window)
+    "tpch_q11_like",
+    "tpch_q16_like",
+    "tpch_q21_like",
+    # driver-green in round 2 only — refresh (10 double-green entries —
+    # chunk_documents, doc_quality_scores, language_id,
+    # order_price_rank_stats, pivot_event_values, rolling_hour_user_spend,
+    # rollup_lineitem, embedding_near_dup, topk_latest_events,
+    # tpch_q10_like — yielded their slots to the new queries; r5 window)
     "asof_prev_order",
     "backfill_snapshots",
     "band_join_price_tiers",
     "cosine_topk_blas",
-    "embedding_near_dup",
     "json_props_extract",
     "lag_lead_events",
     "quality_null_dup_stats",
@@ -111,8 +114,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sample_events_10pct",
     "scrub_pii_docs",
     "set_ops_summary",
-    "topk_latest_events",
-    "tpch_q10_like",
     "tpch_q12_like",
     "tpch_q5_like",
     "train_test_split_counts",

@@ -691,3 +691,103 @@ def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q11_like",
+    f"""
+    WITH tot AS (
+      SELECT SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS t FROM lineitem
+    ),
+    per_part AS (
+      SELECT l_partkey, {dsum_sql('l_extendedprice')} AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, part_value
+    FROM per_part, tot
+    WHERE CAST(part_value AS DECIMAL(28,4)) > 0.0006 * t
+    """,
+)
+def q_tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group share vs global total): the HAVING compares
+    each group's sum against a scalar aggregate of the whole table — one
+    grouped agg + one 1-row agg crossJoin-broadcast, both partial-
+    aggregated; the fact table is scanned twice but shuffled once per agg
+    (per-part rows, then 1 row). Decimal on BOTH sides of the comparison
+    so the threshold predicate is exact across engines."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    tot = li.agg(F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).alias("t"))
+    per_part = li.groupBy("l_partkey").agg(dsum(F.col("l_extendedprice")).alias("part_value"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value").cast("decimal(28,4)") > 0.0006 * F.col("t"))
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+    )
+
+
+@register(
+    "tpch_q16_like",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand NOT IN ('Brand#1', 'Brand#3') AND p.p_size >= 25
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q_tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (distinct supplier count per part attribute with an
+    exclusion list): NOT-IN and the size predicate push to the broadcast
+    part side BEFORE the join, so the fact scan joins against the already-
+    filtered dim; count-distinct expands per (brand, type, suppkey) then
+    two-phase aggregates."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(~F.col("p_brand").isin("Brand#1", "Brand#3") & (F.col("p_size") >= 25))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q21_like",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_shipdate > DATE '1997-06-01'
+                                 THEN l_suppkey END) AS n_late_supp,
+             MAX(CASE WHEN l_shipdate > DATE '1997-06-01'
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT late_supp AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order
+    WHERE n_supp >= 2 AND n_late_supp = 1
+    GROUP BY late_supp
+    """,
+)
+def q_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the sole-blamed supplier): the classic EXISTS /
+    NOT-EXISTS pair over the same fact table decorrelates to ONE grouped
+    pass per order — distinct suppliers, distinct LATE suppliers, and the
+    (unique when n_late_supp=1) late supplier — then a filter + regroup.
+    One fact shuffle replaces two correlated self-joins; MAX(CASE) is the
+    standard single-member extraction under the n_late_supp=1 predicate."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.lit("1997-06-01").cast("date")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy(F.col("late_supp").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )

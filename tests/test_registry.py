@@ -28,6 +28,9 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "tpch_q13_like",
     "tpch_q17_like",
     "tpch_q22_like",
+    "tpch_q11_like",
+    "tpch_q16_like",
+    "tpch_q21_like",
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded
