@@ -98,26 +98,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q11_like",
     "tpch_q16_like",
     "tpch_q21_like",
-    # driver-green in round 2 only — refresh (10 double-green entries —
-    # chunk_documents, doc_quality_scores, language_id,
+    "tpch_q2_like",
+    "tpch_q8_like",
+    "tpch_q9_like",
+    "tpch_q20_like",
+    # driver-green in round 2 only — refresh (the 14 double-green entries
+    # — chunk_documents, doc_quality_scores, language_id,
     # order_price_rank_stats, pivot_event_values, rolling_hour_user_spend,
     # rollup_lineitem, embedding_near_dup, topk_latest_events,
-    # tpch_q10_like — yielded their slots to the new queries; r5 window)
+    # tpch_q10_like, quality_null_dup_stats, scrub_pii_docs, tpch_q5_like,
+    # unpivot_lineitem — yielded their slots to the new queries; r5 window)
     "asof_prev_order",
     "backfill_snapshots",
     "band_join_price_tiers",
     "cosine_topk_blas",
     "json_props_extract",
     "lag_lead_events",
-    "quality_null_dup_stats",
     "running_revenue",
     "sample_events_10pct",
-    "scrub_pii_docs",
     "set_ops_summary",
     "tpch_q12_like",
-    "tpch_q5_like",
     "train_test_split_counts",
-    "unpivot_lineitem",
 )
 
 

@@ -791,3 +791,178 @@ def q_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("late_supp").alias("suppkey"))
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+@register(
+    "tpch_q2_like",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS min_unit
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(min_unit) AS part_min FROM unit GROUP BY l_partkey
+    )
+    SELECT u.l_partkey AS partkey, CAST(MIN(u.l_suppkey) AS BIGINT) AS suppkey
+    FROM unit u JOIN best b
+      ON u.l_partkey = b.l_partkey AND u.min_unit = b.part_min
+    GROUP BY u.l_partkey
+    """,
+)
+def q_tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (cheapest supplier per part): the correlated
+    min-subquery decorrelates to two stacked aggregations on the SAME
+    grouping key prefix — the second reuses the first's exchange (no new
+    shuffle), then an equi-join on (part, min) recovers the argmin rows.
+    Ties keep the lowest suppkey, making the result set deterministic.
+    Division before MIN is exact-enough here because both engines evaluate
+    the identical double expression per row and MIN picks one value — no
+    accumulation-order drift."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit")
+    )
+    best = unit.groupBy("l_partkey").agg(F.min("min_unit").alias("part_min"))
+    # rename the join keys to break the self-join lineage ambiguity (unit
+    # and best share a parent plan)
+    best = best.select(F.col("l_partkey").alias("__bp"), F.col("part_min"))
+    return (
+        unit.join(
+            best,
+            (F.col("l_partkey") == F.col("__bp")) & (F.col("min_unit") == F.col("part_min")),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.min("l_suppkey").cast("long").alias("suppkey"))
+    )
+
+
+@register(
+    "tpch_q8_like",
+    """
+    WITH rev AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             n.n_name,
+             CAST(l.l_extendedprice AS DECIMAL(28,4)) * (1 - CAST(l.l_discount AS DECIMAL(28,4))) AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN n_name = 'CHINA' THEN volume END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def q_tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share by year): one fact pass feeds
+    a conditional-sum / total-sum ratio per year — no second scan, no
+    join back. Both sums accumulate in DECIMAL (order-insensitive) and the
+    ratio divides the two exact totals as doubles, so the quotient is
+    bit-identical across engines."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(28,4)")
+        * (1 - F.col("l_discount").cast("decimal(28,4)"))
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "n_name",
+            vol.alias("volume"),
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("n_name") == "CHINA", F.col("volume"))).cast("double")
+            / F.sum("volume").cast("double")
+        ).cast("double").alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9_like",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount) - 0.4 * l.l_quantity * p.p_retailprice', scale=6)} AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def q_tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation × year; testdata has no
+    partsupp, so supply cost is proxied as 40% of retail price): a 5-table
+    star with THREE broadcast dims (part, supplier, nation) — the only
+    shuffle joins the two fact tables, then one grouped decimal-sum."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.4 * F.col("l_quantity") * F.col("p_retailprice")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, scale=6).alias("profit"))
+    )
+
+
+@register(
+    "tpch_q20_like",
+    """
+    WITH part_tot AS (
+      SELECT l_partkey, SUM(l_quantity) AS tot
+      FROM lineitem GROUP BY l_partkey
+    ),
+    supp_part AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT CAST(sp.l_suppkey AS BIGINT) AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+    FROM supp_part sp JOIN part_tot pt ON sp.l_partkey = pt.l_partkey
+    WHERE sp.sq > 0.12 * pt.tot
+    GROUP BY sp.l_suppkey
+    """,
+)
+def q_tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers holding excess share of a part; adapted
+    to shipped-quantity dominance — no partsupp in testdata): the
+    per-(part,supplier) aggregation reuses its exchange for the per-part
+    rollup (same key prefix), then a threshold join keeps dominant
+    (supplier, part) pairs and regroups per supplier. l_quantity is
+    integral in this data, so SUM is exact in both engines."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    supp_part = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    part_tot = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("tot"))
+    return (
+        supp_part.join(part_tot, "l_partkey")
+        .filter(F.col("sq") > 0.12 * F.col("tot"))
+        .groupBy(F.col("l_suppkey").cast("long").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominated_parts"))
+    )

@@ -31,6 +31,10 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "tpch_q11_like",
     "tpch_q16_like",
     "tpch_q21_like",
+    "tpch_q2_like",
+    "tpch_q8_like",
+    "tpch_q9_like",
+    "tpch_q20_like",
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded
