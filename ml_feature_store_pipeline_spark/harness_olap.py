@@ -812,9 +812,11 @@ def q_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (cheapest supplier per part): the correlated
-    min-subquery decorrelates to two stacked aggregations on the SAME
-    grouping key prefix — the second reuses the first's exchange (no new
-    shuffle), then an equi-join on (part, min) recovers the argmin rows.
+    min-subquery decorrelates to two stacked aggregations — (part, supp)
+    then (part); the second DOES re-shuffle (hash partitioning on the pair
+    does not satisfy a part-only distribution) but its input is the first
+    agg's output (one row per (part, supp)), not the fact table — then an
+    equi-join on (part, min) recovers the argmin rows.
     Ties keep the lowest suppkey, making the result set deterministic.
     Division before MIN is exact-enough here because both engines evaluate
     the identical double expression per row and MIN picks one value — no
@@ -952,13 +954,18 @@ def q_tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (suppliers holding excess share of a part; adapted
-    to shipped-quantity dominance — no partsupp in testdata): the
-    per-(part,supplier) aggregation reuses its exchange for the per-part
-    rollup (same key prefix), then a threshold join keeps dominant
-    (supplier, part) pairs and regroups per supplier. l_quantity is
-    integral in this data, so SUM is exact in both engines."""
+    to shipped-quantity dominance — no partsupp in testdata): two
+    independent aggregations of the fact scan — (part, supplier) and
+    (part) — each collapsed by map-side partial aggregation before its
+    exchange, then a threshold join keeps dominant (supplier, part) pairs
+    and regroups per supplier. l_quantity is integral in this data, so
+    SUM is exact in both engines."""
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     supp_part = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    # deliberately aggregated from the scan, not from supp_part: Spark
+    # recomputes uncached shared subplans, so deriving totals from the
+    # pair-level agg still scans the fact twice AND pays a third exchange;
+    # this form is two scans, each partial-aggregated before its exchange
     part_tot = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("tot"))
     return (
         supp_part.join(part_tot, "l_partkey")
