@@ -75,6 +75,8 @@ HEADLINE_R4 = [
     "multimodal_decode",
     "pack_sequences_docs",
     "corpus_curation_pipeline",
+    "tpch_q9_like",
+    "tpch_q21_like",
 ]
 
 

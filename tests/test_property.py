@@ -182,3 +182,35 @@ def test_sampling_split_partition_properties(spark, n, frac, salt):
     assert tr | te == set(range(n)) and tr.isdisjoint(te)
     sampled = {r["k"] for r in sampling.deterministic_sample(ids, "k", frac, salt=salt).collect()}
     assert sampled == te
+
+
+@SETTINGS
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=200),
+    groups=st.integers(min_value=1, max_value=5),
+)
+def test_pack_sequences_invariants_hold_for_any_input(spark, counts, budget, groups):
+    """Sequence packing on arbitrary token counts: every doc exactly once,
+    token totals conserved, no multi-doc pack over budget, next-fit
+    determinism (pack ids don't depend on input partitioning)."""
+    from ml_feature_store_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(counts)], "doc_id long, nt long"
+    )
+    out = text_ops.pack_sequences(
+        docs, "doc_id", n_tokens_col="nt", token_budget=budget, n_groups=groups
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(counts)))
+    assert sum(r["n_tokens"] for r in out) == sum(counts)
+    packs: dict[int, list[int]] = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for members in packs.values():
+        assert len(members) == 1 or sum(members) <= budget
+    out2 = text_ops.pack_sequences(
+        docs.repartition(3), "doc_id", n_tokens_col="nt",
+        token_budget=budget, n_groups=groups,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
