@@ -52,8 +52,9 @@ def _ensure_loaded() -> None:
 # driver row (the skew-safe twins + the new auto-selector), then the 5 whose
 # oracles were upgraded from rows-only to hash/bounded checks after r3
 # (multimodal pixel stats, ANN recall floors, MinHashLSH quality, TF-IDF
-# invariants), then 25 of the 33 queries last driver-verified in round 2
-# (the remaining 8, all twice-green trivial scans/joins, rotate in r5).
+# invariants), then every query registered during round 4 (no "registered
+# after the freeze" backlog), then a refresh slice of round-2-only greens
+# (the remainder, all twice-green trivial scans/joins, rotate in r5).
 DRIVER_WINDOW: tuple[str, ...] = (
     # anchors: flagship + one per family; simhash/ngram/asof anchors also
     # re-verify the operators rewritten since their last driver row
@@ -102,20 +103,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q8_like",
     "tpch_q9_like",
     "tpch_q20_like",
-    # driver-green in round 2 only — refresh (the 14 double-green entries
+    "bloom_prune_lineitem",
+    "merge_upsert_orders",
+    # driver-green in round 2 only — refresh (the 16 double-green entries
     # — chunk_documents, doc_quality_scores, language_id,
     # order_price_rank_stats, pivot_event_values, rolling_hour_user_spend,
     # rollup_lineitem, embedding_near_dup, topk_latest_events,
     # tpch_q10_like, quality_null_dup_stats, scrub_pii_docs, tpch_q5_like,
-    # unpivot_lineitem — yielded their slots to the new queries; r5 window)
+    # unpivot_lineitem, json_props_extract, sample_events_10pct — yielded
+    # their slots to the new queries; r5 window)
     "asof_prev_order",
     "backfill_snapshots",
     "band_join_price_tiers",
     "cosine_topk_blas",
-    "json_props_extract",
     "lag_lead_events",
     "running_revenue",
-    "sample_events_10pct",
     "set_ops_summary",
     "tpch_q12_like",
     "train_test_split_counts",

@@ -1532,3 +1532,137 @@ def q_cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return sketches.cms_estimate(state, probe, "user_id", depth=4, width=512)
+
+
+# ---------------------------------------------------------------------------
+# bloom-pruned join + CDC merge (round 4 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_prune_lineitem",
+    None,  # installed below via sketches.bloom_state_sql / bloom_pass_sql
+)
+def q_bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern, hand-rolled and engine-portable: build a
+    deterministic bloom filter over the urgent-order keys (a filtered dim),
+    probe every lineitem row with depth broadcast hash joins (the fact side
+    never shuffles, never changes row count), then count bloom survivors vs
+    exact matches per returnflag — making the false-positive rate a
+    first-class, oracle-checked output. md5-derived positions, so DuckDB
+    replays the filter bit-for-bit (operators/sketches.py bloom_*).
+
+    Reference parity: the reference filters features by key membership via
+    SQLite ``WHERE key IN (...)`` (ml_pipeline.py get_features); at 100 TB
+    membership must travel as a sketch, not a key list."""
+    from .operators import sketches
+
+    o = read_table(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey").distinct()
+    state = sketches.bloom_state(keys, "o_orderkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    probed = sketches.bloom_probe(li, state, "l_orderkey")
+    marked = probed.join(
+        F.broadcast(
+            keys.withColumnRenamed("o_orderkey", "l_orderkey").withColumn("__m", F.lit(1))
+        ),
+        "l_orderkey",
+        "left",
+    )
+    return marked.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("long").alias("n_bloom"),
+        F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0)).cast("long").alias("n_true"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def _install_bloom_oracle() -> None:
+    from .harness import _ORACLES
+    from .operators import sketches
+
+    state = sketches.bloom_state_sql(
+        "(SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+        "o_orderkey",
+    )
+    joins, pred = sketches.bloom_pass_sql("l.l_orderkey", "bloom")
+    _ORACLES["bloom_prune_lineitem"] = f"""
+    WITH bloom AS ({state}),
+    keys AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT l.l_returnflag,
+      CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+      CAST(SUM(CASE WHEN k.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM lineitem l {joins}
+    LEFT JOIN keys k ON k.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """
+
+
+_install_bloom_oracle()
+
+
+@register(
+    "merge_upsert_orders",
+    None,  # installed below via cdc.merge_changes_sql
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE-INTO (operators/cdc.py): fold a deterministic CDC batch
+    — price updates for keys ≡0 (mod 7), deletes for keys ≡3 (mod 11), new
+    keys for ≡5 (mod 13), with a seq conflict where update and delete hit
+    the same key — into the orders snapshot. Compaction picks one winner
+    per key (max seq, delete wins ties); apply = broadcast anti join +
+    union, so the target scan never shuffles.
+
+    Reference parity: batch form of the reference's row-at-a-time
+    ``INSERT OR REPLACE`` / ``DELETE`` store mutations (SURVEY §2 A4/A5/A9)."""
+    from .operators import cdc
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    o = read_table(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    updates = (
+        o.filter(k % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(1))
+    )
+    deletes = o.filter(k % 11 == 3).withColumn("op", F.lit("delete")).withColumn("seq", F.lit(2))
+    inserts = (
+        o.filter(k % 13 == 5)
+        .select(
+            (k + F.lit(10_000_000)).alias("o_orderkey"),
+            F.col("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(1))
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return cdc.merge_changes(o, changes, ["o_orderkey"], seq_col="seq")
+
+
+def _install_cdc_oracle() -> None:
+    from .harness import _ORACLES
+    from .operators import cdc
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ctes = """
+    base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+    changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice,
+             'upsert' AS op, 1 AS seq FROM base WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             'delete' AS op, 2 AS seq FROM base WHERE o_orderkey % 11 = 3
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+             1.0 AS o_totalprice, 'upsert' AS op, 1 AS seq FROM base WHERE o_orderkey % 13 = 5
+    )
+    """
+    _ORACLES["merge_upsert_orders"] = cdc.merge_changes_sql(
+        "base", "changes", ["o_orderkey"], cols, seq_col="seq", with_ctes=ctes
+    )
+
+
+_install_cdc_oracle()

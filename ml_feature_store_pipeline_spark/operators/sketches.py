@@ -361,3 +361,130 @@ def cms_estimate(
         F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_est")
     )
     return est.select("__row.*", "n_est")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: deterministic, mergeable, probed via broadcast joins
+# ---------------------------------------------------------------------------
+
+#: Bits per bitmap word. 32 keeps every shifted value < 2^31 — exact in
+#: BIGINT arithmetic in both engines with no sign-bit edge cases (1 << 63
+#: differs between Spark's shiftleft and DuckDB's <<).
+_BLOOM_WORD = 32
+
+
+def bloom_state(df: DataFrame, col: str, *, n_bits: int = 1 << 16, depth: int = 4) -> DataFrame:
+    """Bloom-filter bitmap over ``col``: one row per touched 32-bit word,
+    ``(word, bits)`` — at most ``n_bits / 32`` rows no matter how big the
+    input (Bloom 1970). Hash positions reuse :func:`cms_bucket`, so the
+    filter is md5-deterministic: identical across runs, partitionings, and
+    engines (the DuckDB oracle replays it bit-for-bit).
+
+    Mergeable: words are a ``bit_or`` monoid, so per-partition / per-batch
+    states union + ``bit_or`` into the exact combined filter — build a
+    filter per ingest day, merge at read time.
+
+    Plan shape: explode ×depth, then one partial-aggregated groupBy — the
+    map-side combine collapses every partition to ≤ n_bits/32 words, so
+    the shuffle is O(n_bits · partitions), independent of row count.
+    """
+    if n_bits % _BLOOM_WORD:
+        raise ValueError(f"n_bits must be a multiple of {_BLOOM_WORD}")
+    seeds = F.array([F.lit(i) for i in range(depth)])
+    pos = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(seeds).alias("seed"), F.col(col).alias("__v"))
+        .select(cms_bucket(F.col("seed"), F.col("__v"), width=n_bits).alias("pos"))
+    )
+    return (
+        pos.select(
+            (F.col("pos") / _BLOOM_WORD).cast("long").alias("word"),
+            (F.col("pos") % _BLOOM_WORD).cast("int").alias("__bit"),
+        )
+        .select("word", F.expr("shiftleft(CAST(1 AS BIGINT), __bit)").alias("__mask"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(__mask)").cast("long").alias("bits"))
+    )
+
+
+def merge_bloom_states(*states: DataFrame) -> DataFrame:
+    """Union per-batch bloom states into the filter of the combined input
+    (``bit_or`` is associative + commutative, so any merge order agrees)."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("word").agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame, state: DataFrame, col: str, *, n_bits: int = 1 << 16, depth: int = 4
+) -> DataFrame:
+    """Append ``bloom_pass`` to ``df``: true iff every hash position of
+    ``col`` is set in ``state`` (no false negatives; false-positive rate
+    ≈ (1 − e^(−depth·n/n_bits))^depth).
+
+    Scale shape: the state is ≤ n_bits/32 rows — always broadcast — so the
+    probe is ``depth`` broadcast hash joins, all map-side: the big side
+    never shuffles and never changes row count. This is the runtime-filter
+    pattern (prune a 100 TB fact scan with a bitmap built from a filtered
+    dim) without waiting for Catalyst's own injected bloom.
+    """
+    out = df
+    pass_cols = []
+    for j in range(depth):
+        out = out.withColumn(f"__p{j}", cms_bucket(F.lit(j), F.col(col), width=n_bits))
+        pos = F.col(f"__p{j}")
+        out = (
+            out.withColumn(f"__w{j}", (pos / _BLOOM_WORD).cast("long"))
+            .withColumn(f"__b{j}", (pos % _BLOOM_WORD).cast("int"))
+            .join(
+                F.broadcast(
+                    state.select(
+                        F.col("word").alias(f"__w{j}"), F.col("bits").alias(f"__bits{j}")
+                    )
+                ),
+                f"__w{j}",
+                "left",
+            )
+        )
+        pass_cols.append(
+            F.expr(f"(shiftright(coalesce(__bits{j}, CAST(0 AS BIGINT)), __b{j}) & 1) = 1")
+        )
+    passed = pass_cols[0]
+    for c in pass_cols[1:]:
+        passed = passed & c
+    out = out.withColumn("bloom_pass", passed)
+    drop = [f"__{p}{j}" for j in range(depth) for p in ("p", "w", "b", "bits")]
+    return out.drop(*drop)
+
+
+def bloom_state_sql(table_expr: str, expr: str, *, n_bits: int = 1 << 16, depth: int = 4) -> str:
+    """DuckDB twin of :func:`bloom_state` (same md5 positions, same words)."""
+    parts = [
+        f"SELECT {cms_bucket_sql(str(j), expr, width=n_bits)} AS pos FROM {table_expr}"
+        for j in range(depth)
+    ]
+    union = " UNION ALL ".join(parts)
+    return (
+        f"SELECT pos // {_BLOOM_WORD} AS word, "
+        f"CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS BIGINT)"
+        f" AS bits FROM ({union}) GROUP BY 1"
+    )
+
+
+def bloom_pass_sql(
+    probe_expr: str, state_cte: str, *, n_bits: int = 1 << 16, depth: int = 4
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`bloom_probe` for use inside a larger query:
+    returns ``(join_clauses, pass_predicate)`` — ``depth`` LEFT JOINs
+    against ``state_cte`` plus the all-bits-set predicate."""
+    joins, preds = [], []
+    for j in range(depth):
+        pos = cms_bucket_sql(str(j), probe_expr, width=n_bits)
+        joins.append(
+            f"LEFT JOIN {state_cte} bw{j} ON bw{j}.word = ({pos}) // {_BLOOM_WORD}"
+        )
+        preds.append(
+            f"((COALESCE(bw{j}.bits, 0) >> CAST(({pos}) % {_BLOOM_WORD} AS INTEGER)) & 1) = 1"
+        )
+    return " ".join(joins), "(" + " AND ".join(preds) + ")"

@@ -1,0 +1,86 @@
+"""CDC merge semantics: compaction, tie-breaks, idempotent replay, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.operators import cdc
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "val"]
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, ["k", "name", "val", "op", "seq"])
+
+
+def test_merge_upsert_insert_delete(spark):
+    t = _target(spark)
+    ch = _changes(
+        spark,
+        [
+            (2, "b2", 21.0, "upsert", 1),  # update existing
+            (3, "c", 30.0, "delete", 1),  # drop existing
+            (9, "i", 90.0, "upsert", 1),  # insert new
+            (7, "x", 0.0, "delete", 1),  # delete of absent key = no-op
+        ],
+    )
+    out = {r["k"]: (r["name"], r["val"]) for r in cdc.merge_changes(t, ch, ["k"], seq_col="seq").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 9: ("i", 90.0)}
+
+
+def test_compaction_latest_seq_wins(spark):
+    ch = _changes(
+        spark,
+        [
+            (5, "v1", 1.0, "upsert", 1),
+            (5, "v2", 2.0, "upsert", 2),
+            (5, "v3", 3.0, "upsert", 3),
+        ],
+    )
+    out = cdc.compact_changes(ch, ["k"], "seq").collect()
+    assert len(out) == 1 and out[0]["name"] == "v3"
+
+
+def test_seq_tie_prefers_delete(spark):
+    t = _target(spark)
+    ch = _changes(spark, [(2, "b2", 21.0, "upsert", 5), (2, "b", 20.0, "delete", 5)])
+    keys = [r["k"] for r in cdc.merge_changes(t, ch, ["k"], seq_col="seq").collect()]
+    assert sorted(keys) == [1, 3]  # the tied delete won; key 2 is gone
+
+
+def test_replay_is_idempotent(spark):
+    t = _target(spark)
+    ch = _changes(
+        spark,
+        [(1, "a9", 11.0, "upsert", 1), (3, "c", 30.0, "delete", 2), (8, "n", 80.0, "upsert", 1)],
+    )
+    once = cdc.merge_changes(t, ch, ["k"], seq_col="seq")
+    twice = cdc.merge_changes(once, ch, ["k"], seq_col="seq")
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_merge_plan_broadcasts_batch(spark):
+    """The target side must not shuffle: the batch is broadcast into the
+    anti join, so the merge is one map-side pass over the target scan."""
+    t = _target(spark)
+    ch = _changes(spark, [(2, "b2", 21.0, "upsert", 1)])
+    plan = (
+        cdc.merge_changes(t, ch, ["k"], seq_col="seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sort_merge_path_matches_broadcast_path(spark):
+    t = _target(spark)
+    ch = _changes(spark, [(2, "b2", 21.0, "upsert", 1), (3, "c", 30.0, "delete", 1)])
+    a = cdc.merge_changes(t, ch, ["k"], seq_col="seq", broadcast_batch=True)
+    b = cdc.merge_changes(t, ch, ["k"], seq_col="seq", broadcast_batch=False)
+    assert sorted(a.collect()) == sorted(b.collect())

@@ -35,6 +35,8 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "tpch_q8_like",
     "tpch_q9_like",
     "tpch_q20_like",
+    "bloom_prune_lineitem",
+    "merge_upsert_orders",
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded

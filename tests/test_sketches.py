@@ -149,3 +149,51 @@ def test_cms_absent_key_estimates_zero_or_collision(spark):
     probe = spark.createDataFrame([(999_999,)], "k long")
     est = sketches.cms_estimate(state, probe, "k", depth=4, width=4096).collect()[0]
     assert est["n_est"] == 0
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = spark.range(0, 500).select((F.col("id") * 3).alias("k"))
+    state = sketches.bloom_state(keys, "k")
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    out = sketches.bloom_probe(probe, state, "k")
+    member = out.filter(F.col("k") % 3 == 0).filter(F.col("k") < 1500)
+    assert member.filter(~F.col("bloom_pass")).count() == 0  # never drops a member
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    keys = spark.range(0, 1000).select(F.col("id").alias("k"))
+    state = sketches.bloom_state(keys, "k", n_bits=1 << 16, depth=4)
+    non_members = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
+    fp = sketches.bloom_probe(non_members, state, "k").filter(F.col("bloom_pass")).count()
+    # (1 - e^(-4*1000/65536))^4 ≈ 1.2e-5 → expect ~0.25 FPs in 20k; 50 is 200x slack
+    assert fp < 50
+
+
+def test_bloom_merge_equals_combined_build(spark):
+    a = spark.range(0, 400).select(F.col("id").alias("k"))
+    b = spark.range(300, 900).select(F.col("id").alias("k"))
+    merged = sketches.merge_bloom_states(
+        sketches.bloom_state(a, "k"), sketches.bloom_state(b, "k")
+    )
+    combined = sketches.bloom_state(a.union(b), "k")
+    sym_diff = merged.join(combined, ["word", "bits"], "full_outer").filter(
+        F.col("word").isNull() | F.col("bits").isNull()
+    )
+    assert merged.count() == combined.count()
+    assert sym_diff.count() == 0  # bit_or merge == build-on-union, word for word
+
+
+def test_bloom_probe_plan_is_broadcast_only(spark):
+    """The probe side must never shuffle: depth broadcast hash joins, zero
+    exchanges on the big side (the whole point of probing via a sketch)."""
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    state = sketches.bloom_state(keys, "k")
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    plan = sketches.bloom_probe(probe, state, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
