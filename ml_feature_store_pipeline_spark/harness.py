@@ -105,6 +105,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q20_like",
     "bloom_prune_lineitem",
     "merge_upsert_orders",
+    "semantic_dedup_embeddings",
     # driver-green in round 2 only — refresh (the 16 double-green entries
     # — chunk_documents, doc_quality_scores, language_id,
     # order_price_rank_stats, pivot_event_values, rolling_hour_user_spend,
@@ -118,7 +119,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cosine_topk_blas",
     "lag_lead_events",
     "running_revenue",
-    "set_ops_summary",
     "tpch_q12_like",
     "train_test_split_counts",
 )

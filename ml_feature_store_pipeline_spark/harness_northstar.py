@@ -1666,3 +1666,70 @@ def _install_cdc_oracle() -> None:
 
 
 _install_cdc_oracle()
+
+
+@register(
+    "semantic_dedup_embeddings",
+    None,  # installed below (needs sketches.hash_fraction_sql)
+)
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table in
+    deterministic-centroid mode: 16 md5-picked seed vectors partition the
+    corpus; in-cell cosine ≥ 0.4 pairs form duplicate groups; the member
+    least similar to its centroid survives per group. The oracle replays
+    centroid pick, argmax assignment, pairing, the recursive-CTE component
+    closure, and the survivor rule exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, threshold=0.4, n_cells=16)
+    return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
+def _install_semantic_dedup_oracle() -> None:
+    from .harness import _ORACLES
+    from .operators import sketches
+
+    h = sketches.hash_fraction_sql("vec_id")
+    cos_ac = _COS_SQL.format(a="e.embedding", b="c.center")
+    cos_ab = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    _ORACLES["semantic_dedup_embeddings"] = f"""
+    WITH RECURSIVE ranked AS (
+      SELECT vec_id, embedding, {h} AS hfrac FROM embeddings
+    ),
+    cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY hfrac, vec_id) - 1 AS INT) AS cell,
+             embedding AS center
+      FROM (SELECT * FROM ranked ORDER BY hfrac, vec_id LIMIT 16)
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cell, {cos_ac} AS cos_c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos_ac} DESC, c.cell ASC) AS rn
+      FROM embeddings e, cent c
+    ),
+    assigned AS (SELECT vec_id, embedding, cell, cos_c FROM scored WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= 0.4
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    cc(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, cc.comp FROM edges e JOIN cc ON e.dst = cc.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS component FROM cc GROUP BY node),
+    keepers AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY a.cos_c ASC, a.vec_id ASC) AS rk
+        FROM assigned a JOIN comp c ON a.vec_id = c.node
+      ) WHERE rk = 1
+    )
+    SELECT a.vec_id, a.cell FROM assigned a
+    LEFT JOIN comp ON a.vec_id = comp.node
+    WHERE comp.node IS NULL OR a.vec_id IN (SELECT vec_id FROM keepers)
+    """
+
+
+_install_semantic_dedup_oracle()

@@ -395,3 +395,97 @@ def cosine_topk_blas(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then in-cluster near-dup prune)
+# ---------------------------------------------------------------------------
+
+
+def deterministic_centroids(
+    corpus: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding", n_cells: int = 16
+) -> DataFrame:
+    """Engine-portable centroid pick for :func:`semantic_dedup`: the
+    ``n_cells`` corpus vectors whose md5 hash fraction of the id is
+    smallest (a deterministic uniform sample — md5 of the id is a fixed
+    pseudo-random permutation, so this is k random seeds that every
+    engine, run, and partitioning agrees on). Returns (cell, center).
+
+    Use this instead of a KMeans fit when the pipeline must be replayable
+    bit-for-bit (the DuckDB oracle re-derives the same centroids); pass a
+    KMeans-fit table (e.g. :func:`ivf_build`'s centroids) when cluster
+    quality matters more than cross-engine determinism."""
+    from .sketches import hash_fraction
+
+    ranked = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", hash_fraction(F.col(id_col)))
+        .orderBy("__h", id_col)
+        .limit(n_cells)
+    )
+    w = Window.orderBy("__h", id_col)
+    return ranked.withColumn("cell", (F.row_number().over(w) - 1).cast("int")).select(
+        "cell", F.col(vec_col).alias("center")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_cells: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    corpus into centroid cells, find in-cell pairs with cosine ≥
+    ``threshold``, connect them into duplicate groups, and keep ONE doc
+    per group — the member LEAST similar to its centroid (the paper's
+    keep-low-centroid-similarity rule: survivors preserve diversity), id
+    tiebreak. Returns the surviving (id, cell) rows.
+
+    Scale shape: centroids broadcast (n_cells×dim floats), so assignment
+    is a map-side argmax over one corpus scan; the pairwise stage is
+    *within cells only* — a self-join co-partitioned on cell, the
+    O((N/k)²) the paper accepts, tunable via ``n_cells`` (pick
+    n_cells ≈ N/10⁴ so cells stay pairwise-affordable). Cross-cell dups
+    are missed by construction (the SemDeDup trade).
+
+    With ``centroids=None``, uses :func:`deterministic_centroids`, making
+    the whole pipeline engine-replayable (exact DuckDB oracle incl. the
+    connected-components closure)."""
+    from .dedup import connected_components
+
+    if centroids is None:
+        centroids = deterministic_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+        )
+    cw = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cell"))
+    assigned = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__cos", cosine_similarity(F.col(vec_col), F.col("center")))
+        .withColumn("__r", F.row_number().over(cw))
+        .filter(F.col("__r") == 1)
+        .select(F.col(id_col), F.col(vec_col), "cell", F.col("__cos").alias("cos_c"))
+    )
+    a = assigned.select(F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("__va"))
+    b = assigned.select(F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("__vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    mem = assigned.join(comp, assigned[id_col] == comp["node"], "left")
+    kw = Window.partitionBy("component").orderBy(F.asc("cos_c"), F.asc(id_col))
+    in_groups = (
+        mem.filter(F.col("node").isNotNull())
+        .withColumn("__k", F.row_number().over(kw))
+        .filter(F.col("__k") == 1)
+        .select(F.col(id_col), F.col("cell"))
+    )
+    loners = mem.filter(F.col("node").isNull()).select(F.col(id_col), F.col("cell"))
+    return loners.unionByName(in_groups)

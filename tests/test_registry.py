@@ -37,6 +37,7 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "tpch_q20_like",
     "bloom_prune_lineitem",
     "merge_upsert_orders",
+    "semantic_dedup_embeddings",
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded

@@ -169,3 +169,51 @@ def test_ivf_prebuilt_index_roundtrips_through_parquet(spark, tmp_path):
         nprobe=3,
     )
     assert sorted(map(tuple, oneshot.collect())) == sorted(map(tuple, reread.collect()))
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_keeps_least_central_member(spark):
+    # cell axis-aligned corpus: ids 0/1 nearly identical (dup group), id 2
+    # orthogonal. Centroids supplied explicitly to pin the geometry.
+    rows = [
+        (0, [1.0, 0.0, 0.01]),   # dup group, closest to centroid
+        (1, [1.0, 0.0, 0.4]),    # dup group, least central -> must survive
+        (2, [0.0, 1.0, 0.0]),    # loner in the other cell
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], "cell int, center array<double>"
+    )
+    from ml_feature_store_pipeline_spark.operators.similarity import semantic_dedup
+
+    out = sorted(r["vec_id"] for r in semantic_dedup(emb, threshold=0.9, centroids=cent).collect())
+    assert out == [1, 2]  # id 0 deduped away; survivor is the less-central id 1
+
+
+def test_semantic_dedup_no_cross_cell_pairs(spark):
+    # two near-identical vectors forced into DIFFERENT cells never pair
+    rows = [(0, [1.0, 0.05]), (1, [1.0, 0.06])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.05]), (1, [1.0, 0.06])], "cell int, center array<double>"
+    )
+    from ml_feature_store_pipeline_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(emb, threshold=0.5, centroids=cent).collect()
+    assert sorted(r["vec_id"] for r in out) == [0, 1]  # both survive: cells isolate them
+
+
+def test_deterministic_centroids_stable_across_partitioning(spark):
+    from ml_feature_store_pipeline_spark.operators.similarity import deterministic_centroids
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    a = deterministic_centroids(emb, n_cells=8).collect()
+    b = deterministic_centroids(emb.repartition(13), n_cells=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
