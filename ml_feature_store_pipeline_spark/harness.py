@@ -106,6 +106,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bloom_prune_lineitem",
     "merge_upsert_orders",
     "semantic_dedup_embeddings",
+    "audio_decode_stats",
+    "video_frame_stats",
+    "image_resize_stats",
     # driver-green in round 2 only — refresh (the 16 double-green entries
     # — chunk_documents, doc_quality_scores, language_id,
     # order_price_rank_stats, pivot_event_values, rolling_hour_user_spend,
@@ -117,10 +120,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "backfill_snapshots",
     "band_join_price_tiers",
     "cosine_topk_blas",
-    "lag_lead_events",
-    "running_revenue",
     "tpch_q12_like",
-    "train_test_split_counts",
 )
 
 

@@ -1733,3 +1733,122 @@ def _install_semantic_dedup_oracle() -> None:
 
 
 _install_semantic_dedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# audio / video / resize multimodal paths (round 4): same verification story
+# as multimodal_decode — exact integer stats, oracle re-derives the payload
+# content from the generator formula without touching any binary
+# ---------------------------------------------------------------------------
+
+#: md5-hex byte k (0-based) as an integer, for the (a, b, n) seed derivation
+_HEXB = (
+    "(16 * (strpos('0123456789abcdef', substr(h, {p1}, 1)) - 1)"
+    " + strpos('0123456789abcdef', substr(h, {p2}, 1)) - 1)"
+)
+
+
+def _seed_cte() -> str:
+    b0 = _HEXB.format(p1=1, p2=2)
+    b1 = _HEXB.format(p1=3, p2=4)
+    b2 = _HEXB.format(p1=5, p2=6)
+    return f"""
+    d AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents),
+    ab AS (
+      SELECT doc_id,
+             1 + 2 * (({b0}) % 127) AS a,
+             {b1} AS b,
+             128 + (({b2}) % 64) AS n
+      FROM d
+    )"""
+
+
+_AUDIO_SQL = f"""
+    WITH {_seed_cte()},
+    s AS (
+      SELECT doc_id, n, k, ((k * a + b) % 4096) - 2048 AS v
+      FROM ab, UNNEST(generate_series(0, 191)) AS u(k) WHERE k < n
+    ),
+    z AS (
+      SELECT doc_id, n, v,
+             CASE WHEN LAG(CASE WHEN v >= 0 THEN 1 ELSE -1 END)
+                    OVER (PARTITION BY doc_id ORDER BY k)
+                  <> CASE WHEN v >= 0 THEN 1 ELSE -1 END
+                  THEN 1 ELSE 0 END AS zc
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(SUM(zc) AS BIGINT) AS zero_crossings,
+           CAST(MAX(n) * 1000 // 8000 AS BIGINT) AS duration_ms
+    FROM z GROUP BY doc_id
+    """
+
+
+@register("audio_decode_stats", _AUDIO_SQL)
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio path: text → deterministic PCM → REAL RIFF/WAVE bytes →
+    Arrow-batched chunk-walking parser → exact integer clip statistics
+    (energy, zero crossings, duration). The oracle re-derives the PCM from
+    the generator formula in SQL — any parser defect (chunk offset,
+    endianness, sign handling) shifts a statistic."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_audio(docs, "doc_id", "text")
+    return multimodal.decode_audio_stats(payloads)
+
+
+_VIDEO_SQL = f"""
+    WITH {_seed_cte()},
+    fr AS (SELECT UNNEST(generate_series(0, 5)) AS f),
+    px AS (
+      SELECT ab.doc_id, fr.f, ((i * a + b + 7 * f) % 256) AS v
+      FROM ab, fr, UNNEST(generate_series(0, 47)) AS u(i)
+      WHERE f % 2 = 0
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(v * v) AS BIGINT) AS px_sq_sum
+    FROM px GROUP BY doc_id, f
+    """
+
+
+@register("video_frame_stats", _VIDEO_SQL)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling path: text → 6-frame FSC1 container of real PPM
+    frames → container walk decoding only every 2nd frame → exact per-frame
+    pixel stats. Sampling happens at the index level (skipped frames are
+    never decoded), which is the 100 TB-relevant property."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_video(docs, "doc_id", "text", n_frames=6)
+    return multimodal.sample_frame_stats(payloads, every_k=2)
+
+
+_RESIZE_SQL = f"""
+    WITH {_seed_cte()},
+    px AS (
+      SELECT ab.doc_id, (((2 * yy) * 8 + 2 * xx) * 3 + c) AS i,
+             ((((2 * yy) * 8 + 2 * xx) * 3 + c) * a + b) % 256 AS v
+      FROM ab,
+           UNNEST(generate_series(0, 3)) AS uy(yy),
+           UNNEST(generate_series(0, 3)) AS ux(xx),
+           UNNEST(generate_series(0, 2)) AS uc(c)
+    )
+    SELECT doc_id, CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(v * v) AS BIGINT) AS px_sq_sum
+    FROM px GROUP BY doc_id
+    """
+
+
+@register("image_resize_stats", _RESIZE_SQL)
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize path: 8×8 PPM decode → nearest-neighbor floor-grid resample
+    to 4×4 → exact integer stats of the RESIZED pixels. The oracle
+    re-derives exactly which source ramp indices the floor grid picks, so
+    a half-pixel offset or axis transpose breaks the hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    return multimodal.resize_image_stats(payloads, out_w=4, out_h=4)

@@ -250,3 +250,305 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields])
 
     return df.mapInPandas(decode, schema=IMAGE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/PCM) codec — pure numpy, no external deps
+# ---------------------------------------------------------------------------
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Serialize int16 mono PCM as a canonical RIFF/WAVE file (the real,
+    public format: RIFF header, fmt chunk, data chunk — little-endian)."""
+    import struct
+
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE payload into (int16 sample array, sample_rate).
+
+    A real chunk-walking parser: validates the RIFF/WAVE magic, iterates
+    chunks (skipping unknown ones, honoring the odd-length pad byte),
+    requires a PCM (format 1) mono 16-bit ``fmt `` chunk before ``data``.
+    Raises ``ValueError`` on malformed input — decode errors must surface,
+    not produce garbage features."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, fmt_seen = 12, None, False
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} of {clen} bytes")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"only PCM mono 16-bit supported, got fmt={audio_fmt} ch={channels} bits={bits}"
+                )
+            fmt_seen = True
+        elif cid == b"data":
+            if not fmt_seen:
+                raise ValueError("data chunk before fmt chunk")
+            if len(body) != clen:
+                raise ValueError(f"data chunk has {len(body)} bytes, expected {clen}")
+            return np.frombuffer(body, dtype="<i2"), int(rate)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk found")
+
+
+def _fake_samples(text: str) -> np.ndarray:
+    """Deterministic pseudo-audio from a text seed: int16 ramp
+    ``((k*a + b) mod 4096) − 2048`` with (a, b) from md5(text) bytes 0–1
+    (same seeds as :func:`_fake_pixels`) and length ``128 + byte2 % 64``
+    — reproducible and re-derivable in plain SQL."""
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    a = 1 + 2 * (digest[0] % 127)
+    b = digest[1]
+    n = 128 + digest[2] % 64
+    return (((np.arange(n, dtype=np.int64) * a + b) % 4096) - 2048).astype(np.int16)
+
+
+def attach_fake_audio(
+    df: DataFrame, id_col: str, text_col: str, *, sample_rate: int = 8000
+) -> DataFrame:
+    """Build a REAL RIFF/WAVE payload column (PCM derived deterministically
+    from the text) plus metadata — the audio twin of
+    :func:`attach_fake_payload`; bytes are produced on executors."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_wav(_fake_samples(t if t is not None else ""), sample_rate)
+        )
+
+    meta = F.struct(
+        F.lit("audio").alias("media_type"),
+        F.lit("wav").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), make_wav(F.col(text_col)).alias("payload"), meta.alias("media")
+    )
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads → EXACT integer audio statistics per clip:
+    sample count, energy (Σ s²), zero crossings (sign change count, with
+    sign(0) = +), and integer-floor duration. All int64 — the
+    oracle-checkable face of the audio path, mirroring
+    :func:`decode_image_stats`: an independent oracle re-derives the
+    expected samples from the generation formula, so any parser defect
+    (chunk-walk off-by-one, endianness, truncation) shifts a statistic.
+    Arrow-batched ``mapInPandas``; payloads never touch the driver."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                s, rate = decode_wav(b)
+                s64 = s.astype(np.int64)
+                signs = np.where(s64 >= 0, 1, -1)
+                zc = int((signs[1:] != signs[:-1]).sum()) if len(s64) > 1 else 0
+                rows.append(
+                    (
+                        doc_id,
+                        len(b),
+                        rate,
+                        len(s64),
+                        int((s64 * s64).sum()),
+                        zc,
+                        len(s64) * 1000 // rate,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(decode, schema=AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# frame-sequence container (video stand-in) + frame sampling
+# ---------------------------------------------------------------------------
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_sq_sum", T.LongType(), True),
+    ]
+)
+
+#: Magic of the toy frame-sequence container: FSC1, u32le frame count,
+#: then per frame u32le length + a complete binary PPM. A stand-in for a
+#: real video container with the same plumbing properties (seekable frame
+#: index, per-frame codec payload) and no codec dependency.
+_FSC_MAGIC = b"FSC1"
+
+
+def encode_frames(frames: list[np.ndarray]) -> bytes:
+    """Serialize a list of (h, w, 3) uint8 frames as an FSC1 container."""
+    import struct
+
+    out = [_FSC_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        ppm = encode_ppm(fr)
+        out.append(struct.pack("<I", len(ppm)))
+        out.append(ppm)
+    return b"".join(out)
+
+
+def decode_frames(payload: bytes, *, every_k: int = 1) -> list[tuple[int, np.ndarray]]:
+    """Walk an FSC1 container and decode every ``every_k``-th frame —
+    frame SAMPLING at the container level: skipped frames are never
+    PPM-decoded (the point of a seekable index: at 100 TB you pay decode
+    only for sampled frames). Returns (frame_idx, pixels) pairs."""
+    import struct
+
+    if payload[:4] != _FSC_MAGIC:
+        raise ValueError("not an FSC1 frame container")
+    (n,) = struct.unpack("<I", payload[4:8])
+    pos, out = 8, []
+    for idx in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError(f"truncated container at frame {idx}")
+        (flen,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        if pos + flen > len(payload):
+            raise ValueError(f"frame {idx} body truncated")
+        if idx % every_k == 0:
+            out.append((idx, decode_ppm(payload[pos : pos + flen])))
+        pos += flen
+    return out
+
+
+def _fake_frame_pixels(text: str, frame_idx: int, width: int, height: int) -> np.ndarray:
+    """Frame ``f`` of the pseudo-video: the image ramp shifted by ``7·f``
+    — ``(i*a + b + 7*f) mod 256`` with (a, b) from md5(text) bytes 0–1."""
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    a = 1 + 2 * (digest[0] % 127)
+    b = digest[1]
+    vals = (np.arange(width * height * 3, dtype=np.int64) * a + b + 7 * frame_idx) % 256
+    return vals.astype(np.uint8).reshape(height, width, 3)
+
+
+def attach_fake_video(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_frames: int = 6,
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Build a REAL FSC1 container column of ``n_frames`` deterministic
+    PPM frames per doc — the video twin of :func:`attach_fake_payload`."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_fsc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_frames(
+                [
+                    _fake_frame_pixels(t if t is not None else "", f, width, height)
+                    for f in range(n_frames)
+                ]
+            )
+        )
+
+    meta = F.struct(
+        F.lit("video").alias("media_type"),
+        F.lit("fsc1").alias("format"),
+        F.lit(width).cast("int").alias("width"),
+        F.lit(height).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), make_fsc(F.col(text_col)).alias("payload"), meta.alias("media")
+    )
+
+
+def sample_frame_stats(df: DataFrame, *, every_k: int = 2) -> DataFrame:
+    """Sample every ``every_k``-th frame of each container and emit EXACT
+    integer per-frame pixel statistics — one output row per (doc, sampled
+    frame). Skipped frames are never decoded. Arrow-batched
+    ``mapInPandas``; same oracle-by-generator-formula verification story
+    as :func:`decode_image_stats`."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, px in decode_frames(bytes(payload), every_k=every_k):
+                    p = px.astype(np.int64)
+                    rows.append((doc_id, idx, int(p.sum()), int((p * p).sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(decode, schema=FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize (nearest-neighbor — exact integer index arithmetic)
+# ---------------------------------------------------------------------------
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_sq_sum", T.LongType(), True),
+    ]
+)
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with pure floor index arithmetic
+    (``src = out_index * src_dim // out_dim``) — deterministic, exact, and
+    re-derivable in SQL (no float sampling grid)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return pixels[np.ix_(ys, xs)]
+
+
+def resize_image_stats(df: DataFrame, *, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Decode PPM payloads, nearest-neighbor-resize to (out_w, out_h), and
+    emit exact integer statistics of the RESIZED image. Verifies the whole
+    decode→resample chain: the oracle re-derives which source pixels the
+    floor grid selects straight from the generator formula, so a
+    half-pixel offset or transposed axis shifts the sums."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = resize_nearest(decode_ppm(bytes(payload)), out_w, out_h).astype(np.int64)
+                rows.append((doc_id, out_w, out_h, int(px.sum()), int((px * px).sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(decode, schema=RESIZE_STATS_SCHEMA)

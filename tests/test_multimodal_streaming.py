@@ -210,3 +210,81 @@ def test_foreachbatch_upsert_sink_writes_feature_table(spark, tmp_path):
     assert got[1]["total_events"] == 2
     assert got[1]["total_purchases"] == 1
     assert got[2]["total_amount"] == 30.0
+
+
+# ---------------------------------------------------------------------------
+# audio / video / resize codecs (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from ml_feature_store_pipeline_spark.operators import multimodal as mm
+
+    s = np.array([0, 100, -200, 32767, -32768], dtype=np.int16)
+    payload = mm.encode_wav(s, sample_rate=16000)
+    out, rate = mm.decode_wav(payload)
+    assert rate == 16000 and np.array_equal(out, s)
+    # chunk walker must skip unknown chunks before data
+    extra = payload[:12] + b"LIST\x04\x00\x00\x00abcd" + payload[12:]
+    fixed = b"RIFF" + (len(extra) - 8).to_bytes(4, "little") + extra[8:]
+    out2, _ = mm.decode_wav(fixed)
+    assert np.array_equal(out2, s)
+    with _pytest.raises(ValueError):
+        mm.decode_wav(b"RIFX" + payload[4:])
+    with _pytest.raises(ValueError):
+        mm.decode_wav(payload[:20])  # no data chunk
+
+
+def test_fsc_frame_sampling_skips_decode():
+    import numpy as np
+
+    from ml_feature_store_pipeline_spark.operators import multimodal as mm
+
+    frames = [np.full((2, 2, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)]
+    payload = mm.encode_frames(frames)
+    sampled = mm.decode_frames(payload, every_k=2)
+    assert [i for i, _ in sampled] == [0, 2, 4]
+    assert all(int(px[0, 0, 0]) == 10 * (i + 1) for i, px in [(0, sampled[0][1])])
+    # corrupt an UNSAMPLED frame's PPM body: sampling must still succeed
+    # because skipped frames are never decoded (only their lengths are read)
+    broken = bytearray(payload)
+    # frame 1 body starts after magic(4)+count(4)+len(4)+frame0; find its 'P6'
+    off = payload.index(b"P6", payload.index(b"P6") + 2)
+    broken[off] = ord("X")
+    assert [i for i, _ in mm.decode_frames(bytes(broken), every_k=2)] == [0, 2, 4]
+
+
+def test_resize_nearest_floor_grid():
+    import numpy as np
+
+    from ml_feature_store_pipeline_spark.operators import multimodal as mm
+
+    src = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = mm.resize_nearest(src, 4, 4)
+    assert out.shape == (4, 4, 3)
+    # floor grid: out[y, x] == src[2y, 2x]
+    for y in range(4):
+        for x in range(4):
+            assert (out[y, x] == src[2 * y, 2 * x]).all()
+
+
+def test_audio_stats_match_formula(spark):
+    import numpy as np
+
+    from ml_feature_store_pipeline_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, "hello"), (2, "")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in mm.decode_audio_stats(
+        mm.attach_fake_audio(df, "doc_id", "text")
+    ).collect()}
+    for doc_id, text in ((1, "hello"), (2, "")):
+        s = mm._fake_samples(text).astype(np.int64)
+        r = rows[doc_id]
+        assert r["n_samples"] == len(s)
+        assert r["sum_sq"] == int((s * s).sum())
+        signs = np.where(s >= 0, 1, -1)
+        assert r["zero_crossings"] == int((signs[1:] != signs[:-1]).sum())
+        assert r["n_bytes"] == 44 + 2 * len(s)

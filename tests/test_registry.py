@@ -38,6 +38,9 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "bloom_prune_lineitem",
     "merge_upsert_orders",
     "semantic_dedup_embeddings",
+    "audio_decode_stats",
+    "video_frame_stats",
+    "image_resize_stats",
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded
