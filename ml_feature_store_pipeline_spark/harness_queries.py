@@ -887,3 +887,84 @@ def q_distinct_users_per_type_2stage(spark: SparkSession, sf_dir: str) -> DataFr
 
     e = read_table(spark, sf_dir, "events")
     return exact_distinct_two_stage(e, ["event_type"], "user_id")
+
+
+# ---------------------------------------------------------------------------
+# feature-engineering encodings (round 4 — operators/fe.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_bin_orders",
+    None,  # installed below via fe.quantile_bin_sql
+)
+def q_quantile_bin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population decile binning of o_totalprice (operators/fe.py):
+    one aggregate computes the 9 exact interpolated boundaries, a
+    broadcast assigns bins map-side — no ntile global sort. Output is the
+    per-bin profile (count + decimal-exact sum)."""
+    from .operators import fe
+
+    o = read_table(spark, sf_dir, "orders")
+    binned = fe.quantile_bin(o, "o_totalprice", n_bins=10)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total_price")
+    )
+
+
+@register(
+    "target_encode_events",
+    None,  # installed below via fe.target_encode_sql
+)
+def q_target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of event_type by mean(value) with a
+    pseudo-count-10 shrink toward the global mean — the standard
+    leakage-averse categorical encoder, decimal-sum deterministic."""
+    from .operators import fe
+
+    e = read_table(spark, sf_dir, "events")
+    return fe.target_encode(e, "event_type", "value", prior_weight=10.0)
+
+
+@register(
+    "hashed_cross_events",
+    None,  # installed below via fe.hashed_cross_sql
+)
+def q_hashed_cross_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature cross event_type × (user_id mod 16) into 64
+    buckets (md5-deterministic, so train and serve recompute identical
+    buckets), profiled as counts + decimal value sums per bucket."""
+    from .operators import fe
+
+    e = read_table(spark, sf_dir, "events")
+    bucket = fe.hashed_cross(
+        [F.col("event_type"), F.col("user_id") % 16], dim=64
+    ).alias("bucket")
+    return e.select(bucket, "value").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value")
+    )
+
+
+def _install_fe_oracles() -> None:
+    from .harness import _ORACLES
+    from .operators import fe
+
+    bounds_cte, bin_expr = fe.quantile_bin_sql("orders", "o_totalprice", n_bins=10)
+    _ORACLES["quantile_bin_orders"] = f"""
+    WITH qb AS ({bounds_cte})
+    SELECT {bin_expr} AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders, qb GROUP BY 1
+    """
+    _ORACLES["target_encode_events"] = fe.target_encode_sql(
+        "events", "event_type", "value", prior_weight=10.0
+    )
+    cross = fe.hashed_cross_sql(["event_type", "user_id % 16"], dim=64)
+    _ORACLES["hashed_cross_events"] = f"""
+    SELECT {cross} AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1
+    """
+
+
+_install_fe_oracles()

@@ -1,0 +1,168 @@
+"""Feature-engineering operators: quantile binning, target encoding,
+hashed feature crosses.
+
+The reference computes per-key aggregates and ratios (SURVEY §2.C) but
+stops short of the encoding steps every training pipeline applies next;
+these are those steps, shaped for 100 TB:
+
+- :func:`quantile_bin` — discretize a numeric column into ``n_bins``
+  equal-population bins. Two passes: ONE aggregate computes every exact
+  linear-interpolation boundary (Spark ``percentile``, the pandas
+  default), then a broadcast of the ≤ n_bins−1 boundary values assigns
+  bins map-side — no sort, no ntile-style global window (``ntile`` would
+  shuffle every row into one ordering; boundaries + broadcast touch the
+  data twice but never shuffle it).
+- :func:`target_encode` — smoothed per-category mean of a label
+  (empirical-Bayes shrinkage toward the global mean with pseudo-count
+  ``prior_weight``): one partial-aggregated groupBy over the categories,
+  the global mean broadcast into the encoding expression. Join the tiny
+  (category, encoding) output back to the fact side with a broadcast
+  hash join.
+- :func:`hashed_cross` — the hashing trick for feature crosses: bucket =
+  md5-derived hash of the concatenated feature tuple mod ``dim``.
+  md5-deterministic (same recipe as ``sketches.cms_bucket``), so
+  train/serve agree across engines, runs, and partitionings — the
+  property that makes hashed crosses safe to recompute at serving time.
+
+Float determinism: boundary values and encodings are rounded to a fixed
+number of digits *before* any comparison or output, so the DuckDB twins
+(`quantile_cont`, decimal-sum recipe) reproduce results hash-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dsum
+
+
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    *,
+    n_bins: int,
+    bin_col: str = "bin",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Append ``bin_col`` (0 … n_bins−1): the equal-population bin of
+    ``col``. Bin i covers values in (b_{i−1}, b_i]; assignment is
+    ``sum(v > b_i)`` over the rounded boundaries, so rows equal to a
+    boundary fall in the lower bin (pandas ``qcut``-compatible edges).
+    Nulls get bin NULL."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        *[
+            F.round(F.expr(f"percentile(`{col}`, {q})"), round_digits).alias(f"__b{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    v = F.round(F.col(col), round_digits)
+    assign = sum(
+        (v > F.col(f"__b{i}")).cast("int") for i in range(len(qs))
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(bin_col, F.when(F.col(col).isNotNull(), assign))
+        .drop(*[f"__b{i}" for i in range(len(qs))])
+    )
+
+
+def quantile_bin_sql(
+    table: str, col: str, *, n_bins: int, round_digits: int = 6
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`quantile_bin`: returns ``(bounds_cte_body,
+    bin_expr)`` — a one-row CTE of rounded boundaries and the assignment
+    expression referencing it (alias the CTE ``qb``)."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = ", ".join(
+        f"ROUND(quantile_cont({col}, {q}), {round_digits}) AS b{i}" for i, q in enumerate(qs)
+    )
+    assign = " + ".join(
+        f"CAST(ROUND({col}, {round_digits}) > qb.b{i} AS INT)" for i in range(len(qs))
+    )
+    return f"SELECT {bounds} FROM {table}", f"CASE WHEN {col} IS NOT NULL THEN ({assign}) END"
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    *,
+    prior_weight: float = 10.0,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Smoothed target encoding per category: one row ``(cat, n, enc)``
+    with ``enc = (sum_cat + m·global_mean) / (n_cat + m)`` — the
+    empirical-Bayes shrinkage that keeps rare categories near the global
+    mean. Sums use the deterministic decimal recipe, the division order
+    is fixed, and the output is rounded — hash-identical across engines.
+
+    Scale shape: one partial-aggregated groupBy (category cardinality
+    rows out), global mean from the SAME aggregate re-aggregated (no
+    second scan); broadcast the result back onto facts for encoding."""
+    cats = df.groupBy(cat_col).agg(
+        F.count(label_col).alias("n"),
+        dsum(F.col(label_col)).alias("__s"),
+    )
+    # per-category sums are 4-dp-exact doubles; re-cast to decimal for the
+    # cross-category total so it stays order-insensitive too
+    tot = cats.agg(
+        F.sum("n").alias("__tn"),
+        F.sum(F.col("__s").cast("decimal(28,4)")).cast("double").alias("__ts"),
+    )
+    m = F.lit(float(prior_weight))
+    gmean = F.col("__ts") / F.col("__tn")
+    return (
+        cats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "enc", F.round((F.col("__s") + m * gmean) / (F.col("n") + m), round_digits)
+        )
+        .select(cat_col, "n", "enc")
+    )
+
+
+def target_encode_sql(
+    table: str, cat_col: str, label_col: str, *, prior_weight: float = 10.0, round_digits: int = 9
+) -> str:
+    """DuckDB twin of :func:`target_encode` (same decimal sums, same
+    operation order, same rounding)."""
+    from ..functions import dsum_sql
+
+    s = dsum_sql(label_col)
+    return f"""
+    WITH cats AS (
+      SELECT {cat_col}, COUNT({label_col}) AS n, {s} AS s
+      FROM {table} GROUP BY {cat_col}
+    ),
+    tot AS (SELECT SUM(n) AS tn,
+                   CAST(SUM(CAST(s AS DECIMAL(28,4))) AS DOUBLE) AS ts FROM cats)
+    SELECT {cat_col}, CAST(n AS BIGINT) AS n,
+           ROUND((s + {float(prior_weight)} * (ts / tn)) / (n + {float(prior_weight)}),
+                 {round_digits}) AS enc
+    FROM cats, tot
+    """
+
+
+def hashed_cross(cols: list[Column], *, dim: int, seed: int = 0) -> Column:
+    """The hashing-trick bucket of a feature cross: md5 of the
+    ``'|'``-joined string forms of ``cols`` (null → ``''``), first 13 hex
+    digits mod ``dim`` — deterministic across engines (the
+    ``sketches.cms_bucket`` recipe with the tuple as the value)."""
+    joined = F.concat_ws("|", *[F.coalesce(c.cast("string"), F.lit("")) for c in cols])
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), joined))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % dim
+
+
+def hashed_cross_sql(exprs: list[str], *, dim: int, seed: int = 0) -> str:
+    """DuckDB twin of :func:`hashed_cross` (positional hex fold)."""
+    joined = " || '|' || ".join(f"COALESCE(CAST({e} AS VARCHAR), '')" for e in exprs)
+    return (
+        "(CAST(list_sum(list_transform(range(13), i -> "
+        "(strpos('0123456789abcdef', substr("
+        f"md5('{seed}' || ':' || ({joined}))"
+        ", i + 1, 1)) - 1) * power(16, 12 - i))) AS BIGINT)"
+        f" % {dim})"
+    )

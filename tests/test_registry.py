@@ -41,6 +41,9 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "audio_decode_stats",
     "video_frame_stats",
     "image_resize_stats",
+    "quantile_bin_orders",
+    "target_encode_events",
+    "hashed_cross_events",
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded
