@@ -131,14 +131,15 @@ def synth_vecs(spark, n: int, dim: int = 64):
 EVENT_OPS = (
     "flagship_extract_exact flagship_extract_approx sessionize asof_join "
     "deterministic_sample_10pct training_set_1view asof_join_bucketed_1key "
-    "interval_join_2k_bands"
+    "interval_join_2k_bands bloom_probe cdc_merge"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
     "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
-    "boilerplate_ngram pack_sequences incremental_lsh"
+    "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
+    "video_frame_sample"
 ).split()
-VEC_OPS = "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm".split()
+VEC_OPS = "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm semantic_dedup".split()
 
 
 def main() -> None:
@@ -380,6 +381,77 @@ def main() -> None:
                 ).count()
                 log("boilerplate_ngram_pairs", time.time() - t0, args.docs)
                 print(json.dumps({"op": "boilerplate_ngram_pairs.count", "rows": n_pairs}), flush=True)
+        # ---- round-4 additions: bloom-pruned scan, CDC merge, SemDeDup, ----
+        # ---- multimodal decode throughput ----------------------------------
+        if events is not None and want("bloom_probe"):
+            from ml_feature_store_pipeline_spark.operators import sketches
+
+            # membership = the ~1%-of-users dim after a filter; probe = the
+            # full fact scan. The probe must show ~zero shuffle (broadcast
+            # joins only) — that's the runtime-filter property under test.
+            keys = events.select("user_id").filter(F.col("user_id") % 128 == 0).distinct()
+            state = sketches.bloom_state(keys, "user_id")
+            state.write.mode("overwrite").parquet(f"{work}/bloom")
+            st = spark.read.parquet(f"{work}/bloom")
+            timed(
+                "bloom_probe_full_scan",
+                sketches.bloom_probe(events.select("user_id", "amount"), st, "user_id")
+                .filter(F.col("bloom_pass")),
+                args.events,
+            )
+        if events is not None and want("cdc_merge"):
+            from ml_feature_store_pipeline_spark.operators import cdc
+
+            # 1% change batch against the full event log keyed by event_id:
+            # apply must be broadcast-anti + union (target never shuffles)
+            # the generator has no id column; derive a near-unique 64-bit key
+            target = events.select(
+                F.xxhash64("user_id", "timestamp", "event_type", "amount").alias("event_id"),
+                "user_id",
+                "amount",
+            )
+            batch = (
+                target.filter(F.col("event_id") % 100 == 0)
+                .withColumn("amount", F.col("amount") + F.lit(1.0))
+                .withColumn("op", F.when(F.col("event_id") % 1000 == 0, F.lit("delete")).otherwise(F.lit("upsert")))
+                .withColumn("seq", F.lit(1))
+            )
+            batch.write.mode("overwrite").parquet(f"{work}/cdc_batch")
+            b = spark.read.parquet(f"{work}/cdc_batch")
+            timed(
+                "cdc_merge_1pct_batch",
+                cdc.merge_changes(target, b, ["event_id"], seq_col="seq"),
+                args.events,
+            )
+        if vecs is not None and want("semantic_dedup"):
+            # n_cells sized so cells stay pairwise-affordable (~1k vecs/cell)
+            timed(
+                "semantic_dedup",
+                similarity.semantic_dedup(
+                    vecs, threshold=0.85, n_cells=max(args.vecs // 1000, 16)
+                ),
+                args.vecs,
+            )
+        if docs is not None and want("audio_decode"):
+            from ml_feature_store_pipeline_spark.operators import multimodal
+
+            multimodal.attach_fake_audio(docs, "doc_id", "text").write.mode(
+                "overwrite"
+            ).parquet(f"{work}/wavs")
+            wavs = spark.read.parquet(f"{work}/wavs")
+            timed("audio_decode_stats", multimodal.decode_audio_stats(wavs), args.docs)
+        if docs is not None and want("video_frame_sample"):
+            from ml_feature_store_pipeline_spark.operators import multimodal
+
+            multimodal.attach_fake_video(docs, "doc_id", "text", n_frames=6).write.mode(
+                "overwrite"
+            ).parquet(f"{work}/vids")
+            vids = spark.read.parquet(f"{work}/vids")
+            timed(
+                "video_frame_sample_every2",
+                multimodal.sample_frame_stats(vids, every_k=2),
+                args.docs,
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
