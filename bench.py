@@ -77,6 +77,13 @@ HEADLINE_R4 = [
     "corpus_curation_pipeline",
     "tpch_q9_like",
     "tpch_q21_like",
+    # second wave: bloom-pruned scan, CDC merge, semantic dedup, audio
+    # decode, quantile binning — one per new round-4 family
+    "bloom_prune_lineitem",
+    "merge_upsert_orders",
+    "semantic_dedup_embeddings",
+    "audio_decode_stats",
+    "quantile_bin_orders",
 ]
 
 

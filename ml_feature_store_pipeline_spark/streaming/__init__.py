@@ -1,4 +1,5 @@
 from .ingest import (
+    cdc_merge_sink,
     enrich_stream,
     incremental_state_sink,
     streaming_feature_aggregation,
@@ -7,6 +8,7 @@ from .ingest import (
 from .stateful import dedup_stream, join_streams, sessionize_stream
 
 __all__ = [
+    "cdc_merge_sink",
     "dedup_stream",
     "enrich_stream",
     "incremental_state_sink",

@@ -174,3 +174,44 @@ def incremental_near_dup_sink(
         ).parquet(f"{sig_path}/epoch={epoch_id}")
 
     return write
+
+
+def cdc_merge_sink(
+    snapshot_path: str,
+    keys: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink that maintains a MERGE-INTO snapshot
+    (operators.cdc): each micro-batch of change rows (upserts + deletes,
+    optionally multi-version per key via ``seq_col``) folds into the
+    stored snapshot with the broadcast-anti apply — O(batch + |snapshot|
+    scan) per trigger, the snapshot never shuffles. Atomic temp-path +
+    rename swap, and :func:`~..operators.cdc.merge_changes` is idempotent
+    under replay, so a crash between the swap and the checkpoint commit
+    just re-applies the same batch to the same effect (exactly-once
+    OUTPUT without exactly-once plumbing). Read-side: plain
+    ``spark.read.parquet(snapshot_path)``.
+    """
+    import os
+
+    from ..operators import cdc
+    from ..sources.writers import atomic_overwrite_parquet
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        data_cols = [c for c in batch.columns if c not in (op_col, seq_col)]
+        if os.path.exists(snapshot_path):
+            target = spark.read.parquet(snapshot_path)
+        else:
+            target = spark.createDataFrame([], batch.select(*data_cols).schema)
+        merged = cdc.merge_changes(
+            target, batch, keys, op_col=op_col, seq_col=seq_col
+        )
+        # the merge lazily reads snapshot_path, which the swap replaces —
+        # materialize first (same pattern as incremental_state_sink)
+        merged = merged.localCheckpoint()
+        atomic_overwrite_parquet(merged, snapshot_path)
+
+    return write

@@ -84,3 +84,46 @@ def test_sort_merge_path_matches_broadcast_path(spark):
     a = cdc.merge_changes(t, ch, ["k"], seq_col="seq", broadcast_batch=True)
     b = cdc.merge_changes(t, ch, ["k"], seq_col="seq", broadcast_batch=False)
     assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_cdc_merge_sink_maintains_snapshot(spark, tmp_path):
+    """Streamed change batches fold into a parquet snapshot: upserts
+    replace, deletes drop, later epochs win, replayed epochs are no-ops."""
+    from ml_feature_store_pipeline_spark.streaming import cdc_merge_sink
+
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snapshot")
+    schema = "k long, name string, val double, op string, seq long"
+    b1 = spark.createDataFrame(
+        [(1, "a", 1.0, "upsert", 1), (2, "b", 2.0, "upsert", 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, "a2", 10.0, "upsert", 2), (2, "b", 2.0, "delete", 2), (3, "c", 3.0, "upsert", 2)],
+        schema,
+    )
+    b1.write.parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(cdc_merge_sink(snap, ["k"], seq_col="seq"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["k"]: r["name"] for r in spark.read.parquet(snap).collect()}
+        assert first == {1: "a", 2: "b"}
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["k"]: (r["name"], r["val"]) for r in spark.read.parquet(snap).collect()}
+    assert out == {1: ("a2", 10.0), 3: ("c", 3.0)}
+
+    # replay the SAME batch out-of-band (simulates a crash between the swap
+    # and the checkpoint commit): the snapshot must not change
+    sink = cdc_merge_sink(snap, ["k"], seq_col="seq")
+    sink(b2, epoch_id=99)
+    again = {r["k"]: (r["name"], r["val"]) for r in spark.read.parquet(snap).collect()}
+    assert again == out

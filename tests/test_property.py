@@ -214,3 +214,83 @@ def test_pack_sequences_invariants_hold_for_any_input(spark, counts, budget, gro
         token_budget=budget, n_groups=groups,
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (operators/cdc.py): algebraic laws on arbitrary change batches
+# ---------------------------------------------------------------------------
+
+cdc_target_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=99)),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],  # keyed table: unique keys
+)
+cdc_batch_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),  # keys overlap + extend the target's
+        st.integers(min_value=0, max_value=99),
+        st.sampled_from(["upsert", "delete"]),
+        st.integers(min_value=1, max_value=5),  # seq, collision-prone
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(target=cdc_target_strategy, batch=cdc_batch_strategy)
+def test_cdc_merge_matches_dict_model_and_replays(spark, target, batch):
+    """merge == the obvious per-key dict fold; replay is a no-op."""
+    from ml_feature_store_pipeline_spark.operators import cdc
+
+    t = spark.createDataFrame(target or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    )
+    b = spark.createDataFrame(
+        batch or [(None, None, None, None)], "k int, v int, op string, seq int"
+    ).filter(F.col("k").isNotNull())
+
+    out = cdc.merge_changes(t, b, ["k"], seq_col="seq")
+    got = {r["k"]: r["v"] for r in out.collect()}
+
+    # dict model: winner per key = max seq, delete beats upsert on a tie
+    model = {k: v for k, v in target}
+    winners: dict[int, tuple[int, int, str, int]] = {}
+    for k, v, op, seq in batch:
+        cur = winners.get(k)
+        rank = (seq, 0 if op == "delete" else 1)
+        # higher seq wins; tie -> delete (rank tuple: smaller second wins at same seq)
+        if cur is None or rank[0] > cur[0] or (rank[0] == cur[0] and rank[1] < cur[1]):
+            winners[k] = (seq, rank[1], op, v)
+    for k, (_, _, op, v) in winners.items():
+        if op == "delete":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == model
+
+    # idempotent replay
+    again = cdc.merge_changes(out, b, ["k"], seq_col="seq")
+    assert {r["k"]: r["v"] for r in again.collect()} == model
+
+
+# ---------------------------------------------------------------------------
+# bloom filter (operators/sketches.py): no false negatives, merge law
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    members=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
+    probes=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
+)
+def test_bloom_never_drops_members(spark, members, probes):
+    from ml_feature_store_pipeline_spark.operators import sketches
+
+    m = spark.createDataFrame([(x,) for x in members], "k long")
+    state = sketches.bloom_state(m, "k", n_bits=1 << 10, depth=3)
+    p = spark.createDataFrame([(x,) for x in set(probes) | set(members)], "k long")
+    out = sketches.bloom_probe(p, state, "k", n_bits=1 << 10, depth=3).collect()
+    passed = {r["k"] for r in out if r["bloom_pass"]}
+    assert set(members) <= passed  # a bloom filter may lie positive, never negative
