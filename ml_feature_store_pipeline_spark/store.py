@@ -200,6 +200,44 @@ class FeatureStore:
         self.monitor.log_feature_access(version, len(user_ids) if user_ids else None)
         return df
 
+    def merge_features(
+        self,
+        changes: DataFrame,
+        *,
+        base_version: str | None = None,
+        keys: list[str] | None = None,
+        op_col: str = "op",
+        seq_col: str | None = None,
+        metadata: FeatureMetadata | None = None,
+    ) -> str:
+        """Point corrections as a NEW immutable version: apply a CDC batch
+        (upserts + deletes, ``operators.cdc`` semantics) to ``base_version``
+        (default latest) and register the merged result — the batch form of
+        the reference's row-level ``INSERT OR REPLACE`` / ``DELETE``
+        mutations (SURVEY §2 A4/A9), with the store's versioning preserved:
+        the base version stays readable, lineage records the derivation.
+
+        Scale shape: one pruned scan of the base partition + the broadcast
+        anti-join apply — the batch is the only thing shuffled."""
+        from .operators import cdc
+
+        base_version = base_version or self.latest_version()
+        if base_version is None:
+            raise ValueError("feature store is empty — nothing to merge into")
+        base = self.get_features(version=base_version, use_cache=False).drop(
+            VERSION_COLUMN, CREATED_AT_COLUMN
+        )
+        merged = cdc.merge_changes(
+            base, changes, keys or ["user_id"], op_col=op_col, seq_col=seq_col
+        )
+        meta = metadata or FeatureMetadata(
+            description=f"CDC merge into {base_version}"
+        )
+        meta.lineage = {**meta.lineage, "base_version": base_version, "derived_by": "cdc_merge"}
+        # merged output needs no re-declared schema check: columns are the
+        # base version's by construction
+        return self.register_features(merged, meta, enforce_schema=False)
+
     # ------------------------------------------------------------------ K3
     def serve_features(self, user_id: int, version: str | None = None) -> dict[str, Any]:
         """Single-entity online lookup (reference `:427-446`).

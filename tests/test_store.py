@@ -284,3 +284,38 @@ def test_time_travel_read(spark, tmp_path, features):
         store.get_features(as_of="1970-01-01T00:00:00")
     with pytest.raises(ValueError):
         store.get_features(version=v1, as_of=between)
+
+
+def test_merge_features_creates_corrected_version(store, features):
+    v1 = store.register_features(features, _meta("base"))
+    base = store.get_features(v1)
+    # correction batch: fix user 1's total_amount, drop user 2, add user 99
+    row1 = base.filter(F.col("user_id") == 1).drop("feature_version", "created_at")
+    changes = (
+        row1.withColumn("total_amount", F.lit(123.45))
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(
+            base.filter(F.col("user_id") == 2)
+            .drop("feature_version", "created_at")
+            .withColumn("op", F.lit("delete"))
+        )
+        .unionByName(
+            row1.withColumn("user_id", F.lit(99)).withColumn("op", F.lit("upsert"))
+        )
+    )
+    v2 = store.merge_features(changes, base_version=v1)
+    assert v2 != v1
+
+    merged = {r["user_id"]: r["total_amount"] for r in store.get_features(v2).collect()}
+    assert merged[1] == 123.45
+    assert merged[99] == 40.0  # inserted row carries user 1's ORIGINAL amount
+    assert 2 not in merged
+    # untouched users carried over; base version still intact
+    assert set(merged) == ({r["user_id"] for r in base.collect()} - {2}) | {99}
+    assert store.get_features(v1).count() == 5
+    # lineage records the derivation
+    meta = store.get_feature_metadata(v2)
+    assert meta.lineage["base_version"] == v1
+    assert meta.lineage["derived_by"] == "cdc_merge"
+    # latest now resolves to the corrected version
+    assert store.latest_version() == v2
