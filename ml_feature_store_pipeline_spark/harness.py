@@ -112,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quantile_bin_orders",
     "target_encode_events",
     "hashed_cross_events",
+    "negative_sample_pairs",
     # driver-green in round 2 only — refresh (the 16 double-green entries
     # — chunk_documents, doc_quality_scores, language_id,
     # order_price_rank_stats, pivot_event_values, rolling_hour_user_spend,
@@ -119,7 +120,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # tpch_q10_like, quality_null_dup_stats, scrub_pii_docs, tpch_q5_like,
     # unpivot_lineitem, json_props_extract, sample_events_10pct — yielded
     # their slots to the new queries; r5 window)
-    "cosine_topk_blas",
     "tpch_q12_like",
 )
 

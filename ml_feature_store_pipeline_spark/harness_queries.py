@@ -968,3 +968,51 @@ def _install_fe_oracles() -> None:
 
 
 _install_fe_oracles()
+
+
+@register(
+    "negative_sample_pairs",
+    None,  # installed below via sampling.negative_sample_sql
+)
+def q_negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (operators/sampling.py): customer ×
+    part purchase pairs (a ~1% customer slice) each draw 2 md5-derived
+    candidate parts from the part dim; accidental positives are subtracted.
+    Reruns and the DuckDB oracle pick the SAME negatives — the property
+    that makes offline metrics comparable across pipeline runs."""
+    from .operators.sampling import negative_sample
+
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 97 == 0)
+    li = read_table(spark, sf_dir, "lineitem")
+    pos = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    parts = read_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    return negative_sample(pos, parts, user_col="custkey", item_col="partkey", k=2)
+
+
+def _install_negative_sample_oracle() -> None:
+    from .harness import _ORACLES
+    from .operators.sampling import negative_sample_sql
+
+    body = negative_sample_sql(
+        "pos", "parts", user_expr="custkey", item_expr="partkey", k=2
+    )
+    # splice the positives/items CTEs into the generated WITH clause
+    body = body.replace(
+        "WITH __idx AS (",
+        """WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 97 = 0
+    ),
+    parts AS (SELECT p_partkey AS partkey FROM part),
+    __idx AS (""",
+        1,
+    )
+    _ORACLES["negative_sample_pairs"] = body
+
+
+_install_negative_sample_oracle()

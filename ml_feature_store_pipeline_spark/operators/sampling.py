@@ -187,3 +187,107 @@ def mixture_sample_by_tokens(
     cut_map = F.create_map(*[x for k, v in cuts.items() for x in (F.lit(k), F.lit(v))])
     cut = F.coalesce(cut_map[F.col(source_col)], F.lit(0))
     return df.filter(hash_bucket(F.col(key_col), buckets, salt) < cut)
+
+
+def negative_sample(
+    positives: DataFrame,
+    items: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for pairwise training data: for each
+    positive ``(user, item)`` row, draw ``k`` uniform candidate items from
+    the ``items`` universe, then drop candidates that are actually
+    positives for that user (the standard recsys / contrastive recipe).
+    Output: ``(user_col, item_col, label=0)`` candidate rows — union with
+    the positives (label=1) for the final training set.
+
+    Draws are md5-derived from ``(user, item, draw_index, salt)``, so the
+    sample is reproducible across runs, engines, and partitionings — a
+    rerun or a serving-side rebuild picks the SAME negatives (the property
+    that makes offline metrics comparable between pipelines).
+
+    Scale shape: the item universe gets a dense 0..n−1 index (one window
+    over the DIM table — item catalogs are dim-sized) and is broadcast;
+    drawing is a ×k literal-sequence explode + broadcast equi-join on the
+    index; the final subtraction is a shuffle-free broadcast anti join
+    when positives-per-user fit the broadcast threshold, else one shuffle
+    on (user, item). Nothing fact-sized is ever collected.
+    """
+    from pyspark.sql.window import Window
+
+    n_items = items.select(item_col).distinct().count()
+    if n_items == 0:
+        raise ValueError("empty item universe")
+    indexed = F.broadcast(
+        items.select(item_col).distinct().withColumn(
+            "__idx", F.row_number().over(Window.orderBy(item_col)) - 1
+        )
+    )
+    draws = positives.select(user_col, item_col).withColumn(
+        "__j", F.explode(F.array(*[F.lit(j) for j in range(k)]))
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col(user_col).cast("string"),
+            F.col(item_col).cast("string"),
+            F.col("__j").cast("string"),
+        )
+    )
+    idx = F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % n_items
+    cand = (
+        draws.withColumn("__idx", idx)
+        .drop(item_col)
+        .join(indexed, "__idx")
+        .select(user_col, item_col)
+        .distinct()
+    )
+    return cand.join(
+        positives.select(user_col, item_col).distinct(), [user_col, item_col], "left_anti"
+    ).withColumn("label", F.lit(0))
+
+
+def negative_sample_sql(
+    positives_cte: str,
+    items_cte: str,
+    *,
+    user_expr: str,
+    item_expr: str,
+    k: int,
+    salt: str = "",
+    n_items_expr: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`negative_sample` (same md5 draw, same dense
+    index). ``positives_cte``/``items_cte`` are CTE names defined by the
+    caller; items must expose the item column named ``{item_expr}``."""
+    n = n_items_expr or f"(SELECT COUNT(DISTINCT {item_expr}) FROM {items_cte})"
+    fold = (
+        "CAST(list_sum(list_transform(range(13), i -> "
+        "(strpos('0123456789abcdef', substr(md5("
+        f"'{salt}' || ':' || CAST(p.{user_expr} AS VARCHAR) || ':' || "
+        f"CAST(p.{item_expr} AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+        "), i + 1, 1)) - 1) * power(16, 12 - i))) AS BIGINT)"
+    )
+    return f"""
+    WITH __idx AS (
+      SELECT {item_expr}, ROW_NUMBER() OVER (ORDER BY {item_expr}) - 1 AS idx
+      FROM (SELECT DISTINCT {item_expr} FROM {items_cte})
+    ),
+    __draws AS (
+      SELECT DISTINCT i.{item_expr} AS {item_expr}, p.{user_expr} AS {user_expr}
+      FROM {positives_cte} p
+      CROSS JOIN UNNEST(generate_series(0, {k - 1})) AS u(j)
+      JOIN __idx i ON i.idx = ({fold} % {n})
+    )
+    SELECT d.{user_expr}, d.{item_expr}, 0 AS label
+    FROM __draws d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {positives_cte} q
+      WHERE q.{user_expr} = d.{user_expr} AND q.{item_expr} = d.{item_expr}
+    )
+    """

@@ -44,6 +44,7 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "quantile_bin_orders",
     "target_encode_events",
     "hashed_cross_events",
+    "negative_sample_pairs",
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded

@@ -178,3 +178,26 @@ def test_mixture_sample_nested_growth(spark):
     a = {r["doc_id"] for r in small.filter(F.col("source") == "s0").collect()}
     b = {r["doc_id"] for r in big.filter(F.col("source") == "s0").collect()}
     assert a.issubset(b) and len(b) > len(a)
+
+
+def test_negative_sample_properties(spark):
+    from ml_feature_store_pipeline_spark.operators.sampling import negative_sample
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12)], "u long, it long"
+    )
+    items = spark.createDataFrame([(i,) for i in range(10, 20)], "it long")
+    out = negative_sample(pos, items, user_col="u", item_col="it", k=3)
+    rows = out.collect()
+    assert rows and all(r["label"] == 0 for r in rows)
+    # no sampled negative is an actual positive
+    pos_set = {(1, 10), (1, 11), (2, 10), (3, 12)}
+    assert all((r["u"], r["it"]) not in pos_set for r in rows)
+    # items come from the universe
+    assert all(10 <= r["it"] < 20 for r in rows)
+    # deterministic under repartitioning
+    again = negative_sample(pos.repartition(7), items, user_col="u", item_col="it", k=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # a salted draw is still valid (never a positive) and reproducible
+    salted = negative_sample(pos, items, user_col="u", item_col="it", k=3, salt="v2")
+    assert all((r["u"], r["it"]) not in pos_set for r in salted.collect())
