@@ -1,0 +1,96 @@
+"""End-to-end LLM training-corpus curation demo on the sf0.001 test tables:
+
+filter (language + quality) → exact dedup → near-dup survivors →
+semantic dedup over embeddings → sequence packing → token-mix rebalance.
+
+Each stage is one of this repo's oracle-verified operators; this script
+chains them the way a real data pipeline would. Run:
+
+    python examples/demo_curation.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ml_feature_store_pipeline_spark.operators import dedup, sampling, similarity, text
+from ml_feature_store_pipeline_spark.session import get_spark
+from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("demo_curation")
+    par = spark.sparkContext.defaultParallelism
+
+    docs = read_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"corpus: {n0} docs")
+
+    # 1. language + quality gate
+    gated = (
+        docs.filter(F.col("lang") == "en")
+        .join(
+            text.quality_score(docs, "doc_id", "text").filter(F.col("quality_score") >= 0.3).select("doc_id"),
+            "doc_id",
+        )
+        .select("doc_id", "text", "source")
+    )
+    n1 = gated.count()
+    print(f"after language+quality gate: {n1} ({n0 - n1} dropped)")
+
+    # 2. exact dedup (digest-first: shuffle carries md5, never text);
+    # exact_dedup keeps id + content only, so re-attach source afterwards
+    exact = dedup.exact_dedup(gated, ["text"], "doc_id").join(
+        gated.select("doc_id", "source"), "doc_id"
+    )
+    n2 = exact.count()
+    print(f"after exact dedup: {n2} ({n1 - n2} dropped)")
+
+    # 3. near-dup survivors (inverted-index Jaccard -> components -> keep min id)
+    pairs = dedup.ngram_jaccard_pairs(
+        exact, "doc_id", "text", threshold=0.3, parallelism=par
+    )
+    survivors = dedup.dedup_survivors(exact, pairs, "doc_id")
+    n3 = survivors.count()
+    print(f"after near-dedup: {n3} ({n2 - n3} dropped)")
+
+    # 4. semantic dedup over the embedding table (SemDeDup, deterministic cells)
+    emb = read_table(spark, sf_dir, "embeddings")
+    sem_keep = similarity.semantic_dedup(emb, threshold=0.4, n_cells=8)
+    print(f"semantic dedup keeps {sem_keep.count()} of {emb.count()} embeddings")
+
+    # 5. sequence packing: fill 512-token training rows
+    packed = text.pack_sequences(survivors, "doc_id", "text", token_budget=512, n_groups=par)
+    agg = (
+        text.pack_stats(packed, 512)
+        .agg(F.count(F.lit(1)).alias("n_packs"), F.avg("fill_ratio").alias("mean_fill"))
+        .collect()[0]
+    )
+    print(f"packing: {agg['n_packs']} sequences, mean fill={float(agg['mean_fill']):.2f}")
+
+    # 6. token-mix rebalance across sources (equal token shares)
+    weights = {s: 1 for (s,) in survivors.select("source").distinct().collect()}
+    mixed = sampling.mixture_sample_by_tokens(
+        survivors.withColumn(
+            "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ),
+        "doc_id",
+        "source",
+        weights,
+        n_tokens=F.col("n_tokens"),
+    )
+    print("token mix by source:")
+    for r in (
+        mixed.groupBy("source").agg(F.sum("n_tokens").alias("tokens")).orderBy("source").collect()
+    ):
+        print(f"  {r['source']}: {r['tokens']} tokens")
+
+
+if __name__ == "__main__":
+    main()
