@@ -44,18 +44,32 @@ def quantile_bin(
     n_bins: int,
     bin_col: str = "bin",
     round_digits: int = 6,
+    approximate: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Append ``bin_col`` (0 … n_bins−1): the equal-population bin of
     ``col``. Bin i covers values in (b_{i−1}, b_i]; assignment is
     ``sum(v > b_i)`` over the rounded boundaries, so rows equal to a
     boundary fall in the lower bin (pandas ``qcut``-compatible edges).
-    Nulls get bin NULL."""
+    Nulls get bin NULL.
+
+    ``approximate=True`` swaps the exact interpolated percentiles for the
+    mergeable KLL sketch (``percentile_approx``) — the 100 TB path: exact
+    ``percentile`` buffers every partition's values at the final merge,
+    while the sketch keeps O(accuracy) state end-to-end. Boundary error
+    ≤ 1/accuracy quantile mass; bin populations stay balanced to the same
+    tolerance. Use exact (default) where bit-parity matters (the oracle)."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     qs = [i / n_bins for i in range(1, n_bins)]
+    pfn = (
+        (lambda q: f"percentile_approx(`{col}`, {q}, {accuracy})")
+        if approximate
+        else (lambda q: f"percentile(`{col}`, {q})")
+    )
     bounds = df.agg(
         *[
-            F.round(F.expr(f"percentile(`{col}`, {q})"), round_digits).alias(f"__b{i}")
+            F.round(F.expr(pfn(q)), round_digits).alias(f"__b{i}")
             for i, q in enumerate(qs)
         ]
     )

@@ -437,6 +437,7 @@ def semantic_dedup(
     threshold: float = 0.85,
     n_cells: int = 16,
     centroids: DataFrame | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     corpus into centroid cells, find in-cell pairs with cosine ≥
@@ -454,8 +455,20 @@ def semantic_dedup(
 
     With ``centroids=None``, uses :func:`deterministic_centroids`, making
     the whole pipeline engine-replayable (exact DuckDB oracle incl. the
-    connected-components closure)."""
+    connected-components closure).
+
+    ``max_cell_size`` guards the degenerate corpus (near-identical
+    embeddings collapsing into ONE cell → O(N²) pairwise): oversized
+    cells are subdivided by a secondary md5 hash of the id into
+    ``ceil(n/max_cell_size)`` subcells and pairs form only within a
+    subcell. Like the paper's ``n_cells`` trade, subdividing can miss
+    some in-cell pairs — but a degenerate cluster's members link
+    transitively through their subcells' survivors on the next run, and
+    the pairwise cost stays bounded by ``max_cell_size²`` per subcell.
+    ``None`` (default) disables the guard — required for the exact
+    oracle, safe whenever ``n_cells`` is sized to the corpus."""
     from .dedup import connected_components
+    from .sketches import hash_fraction
 
     if centroids is None:
         centroids = deterministic_centroids(
@@ -470,10 +483,30 @@ def semantic_dedup(
         .filter(F.col("__r") == 1)
         .select(F.col(id_col), F.col(vec_col), "cell", F.col("__cos").alias("cos_c"))
     )
-    a = assigned.select(F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("__va"))
-    b = assigned.select(F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("__vb"))
+    if max_cell_size is not None:
+        # subdivide oversized cells: subcell = md5-uniform of the id scaled
+        # by the cell's subdivision count (1 for cells within the cap)
+        counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
+        n_sub = F.ceil(F.col("__cn") / F.lit(max_cell_size)).cast("long")
+        paired_src = (
+            assigned.join(F.broadcast(counts.select("cell", n_sub.alias("__nsub"))), "cell")
+            .withColumn(
+                "__subcell",
+                (hash_fraction(F.col(id_col)) * F.col("__nsub")).cast("long"),
+            )
+        )
+        join_keys = ["cell", "__subcell"]
+    else:
+        paired_src = assigned
+        join_keys = ["cell"]
+    a = paired_src.select(
+        F.col(id_col).alias("id_a"), *join_keys, F.col(vec_col).alias("__va")
+    )
+    b = paired_src.select(
+        F.col(id_col).alias("id_b"), *join_keys, F.col(vec_col).alias("__vb")
+    )
     pairs = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
         .select("id_a", "id_b")

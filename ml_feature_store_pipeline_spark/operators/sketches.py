@@ -373,7 +373,23 @@ def cms_estimate(
 _BLOOM_WORD = 32
 
 
-def bloom_state(df: DataFrame, col: str, *, n_bits: int = 1 << 16, depth: int = 4) -> DataFrame:
+
+def _bloom_pos(j: int, col: Column, n_bits: int, hash_fn: str) -> Column:
+    """Hash position j of a value: md5 (engine-portable, oracle-replayable)
+    or xxhash64 (JVM-native, ~3x faster per the simhash measurement —
+    Spark-private, so production-only). Both are deterministic across
+    runs and partitionings; filters built with different hash_fns are NOT
+    interchangeable."""
+    if hash_fn == "md5":
+        return cms_bucket(F.lit(j), col, width=n_bits)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(j), col.cast("string")), F.lit(n_bits)).cast("long")
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
+def bloom_state(
+    df: DataFrame, col: str, *, n_bits: int = 1 << 16, depth: int = 4, hash_fn: str = "md5"
+) -> DataFrame:
     """Bloom-filter bitmap over ``col``: one row per touched 32-bit word,
     ``(word, bits)`` — at most ``n_bits / 32`` rows no matter how big the
     input (Bloom 1970). Hash positions reuse :func:`cms_bucket`, so the
@@ -390,12 +406,8 @@ def bloom_state(df: DataFrame, col: str, *, n_bits: int = 1 << 16, depth: int = 
     """
     if n_bits % _BLOOM_WORD:
         raise ValueError(f"n_bits must be a multiple of {_BLOOM_WORD}")
-    seeds = F.array([F.lit(i) for i in range(depth)])
-    pos = (
-        df.filter(F.col(col).isNotNull())
-        .select(F.explode(seeds).alias("seed"), F.col(col).alias("__v"))
-        .select(cms_bucket(F.col("seed"), F.col("__v"), width=n_bits).alias("pos"))
-    )
+    pos_cols = F.array(*[_bloom_pos(j, F.col(col), n_bits, hash_fn) for j in range(depth)])
+    pos = df.filter(F.col(col).isNotNull()).select(F.explode(pos_cols).alias("pos"))
     return (
         pos.select(
             (F.col("pos") / _BLOOM_WORD).cast("long").alias("word"),
@@ -417,7 +429,13 @@ def merge_bloom_states(*states: DataFrame) -> DataFrame:
 
 
 def bloom_probe(
-    df: DataFrame, state: DataFrame, col: str, *, n_bits: int = 1 << 16, depth: int = 4
+    df: DataFrame,
+    state: DataFrame,
+    col: str,
+    *,
+    n_bits: int = 1 << 16,
+    depth: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Append ``bloom_pass`` to ``df``: true iff every hash position of
     ``col`` is set in ``state`` (no false negatives; false-positive rate
@@ -432,7 +450,7 @@ def bloom_probe(
     out = df
     pass_cols = []
     for j in range(depth):
-        out = out.withColumn(f"__p{j}", cms_bucket(F.lit(j), F.col(col), width=n_bits))
+        out = out.withColumn(f"__p{j}", _bloom_pos(j, F.col(col), n_bits, hash_fn))
         pos = F.col(f"__p{j}")
         out = (
             out.withColumn(f"__w{j}", (pos / _BLOOM_WORD).cast("long"))

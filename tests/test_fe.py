@@ -64,3 +64,14 @@ def test_quantile_bin_plan_broadcasts_bounds(spark):
     plan = fe.quantile_bin(df, "v", n_bins=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan  # assignment must not shuffle the fact side
+
+
+def test_quantile_bin_approximate_close_to_exact(spark):
+    df = spark.range(10_000).select((F.col("id") % 997).cast("double").alias("v"))
+    exact = {r["bin"]: r["n"] for r in fe.quantile_bin(df, "v", n_bins=4)
+             .groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    approx = {r["bin"]: r["n"] for r in fe.quantile_bin(df, "v", n_bins=4, approximate=True)
+              .groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert set(approx) == {0, 1, 2, 3}
+    for b in exact:
+        assert abs(approx[b] - exact[b]) <= 0.05 * 10_000  # within 5% mass

@@ -217,3 +217,28 @@ def test_deterministic_centroids_stable_across_partitioning(spark):
     a = deterministic_centroids(emb, n_cells=8).collect()
     b = deterministic_centroids(emb.repartition(13), n_cells=8).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_semantic_dedup_cell_cap_bounds_pairwise(spark):
+    """A degenerate corpus (every vector identical) collapses into one
+    cell; the cap must subdivide it, keep the result a valid dedup
+    (subcell survivors only), and leave small cells untouched."""
+    from ml_feature_store_pipeline_spark.operators.similarity import semantic_dedup
+
+    n = 60
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    cent = spark.createDataFrame([(0, [1.0, 0.0])], "cell int, center array<double>")
+    capped = semantic_dedup(emb, threshold=0.99, centroids=cent, max_cell_size=10)
+    survivors = sorted(r["vec_id"] for r in capped.collect())
+    # each subcell keeps exactly one member -> ceil-bounded survivor count,
+    # far below n, and never zero
+    assert 1 <= len(survivors) <= 12
+    # uncapped finds the single true cluster
+    full = semantic_dedup(emb, threshold=0.99, centroids=cent)
+    assert [r["vec_id"] for r in full.collect()] == [0]
+    # cap larger than any cell changes nothing
+    same = semantic_dedup(emb, threshold=0.99, centroids=cent, max_cell_size=1000)
+    assert [r["vec_id"] for r in same.collect()] == [0]

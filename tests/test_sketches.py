@@ -181,11 +181,10 @@ def test_bloom_merge_equals_combined_build(spark):
         sketches.bloom_state(a, "k"), sketches.bloom_state(b, "k")
     )
     combined = sketches.bloom_state(a.union(b), "k")
-    sym_diff = merged.join(combined, ["word", "bits"], "full_outer").filter(
-        F.col("word").isNull() | F.col("bits").isNull()
-    )
-    assert merged.count() == combined.count()
-    assert sym_diff.count() == 0  # bit_or merge == build-on-union, word for word
+    # bit_or merge == build-on-union, word for word (exceptAll both ways —
+    # a USING full-outer join would coalesce the key columns and hide diffs)
+    assert merged.exceptAll(combined).count() == 0
+    assert combined.exceptAll(merged).count() == 0
 
 
 def test_bloom_probe_plan_is_broadcast_only(spark):
@@ -197,3 +196,14 @@ def test_bloom_probe_plan_is_broadcast_only(spark):
     plan = sketches.bloom_probe(probe, state, "k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_xxhash_variant_no_false_negatives(spark):
+    keys = spark.range(0, 300).select(F.col("id").alias("k"))
+    state = sketches.bloom_state(keys, "k", hash_fn="xxhash64")
+    probe = spark.range(0, 600).select(F.col("id").alias("k"))
+    out = sketches.bloom_probe(probe, state, "k", hash_fn="xxhash64")
+    assert out.filter((F.col("k") < 300) & ~F.col("bloom_pass")).count() == 0
+    # the two hash families build DIFFERENT filters (not interchangeable)
+    md5_state = sketches.bloom_state(keys, "k", hash_fn="md5")
+    assert state.exceptAll(md5_state).count() > 0
