@@ -387,10 +387,24 @@ def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
 
 
+# NOT DuckDB's ASOF JOIN: its choice among right rows tied on o_orderdate
+# is unspecified, and sf0.1 has 355 duplicate (custkey, orderdate) pairs —
+# found by running this gate at sf0.1, where the engines diverged on 154
+# rows. The explicit window pins the engine's documented tie-break (latest
+# date, then greatest (o_orderkey, o_totalprice) tuple — joins.asof_join's
+# ordering by (ts, side, __vals)) so the oracle is deterministic at EVERY
+# scale factor, not just the tie-free sf0.01 the driver checks.
 _ASOF_EVENTS_ORDERS_SQL = """
-    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
-    FROM events e ASOF LEFT JOIN orders o
-      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    WITH cand AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC, o.o_totalprice DESC
+             ) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM cand WHERE rn = 1
     """
 
 
@@ -445,18 +459,27 @@ def q_asof_events_orders_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_prev_order",
     """
-    SELECT cur.o_orderkey, cur.o_custkey, prev.o_orderkey AS prev_orderkey,
-           prev.o_totalprice AS prev_totalprice
-    FROM orders cur ASOF LEFT JOIN orders prev
-      ON cur.o_custkey = prev.o_custkey AND cur.o_orderdate > prev.o_orderdate
+    WITH cand AS (
+      SELECT cur.o_orderkey, cur.o_custkey,
+             prev.o_orderkey AS prev_orderkey, prev.o_totalprice AS prev_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY cur.o_orderkey
+               ORDER BY prev.o_orderdate DESC, prev.o_orderkey DESC,
+                        prev.o_totalprice DESC
+             ) AS rn
+      FROM orders cur LEFT JOIN orders prev
+        ON cur.o_custkey = prev.o_custkey AND prev.o_orderdate < cur.o_orderdate
+    )
+    SELECT o_orderkey, o_custkey, prev_orderkey, prev_totalprice FROM cand WHERE rn = 1
     """,
 )
 def q_asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict as-of self-join: each order sees the customer's latest EARLIER
     order (tests the exclusive-bound mode).
 
-    DuckDB ASOF breaks o_orderdate ties arbitrarily; the driver data has
-    unique (custkey, orderdate) pairs so both engines agree (verified)."""
+    Oracle is an explicit-window rewrite, not DuckDB ASOF, which breaks
+    o_orderdate ties arbitrarily — sf0.1 HAS such ties (355 duplicate
+    (custkey, orderdate) pairs); see _ASOF_EVENTS_ORDERS_SQL."""
     o = read_table(spark, sf_dir, "orders")
     prev = o.select(
         F.col("o_custkey"),

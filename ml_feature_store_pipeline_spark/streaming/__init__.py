@@ -1,4 +1,5 @@
 from .ingest import (
+    bloom_dedup_sink,
     cdc_merge_sink,
     enrich_stream,
     incremental_state_sink,
@@ -8,6 +9,7 @@ from .ingest import (
 from .stateful import dedup_stream, join_streams, sessionize_stream
 
 __all__ = [
+    "bloom_dedup_sink",
     "cdc_merge_sink",
     "dedup_stream",
     "enrich_stream",

@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import conditional_count, conditional_mean
 
@@ -213,5 +214,73 @@ def cdc_merge_sink(
         # materialize first (same pattern as incremental_state_sink)
         merged = merged.localCheckpoint()
         atomic_overwrite_parquet(merged, snapshot_path)
+
+    return write
+
+
+def bloom_dedup_sink(
+    bloom_path: str,
+    out_path: str,
+    key_col: str,
+    *,
+    n_bits: int = 1 << 20,
+    depth: int = 4,
+    hash_fn: str = "md5",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink for cross-epoch dedup with BOUNDED state: a
+    persisted bloom bitmap (≤ n_bits/32 rows forever, vs an ever-growing
+    seen-keys table) filters each micro-batch; survivors append to
+    ``out_path`` and their bits merge into the bitmap.
+
+    The approximation is one-sided and safe for dedup: a false positive
+    DROPS a genuinely-new row (rate ≈ (1−e^(−depth·n/n_bits))^depth —
+    size ``n_bits`` ≥ ~15× expected distinct keys for <1e-4), while
+    duplicates are NEVER re-emitted. Exactly the trade a 100 TB stream
+    wants when the key universe outgrows stateful-dedup memory; use
+    ``stateful.dedup_stream`` (watermark-bounded exact state) when keys
+    expire instead of accumulating.
+
+    Batch-local duplicates collapse via exact dedup first (lowest-id
+    row semantics are irrelevant for same-key rows within one batch —
+    first by key order wins deterministically).
+
+    Crash note: the survivors append and the bitmap swap are two writes,
+    so a crash between them can replay a batch whose bits are already
+    set — those rows are then dropped as "seen", i.e. replay can LOSE the
+    batch's novel rows if the append failed after the swap. Order
+    matters: append FIRST, swap bits second — then replay after a
+    mid-crash re-appends (duplicate output rows, reconcilable
+    downstream) rather than losing data."""
+    import os
+
+    from ..operators import sketches
+    from ..sources.writers import atomic_overwrite_parquet
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy(key_col).orderBy(*[c for c in batch.columns])
+        local = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.exists(bloom_path):
+            state = spark.read.parquet(bloom_path)
+            probed = sketches.bloom_probe(
+                local, state, key_col, n_bits=n_bits, depth=depth, hash_fn=hash_fn
+            )
+            novel = probed.filter(~F.col("bloom_pass")).drop("bloom_pass")
+        else:
+            state = None
+            novel = local
+        novel = novel.localCheckpoint()  # both writes below reuse it
+        novel.write.mode("append").parquet(out_path)  # append BEFORE bit swap
+        new_bits = sketches.bloom_state(
+            novel, key_col, n_bits=n_bits, depth=depth, hash_fn=hash_fn
+        )
+        merged = (
+            sketches.merge_bloom_states(state, new_bits) if state is not None else new_bits
+        )
+        atomic_overwrite_parquet(merged.localCheckpoint(), bloom_path)
 
     return write

@@ -280,3 +280,37 @@ def test_incremental_near_dup_sink_links_across_batches(spark, tmp_path):
     # the signature store holds exactly one row per doc seen
     sigs = spark.read.parquet(sig_path)
     assert sigs.count() == 4
+
+
+def test_bloom_dedup_sink_bounded_cross_epoch(spark, tmp_path):
+    """Cross-epoch dedup through a persisted bloom bitmap: batch 2's
+    repeats of batch 1's keys are dropped, novel keys pass, and the state
+    stays at most n_bits/32 rows no matter how many keys stream through."""
+    from ml_feature_store_pipeline_spark.streaming import bloom_dedup_sink
+
+    src = str(tmp_path / "src")
+    bloom = str(tmp_path / "bloom")
+    out = str(tmp_path / "out")
+    schema = "k long, v string"
+    b1 = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b2")], schema)  # 2 dup in-batch
+    b2 = spark.createDataFrame([(2, "b3"), (3, "c"), (1, "a2")], schema)  # 2,1 seen; 3 new
+    b1.write.parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(bloom_dedup_sink(bloom, out, "k", n_bits=1 << 12))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2]
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["k"] for r in rows) == [1, 2, 3]
+    # bounded state: the bitmap can never exceed n_bits/32 words
+    assert spark.read.parquet(bloom).count() <= (1 << 12) // 32
