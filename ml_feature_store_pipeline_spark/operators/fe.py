@@ -62,15 +62,19 @@ def quantile_bin(
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     qs = [i / n_bins for i in range(1, n_bins)]
-    pfn = (
-        (lambda q: f"percentile_approx(`{col}`, {q}, {accuracy})")
+    # ONE array-percentile aggregate: n_bins−1 scalar percentile aggs would
+    # each buffer (exact) or sketch (approx) the column independently —
+    # the array form shares a single pass/state for every boundary
+    q_arr = f"array({', '.join(str(q) for q in qs)})"
+    p_expr = (
+        f"percentile_approx(`{col}`, {q_arr}, {accuracy})"
         if approximate
-        else (lambda q: f"percentile(`{col}`, {q})")
+        else f"percentile(`{col}`, {q_arr})"
     )
-    bounds = df.agg(
+    bounds = df.agg(F.expr(p_expr).alias("__bs")).select(
         *[
-            F.round(F.expr(pfn(q)), round_digits).alias(f"__b{i}")
-            for i, q in enumerate(qs)
+            F.round(F.element_at(F.col("__bs"), i + 1), round_digits).alias(f"__b{i}")
+            for i in range(len(qs))
         ]
     )
     v = F.round(F.col(col), round_digits)
