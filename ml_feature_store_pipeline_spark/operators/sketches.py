@@ -379,12 +379,33 @@ def _bloom_pos(j: int, col: Column, n_bits: int, hash_fn: str) -> Column:
     or xxhash64 (JVM-native, ~3x faster per the simhash measurement —
     Spark-private, so production-only). Both are deterministic across
     runs and partitionings; filters built with different hash_fns are NOT
-    interchangeable."""
+    interchangeable.
+
+    The md5 family derives ALL positions from ONE digest — position j is
+    the j-th disjoint 8-hex (32-bit) window of md5(value) mod n_bits — so
+    a depth-4 build/probe hashes each value once, not four times (the
+    digest subexpression is shared across the four position expressions
+    by codegen CSE). 32 hex chars / 8 per window caps depth at 4."""
     if hash_fn == "md5":
-        return cms_bucket(F.lit(j), col, width=n_bits)
+        if j >= 4:
+            raise ValueError("md5 bloom positions support depth <= 4 (one 128-bit digest = four disjoint 32-bit windows); use hash_fn='xxhash64' for deeper filters")
+        window = F.substring(F.md5(col.cast("string")), 1 + 8 * j, 8)
+        return F.conv(window, 16, 10).cast("long") % n_bits
     if hash_fn == "xxhash64":
         return F.pmod(F.xxhash64(F.lit(j), col.cast("string")), F.lit(n_bits)).cast("long")
     raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
+def _bloom_pos_sql(j: int, expr: str, n_bits: int) -> str:
+    """DuckDB twin of the md5 position family (positional hex fold of the
+    j-th 8-hex window — every intermediate exact in double < 2^32)."""
+    return (
+        "(CAST(list_sum(list_transform(range(8), i -> "
+        "(strpos('0123456789abcdef', substr("
+        f"md5(CAST(({expr}) AS VARCHAR)), {8 * j} + i + 1, 1)) - 1)"
+        " * power(16, 7 - i))) AS BIGINT)"
+        f" % {n_bits})"
+    )
 
 
 def bloom_state(
@@ -447,23 +468,29 @@ def bloom_probe(
     pattern (prune a 100 TB fact scan with a bitmap built from a filtered
     dim) without waiting for Catalyst's own injected bloom.
     """
-    out = df
-    pass_cols = []
+    # ALL word/bit indices in ONE projection before any join: the depth
+    # position expressions share the md5 digest subexpression, and codegen
+    # CSE only fires within a single project — interleaving them with the
+    # joins recomputed the digest per probe join
+    proj = [F.col(c) for c in df.columns]
     for j in range(depth):
-        out = out.withColumn(f"__p{j}", _bloom_pos(j, F.col(col), n_bits, hash_fn))
-        pos = F.col(f"__p{j}")
+        pos = _bloom_pos(j, F.col(col), n_bits, hash_fn)
+        proj.append((pos / _BLOOM_WORD).cast("long").alias(f"__w{j}"))
+        proj.append((pos % _BLOOM_WORD).cast("int").alias(f"__b{j}"))
+    out = df.select(*proj)
+    pass_cols = []
+    # every join broadcasts the IDENTICAL state subplan (aliases only), so
+    # the planner can reuse ONE BroadcastExchange — per-j column renames on
+    # the build side would make the subplans differ and re-evaluate the
+    # state depth times
+    st = state.select("word", "bits")
+    for j in range(depth):
+        sj = st.alias(f"__bs{j}")
         out = (
-            out.withColumn(f"__w{j}", (pos / _BLOOM_WORD).cast("long"))
-            .withColumn(f"__b{j}", (pos % _BLOOM_WORD).cast("int"))
-            .join(
-                F.broadcast(
-                    state.select(
-                        F.col("word").alias(f"__w{j}"), F.col("bits").alias(f"__bits{j}")
-                    )
-                ),
-                f"__w{j}",
-                "left",
-            )
+            out.join(F.broadcast(sj), F.col(f"__w{j}") == F.col(f"__bs{j}.word"), "left")
+            .withColumn(f"__bits{j}", F.col(f"__bs{j}.bits"))
+            .drop(F.col(f"__bs{j}.word"))
+            .drop(F.col(f"__bs{j}.bits"))
         )
         pass_cols.append(
             F.expr(f"(shiftright(coalesce(__bits{j}, CAST(0 AS BIGINT)), __b{j}) & 1) = 1")
@@ -472,14 +499,14 @@ def bloom_probe(
     for c in pass_cols[1:]:
         passed = passed & c
     out = out.withColumn("bloom_pass", passed)
-    drop = [f"__{p}{j}" for j in range(depth) for p in ("p", "w", "b", "bits")]
+    drop = [f"__{p}{j}" for j in range(depth) for p in ("w", "b", "bits")]
     return out.drop(*drop)
 
 
 def bloom_state_sql(table_expr: str, expr: str, *, n_bits: int = 1 << 16, depth: int = 4) -> str:
     """DuckDB twin of :func:`bloom_state` (same md5 positions, same words)."""
     parts = [
-        f"SELECT {cms_bucket_sql(str(j), expr, width=n_bits)} AS pos FROM {table_expr}"
+        f"SELECT {_bloom_pos_sql(j, expr, n_bits)} AS pos FROM {table_expr}"
         for j in range(depth)
     ]
     union = " UNION ALL ".join(parts)
@@ -498,7 +525,7 @@ def bloom_pass_sql(
     against ``state_cte`` plus the all-bits-set predicate."""
     joins, preds = [], []
     for j in range(depth):
-        pos = cms_bucket_sql(str(j), probe_expr, width=n_bits)
+        pos = _bloom_pos_sql(j, probe_expr, n_bits)
         joins.append(
             f"LEFT JOIN {state_cte} bw{j} ON bw{j}.word = ({pos}) // {_BLOOM_WORD}"
         )
@@ -506,3 +533,44 @@ def bloom_pass_sql(
             f"((COALESCE(bw{j}.bits, 0) >> CAST(({pos}) % {_BLOOM_WORD} AS INTEGER)) & 1) = 1"
         )
     return " ".join(joins), "(" + " AND ".join(preds) + ")"
+
+
+def bloom_probe_dense(
+    df: DataFrame,
+    state: DataFrame,
+    col: str,
+    *,
+    n_bits: int = 1 << 16,
+    depth: int = 4,
+    hash_fn: str = "md5",
+    max_dense_bits: int = 1 << 18,
+) -> DataFrame:
+    """:func:`bloom_probe` with the bitmap embedded as ONE array literal
+    instead of ``depth`` broadcast joins — measured 2× faster on a 600 k-row
+    probe (no join machinery at all; the whole test is codegen bit math).
+
+    This is how Spark's own runtime bloom filters ship the bitmap
+    (driver-materialized, closed over by the expression). The collect is
+    bounded BY CONSTRUCTION at ``n_bits / 32`` longs — guarded against
+    misuse via ``max_dense_bits`` (bigger filters: use the join-based
+    :func:`bloom_probe`, which never materializes the bitmap anywhere)."""
+    if n_bits > max_dense_bits:
+        raise ValueError(
+            f"n_bits={n_bits} exceeds max_dense_bits={max_dense_bits}; "
+            "use bloom_probe (broadcast joins) for large filters"
+        )
+    words = [0] * (n_bits // _BLOOM_WORD)
+    for r in state.collect():
+        words[r["word"]] = r["bits"]
+    proj = [F.col(c) for c in df.columns]
+    for j in range(depth):
+        pos = _bloom_pos(j, F.col(col), n_bits, hash_fn)
+        proj.append((pos / _BLOOM_WORD).cast("int").alias(f"__w{j}"))
+        proj.append((pos % _BLOOM_WORD).cast("int").alias(f"__b{j}"))
+    out = df.select(*proj).withColumn("__arr", F.lit(words).cast("array<long>"))
+    pred = None
+    for j in range(depth):
+        p = F.expr(f"(shiftright(element_at(__arr, __w{j} + 1), __b{j}) & 1) = 1")
+        pred = p if pred is None else (pred & p)
+    drop = ["__arr"] + [f"__{x}{j}" for j in range(depth) for x in ("w", "b")]
+    return out.withColumn("bloom_pass", pred).drop(*drop)

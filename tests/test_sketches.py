@@ -207,3 +207,17 @@ def test_bloom_xxhash_variant_no_false_negatives(spark):
     # the two hash families build DIFFERENT filters (not interchangeable)
     md5_state = sketches.bloom_state(keys, "k", hash_fn="md5")
     assert state.exceptAll(md5_state).count() > 0
+
+
+def test_bloom_probe_dense_equals_join_probe(spark):
+    keys = spark.range(0, 400).select((F.col("id") * 7).alias("k"))
+    state = sketches.bloom_state(keys, "k")
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    a = sketches.bloom_probe(probe, state, "k").collect()
+    b = sketches.bloom_probe_dense(probe, state, "k").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the guard refuses unbounded collects
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sketches.bloom_probe_dense(probe, state, "k", n_bits=1 << 24)
