@@ -1561,7 +1561,7 @@ def q_bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey").distinct()
     state = sketches.bloom_state(keys, "o_orderkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
-    probed = sketches.bloom_probe_dense(li, state, "l_orderkey")
+    probed = sketches.bloom_probe(li, state, "l_orderkey")
     marked = probed.join(
         F.broadcast(
             keys.withColumnRenamed("o_orderkey", "l_orderkey").withColumn("__m", F.lit(1))
