@@ -676,6 +676,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Cluster near-dup candidate pairs into components: (node, component)
     where component = the minimum node id reachable through the pair graph.
@@ -687,6 +688,14 @@ def connected_components(
     almost always). Each round is one join + one groupBy on narrow (node,
     label) rows; ``localCheckpoint`` cuts the lineage so round N's plan
     doesn't replay rounds 1..N-1.
+
+    Edge sets at or below ``local_threshold`` solve on the driver instead
+    (union-find over the collected (src, dst) ids — bounded at 2 small
+    values × threshold rows): identical output, one job instead of
+    2-per-round, which dominates wall-clock on the tiny pair graphs real
+    thresholds produce. The distributed loop is the ≥ threshold path; pass
+    ``local_threshold=0`` to force it (the loop is the code under test in
+    the equivalence suite).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -697,6 +706,8 @@ def connected_components(
         # this cut each round re-runs that pipeline from the parquet scan
         .localCheckpoint()
     )
+    if local_threshold and edges.count() <= local_threshold:
+        return _connected_components_local(edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -732,6 +743,44 @@ def connected_components(
         if converged:
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def _connected_components_local(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a SMALL collected edge list (size-gated
+    by the caller): same (node, min-reachable-id) output as the
+    distributed loop, resolved after union by mapping every set to its
+    minimum member."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        cur = comp_min.get(root)
+        comp_min[root] = n if cur is None or n < cur else cur
+    node_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("component", node_type)]
+    )
+    data = [(n, comp_min[find(n)]) for n in parent]
+    return edges.sparkSession.createDataFrame(data, schema)
 
 
 def dedup_survivors(

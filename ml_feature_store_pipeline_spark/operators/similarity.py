@@ -483,6 +483,11 @@ def semantic_dedup(
         .filter(F.col("__r") == 1)
         .select(F.col(id_col), F.col(vec_col), "cell", F.col("__cos").alias("cos_c"))
     )
+    # the self-join below and the survivor pass both consume `assigned`;
+    # a LAZY local checkpoint computes the assignment once and shares it
+    # (without it, each branch re-ran the crossJoin+window — measured 2×
+    # the assignment cost at sf0.1)
+    assigned = assigned.localCheckpoint(eager=False)
     if max_cell_size is not None:
         # subdivide oversized cells: subcell = md5-uniform of the id scaled
         # by the cell's subdivision count (1 for cells within the cap)

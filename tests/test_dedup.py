@@ -396,3 +396,19 @@ def test_incremental_lsh_cap_matches_full_run(spark):
         new, corpus, "doc_id", "text", max_bucket_size=6
     )
     assert sorted((r["id_a"], r["id_b"]) for r in got.collect()) == expected
+
+
+def test_cc_local_path_equals_distributed_loop(spark):
+    """The size-gated driver union-find must be output-identical to the
+    distributed min-label loop on the same graph (chain, clique, loners)."""
+    from ml_feature_store_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 10), (20, 21), (21, 22), (22, 20), (30, 31)],
+        "id_a long, id_b long",
+    )
+    local = connected_components(pairs)  # under threshold -> local
+    dist = connected_components(pairs, local_threshold=0)  # forced loop
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, dist.collect()))
+    comp = {r["node"]: r["component"] for r in local.collect()}
+    assert comp[3] == 1 and comp[11] == 10 and comp[22] == 20 and comp[31] == 30
