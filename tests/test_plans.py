@@ -384,3 +384,37 @@ def test_q22_anti_join_with_pushed_priority_filter(spark, registry):
     assert "LeftAnti" in plan
     pushed = " ".join(plans.pushed_filters(df))
     assert "o_orderpriority" in pushed
+
+
+def test_bloom_prune_probe_side_never_shuffles_before_agg(spark, registry):
+    """The lineitem side of bloom_prune_lineitem must reach the final
+    aggregation through broadcast joins only — the whole point of probing
+    membership via a bitmap is that the fact scan crosses no exchange."""
+    df = registry["bloom_prune_lineitem"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5  # 4 word probes + the marker join
+
+
+def test_merge_upsert_target_is_broadcast_anti(spark, registry):
+    df = registry["merge_upsert_orders"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the snapshot side must not shuffle
+
+
+def test_negative_sample_items_dim_is_broadcast(spark, registry):
+    """The item universe joins in broadcast (dense index is dim-sized);
+    only the positives/distinct machinery may shuffle."""
+    df = registry["negative_sample_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_target_encode_single_category_shuffle(spark, registry):
+    """One groupBy on the category + a broadcast of the 1-row total: the
+    facts are scanned once and shuffled once (category cardinality out)."""
+    df = registry["target_encode_events"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
