@@ -113,14 +113,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "target_encode_events",
     "hashed_cross_events",
     "negative_sample_pairs",
-    # driver-green in round 2 only — refresh (the 16 double-green entries
-    # — chunk_documents, doc_quality_scores, language_id,
+    "table_profile_orders",
+    # No round-2 refresh slice fits this round: all 17 double-green r2
+    # entries (chunk_documents, doc_quality_scores, language_id,
     # order_price_rank_stats, pivot_event_values, rolling_hour_user_spend,
     # rollup_lineitem, embedding_near_dup, topk_latest_events,
     # tpch_q10_like, quality_null_dup_stats, scrub_pii_docs, tpch_q5_like,
-    # unpivot_lineitem, json_props_extract, sample_events_10pct — yielded
-    # their slots to the new queries; r5 window)
-    "tpch_q12_like",
+    # unpivot_lineitem, json_props_extract, sample_events_10pct,
+    # tpch_q12_like) yielded their slots to first-time verifications —
+    # every query registered in round 4 gets a driver row; refreshes are
+    # the r5 window's job.
 )
 
 

@@ -1039,3 +1039,39 @@ def _install_negative_sample_oracle() -> None:
 
 
 _install_negative_sample_oracle()
+
+
+@register(
+    "table_profile_orders",
+    None,  # installed below via profile.table_profile_sql
+)
+def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass per-column profile of orders (operators/
+    profile.py): null counts, exact cardinalities, numeric/timestamp
+    ranges, string min/max — long format, one row per column. The 100 TB
+    mode swaps exact distincts for HLL (approximate=True); exact here for
+    the bit-parity oracle."""
+    from .operators.profile import table_profile
+
+    o = read_table(spark, sf_dir, "orders")
+    return table_profile(o)
+
+
+def _install_table_profile_oracle() -> None:
+    from .harness import _ORACLES
+    from .operators.profile import table_profile_sql
+
+    _ORACLES["table_profile_orders"] = table_profile_sql(
+        "orders",
+        [
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        ],
+    )
+
+
+_install_table_profile_oracle()

@@ -45,6 +45,7 @@ NEVER_DRIVER_VERIFIED_PRE_R4 = [
     "target_encode_events",
     "hashed_cross_events",
     "negative_sample_pairs",
+    "table_profile_orders",
 ]
 
 # Rows-only (or r1-errored) until after r3, when their oracles were upgraded
