@@ -331,12 +331,19 @@ def pack_sequences(
         g = int(pdf["__g"].iloc[0])
         seq = 0
         used = 0
+        n_members = 0
         packs = []
         for nt in pdf["n_tokens"].to_numpy():
-            if used > 0 and used + nt > budget:
+            # pack-occupancy check must count MEMBERS, not tokens: with
+            # `used > 0` a zero-token doc leaves the pack looking empty and
+            # an oversized doc then joins it instead of opening its own
+            # pack (hypothesis-found: counts=[0, 2], budget=1)
+            if n_members > 0 and used + nt > budget:
                 seq += 1
                 used = 0
+                n_members = 0
             used += nt
+            n_members += 1
             packs.append((g << 32) | seq)
         pdf["pack_id"] = pd.Series(packs, dtype="int64")
         return pdf[[id_col, "n_tokens", "pack_id"]]
