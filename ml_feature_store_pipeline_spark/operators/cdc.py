@@ -1,7 +1,7 @@
 """Change-data-capture apply: MERGE-INTO semantics as a DataFrame plan.
 
 The reference's store mutates state row-at-a-time (``INSERT OR REPLACE`` /
-``DELETE`` in `/root/reference/ml_pipeline.py` — see SURVEY §2 ops A4/A5/A9);
+``DELETE`` in the reference's `ML Feature Store Pipeline.py` — SURVEY §2 ops A4/A5/A9);
 at 100 TB the equivalent is a *batch* merge: fold a change batch (upserts +
 deletes, possibly several versions per key) into a keyed snapshot and write
 the new snapshot. This module is that fold, shaped for scale:
@@ -122,3 +122,34 @@ def merge_changes_sql(
     UNION ALL
     SELECT {cols} FROM (SELECT * FROM __winners WHERE {op_col} = 'upsert') t
     """
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    *,
+    op_col: str = DEFAULT_OP_COL,
+) -> DataFrame:
+    """The inverse of :func:`merge_changes`: derive the change batch that
+    turns ``old`` into ``new`` — upserts for keys that are new or whose
+    row changed, deletes for keys that disappeared. Round-trip law
+    (property-tested): ``merge_changes(old, diff_snapshots(old, new))``
+    equals ``new`` exactly.
+
+    This is the "what changed between feature versions" primitive: diff
+    two store versions to audit a correction, feed a downstream cache
+    invalidation, or replicate a snapshot incrementally instead of
+    re-shipping 100 TB.
+
+    Plan shape: changed/added rows via ``new EXCEPT old`` (one shuffle on
+    the full row hash — rows that didn't change never survive the
+    anti-semantics), deletes via a key-level anti join. Output columns:
+    ``new``'s columns + ``op_col``; delete rows carry the OLD row's
+    values (useful for audit; ignored by apply)."""
+    upserts = new.exceptAll(old).withColumn(op_col, F.lit("upsert"))
+    deletes = (
+        old.join(new.select(*keys).distinct(), keys, "left_anti")
+        .withColumn(op_col, F.lit("delete"))
+    )
+    return upserts.unionByName(deletes)

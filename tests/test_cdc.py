@@ -127,3 +127,18 @@ def test_cdc_merge_sink_maintains_snapshot(spark, tmp_path):
     sink(b2, epoch_id=99)
     again = {r["k"]: (r["name"], r["val"]) for r in spark.read.parquet(snap).collect()}
     assert again == out
+
+
+def test_diff_snapshots_roundtrip(spark):
+    """merge(old, diff(old, new)) == new — the diff/apply inverse law."""
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)], ["k", "name", "val"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 20.0), (4, "d", 4.0), (9, "i", 9.0)], ["k", "name", "val"]
+    )  # 1,4 unchanged; 2 updated; 3 deleted; 9 inserted
+    batch = cdc.diff_snapshots(old, new, ["k"])
+    ops = {(r["k"], r["op"]) for r in batch.collect()}
+    assert ops == {(2, "upsert"), (9, "upsert"), (3, "delete")}  # unchanged rows absent
+    rebuilt = cdc.merge_changes(old, batch, ["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))

@@ -294,3 +294,30 @@ def test_bloom_never_drops_members(spark, members, probes):
     out = sketches.bloom_probe(p, state, "k", n_bits=1 << 10, depth=3).collect()
     passed = {r["k"] for r in out if r["bloom_pass"]}
     assert set(members) <= passed  # a bloom filter may lie positive, never negative
+
+
+@SETTINGS
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 50)), max_size=10, unique_by=lambda t: t[0]
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 50)), max_size=12, unique_by=lambda t: t[0]
+    ),
+)
+def test_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
+    """diff/apply inverse law on arbitrary keyed snapshots:
+    merge(old, diff(old, new)) == new."""
+    from ml_feature_store_pipeline_spark.operators import cdc
+
+    old = spark.createDataFrame(old_rows or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    )
+    new = spark.createDataFrame(new_rows or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    )
+    rebuilt = cdc.merge_changes(old, cdc.diff_snapshots(old, new, ["k"]), ["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+    # an empty diff means identical snapshots
+    if sorted(old_rows) == sorted(new_rows):
+        assert cdc.diff_snapshots(old, new, ["k"]).count() == 0
