@@ -78,6 +78,14 @@ def merge_changes(
     Set ``broadcast_batch=False`` only when the batch itself is huge;
     then both sides shuffle by key (the classic sort-merge merge).
     """
+    # fail fast on malformed ops: anything not upsert/delete would otherwise
+    # act as a silent delete (its key wins the anti join but emits no row)
+    changes = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin("upsert", "delete"), F.col(op_col)).otherwise(
+            F.raise_error(F.concat(F.lit("unknown CDC op: "), F.col(op_col).cast("string")))
+        ),
+    )
     if seq_col is not None:
         changes = compact_changes(changes, keys, seq_col, op_col=op_col)
     winners = changes.select(*keys, op_col).distinct()

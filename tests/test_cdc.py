@@ -142,3 +142,13 @@ def test_diff_snapshots_roundtrip(spark):
     assert ops == {(2, "upsert"), (9, "upsert"), (3, "delete")}  # unchanged rows absent
     rebuilt = cdc.merge_changes(old, batch, ["k"])
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_merge_rejects_unknown_ops(spark):
+    """A typo'd op must raise at execution, not silently delete the key."""
+    import pytest as _pytest
+
+    t = _target(spark)
+    ch = _changes(spark, [(2, "b2", 21.0, "Upsert", 1)])  # wrong case
+    with _pytest.raises(Exception, match="unknown CDC op"):
+        cdc.merge_changes(t, ch, ["k"], seq_col="seq").collect()

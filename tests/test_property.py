@@ -321,3 +321,59 @@ def test_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
     # an empty diff means identical snapshots
     if sorted(old_rows) == sorted(new_rows):
         assert cdc.diff_snapshots(old, new, ["k"]).count() == 0
+
+
+@SETTINGS
+@given(
+    values=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_bins=st.integers(min_value=2, max_value=6),
+)
+def test_quantile_bin_properties(spark, values, n_bins):
+    """Conservation, range, null handling, and monotonicity of the bin
+    assignment on arbitrary inputs (dups, constants, negatives, nulls)."""
+    from ml_feature_store_pipeline_spark.operators import fe
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    out = fe.quantile_bin(df, "v", n_bins=n_bins).collect()
+    assert len(out) == len(values)  # every row survives
+    got = [(r["v"], r["bin"]) for r in out]
+    for v, b in got:
+        if v is None:
+            assert b is None
+        else:
+            assert 0 <= b <= n_bins - 1
+    nn = sorted([(v, b) for v, b in got if v is not None])
+    for (v1, b1), (v2, b2) in zip(nn, nn[1:]):
+        assert b1 <= b2  # bins are monotone in the value
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    ),
+    m=st.floats(min_value=0.1, max_value=50),
+)
+def test_target_encode_shrinkage_bounds(spark, rows, m):
+    """Every encoding lies between the category's own mean and the global
+    mean (the defining property of convex shrinkage)."""
+    from ml_feature_store_pipeline_spark.operators import fe
+
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    enc = {r["cat"]: r["enc"] for r in fe.target_encode(df, "cat", "y", prior_weight=m).collect()}
+    gmean = sum(y for _, y in rows) / len(rows)
+    by_cat: dict = {}
+    for c, y in rows:
+        by_cat.setdefault(c, []).append(y)
+    for c, ys in by_cat.items():
+        cmean = sum(ys) / len(ys)
+        lo, hi = min(cmean, gmean), max(cmean, gmean)
+        # 1e-3 slack: sums go through the decimal(28,4) determinism recipe,
+        # so each value is quantized to 4 decimal places before averaging
+        assert lo - 1e-3 <= enc[c] <= hi + 1e-3
