@@ -238,6 +238,26 @@ class FeatureStore:
         # base version's by construction
         return self.register_features(merged, meta, enforce_schema=False)
 
+    def diff_versions(
+        self, old_version: str, new_version: str, *, keys: list[str] | None = None
+    ) -> DataFrame:
+        """Audit the change batch between two registered versions (the
+        inverse of :meth:`merge_features`): upsert rows for keys added or
+        changed in ``new_version``, delete rows for keys it dropped —
+        ``operators.cdc.diff_snapshots`` over two pruned partition reads.
+        ``merge_changes(old, diff) == new`` exactly (property-tested at
+        the operator level), so the diff is also the minimal incremental
+        replication feed between the two snapshots."""
+        from .operators import cdc
+
+        old = self.get_features(version=old_version, use_cache=False).drop(
+            VERSION_COLUMN, CREATED_AT_COLUMN
+        )
+        new = self.get_features(version=new_version, use_cache=False).drop(
+            VERSION_COLUMN, CREATED_AT_COLUMN
+        )
+        return cdc.diff_snapshots(old, new, keys or ["user_id"])
+
     # ------------------------------------------------------------------ K3
     def serve_features(self, user_id: int, version: str | None = None) -> dict[str, Any]:
         """Single-entity online lookup (reference `:427-446`).

@@ -319,3 +319,17 @@ def test_merge_features_creates_corrected_version(store, features):
     assert meta.lineage["derived_by"] == "cdc_merge"
     # latest now resolves to the corrected version
     assert store.latest_version() == v2
+
+
+def test_diff_versions_recovers_the_correction(store, features):
+    v1 = store.register_features(features, _meta("base"))
+    row1 = (
+        store.get_features(v1).filter(F.col("user_id") == 1)
+        .drop("feature_version", "created_at")
+    )
+    changes = row1.withColumn("total_amount", F.lit(77.0)).withColumn("op", F.lit("upsert"))
+    v2 = store.merge_features(changes, base_version=v1)
+    diff = store.diff_versions(v1, v2).collect()
+    assert len(diff) == 1
+    assert diff[0]["user_id"] == 1 and diff[0]["op"] == "upsert"
+    assert diff[0]["total_amount"] == 77.0
