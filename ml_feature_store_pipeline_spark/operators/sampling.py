@@ -189,6 +189,61 @@ def mixture_sample_by_tokens(
     return df.filter(hash_bucket(F.col(key_col), buckets, salt) < cut)
 
 
+def dense_index(
+    df: DataFrame,
+    order_col: str,
+    *,
+    idx_col: str = "__idx",
+    n_rows: int | None = None,
+    rows_per_partition: int = 2_000_000,
+) -> DataFrame:
+    """Dense ``0..n−1`` index over ``df`` ordered by ``order_col``
+    (values must be distinct), WITHOUT serializing the table through one
+    task.
+
+    ``row_number() OVER (ORDER BY order_col)`` — the obvious form — has an
+    empty partition spec, so Spark exchanges every row to a single task: a
+    non-issue for small dims, a serialization point for a 100M-row
+    catalog. This is the parallel two-level equivalent:
+
+    1. ``repartitionByRange(order_col)`` — partition *i* holds an
+       ascending, non-overlapping value range;
+    2. ``row_number()`` per partition (parallel windows, keyed by the
+       range-partition id);
+    3. per-partition row counts → cumulative offsets (ONE collect of
+       #partitions rows — never data);
+    4. global index = offset(partition) + local rank − 1.
+
+    Because range partitions are ascending in partition id and values are
+    distinct, the result is bit-identical to the single-task window for
+    ANY boundary choice (equivalence-tested), so md5-draw recipes built on
+    the index (:func:`negative_sample`) are unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    if n_rows is None:
+        n_rows = df.count()
+    n_parts = max(1, min(2048, -(-n_rows // rows_per_partition)))
+    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    off_map = F.create_map(*[x for k, v in offsets.items() for x in (F.lit(k), F.lit(v))])
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(order_col))
+    return (
+        ranged.withColumn(idx_col, off_map[F.col("__pid")] + local - 1)
+        .drop("__pid")
+    )
+
+
 def negative_sample(
     positives: DataFrame,
     items: DataFrame,
@@ -210,23 +265,21 @@ def negative_sample(
     rerun or a serving-side rebuild picks the SAME negatives (the property
     that makes offline metrics comparable between pipelines).
 
-    Scale shape: the item universe gets a dense 0..n−1 index (one window
-    over the DIM table — item catalogs are dim-sized) and is broadcast;
-    drawing is a ×k literal-sequence explode + broadcast equi-join on the
-    index; the final subtraction is a shuffle-free broadcast anti join
-    when positives-per-user fit the broadcast threshold, else one shuffle
-    on (user, item). Nothing fact-sized is ever collected.
+    Scale shape: the item universe gets a dense 0..n−1 index via a
+    TWO-LEVEL rank (:func:`dense_index` — range-partition, rank within
+    each partition in parallel, add per-partition offsets) and is
+    broadcast; drawing is a ×k literal-sequence explode + broadcast
+    equi-join on the index; the final subtraction is a shuffle-free
+    broadcast anti join when positives-per-user fit the broadcast
+    threshold, else one shuffle on (user, item). Nothing fact-sized is
+    ever collected, and no single task ever holds the whole catalog (the
+    r4 form ranked the dim through one `Window.orderBy` task — fine for
+    dim-sized catalogs, a serialization point for a 100M-item one).
     """
-    from pyspark.sql.window import Window
-
     n_items = items.select(item_col).distinct().count()
     if n_items == 0:
         raise ValueError("empty item universe")
-    indexed = F.broadcast(
-        items.select(item_col).distinct().withColumn(
-            "__idx", F.row_number().over(Window.orderBy(item_col)) - 1
-        )
-    )
+    indexed = F.broadcast(dense_index(items.select(item_col).distinct(), item_col, n_rows=n_items))
     draws = positives.select(user_col, item_col).withColumn(
         "__j", F.explode(F.array(*[F.lit(j) for j in range(k)]))
     )

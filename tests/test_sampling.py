@@ -201,3 +201,45 @@ def test_negative_sample_properties(spark):
     # a salted draw is still valid (never a positive) and reproducible
     salted = negative_sample(pos, items, user_col="u", item_col="it", k=3, salt="v2")
     assert all((r["u"], r["it"]) not in pos_set for r in salted.collect())
+
+
+def test_dense_index_matches_single_window(spark):
+    """The parallel two-level index is bit-identical to the one-task
+    `row_number() OVER (ORDER BY v)` form, for any partition-count choice
+    (r5: negative_sample's dense item index must stay draw-stable)."""
+    from pyspark.sql.window import Window
+
+    from ml_feature_store_pipeline_spark.operators.sampling import dense_index
+
+    vals = [(v,) for v in [7, 3, 99, 42, 0, 55, 13, 21, 8, 77, 31, 2]]
+    df = spark.createDataFrame(vals, "v long").repartition(5)
+    expected = {
+        (r["v"], r["__idx"])
+        for r in df.withColumn(
+            "__idx", F.row_number().over(Window.orderBy("v")) - 1
+        ).collect()
+    }
+    for rpp in (1, 3, 1_000_000):  # many partitions … exactly one
+        got = {
+            (r["v"], r["__idx"])
+            for r in dense_index(df, "v", rows_per_partition=rpp).collect()
+        }
+        assert got == expected, rpp
+
+
+def test_negative_sample_no_single_partition_window(spark):
+    """r5: the dense item index must not serialize the catalog through one
+    task — the final plan has no Window fed by Exchange SinglePartition."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import _final_plan, _single_partition_windows
+
+    from ml_feature_store_pipeline_spark.operators.sampling import negative_sample
+
+    pos = spark.createDataFrame([(1, 10), (2, 11)], "u long, it long")
+    items = spark.createDataFrame([(i,) for i in range(10, 30)], "it long")
+    out = negative_sample(pos, items, user_col="u", item_col="it", k=2)
+    out.collect()
+    plan = _final_plan(out._jdf.queryExecution().executedPlan().toString())
+    assert _single_partition_windows(plan) == 0

@@ -3,7 +3,11 @@ scale anti-patterns and emit one JSON line per query plus a summary.
 
     python tools/plan_audit.py [sf_dir] [query ...]
 
-Checked per plan (on the ANALYZED physical plan, pre-execution):
+Each query is EXECUTED (collect at the audit SF) so the plan inspected is
+the FINAL adaptive plan — on the pre-execution plan AQE hides everything
+behind an unresolved ``AdaptiveSparkPlan`` and whole-stage-codegen counts
+read 0 for every query (r4 verdict: the metric was vacuous). Checked per
+final plan:
 
 - ``cartesian``      — CartesianProduct nodes (never acceptable; broadcast
                        nested-loop against a literal/one-row frame is fine
@@ -16,8 +20,16 @@ Checked per plan (on the ANALYZED physical plan, pre-execution):
                        but a count that jumps between rounds is a smell)
 - ``smj``            — sort-merge joins (fine for fact-fact; a dim join
                        appearing here means a broadcast was missed)
-- ``wscg``           — whole-stage-codegen spans (higher is better;
-                       0 means everything runs interpreted)
+- ``wscg``           — distinct whole-stage-codegen spans (the ``*(n)``
+                       markers in the final plan; higher is better, 0 now
+                       really does mean everything runs interpreted)
+- ``window_1part``   — Window operators whose subtree shuffles through an
+                       ``Exchange SinglePartition``: the WHOLE input
+                       serializes onto one task. Dim-sized frames are
+                       documented exceptions (ALLOW); anything fact-sized
+                       here is a scale-killer. (Global scalar aggregates
+                       also use a single-partition exchange but only move
+                       partial-agg rows — those are not flagged.)
 
 Known, documented exceptions are listed in ALLOW — each entry names the
 query and the flag it is allowed to trip, with the reason.
@@ -26,6 +38,7 @@ query and the flag it is allowed to trip, with the reason.
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -37,19 +50,84 @@ ALLOW: dict[tuple[str, str], str] = {
     ("cosine_topk_blas", "cartesian"): "same contract as cosine_topk, Arrow-batched",
     ("lsh_ann_topk", "cartesian"): "recall-vs-exact oracle joins the tiny exact top-k against ANN output",
     ("ml_brp_ann_topk", "cartesian"): "recall oracle, same shape",
+    # dim-sized / scalar-sized single-partition windows, audited by hand:
+    ("iqr_outlier_summary", "window_1part"): "no window at all — flag would be spurious if Exchange SinglePartition of the scalar agg matched; listed defensively",
+    ("pack_sequences_docs", "window_1part"): "greedy next-fit packing is order-defined; the packing stage moves only (id, n_tokens) pairs, never text (SCALE.md: 2.5 MB at 200k docs)",
+    ("token_mixture_sample_docs", "window_1part"): "cut selection runs over the |sources|-row plan table only",
+    ("incremental_user_value_stats", "window_1part"): "state reconciliation window over the per-key STATE table (keys, not events)",
+    ("tpch_q15_like", "window_1part"): "global max-over-revenue window over the per-supplier aggregate (dim-sized)",
+    ("running_revenue", "window_1part"): "the query IS a global cumulative sum over dated order totals (per-date aggregate, dim-sized); the partitioned variant is rolling_hour_user_spend",
+    ("cms_heavy_hitters_events", "window_1part"): "rank over the sketch's w×d counter table (constant-sized)",
+    ("hist_quantile_prices", "window_1part"): "cumulative count over the n_bins-row histogram",
+    ("set_ops_summary", "window_1part"): "ordering the 3-row union summary",
+    ("key_skew_profile_events", "window_1part"): "rank over the top-k heavy-hitter table",
+    ("psi_order_price_drift", "window_1part"): "cumulative fractions over the n_bins-row PSI table",
+    ("backfill_snapshots", "window_1part"): "as-of ordering within each snapshot date over the per-key daily aggregate",
+    ("table_profile_orders", "window_1part"): "literal unpivot of the single profile row",
 }
 
 
-def audit_one(name: str, df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def _final_plan(plan: str) -> str:
+    """Slice the executed-plan string to the final adaptive plan (the full
+    string repeats the initial plan below it, which would double-count)."""
+    return plan.split("== Initial Plan ==")[0]
+
+
+_TREE_ART = re.compile(r"^[\s:+|-]*")
+
+
+def _depth(line: str) -> int:
+    """Tree depth proxy: column where the operator name starts."""
+    return len(_TREE_ART.match(line).group(0))
+
+
+def _single_partition_windows(plan: str) -> int:
+    """Count Window operators whose own subtree contains an
+    ``Exchange SinglePartition`` (i.e. the window's required distribution
+    is all-rows-on-one-task). Subtree = subsequent lines strictly deeper
+    than the Window line, ending at the first line at or above its depth."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        op = _TREE_ART.sub("", line)
+        if not (op.startswith("Window ") or op.startswith("WindowGroupLimit ")):
+            continue
+        d = _depth(line)
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _depth(nxt) <= d:
+                break
+            body = _TREE_ART.sub("", nxt)
+            # ENSURE_REQUIREMENTS = Spark inserted it to satisfy the
+            # window's required distribution (all rows, one task). An
+            # explicit repartitionByRange(1, …) on a small dim prints
+            # REPARTITION_BY_NUM and is the caller's sized choice.
+            if body.startswith("Exchange SinglePartition, ENSURE_REQUIREMENTS"):
+                hits += 1
+                break
+            # a partitioned exchange below the window satisfies its
+            # distribution — stop at the first exchange either way
+            if body.startswith("Exchange "):
+                break
+    return hits
+
+
+_WSCG_ID = re.compile(r"\*\((\d+)\)")
+
+
+def audit_one(name: str, df, *, execute: bool = True) -> dict:
+    if execute:
+        df.collect()  # drives AQE to the final plan; audit SF is small
+    plan = _final_plan(df._jdf.queryExecution().executedPlan().toString())
     return {
         "query": name,
+        "final": "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan,
         "cartesian": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "python_row": plan.count("BatchEvalPython"),
         "exchanges": plan.count("Exchange") - plan.count("ReusedExchange"),
         "smj": plan.count("SortMergeJoin"),
-        "wscg": plan.count("WholeStageCodegen"),
+        "wscg": len(set(_WSCG_ID.findall(plan))),
+        "window_1part": _single_partition_windows(plan),
     }
 
 
@@ -74,7 +152,7 @@ def main() -> None:
             continue
         flags = [
             k
-            for k in ("cartesian", "python_row")
+            for k in ("cartesian", "python_row", "window_1part")
             if rec[k] > 0 and (name, k) not in ALLOW
         ]
         rec["flags"] = flags
