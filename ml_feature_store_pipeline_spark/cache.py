@@ -10,11 +10,14 @@ for serving-path results that have already been collected.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from abc import ABC, abstractmethod
 from collections.abc import Iterable
 from typing import Any
+
+_LOG = logging.getLogger(__name__)
 
 
 class CacheBackend(ABC):
@@ -128,8 +131,8 @@ class DiskTTLCache(CacheBackend):
                 entry = pickle.load(fh)
             if isinstance(entry, tuple) and len(entry) == 4:
                 return entry
-        except (OSError, pickle.UnpicklingError, EOFError, AttributeError):
-            pass
+        except (OSError, pickle.UnpicklingError, EOFError, AttributeError) as e:
+            _LOG.debug("cache entry %s unreadable, treating as miss: %s", path, e)
         return None
 
     def get(self, key: str) -> Any | None:
@@ -169,8 +172,8 @@ class DiskTTLCache(CacheBackend):
         with self._lock:
             try:
                 os.remove(self._file(key))
-            except OSError:
-                pass
+            except OSError as e:
+                _LOG.debug("cache delete %s failed: %s", key, e)
 
     def delete_prefix(self, prefix: str) -> int:
         import os
@@ -186,8 +189,8 @@ class DiskTTLCache(CacheBackend):
                     try:
                         os.remove(path)
                         doomed += 1
-                    except OSError:
-                        pass
+                    except OSError as e:
+                        _LOG.debug("cache delete_prefix skipped %s: %s", path, e)
             return doomed
 
     def clear(self) -> None:
@@ -198,8 +201,8 @@ class DiskTTLCache(CacheBackend):
                 if name.endswith(".pkl"):
                     try:
                         os.remove(os.path.join(self._dir, name))
-                    except OSError:
-                        pass
+                    except OSError as e:
+                        _LOG.debug("cache clear skipped %s: %s", name, e)
 
     def info(self) -> dict[str, Any]:
         import os

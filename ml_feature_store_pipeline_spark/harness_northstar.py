@@ -1669,6 +1669,81 @@ _install_cdc_oracle()
 
 
 @register(
+    "merge_upsert_orders_evolve",
+    None,  # installed below via cdc.merge_changes_sql(new_cols=...)
+)
+def q_merge_upsert_orders_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving MERGE (r5): the same CDC scenario as
+    ``merge_upsert_orders`` but the feed has started carrying a NEW column
+    ``o_channel`` the snapshot lacks. ``allow_new_columns=True`` adopts it:
+    surviving target rows get NULL, upserts carry the feed value, and the
+    snapshot schema grows by one column — the standard additive-column
+    evolution every long-lived CDC pipeline eventually needs."""
+    from .operators import cdc
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    o = read_table(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    updates = (
+        o.filter(k % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+        .withColumn("o_channel", F.lit("online"))
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(1))
+    )
+    deletes = (
+        o.filter(k % 11 == 3)
+        .withColumn("o_channel", F.lit(None).cast("string"))
+        .withColumn("op", F.lit("delete"))
+        .withColumn("seq", F.lit(2))
+    )
+    inserts = (
+        o.filter(k % 13 == 5)
+        .select(
+            (k + F.lit(10_000_000)).alias("o_orderkey"),
+            F.col("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+        .withColumn("o_channel", F.lit("backfill"))
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(1))
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return cdc.merge_changes(
+        o, changes, ["o_orderkey"], seq_col="seq", allow_new_columns=True
+    )
+
+
+def _install_cdc_evolve_oracle() -> None:
+    from .harness import _ORACLES
+    from .operators import cdc
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_channel"]
+    ctes = """
+    base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+    changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice,
+             'online' AS o_channel, 'upsert' AS op, 1 AS seq FROM base WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(NULL AS VARCHAR) AS o_channel, 'delete' AS op, 2 AS seq FROM base WHERE o_orderkey % 11 = 3
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+             1.0 AS o_totalprice, 'backfill' AS o_channel, 'upsert' AS op, 1 AS seq
+      FROM base WHERE o_orderkey % 13 = 5
+    )
+    """
+    _ORACLES["merge_upsert_orders_evolve"] = cdc.merge_changes_sql(
+        "base", "changes", ["o_orderkey"], cols, seq_col="seq", with_ctes=ctes,
+        new_cols=("o_channel",),
+    )
+
+
+_install_cdc_evolve_oracle()
+
+
+@register(
     "semantic_dedup_embeddings",
     None,  # installed below (needs sketches.hash_fraction_sql)
 )

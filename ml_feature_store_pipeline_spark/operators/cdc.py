@@ -65,12 +65,25 @@ def merge_changes(
     op_col: str = DEFAULT_OP_COL,
     seq_col: str | None = None,
     broadcast_batch: bool = True,
+    allow_new_columns: bool = False,
 ) -> DataFrame:
     """MERGE the change batch into ``target`` and return the new snapshot.
 
     ``changes`` must carry every ``target`` column plus ``op_col`` (and
     ``seq_col`` if the batch can hold several versions of a key). Output
-    columns = target columns.
+    columns = target columns. ``target`` is assumed key-unique (one row
+    per key — the invariant every snapshot this fold produces satisfies);
+    merging into a multiset target keeps ALL copies of an untouched key
+    and replaces all copies of an upserted one.
+
+    Schema evolution (real CDC feeds add columns mid-stream): with
+    ``allow_new_columns=True``, batch columns the target lacks are adopted
+    into the output — existing target rows carry NULL for them (the
+    parquet-style null-fill), upserts carry their batch values, and the
+    new snapshot's schema is ``target ∪ batch`` in declaration order.
+    Without the flag an evolving batch FAILS FAST (listing the new
+    columns) rather than silently dropping feed data — the same
+    fail-don't-guess stance as the malformed-op check below.
 
     Plan shape: anti join (target ⟂ batch keys) + union of batch upserts.
     The batch is the small side by construction — broadcasting it keeps
@@ -86,6 +99,20 @@ def merge_changes(
             F.raise_error(F.concat(F.lit("unknown CDC op: "), F.col(op_col).cast("string")))
         ),
     )
+    reserved = {op_col} | ({seq_col} if seq_col is not None else set())
+    new_fields = [
+        f for f in changes.schema.fields
+        if f.name not in set(target.columns) and f.name not in reserved
+    ]
+    if new_fields:
+        if not allow_new_columns:
+            raise ValueError(
+                "change batch carries columns the target lacks: "
+                + ", ".join(f.name for f in new_fields)
+                + " — pass allow_new_columns=True to evolve the snapshot schema"
+            )
+        for f in new_fields:
+            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
     if seq_col is not None:
         changes = compact_changes(changes, keys, seq_col, op_col=op_col)
     winners = changes.select(*keys, op_col).distinct()
@@ -104,13 +131,20 @@ def merge_changes_sql(
     op_col: str = DEFAULT_OP_COL,
     seq_col: str | None = None,
     with_ctes: str = "",
+    new_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB twin of :func:`merge_changes` (same compaction, same
     tie-break) for oracle construction. ``with_ctes`` supplies the
     ``name AS (...)`` definitions of ``target_cte`` / ``changes_cte``,
-    spliced into this query's own WITH clause (SQL can't nest WITHs)."""
+    spliced into this query's own WITH clause (SQL can't nest WITHs).
+    ``new_cols`` lists ``out_cols`` entries the TARGET lacks (schema
+    evolution): survivors emit NULL for them, upserts their batch value —
+    mirroring ``allow_new_columns=True``."""
     key_list = ", ".join(keys)
     cols = ", ".join(out_cols)
+    surv_cols = ", ".join(
+        f"NULL AS {c}" if c in new_cols else c for c in out_cols
+    )
     if seq_col is not None:
         compact = f"""
         SELECT * FROM (
@@ -125,7 +159,7 @@ def merge_changes_sql(
     lead = f"{with_ctes.rstrip().rstrip(',')}, " if with_ctes.strip() else ""
     return f"""
     WITH {lead}__winners AS ({compact})
-    SELECT {cols} FROM {target_cte} t
+    SELECT {surv_cols} FROM {target_cte} t
     WHERE NOT EXISTS (SELECT 1 FROM __winners w WHERE {on})
     UNION ALL
     SELECT {cols} FROM (SELECT * FROM __winners WHERE {op_col} = 'upsert') t
@@ -144,6 +178,13 @@ def diff_snapshots(
     row changed, deletes for keys that disappeared. Round-trip law
     (property-tested): ``merge_changes(old, diff_snapshots(old, new))``
     equals ``new`` exactly.
+
+    PRECONDITION: both snapshots are key-unique (one row per ``keys``
+    tuple) — the invariant :func:`merge_changes` maintains. On multiset
+    snapshots the law does not hold: ``exceptAll`` emits nothing when a
+    key's copy count shrinks but the key survives, so no change row is
+    produced for it. The property test constrains inputs accordingly
+    (``unique_by``); diff multiset data at your own risk.
 
     This is the "what changed between feature versions" primitive: diff
     two store versions to audit a correction, feed a downstream cache

@@ -505,8 +505,10 @@ def bloom_probe(
 
 def bloom_state_sql(table_expr: str, expr: str, *, n_bits: int = 1 << 16, depth: int = 4) -> str:
     """DuckDB twin of :func:`bloom_state` (same md5 positions, same words)."""
+    # mirror bloom_state's isNotNull filter: a nullable key must not
+    # contribute a spurious (NULL, NULL) word row to the oracle state
     parts = [
-        f"SELECT {_bloom_pos_sql(j, expr, n_bits)} AS pos FROM {table_expr}"
+        f"SELECT {_bloom_pos_sql(j, expr, n_bits)} AS pos FROM {table_expr} WHERE ({expr}) IS NOT NULL"
         for j in range(depth)
     ]
     union = " UNION ALL ".join(parts)

@@ -2,15 +2,23 @@
 
 The reference's ``DataQualityValidator`` (`ML Feature Store
 Pipeline.py:114-160`) makes several full pandas passes (isnull, duplicated,
-per-column quantile + boolean masks). Here the whole profile runs in TWO
-Spark jobs regardless of column count:
+per-column quantile + boolean masks). Here the whole profile is ONE action
+regardless of column count (r4 verdict item 8 — it used to be two
+driver-synchronized jobs):
 
-1. one combined aggregation computing row count, per-column null counts,
-   distinct-row count, and per-numeric-column exact quartiles;
-2. one aggregation counting IQR-band violations using pass 1's bounds.
+- exact mode (default; what the oracle gate hash-matches): one combined
+  aggregation (row count, per-column null counts, distinct-row count,
+  per-numeric-column exact quartiles) feeds the IQR-violation count
+  through a 1-row broadcast — bounds never round-trip through the driver,
+  and the violation scan reads ONLY the numeric columns (column-pruned).
+- ``approximate=True`` (the 100 TB variant): a genuinely SINGLE scan —
+  one mergeable aggregate computes a KLL quantile GRID per numeric column
+  alongside HLL distinct, and the outlier counts are derived from the
+  grid's empirical CDF at the IQR band edges (no second pass at all; the
+  estimate inherits the sketch's rank accuracy).
 
-Both scale out: they are partial→final hash aggregates with O(columns)
-state, no driver-side data movement beyond the scalar results.
+Both scale out: partial→final hash aggregates with O(columns) state, no
+driver-side data movement beyond the scalar results.
 """
 
 from __future__ import annotations
@@ -64,20 +72,40 @@ def _numeric_columns(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC_TYPES)]
 
 
-def profile(
-    df: DataFrame, *, approximate: bool = False, percentile_accuracy: int = 10000
-) -> QualityProfile:
-    """Run the two-pass quality profile.
+#: Probability grid for the single-scan approximate profile. 0.25/0.75 are
+#: exact grid points; step 1/2000 bounds the CDF interpolation error at the
+#: IQR band edges to the sketch's own rank accuracy.
+_GRID_STEPS = 2000
 
-    ``approximate=True`` is the 100 TB variant: HLL ``approx_count_distinct``
-    for the duplicate check (no exact-distinct exchange of full-width rows)
-    and KLL-sketch ``percentile_approx`` for quartiles (mergeable, bounded
-    memory). Exact mode stays the default — it is what the oracle gate and
-    the reference's pandas semantics (C10/C11) hash-match against.
-    """
+
+def _grid_cdf(values: list[float], x: float, *, strict: bool) -> float:
+    """Empirical CDF read off a quantile grid: the largest grid probability
+    whose value is < x (``strict``) or <= x, linearly interpolated between
+    surrounding grid points."""
+    import bisect
+
+    if not values:
+        return 0.0
+    if strict:
+        j = bisect.bisect_left(values, x)
+    else:
+        j = bisect.bisect_right(values, x)
+    if j <= 0:
+        return 0.0
+    if j >= len(values):
+        return 1.0
+    # interpolate within the straddling grid cell
+    v0, v1 = values[j - 1], values[j]
+    p0, p1 = (j - 1) / _GRID_STEPS, j / _GRID_STEPS
+    if v1 == v0:
+        return p0
+    return p0 + (p1 - p0) * (x - v0) / (v1 - v0)
+
+
+def _bounds_frame(df: DataFrame, *, approximate: bool, percentile_accuracy: int) -> DataFrame:
+    """The combined 1-row aggregate: counts, nulls, distinct, quantiles."""
     cols = df.columns
     numeric = _numeric_columns(df)
-
     distinct = (
         F.approx_count_distinct(F.struct(*cols))
         if approximate
@@ -85,36 +113,94 @@ def profile(
     )
     aggs = [F.count(F.lit(1)).alias("__n"), distinct.alias("__distinct")]
     aggs += [F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}") for c in cols]
+    grid = "array(" + ", ".join(f"{i}/{_GRID_STEPS}" for i in range(_GRID_STEPS + 1)) + ")"
     for c in numeric:
         # exact linear-interpolation percentile (pandas default) — C11 `:131-132`;
-        # percentile_approx is the flagged large-scale variant (approximate=True).
+        # percentile_approx over the full grid is the single-scan 100 TB variant.
         q_expr = (
-            f"percentile_approx(`{c}`, array(0.25, 0.75), {percentile_accuracy})"
+            f"percentile_approx(`{c}`, {grid}, {percentile_accuracy})"
             if approximate
             else f"percentile(`{c}`, array(0.25, 0.75))"
         )
         aggs.append(F.expr(q_expr).alias(f"__q_{c}"))
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-    row = df.agg(*aggs).collect()[0].asDict()
+    return df.agg(*aggs)
 
-    n = row["__n"]
+
+def _profile_frame(
+    df: DataFrame, *, approximate: bool, percentile_accuracy: int
+) -> DataFrame:
+    """The single 1-row frame whose collect IS the whole profile.
+
+    Approximate (or numeric-free) mode: the combined aggregate alone — one
+    scan. Exact mode: the aggregate's bounds feed the per-row IQR
+    violation predicate through a 1-row broadcast (no driver round-trip),
+    and the violation side scans ONLY the numeric columns."""
+    numeric = _numeric_columns(df)
+    bounds = _bounds_frame(df, approximate=approximate, percentile_accuracy=percentile_accuracy)
+    if approximate or not numeric:
+        return bounds
+    outs = [
+        F.sum(
+            (
+                (F.col(c) < F.col(f"__q_{c}")[0] - 1.5 * (F.col(f"__q_{c}")[1] - F.col(f"__q_{c}")[0]))
+                | (F.col(c) > F.col(f"__q_{c}")[1] + 1.5 * (F.col(f"__q_{c}")[1] - F.col(f"__q_{c}")[0]))
+            ).cast("long")
+        ).alias(f"__out_{c}")
+        for c in numeric
+    ]
+    carried = [F.first(F.col(b)).alias(b) for b in bounds.columns]
+    return df.select(*numeric).crossJoin(F.broadcast(bounds)).agg(*carried, *outs)
+
+
+def profile(
+    df: DataFrame, *, approximate: bool = False, percentile_accuracy: int = 10000
+) -> QualityProfile:
+    """Run the one-action quality profile.
+
+    ``approximate=True`` is the 100 TB variant — a SINGLE scan: HLL
+    ``approx_count_distinct`` for the duplicate check (no exact-distinct
+    exchange of full-width rows) and a KLL ``percentile_approx`` quantile
+    GRID per numeric column, from which both the quartiles and the
+    IQR-violation counts are derived (the outlier count is the grid CDF at
+    the band edges × non-null count — accurate to the sketch's rank error,
+    with no second pass over the data). Exact mode stays the default — it
+    is what the oracle gate and the reference's pandas semantics (C10/C11)
+    hash-match against; its violation count is an exact per-row predicate,
+    so the bounds feed it through a 1-row broadcast (one action, and the
+    predicate scan reads only the numeric columns).
+    """
+    cols = df.columns
+    numeric = _numeric_columns(df)
+    frame = _profile_frame(df, approximate=approximate, percentile_accuracy=percentile_accuracy)
+    row = frame.collect()[0].asDict()
+    if not approximate and numeric and row["__n"] is None:
+        # empty table: the cross join had no rows to carry the bounds —
+        # fall back to the (empty-scan) aggregate itself, a no-op pass
+        row = _bounds_frame(df, approximate=False, percentile_accuracy=percentile_accuracy).collect()[0].asDict()
+
+    n = row["__n"] or 0
     quartiles: dict[str, tuple[float, float]] = {}
-    for c in numeric:
-        q = row[f"__q_{c}"]
-        if q is not None and q[0] is not None:
-            quartiles[c] = (float(q[0]), float(q[1]))
-
     outlier_counts: dict[str, int] = {}
-    if quartiles and n:
-        preds = []
-        for c, (q1, q3) in quartiles.items():
-            iqr = q3 - q1
-            lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr  # B9 `:133-134`
-            preds.append(
-                F.sum(((F.col(c) < lo) | (F.col(c) > hi)).cast("long")).alias(f"__out_{c}")
-            )
-        orow = df.agg(*preds).collect()[0].asDict()
-        outlier_counts = {c: int(orow[f"__out_{c}"] or 0) for c in quartiles}
+    for c in numeric:
+        q = row.get(f"__q_{c}")
+        if q is None or q[0] is None:
+            continue
+        if approximate:
+            vals = [float(v) for v in q]
+            q1, q3 = vals[_GRID_STEPS // 4], vals[3 * _GRID_STEPS // 4]
+            quartiles[c] = (q1, q3)
+            if n:
+                iqr = q3 - q1
+                lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr  # B9 `:133-134`
+                nn = int(row.get(f"__nn_{c}") or 0)
+                below = _grid_cdf(vals, lo, strict=True)
+                above = 1.0 - _grid_cdf(vals, hi, strict=False)
+                outlier_counts[c] = int(round(nn * (below + above)))
+        else:
+            quartiles[c] = (float(q[0]), float(q[1]))
+            if n:
+                outlier_counts[c] = int(row.get(f"__out_{c}") or 0)
 
     return QualityProfile(
         row_count=int(n),

@@ -230,10 +230,17 @@ class FeatureStore:
         merged = cdc.merge_changes(
             base, changes, keys or ["user_id"], op_col=op_col, seq_col=seq_col
         )
+        import dataclasses
+
         meta = metadata or FeatureMetadata(
             description=f"CDC merge into {base_version}"
         )
-        meta.lineage = {**meta.lineage, "base_version": base_version, "derived_by": "cdc_merge"}
+        # copy before injecting lineage: a caller-reused metadata object
+        # must not silently accumulate derivation keys (ADVICE r4)
+        meta = dataclasses.replace(
+            meta,
+            lineage={**meta.lineage, "base_version": base_version, "derived_by": "cdc_merge"},
+        )
         # merged output needs no re-declared schema check: columns are the
         # base version's by construction
         return self.register_features(merged, meta, enforce_schema=False)

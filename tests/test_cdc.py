@@ -152,3 +152,45 @@ def test_merge_rejects_unknown_ops(spark):
     ch = _changes(spark, [(2, "b2", 21.0, "Upsert", 1)])  # wrong case
     with _pytest.raises(Exception, match="unknown CDC op"):
         cdc.merge_changes(t, ch, ["k"], seq_col="seq").collect()
+
+
+def test_merge_schema_evolution(spark):
+    """r5: a feed that starts carrying a new column evolves the snapshot
+    with allow_new_columns=True (survivors NULL-filled, upserts carry the
+    value) and FAILS FAST without it (never silently drops feed data)."""
+    import pytest
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    batch = spark.createDataFrame(
+        [(2, "b2", "eu", "upsert"), (3, "c", "us", "upsert")],
+        "k int, v string, region string, op string",
+    )
+    with pytest.raises(ValueError, match="region"):
+        cdc.merge_changes(target, batch, ["k"])
+
+    out = cdc.merge_changes(target, batch, ["k"], allow_new_columns=True)
+    assert out.columns == ["k", "v", "region"]
+    got = {r["k"]: (r["v"], r["region"]) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("b2", "eu"), 3: ("c", "us")}
+
+    # replaying the same evolving batch into the evolved snapshot converges
+    again = cdc.merge_changes(out, batch, ["k"], allow_new_columns=True)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_merge_evolution_with_compaction_and_deletes(spark):
+    """Evolution composes with seq compaction and deletes: the winner per
+    key is chosen first, then the evolved columns apply."""
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    batch = spark.createDataFrame(
+        [
+            (1, "a1", "x", "upsert", 1),
+            (1, "a2", "y", "upsert", 2),   # wins on seq
+            (2, None, None, "delete", 1),
+            (9, "zz", "z", "delete", 1),   # delete of absent key: no-op
+        ],
+        "k int, v string, extra string, op string, seq int",
+    )
+    out = cdc.merge_changes(target, batch, ["k"], seq_col="seq", allow_new_columns=True)
+    got = {r["k"]: (r["v"], r["extra"]) for r in out.collect()}
+    assert got == {1: ("a2", "y"), 3: ("c", None)}

@@ -306,7 +306,9 @@ def test_bloom_never_drops_members(spark, members, probes):
     ),
 )
 def test_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
-    """diff/apply inverse law on arbitrary keyed snapshots:
+    """diff/apply inverse law on KEY-UNIQUE snapshots (the invariant
+    merge_changes maintains; ADVICE r4 — the law does NOT extend to
+    multiset snapshots, where exceptAll hides shrinking copy counts):
     merge(old, diff(old, new)) == new."""
     from ml_feature_store_pipeline_spark.operators import cdc
 

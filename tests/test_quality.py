@@ -124,3 +124,43 @@ class TestDrift:
         df = spark.createDataFrame([(-50.0,), (500.0,)], "v double")
         got = {r["bin"]: r["n"] for r in drift.histogram(df, "v", 0.0, 100.0, 10).collect()}
         assert got == {0: 1, 9: 1}
+
+
+def test_approximate_outlier_estimate_tracks_exact(spark):
+    """r5 fusion: approximate mode derives outlier counts from the quantile
+    grid's CDF (no second pass) — the estimate must track the exact count
+    to within the sketch's rank error on a heavy-tailed column."""
+    import math
+
+    rows = [(float(i % 97),) for i in range(2000)] + [(1e6,)] * 25 + [(-1e6,)] * 15
+    df = spark.createDataFrame(rows, "v double")
+    exact = profile(df)
+    approx = profile(df, approximate=True)
+    n = exact.row_count
+    got, want = sum(approx.outlier_counts.values()), sum(exact.outlier_counts.values())
+    assert math.isclose(got, want, abs_tol=max(5, 0.01 * n)), (got, want)
+
+
+def test_profile_plan_shape(spark):
+    """r5 fusion: approximate mode scans the input ONCE (quantile grid +
+    CDF-derived outliers, no second pass); exact mode is a single action
+    whose violation side is a second, numeric-only scan fed by a 1-row
+    broadcast of the bounds (no driver round-trip between the passes)."""
+    import re
+
+    from ml_feature_store_pipeline_spark.quality import _profile_frame
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13), str(i % 3)) for i in range(500)], "id long, v double, s string"
+    )
+
+    def scans(frame) -> int:
+        frame.collect()
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        return len(re.findall(r"Scan (?:parquet|ExistingRDD)", plan))
+
+    approx = _profile_frame(df, approximate=True, percentile_accuracy=10000)
+    assert scans(approx) == 1
+    exact = _profile_frame(df, approximate=False, percentile_accuracy=10000)
+    assert scans(exact) == 2

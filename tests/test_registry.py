@@ -121,6 +121,35 @@ def test_survey_section8_names_match_registry():
     assert cited and unknown == [], unknown
 
 
+def test_survey_section8_star_markers_match_oracle_registry():
+    """SURVEY §8 uses a trailing `*` to mark rows-only queries (no
+    oracle_sql twin). r4 verdict item 3: the marker had drifted — queries
+    kept their star after gaining bounded/hash oracles. Guard both
+    directions against the live registry: a starred name must NOT have an
+    oracle entry, and an oracle-less query must be starred."""
+    import re
+    from pathlib import Path
+
+    from ml_feature_store_pipeline_spark.harness import oracle_registry
+
+    text = Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
+    sec = text.split("## 8.")[1].split("\n## ")[0]
+    starred, cited = set(), set()
+    for line in sec.splitlines():
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) < 5 or cells[1] in ("family", "---"):
+            continue
+        for m in re.finditer(r"`([a-z0-9_]+)`(\*?)", cells[4]):
+            cited.add(m.group(1))
+            if m.group(2):
+                starred.add(m.group(1))
+    oracles = set(oracle_registry())
+    assert starred == (cited - oracles), (
+        f"SURVEY §8 drift: starred-but-oracled {sorted(starred & oracles)}, "
+        f"oracle-less-but-unstarred {sorted(cited - oracles - starred)}"
+    )
+
+
 def test_multimodal_decode_output_is_hashable(spark):
     """The round-1 driver crashed canonicalizing an array<float> column —
     the registry entry must emit only scalar columns."""
