@@ -45,84 +45,73 @@ def _ensure_loaded() -> None:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries, so the
-# registry is emitted in an explicit priority order. Round-4 rotation (per
-# VERDICT r3): anchors that re-verify every operator changed since its last
-# driver row (bit-packed simhash, single-pass ngram jaccard, skew-adaptive
-# asof, one per remaining family), then the 3 queries that have NEVER had a
-# driver row (the skew-safe twins + the new auto-selector), then the 5 whose
-# oracles were upgraded from rows-only to hash/bounded checks after r3
-# (multimodal pixel stats, ANN recall floors, MinHashLSH quality, TF-IDF
-# invariants), then every query registered during round 4 (no "registered
-# after the freeze" backlog), then a refresh slice of round-2-only greens
-# (the remainder, all twice-green trivial scans/joins, rotate in r5).
+# registry is emitted in an explicit priority order. Round-5 rotation (the
+# r4 verdict's item 1, and the promise in r4's own window comment): the
+# hard signal on 33 queries was last refreshed in round 2 — this window is
+# that refresh. Composition: asof_prev_order FIRST (its oracle was
+# rewritten to the explicit tie-break in r4 but left out of that window —
+# ADVICE r4 scheduled it first here), then every other round-2-only green,
+# then the queries whose code or oracle changed in round 5 (dense-index
+# negative sampling, CDC merge + the NEW schema-evolution twin, bloom
+# oracle NULL filter), the flagship anchor, and r3-only greens as fillers
+# (one per family, oldest signal next in line). Every query REGISTERED in
+# round 5 is in this window — no after-the-freeze backlog.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # anchors: flagship + one per family; simhash/ngram/asof anchors also
-    # re-verify the operators rewritten since their last driver row
-    "user_features",
-    "tpch_q1",
-    "tpch_q3_topk",
-    "asof_events_orders",
-    "training_set_pit",
-    "minhash_candidate_pairs",
-    "near_dup_clusters",
-    "dedup_exact_docs",
-    "cosine_topk",
-    "text_stats",
-    "sessionize_events",
-    "windowed_user_counts",
-    "simhash_docs",
-    "simhash_near_pairs",
-    "ngram_jaccard_pairs",
-    "psi_order_price_drift",
-    # never driver-verified: skew-safe twins, the new auto-selector, and the
-    # round-4 sequence-packing op (ivf_ann_topk, r3-green and family-covered
-    # by the three other ANN rows this window, yielded the slot)
-    "asof_events_orders_bucketed",
-    "training_set_pit_bucketed",
-    "asof_events_orders_auto",
-    "pack_sequences_docs",
-    # oracle upgraded after r3 (was rows-only / r1-error): first hash check
-    "multimodal_decode",
-    "lsh_ann_topk",
-    "ml_brp_ann_topk",
-    "ml_minhash_near_dup",
-    "ml_tfidf_vectors",
-    # NEW in round 4 — first driver rows (every r4 registration makes this
-    # window; no "registered after the freeze" backlog this round)
-    "training_set_pit_auto",
-    "incremental_minhash_pairs",
-    "token_mixture_sample_docs",
-    "corpus_curation_pipeline",
-    "tpch_q13_like",
-    "tpch_q17_like",
-    "tpch_q22_like",
-    "tpch_q11_like",
-    "tpch_q16_like",
-    "tpch_q21_like",
-    "tpch_q2_like",
-    "tpch_q8_like",
-    "tpch_q9_like",
-    "tpch_q20_like",
-    "bloom_prune_lineitem",
-    "merge_upsert_orders",
-    "semantic_dedup_embeddings",
-    "audio_decode_stats",
-    "video_frame_stats",
-    "image_resize_stats",
-    "quantile_bin_orders",
-    "target_encode_events",
-    "hashed_cross_events",
+    # oracle effectively new in r4 (tie-break rewrite) — verify first
+    "asof_prev_order",
+    # the 32 other queries whose last driver-green row is round 2
+    "anti_join_customers",
+    "backfill_snapshots",
+    "band_join_price_tiers",
+    "chunk_documents",
+    "cosine_topk_blas",
+    "customer_order_counts",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "embedding_near_dup",
+    "iqr_outlier_summary",
+    "json_props_extract",
+    "lag_lead_events",
+    "language_id",
+    "latest_event_per_user",
+    "order_price_rank_stats",
+    "pivot_event_values",
+    "quality_null_dup_stats",
+    "rolling_hour_user_spend",
+    "rollup_lineitem",
+    "running_revenue",
+    "sample_events_10pct",
+    "scan_filter_project",
+    "scrub_pii_docs",
+    "semi_join_customers",
+    "set_ops_summary",
+    "topk_latest_events",
+    "tpch_q10_like",
+    "tpch_q12_like",
+    "tpch_q5_like",
+    "tpch_q6",
+    "train_test_split_counts",
+    "unpivot_lineitem",
+    # round-5 code/oracle changes: re-verify on the new implementations
     "negative_sample_pairs",
-    "table_profile_orders",
-    # No round-2 refresh slice fits this round: all 17 double-green r2
-    # entries (chunk_documents, doc_quality_scores, language_id,
-    # order_price_rank_stats, pivot_event_values, rolling_hour_user_spend,
-    # rollup_lineitem, embedding_near_dup, topk_latest_events,
-    # tpch_q10_like, quality_null_dup_stats, scrub_pii_docs, tpch_q5_like,
-    # unpivot_lineitem, json_props_extract, sample_events_10pct,
-    # tpch_q12_like) yielded their slots to first-time verifications —
-    # every query registered in round 4 gets a driver row; refreshes are
-    # the r5 window's job.
+    "merge_upsert_orders",
+    "merge_upsert_orders_evolve",
+    "bloom_prune_lineitem",
+    # flagship anchor
+    "user_features",
+    # r3-only greens, oldest remaining signal, one per family
+    "dedup_survivors_docs",
+    "ivf_ann_topk",
+    "minhash_signatures",
+    "tfidf_terms_docs",
+    "lineitem_quartiles",
+    "pit_scd2_orders_state",
+    "sliding_window_counts",
+    "kmv_distinct_orderkeys",
+    "weighted_sample_events",
+    "revenue_by_region",
+    "tpch_q14",
+    "tpch_q7_like",
 )
 
 

@@ -131,13 +131,15 @@ def synth_vecs(spark, n: int, dim: int = 64):
 EVENT_OPS = (
     "flagship_extract_exact flagship_extract_approx sessionize asof_join "
     "deterministic_sample_10pct training_set_1view asof_join_bucketed_1key "
-    "interval_join_2k_bands bloom_probe cdc_merge"
+    "interval_join_2k_bands bloom_probe cdc_merge fe_quantile_bin "
+    "fe_target_encode fe_hashed_cross negative_sample table_profile "
+    "quality_profile"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
     "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
     "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
-    "video_frame_sample"
+    "video_frame_sample streaming_near_dup"
 ).split()
 VEC_OPS = "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm semantic_dedup".split()
 
@@ -423,6 +425,88 @@ def main() -> None:
                 cdc.merge_changes(target, b, ["event_id"], seq_col="seq"),
                 args.events,
             )
+        # ---- round-5 additions: FE trio, negative sampling, profiles ------
+        if events is not None and want("fe_quantile_bin"):
+            from ml_feature_store_pipeline_spark.operators import fe
+
+            # one array-percentile aggregate chooses the cuts; assignment
+            # must be a broadcast of the 1-row bounds (no ntile sort of the
+            # fact table — shuffle W should be ~the aggregate's partials)
+            timed(
+                "fe_quantile_bin_exact",
+                fe.quantile_bin(events.select("amount"), "amount", n_bins=16),
+                args.events,
+            )
+            timed(
+                "fe_quantile_bin_approx",
+                fe.quantile_bin(events.select("amount"), "amount", n_bins=16, approximate=True),
+                args.events,
+            )
+        if events is not None and want("fe_target_encode"):
+            from ml_feature_store_pipeline_spark.operators import fe
+
+            # ONE shuffle: the per-category aggregate; global prior rides a
+            # broadcast. Shuffle bytes ≈ |categories| × partials.
+            timed(
+                "fe_target_encode",
+                fe.target_encode(
+                    events.select("user_id", (F.col("amount") > 0).cast("double").alias("y")),
+                    "user_id",
+                    "y",
+                ),
+                args.events,
+            )
+        if events is not None and want("fe_hashed_cross"):
+            from ml_feature_store_pipeline_spark.operators import fe
+
+            # pure Column expr — zero shuffle; throughput = codegen md5 rate
+            timed(
+                "fe_hashed_cross_2cols",
+                events.select(
+                    fe.hashed_cross([F.col("user_id"), F.col("event_type")], dim=1 << 20).alias("x")
+                ),
+                args.events,
+            )
+        if events is not None and want("negative_sample"):
+            # positives = the purchase pairs; catalog = distinct event types
+            # crossed to a synthetic 100k-item dim. Shuffle must carry only
+            # (user, item) ids — O(k × positives) — never the fact table.
+            items = spark.range(100_000).select(F.col("id").alias("item_id"))
+            positives = (
+                events.filter(F.col("amount") > 0)
+                .select("user_id", (F.xxhash64("user_id", "timestamp") % 100_000).alias("item_id"))
+            )
+            positives.write.mode("overwrite").parquet(f"{work}/pos")
+            pos = spark.read.parquet(f"{work}/pos")
+            n_pos = pos.count()
+            timed(
+                "negative_sample_k4",
+                sampling.negative_sample(pos, items, user_col="user_id", item_col="item_id", k=4),
+                n_pos * 4,
+            )
+        if events is not None and want("table_profile"):
+            from ml_feature_store_pipeline_spark.operators import profile as tprof
+
+            timed("table_profile_exact", tprof.table_profile(events), args.events)
+            timed(
+                "table_profile_approx",
+                tprof.table_profile(events, approximate=True),
+                args.events,
+            )
+        if events is not None and want("quality_profile"):
+            from ml_feature_store_pipeline_spark import quality
+
+            # r5 fusion: exact = one action (bounds broadcast), approx =
+            # ONE scan (grid CDF outliers). Timed via profile() itself —
+            # the op collects scalars, there is no frame to noop-write.
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            quality.profile(events)
+            log("quality_profile_exact", time.time() - t0, args.events)
+            t0 = time.time()
+            quality.profile(events, approximate=True)
+            log("quality_profile_approx", time.time() - t0, args.events)
         if vecs is not None and want("semantic_dedup"):
             # n_cells sized so cells stay pairwise-affordable (~1k vecs/cell)
             timed(
@@ -451,6 +535,49 @@ def main() -> None:
                 "video_frame_sample_every2",
                 multimodal.sample_frame_stats(vids, every_k=2),
                 args.docs,
+            )
+        # ---- round-5: continuous near-dup sink over N epochs --------------
+        # The foreachBatch fn is invoked directly with batch frames — the
+        # exact code path a real readStream trigger takes, minus the
+        # micro-batch scheduler. What's measured is what continuous
+        # ingestion pays per trigger: sign the batch, prune standing
+        # buckets, expand candidates, append signatures. The flatness of
+        # the per-epoch times (vs a growing corpus) is the bounded-state
+        # claim in SCALE.md; a superlinear trend here means the sink
+        # rescans history.
+        if docs is not None and want("streaming_near_dup"):
+            from ml_feature_store_pipeline_spark.streaming.ingest import (
+                incremental_near_dup_sink,
+            )
+
+            n_epochs = 10
+            batch_rows = max(args.docs // 20, 1)
+            sink = incremental_near_dup_sink(
+                f"{work}/stream_sigs", f"{work}/stream_pairs"
+            )
+            epoch_secs = []
+            if METER is not None:
+                METER.delta()
+            for e in range(n_epochs):
+                batch = synth_docs(spark, batch_rows).select(
+                    (F.col("doc_id") + e * batch_rows).alias("doc_id"), "text"
+                )
+                t0 = time.time()
+                sink(batch, e)
+                epoch_secs.append(round(time.time() - t0, 2))
+            log("streaming_near_dup_sink_total", sum(epoch_secs), batch_rows * n_epochs)
+            head = sum(epoch_secs[1:4]) / 3  # epoch 0 pays store-creation
+            tail = sum(epoch_secs[-3:]) / 3
+            print(
+                json.dumps(
+                    {
+                        "op": "streaming_near_dup_sink.epochs",
+                        "epoch_secs": epoch_secs,
+                        "rows_per_epoch": batch_rows,
+                        "tail_over_head": round(tail / max(head, 1e-9), 2),
+                    }
+                ),
+                flush=True,
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
