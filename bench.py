@@ -86,6 +86,17 @@ HEADLINE_R4 = [
     "quantile_bin_orders",
 ]
 
+#: Added in round 5: the schema-evolving CDC merge, the re-indexed
+#: negative sampler (two-level dense index — its cost vs r4's
+#: single-task window is the point), and the ANALYZE profile.
+#: "r04_headline_total" covers exactly HEADLINE + R2 + R3 + R4 — the
+#: round-4 definition (52.15 s reference).
+HEADLINE_R5 = [
+    "merge_upsert_orders_evolve",
+    "negative_sample_pairs",
+    "table_profile_orders",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -123,7 +134,7 @@ def main() -> None:
     # page cache, so min() reports steady-state engine time instead of
     # whichever run a noisy neighbor landed on. Both runs materialize fully.
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4:
+    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5:
         fn = registry[name]
         best = float("inf")
         for _ in range(2):
@@ -146,6 +157,13 @@ def main() -> None:
                 ),
                 "r03_headline_total": round(
                     sum(timings[n] for n in HEADLINE + HEADLINE_R2 + HEADLINE_R3), 3
+                ),
+                "r04_headline_total": round(
+                    sum(
+                        timings[n]
+                        for n in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4
+                    ),
+                    3,
                 ),
                 "sf": sf,
             }

@@ -1,9 +1,10 @@
 """Driver-window invariants: the driver hash-verifies only the FIRST 50
-``queries()`` entries, so the registry order is load-bearing. Round-4
-rotation (VERDICT r3): the window must contain the 3 queries with no prior
-driver row (skew-safe asof/PIT twins + the auto-selector), the 5 whose
-oracles were upgraded from rows-only after r3, every operator rewritten
-since its last driver row, and a refresh slice of round-2-only greens."""
+``queries()`` entries, so the registry order is load-bearing. Round-5
+rotation (VERDICT r4 item 1): the window must contain every query whose
+most recent driver-green row is round 2 (the aging hard signal — r4's
+window traded them for first-time verifications and promised this
+refresh), every query whose code or oracle changed in round 5, and every
+query REGISTERED in round 5 (no after-the-freeze backlog)."""
 
 from __future__ import annotations
 
@@ -13,57 +14,54 @@ from ml_feature_store_pipeline_spark.harness import (
     query_registry,
 )
 
-# Queries with NO driver row in any CORRECTNESS_r{1,2,3}.json — the r4
-# rotation exists to get these their first driver check.
-NEVER_DRIVER_VERIFIED_PRE_R4 = [
-    "asof_events_orders_bucketed",
-    "training_set_pit_bucketed",
-    "asof_events_orders_auto",
-    # new in r4 — ALL registered before the window froze, no backlog
-    "pack_sequences_docs",
-    "training_set_pit_auto",
-    "incremental_minhash_pairs",
-    "token_mixture_sample_docs",
-    "corpus_curation_pipeline",
-    "tpch_q13_like",
-    "tpch_q17_like",
-    "tpch_q22_like",
-    "tpch_q11_like",
-    "tpch_q16_like",
-    "tpch_q21_like",
-    "tpch_q2_like",
-    "tpch_q8_like",
-    "tpch_q9_like",
-    "tpch_q20_like",
-    "bloom_prune_lineitem",
-    "merge_upsert_orders",
-    "semantic_dedup_embeddings",
-    "audio_decode_stats",
-    "video_frame_stats",
-    "image_resize_stats",
-    "quantile_bin_orders",
-    "target_encode_events",
-    "hashed_cross_events",
-    "negative_sample_pairs",
-    "table_profile_orders",
+# Last driver-green row is CORRECTNESS_r02.json (33 queries; r3/r4 windows
+# spent their slots on never-verified queries instead).
+LAST_GREEN_IN_R2 = [
+    "anti_join_customers",
+    "asof_prev_order",  # oracle rewritten in r4 (tie-break) — ADVICE says first
+    "backfill_snapshots",
+    "band_join_price_tiers",
+    "chunk_documents",
+    "cosine_topk_blas",
+    "customer_order_counts",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "embedding_near_dup",
+    "iqr_outlier_summary",
+    "json_props_extract",
+    "lag_lead_events",
+    "language_id",
+    "latest_event_per_user",
+    "order_price_rank_stats",
+    "pivot_event_values",
+    "quality_null_dup_stats",
+    "rolling_hour_user_spend",
+    "rollup_lineitem",
+    "running_revenue",
+    "sample_events_10pct",
+    "scan_filter_project",
+    "scrub_pii_docs",
+    "semi_join_customers",
+    "set_ops_summary",
+    "topk_latest_events",
+    "tpch_q10_like",
+    "tpch_q12_like",
+    "tpch_q5_like",
+    "tpch_q6",
+    "train_test_split_counts",
+    "unpivot_lineitem",
 ]
 
-# Rows-only (or r1-errored) until after r3, when their oracles were upgraded
-# to hash / bounded-quality checks — first real driver verification is r4.
-ORACLE_UPGRADED_POST_R3 = [
-    "multimodal_decode",
-    "lsh_ann_topk",
-    "ml_brp_ann_topk",
-    "ml_minhash_near_dup",
-    "ml_tfidf_vectors",
+# Code or oracle changed in round 5 — must re-verify on the new form.
+CHANGED_IN_R5 = [
+    "negative_sample_pairs",  # two-level dense index (draws bit-identical)
+    "merge_upsert_orders",    # evolution guard added to merge_changes
+    "bloom_prune_lineitem",   # oracle state gained the NULL-key filter
 ]
 
-# Operators rewritten after their last driver-green row (bit-packed simhash
-# ee0c905, single-pass ngram jaccard eb07614) — must re-verify.
-REWRITTEN_SINCE_LAST_GREEN = [
-    "simhash_docs",
-    "simhash_near_pairs",
-    "ngram_jaccard_pairs",
+# Registered during round 5 — every registration makes the window.
+REGISTERED_IN_R5 = [
+    "merge_upsert_orders_evolve",
 ]
 
 
@@ -79,14 +77,12 @@ def test_every_window_entry_has_an_oracle():
     assert missing == []
 
 
-def test_all_previously_unverified_queries_are_in_window():
-    for group in (
-        NEVER_DRIVER_VERIFIED_PRE_R4,
-        ORACLE_UPGRADED_POST_R3,
-        REWRITTEN_SINCE_LAST_GREEN,
-    ):
+def test_round5_rotation_policy_is_in_window():
+    for group in (LAST_GREEN_IN_R2, CHANGED_IN_R5, REGISTERED_IN_R5):
         out = [n for n in group if n not in DRIVER_WINDOW]
         assert out == []
+    # the advisor asked for asof_prev_order FIRST (its oracle is newest)
+    assert DRIVER_WINDOW[0] == "asof_prev_order"
 
 
 def test_every_oracle_has_a_query():

@@ -44,26 +44,13 @@ import sys
 sys.path.insert(0, ".")
 
 #: (query, flag) pairs that are intentional, with reasons (audited by hand).
+#: NOTE: the r4 cartesian allowances (cosine_topk, embedding_near_dup, the
+#: ANN recall oracles) are gone — on the EXECUTED plan every one of those
+#: all-pairs joins resolves to a BroadcastNestedLoopJoin against the
+#: documented small side (counted as ``bnlj``, informational); an actual
+#: CartesianProduct appearing anywhere now fails the sweep.
 ALLOW: dict[tuple[str, str], str] = {
-    ("embedding_near_dup", "cartesian"): "exact=True oracle mode is documented all-pairs; the production path is the sign-LSH bucketed variant",
-    ("cosine_topk", "cartesian"): "queries side is small by contract (broadcast); corpus scanned once",
-    ("cosine_topk_blas", "cartesian"): "same contract as cosine_topk, Arrow-batched",
-    ("lsh_ann_topk", "cartesian"): "recall-vs-exact oracle joins the tiny exact top-k against ANN output",
-    ("ml_brp_ann_topk", "cartesian"): "recall oracle, same shape",
-    # dim-sized / scalar-sized single-partition windows, audited by hand:
-    ("iqr_outlier_summary", "window_1part"): "no window at all — flag would be spurious if Exchange SinglePartition of the scalar agg matched; listed defensively",
-    ("pack_sequences_docs", "window_1part"): "greedy next-fit packing is order-defined; the packing stage moves only (id, n_tokens) pairs, never text (SCALE.md: 2.5 MB at 200k docs)",
-    ("token_mixture_sample_docs", "window_1part"): "cut selection runs over the |sources|-row plan table only",
-    ("incremental_user_value_stats", "window_1part"): "state reconciliation window over the per-key STATE table (keys, not events)",
-    ("tpch_q15_like", "window_1part"): "global max-over-revenue window over the per-supplier aggregate (dim-sized)",
-    ("running_revenue", "window_1part"): "the query IS a global cumulative sum over dated order totals (per-date aggregate, dim-sized); the partitioned variant is rolling_hour_user_spend",
-    ("cms_heavy_hitters_events", "window_1part"): "rank over the sketch's w×d counter table (constant-sized)",
-    ("hist_quantile_prices", "window_1part"): "cumulative count over the n_bins-row histogram",
-    ("set_ops_summary", "window_1part"): "ordering the 3-row union summary",
-    ("key_skew_profile_events", "window_1part"): "rank over the top-k heavy-hitter table",
-    ("psi_order_price_drift", "window_1part"): "cumulative fractions over the n_bins-row PSI table",
-    ("backfill_snapshots", "window_1part"): "as-of ordering within each snapshot date over the per-key daily aggregate",
-    ("table_profile_orders", "window_1part"): "literal unpivot of the single profile row",
+    ("hist_quantile_prices", "window_1part"): "cumulative count over the n_bins-row histogram table (constant-sized by construction)",
 }
 
 
