@@ -111,7 +111,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "weighted_sample_events",
     "revenue_by_region",
     "tpch_q14",
-    "tpch_q7_like",
+    # registered in round 5: CCNet-style LM scoring — every r5 registration
+    # makes the window (tpch_q7_like, r3-green, yielded the slot)
+    "lm_quality_score_docs",
 )
 
 

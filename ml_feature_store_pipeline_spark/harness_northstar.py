@@ -910,6 +910,37 @@ def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(docs, "doc_id", "text", ngram=2)
 
 
+@register(
+    "lm_quality_score_docs",
+    """
+    WITH txt AS (SELECT doc_id, lower(text) AS t FROM documents),
+    grams AS (
+      SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS gram
+      FROM txt, UNNEST(generate_series(1, length(t) - 2)) AS u(i)
+      WHERE length(t) >= 3
+    ),
+    model AS (
+      SELECT gram, COUNT(*) AS cnt FROM grams WHERE doc_id % 2 = 0 GROUP BY gram
+    ),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM model)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           ROUND(-AVG(ln(COALESCE(m.cnt, 0) + 1.0) - ln(tot.total + tot.v + 1.0)), 6) AS xent
+    FROM grams g LEFT JOIN model m ON g.gram = m.gram, tot
+    GROUP BY g.doc_id
+    """,
+)
+def q_lm_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (r5): train a char-trigram model on
+    the even-doc_id half of the corpus, score EVERY document's smoothed
+    cross-entropy under it — the odd half exercises the unseen-gram path.
+    Real pipelines gate/bucket pretraining text on exactly this signal
+    (model from a trusted reference corpus, score the crawl)."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    model = text.char_ngram_model(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    return text.lm_score(docs, model, "doc_id", "text")
+
+
 def _curation_pipeline_sql() -> str:
     toks = _SQL_TOKS.format(t="text")
     return f"""

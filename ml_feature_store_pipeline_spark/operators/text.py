@@ -360,3 +360,81 @@ def pack_stats(assignment: DataFrame, token_budget: int) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("tokens_used"),
         (F.sum("n_tokens") / F.lit(float(token_budget))).alias("fill_ratio"),
     )
+
+
+def char_ngrams(text: Column, n: int = 3, *, lowercase: bool = True) -> Column:
+    """Array of overlapping character n-grams of ``text`` (the CCNet-style
+    LM unit). Pure codegen: sequence + transform + substring — no UDF.
+    Empty array for texts shorter than ``n`` (Spark's ``sequence(1, 0)``
+    counts DOWN, so the degenerate case is guarded explicitly)."""
+    t = F.lower(text) if lowercase else text
+    positions = F.when(
+        F.length(t) >= n, F.sequence(F.lit(1), F.length(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(positions, lambda i: F.substring(t, i, n))
+
+
+def char_ngram_model(
+    corpus: DataFrame, text_col: str, *, n: int = 3, lowercase: bool = True
+) -> DataFrame:
+    """Train a character-n-gram count model: one row ``(gram, cnt)``.
+
+    This is the model half of the CCNet recipe (Wenzek et al. 2020 —
+    public): score documents by a small LM over a reference corpus and
+    gate/bucket on perplexity. A char-trigram table is bounded by
+    |alphabet|**n regardless of corpus size, so the groupBy partial-
+    aggregates to a dim-sized table (≤ ~1M rows for printable text) —
+    the 100 TB shuffle carries 3-char grams + partial counts, never text.
+    """
+    return (
+        corpus.select(F.explode(char_ngrams(F.col(text_col), n, lowercase=lowercase)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    lowercase: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score each document's cross-entropy under a :func:`char_ngram_model`
+    — the quality/fluency signal LLM pipelines bucket and filter on.
+
+    Add-one smoothing over the model's vocabulary plus one unseen type:
+    ``logprob(g) = ln(cnt_g + 1) − ln(total + V + 1)`` (unseen grams get
+    ``cnt_g = 0``). Output: ``(id, n_grams, xent)`` with
+    ``xent = −avg(logprob)`` in nats, rounded for engine-stable hashing
+    (the float sum's last-ulp drift is ~1e−13 relative; six digits is
+    three orders of margin). Docs shorter than ``n`` chars emit no row.
+
+    Scale shape: the model and its 1-row (total, V) aggregate broadcast
+    (dim-sized by construction); the doc side explodes to grams but
+    partial-aggregates back to one row per doc per partition before the
+    ONLY data-sized shuffle (doc_id, partial sums). ``exp(xent)`` is
+    perplexity if you want the familiar units downstream.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n, lowercase=lowercase)).alias("gram")
+    )
+    totals = model.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__v")
+    )
+    lp = (
+        F.log(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+        - F.log(F.col("__total") + F.col("__v") + F.lit(1.0))
+    )
+    return (
+        grams.join(F.broadcast(model), "gram", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(-F.avg(lp), round_digits).alias("xent"),
+        )
+    )

@@ -62,6 +62,7 @@ CHANGED_IN_R5 = [
 # Registered during round 5 — every registration makes the window.
 REGISTERED_IN_R5 = [
     "merge_upsert_orders_evolve",
+    "lm_quality_score_docs",
 ]
 
 

@@ -155,3 +155,55 @@ def test_pack_sequences_arg_validation(spark):
         text.pack_sequences(
             docs, "doc_id", "text", n_tokens_col="nt", token_budget=10
         )  # both
+
+
+class TestLmScore:
+    def test_hand_computed_cross_entropy(self, spark):
+        """'aaab' trained on itself: grams = [aaa, aab]; model = {aaa:1,
+        aab:1}; total=2, V=2 → lp(seen) = ln(2) − ln(5); xent = −avg."""
+        import math
+
+        from ml_feature_store_pipeline_spark.operators.text import char_ngram_model, lm_score
+
+        docs = spark.createDataFrame([(1, "aaab")], "id long, text string")
+        model = char_ngram_model(docs, "text")
+        row = lm_score(docs, model, "id", "text").collect()[0]
+        assert row["n_grams"] == 2
+        want = -(math.log(2.0) - math.log(5.0))
+        assert abs(row["xent"] - round(want, 6)) < 1e-9
+
+    def test_unseen_grams_cost_more(self, spark):
+        """A doc full of grams the model never saw must score strictly
+        worse (higher xent) than an in-model doc — the CCNet gate."""
+        from ml_feature_store_pipeline_spark.operators.text import char_ngram_model, lm_score
+
+        corpus = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+            "id long, text string",
+        )
+        model = char_ngram_model(corpus, "text")
+        probes = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "zzqx jkvw qqzz xkcv")],
+            "id long, text string",
+        )
+        got = {r["id"]: r["xent"] for r in lm_score(probes, model, "id", "text").collect()}
+        assert got[2] > got[1]
+
+    def test_short_docs_emit_no_row_and_no_downcounting_sequence(self, spark):
+        """Texts shorter than n must yield ZERO grams — Spark's sequence(1, 0)
+        counts DOWN without the guard, which would fabricate grams."""
+        from ml_feature_store_pipeline_spark.operators.text import char_ngram_model, char_ngrams, lm_score
+
+        docs = spark.createDataFrame([(1, "ab"), (2, ""), (3, "abcd")], "id long, text string")
+        grams = docs.select(F.size(char_ngrams(F.col("text"))).alias("n")).collect()
+        assert sorted(r["n"] for r in grams) == [0, 0, 2]
+        model = char_ngram_model(docs, "text")
+        out = lm_score(docs, model, "id", "text")
+        assert sorted(r["id"] for r in out.collect()) == [3]
+
+    def test_case_folding_is_part_of_the_model(self, spark):
+        from ml_feature_store_pipeline_spark.operators.text import char_ngram_model
+
+        docs = spark.createDataFrame([(1, "ABCabc")], "id long, text string")
+        got = {r["gram"]: r["cnt"] for r in char_ngram_model(docs, "text").collect()}
+        assert got == {"abc": 2, "bca": 1, "cab": 1}
