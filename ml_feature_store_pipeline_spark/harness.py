@@ -109,8 +109,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sliding_window_counts",
     "kmv_distinct_orderkeys",
     "weighted_sample_events",
-    "revenue_by_region",
-    "tpch_q14",
+    "asof_events_orders",
+    "asof_events_orders_stale30d",
     # registered in round 5: CCNet-style LM scoring — every r5 registration
     # makes the window (tpch_q7_like, r3-green, yielded the slot)
     "lm_quality_score_docs",

@@ -457,6 +457,37 @@ def q_asof_events_orders_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_events_orders_stale30d",
+    """
+    WITH cand AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC, o.o_totalprice DESC
+             ) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+           AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+    )
+    SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM cand WHERE rn = 1
+    """,
+)
+def q_asof_events_orders_stale30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 30-day staleness bound (r5): the feature-freshness SLA
+    form — an order older than 30 days at event time is NO match (value
+    columns NULL), never silently served stale. Oracle: the same explicit
+    tie-break window with the window-suffix predicate (equivalent because
+    candidates ordered by recency make the tolerance a suffix cut)."""
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    return joins.asof_join(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tolerance_seconds=30 * 86_400,
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@register(
     "asof_prev_order",
     """
     WITH cand AS (

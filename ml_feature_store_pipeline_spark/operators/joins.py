@@ -45,9 +45,15 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     strict: bool = False,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Point-in-time join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (``<`` when ``strict``) for the same key.
+    ``tolerance_seconds`` bounds feature staleness (pandas ``merge_asof``
+    ``tolerance``): a match older than the bound is dropped — every value
+    column comes back NULL, exactly as if no right row existed. Serving
+    stacks use this to refuse features past their freshness SLA instead
+    of silently training on stale state.
 
     Implementation: tag both sides, union on (key, ts), and take
     ``last(ignoreNulls=True)`` of ONE nullable struct holding all value
@@ -74,14 +80,42 @@ def asof_join(
     (key, coarse time bucket).
     """
     unioned, lside = _asof_union(left, right, key=key, left_ts=left_ts,
-                                 right_ts=right_ts, value_cols=value_cols, strict=strict)
+                                 right_ts=right_ts, value_cols=value_cols, strict=strict,
+                                 carry_ts=tolerance_seconds is not None)
     w = Window.partitionBy(key).orderBy("__ts", "__side", "__vals").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     filled = unioned.withColumn("__asof", F.last("__vals", ignorenulls=True).over(w))
     out = filled.filter(F.col("__side") == lside)
-    keep = [c for c in left.columns] + [F.col(f"__asof.{c}").alias(c) for c in value_cols]
-    return out.select(*keep)
+    return _asof_select(out, "__asof", left.columns, value_cols, tolerance_seconds)
+
+
+def _asof_secs(col: Column) -> Column:
+    """Epoch seconds (fractional) of a ts column of any supported type —
+    numerics pass through the timestamp cast unchanged."""
+    return col.cast("timestamp").cast("double")
+
+
+def _asof_select(
+    matched: DataFrame,
+    match_col: str,
+    left_cols: list[str],
+    value_cols: list[str],
+    tolerance_seconds: float | None,
+):
+    """Final projection shared by the plain and bucketed forms: value
+    columns come from the matched struct, nulled ROW-WISE when the match
+    is staler than ``tolerance_seconds`` (merge_asof ``tolerance``
+    semantics: an over-age match is NO match — fields are never mixed
+    across right rows)."""
+    if tolerance_seconds is None:
+        vals = [F.col(f"{match_col}.{c}").alias(c) for c in value_cols]
+    else:
+        ok = (
+            _asof_secs(F.col("__ts")) - _asof_secs(F.col(f"{match_col}.__rts"))
+        ) <= F.lit(float(tolerance_seconds))
+        vals = [F.when(ok, F.col(f"{match_col}.{c}")).alias(c) for c in value_cols]
+    return matched.select(*[c for c in left_cols], *vals)
 
 
 def _asof_union(
@@ -93,6 +127,7 @@ def _asof_union(
     right_ts: str,
     value_cols: list[str],
     strict: bool,
+    carry_ts: bool = False,
 ) -> tuple[DataFrame, int]:
     """Tag and union both sides for the window-based as-of strategies.
 
@@ -123,12 +158,12 @@ def _asof_union(
         if c not in (key,):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = r_tagged.select(*l_tagged.columns).unionByName(l_tagged)
+    fields = [F.col(f"__v_{c}").alias(c) for c in value_cols]
+    if carry_ts:
+        fields = [F.col("__ts").alias("__rts")] + fields
     unioned = unioned.withColumn(
         "__vals",
-        F.when(
-            F.col("__side") != lside,
-            F.struct(*[F.col(f"__v_{c}").alias(c) for c in value_cols]),
-        ),
+        F.when(F.col("__side") != lside, F.struct(*fields)),
     )
     return unioned, lside
 
@@ -143,8 +178,10 @@ def asof_join_bucketed(
     value_cols: list[str],
     strict: bool = False,
     bucket_seconds: int = 86_400,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Skew-safe as-of join: identical results to :func:`asof_join`, but
+    """Skew-safe as-of join: identical results to :func:`asof_join`
+    (including its ``tolerance_seconds`` staleness bound), but
     windows partition by (key, floor(ts / bucket_seconds)) so a hot key's
     timeline splits across time buckets instead of serializing into one
     task.
@@ -175,7 +212,8 @@ def asof_join_bucketed(
     bucket — where the __side ordering handles them.
     """
     unioned, lside = _asof_union(left, right, key=key, left_ts=left_ts,
-                                 right_ts=right_ts, value_cols=value_cols, strict=strict)
+                                 right_ts=right_ts, value_cols=value_cols, strict=strict,
+                                 carry_ts=tolerance_seconds is not None)
     ts_secs = F.col("__ts").cast("timestamp").cast("long") if dict(unioned.dtypes)["__ts"].startswith("timestamp") else F.col("__ts").cast("long")
     unioned = unioned.withColumn("__bucket", F.floor(ts_secs / F.lit(bucket_seconds)))
 
@@ -206,8 +244,7 @@ def asof_join_bucketed(
     merged = local.join(carry, [key, "__bucket"], "left").withColumn(
         "__match", F.coalesce(F.col("__loc"), F.col("__carry"))
     )
-    keep = [c for c in left.columns] + [F.col(f"__match.{c}").alias(c) for c in value_cols]
-    return merged.select(*keep)
+    return _asof_select(merged, "__match", left.columns, value_cols, tolerance_seconds)
 
 
 def _should_bucket_asof(max_key_rows: int, total_rows: int, shuffle_partitions: int,
@@ -232,6 +269,7 @@ def asof_join_auto(
     strict: bool = False,
     bucket_seconds: int = 86_400,
     skew_threshold: float = 4.0,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join that picks :func:`asof_join` vs :func:`asof_join_bucketed`
     from a measured key-skew profile, so uniform workloads don't pay the
@@ -256,7 +294,8 @@ def asof_join_auto(
         .collect()[0]
     )
     partitions = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    kw = dict(key=key, left_ts=left_ts, right_ts=right_ts, value_cols=value_cols, strict=strict)
+    kw = dict(key=key, left_ts=left_ts, right_ts=right_ts, value_cols=value_cols,
+              strict=strict, tolerance_seconds=tolerance_seconds)
     if _should_bucket_asof(probe["max_n"] or 0, probe["total"] or 0, partitions, skew_threshold):
         return asof_join_bucketed(left, right, bucket_seconds=bucket_seconds, **kw)
     return asof_join(left, right, **kw)

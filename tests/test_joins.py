@@ -257,3 +257,71 @@ def test_key_skew_profile_values(spark):
     assert out[1]["n_rows"] == 60
     assert out[1]["share"] == pytest.approx(0.6)
     assert out[1]["skew_ratio"] == pytest.approx(1.8)  # 0.6 share × 3 keys
+
+
+class TestAsofTolerance:
+    """r5: tolerance_seconds = merge_asof's staleness bound — an over-age
+    match is NO match (row-wise NULL), across all three as-of forms."""
+
+    def _frames(self, spark):
+        trades = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 10:00:10"), "fresh"),   # quote 2 s old
+                (1, ts("2024-01-01 10:05:00"), "stale"),   # quote 292 s old
+                (2, ts("2024-01-01 10:00:10"), "never"),   # no quote at all
+            ],
+            "key long, t_ts timestamp, trade_id string",
+        )
+        quotes = spark.createDataFrame(
+            [(1, ts("2024-01-01 10:00:08"), 100.0, "q1")],
+            "key long, q_ts timestamp, price double, src string",
+        )
+        return trades, quotes
+
+    def test_stale_match_is_dropped_row_wise(self, spark):
+        trades, quotes = self._frames(spark)
+        out = {
+            r["trade_id"]: (r["price"], r["src"])
+            for r in joins.asof_join(
+                trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
+                value_cols=["price", "src"], tolerance_seconds=60,
+            ).collect()
+        }
+        assert out == {
+            "fresh": (100.0, "q1"),
+            "stale": (None, None),   # whole ROW nulled, fields never mixed
+            "never": (None, None),
+        }
+
+    def test_boundary_is_inclusive(self, spark):
+        trades, quotes = self._frames(spark)
+        out = {
+            r["trade_id"]: r["price"]
+            for r in joins.asof_join(
+                trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
+                value_cols=["price"], tolerance_seconds=2,  # exactly 2 s old
+            ).collect()
+        }
+        assert out["fresh"] == 100.0
+
+    def test_all_three_forms_agree_under_tolerance(self, spark, quotes_and_trades):
+        trades, quotes = quotes_and_trades
+        kw = dict(key="key", left_ts="t_ts", right_ts="q_ts",
+                  value_cols=["price"], tolerance_seconds=4)
+        key = lambda r: r["trade_id"]
+        plain = sorted(joins.asof_join(trades, quotes, **kw).collect(), key=key)
+        buck = sorted(
+            joins.asof_join_bucketed(trades, quotes, bucket_seconds=4, **kw).collect(),
+            key=key,
+        )
+        auto = sorted(joins.asof_join_auto(trades, quotes, **kw).collect(), key=key)
+        assert plain == buck == auto
+
+    def test_no_tolerance_is_unchanged(self, spark, quotes_and_trades):
+        """The default path must not carry __rts or change any result."""
+        trades, quotes = quotes_and_trades
+        kw = dict(key="key", left_ts="t_ts", right_ts="q_ts", value_cols=["price"])
+        with_t = joins.asof_join(trades, quotes, tolerance_seconds=1e12, **kw)
+        without = joins.asof_join(trades, quotes, **kw)
+        key = lambda r: r["trade_id"]
+        assert sorted(with_t.collect(), key=key) == sorted(without.collect(), key=key)

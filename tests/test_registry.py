@@ -57,12 +57,14 @@ CHANGED_IN_R5 = [
     "negative_sample_pairs",  # two-level dense index (draws bit-identical)
     "merge_upsert_orders",    # evolution guard added to merge_changes
     "bloom_prune_lineitem",   # oracle state gained the NULL-key filter
+    "asof_events_orders",     # as-of family refactored for tolerance_seconds
 ]
 
 # Registered during round 5 — every registration makes the window.
 REGISTERED_IN_R5 = [
     "merge_upsert_orders_evolve",
     "lm_quality_score_docs",
+    "asof_events_orders_stale30d",
 ]
 
 
