@@ -107,8 +107,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lineitem_quartiles",
     "pit_scd2_orders_state",
     "sliding_window_counts",
-    "kmv_distinct_orderkeys",
-    "weighted_sample_events",
+    "decayed_user_spend",
+    "ewma_user_spend_prior",
     "asof_events_orders",
     "asof_events_orders_stale30d",
     # registered in round 5: CCNet-style LM scoring — every r5 registration

@@ -911,6 +911,68 @@ def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decayed_user_spend",
+    """
+    SELECT user_id,
+           ROUND(SUM(value * pow(0.5, (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts)) / 604800.0)), 6) AS decayed_sum,
+           ROUND(SUM(pow(0.5, (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts)) / 604800.0)), 6) AS decayed_count,
+           ROUND(SUM(value * pow(0.5, (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts)) / 604800.0))
+                 / SUM(pow(0.5, (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts)) / 604800.0)), 6) AS decayed_mean
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def q_decayed_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed per-user spend snapshot (r5): the feature-store
+    "decayed counter" — recency-weighted sum/count/mean with a 7-day
+    half-life, point-in-time correct at a fixed as-of. ONE
+    partial-aggregated groupBy; the weight is a codegen scan expression."""
+    import datetime as dt
+
+    from .operators import fe
+
+    events = read_table(spark, sf_dir, "events")
+    return fe.decayed_agg(
+        events, "user_id", "ts", "value",
+        half_life_seconds=604_800.0,
+        asof=dt.datetime(2024, 2, 1),
+    )
+
+
+@register(
+    "ewma_user_spend_prior",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, ts, value,
+             MAX(epoch(ts)) OVER (PARTITION BY user_id) AS tmax
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(COALESCE(
+             pow(2.0, (tmax - epoch(ts)) / 604800.0) *
+             SUM(value * pow(0.5, (tmax - epoch(ts)) / 604800.0)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0.0), 6) AS ewma_prior
+    FROM b
+    """,
+)
+def q_ewma_user_spend_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event leakage-free EWMA (r5): each event sees the 7-day-half-life
+    decayed sum of the user's STRICTLY PRIOR events ((ts, event_id) order).
+    One key-partitioned window via the rescaled-cumsum trick — no O(n²)
+    self-join; the oracle replays the identical rescaling."""
+    from .operators import fe
+
+    events = read_table(spark, sf_dir, "events")
+    return fe.ewma_prior(
+        events, "user_id", "ts", "value",
+        half_life_seconds=604_800.0, tie_col="event_id",
+    ).select("event_id", "user_id", "ewma_prior")
+
+
+@register(
     "lm_quality_score_docs",
     """
     WITH txt AS (SELECT doc_id, lower(text) AS t FROM documents),

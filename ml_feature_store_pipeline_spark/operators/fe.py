@@ -184,3 +184,88 @@ def hashed_cross_sql(exprs: list[str], *, dim: int, seed: int = 0) -> str:
         ", i + 1, 1)) - 1) * power(16, 12 - i))) AS BIGINT)"
         f" % {dim})"
     )
+
+
+def _secs(col: Column) -> Column:
+    """Epoch seconds (fractional) of any timestamp/numeric column."""
+    return col.cast("timestamp").cast("double")
+
+
+def decayed_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    half_life_seconds: float,
+    asof,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed per-key aggregate AT a point in time —
+    the feature-store "decayed counter" (recent activity counts more;
+    weight halves every ``half_life_seconds``). Output per key:
+    ``decayed_sum = Σ v·0.5^((asof−t)/hl)``, ``decayed_count = Σ
+    0.5^((asof−t)/hl)``, and their ratio ``decayed_mean``. Rows after
+    ``asof`` are EXCLUDED (point-in-time correct, like the as-of join).
+
+    Scale shape: the weight is a codegen scan expression, so this is ONE
+    partial-aggregated groupBy — identical cost to a plain sum. Rounded
+    for engine-stable hashing (pow last-ulp drift ≪ 1e−6).
+    """
+    age = _secs(F.lit(asof)) - _secs(F.col(ts_col))
+    w = F.pow(F.lit(0.5), age / F.lit(float(half_life_seconds)))
+    eligible = df.filter(F.col(ts_col) <= F.lit(asof))
+    return eligible.groupBy(key_col).agg(
+        F.round(F.sum(F.col(value_col) * w), round_digits).alias("decayed_sum"),
+        F.round(F.sum(w), round_digits).alias("decayed_count"),
+        F.round(
+            F.sum(F.col(value_col) * w) / F.sum(w), round_digits
+        ).alias("decayed_mean"),
+    )
+
+
+def ewma_prior(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    half_life_seconds: float,
+    tie_col: str,
+    out_col: str = "ewma_prior",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-event leakage-free EWMA: each row sees the decayed sum of its
+    key's STRICTLY PRIOR rows (by ``(ts, tie_col)`` order — the tie column
+    pins which same-timestamp rows count as "before", so results are
+    deterministic across engines and partitionings):
+
+    ``ewma_i = Σ_{j<i} v_j · 0.5^((t_i − t_j)/hl)``
+
+    Computed as ONE key-partitioned window pass via rescaling: with
+    ``T = max(t) per key``, ``z_j = v_j · 0.5^((T−t_j)/hl)`` makes
+    ``ewma_i = 2^((T−t_i)/hl) · cumsum_{j<i}(z_j)`` — the exponent is
+    bounded by the key's time span over the half-life, so doubles hold
+    whenever ``span/hl ≲ 900`` (raise ``half_life_seconds`` for longer
+    histories; the naive direct form needs no such care but is O(n²)).
+
+    Scale shape: one shuffle on ``key_col`` (the same window the as-of
+    join uses — SKEW CONTRACT identical: hot keys serialize; pre-bucket
+    by time if that bites). First row per key gets 0.0 (no history).
+    """
+    from pyspark.sql.window import Window
+
+    wk = Window.partitionBy(key_col)
+    wo = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tie_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_max = F.max(_secs(F.col(ts_col))).over(wk)
+    back = (t_max - _secs(F.col(ts_col))) / F.lit(float(half_life_seconds))
+    z = F.col(value_col) * F.pow(F.lit(0.5), back)
+    c = F.sum(z).over(wo)
+    return df.withColumn(
+        out_col,
+        F.round(F.coalesce(F.pow(F.lit(2.0), back) * c, F.lit(0.0)), round_digits),
+    )

@@ -75,3 +75,80 @@ def test_quantile_bin_approximate_close_to_exact(spark):
     assert set(approx) == {0, 1, 2, 3}
     for b in exact:
         assert abs(approx[b] - exact[b]) <= 0.05 * 10_000  # within 5% mass
+
+
+class TestDecayedFeatures:
+    def test_decayed_agg_hand_computed(self, spark):
+        """Two events 1 half-life apart: weights 1.0 and 0.5 at asof."""
+        import datetime as dt
+
+        from ml_feature_store_pipeline_spark.operators.fe import decayed_agg
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 10.0),                              # 2 half-lives before asof
+            (1, t0 + dt.timedelta(hours=1), 20.0),      # 1 half-life before
+            (1, t0 + dt.timedelta(hours=3), 99.0),      # AFTER asof — excluded
+        ]
+        df = spark.createDataFrame(rows, "k long, t timestamp, v double")
+        out = decayed_agg(
+            df, "k", "t", "v", half_life_seconds=3600.0,
+            asof=t0 + dt.timedelta(hours=2),
+        ).collect()[0]
+        assert out["decayed_sum"] == round(10.0 * 0.25 + 20.0 * 0.5, 6)
+        assert out["decayed_count"] == round(0.25 + 0.5, 6)
+
+    def test_ewma_prior_matches_brute_force(self, spark):
+        """Rescaled-cumsum EWMA == the O(n²) direct definition."""
+        import datetime as dt
+        import math
+
+        from ml_feature_store_pipeline_spark.operators.fe import ewma_prior
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, i % 3, t0 + dt.timedelta(minutes=7 * i), float((i * 13) % 50))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "id long, k long, t timestamp, v double")
+        got = {
+            r["id"]: r["ewma_prior"]
+            for r in ewma_prior(
+                df, "k", "t", "v", half_life_seconds=1800.0, tie_col="id"
+            ).collect()
+        }
+        hl = 1800.0
+        for i, k, t, v in [(i, k, t0 + dt.timedelta(minutes=7 * i), float((i * 13) % 50)) for i, k in ((i, i % 3) for i in range(40))]:
+            want = sum(
+                vj * math.pow(0.5, (t - tj).total_seconds() / hl)
+                for j, kj, tj, vj in ((j, j % 3, t0 + dt.timedelta(minutes=7 * j), float((j * 13) % 50)) for j in range(40))
+                if kj == k and (tj, j) < (t, i)
+            )
+            assert abs(got[i] - round(want, 6)) < 1e-6, i
+
+    def test_ewma_first_event_per_key_is_zero(self, spark):
+        import datetime as dt
+
+        from ml_feature_store_pipeline_spark.operators.fe import ewma_prior
+
+        df = spark.createDataFrame(
+            [(1, 7, dt.datetime(2024, 1, 1), 5.0)], "id long, k long, t timestamp, v double"
+        )
+        assert ewma_prior(df, "k", "t", "v", half_life_seconds=60.0, tie_col="id").collect()[0][
+            "ewma_prior"
+        ] == 0.0
+
+    def test_ewma_stable_under_repartitioning(self, spark):
+        import datetime as dt
+
+        from ml_feature_store_pipeline_spark.operators.fe import ewma_prior
+
+        rows = [
+            (i, i % 2, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(i))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "id long, k long, t timestamp, v double")
+        kw = dict(half_life_seconds=10.0, tie_col="id")
+        a = sorted(map(tuple, ewma_prior(df, "k", "t", "v", **kw).collect()))
+        b = sorted(map(tuple, ewma_prior(df.repartition(7), "k", "t", "v", **kw).collect()))
+        assert a == b

@@ -65,6 +65,8 @@ REGISTERED_IN_R5 = [
     "merge_upsert_orders_evolve",
     "lm_quality_score_docs",
     "asof_events_orders_stale30d",
+    "decayed_user_spend",
+    "ewma_user_spend_prior",
 ]
 
 
