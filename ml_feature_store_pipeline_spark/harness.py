@@ -99,12 +99,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bloom_prune_lineitem",
     # flagship anchor
     "user_features",
-    # r3-only greens, oldest remaining signal, one per family
+    # r3-only greens as fillers (one per family; several yielded slots to
+    # round-5 registrations — every r5-registered query is in this window)
     "dedup_survivors_docs",
     "ivf_ann_topk",
-    "minhash_signatures",
-    "tfidf_terms_docs",
-    "lineitem_quartiles",
+    "standard_scale_events",
+    "winsorize_orders",
+    "index_encode_event_types",
     "pit_scd2_orders_state",
     "sliding_window_counts",
     "decayed_user_spend",

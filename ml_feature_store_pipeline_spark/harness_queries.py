@@ -1025,6 +1025,78 @@ _install_fe_oracles()
 
 
 @register(
+    "standard_scale_events",
+    """
+    WITH st AS (
+      SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sd FROM events
+    )
+    SELECT event_id,
+           ROUND(CASE WHEN st.sd > 0 THEN (value - st.mu) / st.sd
+                      WHEN value IS NOT NULL THEN 0.0 END, 6) AS value_z
+    FROM events, st
+    """,
+)
+def q_standard_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization (r5): one stats aggregate broadcast into a
+    codegen scan expression — no shuffle of the data, engine-stable via
+    rounding. Zero-variance guard maps constants to 0.0."""
+    from .operators import fe
+
+    e = read_table(spark, sf_dir, "events")
+    return fe.standard_scale(e, ["value"]).select("event_id", "value_z")
+
+
+@register(
+    "winsorize_orders",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders
+    )
+    SELECT o_orderkey,
+           ROUND(GREATEST(LEAST(o_totalprice, b.hi), b.lo), 6) AS o_totalprice_w
+    FROM orders, b
+    """,
+)
+def q_winsorize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clipping (r5): exact [5%, 95%] winsorization of order
+    totals — one percentile aggregate broadcast into greatest(least(...))
+    on the scan, the tail-taming step before scaling."""
+    from .operators import fe
+
+    o = read_table(spark, sf_dir, "orders")
+    return fe.winsorize(o, ["o_totalprice"], lower=0.05, upper=0.95).select(
+        "o_orderkey", "o_totalprice_w"
+    )
+
+
+@register(
+    "index_encode_event_types",
+    """
+    WITH counts AS (
+      SELECT event_type AS value, COUNT(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT value, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, value ASC) - 1 AS INTEGER) AS idx
+    FROM counts
+    """,
+)
+def q_index_encode_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered label indexing (r5): StringIndexer semantics with
+    the tie rule PINNED (count desc, value asc) and the index built by the
+    parallel two-level rank — deterministic across engines, partitionings,
+    and runs; the vocab table IS the persistable encoder."""
+    from .operators import fe
+
+    e = read_table(spark, sf_dir, "events")
+    vocab, _ = fe.index_encode(e, "event_type")
+    return vocab
+
+
+
+
+@register(
     "negative_sample_pairs",
     None,  # installed below via sampling.negative_sample_sql
 )

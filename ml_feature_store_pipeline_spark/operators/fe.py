@@ -269,3 +269,114 @@ def ewma_prior(
         out_col,
         F.round(F.coalesce(F.pow(F.lit(2.0), back) * c, F.lit(0.0)), round_digits),
     )
+
+
+def standard_scale(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    round_digits: int = 6,
+    suffix: str = "_z",
+) -> DataFrame:
+    """Z-score standardization of ``cols``: one combined aggregate computes
+    every column's mean and sample stddev, broadcast as a 1-row frame into
+    the scan-side expression — two column-pruned passes, zero shuffles of
+    the data, any number of columns. Zero-variance columns scale to 0.0
+    (not NULL/inf — constant features should read as "no signal").
+    Rounded for engine-stable hashing."""
+    stats = df.agg(
+        *[F.avg(c).alias(f"__mu_{c}") for c in cols],
+        *[F.stddev_samp(c).alias(f"__sd_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        z = F.when(
+            F.col(f"__sd_{c}") > 0,
+            (F.col(c) - F.col(f"__mu_{c}")) / F.col(f"__sd_{c}"),
+        ).otherwise(F.when(F.col(c).isNotNull(), F.lit(0.0)))
+        out = out.withColumn(f"{c}{suffix}", F.round(z, round_digits))
+    return out.drop(*[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols])
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    round_digits: int = 6,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Percentile clipping (winsorization): values below the ``lower`` /
+    above the ``upper`` exact linear-interpolation percentile clamp to it.
+    Same two-pass shape as :func:`quantile_bin`: ONE aggregate computes
+    both cut points per column, the 1-row result broadcasts into a
+    codegen ``greatest(least(...))`` on the scan. The tail-taming step
+    before scaling/encoding when heavy tails would dominate a z-score."""
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.expr(f"percentile(`{c}`, array({lower}, {upper}))").alias(f"__p_{c}")
+        )
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        lo, hi = F.col(f"__p_{c}")[0], F.col(f"__p_{c}")[1]
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.round(F.greatest(F.least(F.col(c), hi), lo), round_digits),
+        )
+    return out.drop(*[f"__p_{c}" for c in cols])
+
+
+def index_encode(
+    df: DataFrame,
+    col: str,
+    *,
+    min_count: int = 1,
+    oov_index: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Frequency-ordered label indexing (StringIndexer semantics, made
+    deterministic): vocabulary = distinct values with ``count >=
+    min_count``, indexed ``0..V−1`` by (count DESC, value ASC) — the exact
+    tie rule MLlib leaves to sort instability is pinned, so train-time and
+    serve-time runs agree across engines and partitionings.
+
+    Returns ``(vocab, encoded)``: ``vocab`` is the ``(value, n, idx)``
+    table (persist it next to the model — it IS the encoder); ``encoded``
+    is ``df`` plus ``{col}_idx``, with out-of-vocabulary rows mapped to
+    ``oov_index`` (default ``V``, the "unknown" bucket).
+
+    Scale shape: the vocab aggregate partial-combines to dim size; the
+    index is the parallel two-level rank (:func:`..sampling.dense_index`
+    on the composite (−count, value) ordering — no single-task window);
+    encoding joins the broadcast vocab back map-side.
+    """
+    from .sampling import dense_index
+
+    counts = (
+        df.groupBy(F.col(col).alias("__val"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .withColumn("__negn", -F.col("n"))
+    )
+    indexed = (
+        dense_index(counts, ["__negn", "__val"], idx_col="__vidx")
+        .drop("__negn")
+        .select("__val", "n", F.col("__vidx").cast("int").alias("__vidx"))
+    )
+    v = indexed.count()
+    oov = F.lit(int(oov_index if oov_index is not None else v))
+    encoded = (
+        df.join(
+            F.broadcast(indexed.select("__val", "__vidx")),
+            df[col] == F.col("__val"),
+            "left",
+        )
+        .withColumn(f"{col}_idx", F.coalesce(F.col("__vidx"), oov))
+        .drop("__val", "__vidx")
+    )
+    vocab = indexed.select(
+        F.col("__val").alias("value"), "n", F.col("__vidx").alias("idx")
+    )
+    return vocab, encoded

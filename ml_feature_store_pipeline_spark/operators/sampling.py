@@ -191,15 +191,15 @@ def mixture_sample_by_tokens(
 
 def dense_index(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     *,
     idx_col: str = "__idx",
     n_rows: int | None = None,
     rows_per_partition: int = 2_000_000,
 ) -> DataFrame:
-    """Dense ``0..n−1`` index over ``df`` ordered by ``order_col``
-    (values must be distinct), WITHOUT serializing the table through one
-    task.
+    """Dense ``0..n−1`` index over ``df`` ordered by ``order_col`` (one
+    column name or a composite list; the ordering tuples must be
+    distinct), WITHOUT serializing the table through one task.
 
     ``row_number() OVER (ORDER BY order_col)`` — the obvious form — has an
     empty partition spec, so Spark exchanges every row to a single task: a
@@ -221,10 +221,11 @@ def dense_index(
     """
     from pyspark.sql.window import Window
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if n_rows is None:
         n_rows = df.count()
     n_parts = max(1, min(2048, -(-n_rows // rows_per_partition)))
-    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
     sizes = sorted(
@@ -237,7 +238,7 @@ def dense_index(
         offsets[pid] = acc
         acc += cnt
     off_map = F.create_map(*[x for k, v in offsets.items() for x in (F.lit(k), F.lit(v))])
-    local = F.row_number().over(Window.partitionBy("__pid").orderBy(order_col))
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols))
     return (
         ranged.withColumn(idx_col, off_map[F.col("__pid")] + local - 1)
         .drop("__pid")

@@ -152,3 +152,61 @@ class TestDecayedFeatures:
         a = sorted(map(tuple, ewma_prior(df, "k", "t", "v", **kw).collect()))
         b = sorted(map(tuple, ewma_prior(df.repartition(7), "k", "t", "v", **kw).collect()))
         assert a == b
+
+
+class TestScalingEncoding:
+    def test_standard_scale_hand_computed(self, spark):
+        from ml_feature_store_pipeline_spark.operators.fe import standard_scale
+
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "id long, v double")
+        got = {r["id"]: r["v_z"] for r in standard_scale(df, ["v"]).collect()}
+        assert got == {1: -1.0, 2: 0.0, 3: 1.0}  # sd_samp = 1.0
+
+    def test_standard_scale_constant_column_maps_to_zero(self, spark):
+        from ml_feature_store_pipeline_spark.operators.fe import standard_scale
+
+        df = spark.createDataFrame([(1, 7.0), (2, 7.0), (3, None)], "id long, v double")
+        got = {r["id"]: r["v_z"] for r in standard_scale(df, ["v"]).collect()}
+        assert got == {1: 0.0, 2: 0.0, 3: None}
+
+    def test_winsorize_clamps_both_tails(self, spark):
+        from ml_feature_store_pipeline_spark.operators.fe import winsorize
+
+        vals = [float(i) for i in range(1, 101)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = winsorize(df, ["v"], lower=0.10, upper=0.90).collect()
+        lo = 1 + 0.10 * 99  # pandas-style linear interpolation on 1..100
+        hi = 1 + 0.90 * 99
+        got = sorted(r["v_w"] for r in out)
+        assert got[0] == round(lo, 6) and got[-1] == round(hi, 6)
+        assert all(round(lo, 6) <= x <= round(hi, 6) for x in got)
+
+    def test_index_encode_frequency_order_and_oov(self, spark):
+        from ml_feature_store_pipeline_spark.operators.fe import index_encode
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(["b"] * 5 + ["a"] * 5 + ["c"] * 2)],
+            "id long, t string",
+        )
+        vocab, encoded = index_encode(df, "t")
+        vv = {r["value"]: (r["n"], r["idx"]) for r in vocab.collect()}
+        # count ties (a=5, b=5) break by value asc: a -> 0, b -> 1
+        assert vv == {"a": (5, 0), "b": (5, 1), "c": (2, 2)}
+        probe = spark.createDataFrame([(1, "c"), (2, "zz")], "id long, t string")
+        _, enc2 = index_encode(df, "t", oov_index=None)
+        got = {r["t"]: r["t_idx"] for r in enc2.collect()}
+        assert got["c"] == 2
+        # OOV routes to V on a fresh frame encoded against the same vocab rule
+        _, enc3 = index_encode(df.unionByName(probe.filter(F.col("t") == "zz")), "t", min_count=2)
+        got3 = {r["t"]: r["t_idx"] for r in enc3.collect()}
+        assert got3["zz"] == 3  # below min_count -> out of vocab -> V=3
+
+    def test_index_encode_stable_under_repartitioning(self, spark):
+        from ml_feature_store_pipeline_spark.operators.fe import index_encode
+
+        df = spark.createDataFrame(
+            [(i, f"t{i % 17}") for i in range(200)], "id long, t string"
+        )
+        v1, _ = index_encode(df, "t")
+        v2, _ = index_encode(df.repartition(13), "t")
+        assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))

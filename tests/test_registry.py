@@ -67,6 +67,9 @@ REGISTERED_IN_R5 = [
     "asof_events_orders_stale30d",
     "decayed_user_spend",
     "ewma_user_spend_prior",
+    "standard_scale_events",
+    "winsorize_orders",
+    "index_encode_event_types",
 ]
 
 
