@@ -133,13 +133,13 @@ EVENT_OPS = (
     "deterministic_sample_10pct training_set_1view asof_join_bucketed_1key "
     "interval_join_2k_bands bloom_probe cdc_merge fe_quantile_bin "
     "fe_target_encode fe_hashed_cross negative_sample table_profile "
-    "quality_profile"
+    "quality_profile fe_ewma fe_index_encode"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
     "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
     "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
-    "video_frame_sample streaming_near_dup"
+    "video_frame_sample streaming_near_dup lm_score"
 ).split()
 VEC_OPS = "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm semantic_dedup".split()
 
@@ -483,6 +483,38 @@ def main() -> None:
                 "negative_sample_k4",
                 sampling.negative_sample(pos, items, user_col="user_id", item_col="item_id", k=4),
                 n_pos * 4,
+            )
+        if events is not None and want("fe_ewma"):
+            from ml_feature_store_pipeline_spark.operators import fe
+
+            # one key-partitioned window (~100k keys at 20M rows): the
+            # rescaled-cumsum EWMA costs the same shuffle as any per-key
+            # window — no O(n²) self-join ever materializes
+            timed(
+                "fe_ewma_prior",
+                fe.ewma_prior(
+                    events.select("user_id", "timestamp", "amount",
+                                  F.xxhash64("user_id", "timestamp").alias("eid")),
+                    "user_id", "timestamp", "amount",
+                    half_life_seconds=86_400.0, tie_col="eid",
+                ),
+                args.events,
+            )
+        if events is not None and want("fe_index_encode"):
+            from ml_feature_store_pipeline_spark.operators import fe
+
+            # ~1%-of-rows vocabulary: the index is the two-level rank (no
+            # single-task window), the encode join a broadcast
+            _, enc = fe.index_encode(events.select("user_id", "amount"), "user_id")
+            timed("fe_index_encode_100k_vocab", enc, args.events)
+        if docs is not None and want("lm_score"):
+            from ml_feature_store_pipeline_spark.operators import text as t_ops
+
+            model = t_ops.char_ngram_model(docs, "text")
+            timed(
+                "lm_score_trigram",
+                t_ops.lm_score(docs, model, "doc_id", "text"),
+                args.docs,
             )
         if events is not None and want("table_profile"):
             from ml_feature_store_pipeline_spark.operators import profile as tprof
