@@ -102,7 +102,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r3-only greens as fillers (one per family; several yielded slots to
     # round-5 registrations — every r5-registered query is in this window)
     "dedup_survivors_docs",
-    "ivf_ann_topk",
+    "decontaminate_docs",
     "standard_scale_events",
     "winsorize_orders",
     "index_encode_event_types",

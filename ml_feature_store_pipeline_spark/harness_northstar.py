@@ -911,6 +911,34 @@ def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_docs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+      WHERE len(t) >= 5
+    ),
+    ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 11 = 0),
+    tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 11 <> 0)
+    SELECT tr.train_id, ev.eval_id, COUNT(*) AS n_shared_grams
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.train_id, ev.eval_id
+    """,
+)
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (r5): the GPT-3 n-gram overlap rule over
+    the documents table — every 11th doc plays the benchmark, the rest the
+    training corpus; any shared 5-gram flags the pair. The eval gram table
+    broadcasts; the train side never shuffles raw grams (per-doc dedup is
+    an in-array array_distinct)."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    tr = docs.filter(F.col("doc_id") % 11 != 0)
+    return dedup.ngram_overlap_pairs(tr, ev, "doc_id", "text", n=5)
+
+
+@register(
     "decayed_user_spend",
     """
     SELECT user_id,

@@ -840,3 +840,62 @@ def edit_distance_pairs(
         .filter(F.col("edit_distance") <= max_distance)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+def ngram_overlap_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 13,
+    lowercase: bool = True,
+    max_train_gram_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: find (train doc, eval doc) pairs sharing
+    at least one ``n``-token gram — the GPT-3-style 13-gram overlap rule
+    (public: Brown et al. 2020 App. C) every serious pretraining pipeline
+    runs before training. Output ``(train_id, eval_id, n_shared_grams)``;
+    downstream either drops the train docs or flags the eval scores.
+
+    Scale shape: the EVAL side is benchmark-sized by nature (thousands of
+    documents, not billions) — its distinct gram table BROADCASTS, so the
+    100 TB train scan explodes to grams and joins map-side: zero shuffle
+    of train data; the only exchange is the per-pair count aggregate
+    (bounded by true overlaps). ``max_train_gram_df`` optionally drops
+    grams whose TRAIN document frequency exceeds the cap (universal
+    boilerplate shared with an eval doc would otherwise emit one row per
+    train doc — real contamination signal, but at |train| rows it belongs
+    in a boilerplate report, not a pair list); the cut costs one extra
+    partial-aggregated pass over train grams, off by default.
+    """
+    from ..functions import tokens
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        if lowercase:
+            toks = F.transform(toks, lambda t: F.lower(t))
+        pos = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        # per-doc dedup INSIDE the array (array_distinct) — a post-explode
+        # .distinct() would shuffle every train gram for nothing
+        g = F.explode(
+            F.array_distinct(
+                F.transform(pos, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+            )
+        )
+        return df.select(F.col(id_col).alias(out_id), g.alias("gram"))
+
+    tr = grams(train, "train_id")
+    ev = grams(eval_df, "eval_id")
+    if max_train_gram_df is not None:
+        df_t = tr.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        tr = tr.join(
+            df_t.filter(F.col("__df") <= max_train_gram_df).select("gram"), "gram"
+        )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

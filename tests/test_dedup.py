@@ -412,3 +412,69 @@ def test_cc_local_path_equals_distributed_loop(spark):
     assert sorted(map(tuple, local.collect())) == sorted(map(tuple, dist.collect()))
     comp = {r["node"]: r["component"] for r in local.collect()}
     assert comp[3] == 1 and comp[11] == 10 and comp[22] == 20 and comp[31] == 30
+
+
+class TestNgramOverlap:
+    """r5 decontamination: GPT-3-style n-gram overlap between a training
+    corpus and a benchmark set."""
+
+    def _pairs(self, spark, **kw):
+        from ml_feature_store_pipeline_spark.operators.dedup import ngram_overlap_pairs
+
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated text with different words here"),
+                (3, "the quick brown fox appears in this document too"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "we ask about the quick brown fox jumps again")],
+            "doc_id long, text string",
+        )
+        return ngram_overlap_pairs(train, ev, "doc_id", "text", **kw).collect()
+
+    def test_overlapping_grams_flag_the_pair(self, spark):
+        rows = self._pairs(spark, n=4)
+        got = {(r["train_id"], r["eval_id"]): r["n_shared_grams"] for r in rows}
+        # doc 1 shares "the quick brown fox" AND "quick brown fox jumps"
+        assert got[(1, 100)] == 2
+        # doc 3 shares only "the quick brown fox"
+        assert got[(3, 100)] == 1
+        assert (2, 100) not in got
+
+    def test_longer_n_is_stricter(self, spark):
+        rows = self._pairs(spark, n=5)
+        got = {(r["train_id"], r["eval_id"]) for r in rows}
+        assert got == {(1, 100)}  # only "the quick brown fox jumps" survives
+
+    def test_repeated_gram_in_one_doc_counts_once(self, spark):
+        from ml_feature_store_pipeline_spark.operators.dedup import ngram_overlap_pairs
+
+        train = spark.createDataFrame(
+            [(1, "a b c a b c a b c")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(9, "x a b c y")], "doc_id long, text string")
+        rows = ngram_overlap_pairs(train, ev, "doc_id", "text", n=3).collect()
+        assert [(r["train_id"], r["eval_id"], r["n_shared_grams"]) for r in rows] == [
+            (1, 9, 1)
+        ]
+
+    def test_train_df_cap_drops_boilerplate_grams(self, spark):
+        from ml_feature_store_pipeline_spark.operators.dedup import ngram_overlap_pairs
+
+        train = spark.createDataFrame(
+            [(i, "shared legal header text plus unique" + f" w{i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(9, "shared legal header text plus unique w3")], "doc_id long, text string"
+        )
+        uncapped = ngram_overlap_pairs(train, ev, "doc_id", "text", n=4).collect()
+        assert len(uncapped) == 5  # the header gram pairs EVERY train doc
+        capped = ngram_overlap_pairs(
+            train, ev, "doc_id", "text", n=4, max_train_gram_df=2
+        ).collect()
+        # boilerplate grams cut; only doc 3's unique suffix gram survives
+        assert [(r["train_id"], r["eval_id"]) for r in capped] == [(3, 9)]

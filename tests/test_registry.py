@@ -70,6 +70,7 @@ REGISTERED_IN_R5 = [
     "standard_scale_events",
     "winsorize_orders",
     "index_encode_event_types",
+    "decontaminate_docs",
 ]
 
 
