@@ -306,6 +306,44 @@ class FeatureStore:
             self.monitor.log_feature_access(version, 1)
         return index.get(int(user_id), {})
 
+    def validate_serving_parity(
+        self, version: str | None = None, *, sample_size: int = 100
+    ) -> dict[str, Any]:
+        """Online/offline consistency check: serve a deterministic sample
+        of entities through the ONLINE path (:meth:`serve_features` — cache
+        index or pushed-filter lookup) and compare byte-for-byte against
+        the OFFLINE batch read of the same version. Training/serving skew
+        is the classic silent feature-store failure; platforms run exactly
+        this audit after every publish.
+
+        The sample is md5-ordered (stable across runs/partitionings), so
+        re-running after a fix re-checks the SAME entities. Returns
+        ``{"version", "checked", "mismatches": [user_id, ...]}`` —
+        empty mismatches is the pass condition. Driver cost is bounded by
+        ``sample_size`` (one N-row collect + N dict lookups)."""
+        version = version or self.latest_version()
+        if version is None:
+            return {"version": None, "checked": 0, "mismatches": []}
+        offline = self.get_features(version=version, use_cache=False)
+        sample = (
+            offline.select("user_id")
+            .distinct()
+            .orderBy(F.md5(F.col("user_id").cast("string")))
+            .limit(sample_size)
+            .collect()
+        )
+        keys = [int(r["user_id"]) for r in sample]
+        batch = {
+            int(r["user_id"]): self._serving_dict(r)
+            for r in offline.filter(F.col("user_id").isin(keys)).collect()
+        }
+        mismatches = [
+            uid
+            for uid in keys
+            if self.serve_features(uid, version=version) != batch.get(uid, {})
+        ]
+        return {"version": version, "checked": len(keys), "mismatches": mismatches}
+
     @staticmethod
     def _serving_dict(row: Row) -> dict[str, Any]:
         d = row.asDict()

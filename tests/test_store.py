@@ -333,3 +333,32 @@ def test_diff_versions_recovers_the_correction(store, features):
     assert len(diff) == 1
     assert diff[0]["user_id"] == 1 and diff[0]["op"] == "upsert"
     assert diff[0]["total_amount"] == 77.0
+
+
+def test_serving_parity_audit(spark, tmp_path):
+    """r5: the online/offline consistency audit passes on a healthy store,
+    checks a bounded deterministic sample, and catches a poisoned cache."""
+    store = FeatureStore(spark, str(tmp_path / "fs_parity"))
+    df = spark.createDataFrame(
+        [(i, float(i) * 2, f"u{i}") for i in range(25)],
+        "user_id long, spend double, tag string",
+    )
+    version = store.register_features(df, _meta("parity check fixture"))
+
+    report = store.validate_serving_parity(version, sample_size=10)
+    assert report["version"] == version
+    assert report["checked"] == 10
+    assert report["mismatches"] == []
+
+    # poison the serving index for one sampled user: the audit must flag it
+    from ml_feature_store_pipeline_spark.cache import cache_key
+
+    key = cache_key(version) + "_serving_index"
+    index = store.cache.get(key)
+    assert index, "serving path should have built the cached index"
+    victim = sorted(index)[0]
+    index[victim] = {**index[victim], "spend": -1.0}
+    store.cache.set(key, index)
+    # resample the SAME deterministic keys; only flag if victim is sampled
+    report2 = store.validate_serving_parity(version, sample_size=25)
+    assert victim in report2["mismatches"]

@@ -139,7 +139,7 @@ DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
     "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
     "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
-    "video_frame_sample streaming_near_dup lm_score"
+    "video_frame_sample streaming_near_dup lm_score decontaminate"
 ).split()
 VEC_OPS = "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm semantic_dedup".split()
 
@@ -507,6 +507,16 @@ def main() -> None:
             # single-task window), the encode join a broadcast
             _, enc = fe.index_encode(events.select("user_id", "amount"), "user_id")
             timed("fe_index_encode_100k_vocab", enc, args.events)
+        if docs is not None and want("decontaminate"):
+            # 1% of docs play the benchmark; the broadcast side is their
+            # distinct 8-gram table, the train side never shuffles grams
+            ev = docs.filter(F.col("doc_id") % 100 == 0)
+            tr = docs.filter(F.col("doc_id") % 100 != 0)
+            timed(
+                "decontaminate_8gram",
+                dedup.ngram_overlap_pairs(tr, ev, "doc_id", "text", n=8),
+                args.docs,
+            )
         if docs is not None and want("lm_score"):
             from ml_feature_store_pipeline_spark.operators import text as t_ops
 
