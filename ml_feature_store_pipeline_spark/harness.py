@@ -106,7 +106,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "standard_scale_events",
     "winsorize_orders",
     "index_encode_event_types",
-    "pit_scd2_orders_state",
+    "image_phash_dup_groups",
     "sliding_window_counts",
     "decayed_user_spend",
     "ewma_user_spend_prior",

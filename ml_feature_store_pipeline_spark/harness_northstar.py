@@ -534,6 +534,33 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "image_phash_dup_groups",
+    """
+    SELECT cnt AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM (SELECT doc_id % 40 AS residue, COUNT(*) AS cnt FROM documents GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def q_image_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (r5): every doc gets a REAL PPM payload whose
+    pixels derive from ``doc_id % 40`` — 40 visually distinct images, each
+    repeated across its residue class. The pipeline decodes the binaries
+    and pHashes them (grayscale → 32×32 → DCT → median-threshold bits);
+    grouping by phash must reconstruct EXACTLY the residue-class size
+    histogram: identical images must collide, the 40 distinct images must
+    not (collision-freeness checked at build time), and the oracle derives
+    the expected histogram from doc_id arithmetic without touching a byte
+    of the binary — any decode or DCT bug shifts a group."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("img"), (F.col("doc_id") % 40)).alias("imgkey")
+    )
+    payloads = multimodal.attach_fake_payload(docs, "doc_id", "imgkey")
+    hashes = multimodal.phash_images(payloads, "doc_id")
+    groups = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_groups"))
+
+
 # ---------------------------------------------------------------------------
 # windowed aggregation (batch equivalent of the streaming ingest path)
 # ---------------------------------------------------------------------------

@@ -627,22 +627,43 @@ def simhash_near_pairs(
     still links its members transitively through the retained ids, which
     is what downstream clustering needs).
     """
+    sig = simhash(df, id_col, text_col, hash_fn=hash_fn)
+    return hamming_near_pairs(
+        sig, id_col, "simhash", max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_near_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Near pairs over ANY 64-bit signature column (SimHash, image pHash,
+    audio fingerprint …) by banded hamming search — the banding/expansion
+    engine of :func:`simhash_near_pairs`, factored out so every 64-bit
+    fingerprint family shares one audited candidate-generation path. Same
+    guarantees: pigeonhole recall for ``hamming < bands``, minimal-width
+    default banding, capped streamed bucket expansion."""
     n_bands = bands if bands is not None else max_hamming + 1
     if n_bands <= max_hamming:
         raise ValueError(
             f"bands ({n_bands}) must exceed max_hamming ({max_hamming}) or "
             "pigeonhole recall breaks"
         )
-    sig = simhash(df, id_col, text_col, hash_fn=hash_fn)
 
     def band_value(lo: int, width: int) -> Column:
-        shifted = F.shiftright(F.col("simhash"), lo)
+        shifted = F.shiftright(F.col(sig_col), lo)
         if width >= SIMHASH_BITS:
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
-    member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
-    bands_df = sig.select(
+    member = F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    bands_df = sig_df.select(
         member.alias("m"),
         F.explode(
             F.array(

@@ -552,3 +552,62 @@ def resize_image_stats(df: DataFrame, *, out_w: int = 4, out_h: int = 4) -> Data
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_STATS_SCHEMA.fields])
 
     return df.mapInPandas(decode, schema=RESIZE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash) — the image-dedup fingerprint
+# ---------------------------------------------------------------------------
+
+_PHASH_RESIZE = 32
+_PHASH_BLOCK = 8
+
+
+def phash_pixels(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of an ``(h, w, 3)`` uint8 image — the
+    classic DCT pHash (public recipe: grayscale → 32×32 nearest-neighbor
+    resize → 2-D DCT-II → top-left 8×8 low-frequency block → bit i set
+    iff coefficient i > median of the block). Robust to resizing and
+    small pixel noise; hamming distance between hashes ranks visual
+    similarity. Pure numpy (DCT as a basis-matrix product), bit-exact
+    across platforms. Returned as a SIGNED 64-bit int (bit 63 → sign)
+    so it stores in a Spark ``long``."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(_PHASH_RESIZE) * h) // _PHASH_RESIZE
+    xs = (np.arange(_PHASH_RESIZE) * w) // _PHASH_RESIZE
+    small = gray[np.ix_(ys, xs)]
+    n = _PHASH_RESIZE
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    basis = np.cos(np.pi * k * (2 * i + 1) / (2 * n))  # DCT-II, unnormalized
+    coefs = basis @ small @ basis.T
+    block = coefs[:_PHASH_BLOCK, :_PHASH_BLOCK].flatten()
+    med = float(np.median(block))
+    bits = 0
+    for j, c in enumerate(block):
+        if c > med:
+            bits |= 1 << j
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def phash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-image pHash over PPM ``payload`` rows: Arrow-batched
+    ``mapInPandas`` decode+hash — payload bytes stay on executors, the
+    output is (id, phash) longs. Feed :func:`~.dedup.hamming_near_pairs`
+    for banded near-duplicate image search, or group by ``phash`` for
+    exact perceptual dedup."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                out.append(
+                    (int(doc_id), phash_pixels(decode_ppm(bytes(payload))))
+                )
+            yield pd.DataFrame(out, columns=[id_col, "phash"])
+
+    return df.select(id_col, "payload").mapInPandas(
+        hash_batch, f"{id_col} long, phash long"
+    )

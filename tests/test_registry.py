@@ -71,6 +71,7 @@ REGISTERED_IN_R5 = [
     "winsorize_orders",
     "index_encode_event_types",
     "decontaminate_docs",
+    "image_phash_dup_groups",
 ]
 
 
