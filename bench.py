@@ -95,6 +95,10 @@ HEADLINE_R5 = [
     "merge_upsert_orders_evolve",
     "negative_sample_pairs",
     "table_profile_orders",
+    "lm_quality_score_docs",
+    "ewma_user_spend_prior",
+    "decontaminate_docs",
+    "image_phash_dup_groups",
 ]
 
 

@@ -107,7 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winsorize_orders",
     "index_encode_event_types",
     "image_phash_dup_groups",
-    "sliding_window_counts",
+    "group_scale_events",
     "decayed_user_spend",
     "ewma_user_spend_prior",
     "asof_events_orders",

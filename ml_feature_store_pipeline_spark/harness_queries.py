@@ -1047,6 +1047,31 @@ def q_standard_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_scale_events",
+    """
+    WITH st AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           ROUND(CASE WHEN st.sd > 0 THEN (e.value - st.mu) / st.sd
+                      WHEN e.value IS NOT NULL THEN 0.0 END, 6) AS value_gz
+    FROM events e JOIN st USING (event_type)
+    """,
+)
+def q_group_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category z-score (r5): value standardized WITHIN each
+    event_type — the group-stats table broadcasts, the fact scan never
+    shuffles."""
+    from .operators import fe
+
+    e = read_table(spark, sf_dir, "events")
+    return fe.group_standard_scale(e, ["value"], by="event_type").select(
+        "event_id", "value_gz"
+    )
+
+
+@register(
     "winsorize_orders",
     """
     WITH b AS (

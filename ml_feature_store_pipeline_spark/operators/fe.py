@@ -380,3 +380,35 @@ def index_encode(
         F.col("__val").alias("value"), "n", F.col("__vidx").alias("idx")
     )
     return vocab, encoded
+
+
+def group_standard_scale(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    by: str,
+    round_digits: int = 6,
+    suffix: str = "_gz",
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Per-group z-score: standardize ``cols`` within each ``by`` group
+    (the within-user / within-category normalization that removes
+    per-entity scale before global models see the data). One
+    partial-aggregated groupBy builds the (group, mean, std) table —
+    category-count-sized, broadcast back by default — so the fact side
+    joins map-side and never shuffles. Set ``broadcast_stats=False`` only
+    for a group cardinality too big to broadcast (then both sides shuffle
+    on the key — still one exchange each). Degenerate groups (single row /
+    zero variance) scale to 0.0 like :func:`standard_scale`."""
+    stats = df.groupBy(by).agg(
+        *[F.avg(c).alias(f"__mu_{c}") for c in cols],
+        *[F.stddev_samp(c).alias(f"__sd_{c}") for c in cols],
+    )
+    joined = df.join(F.broadcast(stats) if broadcast_stats else stats, by)
+    for c in cols:
+        z = F.when(
+            F.col(f"__sd_{c}") > 0,
+            (F.col(c) - F.col(f"__mu_{c}")) / F.col(f"__sd_{c}"),
+        ).otherwise(F.when(F.col(c).isNotNull(), F.lit(0.0)))
+        joined = joined.withColumn(f"{c}{suffix}", F.round(z, round_digits))
+    return joined.drop(*[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols])

@@ -210,3 +210,16 @@ class TestScalingEncoding:
         v1, _ = index_encode(df, "t")
         v2, _ = index_encode(df.repartition(13), "t")
         assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))
+
+
+def test_group_standard_scale_per_group_stats(spark):
+    from ml_feature_store_pipeline_spark.operators.fe import group_standard_scale
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 10.0), (4, "b", 10.0)],
+        "id long, g string, v double",
+    )
+    got = {r["id"]: r["v_gz"] for r in group_standard_scale(df, ["v"], by="g").collect()}
+    # group a: mean 2, sd_samp sqrt(2) → ±0.707107; group b: zero variance → 0.0
+    assert got[1] == -0.707107 and got[2] == 0.707107
+    assert got[3] == 0.0 and got[4] == 0.0

@@ -72,6 +72,7 @@ REGISTERED_IN_R5 = [
     "index_encode_event_types",
     "decontaminate_docs",
     "image_phash_dup_groups",
+    "group_scale_events",
 ]
 
 
