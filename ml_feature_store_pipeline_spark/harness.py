@@ -101,7 +101,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "user_features",
     # r3-only greens as fillers (one per family; several yielded slots to
     # round-5 registrations — every r5-registered query is in this window)
-    "dedup_survivors_docs",
+    "sliding_window_counts",
     "decontaminate_docs",
     "standard_scale_events",
     "winsorize_orders",
