@@ -139,7 +139,7 @@ DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
     "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
     "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
-    "video_frame_sample streaming_near_dup lm_score decontaminate"
+    "video_frame_sample streaming_near_dup lm_score decontaminate phash"
 ).split()
 VEC_OPS = "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm semantic_dedup".split()
 
@@ -507,6 +507,17 @@ def main() -> None:
             # single-task window), the encode join a broadcast
             _, enc = fe.index_encode(events.select("user_id", "amount"), "user_id")
             timed("fe_index_encode_100k_vocab", enc, args.events)
+        if docs is not None and want("phash"):
+            from ml_feature_store_pipeline_spark.operators import multimodal
+
+            keyed = docs.select(
+                "doc_id", F.concat(F.lit("img"), F.col("doc_id") % 5000).alias("imgkey")
+            )
+            multimodal.attach_fake_payload(keyed, "doc_id", "imgkey", width=32, height=32).write.mode(
+                "overwrite"
+            ).parquet(f"{work}/phash_imgs")
+            imgs = spark.read.parquet(f"{work}/phash_imgs")
+            timed("image_phash_32x32", multimodal.phash_images(imgs, "doc_id"), args.docs)
         if docs is not None and want("decontaminate"):
             # 1% of docs play the benchmark; the broadcast side is their
             # distinct 8-gram table, the train side never shuffles grams
