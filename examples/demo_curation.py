@@ -1,7 +1,8 @@
 """End-to-end LLM training-corpus curation demo on the sf0.001 test tables:
 
-filter (language + quality) → exact dedup → near-dup survivors →
-semantic dedup over embeddings → sequence packing → token-mix rebalance.
+filter (language + quality) → LM-perplexity gate → exact dedup →
+near-dup survivors → benchmark decontamination → semantic dedup over
+embeddings → sequence packing → token-mix rebalance.
 
 Each stage is one of this repo's oracle-verified operators; this script
 chains them the way a real data pipeline would. Run:
@@ -52,6 +53,15 @@ def main() -> None:
     n2 = exact.count()
     print(f"after exact dedup: {n2} ({n1 - n2} dropped)")
 
+    # 2b. LM quality gate (CCNet-style): train a char-trigram model on the
+    # surviving corpus, drop the worst-perplexity 5% tail
+    model = text.char_ngram_model(exact, "text")
+    scored = text.lm_score(exact, model, "doc_id", "text")
+    cut = scored.agg(F.expr("percentile(xent, 0.95)")).collect()[0][0]
+    exact = exact.join(scored.filter(F.col("xent") <= cut).select("doc_id"), "doc_id")
+    n2b = exact.count()
+    print(f"after LM gate (xent <= {cut:.3f}): {n2b} ({n2 - n2b} dropped)")
+
     # 3. near-dup survivors (inverted-index Jaccard -> components -> keep min id)
     pairs = dedup.ngram_jaccard_pairs(
         exact, "doc_id", "text", threshold=0.3, parallelism=par
@@ -59,6 +69,17 @@ def main() -> None:
     survivors = dedup.dedup_survivors(exact, pairs, "doc_id")
     n3 = survivors.count()
     print(f"after near-dedup: {n3} ({n2 - n3} dropped)")
+
+    # 3b. benchmark decontamination: drop training docs sharing any 5-gram
+    # with the held-out eval slice (every 31st doc plays the benchmark)
+    ev = survivors.filter(F.col("doc_id") % 31 == 0)
+    tr = survivors.filter(F.col("doc_id") % 31 != 0)
+    contaminated = dedup.ngram_overlap_pairs(tr, ev, "doc_id", "text", n=5).select(
+        F.col("train_id").alias("doc_id")
+    ).distinct()
+    survivors = tr.join(contaminated, "doc_id", "left_anti")
+    n3b = survivors.count()
+    print(f"after decontamination: {n3b} train docs ({contaminated.count()} dropped)")
 
     # 4. semantic dedup over the embedding table (SemDeDup, deterministic cells)
     emb = read_table(spark, sf_dir, "embeddings")
