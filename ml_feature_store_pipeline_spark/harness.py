@@ -110,7 +110,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "group_scale_events",
     "decayed_user_spend",
     "ewma_user_spend_prior",
-    "asof_events_orders",
+    "audio_afp_dup_groups",
     "asof_events_orders_stale30d",
     # registered in round 5: CCNet-style LM scoring — every r5 registration
     # makes the window (tpch_q7_like, r3-green, yielded the slot)

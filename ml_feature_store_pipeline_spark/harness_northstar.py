@@ -561,6 +561,32 @@ def q_image_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_groups"))
 
 
+@register(
+    "audio_afp_dup_groups",
+    """
+    SELECT cnt AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM (SELECT doc_id % 40 AS residue, COUNT(*) AS cnt FROM documents GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def q_audio_afp_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic dedup (r5): every doc gets a REAL RIFF/WAVE payload whose
+    PCM derives from ``doc_id % 40`` — 40 distinct clips, repeated per
+    residue class. The pipeline chunk-walks the WAV, fingerprints the
+    samples (65-frame energy-delta signs — gain-invariant), and grouping
+    by fingerprint must reconstruct the residue-class histogram exactly
+    (identical clips collide, the 40 distinct ones don't — checked at
+    build time). Same structural-oracle pattern as the image pHash query:
+    the oracle never touches a byte of audio."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("aud"), (F.col("doc_id") % 40)).alias("audkey")
+    )
+    payloads = multimodal.attach_fake_audio(docs, "doc_id", "audkey")
+    fps = multimodal.afp_audio(payloads, "doc_id")
+    groups = fps.groupBy("afp").agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_groups"))
+
+
 # ---------------------------------------------------------------------------
 # windowed aggregation (batch equivalent of the streaming ingest path)
 # ---------------------------------------------------------------------------

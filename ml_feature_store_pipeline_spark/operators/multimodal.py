@@ -611,3 +611,54 @@ def phash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         hash_batch, f"{id_col} long, phash long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting — the audio-dedup 64-bit signature
+# ---------------------------------------------------------------------------
+
+_AFP_FRAMES = 65
+
+
+def afp_samples(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint from PCM samples: split into 65 equal
+    frames, bit i = 1 iff frame i+1's energy exceeds frame i's — the
+    energy-delta-sign recipe (the time-domain core of Chromaprint-style
+    fingerprints, public). Robust to gain changes (deltas compare
+    energies, not absolutes) and codec-level noise; hamming distance
+    ranks acoustic similarity. Pure numpy, bit-exact. Signed 64-bit for
+    Spark ``long`` storage."""
+    x = samples.astype(np.float64)
+    n = len(x)
+    if n == 0:
+        return 0
+    bounds = (np.arange(_AFP_FRAMES + 1) * n) // _AFP_FRAMES
+    energies = np.array(
+        [float(np.square(x[bounds[i] : bounds[i + 1]]).sum()) for i in range(_AFP_FRAMES)]
+    )
+    bits = 0
+    for i in range(_AFP_FRAMES - 1):
+        if energies[i + 1] > energies[i]:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def afp_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-clip audio fingerprint over WAV ``payload`` rows (Arrow-batched
+    ``mapInPandas``; bytes stay on executors). Feed
+    :func:`~.dedup.hamming_near_pairs` for near-duplicate audio search —
+    the same banded engine SimHash and image pHash use."""
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                out.append((int(doc_id), afp_samples(samples)))
+            yield pd.DataFrame(out, columns=[id_col, "afp"])
+
+    return df.select(id_col, "payload").mapInPandas(
+        fp_batch, f"{id_col} long, afp long"
+    )

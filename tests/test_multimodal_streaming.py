@@ -343,3 +343,52 @@ class TestPhash:
         big1 = phash_pixels(_fake_pixels("scale-probe", 32, 32))
         big2 = phash_pixels(_fake_pixels("scale-probe", 32, 32))
         assert big1 == big2 and isinstance(small, int)
+
+
+class TestAudioFingerprint:
+    def test_identical_clips_collide_distinct_do_not(self, spark):
+        from ml_feature_store_pipeline_spark.operators import multimodal
+
+        docs = spark.createDataFrame(
+            [(i, f"clip{i % 3}") for i in range(9)], "doc_id long, audkey string"
+        )
+        payloads = multimodal.attach_fake_audio(docs, "doc_id", "audkey")
+        got = multimodal.afp_audio(payloads, "doc_id").collect()
+        by_key = {}
+        for r in got:
+            by_key.setdefault(r["doc_id"] % 3, set()).add(r["afp"])
+        assert all(len(v) == 1 for v in by_key.values())
+        assert len({next(iter(v)) for v in by_key.values()}) == 3
+
+    def test_fingerprint_is_gain_invariant(self, spark):
+        import numpy as np
+
+        from ml_feature_store_pipeline_spark.operators.multimodal import (
+            _fake_samples,
+            afp_samples,
+        )
+
+        s = _fake_samples("gain-probe")
+        half = (s.astype(np.float64) * 0.5).astype(np.int16)
+        assert afp_samples(s) == afp_samples(half)  # deltas compare, not absolutes
+
+    def test_near_duplicate_clip_found_by_hamming_engine(self, spark):
+        import numpy as np
+
+        from ml_feature_store_pipeline_spark.operators.dedup import hamming_near_pairs
+        from ml_feature_store_pipeline_spark.operators.multimodal import (
+            _fake_samples,
+            afp_samples,
+        )
+
+        base = _fake_samples("near-probe")
+        clipped = base.copy()
+        clipped[:3] = 0  # shave the first samples — a trim-ish perturbation
+        d = afp_samples(base) ^ afp_samples(clipped)
+        assert bin(d & ((1 << 64) - 1)).count("1") <= 6
+        sig = spark.createDataFrame(
+            [(1, int(afp_samples(base))), (2, int(afp_samples(clipped)))],
+            "doc_id long, afp long",
+        )
+        pairs = hamming_near_pairs(sig, "doc_id", "afp", max_hamming=6).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]

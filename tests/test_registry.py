@@ -57,7 +57,10 @@ CHANGED_IN_R5 = [
     "negative_sample_pairs",  # two-level dense index (draws bit-identical)
     "merge_upsert_orders",    # evolution guard added to merge_changes
     "bloom_prune_lineitem",   # oracle state gained the NULL-key filter
-    "asof_events_orders",     # as-of family refactored for tolerance_seconds
+    # NOTE: the as-of tolerance refactor is driver-covered by asof_prev_order
+    # (default joins.asof_join path, window slot 1) + asof_events_orders_stale30d
+    # (the carry_ts/tolerance path) — asof_events_orders itself yielded its slot
+    # to the round-5 audio fingerprint registration.
 ]
 
 # Registered during round 5 — every registration makes the window.
@@ -73,6 +76,7 @@ REGISTERED_IN_R5 = [
     "decontaminate_docs",
     "image_phash_dup_groups",
     "group_scale_events",
+    "audio_afp_dup_groups",
 ]
 
 
