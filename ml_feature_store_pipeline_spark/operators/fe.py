@@ -412,3 +412,90 @@ def group_standard_scale(
         ).otherwise(F.when(F.col(c).isNotNull(), F.lit(0.0)))
         joined = joined.withColumn(f"{c}{suffix}", F.round(z, round_digits))
     return joined.drop(*[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols])
+
+
+def decayed_state(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    half_life_seconds: float,
+) -> DataFrame:
+    """Mergeable per-key decayed-counter STATE: ``(key, dsum, dcnt,
+    ref_ts)`` with the sums referenced to the key's latest seen timestamp
+    (``dsum = Σ v·0.5^((ref_ts−t)/hl)``). The re-referenced form is what
+    makes the counter INCREMENTAL: states from disjoint batches merge
+    associatively and order-independently (:func:`merge_decayed_states`),
+    so a streaming sink folds micro-batches without ever rescanning
+    history, and :func:`finalize_decayed` evaluates the counter at any
+    later as-of. One window + one aggregate, both on the same key
+    partitioning (a single shuffle)."""
+    from pyspark.sql.window import Window
+
+    t = _secs(F.col(ts_col))
+    ref = F.max(t).over(Window.partitionBy(key_col))
+    withref = df.withColumn("__ref", ref)
+    w = F.pow(F.lit(0.5), (F.col("__ref") - t) / F.lit(float(half_life_seconds)))
+    return (
+        withref.groupBy(F.col(key_col), F.col("__ref").alias("ref_ts"))
+        .agg(
+            F.sum(F.col(value_col) * w).alias("dsum"),
+            F.sum(w).alias("dcnt"),
+        )
+    )
+
+
+def merge_decayed_states(
+    a: DataFrame, b: DataFrame, key_col: str, *, half_life_seconds: float
+) -> DataFrame:
+    """Merge two decayed-counter states (full outer on key): both sides
+    re-reference to the later ``ref_ts`` and add. Associative and
+    commutative (property-tested against the batch
+    :func:`decayed_agg` over the unioned raw events), so batches can
+    arrive in any grouping or order."""
+    hl = F.lit(float(half_life_seconds))
+    aa = a.select(
+        F.col(key_col), F.col("ref_ts").alias("__ra"),
+        F.col("dsum").alias("__sa"), F.col("dcnt").alias("__ca"),
+    )
+    bb = b.select(
+        F.col(key_col), F.col("ref_ts").alias("__rb"),
+        F.col("dsum").alias("__sb"), F.col("dcnt").alias("__cb"),
+    )
+    j = aa.join(bb, key_col, "full_outer")
+    ref = F.greatest(F.col("__ra"), F.col("__rb"))
+    ref = F.coalesce(ref, F.col("__ra"), F.col("__rb"))
+    wa = F.pow(F.lit(0.5), (ref - F.col("__ra")) / hl)
+    wb = F.pow(F.lit(0.5), (ref - F.col("__rb")) / hl)
+    return j.select(
+        F.col(key_col),
+        ref.alias("ref_ts"),
+        (F.coalesce(F.col("__sa") * wa, F.lit(0.0)) + F.coalesce(F.col("__sb") * wb, F.lit(0.0))).alias("dsum"),
+        (F.coalesce(F.col("__ca") * wa, F.lit(0.0)) + F.coalesce(F.col("__cb") * wb, F.lit(0.0))).alias("dcnt"),
+    )
+
+
+def finalize_decayed(
+    state: DataFrame,
+    key_col: str,
+    *,
+    half_life_seconds: float,
+    asof,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Evaluate a decayed-counter state at ``asof`` — same output shape as
+    :func:`decayed_agg` (decayed_sum/decayed_count/decayed_mean), for
+    serving the ONLINE counter a streaming sink maintains."""
+    w = F.pow(
+        F.lit(0.5),
+        (_secs(F.lit(asof)) - F.col("ref_ts")) / F.lit(float(half_life_seconds)),
+    )
+    return state.select(
+        F.col(key_col),
+        F.round(F.col("dsum") * w, round_digits).alias("decayed_sum"),
+        F.round(F.col("dcnt") * w, round_digits).alias("decayed_count"),
+        F.round(
+            (F.col("dsum") * w) / (F.col("dcnt") * w), round_digits
+        ).alias("decayed_mean"),
+    )

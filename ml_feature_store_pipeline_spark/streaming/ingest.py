@@ -284,3 +284,42 @@ def bloom_dedup_sink(
         atomic_overwrite_parquet(merged.localCheckpoint(), bloom_path)
 
     return write
+
+
+def decayed_counter_sink(
+    state_path: str,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining ONLINE decayed counters (the
+    streaming twin of ``fe.decayed_agg``): each micro-batch folds to a
+    per-key decayed state referenced to the key's latest timestamp and
+    merges with the stored state — the merge law is associative and
+    order-independent (``fe.merge_decayed_states``), so the maintained
+    state equals the batch recompute over all history at every trigger,
+    with O(batch + |keys|) work and no history rescan. Same atomic-swap
+    durability as :func:`incremental_state_sink`. Serve with
+    ``fe.finalize_decayed(spark.read.parquet(path), key, asof=now)``.
+    """
+    import os
+
+    from ..operators import fe
+    from ..sources.writers import atomic_overwrite_parquet
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        new = fe.decayed_state(
+            batch, key_col, ts_col, value_col, half_life_seconds=half_life_seconds
+        )
+        spark = batch.sparkSession
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            new = fe.merge_decayed_states(
+                prev, new, key_col, half_life_seconds=half_life_seconds
+            )
+        new = new.localCheckpoint()
+        atomic_overwrite_parquet(new, state_path)
+
+    return write

@@ -223,3 +223,89 @@ def test_group_standard_scale_per_group_stats(spark):
     # group a: mean 2, sd_samp sqrt(2) → ±0.707107; group b: zero variance → 0.0
     assert got[1] == -0.707107 and got[2] == 0.707107
     assert got[3] == 0.0 and got[4] == 0.0
+
+
+class TestDecayedState:
+    """r5 streaming counters: the mergeable re-referenced decayed state."""
+
+    def _events(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        data = [(k, t0 + dt.timedelta(minutes=m), v) for k, m, v in rows]
+        return spark.createDataFrame(data, "k long, t timestamp, v double"), t0
+
+    def test_merge_matches_batch_recompute(self, spark):
+        import datetime as dt
+
+        from ml_feature_store_pipeline_spark.operators import fe
+
+        rows = [(1, 0, 10.0), (1, 30, 20.0), (2, 10, 5.0), (1, 90, 40.0), (2, 70, 7.0), (3, 80, 1.0)]
+        df, t0 = self._events(spark, rows)
+        asof = t0 + dt.timedelta(minutes=120)
+        hl = 1800.0
+
+        batch_truth = {
+            r["k"]: (r["decayed_sum"], r["decayed_count"])
+            for r in fe.decayed_agg(df, "k", "t", "v", half_life_seconds=hl, asof=asof).collect()
+        }
+        b1 = df.filter(F.col("t") < t0 + dt.timedelta(minutes=60))
+        b2 = df.filter(F.col("t") >= t0 + dt.timedelta(minutes=60))
+        merged = fe.merge_decayed_states(
+            fe.decayed_state(b1, "k", "t", "v", half_life_seconds=hl),
+            fe.decayed_state(b2, "k", "t", "v", half_life_seconds=hl),
+            "k",
+            half_life_seconds=hl,
+        )
+        got = {
+            r["k"]: (r["decayed_sum"], r["decayed_count"])
+            for r in fe.finalize_decayed(merged, "k", half_life_seconds=hl, asof=asof).collect()
+        }
+        assert got == batch_truth
+
+    def test_merge_is_order_independent(self, spark):
+        from ml_feature_store_pipeline_spark.operators import fe
+
+        rows = [(1, 0, 10.0), (1, 30, 20.0), (2, 10, 5.0), (1, 90, 40.0)]
+        df, t0 = self._events(spark, rows)
+        hl = 900.0
+        s1 = fe.decayed_state(df.filter(F.col("v") < 15), "k", "t", "v", half_life_seconds=hl)
+        s2 = fe.decayed_state(df.filter(F.col("v") >= 15), "k", "t", "v", half_life_seconds=hl)
+        ab = fe.merge_decayed_states(s1, s2, "k", half_life_seconds=hl)
+        ba = fe.merge_decayed_states(s2, s1, "k", half_life_seconds=hl)
+        norm = lambda rs: sorted(
+            (r["k"], round(r["ref_ts"], 6), round(r["dsum"], 6), round(r["dcnt"], 6))
+            for r in rs.collect()
+        )
+        assert norm(ab) == norm(ba)
+
+    def test_streaming_sink_equals_batch_over_epochs(self, spark, tmp_path):
+        import datetime as dt
+
+        from ml_feature_store_pipeline_spark.operators import fe
+        from ml_feature_store_pipeline_spark.streaming.ingest import decayed_counter_sink
+
+        rows = [(k, m, float(k * 10 + m % 7)) for k in (1, 2, 3) for m in range(0, 100, 10)]
+        df, t0 = self._events(spark, rows)
+        hl = 1200.0
+        sink = decayed_counter_sink(
+            str(tmp_path / "dstate"), key_col="k", ts_col="t",
+            value_col="v", half_life_seconds=hl,
+        )
+        for e, lo in enumerate(range(0, 100, 25)):
+            batch = df.filter(
+                (F.col("t") >= t0 + dt.timedelta(minutes=lo))
+                & (F.col("t") < t0 + dt.timedelta(minutes=lo + 25))
+            )
+            sink(batch, e)
+        asof = t0 + dt.timedelta(minutes=200)
+        state = spark.read.parquet(str(tmp_path / "dstate"))
+        got = {
+            r["k"]: r["decayed_sum"]
+            for r in fe.finalize_decayed(state, "k", half_life_seconds=hl, asof=asof).collect()
+        }
+        want = {
+            r["k"]: r["decayed_sum"]
+            for r in fe.decayed_agg(df, "k", "t", "v", half_life_seconds=hl, asof=asof).collect()
+        }
+        assert got == want
