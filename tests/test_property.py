@@ -379,3 +379,54 @@ def test_target_encode_shrinkage_bounds(spark, rows, m):
         # 1e-3 slack: sums go through the decimal(28,4) determinism recipe,
         # so each value is quantized to 4 decimal places before averaging
         assert lo - 1e-3 <= enc[c] <= hi + 1e-3
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                # key
+            st.integers(0, 10_000),           # seconds offset
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    split=st.integers(1, 23),
+)
+def test_decayed_state_merge_associative_and_matches_batch(spark, rows, split):
+    """r5 streaming counters: for ANY event set and ANY batch split,
+    merge(state(b1), state(b2)) finalized at a later asof equals the batch
+    decayed_agg over the union, and the merge commutes."""
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators import fe
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(k, t0 + dt.timedelta(seconds=sec), v) for k, sec, v in rows]
+    df = spark.createDataFrame(data, "k long, t timestamp, v double")
+    hl = 3600.0
+    asof = t0 + dt.timedelta(seconds=20_000)
+
+    want = {
+        r["k"]: (r["decayed_sum"], r["decayed_count"])
+        for r in fe.decayed_agg(df, "k", "t", "v", half_life_seconds=hl, asof=asof).collect()
+    }
+    cut = min(split, len(rows))
+    keys1 = {i for i in range(len(rows)) if i < cut}
+    b1 = spark.createDataFrame([data[i] for i in sorted(keys1)] or [(None, None, None)], "k long, t timestamp, v double").filter(F.col("k").isNotNull())
+    b2 = spark.createDataFrame([data[i] for i in range(len(rows)) if i not in keys1] or [(None, None, None)], "k long, t timestamp, v double").filter(F.col("k").isNotNull())
+    s1 = fe.decayed_state(b1, "k", "t", "v", half_life_seconds=hl)
+    s2 = fe.decayed_state(b2, "k", "t", "v", half_life_seconds=hl)
+    for merged in (
+        fe.merge_decayed_states(s1, s2, "k", half_life_seconds=hl),
+        fe.merge_decayed_states(s2, s1, "k", half_life_seconds=hl),
+    ):
+        got = {
+            r["k"]: (r["decayed_sum"], r["decayed_count"])
+            for r in fe.finalize_decayed(merged, "k", half_life_seconds=hl, asof=asof).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == pytest.approx(want[k][0], abs=2e-6)
+            assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)

@@ -628,6 +628,10 @@ def main() -> None:
                         "epoch_secs": epoch_secs,
                         "rows_per_epoch": batch_rows,
                         "tail_over_head": round(tail / max(head, 1e-9), 2),
+                        # bounded-state claim: epoch cost must stay ~flat as
+                        # the standing corpus grows (superlinear growth here
+                        # means the sink rescans history)
+                        "flat": tail / max(head, 1e-9) < 2.0,
                     }
                 ),
                 flush=True,
