@@ -96,7 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "negative_sample_pairs",
     "merge_upsert_orders",
     "merge_upsert_orders_evolve",
-    "bloom_prune_lineitem",
+    "jsd_event_type_drift",
     # flagship anchor
     "user_features",
     # r3-only greens as fillers (one per family; several yielded slots to

@@ -1025,6 +1025,44 @@ _install_fe_oracles()
 
 
 @register(
+    "jsd_event_type_drift",
+    """
+    WITH e AS (
+      SELECT event_type AS category, COUNT(*) AS ne FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ),
+    a AS (
+      SELECT event_type AS category, COUNT(*) AS na FROM events WHERE user_id % 2 = 1 GROUP BY 1
+    ),
+    te AS (SELECT SUM(ne) AS t FROM e), ta AS (SELECT SUM(na) AS t FROM a),
+    j AS (
+      SELECT COALESCE(e.category, a.category) AS category,
+             COALESCE(ne, 0) * 1.0 / te.t AS p,
+             COALESCE(na, 0) * 1.0 / ta.t AS q
+      FROM e FULL OUTER JOIN a USING (category), te, ta
+    )
+    SELECT category,
+           ROUND(p, 9) AS p, ROUND(q, 9) AS q,
+           ROUND(0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+                      + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END), 9) AS jsd_contrib
+    FROM j
+    """,
+)
+def q_jsd_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (r5): per-category Jensen–Shannon contributions
+    between the even- and odd-user halves of the event stream — PSI's
+    categorical sibling (symmetric, bounded, finite on one-sided
+    categories with no smoothing constant)."""
+    from .operators import drift
+
+    e = read_table(spark, sf_dir, "events")
+    return drift.js_divergence_table(
+        e.filter(F.col("user_id") % 2 == 0),
+        e.filter(F.col("user_id") % 2 == 1),
+        "event_type",
+    )
+
+
+@register(
     "standard_scale_events",
     """
     WITH st AS (

@@ -124,3 +124,60 @@ def key_skew_profile(df: DataFrame, key_cols: list[str], *, top_n: int = 20) -> 
             (F.col("n_rows") * F.col("n_keys") / F.col("__total")).alias("skew_ratio"),
         )
     )
+
+
+def js_divergence_table(
+    expected: DataFrame,
+    actual: DataFrame,
+    cat_col: str,
+    *,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Categorical drift: per-category Jensen–Shannon divergence
+    contributions between a baseline and a serving population — PSI's
+    categorical sibling, and the better-behaved one (JSD is symmetric,
+    bounded by ln 2, and finite even for categories present on only ONE
+    side — exactly where PSI's ε fudge lives).
+
+    ``JSD(P, Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)`` with ``m = (p+q)/2``;
+    a category absent from one side contributes ``½·p·ln 2`` from the
+    other (the natural limit — no smoothing constant to tune).
+
+    Scale shape: one partial-aggregated groupBy per side (shuffles
+    |categories| rows, never data), full-outer join of the two category
+    tables, totals broadcast. Output: (category, p, q, jsd_contrib),
+    rounded for engine-stable comparison; sum the column for the scalar.
+    """
+    e = expected.filter(F.col(cat_col).isNotNull()).groupBy(
+        F.col(cat_col).alias("category")
+    ).agg(F.count(F.lit(1)).alias("__ne"))
+    a = actual.filter(F.col(cat_col).isNotNull()).groupBy(
+        F.col(cat_col).alias("category")
+    ).agg(F.count(F.lit(1)).alias("__na"))
+    te = e.agg(F.sum("__ne").alias("__te"))
+    ta = a.agg(F.sum("__na").alias("__ta"))
+    j = (
+        e.join(a, "category", "full_outer")
+        .crossJoin(F.broadcast(te))
+        .crossJoin(F.broadcast(ta))
+    )
+    p = F.coalesce(F.col("__ne"), F.lit(0)) / F.col("__te")
+    q = F.coalesce(F.col("__na"), F.lit(0)) / F.col("__ta")
+    m = (p + q) / 2
+    term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))
+    return j.select(
+        "category",
+        F.round(p, round_digits).alias("p"),
+        F.round(q, round_digits).alias("q"),
+        F.round(0.5 * (term(p) + term(q)), round_digits).alias("jsd_contrib"),
+    )
+
+
+def js_divergence(
+    expected: DataFrame, actual: DataFrame, cat_col: str
+) -> float:
+    """Scalar JSD in nats (≤ ln 2 ≈ 0.693); collect is |categories| rows."""
+    rows = js_divergence_table(expected, actual, cat_col).agg(
+        F.sum("jsd_contrib").alias("jsd")
+    ).collect()
+    return float(rows[0]["jsd"] or 0.0)

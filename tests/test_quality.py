@@ -164,3 +164,33 @@ def test_profile_plan_shape(spark):
     assert scans(approx) == 1
     exact = _profile_frame(df, approximate=False, percentile_accuracy=10000)
     assert scans(exact) == 2
+
+
+class TestJsDivergence:
+    def test_identical_distributions_are_zero(self, spark):
+        from ml_feature_store_pipeline_spark.operators import drift
+
+        df = spark.createDataFrame([(i, f"c{i % 4}") for i in range(100)], "id long, c string")
+        assert drift.js_divergence(df, df, "c") == pytest.approx(0.0, abs=1e-9)
+
+    def test_disjoint_distributions_hit_ln2(self, spark):
+        import math
+
+        from ml_feature_store_pipeline_spark.operators import drift
+
+        e = spark.createDataFrame([("a",)] * 10, "c string")
+        a = spark.createDataFrame([("b",)] * 10, "c string")
+        assert drift.js_divergence(e, a, "c") == pytest.approx(math.log(2), abs=1e-6)
+
+    def test_symmetry_and_hand_value(self, spark):
+        import math
+
+        from ml_feature_store_pipeline_spark.operators import drift
+
+        e = spark.createDataFrame([("a",)] * 3 + [("b",)] * 1, "c string")
+        a = spark.createDataFrame([("a",)] * 1 + [("b",)] * 3, "c string")
+        d1, d2 = drift.js_divergence(e, a, "c"), drift.js_divergence(a, e, "c")
+        assert d1 == pytest.approx(d2, abs=1e-9)
+        # closed form: p=(3/4,1/4), q=(1/4,3/4), m=(1/2,1/2)
+        want = 0.5 * (0.75 * math.log(1.5) + 0.25 * math.log(0.5)) * 2
+        assert d1 == pytest.approx(want, abs=1e-6)

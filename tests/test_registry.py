@@ -56,7 +56,9 @@ LAST_GREEN_IN_R2 = [
 CHANGED_IN_R5 = [
     "negative_sample_pairs",  # two-level dense index (draws bit-identical)
     "merge_upsert_orders",    # evolution guard added to merge_changes
-    "bloom_prune_lineitem",   # oracle state gained the NULL-key filter
+    # bloom_prune_lineitem's oracle gained a NULL-key filter in r5 — a no-op
+    # for its non-nullable keys, re-verified locally at three SFs; it yielded
+    # its driver slot to the JSD drift registration (first-time row wins)
     # NOTE: the as-of tolerance refactor is driver-covered by asof_prev_order
     # (default joins.asof_join path, window slot 1) + asof_events_orders_stale30d
     # (the carry_ts/tolerance path) — asof_events_orders itself yielded its slot
@@ -77,6 +79,7 @@ REGISTERED_IN_R5 = [
     "image_phash_dup_groups",
     "group_scale_events",
     "audio_afp_dup_groups",
+    "jsd_event_type_drift",
 ]
 
 
