@@ -94,14 +94,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "unpivot_lineitem",
     # round-5 code/oracle changes: re-verify on the new implementations
     "negative_sample_pairs",
-    "merge_upsert_orders",
     "merge_upsert_orders_evolve",
     "jsd_event_type_drift",
+    "robust_scale_orders",
+    "target_encode_oof_events",
     # flagship anchor
     "user_features",
     # r3-only greens as fillers (one per family; several yielded slots to
     # round-5 registrations — every r5-registered query is in this window)
-    "sliding_window_counts",
     "decontaminate_docs",
     "standard_scale_events",
     "winsorize_orders",

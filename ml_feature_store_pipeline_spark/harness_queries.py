@@ -1025,6 +1025,74 @@ _install_fe_oracles()
 
 
 @register(
+    "robust_scale_orders",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.5)  AS med,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT o_orderkey,
+           ROUND(CASE WHEN (b.q3 - b.q1) > 0 THEN (o_totalprice - b.med) / (b.q3 - b.q1)
+                      WHEN o_totalprice IS NOT NULL THEN 0.0 END, 6) AS o_totalprice_r
+    FROM orders, b
+    """,
+)
+def q_robust_scale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling (r5): the outlier-immune standardization —
+    one exact-percentile aggregate broadcast into the scan."""
+    from .operators import fe
+
+    o = read_table(spark, sf_dir, "orders")
+    return fe.robust_scale(o, ["o_totalprice"]).select("o_orderkey", "o_totalprice_r")
+
+
+@register(
+    "target_encode_oof_events",
+    None,  # installed below (needs the md5 fold recipe + dsum)
+)
+def q_target_encode_oof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding (r5): each fold's encoding of
+    event_type excludes that fold's own labels (md5-deterministic folds by
+    user_id) — the leakage-safe training-time variant of
+    target_encode_events. The oracle replays fold assignment, decimal
+    sums, subtraction, and rounding exactly."""
+    from .operators import fe
+
+    e = read_table(spark, sf_dir, "events")
+    return fe.target_encode_oof(e, "event_type", "value", "user_id", k=5)
+
+
+def _install_oof_oracle() -> None:
+    from .harness import _ORACLES
+
+    fold = "CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER)"
+    s = dsum_sql("value")
+    _ORACLES["target_encode_oof_events"] = f"""
+    WITH per_cf AS (
+      SELECT event_type, {fold} AS fold, COUNT(value) AS nf, {s} AS sf
+      FROM events GROUP BY event_type, {fold}
+    ),
+    per_cat AS (
+      SELECT event_type, SUM(nf) AS n,
+             CAST(SUM(CAST(sf AS DECIMAL(28,4))) AS DOUBLE) AS sc
+      FROM per_cf GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(n) AS tn,
+                   CAST(SUM(CAST(sc AS DECIMAL(28,4))) AS DOUBLE) AS ts FROM per_cat)
+    SELECT per_cf.event_type, fold,
+           CAST(per_cat.n - per_cf.nf AS BIGINT) AS n_oof,
+           ROUND(((per_cat.sc - per_cf.sf) + 10.0 * (tot.ts / tot.tn))
+                 / ((per_cat.n - per_cf.nf) + 10.0), 9) AS enc
+    FROM per_cf JOIN per_cat USING (event_type), tot
+    """
+
+
+_install_oof_oracle()
+
+
+@register(
     "jsd_event_type_drift",
     """
     WITH e AS (

@@ -499,3 +499,96 @@ def finalize_decayed(
             (F.col("dsum") * w) / (F.col("dcnt") * w), round_digits
         ).alias("decayed_mean"),
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    round_digits: int = 6,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Median/IQR scaling — the outlier-immune sibling of
+    :func:`standard_scale` (a single 10⁹× corrupt value shifts a z-score's
+    mean/std arbitrarily; it moves the median/IQR not at all). Same
+    plan shape: ONE exact-percentile aggregate broadcasts into the scan
+    expression. Zero-IQR columns scale to 0.0."""
+    aggs = [
+        F.expr(f"percentile(`{c}`, array(0.25, 0.5, 0.75))").alias(f"__q_{c}")
+        for c in cols
+    ]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        med = F.col(f"__q_{c}")[1]
+        iqr = F.col(f"__q_{c}")[2] - F.col(f"__q_{c}")[0]
+        r = F.when(iqr > 0, (F.col(c) - med) / iqr).otherwise(
+            F.when(F.col(c).isNotNull(), F.lit(0.0))
+        )
+        out = out.withColumn(f"{c}{suffix}", F.round(r, round_digits))
+    return out.drop(*[f"__q_{c}" for c in cols])
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    fold_key_col: str,
+    *,
+    k: int = 5,
+    prior_weight: float = 10.0,
+    salt: str = "",
+    round_digits: int = 9,
+) -> DataFrame:
+    """OUT-OF-FOLD smoothed target encoding — the leakage-safe variant:
+    each row's encoding uses only label statistics from the OTHER k−1
+    folds, so a row's own label never contributes to its own feature (the
+    classic target-leak that makes in-sample target encodings look
+    spuriously predictive). Folds are md5-deterministic per
+    ``fold_key_col`` (``sampling.fold_column``), so train-time and
+    audit-time runs agree across engines and partitionings.
+
+    Output: the ``(cat, fold, n_oof, enc)`` encoder table (category × k
+    rows — the artifact to persist next to the model; serve-time rows
+    outside the training set use the ALL-folds :func:`target_encode`).
+    ``enc = ((s_cat − s_cat,fold) + m·g) / ((n_cat − n_cat,fold) + m)``
+    with ``g`` the full-corpus mean (documented simplification: the prior
+    leaks one global scalar, not per-row labels). A category entirely
+    inside one fold encodes to the prior — the shrinkage limit.
+
+    Scale shape: ONE partial-aggregated groupBy over (cat, fold) — at
+    most k× the plain encoder's aggregate rows; category totals re-derive
+    from that table (no second scan); everything downstream broadcasts.
+    """
+    from .sampling import fold_column
+
+    per_cf = df.groupBy(
+        F.col(cat_col), fold_column(F.col(fold_key_col), k, salt=salt).alias("fold")
+    ).agg(
+        F.count(label_col).alias("__nf"),
+        dsum(F.col(label_col)).alias("__sf"),
+    )
+    per_cat = per_cf.groupBy(cat_col).agg(
+        F.sum("__nf").alias("__n"),
+        F.sum(F.col("__sf").cast("decimal(28,4)")).cast("double").alias("__s"),
+    )
+    tot = per_cat.agg(
+        F.sum("__n").alias("__tn"),
+        F.sum(F.col("__s").cast("decimal(28,4)")).cast("double").alias("__ts"),
+    )
+    m = F.lit(float(prior_weight))
+    g = F.col("__ts") / F.col("__tn")
+    return (
+        per_cf.join(F.broadcast(per_cat), cat_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(cat_col),
+            "fold",
+            (F.col("__n") - F.col("__nf")).cast("long").alias("n_oof"),
+            F.round(
+                ((F.col("__s") - F.col("__sf")) + m * g)
+                / ((F.col("__n") - F.col("__nf")) + m),
+                round_digits,
+            ).alias("enc"),
+        )
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ml_feature_store_pipeline_spark.operators import fe
@@ -309,3 +310,61 @@ class TestDecayedState:
             for r in fe.decayed_agg(df, "k", "t", "v", half_life_seconds=hl, asof=asof).collect()
         }
         assert got == want
+
+
+class TestRobustAndOof:
+    def test_robust_scale_hand_computed(self, spark):
+        from ml_feature_store_pipeline_spark.operators.fe import robust_scale
+
+        # 1..5: med=3, IQR=2 → values scale to (-1, -0.5, 0, 0.5, 1)
+        df = spark.createDataFrame([(float(i),) for i in range(1, 6)], "v double")
+        got = sorted(r["v_r"] for r in robust_scale(df, ["v"]).collect())
+        assert got == [-1.0, -0.5, 0.0, 0.5, 1.0]
+
+    def test_robust_scale_ignores_extreme_outlier(self, spark):
+        from ml_feature_store_pipeline_spark.operators.fe import robust_scale, standard_scale
+
+        vals = [float(i) for i in range(1, 100)] + [1e9]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        robust = {r["v"]: r["v_r"] for r in robust_scale(df, ["v"]).collect()}
+        z = {r["v"]: r["v_z"] for r in standard_scale(df, ["v"]).collect()}
+        # the z-score of a typical value collapses ~10× toward 0 under the
+        # corrupt point (0.86 without it); the robust scale doesn't move
+        assert abs(z[75.0]) < 0.15
+        assert abs(robust[75.0]) > 0.4
+
+    def test_oof_excludes_own_fold_labels(self, spark):
+        from ml_feature_store_pipeline_spark.operators.fe import target_encode_oof
+        from ml_feature_store_pipeline_spark.operators.sampling import fold_column
+
+        rows = [(i, "c", float(i % 2)) for i in range(60)]
+        df = spark.createDataFrame(rows, "uid long, cat string, y double")
+        enc = {
+            r["fold"]: (r["n_oof"], r["enc"])
+            for r in target_encode_oof(df, "cat", "y", "uid", k=3).collect()
+        }
+        folds = {
+            r["f"]: r["n"]
+            for r in df.groupBy(fold_column(F.col("uid"), 3).alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(enc) == set(folds)
+        for f, n in folds.items():
+            assert enc[f][0] == 60 - n  # own fold's rows excluded
+
+    def test_oof_single_fold_category_encodes_to_prior(self, spark):
+        from ml_feature_store_pipeline_spark.operators.fe import target_encode_oof
+        from ml_feature_store_pipeline_spark.operators.sampling import fold_column
+
+        # put a category entirely in one fold by keying folds on uid and
+        # giving the rare category a single uid
+        rows = [(i, "common", 1.0) for i in range(50)] + [(999, "rare", 0.0)]
+        df = spark.createDataFrame(rows, "uid long, cat string, y double")
+        out = target_encode_oof(df, "cat", "y", "uid", k=5).collect()
+        rare = [r for r in out if r["cat"] == "rare"]
+        # the rare category appears in exactly one fold row; with its own
+        # fold excluded, n_oof = 0 and enc = the global-mean prior
+        assert len(rare) == 1 and rare[0]["n_oof"] == 0
+        gmean = 50.0 / 51.0
+        assert rare[0]["enc"] == pytest.approx(gmean, abs=1e-6)

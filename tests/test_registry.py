@@ -55,7 +55,9 @@ LAST_GREEN_IN_R2 = [
 # Code or oracle changed in round 5 — must re-verify on the new form.
 CHANGED_IN_R5 = [
     "negative_sample_pairs",  # two-level dense index (draws bit-identical)
-    "merge_upsert_orders",    # evolution guard added to merge_changes
+    # merge_upsert_orders' r5 change (the evolution guard) is driver-covered by
+    # merge_upsert_orders_evolve — same merge_changes path, stricter branch; the
+    # plain form yielded its slot to round-5 registrations
     # bloom_prune_lineitem's oracle gained a NULL-key filter in r5 — a no-op
     # for its non-nullable keys, re-verified locally at three SFs; it yielded
     # its driver slot to the JSD drift registration (first-time row wins)
@@ -80,6 +82,8 @@ REGISTERED_IN_R5 = [
     "group_scale_events",
     "audio_afp_dup_groups",
     "jsd_event_type_drift",
+    "robust_scale_orders",
+    "target_encode_oof_events",
 ]
 
 
