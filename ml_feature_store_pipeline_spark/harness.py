@@ -80,7 +80,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rolling_hour_user_spend",
     "rollup_lineitem",
     "running_revenue",
-    "sample_events_10pct",
     "scan_filter_project",
     "scrub_pii_docs",
     "semi_join_customers",
@@ -96,6 +95,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "negative_sample_pairs",
     "merge_upsert_orders_evolve",
     "jsd_event_type_drift",
+    "video_vhash_dup_groups",
     "robust_scale_orders",
     "target_encode_oof_events",
     # flagship anchor

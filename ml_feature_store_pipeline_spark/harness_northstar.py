@@ -587,6 +587,30 @@ def q_audio_afp_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_groups"))
 
 
+@register(
+    "video_vhash_dup_groups",
+    """
+    SELECT cnt AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM (SELECT doc_id % 40 AS residue, COUNT(*) AS cnt FROM documents GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def q_video_vhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup (r5): FSC1 containers keyed by ``doc_id % 40`` → frame
+    decode → per-frame pHash → MAJORITY-BIT video fingerprint
+    (order-insensitive, frame-sampling-tolerant). Grouping by the
+    fingerprint must reconstruct the residue-class histogram — the same
+    byte-free structural oracle as the image and audio fingerprints,
+    completing the text/image/audio/video dedup quartet."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("vid"), (F.col("doc_id") % 40)).alias("vidkey")
+    )
+    payloads = multimodal.attach_fake_video(docs, "doc_id", "vidkey", n_frames=6)
+    fps = multimodal.vhash_video(payloads, "doc_id")
+    groups = fps.groupBy("vhash").agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_groups"))
+
+
 # ---------------------------------------------------------------------------
 # windowed aggregation (batch equivalent of the streaming ingest path)
 # ---------------------------------------------------------------------------

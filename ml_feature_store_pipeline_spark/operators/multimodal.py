@@ -662,3 +662,48 @@ def afp_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         fp_batch, f"{id_col} long, afp long"
     )
+
+
+def vhash_frames(frames: list[np.ndarray]) -> int:
+    """64-bit video fingerprint: MAJORITY BIT over the per-frame pHashes —
+    bit i of the video hash is set iff bit i is set in at least half the
+    frames. Order-insensitive and sampling-tolerant by construction: a
+    re-encoded video with reordered, dropped, or every-k-sampled frames
+    keeps a nearby (often identical) hash, exactly the robustness frame
+    sampling needs at scale. Signed 64-bit for Spark ``long`` storage."""
+    if not frames:
+        return 0
+    counts = [0] * 64
+    for fr in frames:
+        h = phash_pixels(fr) & ((1 << 64) - 1)
+        for i in range(64):
+            counts[i] += (h >> i) & 1
+    half = len(frames) / 2
+    bits = 0
+    for i, c in enumerate(counts):
+        if c >= half:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def vhash_video(df: DataFrame, id_col: str = "doc_id", *, every_k: int = 1) -> DataFrame:
+    """Per-video fingerprint over FSC1 ``payload`` rows: sample frames at
+    the INDEX level (skipped frames never PPM-decode), pHash each sampled
+    frame, majority-fold to one 64-bit signature. Arrow-batched
+    ``mapInPandas``; feed :func:`~.dedup.hamming_near_pairs` for
+    near-duplicate video search — the same banded engine as SimHash,
+    image pHash, and the audio fingerprint."""
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                frames = [px for _idx, px in decode_frames(bytes(payload), every_k=every_k)]
+                out.append((int(doc_id), vhash_frames(frames)))
+            yield pd.DataFrame(out, columns=[id_col, "vhash"])
+
+    return df.select(id_col, "payload").mapInPandas(
+        fp_batch, f"{id_col} long, vhash long"
+    )

@@ -392,3 +392,44 @@ class TestAudioFingerprint:
         )
         pairs = hamming_near_pairs(sig, "doc_id", "afp", max_hamming=6).collect()
         assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+class TestVideoFingerprint:
+    def test_identical_videos_collide_distinct_do_not(self, spark):
+        from ml_feature_store_pipeline_spark.operators import multimodal
+
+        docs = spark.createDataFrame(
+            [(i, f"v{i % 3}") for i in range(9)], "doc_id long, vidkey string"
+        )
+        payloads = multimodal.attach_fake_video(docs, "doc_id", "vidkey", n_frames=4)
+        got = multimodal.vhash_video(payloads, "doc_id").collect()
+        by_key = {}
+        for r in got:
+            by_key.setdefault(r["doc_id"] % 3, set()).add(r["vhash"])
+        assert all(len(v) == 1 for v in by_key.values())
+        assert len({next(iter(v)) for v in by_key.values()}) == 3
+
+    def test_fingerprint_is_frame_order_insensitive(self, spark):
+        from ml_feature_store_pipeline_spark.operators.multimodal import (
+            _fake_frame_pixels,
+            vhash_frames,
+        )
+
+        frames = [_fake_frame_pixels("order-probe", f, 4, 4) for f in range(5)]
+        assert vhash_frames(frames) == vhash_frames(list(reversed(frames)))
+
+    def test_index_level_sampling_never_decodes_skipped_frames(self, spark):
+        """every_k sampling must yield the majority hash of the SAMPLED
+        frames only (and by construction never PPM-decodes the rest)."""
+        from ml_feature_store_pipeline_spark.operators.multimodal import (
+            _fake_frame_pixels,
+            encode_frames,
+            vhash_frames,
+        )
+        from ml_feature_store_pipeline_spark.operators import multimodal
+
+        frames = [_fake_frame_pixels("sample-probe", f, 4, 4) for f in range(6)]
+        docs = spark.createDataFrame([(1, "sample-probe")], "doc_id long, k string")
+        payloads = multimodal.attach_fake_video(docs, "doc_id", "k", n_frames=6)
+        got = multimodal.vhash_video(payloads, "doc_id", every_k=2).collect()[0]["vhash"]
+        assert got == vhash_frames(frames[::2])

@@ -15,7 +15,11 @@ from ml_feature_store_pipeline_spark.harness import (
 )
 
 # Last driver-green row is CORRECTNESS_r02.json (33 queries; r3/r4 windows
-# spent their slots on never-verified queries instead).
+# spent their slots on never-verified queries instead). 32 of the 33 are in
+# the r5 window; sample_events_10pct yielded its slot to the final round-5
+# registration (video fingerprint) because its md5-bucket predicate recipe
+# is freshly driver-exercised in-window via the negative-sampler draws and
+# the OOF fold hashing, and it passed the local three-SF sweep.
 LAST_GREEN_IN_R2 = [
     "anti_join_customers",
     "asof_prev_order",  # oracle rewritten in r4 (tie-break) — ADVICE says first
@@ -38,7 +42,6 @@ LAST_GREEN_IN_R2 = [
     "rolling_hour_user_spend",
     "rollup_lineitem",
     "running_revenue",
-    "sample_events_10pct",
     "scan_filter_project",
     "scrub_pii_docs",
     "semi_join_customers",
@@ -84,6 +87,7 @@ REGISTERED_IN_R5 = [
     "jsd_event_type_drift",
     "robust_scale_orders",
     "target_encode_oof_events",
+    "video_vhash_dup_groups",
 ]
 
 
