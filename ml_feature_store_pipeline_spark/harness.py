@@ -89,13 +89,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q12_like",
     "tpch_q5_like",
     "tpch_q6",
-    "train_test_split_counts",
     "unpivot_lineitem",
     # round-5 code/oracle changes: re-verify on the new implementations
     "negative_sample_pairs",
     "merge_upsert_orders_evolve",
     "jsd_event_type_drift",
     "video_vhash_dup_groups",
+    "embedding_quantization_stats",
     "robust_scale_orders",
     "target_encode_oof_events",
     # flagship anchor

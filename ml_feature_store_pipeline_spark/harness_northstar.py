@@ -611,6 +611,42 @@ def q_video_vhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_groups"))
 
 
+@register(
+    "embedding_quantization_stats",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    el AS (
+      SELECT vec_id, scale, CAST(e AS DOUBLE) AS x,
+             CASE WHEN scale > 0
+                  THEN floor(CAST(e AS DOUBLE) / scale + 0.5) * scale
+                  ELSE 0.0 END AS d
+      FROM s, UNNEST(embedding) AS t(e)
+    ),
+    agg AS (
+      SELECT vec_id, ANY_VALUE(scale) AS scale,
+             SUM(x * d) AS dot, SUM(x * x) AS nv2, SUM(d * d) AS nd2
+      FROM el GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           ROUND(CASE WHEN nv2 > 0 AND nd2 > 0
+                      THEN dot / (sqrt(nv2) * sqrt(nd2)) ELSE 1.0 END, 6) AS cos_fidelity
+    FROM agg
+    """,
+)
+def q_embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization audit (r5): per-vector scale and the
+    cosine between the original and its dequantized form — the gate for
+    serving a 100 TB float32 corpus as int8 (4× smaller). Pure codegen
+    array expressions; the oracle replays scale, tie-free floor rounding,
+    dequantization, and the cosine exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.quantization_fidelity(emb, "vec_id", "embedding")
+
+
 # ---------------------------------------------------------------------------
 # windowed aggregation (batch equivalent of the streaming ingest path)
 # ---------------------------------------------------------------------------

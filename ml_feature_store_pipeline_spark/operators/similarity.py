@@ -527,3 +527,50 @@ def semantic_dedup(
     )
     loners = mem.filter(F.col("node").isNull()).select(F.col(id_col), F.col("cell"))
     return loners.unionByName(in_groups)
+
+
+def quantize_embedding(vec: Column, *, bits: int = 8) -> Column:
+    """Scalar-quantize a float vector to ``bits``-bit integers with a
+    per-vector scale — the storage/serving format that cuts a 100 TB
+    float32 embedding corpus 4× (int8) with ~1e−3 cosine error. Struct
+    ``(scale, q)``: ``scale = max|v| / (2^(bits−1) − 1)``, ``q_i =
+    floor(v_i/scale + 0.5)`` (explicit floor — no round-half-tie
+    ambiguity between engines). Zero vectors quantize to all-zero with
+    scale 0. Pure codegen array expressions, no UDF."""
+    qmax = F.lit(float((1 << (bits - 1)) - 1))
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = absmax / qmax
+    q = F.when(
+        scale > 0,
+        F.transform(vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def quantization_fidelity(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    bits: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-vector quantization audit: cosine similarity between the
+    original vector and its dequantized form (``scale · q``), plus the
+    scale — the number that decides whether int8 serving is safe for a
+    given corpus (gate on ``min(cos_fidelity)``, not the mean). One scan,
+    all codegen; output rounded for engine-stable hashing."""
+    qz = quantize_embedding(F.col(vec_col), bits=bits)
+    d = F.transform(qz["q"], lambda x: x.cast("double") * qz["scale"])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, d, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nd = F.sqrt(F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    cos = F.when((nv > 0) & (nd > 0), dot / (nv * nd)).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.round(qz["scale"], round_digits).alias("scale"),
+        F.round(cos, round_digits).alias("cos_fidelity"),
+    )

@@ -19,7 +19,9 @@ from ml_feature_store_pipeline_spark.harness import (
 # the r5 window; sample_events_10pct yielded its slot to the final round-5
 # registration (video fingerprint) because its md5-bucket predicate recipe
 # is freshly driver-exercised in-window via the negative-sampler draws and
-# the OOF fold hashing, and it passed the local three-SF sweep.
+# the OOF fold hashing, and it passed the local three-SF sweep; the same
+# rationale let train_test_split_counts (the same md5-bucket family) yield to
+# the int8 quantization registration.
 LAST_GREEN_IN_R2 = [
     "anti_join_customers",
     "asof_prev_order",  # oracle rewritten in r4 (tie-break) — ADVICE says first
@@ -51,7 +53,6 @@ LAST_GREEN_IN_R2 = [
     "tpch_q12_like",
     "tpch_q5_like",
     "tpch_q6",
-    "train_test_split_counts",
     "unpivot_lineitem",
 ]
 
@@ -88,6 +89,7 @@ REGISTERED_IN_R5 = [
     "robust_scale_orders",
     "target_encode_oof_events",
     "video_vhash_dup_groups",
+    "embedding_quantization_stats",
 ]
 
 

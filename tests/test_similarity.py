@@ -242,3 +242,31 @@ def test_semantic_dedup_cell_cap_bounds_pairwise(spark):
     # cap larger than any cell changes nothing
     same = semantic_dedup(emb, threshold=0.99, centroids=cent, max_cell_size=1000)
     assert [r["vec_id"] for r in same.collect()] == [0]
+
+
+class TestQuantization:
+    def test_roundtrip_fidelity_is_high_and_bounded(self, spark):
+        from ml_feature_store_pipeline_spark.operators.similarity import quantization_fidelity
+
+        rows = [(i, [((i * 7 + j * 13) % 100) / 50.0 - 1.0 for j in range(16)]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = quantization_fidelity(df, "vec_id", "embedding").collect()
+        assert len(out) == 50
+        assert all(0.999 <= r["cos_fidelity"] <= 1.0 for r in out)  # int8 keeps ~1e-4
+
+    def test_zero_vector_quantizes_cleanly(self, spark):
+        from ml_feature_store_pipeline_spark.operators.similarity import quantization_fidelity
+
+        df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+        r = quantization_fidelity(df, "vec_id", "embedding").collect()[0]
+        assert r["scale"] == 0.0 and r["cos_fidelity"] == 1.0
+
+    def test_quantized_ints_stay_in_range(self, spark):
+        from ml_feature_store_pipeline_spark.operators.similarity import quantize_embedding
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -1.0, 0.5, -0.25, 0.0])], "vec_id long, embedding array<float>"
+        )
+        q = df.select(quantize_embedding(F.col("embedding")).alias("z")).collect()[0]["z"]
+        assert all(-127 <= v <= 127 for v in q["q"])
+        assert max(abs(v) for v in q["q"]) == 127  # the max magnitude maps to qmax
