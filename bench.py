@@ -99,6 +99,9 @@ HEADLINE_R5 = [
     "ewma_user_spend_prior",
     "decontaminate_docs",
     "image_phash_dup_groups",
+    "audio_afp_dup_groups",
+    "video_vhash_dup_groups",
+    "embedding_quantization_stats",
 ]
 
 
