@@ -369,6 +369,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     max_doc_frequency: int | None = 10_000,
     parallelism: int | None = None,
+    pair_partitions: int | None = None,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram sets, computed via an
     inverted-index self-join: explode distinct shingles, equi-join on
@@ -385,6 +387,31 @@ def ngram_jaccard_pairs(
     stop-shingle semantics — mirrored in the SQL oracle). The per-posting
     pair expansion is then bounded by cap²/2. ``None`` disables the cut
     (oracle comparison on tiny corpora only).
+
+    ``pair_partitions`` sets the partition count of the pair-count
+    aggregate (default 8× ``parallelism`` when given). The pair stream is
+    nearly-all-distinct keys, so per-task aggregate state is ~pairs ÷
+    partitions; on a DENSE corpus (tiny vocabulary: every posting near
+    the DF cut without crossing it) total pairs approach Σ C(df, 2) and
+    the session default partition count concentrates multi-GB hash maps
+    onto each task — the round-5 stress rehearsal OOM'd an 8 GB local
+    heap exactly this way at 200 k docs × 30-word vocab. More partitions
+    cost nothing (same single exchange, AQE coalesces small ones) and
+    bound per-task state. The expansion itself already streams through
+    generators; this bounds the AGGREGATION side too.
+
+    ``max_posting_size`` is the dense-corpus escape hatch (the LSH
+    ``max_bucket_size`` trade, same semantics): when a tiny vocabulary
+    puts EVERY shingle near the DF cut without crossing it, total pairs
+    approach Σ C(df, 2) — ~2.5·10⁹ at 200 k docs × 30-word vocab, a
+    ~60 GB pair shuffle that no partitioning trick absorbs on a small
+    heap. Capping each posting to its first ``max_posting_size`` sorted
+    ids bounds pairs by shingles × C(cap, 2); retained pairs still link
+    clusters transitively (what downstream dedup needs), set sizes stay
+    exact, and the reported jaccard becomes a LOWER bound for pairs
+    involving truncated postings (threshold filtering is conservative —
+    it can only drop, never fabricate). Leave ``None`` (exact) unless the
+    corpus is degenerate-dense; the DF cut alone handles boilerplate.
     """
     if parallelism:
         df = df.repartition(parallelism)
@@ -423,6 +450,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("set_size"))
     )
     postings = posts_all.filter(F.size("ids") > 1)
+    if max_posting_size is not None:
+        postings = postings.withColumn("ids", F.slice("ids", 1, max_posting_size))
     # pair expansion via two generators (posexplode + explode of a slice):
     # plain expressions stay in whole-stage codegen, where the equivalent
     # nested-transform lambda form is interpreted (~15% slower end-to-end)
@@ -438,9 +467,15 @@ def ngram_jaccard_pairs(
                 )
             ).alias("id_b"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if pair_partitions is None and parallelism:
+        pair_partitions = parallelism * 8
+    if pair_partitions:
+        # pre-partition on the aggregate's own keys: the groupBy reuses
+        # this exchange (ENSURE_REQUIREMENTS satisfied), so the partition
+        # count changes but the shuffle count does not
+        inter = inter.repartition(pair_partitions, "id_a", "id_b")
+    inter = inter.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     out = (

@@ -478,3 +478,26 @@ class TestNgramOverlap:
         ).collect()
         # boilerplate grams cut; only doc 3's unique suffix gram survives
         assert [(r["train_id"], r["eval_id"]) for r in capped] == [(3, 9)]
+
+
+def test_ngram_posting_cap_bounds_pairs_and_keeps_links(spark):
+    """r5 dense-corpus fix: max_posting_size bounds the pair expansion by
+    shingles × C(cap, 2); retained pairs still link the capped posting's
+    members transitively, and reported jaccard never EXCEEDS the exact
+    value (lower-bound semantics — threshold filtering stays conservative)."""
+    from ml_feature_store_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 6 docs sharing one identical text: one shingle universe, df = 6
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(6)], "doc_id long, text string"
+    )
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text")
+    assert exact.count() == 15  # C(6,2), all jaccard 1.0
+    capped = ngram_jaccard_pairs(docs, "doc_id", "text", max_posting_size=3)
+    rows = capped.collect()
+    assert len(rows) == 3  # C(3,2) per posting
+    ids = {r["id_a"] for r in rows} | {r["id_b"] for r in rows}
+    assert ids == {0, 1, 2}  # first cap members, sorted — still one linked cluster
+    ex = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    for r in rows:
+        assert r["jaccard"] <= ex[(r["id_a"], r["id_b"])] + 1e-9
