@@ -71,6 +71,12 @@ CHANGED_IN_R5 = [
     # to the round-5 audio fingerprint registration.
 ]
 
+# ngram_jaccard_pairs' r5 change (pair-stage partition scaling + optional
+# posting cap) alters plan shape only — same operators, same semantics; the
+# registered query re-passed the oracle gate at all three SFs and the plan
+# audit post-change, and r4's window holds its last driver-green row. It
+# did not displace a registration or an r2 refresh.
+
 # Registered during round 5 — every registration makes the window.
 REGISTERED_IN_R5 = [
     "merge_upsert_orders_evolve",
