@@ -583,10 +583,9 @@ def phash_pixels(pixels: np.ndarray) -> int:
     coefs = basis @ small @ basis.T
     block = coefs[:_PHASH_BLOCK, :_PHASH_BLOCK].flatten()
     med = float(np.median(block))
-    bits = 0
-    for j, c in enumerate(block):
-        if c > med:
-            bits |= 1 << j
+    # vectorized bit pack (the per-bit python loop was the map-side hot
+    # spot at 200k+ frames): uint64 weights, wrap to signed at the end
+    bits = int(((block > med).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits
@@ -633,13 +632,10 @@ def afp_samples(samples: np.ndarray) -> int:
     if n == 0:
         return 0
     bounds = (np.arange(_AFP_FRAMES + 1) * n) // _AFP_FRAMES
-    energies = np.array(
-        [float(np.square(x[bounds[i] : bounds[i + 1]]).sum()) for i in range(_AFP_FRAMES)]
-    )
-    bits = 0
-    for i in range(_AFP_FRAMES - 1):
-        if energies[i + 1] > energies[i]:
-            bits |= 1 << i
+    sq = np.concatenate(([0.0], np.cumsum(np.square(x))))
+    energies = sq[bounds[1:]] - sq[bounds[:-1]]  # per-frame energy via prefix sums
+    rising = (energies[1:] > energies[:-1]).astype(np.uint64)
+    bits = int((rising << np.arange(_AFP_FRAMES - 1, dtype=np.uint64)).sum())
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits

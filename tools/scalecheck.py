@@ -139,9 +139,13 @@ DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
     "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
     "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
-    "video_frame_sample streaming_near_dup lm_score decontaminate phash"
+    "video_frame_sample streaming_near_dup lm_score decontaminate phash "
+    "afp vhash"
 ).split()
-VEC_OPS = "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm semantic_dedup".split()
+VEC_OPS = (
+    "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
+    "semantic_dedup quantization"
+).split()
 
 
 def main() -> None:
@@ -518,6 +522,32 @@ def main() -> None:
             ).parquet(f"{work}/phash_imgs")
             imgs = spark.read.parquet(f"{work}/phash_imgs")
             timed("image_phash_32x32", multimodal.phash_images(imgs, "doc_id"), args.docs)
+        if docs is not None and want("afp"):
+            from ml_feature_store_pipeline_spark.operators import multimodal
+
+            keyed = docs.select(
+                "doc_id", F.concat(F.lit("aud"), F.col("doc_id") % 5000).alias("audkey")
+            )
+            multimodal.attach_fake_audio(keyed, "doc_id", "audkey").write.mode(
+                "overwrite"
+            ).parquet(f"{work}/afp_wavs")
+            wavs = spark.read.parquet(f"{work}/afp_wavs")
+            timed("audio_fingerprint", multimodal.afp_audio(wavs, "doc_id"), args.docs)
+        if docs is not None and want("vhash"):
+            from ml_feature_store_pipeline_spark.operators import multimodal
+
+            keyed = docs.select(
+                "doc_id", F.concat(F.lit("vid"), F.col("doc_id") % 5000).alias("vidkey")
+            )
+            multimodal.attach_fake_video(keyed, "doc_id", "vidkey", n_frames=6).write.mode(
+                "overwrite"
+            ).parquet(f"{work}/vhash_vids")
+            vids = spark.read.parquet(f"{work}/vhash_vids")
+            timed(
+                "video_fingerprint_every2",
+                multimodal.vhash_video(vids, "doc_id", every_k=2),
+                args.docs,
+            )
         if docs is not None and want("decontaminate"):
             # 1% of docs play the benchmark; the broadcast side is their
             # distinct 8-gram table, the train side never shuffles grams
@@ -560,6 +590,14 @@ def main() -> None:
             t0 = time.time()
             quality.profile(events, approximate=True)
             log("quality_profile_approx", time.time() - t0, args.events)
+        if vecs is not None and want("quantization"):
+            from ml_feature_store_pipeline_spark.operators import similarity as sim
+
+            timed(
+                "embedding_quantization_audit",
+                sim.quantization_fidelity(vecs, "vec_id", "embedding"),
+                args.vecs,
+            )
         if vecs is not None and want("semantic_dedup"):
             # n_cells sized so cells stay pairwise-affordable (~1k vecs/cell)
             timed(
