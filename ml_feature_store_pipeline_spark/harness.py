@@ -68,7 +68,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "customer_order_counts",
     "doc_fingerprints",
     "doc_quality_scores",
-    "embedding_near_dup",
+    "incremental_distinct_users_per_type",
     "iqr_outlier_summary",
     "json_props_extract",
     "lag_lead_events",

@@ -1025,6 +1025,47 @@ _install_fe_oracles()
 
 
 @register(
+    "incremental_distinct_users_per_type",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_2pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct state (r5): the event stream splits into 3
+    batches, each sketches per-type distinct users, the states UNION
+    (idempotent, order-free), and the estimate must land within 2% of the
+    exact distinct — a bounded oracle in the ANN-recall style: the flag is
+    computed Spark-side against the exact count, DuckDB asserts the same
+    exact count and the literal bound. This is the distinct counter a
+    streaming sink maintains over unbounded history in O(keys) space."""
+    from .operators import incremental
+
+    e = read_table(spark, sf_dir, "events")
+    states = [
+        incremental.distinct_state(
+            e.filter(F.col("event_id") % 3 == i), ["event_type"], "user_id"
+        )
+        for i in range(3)
+    ]
+    merged = incremental.merge_distinct_states(*states)
+    est = incremental.finalize_distinct(merged)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= 0.02 * F.col("exact_distinct")
+        ).alias("within_2pct"),
+    )
+
+
+@register(
     "robust_scale_orders",
     """
     WITH b AS (

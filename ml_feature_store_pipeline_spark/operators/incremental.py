@@ -87,3 +87,37 @@ def finalize(state: DataFrame) -> DataFrame:
         F.col("max_v").alias("max"),
         F.when(F.col("n_nonnull") > 0, var).alias("var_pop"),
     )
+
+
+def distinct_state(df: DataFrame, keys: list[str], value_col: str, *, lg_k: int = 12) -> DataFrame:
+    """One batch → per-key mergeable DISTINCT-COUNT state: an HLL sketch
+    per key (Spark's native Datasketches ``hll_sketch_agg`` — a binary
+    column of ≤ 2^lg_k registers). Exact distinct is the one aggregate the
+    algebraic state table above cannot carry (it isn't a monoid on
+    scalars); the sketch makes it one: states from disjoint batches union
+    with :func:`merge_distinct_states` and estimate within HLL's published
+    ~1.6%/√(2^lg_k) error, so a streaming sink can maintain per-key
+    distincts over unbounded history in O(keys) space."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def merge_distinct_states(*states: DataFrame) -> DataFrame:
+    """Union per-key sketches across batches (``hll_union_agg`` — HLL
+    union is commutative/associative/idempotent, so replay and arbitrary
+    batch grouping converge). Keys are inferred as every non-sketch
+    column shared by the states."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "hll"]
+    return out.groupBy(*keys).agg(F.hll_union_agg("hll").alias("hll"))
+
+
+def finalize_distinct(state: DataFrame) -> DataFrame:
+    """Per-key distinct estimates from the sketch state."""
+    keys = [c for c in state.columns if c != "hll"]
+    return state.select(
+        *keys, F.hll_sketch_estimate("hll").alias("distinct_est")
+    )

@@ -323,3 +323,30 @@ def decayed_counter_sink(
         atomic_overwrite_parquet(new, state_path)
 
     return write
+
+
+def distinct_counter_sink(
+    state_path: str, keys: list[str], value_col: str, *, lg_k: int = 12
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining per-key DISTINCT counts over
+    unbounded history in O(keys) space: each micro-batch sketches to HLL
+    state and unions with the store (``operators.incremental
+    .distinct_state`` / ``merge_distinct_states`` — HLL union is
+    idempotent, so checkpoint replay converges). Same atomic-swap
+    durability as :func:`incremental_state_sink`. Read side:
+    ``incremental.finalize_distinct(spark.read.parquet(path))``."""
+    import os
+
+    from ..operators import incremental
+    from ..sources.writers import atomic_overwrite_parquet
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        new = incremental.distinct_state(batch, keys, value_col, lg_k=lg_k)
+        spark = batch.sparkSession
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            new = incremental.merge_distinct_states(prev, new)
+        new = new.localCheckpoint()
+        atomic_overwrite_parquet(new, state_path)
+
+    return write

@@ -98,3 +98,84 @@ def test_streaming_state_sink_equals_batch_recompute(spark, tmp_path):
     b = {r["user_id"]: r.asDict() for r in batch.collect()}
     assert s == b
     assert s[1]["mean"] == 4.0 and s[1]["n_rows"] == 3
+
+
+class TestDistinctState:
+    """r5: mergeable HLL distinct state — the one aggregate the scalar
+    state table can't carry, made a monoid via sketches."""
+
+    def test_merge_equals_single_pass_and_is_idempotent(self, spark):
+        from ml_feature_store_pipeline_spark.operators import incremental
+
+        df = spark.range(20_000).select(
+            (F.col("id") % 5).alias("k"), (F.col("id") % 700).alias("v")
+        )
+        full = {
+            r["k"]: r["distinct_est"]
+            for r in incremental.finalize_distinct(
+                incremental.distinct_state(df, ["k"], "v")
+            ).collect()
+        }
+        s1 = incremental.distinct_state(df.filter(F.col("v") < 350), ["k"], "v")
+        s2 = incremental.distinct_state(df.filter(F.col("v") >= 350), ["k"], "v")
+        merged = {
+            r["k"]: r["distinct_est"]
+            for r in incremental.finalize_distinct(
+                incremental.merge_distinct_states(s1, s2)
+            ).collect()
+        }
+        assert merged == full
+        # idempotent: re-merging an already-seen batch changes nothing
+        again = {
+            r["k"]: r["distinct_est"]
+            for r in incremental.finalize_distinct(
+                incremental.merge_distinct_states(
+                    incremental.merge_distinct_states(s1, s2), s2
+                )
+            ).collect()
+        }
+        assert again == full
+
+    def test_estimate_tracks_exact(self, spark):
+        from ml_feature_store_pipeline_spark.operators import incremental
+
+        df = spark.range(50_000).select(
+            (F.col("id") % 3).alias("k"), (F.col("id") % 4099).alias("v")
+        )
+        exact = {
+            r["k"]: r["d"]
+            for r in df.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
+        }
+        est = {
+            r["k"]: r["distinct_est"]
+            for r in incremental.finalize_distinct(
+                incremental.distinct_state(df, ["k"], "v")
+            ).collect()
+        }
+        for k in exact:
+            assert abs(est[k] - exact[k]) <= 0.03 * exact[k]
+
+    def test_streaming_sink_maintains_state(self, spark, tmp_path):
+        from ml_feature_store_pipeline_spark.operators import incremental
+        from ml_feature_store_pipeline_spark.streaming.ingest import distinct_counter_sink
+
+        df = spark.range(9_000).select(
+            (F.col("id") % 4).alias("k"), (F.col("id") % 500).alias("v"),
+            (F.col("id") % 3).alias("epoch"),
+        )
+        sink = distinct_counter_sink(str(tmp_path / "hll"), ["k"], "v")
+        for e in range(3):
+            sink(df.filter(F.col("epoch") == e).drop("epoch"), e)
+        got = {
+            r["k"]: r["distinct_est"]
+            for r in incremental.finalize_distinct(
+                spark.read.parquet(str(tmp_path / "hll"))
+            ).collect()
+        }
+        want = {
+            r["k"]: r["distinct_est"]
+            for r in incremental.finalize_distinct(
+                incremental.distinct_state(df.drop("epoch"), ["k"], "v")
+            ).collect()
+        }
+        assert got == want

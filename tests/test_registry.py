@@ -21,7 +21,9 @@ from ml_feature_store_pipeline_spark.harness import (
 # is freshly driver-exercised in-window via the negative-sampler draws and
 # the OOF fold hashing, and it passed the local three-SF sweep; the same
 # rationale let train_test_split_counts (the same md5-bucket family) yield to
-# the int8 quantization registration.
+# the int8 quantization registration, and embedding_near_dup (similarity
+# family keeps cosine_topk_blas + the quantization audit in-window) to the
+# HLL distinct-state registration.
 LAST_GREEN_IN_R2 = [
     "anti_join_customers",
     "asof_prev_order",  # oracle rewritten in r4 (tie-break) — ADVICE says first
@@ -32,7 +34,6 @@ LAST_GREEN_IN_R2 = [
     "customer_order_counts",
     "doc_fingerprints",
     "doc_quality_scores",
-    "embedding_near_dup",
     "iqr_outlier_summary",
     "json_props_extract",
     "lag_lead_events",
@@ -96,6 +97,7 @@ REGISTERED_IN_R5 = [
     "target_encode_oof_events",
     "video_vhash_dup_groups",
     "embedding_quantization_stats",
+    "incremental_distinct_users_per_type",
 ]
 
 
