@@ -430,3 +430,46 @@ def test_decayed_state_merge_associative_and_matches_batch(spark, rows, split):
         for k in want:
             assert got[k][0] == pytest.approx(want[k][0], abs=2e-6)
             assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+
+
+@SETTINGS
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=4,
+        max_size=30,
+    ),
+)
+def test_winsorize_outputs_stay_inside_the_band(spark, values):
+    """r5: winsorized values always lie inside [P_lower, P_upper] and the
+    transform is monotone (order-preserving) on arbitrary inputs."""
+    import numpy as np
+
+    from ml_feature_store_pipeline_spark.operators.fe import winsorize
+
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(values)], "i long, v double")
+    rows = winsorize(df, ["v"], lower=0.1, upper=0.9).collect()
+    lo, hi = np.percentile(values, [10, 90])
+    got = {r["i"]: r["v_w"] for r in rows}
+    for r in rows:
+        assert round(lo, 6) - 1e-9 <= r["v_w"] <= round(hi, 6) + 1e-9
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    clipped = [got[i] for i in order]
+    assert clipped == sorted(clipped)  # monotone
+
+
+@SETTINGS
+@given(
+    labels=st.lists(st.sampled_from("abcde"), min_size=1, max_size=40),
+)
+def test_index_encode_is_a_bijection_on_vocab(spark, labels):
+    """r5: the frequency-ordered index is dense 0..V−1, unique per value,
+    and ranks strictly by (count desc, value asc) on arbitrary inputs."""
+    from ml_feature_store_pipeline_spark.operators.fe import index_encode
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(labels)], "i long, t string")
+    vocab, _ = index_encode(df, "t")
+    rows = sorted(vocab.collect(), key=lambda r: r["idx"])
+    assert [r["idx"] for r in rows] == list(range(len(rows)))
+    ranked = [(-r["n"], r["value"]) for r in rows]
+    assert ranked == sorted(ranked)

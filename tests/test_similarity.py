@@ -270,3 +270,18 @@ class TestQuantization:
         q = df.select(quantize_embedding(F.col("embedding")).alias("z")).collect()[0]["z"]
         assert all(-127 <= v <= 127 for v in q["q"])
         assert max(abs(v) for v in q["q"]) == 127  # the max magnitude maps to qmax
+
+
+def test_quantization_blas_matches_codegen_form(spark):
+    """r5: the Arrow fast path is value-identical to the codegen oracle
+    form on the driver embeddings table."""
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        quantization_fidelity,
+        quantization_fidelity_blas,
+    )
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, quantization_fidelity(emb, "vec_id", "embedding").collect()))
+    b = sorted(map(tuple, quantization_fidelity_blas(emb, "vec_id", "embedding").collect()))
+    assert a == b
