@@ -674,7 +674,9 @@ def q_windowed_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MLlib feature-engineering variants (library twins of the md5-parity ops;
-# MLlib internals are Spark-private → rows-only driver checks)
+# MLlib hashing is Spark-private, so the oracles check bounded INVARIANTS —
+# nnz/norm/recall floors — rather than hash-exact values; upgraded from
+# rows-only in r4)
 # ---------------------------------------------------------------------------
 
 
