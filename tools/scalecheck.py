@@ -268,11 +268,28 @@ def main() -> None:
                 args.events,
             )
         if docs is not None:
+            # the adversarial tiny-vocab corpus is quadratic-dense by design:
+            # pairs ≈ Σ C(df, 2) grow with corpus² here, so this stress runs
+            # at its documented 50 k bound regardless of --docs (the r5
+            # rehearsal OOM'd the uncapped 200 k form; the capped variant of
+            # that case is measured separately below)
+            ngram_docs = docs.filter(F.col("doc_id") < 50_000)
+            n_ngram = min(args.docs, 50_000)
             timed(
                 "ngram_jaccard_capped",
                 dedup.ngram_jaccard_pairs(
+                    ngram_docs, "doc_id", "text", threshold=0.3,
+                    parallelism=spark.sparkContext.defaultParallelism,
+                ),
+                n_ngram,
+            )
+            # the degenerate-density escape hatch at FULL --docs size
+            timed(
+                "ngram_jaccard_dense_posting_cap64",
+                dedup.ngram_jaccard_pairs(
                     docs, "doc_id", "text", threshold=0.3,
                     parallelism=spark.sparkContext.defaultParallelism,
+                    max_posting_size=64,
                 ),
                 args.docs,
             )
