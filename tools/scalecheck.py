@@ -140,7 +140,7 @@ DOC_OPS = (
     "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
     "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
     "video_frame_sample streaming_near_dup lm_score decontaminate phash "
-    "afp vhash"
+    "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
