@@ -1027,8 +1027,8 @@ def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decontaminate_docs",
-    """
-    WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS.format(t='lower(text)')} AS t FROM documents),
     g AS (
       SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
       FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)

@@ -1247,7 +1247,8 @@ def q_winsorize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index_encode_event_types",
     """
     WITH counts AS (
-      SELECT event_type AS value, COUNT(*) AS n FROM events GROUP BY event_type
+      SELECT event_type AS value, COUNT(*) AS n FROM events
+      WHERE event_type IS NOT NULL GROUP BY event_type
     )
     SELECT value, n,
            CAST(ROW_NUMBER() OVER (ORDER BY n DESC, value ASC) - 1 AS INTEGER) AS idx

@@ -345,7 +345,11 @@ def index_encode(
     Returns ``(vocab, encoded)``: ``vocab`` is the ``(value, n, idx)``
     table (persist it next to the model — it IS the encoder); ``encoded``
     is ``df`` plus ``{col}_idx``, with out-of-vocabulary rows mapped to
-    ``oov_index`` (default ``V``, the "unknown" bucket).
+    ``oov_index`` (default ``V``, the "unknown" bucket). NULL categories
+    are excluded from the vocabulary and route to OOV like any unseen
+    value: an equality join can never match NULL, so a NULL vocab entry
+    would be dead weight that inflates V (and thus the default OOV index)
+    without ever encoding a row.
 
     Scale shape: the vocab aggregate partial-combines to dim size; the
     index is the parallel two-level rank (:func:`..sampling.dense_index`
@@ -355,7 +359,8 @@ def index_encode(
     from .sampling import dense_index
 
     counts = (
-        df.groupBy(F.col(col).alias("__val"))
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__val"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
         .withColumn("__negn", -F.col("n"))

@@ -218,6 +218,19 @@ def dense_index(
     distinct, the result is bit-identical to the single-task window for
     ANY boundary choice (equivalence-tested), so md5-draw recipes built on
     the index (:func:`negative_sample`) are unchanged.
+
+    The range partitioning is PINNED with an eager ``localCheckpoint()``
+    before the sizes collect: ``repartitionByRange`` picks its boundaries
+    by reservoir-sampling the input, and when the sample is partial
+    (>~2M rows per partition, n_parts > 1) the sampler's seed varies per
+    execution — so without the checkpoint, the sizes job and each
+    downstream consumer job could each re-execute the exchange with
+    DIFFERENT boundaries, silently mismatching the baked offset map
+    (duplicate/skipped global indices) at exactly the scale this function
+    exists for. The checkpoint truncates lineage, so a lost block is a
+    loud recompute failure, never a silent re-sample; blocks are freed
+    with the session (the returned plan keeps consuming them, so there is
+    no safe unpersist point inside this function).
     """
     from pyspark.sql.window import Window
 
@@ -225,8 +238,10 @@ def dense_index(
     if n_rows is None:
         n_rows = df.count()
     n_parts = max(1, min(2048, -(-n_rows // rows_per_partition)))
-    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols]).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     sizes = sorted(
         (r["__pid"], r["cnt"])
