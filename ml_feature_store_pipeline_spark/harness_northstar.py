@@ -640,11 +640,13 @@ def q_video_vhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization audit (r5): per-vector scale and the
     cosine between the original and its dequantized form — the gate for
-    serving a 100 TB float32 corpus as int8 (4× smaller). Pure codegen
-    array expressions; the oracle replays scale, tie-free floor rounding,
-    dequantization, and the cosine exactly."""
+    serving a 100 TB float32 corpus as int8 (4× smaller). Runs the
+    Arrow-batched numpy twin (r7: the higher-order-function codegen form
+    executes interpreted per element, ~6× slower at sf0.1; the twin is
+    value-identical — equivalence-tested in test_similarity.py — and the
+    oracle SQL still replays the codegen recipe exactly)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.quantization_fidelity(emb, "vec_id", "embedding")
+    return similarity.quantization_fidelity_blas(emb, "vec_id", "embedding")
 
 
 # ---------------------------------------------------------------------------
@@ -1985,13 +1987,16 @@ _install_cdc_evolve_oracle()
 )
 def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table in
-    deterministic-centroid mode: 16 md5-picked seed vectors partition the
-    corpus; in-cell cosine ≥ 0.4 pairs form duplicate groups; the member
+    deterministic-centroid mode with the knob AUTO-TUNED (r7): the
+    operator derives ``n_cells = ceil(N / 128)`` from one column-pruned
+    count (16 cells at sf0.1 — the hand-picked value of prior rounds —
+    4 at sf0.01, scaling with the corpus so per-cell pairwise cost stays
+    flat); in-cell cosine ≥ 0.4 pairs form duplicate groups; the member
     least similar to its centroid survives per group. The oracle replays
-    centroid pick, argmax assignment, pairing, the recursive-CTE component
-    closure, and the survivor rule exactly."""
+    the cell-count rule, centroid pick, argmax assignment, pairing, the
+    recursive-CTE component closure, and the survivor rule exactly."""
     emb = read_table(spark, sf_dir, "embeddings")
-    out = similarity.semantic_dedup(emb, threshold=0.4, n_cells=16)
+    out = similarity.semantic_dedup(emb, threshold=0.4, target_cell_size=128)
     return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
 
 
@@ -2007,9 +2012,14 @@ def _install_semantic_dedup_oracle() -> None:
       SELECT vec_id, embedding, {h} AS hfrac FROM embeddings
     ),
     cent AS (
+      -- auto_n_cells(N, 128) = GREATEST(1, CEIL(N / 128)) — the operator's rule
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY hfrac, vec_id) - 1 AS INT) AS cell,
              embedding AS center
-      FROM (SELECT * FROM ranked ORDER BY hfrac, vec_id LIMIT 16)
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY hfrac, vec_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM ranked
+      ) WHERE rk <= GREATEST(1, CAST(CEIL(n / 128.0) AS BIGINT))
     ),
     scored AS (
       SELECT e.vec_id, e.embedding, c.cell, {cos_ac} AS cos_c,

@@ -224,6 +224,13 @@ def decayed_agg(
     )
 
 
+#: Max key time-span, in half-lives, the rescaled-cumsum EWMA can carry in
+#: doubles (2^±900 sits safely inside float64's ~±1023-exponent range with
+#: headroom for value magnitude). ewma_prior raises past this — silent inf
+#: is the one unacceptable outcome for a feature column.
+EWMA_SPAN_HALF_LIVES = 900.0
+
+
 def ewma_prior(
     df: DataFrame,
     key_col: str,
@@ -248,6 +255,12 @@ def ewma_prior(
     bounded by the key's time span over the half-life, so doubles hold
     whenever ``span/hl ≲ 900`` (raise ``half_life_seconds`` for longer
     histories; the naive direct form needs no such care but is O(n²)).
+    The bound is ENFORCED at runtime (r5 audit item): an ``assert_true``
+    folded into the scan expression raises on the first row whose
+    back-span exceeds :data:`EWMA_SPAN_HALF_LIVES`, instead of silently
+    rescaling through inf/0 — zero extra jobs, executor-side, and it
+    cannot be pruned because it is added (as a coalesced NULL → 0.0)
+    into the value expression itself.
 
     Scale shape: one shuffle on ``key_col`` (the same window the as-of
     join uses — SKEW CONTRACT identical: hot keys serialize; pre-bucket
@@ -263,7 +276,18 @@ def ewma_prior(
     )
     t_max = F.max(_secs(F.col(ts_col))).over(wk)
     back = (t_max - _secs(F.col(ts_col))) / F.lit(float(half_life_seconds))
-    z = F.col(value_col) * F.pow(F.lit(0.5), back)
+    guard = F.assert_true(
+        back <= F.lit(EWMA_SPAN_HALF_LIVES),
+        F.lit(
+            "ewma_prior: a key's time span exceeds "
+            f"{EWMA_SPAN_HALF_LIVES:.0f} half-lives — the rescaled-cumsum "
+            "form would overflow/underflow doubles. Raise half_life_seconds "
+            "or split the history into bounded-span segments."
+        ),
+    )
+    z = F.col(value_col) * F.pow(F.lit(0.5), back) + F.coalesce(
+        guard.cast("double"), F.lit(0.0)
+    )
     c = F.sum(z).over(wo)
     return df.withColumn(
         out_col,

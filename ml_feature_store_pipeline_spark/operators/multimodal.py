@@ -669,16 +669,17 @@ def vhash_frames(frames: list[np.ndarray]) -> int:
     sampling needs at scale. Signed 64-bit for Spark ``long`` storage."""
     if not frames:
         return 0
-    counts = [0] * 64
-    for fr in frames:
-        h = phash_pixels(fr) & ((1 << 64) - 1)
-        for i in range(64):
-            counts[i] += (h >> i) & 1
-    half = len(frames) / 2
-    bits = 0
-    for i, c in enumerate(counts):
-        if c >= half:
-            bits |= 1 << i
+    hashes = np.array(
+        [phash_pixels(fr) & ((1 << 64) - 1) for fr in frames], dtype=np.uint64
+    )
+    # unpack all 64 bit-planes at once: little-endian bit k of the uint64
+    # byte view is exactly (h >> k) & 1, so column sums are the per-bit
+    # frame counts — no per-frame 64-iteration Python loop
+    planes = np.unpackbits(
+        hashes[:, None].view(np.uint8), axis=1, bitorder="little"
+    )
+    majority = planes.sum(axis=0, dtype=np.int64) * 2 >= len(frames)
+    bits = int(np.packbits(majority, bitorder="little").view(np.uint64)[0])
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits

@@ -429,13 +429,27 @@ def deterministic_centroids(
     )
 
 
+def auto_n_cells(n_rows: int, target_cell_size: int) -> int:
+    """SemDeDup cell-count rule: enough centroids that the average cell
+    holds ``target_cell_size`` vectors — ``max(1, ceil(N / target))``.
+    Constant cell size is what keeps the in-cell O(cell²) pairwise stage
+    FLAT per cell as the corpus grows 10×/100×: the pair count scales
+    linearly with N (N/target cells × target² pairs), never
+    quadratically. One integer rule shared by the operator and the
+    DuckDB oracle, so auto mode stays exactly replayable."""
+    if target_cell_size <= 0:
+        raise ValueError("target_cell_size must be positive")
+    return max(1, -(-n_rows // target_cell_size))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.85,
-    n_cells: int = 16,
+    n_cells: int | None = None,
+    target_cell_size: int = 10_000,
     centroids: DataFrame | None = None,
     max_cell_size: int | None = None,
 ) -> DataFrame:
@@ -449,9 +463,15 @@ def semantic_dedup(
     Scale shape: centroids broadcast (n_cells×dim floats), so assignment
     is a map-side argmax over one corpus scan; the pairwise stage is
     *within cells only* — a self-join co-partitioned on cell, the
-    O((N/k)²) the paper accepts, tunable via ``n_cells`` (pick
-    n_cells ≈ N/10⁴ so cells stay pairwise-affordable). Cross-cell dups
-    are missed by construction (the SemDeDup trade).
+    O((N/k)²) the paper accepts. Cross-cell dups are missed by
+    construction (the SemDeDup trade).
+
+    ``n_cells=None`` (default) AUTO-TUNES the knob from one cheap
+    column-pruned count: :func:`auto_n_cells` picks ``ceil(N /
+    target_cell_size)`` centroids, so cells average ``target_cell_size``
+    vectors and per-cell pairwise cost stays flat across 10×/100× corpus
+    growth (total pair work grows linearly, not quadratically). Pass an
+    explicit ``n_cells`` to skip the count job or pin a knob.
 
     With ``centroids=None``, uses :func:`deterministic_centroids`, making
     the whole pipeline engine-replayable (exact DuckDB oracle incl. the
@@ -471,6 +491,10 @@ def semantic_dedup(
     from .sketches import hash_fraction
 
     if centroids is None:
+        if n_cells is None:
+            n_cells = auto_n_cells(
+                corpus.select(id_col).count(), target_cell_size
+            )
         centroids = deterministic_centroids(
             corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
         )

@@ -29,10 +29,18 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str, mode: str 
     writer.parquet(path)
 
 
-def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
+def atomic_overwrite_parquet(
+    df: DataFrame, path: str, *, extra_files: dict[str, str] | None = None
+) -> None:
     """Overwrite a SMALL table via a temp-dir write + two-rename swap.
     Only for driver-managed small tables (metadata); big tables use
     partition-level operations instead.
+
+    ``extra_files`` maps ``_``-prefixed sidecar names to text contents
+    written into the temp dir BEFORE the swap, so markers (e.g. a
+    streaming sink's last-applied epoch id) commit atomically with the
+    data. Spark's file listing skips ``_``/``.``-prefixed files, so
+    sidecars never leak into the table schema.
 
     SINGLE-WRITER contract, not true atomicity: the swap is two renames
     (path→old, tmp→path), so a concurrent reader can hit a brief ENOENT
@@ -42,6 +50,11 @@ def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
     metadata dir."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
+    for name, content in (extra_files or {}).items():
+        if not name.startswith(("_", ".")):
+            raise ValueError(f"sidecar {name!r} must be _/.-prefixed (Spark skips those)")
+        with open(os.path.join(tmp, name), "w") as fh:
+            fh.write(content)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)

@@ -17,6 +17,40 @@ from pyspark.sql.window import Window
 
 from ..functions import conditional_count, conditional_mean
 
+#: Sidecar file stamped into a state directory in the SAME atomic swap as
+#: the data (sources.writers.atomic_overwrite_parquet extra_files), holding
+#: the last micro-batch epoch folded into that state. ``_``-prefixed, so
+#: Spark's file listing never sees it — state schemas are unchanged.
+_EPOCH_MARKER = "_last_epoch"
+
+
+def _last_applied_epoch(state_path: str) -> int | None:
+    """Epoch id recorded by the last successful state swap, or None."""
+    import os
+
+    try:
+        with open(os.path.join(state_path, _EPOCH_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _epoch_already_applied(state_path: str, epoch_id: int) -> bool:
+    """Replay guard for ``foreachBatch`` sinks that fold non-idempotent
+    merges (sum/count partials, decayed counters) into a stored state.
+
+    ``foreachBatch`` is at-least-once: when a state swap succeeds but the
+    query's checkpoint commit doesn't (crash between the two), Spark
+    re-delivers the same micro-batch with the SAME ``epoch_id`` on
+    restart. Folding it again double-counts — permanently, since the
+    merge laws are associative but not idempotent. The guard makes the
+    fold exactly-once: the last-applied epoch travels with the state in
+    one atomic rename, so "state updated" and "epoch recorded" cannot
+    diverge, and a replayed (or any stale, since epoch ids are
+    monotonically increasing per query) epoch no-ops."""
+    last = _last_applied_epoch(state_path)
+    return last is not None and epoch_id <= last
+
 
 def streaming_feature_aggregation(
     events: DataFrame,
@@ -54,21 +88,26 @@ def streaming_feature_aggregation(
     )
 
 
-def upsert_sink(
-    store_path: str, mode: str = "append"
-) -> Callable[[DataFrame, int], None]:
-    """``foreachBatch`` sink: write each micro-batch into the feature table,
-    partitioned by window start date — exactly-once per epoch via Spark's
-    batch-id dedup contract (the writer is idempotent per epoch directory)."""
+def upsert_sink(store_path: str) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink: write each micro-batch into the feature
+    table under its own ``epoch_id={id}`` partition directory with
+    OVERWRITE — the only append shape that is exactly-once under
+    ``foreachBatch``'s at-least-once contract. A replayed micro-batch
+    (same ``epoch_id``, re-delivered when a write lands but the
+    checkpoint commit doesn't) rewrites the same directory with the same
+    rows instead of appending duplicates. (The r6 audit flagged the old
+    plain-append-with-an-epoch-column form: the native file sink's
+    ``_spark_metadata`` batch-id dedup does NOT apply inside
+    ``foreachBatch``.) Readers take ``store_path`` — partition discovery
+    unions the epochs and surfaces ``epoch_id`` as a column."""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         (
             batch.withColumn("window_start", F.col("window.start"))
             .withColumn("window_end", F.col("window.end"))
             .drop("window")
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode(mode)
-            .parquet(store_path)
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/epoch_id={epoch_id}")
         )
 
     return write
@@ -95,9 +134,11 @@ def incremental_state_sink(
     table (operators.incremental): each micro-batch folds to per-key
     partials and merges with the stored state — O(batch + |state|) per
     trigger, never a rescan of history. The merged state is swapped in
-    atomically (temp-path + rename), so a crash between triggers leaves
-    the previous consistent state and Spark's checkpoint replays the
-    batch. Read-side: ``incremental.finalize(spark.read.parquet(path))``.
+    atomically (temp-path + rename) together with a last-applied-epoch
+    marker, so a crash between the swap and the checkpoint commit is
+    safe: Spark re-delivers the batch with the same epoch id and the
+    guard no-ops instead of double-merging the (non-idempotent) sum/count
+    partials. Read-side: ``incremental.finalize(spark.read.parquet(path))``.
     """
     import os
 
@@ -105,6 +146,8 @@ def incremental_state_sink(
     from ..sources.writers import atomic_overwrite_parquet
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_applied(state_path, epoch_id):
+            return
         new = incremental.aggregate_state(batch, keys, value_col)
         spark = batch.sparkSession
         if os.path.exists(state_path):
@@ -113,7 +156,9 @@ def incremental_state_sink(
         # the merge result lazily reads state_path, which the swap is about
         # to replace — materialize the plan before touching the directory
         new = new.localCheckpoint()
-        atomic_overwrite_parquet(new, state_path)
+        atomic_overwrite_parquet(
+            new, state_path, extra_files={_EPOCH_MARKER: str(epoch_id)}
+        )
 
     return write
 
@@ -201,6 +246,11 @@ def cdc_merge_sink(
     from ..sources.writers import atomic_overwrite_parquet
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        # merge_changes is idempotent under replay (same upserts/deletes
+        # re-apply to the same effect) — the epoch marker just skips the
+        # redundant re-merge job on a re-delivered batch
+        if _epoch_already_applied(snapshot_path, epoch_id):
+            return
         spark = batch.sparkSession
         data_cols = [c for c in batch.columns if c not in (op_col, seq_col)]
         if os.path.exists(snapshot_path):
@@ -213,7 +263,9 @@ def cdc_merge_sink(
         # the merge lazily reads snapshot_path, which the swap replaces —
         # materialize first (same pattern as incremental_state_sink)
         merged = merged.localCheckpoint()
-        atomic_overwrite_parquet(merged, snapshot_path)
+        atomic_overwrite_parquet(
+            merged, snapshot_path, extra_files={_EPOCH_MARKER: str(epoch_id)}
+        )
 
     return write
 
@@ -244,19 +296,23 @@ def bloom_dedup_sink(
     row semantics are irrelevant for same-key rows within one batch —
     first by key order wins deterministically).
 
-    Crash note: the survivors append and the bitmap swap are two writes,
-    so a crash between them can replay a batch whose bits are already
-    set — those rows are then dropped as "seen", i.e. replay can LOSE the
-    batch's novel rows if the append failed after the swap. Order
-    matters: append FIRST, swap bits second — then replay after a
-    mid-crash re-appends (duplicate output rows, reconcilable
-    downstream) rather than losing data."""
+    Replay safety (exactly-once): survivors land in an
+    ``epoch={id}``-overwrite directory FIRST, then the bitmap + a
+    last-applied-epoch marker swap in one atomic rename. A replayed
+    batch (checkpoint recovery) either (a) finds the marker already at
+    its epoch — both writes landed, no-op — or (b) finds the PRE-batch
+    bitmap, recomputes the identical novel set, and overwrites the same
+    epoch directory. Neither duplicates output rows nor drops novel rows
+    as "seen" — the two failure modes of the old append-then-swap form.
+    Readers take ``out_path`` (partition discovery unions the epochs)."""
     import os
 
     from ..operators import sketches
     from ..sources.writers import atomic_overwrite_parquet
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_applied(bloom_path, epoch_id):
+            return
         spark = batch.sparkSession
         w = Window.partitionBy(key_col).orderBy(*[c for c in batch.columns])
         local = (
@@ -274,14 +330,18 @@ def bloom_dedup_sink(
             state = None
             novel = local
         novel = novel.localCheckpoint()  # both writes below reuse it
-        novel.write.mode("append").parquet(out_path)  # append BEFORE bit swap
+        # output BEFORE bit swap, to an idempotent per-epoch directory
+        novel.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
         new_bits = sketches.bloom_state(
             novel, key_col, n_bits=n_bits, depth=depth, hash_fn=hash_fn
         )
         merged = (
             sketches.merge_bloom_states(state, new_bits) if state is not None else new_bits
         )
-        atomic_overwrite_parquet(merged.localCheckpoint(), bloom_path)
+        atomic_overwrite_parquet(
+            merged.localCheckpoint(), bloom_path,
+            extra_files={_EPOCH_MARKER: str(epoch_id)},
+        )
 
     return write
 
@@ -299,9 +359,12 @@ def decayed_counter_sink(
     per-key decayed state referenced to the key's latest timestamp and
     merges with the stored state — the merge law is associative and
     order-independent (``fe.merge_decayed_states``), so the maintained
-    state equals the batch recompute over all history at every trigger,
-    with O(batch + |keys|) work and no history rescan. Same atomic-swap
-    durability as :func:`incremental_state_sink`. Serve with
+    state equals the batch recompute over all history at every trigger —
+    including across checkpoint replays, because the last-applied epoch
+    id commits in the same atomic swap as the state and a re-delivered
+    batch no-ops (the merge law is NOT idempotent, so without the guard a
+    replay would double-count forever). O(batch + |keys|) work, no
+    history rescan. Serve with
     ``fe.finalize_decayed(spark.read.parquet(path), key, asof=now)``.
     """
     import os
@@ -310,6 +373,8 @@ def decayed_counter_sink(
     from ..sources.writers import atomic_overwrite_parquet
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        if _epoch_already_applied(state_path, epoch_id):
+            return
         new = fe.decayed_state(
             batch, key_col, ts_col, value_col, half_life_seconds=half_life_seconds
         )
@@ -320,7 +385,9 @@ def decayed_counter_sink(
                 prev, new, key_col, half_life_seconds=half_life_seconds
             )
         new = new.localCheckpoint()
-        atomic_overwrite_parquet(new, state_path)
+        atomic_overwrite_parquet(
+            new, state_path, extra_files={_EPOCH_MARKER: str(epoch_id)}
+        )
 
     return write
 
@@ -341,12 +408,18 @@ def distinct_counter_sink(
     from ..sources.writers import atomic_overwrite_parquet
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        # HLL union is idempotent, so replay is CORRECT without a guard —
+        # the epoch marker just skips the redundant re-union job
+        if _epoch_already_applied(state_path, epoch_id):
+            return
         new = incremental.distinct_state(batch, keys, value_col, lg_k=lg_k)
         spark = batch.sparkSession
         if os.path.exists(state_path):
             prev = spark.read.parquet(state_path)
             new = incremental.merge_distinct_states(prev, new)
         new = new.localCheckpoint()
-        atomic_overwrite_parquet(new, state_path)
+        atomic_overwrite_parquet(
+            new, state_path, extra_files={_EPOCH_MARKER: str(epoch_id)}
+        )
 
     return write

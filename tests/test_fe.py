@@ -154,6 +154,42 @@ class TestDecayedFeatures:
         b = sorted(map(tuple, ewma_prior(df.repartition(7), "k", "t", "v", **kw).collect()))
         assert a == b
 
+    def test_ewma_pathological_span_raises_loudly(self, spark):
+        """r7 guard: a 10-year history with a 1-hour half-life (~87,600
+        half-lives of span, vs the documented ~900 doubling bound) must
+        raise instead of silently rescaling through inf — and a span
+        just under the bound must still compute."""
+        import datetime as dt
+
+        from ml_feature_store_pipeline_spark.operators.fe import (
+            EWMA_SPAN_HALF_LIVES,
+            ewma_prior,
+        )
+
+        bad = spark.createDataFrame(
+            [
+                (0, 1, dt.datetime(2014, 1, 1), 1.0),
+                (1, 1, dt.datetime(2024, 1, 1), 2.0),
+            ],
+            "id long, k long, t timestamp, v double",
+        )
+        with pytest.raises(Exception, match="half-lives|half_life_seconds"):
+            ewma_prior(bad, "k", "t", "v", half_life_seconds=3600.0, tie_col="id").collect()
+
+        ok_span = dt.timedelta(seconds=3600.0 * (EWMA_SPAN_HALF_LIVES - 1))
+        ok = spark.createDataFrame(
+            [
+                (0, 1, dt.datetime(2024, 1, 1), 1.0),
+                (1, 1, dt.datetime(2024, 1, 1) + ok_span, 2.0),
+            ],
+            "id long, k long, t timestamp, v double",
+        )
+        rows = ewma_prior(
+            ok, "k", "t", "v", half_life_seconds=3600.0, tie_col="id"
+        ).collect()
+        got = {r["id"]: r["ewma_prior"] for r in rows}
+        assert got[0] == 0.0 and got[1] == pytest.approx(0.0, abs=1e-6)
+
 
 class TestScalingEncoding:
     def test_standard_scale_hand_computed(self, spark):

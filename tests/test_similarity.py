@@ -207,6 +207,31 @@ def test_semantic_dedup_no_cross_cell_pairs(spark):
     assert sorted(r["vec_id"] for r in out) == [0, 1]  # both survive: cells isolate them
 
 
+def test_semantic_dedup_auto_n_cells(spark):
+    """r7: n_cells=None derives the knob from the corpus count — same
+    result as passing the rule's value explicitly, and the rule itself
+    keeps average cell size at the target."""
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        auto_n_cells,
+        semantic_dedup,
+    )
+
+    assert auto_n_cells(0, 128) == 1
+    assert auto_n_cells(1, 10_000) == 1
+    assert auto_n_cells(10_000, 10_000) == 1
+    assert auto_n_cells(10_001, 10_000) == 2
+    assert auto_n_cells(2_000, 128) == 16
+    with pytest.raises(ValueError):
+        auto_n_cells(5, 0)
+
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")  # 500 rows
+    auto = sorted(map(tuple, semantic_dedup(emb, threshold=0.4, target_cell_size=128).collect()))
+    explicit = sorted(map(tuple, semantic_dedup(emb, threshold=0.4, n_cells=4).collect()))
+    assert auto == explicit
+
+
 def test_deterministic_centroids_stable_across_partitioning(spark):
     from ml_feature_store_pipeline_spark.operators.similarity import deterministic_centroids
 
