@@ -45,76 +45,74 @@ def _ensure_loaded() -> None:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries, so the
-# registry is emitted in an explicit priority order. Round-5 rotation (the
-# r4 verdict's item 1, and the promise in r4's own window comment): the
-# hard signal on 33 queries was last refreshed in round 2 — this window is
-# that refresh. Composition: asof_prev_order FIRST (its oracle was
-# rewritten to the explicit tie-break in r4 but left out of that window —
-# ADVICE r4 scheduled it first here), then every other round-2-only green,
-# then the queries whose code or oracle changed in round 5 (dense-index
-# negative sampling, CDC merge + the NEW schema-evolution twin, bloom
-# oracle NULL filter), the flagship anchor, and r3-only greens as fillers
-# (one per family, oldest signal next in line). Every query REGISTERED in
-# round 5 is in this window — no after-the-freeze backlog.
+# registry is emitted in an explicit priority order. Round-7 rotation (the
+# r6 verdict's item 2): the r6 window was a verbatim re-run of r5's, so 37
+# queries' most recent DRIVER green aged to round ≤3 (3 from r2, 34 from
+# r3 — the full list reconstructed from CORRECTNESS_r0{1..6}.json). This
+# window is exactly those 37, oldest signal first, plus 13 anchors: the
+# flagship, every query whose code path round 7 touched (quantization
+# Arrow registration, SemDeDup auto-tune, vectorized video fold,
+# ewma guard, dense_index checkpoint gating behind index_encode /
+# negative_sample, the NEW serving_parity_audit), and the streaming-twin /
+# multimodal family representatives riding those same files. After
+# CORRECTNESS_r07, no registry query's latest driver green predates r6.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # oracle effectively new in r4 (tie-break rewrite) — verify first
-    "asof_prev_order",
-    # the 32 other queries whose last driver-green row is round 2
-    "anti_join_customers",
-    "backfill_snapshots",
-    "band_join_price_tiers",
-    "chunk_documents",
-    "cosine_topk_blas",
-    "customer_order_counts",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "incremental_distinct_users_per_type",
-    "iqr_outlier_summary",
-    "json_props_extract",
-    "lag_lead_events",
-    "language_id",
-    "latest_event_per_user",
-    "order_price_rank_stats",
-    "pivot_event_values",
-    "quality_null_dup_stats",
-    "rolling_hour_user_spend",
-    "rollup_lineitem",
-    "running_revenue",
-    "scan_filter_project",
-    "scrub_pii_docs",
-    "semi_join_customers",
-    "set_ops_summary",
-    "topk_latest_events",
-    "tpch_q10_like",
-    "tpch_q12_like",
-    "tpch_q5_like",
-    "tpch_q6",
-    "unpivot_lineitem",
-    # round-5 code/oracle changes: re-verify on the new implementations
-    "negative_sample_pairs",
-    "merge_upsert_orders_evolve",
-    "jsd_event_type_drift",
-    "video_vhash_dup_groups",
-    "embedding_quantization_stats",
-    "robust_scale_orders",
-    "target_encode_oof_events",
+    # last driver-green in ROUND 2 — the oldest hard signal, first
+    "embedding_near_dup",
+    "sample_events_10pct",
+    "train_test_split_counts",
+    # last driver-green in ROUND 3 (registry order)
+    "minhash_signatures",
+    "ivf_ann_topk",
+    "repetition_stats_docs",
+    "sliding_window_counts",
+    "dedup_survivors_docs",
+    "stratified_sample_counts",
+    "key_skew_profile_events",
+    "interval_join_price_buckets",
+    "tfidf_terms_docs",
+    "scd2_event_type_history",
+    "pit_scd2_orders_state",
+    "embedding_norm_stats",
+    "token_histogram_docs",
+    "kmv_distinct_orderkeys",
+    "weighted_sample_events",
+    "incremental_user_value_stats",
+    "near_dup_edit_distance",
+    "hist_quantile_prices",
+    "cms_heavy_hitters_events",
+    "cube_orders",
+    "tpch_q4_like",
+    "tpch_q18_like",
+    "tpch_q14",
+    "tpch_q7_like",
+    "tpch_q15_like",
+    "tpch_q19_like",
+    "filter_in_list",
+    "lineitem_quartiles",
+    "events_per_type",
+    "distinct_parts_per_flag",
+    "revenue_by_region",
+    "quartiles_by_priority",
+    "top3_orders_per_priority",
+    "distinct_users_per_type_2stage",
     # flagship anchor
     "user_features",
-    # r3-only greens as fillers (one per family; several yielded slots to
-    # round-5 registrations — every r5-registered query is in this window)
-    "decontaminate_docs",
-    "standard_scale_events",
-    "winsorize_orders",
-    "index_encode_event_types",
-    "image_phash_dup_groups",
-    "group_scale_events",
-    "decayed_user_spend",
+    # round-7 code/oracle changes: verify on the new implementations
+    "serving_parity_audit",
+    "embedding_quantization_stats",
+    "semantic_dedup_embeddings",
+    "video_vhash_dup_groups",
     "ewma_user_spend_prior",
+    "negative_sample_pairs",
+    "index_encode_event_types",
+    # family anchors on round-7-touched files (streaming twins, multimodal
+    # banded-hamming stack, the full curation chain)
+    "incremental_distinct_users_per_type",
+    "decayed_user_spend",
+    "image_phash_dup_groups",
     "audio_afp_dup_groups",
-    "asof_events_orders_stale30d",
-    # registered in round 5: CCNet-style LM scoring — every r5 registration
-    # makes the window (tpch_q7_like, r3-green, yielded the slot)
-    "lm_quality_score_docs",
+    "corpus_curation_pipeline",
 )
 
 

@@ -1351,3 +1351,55 @@ def _install_table_profile_oracle() -> None:
 
 
 _install_table_profile_oracle()
+
+
+# ---------------------------------------------------------------------------
+# K-series: serving-parity audit as a first-class query (r7 — was pytest-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serving_parity_audit",
+    """
+    SELECT CAST(LEAST(100, COUNT(DISTINCT user_id)) AS BIGINT) AS checked,
+           CAST(0 AS BIGINT) AS n_mismatches
+    FROM events
+    """,
+)
+def q_serving_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online/offline serving-parity audit end-to-end (reference `:295-353`
+    runs validation before every insert; this is the post-publish half of
+    that contract): extract the flagship features from events, register
+    them into a throwaway FeatureStore, serve a deterministic md5-ordered
+    sample of 100 entities through the ONLINE path (cache index /
+    pushed-filter lookup), and compare byte-for-byte against the OFFLINE
+    batch read. The oracle pins the audit's two invariants on the same
+    raw table: the sample size is min(100, distinct users) and a healthy
+    store has ZERO mismatched entities — training/serving skew is the
+    classic silent feature-store failure, so "0" here is a real
+    assertion, not a tautology (test_store.py proves the audit catches a
+    poisoned serving index). The result frame is built from the report
+    dict, so it has no lineage into the temp store, which is deleted
+    before returning."""
+    import shutil
+    import tempfile
+
+    from .config import FeatureMetadata
+    from .extractors import UserEventExtractor
+    from .store import FeatureStore
+
+    events = read_table(spark, sf_dir, "events")
+    features = UserEventExtractor(amount_col="value", timestamp_col="ts").extract(events)
+    tmp = tempfile.mkdtemp(prefix="serving_parity_audit_")
+    try:
+        store = FeatureStore(spark, tmp)
+        version = store.register_features(
+            features, FeatureMetadata(description="serving-parity audit fixture")
+        )
+        report = store.validate_serving_parity(version, sample_size=100)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(report["checked"], len(report["mismatches"]))],
+        "checked long, n_mismatches long",
+    )

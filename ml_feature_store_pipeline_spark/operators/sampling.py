@@ -196,6 +196,7 @@ def dense_index(
     idx_col: str = "__idx",
     n_rows: int | None = None,
     rows_per_partition: int = 2_000_000,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Dense ``0..n−1`` index over ``df`` ordered by ``order_col`` (one
     column name or a composite list; the ordering tuples must be
@@ -219,18 +220,30 @@ def dense_index(
     ANY boundary choice (equivalence-tested), so md5-draw recipes built on
     the index (:func:`negative_sample`) are unchanged.
 
-    The range partitioning is PINNED with an eager ``localCheckpoint()``
-    before the sizes collect: ``repartitionByRange`` picks its boundaries
-    by reservoir-sampling the input, and when the sample is partial
-    (>~2M rows per partition, n_parts > 1) the sampler's seed varies per
+    The range partitioning is PINNED with an eager checkpoint before the
+    sizes collect — but only when ``n_parts > 1`` (r6 ADVICE):
+    ``repartitionByRange`` picks its boundaries by reservoir-sampling the
+    input, and when the sample is partial the sampler's seed varies per
     execution — so without the checkpoint, the sizes job and each
     downstream consumer job could each re-execute the exchange with
     DIFFERENT boundaries, silently mismatching the baked offset map
     (duplicate/skipped global indices) at exactly the scale this function
-    exists for. The checkpoint truncates lineage, so a lost block is a
-    loud recompute failure, never a silent re-sample; blocks are freed
-    with the session (the returned plan keeps consuming them, so there is
-    no safe unpersist point inside this function).
+    exists for. With a single partition there is no boundary sampling and
+    no nondeterminism, so the common small-vocab path (index_encode
+    vocabularies, negative-sample item dims) stays a lazy plan and pays
+    no materialization job. The checkpoint truncates lineage, so a lost
+    block is a loud recompute failure, never a silent re-sample; blocks
+    are freed with the session (the returned plan keeps consuming them,
+    so there is no safe unpersist point inside this function).
+
+    ``reliable_checkpoint=True`` uses ``df.checkpoint()`` (the caller
+    must have set ``spark.sparkContext.setCheckpointDir``) instead of
+    ``localCheckpoint()``. Default-off trade (r6 ADVICE): local
+    checkpoint blocks are executor-local and NON-replicated, so under
+    ``spark.dynamicAllocation`` (or any executor loss) every downstream
+    consumer of the returned plan fails unrecoverably — loud, but fatal
+    to a long-lived session. Deployments with dynamic allocation should
+    pass ``reliable_checkpoint=True`` and eat the DFS round-trip.
     """
     from pyspark.sql.window import Window
 
@@ -241,8 +254,14 @@ def dense_index(
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
+    if n_parts > 1:
+        # partial reservoir sample → nondeterministic boundaries → pin
+        ranged = (
+            ranged.checkpoint(eager=True)
+            if reliable_checkpoint
+            else ranged.localCheckpoint(eager=True)
+        )
     sizes = sorted(
         (r["__pid"], r["cnt"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

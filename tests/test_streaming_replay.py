@@ -155,6 +155,49 @@ def test_bloom_dedup_sink_replay_exactly_once(spark, tmp_path):
     assert spark.read.parquet(bloom).count() <= (1 << 12) // 32
 
 
+def test_distinct_counter_sink_replay_skips_redundant_merge(spark, tmp_path):
+    """HLL union is idempotent, so replay was already CORRECT — the guard
+    just turns the re-union into a no-op. State must be byte-stable."""
+    from ml_feature_store_pipeline_spark.operators import incremental
+    from ml_feature_store_pipeline_spark.streaming.ingest import distinct_counter_sink
+
+    state = str(tmp_path / "hll")
+    schema = "k long, v long"
+    b0 = spark.createDataFrame([(1, 10), (1, 11), (2, 10)], schema)
+    b1 = spark.createDataFrame([(1, 11), (1, 12), (3, 99)], schema)
+    sink = distinct_counter_sink(state, ["k"], "v")
+    sink(b0, 0)
+    sink(b1, 1)
+    before = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    sink(b1, 1)
+    assert sorted(tuple(r) for r in spark.read.parquet(state).collect()) == before
+    got = {
+        r["k"]: r["distinct_est"]
+        for r in incremental.finalize_distinct(spark.read.parquet(state)).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1}  # exact at these tiny cardinalities
+
+
+def test_cdc_merge_sink_guard_noops_on_same_epoch(spark, tmp_path):
+    """The epoch guard (vs merge_changes' own idempotency, covered in
+    test_cdc.py): a re-delivered epoch with the SAME id returns before any
+    job runs, leaving the snapshot directory untouched."""
+    import os
+
+    from ml_feature_store_pipeline_spark.streaming.ingest import cdc_merge_sink
+
+    snap = str(tmp_path / "snap")
+    schema = "k long, name string, op string"
+    b0 = spark.createDataFrame([(1, "a", "upsert"), (2, "b", "upsert")], schema)
+    sink = cdc_merge_sink(snap, ["k"])
+    sink(b0, 0)
+    mtime = os.path.getmtime(snap)
+    files = sorted(os.listdir(snap))
+    sink(b0, 0)  # same epoch: guard short-circuits, no swap happens
+    assert os.path.getmtime(snap) == mtime and sorted(os.listdir(snap)) == files
+    assert {r["k"] for r in spark.read.parquet(snap).collect()} == {1, 2}
+
+
 def _run_available_now(spark, src, ckpt, batch_fn):
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     q = (

@@ -144,7 +144,7 @@ DOC_OPS = (
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
-    "semantic_dedup quantization"
+    "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization"
 ).split()
 
 
@@ -626,6 +626,22 @@ def main() -> None:
                 similarity.semantic_dedup(
                     vecs, threshold=0.85, n_cells=max(args.vecs // 1000, 16)
                 ),
+                args.vecs,
+            )
+        if vecs is not None and want("semantic_dedup_auto"):
+            # r7 auto-tune: n_cells = ceil(N/target) keeps cell size constant,
+            # so per-row cost should stay FLAT across a 10× corpus growth
+            # (linear total pair work) — run the same auto knob at 0.1× and
+            # 1× and compare rows/sec
+            sub = vecs.filter((F.col("vec_id") % 10) == 0)
+            timed(
+                "semantic_dedup_auto_0.1x",
+                similarity.semantic_dedup(sub, threshold=0.85, target_cell_size=1000),
+                args.vecs // 10,
+            )
+            timed(
+                "semantic_dedup_auto_1x",
+                similarity.semantic_dedup(vecs, threshold=0.85, target_cell_size=1000),
                 args.vecs,
             )
         if docs is not None and want("audio_decode"):
