@@ -524,7 +524,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary) can hash-verify the decode; the float feature path
     (decode_image_features) is a pure function of these sums and stays
     pytest-verified (test_multimodal_streaming)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
     out = multimodal.decode_image_stats(payloads)
     # sha1 is decode-side only (DuckDB can't reconstruct the binary blob
@@ -554,7 +554,7 @@ def q_image_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the binary — any decode or DCT bug shifts a group."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit("img"), (F.col("doc_id") % 40)).alias("imgkey")
-    )
+    ).repartition(_par(spark))  # slim (id, key) shuffle BEFORE payloads exist
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "imgkey")
     hashes = multimodal.phash_images(payloads, "doc_id")
     groups = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("group_size"))
@@ -580,7 +580,7 @@ def q_audio_afp_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle never touches a byte of audio."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit("aud"), (F.col("doc_id") % 40)).alias("audkey")
-    )
+    ).repartition(_par(spark))
     payloads = multimodal.attach_fake_audio(docs, "doc_id", "audkey")
     fps = multimodal.afp_audio(payloads, "doc_id")
     groups = fps.groupBy("afp").agg(F.count(F.lit(1)).alias("group_size"))
@@ -604,7 +604,7 @@ def q_video_vhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the text/image/audio/video dedup quartet."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit("vid"), (F.col("doc_id") % 40)).alias("vidkey")
-    )
+    ).repartition(_par(spark))
     payloads = multimodal.attach_fake_video(docs, "doc_id", "vidkey", n_frames=6)
     fps = multimodal.vhash_video(payloads, "doc_id")
     groups = fps.groupBy("vhash").agg(F.count(F.lit(1)).alias("group_size"))
@@ -2116,7 +2116,7 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (energy, zero crossings, duration). The oracle re-derives the PCM from
     the generator formula in SQL — any parser defect (chunk offset,
     endianness, sign handling) shifts a statistic."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     payloads = multimodal.attach_fake_audio(docs, "doc_id", "text")
     return multimodal.decode_audio_stats(payloads)
 
@@ -2142,7 +2142,7 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames → container walk decoding only every 2nd frame → exact per-frame
     pixel stats. Sampling happens at the index level (skipped frames are
     never decoded), which is the 100 TB-relevant property."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     payloads = multimodal.attach_fake_video(docs, "doc_id", "text", n_frames=6)
     return multimodal.sample_frame_stats(payloads, every_k=2)
 
@@ -2170,6 +2170,6 @@ def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4×4 → exact integer stats of the RESIZED pixels. The oracle
     re-derives exactly which source ramp indices the floor grid picks, so
     a half-pixel offset or axis transpose breaks the hash."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
     return multimodal.resize_image_stats(payloads, out_w=4, out_h=4)

@@ -560,6 +560,64 @@ def resize_image_stats(df: DataFrame, *, out_w: int = 4, out_h: int = 4) -> Data
 
 _PHASH_RESIZE = 32
 _PHASH_BLOCK = 8
+#: DCT-II basis is input-independent — built once, not per frame (at 100k+
+#: frames/task the per-call cos() rebuild was a measured map-side hot spot).
+_PHASH_BASIS = np.cos(
+    np.pi
+    * np.arange(_PHASH_RESIZE).reshape(-1, 1)
+    * (2 * np.arange(_PHASH_RESIZE).reshape(1, -1) + 1)
+    / (2 * _PHASH_RESIZE)
+)
+_PHASH_BIT_WEIGHTS = np.left_shift(
+    np.uint64(1), np.arange(_PHASH_BLOCK * _PHASH_BLOCK, dtype=np.uint64)
+)
+
+
+def phash_pixels_batch(stack: np.ndarray) -> np.ndarray:
+    """Vectorized pHash of a same-shape frame stack ``(F, h, w, 3)`` →
+    ``(F,)`` int64 hashes. One grayscale reduction, one fancy-index
+    resize, one axis-wise median + bit-pack for the WHOLE stack — r7:
+    per-frame numpy calls on tiny frames were ~80% of the
+    video-fingerprint wall time (small-array dispatch overhead, not
+    math), so every elementwise per-frame op became one stacked op.
+
+    The DCT gemms deliberately stay a per-frame 2-D loop: a 3-D
+    ``matmul`` dispatches to a batched BLAS kernel whose float summation
+    order differs from the 2-D gemm in the last ulp, which (a) breaks
+    bit-parity with the scalar recipe and (b) — fatally — makes a
+    frame's hash depend on WHICH frames share its stack, i.e. on Arrow
+    batch composition and hence partitioning. Tiny frames make this
+    concrete: a 4×4 frame upsampled to 32×32 has 48 exactly-zero DCT
+    coefficients whose sign against the median is pure rounding noise.
+    Looped contiguous 2-D gemms are computed identically for any stack
+    size (equality with the one-frame path is pinned in tests), so
+    hashes stay a pure function of the frame."""
+    gray = stack.astype(np.float64).mean(axis=3)  # (F, h, w)
+    n_frames, h, w = gray.shape
+    ys = (np.arange(_PHASH_RESIZE) * h) // _PHASH_RESIZE
+    xs = (np.arange(_PHASH_RESIZE) * w) // _PHASH_RESIZE
+    small = np.ascontiguousarray(gray[:, ys[:, None], xs[None, :]])  # (F, 32, 32)
+    block = np.empty((n_frames, _PHASH_BLOCK * _PHASH_BLOCK))
+    for f in range(n_frames):
+        coefs = _PHASH_BASIS @ small[f] @ _PHASH_BASIS.T  # 2-D gemm, stable
+        block[f] = coefs[:_PHASH_BLOCK, :_PHASH_BLOCK].reshape(-1)
+    med = np.median(block, axis=1, keepdims=True)
+    bits = ((block > med).astype(np.uint64) * _PHASH_BIT_WEIGHTS).sum(axis=1)
+    return np.ascontiguousarray(bits).view(np.int64)  # reinterpret = signed wrap
+
+
+def phash_many(pixel_list: list[np.ndarray]) -> np.ndarray:
+    """pHash a heterogeneous list of ``(h, w, 3)`` frames, batching all
+    same-shape frames through :func:`phash_pixels_batch` (one corpus
+    usually has very few distinct dimensions, so this is ~one stacked
+    call per Arrow batch). Returns ``(len(pixel_list),)`` int64."""
+    out = np.empty(len(pixel_list), dtype=np.int64)
+    by_shape: dict[tuple[int, ...], list[int]] = {}
+    for i, px in enumerate(pixel_list):
+        by_shape.setdefault(px.shape, []).append(i)
+    for idxs in by_shape.values():
+        out[idxs] = phash_pixels_batch(np.stack([pixel_list[i] for i in idxs]))
+    return out
 
 
 def phash_pixels(pixels: np.ndarray) -> int:
@@ -570,25 +628,9 @@ def phash_pixels(pixels: np.ndarray) -> int:
     small pixel noise; hamming distance between hashes ranks visual
     similarity. Pure numpy (DCT as a basis-matrix product), bit-exact
     across platforms. Returned as a SIGNED 64-bit int (bit 63 → sign)
-    so it stores in a Spark ``long``."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    ys = (np.arange(_PHASH_RESIZE) * h) // _PHASH_RESIZE
-    xs = (np.arange(_PHASH_RESIZE) * w) // _PHASH_RESIZE
-    small = gray[np.ix_(ys, xs)]
-    n = _PHASH_RESIZE
-    k = np.arange(n).reshape(-1, 1)
-    i = np.arange(n).reshape(1, -1)
-    basis = np.cos(np.pi * k * (2 * i + 1) / (2 * n))  # DCT-II, unnormalized
-    coefs = basis @ small @ basis.T
-    block = coefs[:_PHASH_BLOCK, :_PHASH_BLOCK].flatten()
-    med = float(np.median(block))
-    # vectorized bit pack (the per-bit python loop was the map-side hot
-    # spot at 200k+ frames): uint64 weights, wrap to signed at the end
-    bits = int(((block > med).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-    if bits >= 1 << 63:
-        bits -= 1 << 64
-    return bits
+    so it stores in a Spark ``long``. Scalar facade over
+    :func:`phash_pixels_batch` — hot paths hash whole stacks."""
+    return int(phash_pixels_batch(pixels[None, ...])[0])
 
 
 def phash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -600,12 +642,15 @@ def phash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                out.append(
-                    (int(doc_id), phash_pixels(decode_ppm(bytes(payload))))
-                )
-            yield pd.DataFrame(out, columns=[id_col, "phash"])
+            pixels = [decode_ppm(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy(),
+                    # one stacked pHash per distinct frame shape in the
+                    # Arrow batch, not one numpy pipeline per image
+                    "phash": phash_many(pixels) if pixels else np.array([], dtype=np.int64),
+                }
+            )
 
     return df.select(id_col, "payload").mapInPandas(
         hash_batch, f"{id_col} long, phash long"
@@ -669,16 +714,18 @@ def vhash_frames(frames: list[np.ndarray]) -> int:
     sampling needs at scale. Signed 64-bit for Spark ``long`` storage."""
     if not frames:
         return 0
-    hashes = np.array(
-        [phash_pixels(fr) & ((1 << 64) - 1) for fr in frames], dtype=np.uint64
-    )
-    # unpack all 64 bit-planes at once: little-endian bit k of the uint64
-    # byte view is exactly (h >> k) & 1, so column sums are the per-bit
-    # frame counts — no per-frame 64-iteration Python loop
+    return _fold_majority(phash_many(frames).view(np.uint64))
+
+
+def _fold_majority(hashes: np.ndarray) -> int:
+    """Majority-bit fold of a non-empty uint64 hash array → signed int.
+    Unpacks all 64 bit-planes at once: little-endian bit k of the uint64
+    byte view is exactly ``(h >> k) & 1``, so column sums are the per-bit
+    frame counts — no per-frame 64-iteration Python loop."""
     planes = np.unpackbits(
-        hashes[:, None].view(np.uint8), axis=1, bitorder="little"
+        np.ascontiguousarray(hashes)[:, None].view(np.uint8), axis=1, bitorder="little"
     )
-    majority = planes.sum(axis=0, dtype=np.int64) * 2 >= len(frames)
+    majority = planes.sum(axis=0, dtype=np.int64) * 2 >= len(hashes)
     bits = int(np.packbits(majority, bitorder="little").view(np.uint64)[0])
     if bits >= 1 << 63:
         bits -= 1 << 64
@@ -691,15 +738,32 @@ def vhash_video(df: DataFrame, id_col: str = "doc_id", *, every_k: int = 1) -> D
     frame, majority-fold to one 64-bit signature. Arrow-batched
     ``mapInPandas``; feed :func:`~.dedup.hamming_near_pairs` for
     near-duplicate video search — the same banded engine as SimHash,
-    image pHash, and the audio fingerprint."""
+    image pHash, and the audio fingerprint. All sampled frames of ALL
+    videos in an Arrow batch pHash as one stacked pipeline
+    (:func:`phash_many`); only the cheap per-video majority fold loops in
+    Python."""
 
     def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            ids: list[int] = []
+            counts: list[int] = []
+            all_frames: list[np.ndarray] = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 frames = [px for _idx, px in decode_frames(bytes(payload), every_k=every_k)]
-                out.append((int(doc_id), vhash_frames(frames)))
-            yield pd.DataFrame(out, columns=[id_col, "vhash"])
+                ids.append(int(doc_id))
+                counts.append(len(frames))
+                all_frames.extend(frames)
+            hashes = (
+                phash_many(all_frames).view(np.uint64)
+                if all_frames
+                else np.empty(0, dtype=np.uint64)
+            )
+            vhashes: list[int] = []
+            pos = 0
+            for c in counts:
+                vhashes.append(_fold_majority(hashes[pos : pos + c]) if c else 0)
+                pos += c
+            yield pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64), "vhash": vhashes})
 
     return df.select(id_col, "payload").mapInPandas(
         fp_batch, f"{id_col} long, vhash long"
