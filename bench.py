@@ -86,6 +86,15 @@ HEADLINE_R4 = [
     "quantile_bin_orders",
 ]
 
+#: Round 7 adds the serving-parity audit — the one operator family
+#: (store lifecycle: register → serve → compare) never perf-tracked; its
+#: cost is dominated by the store's own write/read jobs, which is exactly
+#: what to watch. "r06_headline_total" (== the r5/r6 48-query definition)
+#: keeps round-over-round comparability.
+HEADLINE_R7 = [
+    "serving_parity_audit",
+]
+
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed
 #: negative sampler (two-level dense index — its cost vs r4's
 #: single-task window is the point), and the ANALYZE profile.
@@ -141,7 +150,7 @@ def main() -> None:
     # page cache, so min() reports steady-state engine time instead of
     # whichever run a noisy neighbor landed on. Both runs materialize fully.
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5:
+    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7:
         fn = registry[name]
         best = float("inf")
         for _ in range(2):
@@ -169,6 +178,17 @@ def main() -> None:
                     sum(
                         timings[n]
                         for n in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4
+                    ),
+                    3,
+                ),
+                "r06_headline_total": round(
+                    sum(
+                        timings[n]
+                        for n in HEADLINE
+                        + HEADLINE_R2
+                        + HEADLINE_R3
+                        + HEADLINE_R4
+                        + HEADLINE_R5
                     ),
                     3,
                 ),

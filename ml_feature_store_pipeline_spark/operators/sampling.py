@@ -262,6 +262,13 @@ def dense_index(
             if reliable_checkpoint
             else ranged.localCheckpoint(eager=True)
         )
+    else:
+        # deterministic (no boundary sampling), so lineage can stay — but
+        # the sizes collect AND every downstream consumer execute this
+        # subplan, so cache it lazily: materializes as a side effect of
+        # the sizes job (no extra job, unlike the eager checkpoint), and a
+        # lost block recomputes identically instead of failing
+        ranged = ranged.persist()
     sizes = sorted(
         (r["__pid"], r["cnt"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
