@@ -344,6 +344,38 @@ class TestPhash:
         big2 = phash_pixels(_fake_pixels("scale-probe", 32, 32))
         assert big1 == big2 and isinstance(small, int)
 
+    def test_phash_independent_of_batch_composition(self):
+        """r7 determinism pin: a frame's hash must be a pure function of
+        the frame — identical whether hashed alone, in the full list, or
+        in any shuffled sub-batch. This is the property that forbids the
+        batched 3-D matmul DCT (whose BLAS path differs in the last ulp
+        and flips median-threshold bits on small frames): if it ever
+        regresses, dup groups would depend on Arrow batch boundaries and
+        hence on partitioning."""
+        import random
+
+        import numpy as np
+
+        from ml_feature_store_pipeline_spark.operators.multimodal import (
+            phash_many,
+            phash_pixels,
+            phash_pixels_batch,
+        )
+
+        rng = np.random.default_rng(11)
+        frames = [
+            rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+            for shape in [(4, 4), (7, 5), (32, 32), (64, 48)]
+            for _ in range(10)
+        ]
+        full = phash_many(frames).tolist()
+        singles = [phash_pixels(f) for f in frames]
+        assert full == singles
+        assert [int(phash_pixels_batch(f[None, ...])[0]) for f in frames] == singles
+        idx = list(range(len(frames)))
+        random.Random(9).shuffle(idx)
+        assert phash_many([frames[i] for i in idx]).tolist() == [full[i] for i in idx]
+
 
 class TestAudioFingerprint:
     def test_identical_clips_collide_distinct_do_not(self, spark):

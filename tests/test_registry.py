@@ -1,10 +1,12 @@
 """Driver-window invariants: the driver hash-verifies only the FIRST 50
-``queries()`` entries, so the registry order is load-bearing. Round-5
-rotation (VERDICT r4 item 1): the window must contain every query whose
-most recent driver-green row is round 2 (the aging hard signal — r4's
-window traded them for first-time verifications and promised this
-refresh), every query whose code or oracle changed in round 5, and every
-query REGISTERED in round 5 (no after-the-freeze backlog)."""
+``queries()`` entries, so the registry order is load-bearing. Round-7
+rotation (VERDICT r6 item 2): the r6 window re-ran r5's verbatim, so the
+window must now contain every query whose most recent driver-green row is
+round 3 or older (the aging hard signal, reconstructed from
+CORRECTNESS_r0{1..6}.json), plus the flagship and every query whose code
+path round 7 touched (streaming-adjacent twins, the vectorized multimodal
+stack, quantization Arrow registration, SemDeDup auto-tune, ewma guard,
+dense_index gating, and the new serving-parity audit)."""
 
 from __future__ import annotations
 
@@ -14,92 +16,64 @@ from ml_feature_store_pipeline_spark.harness import (
     query_registry,
 )
 
-# Last driver-green row is CORRECTNESS_r02.json (33 queries; r3/r4 windows
-# spent their slots on never-verified queries instead). 32 of the 33 are in
-# the r5 window; sample_events_10pct yielded its slot to the final round-5
-# registration (video fingerprint) because its md5-bucket predicate recipe
-# is freshly driver-exercised in-window via the negative-sampler draws and
-# the OOF fold hashing, and it passed the local three-SF sweep; the same
-# rationale let train_test_split_counts (the same md5-bucket family) yield to
-# the int8 quantization registration, and embedding_near_dup (similarity
-# family keeps cosine_topk_blas + the quantization audit in-window) to the
-# HLL distinct-state registration.
-LAST_GREEN_IN_R2 = [
-    "anti_join_customers",
-    "asof_prev_order",  # oracle rewritten in r4 (tie-break) — ADVICE says first
-    "backfill_snapshots",
-    "band_join_price_tiers",
-    "chunk_documents",
-    "cosine_topk_blas",
-    "customer_order_counts",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "iqr_outlier_summary",
-    "json_props_extract",
-    "lag_lead_events",
-    "language_id",
-    "latest_event_per_user",
-    "order_price_rank_stats",
-    "pivot_event_values",
-    "quality_null_dup_stats",
-    "rolling_hour_user_spend",
-    "rollup_lineitem",
-    "running_revenue",
-    "scan_filter_project",
-    "scrub_pii_docs",
-    "semi_join_customers",
-    "set_ops_summary",
-    "topk_latest_events",
-    "tpch_q10_like",
-    "tpch_q12_like",
-    "tpch_q5_like",
-    "tpch_q6",
-    "unpivot_lineitem",
+# Last driver-green row is round 2 (these three yielded r5-window slots to
+# round-5 registrations and aged another two rounds — oldest signal first).
+LAST_GREEN_LE_R2 = [
+    "embedding_near_dup",
+    "sample_events_10pct",
+    "train_test_split_counts",
 ]
 
-# Code or oracle changed in round 5 — must re-verify on the new form.
-CHANGED_IN_R5 = [
-    "negative_sample_pairs",  # two-level dense index (draws bit-identical)
-    # merge_upsert_orders' r5 change (the evolution guard) is driver-covered by
-    # merge_upsert_orders_evolve — same merge_changes path, stricter branch; the
-    # plain form yielded its slot to round-5 registrations
-    # bloom_prune_lineitem's oracle gained a NULL-key filter in r5 — a no-op
-    # for its non-nullable keys, re-verified locally at three SFs; it yielded
-    # its driver slot to the JSD drift registration (first-time row wins)
-    # NOTE: the as-of tolerance refactor is driver-covered by asof_prev_order
-    # (default joins.asof_join path, window slot 1) + asof_events_orders_stale30d
-    # (the carry_ts/tolerance path) — asof_events_orders itself yielded its slot
-    # to the round-5 audio fingerprint registration.
+# Last driver-green row is round 3 (34 queries; the r4 window spent its
+# slots on first-time verifications, and r5/r6 repeated one fixed window).
+LAST_GREEN_R3 = [
+    "minhash_signatures",
+    "ivf_ann_topk",
+    "repetition_stats_docs",
+    "sliding_window_counts",
+    "dedup_survivors_docs",
+    "stratified_sample_counts",
+    "key_skew_profile_events",
+    "interval_join_price_buckets",
+    "tfidf_terms_docs",
+    "scd2_event_type_history",
+    "pit_scd2_orders_state",
+    "embedding_norm_stats",
+    "token_histogram_docs",
+    "kmv_distinct_orderkeys",
+    "weighted_sample_events",
+    "incremental_user_value_stats",
+    "near_dup_edit_distance",
+    "hist_quantile_prices",
+    "cms_heavy_hitters_events",
+    "cube_orders",
+    "tpch_q4_like",
+    "tpch_q18_like",
+    "tpch_q14",
+    "tpch_q7_like",
+    "tpch_q15_like",
+    "tpch_q19_like",
+    "filter_in_list",
+    "lineitem_quartiles",
+    "events_per_type",
+    "distinct_parts_per_flag",
+    "revenue_by_region",
+    "quartiles_by_priority",
+    "top3_orders_per_priority",
+    "distinct_users_per_type_2stage",
 ]
 
-# ngram_jaccard_pairs' r5 change (pair-stage partition scaling + optional
-# posting cap) alters plan shape only — same operators, same semantics; the
-# registered query re-passed the oracle gate at all three SFs and the plan
-# audit post-change, and r4's window holds its last driver-green row. It
-# did not displace a registration or an r2 refresh.
-
-# Registered during round 5 — every registration makes the window.
-REGISTERED_IN_R5 = [
-    "merge_upsert_orders_evolve",
-    "lm_quality_score_docs",
-    "asof_events_orders_stale30d",
-    "decayed_user_spend",
-    "ewma_user_spend_prior",
-    "standard_scale_events",
-    "winsorize_orders",
-    "index_encode_event_types",
-    "decontaminate_docs",
-    "image_phash_dup_groups",
-    "group_scale_events",
-    "audio_afp_dup_groups",
-    "jsd_event_type_drift",
-    "robust_scale_orders",
-    "target_encode_oof_events",
-    "video_vhash_dup_groups",
-    "embedding_quantization_stats",
-    "incremental_distinct_users_per_type",
+# Code or oracle changed (or first registered) in round 7 — must verify on
+# the new implementations.
+CHANGED_OR_NEW_IN_R7 = [
+    "serving_parity_audit",           # NEW: store-lifecycle parity audit
+    "embedding_quantization_stats",   # registered query now runs the Arrow twin
+    "semantic_dedup_embeddings",      # auto-tuned n_cells + oracle cell-count rule
+    "video_vhash_dup_groups",         # batched pHash + majority fold + repartition
+    "ewma_user_spend_prior",          # runtime span/half-life guard in the expression
+    "negative_sample_pairs",          # dense_index checkpoint gating + lazy persist
+    "index_encode_event_types",       # same dense_index path
 ]
-
 
 def test_window_is_exactly_the_first_50_entries():
     names = list(query_registry())
@@ -113,12 +87,14 @@ def test_every_window_entry_has_an_oracle():
     assert missing == []
 
 
-def test_round5_rotation_policy_is_in_window():
-    for group in (LAST_GREEN_IN_R2, CHANGED_IN_R5, REGISTERED_IN_R5):
+def test_round7_rotation_policy_is_in_window():
+    for group in (LAST_GREEN_LE_R2, LAST_GREEN_R3, CHANGED_OR_NEW_IN_R7):
         out = [n for n in group if n not in DRIVER_WINDOW]
         assert out == []
-    # the advisor asked for asof_prev_order FIRST (its oracle is newest)
-    assert DRIVER_WINDOW[0] == "asof_prev_order"
+    # oldest hard signal first: the three round-2-only greens lead
+    assert list(DRIVER_WINDOW[:3]) == LAST_GREEN_LE_R2
+    # the 37 stale queries fill the front of the window before the anchors
+    assert set(DRIVER_WINDOW[:37]) == set(LAST_GREEN_LE_R2 + LAST_GREEN_R3)
 
 
 def test_every_oracle_has_a_query():
