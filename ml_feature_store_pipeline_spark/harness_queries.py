@@ -1403,3 +1403,68 @@ def q_serving_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(report["checked"], len(report["mismatches"]))],
         "checked long, n_mismatches long",
     )
+
+
+@register(
+    "table_profile_orders_approx",
+    """
+    SELECT col_name, n_rows, n_nulls, min_num, max_num, min_str, max_str,
+           TRUE AS nd_within_5pct
+    FROM (
+      SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+             CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+             CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+             CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM orders
+    )
+    """,
+)
+def q_table_profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB mode of the ANALYZE profile (r7: previously
+    pytest-only while the exact form carried the driver row): per-column
+    distincts via HLL sketches instead of exact countDistinct, turning the
+    profile's one expensive expand/two-phase aggregation into a single
+    partial-merged pass. Counts, null counts, and min/max are EXACT in
+    both modes and hash-compare directly; the sketch estimate is checked
+    as a bounded invariant in the ANN-recall style — Spark computes
+    ``nd_within_5pct`` against its own exact distinct (HLL is
+    deterministic, so the flag is stable), DuckDB asserts the same exact
+    columns and the literal bound."""
+    from .operators.profile import table_profile
+
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    approx = table_profile(o, cols, approximate=True)
+    exact = table_profile(o, cols).select(
+        F.col("col_name"), F.col("n_distinct").alias("__nd_exact")
+    )
+    return (
+        approx.join(exact, "col_name")
+        .select(
+            "col_name", "n_rows", "n_nulls", "min_num", "max_num",
+            "min_str", "max_str",
+            (
+                F.abs(F.col("n_distinct") - F.col("__nd_exact"))
+                <= 0.05 * F.col("__nd_exact")
+            ).alias("nd_within_5pct"),
+        )
+    )

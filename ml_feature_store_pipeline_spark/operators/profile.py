@@ -26,7 +26,11 @@ _NUMERIC = {"byte", "short", "integer", "long", "float", "double", "decimal"}
 
 
 def table_profile(
-    df: DataFrame, cols: list[str] | None = None, *, approximate: bool = False
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    approximate: bool = False,
+    rsd: float = 0.01,
 ) -> DataFrame:
     """Per-column profile: one row per column with
     ``(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
@@ -40,7 +44,10 @@ def table_profile(
         t = fields[c]
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"))
-        nd = F.approx_count_distinct(col) if approximate else F.countDistinct(col)
+        # rsd=0.01 (vs Spark's 0.05 default): the profile's distincts feed
+        # capacity planning, so a tight sketch (~a few KB per column) is
+        # the right trade; still one partial-merged pass, no expand
+        nd = F.approx_count_distinct(col, rsd) if approximate else F.countDistinct(col)
         aggs.append(nd.cast("long").alias(f"__nd_{c}"))
         if t in _NUMERIC or t.startswith("decimal"):
             aggs.append(F.min(col).cast("double").alias(f"__min_{c}"))
