@@ -98,21 +98,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "distinct_users_per_type_2stage",
     # flagship anchor
     "user_features",
-    # round-7 code/oracle changes: verify on the new implementations
+    # round-7 registrations and code/oracle changes: verify on the new
+    # implementations (every r7 registration makes the window)
     "serving_parity_audit",
+    "table_profile_orders_approx",
+    "ml_quality_filter_docs",
     "embedding_quantization_stats",
     "semantic_dedup_embeddings",
     "video_vhash_dup_groups",
     "ewma_user_spend_prior",
     "negative_sample_pairs",
     "index_encode_event_types",
-    # family anchors on round-7-touched files (streaming twins, multimodal
-    # banded-hamming stack, the full curation chain)
+    # family anchors on round-7-touched files (the multimodal repartition +
+    # batched-pHash stack; the HLL streaming twin). decayed_user_spend and
+    # corpus_curation_pipeline — r6-green, code untouched this round —
+    # yielded their slots to the two r7 registrations above.
     "incremental_distinct_users_per_type",
-    "decayed_user_spend",
     "image_phash_dup_groups",
     "audio_afp_dup_groups",
-    "corpus_curation_pipeline",
 )
 
 

@@ -727,6 +727,86 @@ def q_ml_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_quality_filter_docs",
+    f"""
+    WITH t AS (
+      SELECT list_contains({_SQL_TOKS.format(t='lower(text)')}, 'spark') AS pos
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           TRUE AS auc_above_0p9,
+           TRUE AS scores_in_unit,
+           TRUE AS keep_rate_monotone
+    FROM t
+    """,
+)
+def q_ml_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style classifier quality filter end-to-end (Brown et al.
+    2020 §A: logistic regression over tf-idf features + Pareto-thresholded
+    importance sampling — the canonical classifier-based corpus filter;
+    r7): weak label = the doc contains the token ``spark`` (a REAL text
+    feature DuckDB recomputes exactly, so the label column is
+    hash-verified), train LR on hashed TF-IDF, score every doc, then keep
+    via the deterministic md5 Pareto draw. Bounded invariants in the
+    ANN-recall style: train AUC must clear 0.9 (the label's token is in
+    the feature space, so a working tokenize→hash→IDF→LBFGS→score chain
+    separates it nearly perfectly — measured ≈1.0; a broken stage drops
+    it toward 0.5), every sigmoid score must lie in [0, 1], and the
+    Pareto keep-rate must be monotone in score (kept fraction of
+    positives ≥ kept fraction of negatives — the margin is ~99% vs ~1%
+    at these score separations)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from .functions import tokens as _tokens
+    from .operators import mlfeatures
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .repartition(_par(spark))
+        .withColumn(
+            "is_quality",
+            F.array_contains(_tokens(F.lower(F.col("text"))), "spark"),
+        )
+    )
+    scored = mlfeatures.quality_classifier_scores(
+        docs, "doc_id", "text", "is_quality"
+    ).localCheckpoint(eager=False)  # AUC eval + 3 aggregates share the fit
+    auc = BinaryClassificationEvaluator(
+        labelCol="is_quality", rawPredictionCol="quality_score",
+        metricName="areaUnderROC",
+    ).evaluate(scored.withColumn("is_quality", F.col("is_quality").cast("double")))
+    kept = mlfeatures.pareto_quality_keep(scored, "doc_id")
+    rates = (
+        scored.withColumn("__kept", F.lit(0))
+        .unionByName(kept.withColumn("__kept", F.lit(1)))
+        .groupBy("is_quality")
+        .agg((F.sum("__kept") / F.count(F.lit(1))).alias("rate"))
+    )
+    pos_rate = F.max(F.when(F.col("is_quality") == 1.0, F.col("rate")))
+    neg_rate = F.max(F.when(F.col("is_quality") == 0.0, F.col("rate")))
+    summary = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("is_quality").cast("long")).cast("long").alias("n_positive"),
+        (
+            F.min("quality_score") >= 0.0
+        ).alias("__lo"),
+        (F.max("quality_score") <= 1.0).alias("__hi"),
+    )
+    mono = rates.agg((pos_rate >= neg_rate).alias("keep_rate_monotone"))
+    return (
+        summary.crossJoin(mono)
+        .select(
+            "n_docs",
+            "n_positive",
+            F.lit(bool(auc > 0.9)).alias("auc_above_0p9"),
+            (F.col("__lo") & F.col("__hi")).alias("scores_in_unit"),
+            "keep_rate_monotone",
+        )
+    )
+
+
+@register(
     "ml_minhash_near_dup",
     f"""
     WITH t AS (

@@ -146,3 +146,72 @@ def standardize_embeddings(
     return model.transform(as_vec).select(
         F.col(id_col), vector_to_array("__scaled").alias("scaled_embedding")
     )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    num_features: int = 1 << 12,
+    max_iter: int = 25,
+    reg_param: float = 0.01,
+) -> DataFrame:
+    """GPT-3-style classifier quality filter, stage 1: train a logistic
+    regression on hashed TF-IDF features against a weak binary label
+    (Brown et al. 2020 §A: an LR over tf-idf features scoring Common
+    Crawl against a curated positive class) and score EVERY document.
+    Returns ``(id_col, label_col, quality_score)`` with the score in
+    (0, 1) by sigmoid construction.
+
+    Scale shape: HashingTF is stateless (no vocabulary shuffle), IDF.fit
+    is one aggregation, and each LBFGS iteration is one treeAggregate
+    over the cached feature frame — ``max_iter`` bounded passes, no
+    driver-side data. The trained coefficients are ``num_features``
+    doubles on the driver (bounded, corpus-size-independent); scoring is
+    a narrow per-row op."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = tfidf_vectors(docs, id_col, text_col, num_features=num_features)
+    train = feats.join(
+        docs.select(F.col(id_col), F.col(label_col).cast("double").alias("__label")),
+        id_col,
+    )
+    lr = LogisticRegression(
+        featuresCol="tfidf", labelCol="__label", maxIter=max_iter,
+        regParam=reg_param, standardization=True,
+    )
+    model = lr.fit(train)
+    scored = model.transform(train)
+    prob = vector_to_array("probability")[1]
+    return scored.select(
+        F.col(id_col),
+        F.col("__label").alias(label_col),
+        prob.alias("quality_score"),
+    )
+
+
+def pareto_quality_keep(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str = "quality_score",
+    *,
+    alpha: float = 9.0,
+    salt: str = "",
+) -> DataFrame:
+    """GPT-3-style classifier quality filter, stage 2: stochastic-but-
+    DETERMINISTIC importance sampling. The paper keeps a document iff
+    ``np.random.pareto(alpha) > 1 - score`` — high-quality docs almost
+    surely survive, low-quality docs survive occasionally (preserving
+    tail diversity instead of hard-thresholding). The md5 twin replaces
+    the RNG with an inverse-CDF draw from a per-doc uniform
+    (``u = md5_fraction(id, salt)``; Pareto draw ``= (1-u)^(-1/alpha) -
+    1``), so the kept set is reproducible across runs, engines, and
+    partitionings — same property as ``sampling.sample_fraction``. Pure
+    codegen filter on the scan; no shuffle."""
+    from .sketches import hash_fraction
+
+    u = hash_fraction(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
+    return scored.filter(draw > (F.lit(1.0) - F.col(score_col)))

@@ -68,3 +68,41 @@ def test_standardize_embeddings_moments(spark):
     assert arr.shape == (200, 4)
     np.testing.assert_allclose(arr.mean(axis=0), 0.0, atol=1e-6)
     np.testing.assert_allclose(arr.std(axis=0, ddof=1), 1.0, atol=1e-2)
+
+
+def test_quality_classifier_separates_planted_label_and_pareto_keep(spark):
+    """r7 GPT-3-style quality filter: LR over hashed TF-IDF must
+    near-perfectly separate a label that is itself a text feature
+    (presence of a planted token), scores are valid probabilities, and
+    the deterministic Pareto keep is reproducible and score-monotone."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_pipeline_spark.operators.mlfeatures import (
+        pareto_quality_keep,
+        quality_classifier_scores,
+    )
+
+    rows = []
+    for i in range(120):
+        good = i % 3 == 0
+        body = "alpha beta gamma delta " * 4
+        rows.append((i, ("goldtoken " + body) if good else body, good))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_quality boolean")
+    scored = quality_classifier_scores(docs, "doc_id", "text", "is_quality")
+    got = {r["doc_id"]: r for r in scored.collect()}
+    assert len(got) == 120
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in got.values())
+    pos = [r["quality_score"] for r in got.values() if r["is_quality"]]
+    neg = [r["quality_score"] for r in got.values() if not r["is_quality"]]
+    assert min(pos) > max(neg)  # perfect separation on the planted token
+
+    kept1 = sorted(r["doc_id"] for r in pareto_quality_keep(scored, "doc_id").collect())
+    kept2 = sorted(
+        r["doc_id"]
+        for r in pareto_quality_keep(scored.repartition(7), "doc_id").collect()
+    )
+    assert kept1 == kept2  # md5 draw: partitioning-independent
+    kept_set = set(kept1)
+    pos_rate = sum(1 for i in kept_set if i % 3 == 0) / len(pos)
+    neg_rate = sum(1 for i in kept_set if i % 3 != 0) / len(neg)
+    assert pos_rate > neg_rate  # importance sampling is score-monotone
