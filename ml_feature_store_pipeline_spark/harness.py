@@ -103,6 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "serving_parity_audit",
     "table_profile_orders_approx",
     "ml_quality_filter_docs",
+    "semantic_decontaminate_embeddings",
     "embedding_quantization_stats",
     "semantic_dedup_embeddings",
     "video_vhash_dup_groups",
@@ -110,10 +111,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "negative_sample_pairs",
     "index_encode_event_types",
     # family anchors on round-7-touched files (the multimodal repartition +
-    # batched-pHash stack; the HLL streaming twin). decayed_user_spend and
-    # corpus_curation_pipeline — r6-green, code untouched this round —
-    # yielded their slots to the two r7 registrations above.
-    "incremental_distinct_users_per_type",
+    # batched-pHash stack). decayed_user_spend, corpus_curation_pipeline,
+    # and incremental_distinct_users_per_type — r6-green, code untouched
+    # this round — yielded their slots to the r7 registrations above.
     "image_phash_dup_groups",
     "audio_afp_dup_groups",
 )

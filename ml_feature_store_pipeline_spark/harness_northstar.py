@@ -727,6 +727,41 @@ def q_ml_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_decontaminate_embeddings",
+    f"""
+    WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0),
+    m AS (
+      SELECT t.vec_id,
+             ROUND(MAX({_COS_SQL.format(a='t.embedding', b='c.embedding')}), 9)
+               AS max_eval_cosine
+      FROM embeddings t, ev c
+      WHERE t.vec_id % 50 <> 0
+      GROUP BY t.vec_id
+    )
+    SELECT vec_id, max_eval_cosine,
+           max_eval_cosine >= 0.98 AS contaminated
+    FROM m
+    """,
+)
+def q_semantic_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (r7): a 2% slice of the
+    embeddings table plays the eval benchmark; every train vector gets its
+    max cosine against the broadcast eval set and a contamination flag at
+    0.98 — the semantic complement of the 13-gram `decontaminate_docs`
+    rule (a paraphrase shares few 13-grams but a near-identical
+    embedding). Zero shuffles, zero joins: the eval vectors collapse to
+    one broadcast array row and the max-cosine is a codegen
+    array_max(transform(...)) on the train scan. The oracle replays the
+    exact max-cosine per train vector and the threshold on the rounded
+    value."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    tr = emb.filter(F.col("vec_id") % 50 != 0)
+    out = similarity.semantic_decontaminate(tr, ev, threshold=0.98)
+    return out.select("vec_id", "max_eval_cosine", "contaminated")
+
+
+@register(
     "ml_quality_filter_docs",
     f"""
     WITH t AS (

@@ -640,3 +640,48 @@ def quantization_fidelity_blas(
     return df.select(id_col, vec_col).mapInPandas(
         audit, f"{id_col} long, scale double, cos_fidelity double"
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    drop: bool = False,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic complement
+    of the GPT-3 13-gram rule (``dedup.ngram_overlap_pairs``): a train
+    document paraphrased from an eval document shares few 13-grams but a
+    near-identical embedding, so serious pipelines run BOTH rules. Each
+    train row gets ``max_eval_cosine`` (its similarity to the closest
+    eval vector, rounded for engine-stable comparison) and a
+    ``contaminated`` flag (``round(max_cos) >= threshold``); with
+    ``drop=True`` only clean rows survive.
+
+    Scale shape: the eval side is benchmark-sized by nature, so its
+    vectors collapse to ONE broadcast array row and the max-cosine is a
+    pure codegen ``array_max(transform(...))`` over the train scan —
+    zero shuffles, zero joins, the train corpus streams through once.
+    (|eval|·dim work per train row; for benchmark-scale eval that is the
+    same map-side cost profile as the broadcast n-gram rule.)"""
+    from ..functions import cosine_similarity
+
+    ev_row = eval_df.agg(F.collect_list(F.col(vec_col)).alias("__evs"))
+    max_cos = F.round(
+        F.array_max(
+            F.transform(
+                F.col("__evs"), lambda e: cosine_similarity(F.col(vec_col), e)
+            )
+        ),
+        round_digits,
+    )
+    out = (
+        train.crossJoin(F.broadcast(ev_row))
+        .withColumn("max_eval_cosine", max_cos)
+        .withColumn("contaminated", F.col("max_eval_cosine") >= F.lit(threshold))
+        .drop("__evs")
+    )
+    return out.filter(~F.col("contaminated")).drop("contaminated") if drop else out

@@ -69,6 +69,7 @@ CHANGED_OR_NEW_IN_R7 = [
     "serving_parity_audit",           # NEW: store-lifecycle parity audit
     "table_profile_orders_approx",    # NEW: the 100 TB HLL profile mode
     "ml_quality_filter_docs",         # NEW: GPT-3-style LR quality filter
+    "semantic_decontaminate_embeddings",  # NEW: embedding-space decontamination
     "embedding_quantization_stats",   # registered query now runs the Arrow twin
     "semantic_dedup_embeddings",      # auto-tuned n_cells + oracle cell-count rule
     "video_vhash_dup_groups",         # batched pHash + majority fold + repartition

@@ -310,3 +310,37 @@ def test_quantization_blas_matches_codegen_form(spark):
     a = sorted(map(tuple, quantization_fidelity(emb, "vec_id", "embedding").collect()))
     b = sorted(map(tuple, quantization_fidelity_blas(emb, "vec_id", "embedding").collect()))
     assert a == b
+
+
+def test_semantic_decontaminate_flags_planted_near_dup(spark):
+    """r7: a train vector nearly identical to an eval vector is flagged;
+    orthogonal vectors are not; drop=True removes exactly the flagged
+    rows; zero shuffles in the plan (broadcast eval + codegen max)."""
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, [0.999, 0.01, 0.0]),   # ~eval 100 → contaminated
+            (2, [0.0, 0.0, 1.0]),      # orthogonal to both → clean
+            (3, [0.01, 0.998, 0.0]),   # ~eval 101 → contaminated
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_decontaminate(tr, ev, threshold=0.95).collect()}
+    assert out[1]["contaminated"] and out[3]["contaminated"]
+    assert not out[2]["contaminated"]
+    kept = semantic_decontaminate(tr, ev, threshold=0.95, drop=True)
+    assert [r["vec_id"] for r in kept.collect()] == [2]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # the ONLY exchange is the eval side's collect_list global aggregate
+    # (benchmark-sized by contract); the train scan crosses none
+    non_broadcast = plan.replace("BroadcastExchange", "")
+    assert non_broadcast.count("Exchange") == non_broadcast.count(
+        "Exchange SinglePartition"
+    )
