@@ -104,18 +104,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "table_profile_orders_approx",
     "ml_quality_filter_docs",
     "semantic_decontaminate_embeddings",
+    "training_shard_stats",
     "embedding_quantization_stats",
     "semantic_dedup_embeddings",
     "video_vhash_dup_groups",
     "ewma_user_spend_prior",
     "negative_sample_pairs",
     "index_encode_event_types",
-    # family anchors on round-7-touched files (the multimodal repartition +
-    # batched-pHash stack). decayed_user_spend, corpus_curation_pipeline,
-    # and incremental_distinct_users_per_type — r6-green, code untouched
-    # this round — yielded their slots to the r7 registrations above.
+    # family anchor on the round-7 multimodal repartition + batched-pHash
+    # stack (one representative; its siblings were three-SF verified
+    # locally this round). decayed_user_spend, corpus_curation_pipeline,
+    # incremental_distinct_users_per_type, and audio_afp_dup_groups —
+    # r6-green — yielded their slots to the r7 registrations above.
     "image_phash_dup_groups",
-    "audio_afp_dup_groups",
 )
 
 

@@ -1468,3 +1468,44 @@ def q_table_profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("nd_within_5pct"),
         )
     )
+
+
+@register(
+    "training_shard_stats",
+    """
+    WITH s AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 16 AS shard,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+               AS n_toks,
+             (list_sum(list_transform(range(13), i ->
+                (strpos('0123456789abcdef',
+                        substr(md5(concat('ord', CAST(doc_id AS VARCHAR))), i + 1, 1)) - 1)
+                * power(16, 12 - i))) / power(16, 13)) AS ord_frac
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           ROUND(SUM(ord_frac), 6) AS order_checksum
+    FROM s GROUP BY shard
+    """,
+)
+def q_training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding (operators/layout.py, r7):
+    every document lands in one of 16 md5-derived shards with a
+    reproducible within-shard shuffle order — the trainer-facing layout
+    where epoch-0 data order is identical across pipeline reruns and
+    shards balance to ~N/16. The oracle re-derives shard id, per-shard
+    doc/token counts, and a checksum over the order column (the md5
+    fraction that defines the reproducible shuffle), so a drifted hash
+    recipe or a lost row shifts a shard row."""
+    from .operators.layout import training_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    sharded = training_shards(docs, "doc_id", n_shards=16)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(F.sum("shard_order"), 6).alias("order_checksum"),
+    )

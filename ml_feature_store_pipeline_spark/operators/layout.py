@@ -86,3 +86,65 @@ def zorder_write(
         .drop("__z")
     )
     out.write.mode("overwrite").parquet(path)
+
+
+def training_shards(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    order_within: bool = True,
+) -> DataFrame:
+    """Deterministic training-export sharding: every row gets
+    ``shard = md5-bucket(key) ∈ [0, n_shards)`` and (optionally) a
+    within-shard ``shard_order`` — the md5 of the key again, so rows read
+    back in shard_order are GLOBALLY SHUFFLED relative to any source
+    ordering yet bit-reproducibly so. This is the standard trainer-facing
+    layout: epoch-0 data order is fixed across pipeline reruns (loss
+    curves comparable), shards are balanced (~N/n_shards ± √N), and a
+    trainer can own shard ranges without coordination.
+
+    Pure codegen column derivations — the shard assignment itself costs
+    no shuffle; :func:`write_training_shards` pays exactly one exchange
+    to co-locate shards for the partitioned write."""
+    from .sampling import hash_bucket
+    from .sketches import hash_fraction
+
+    key = F.col(key_col)
+    out = df.withColumn(shard_col, hash_bucket(key, n_shards, salt))
+    if order_within:
+        out = out.withColumn(
+            "shard_order", hash_fraction(F.concat(F.lit(salt), F.lit("ord"), key.cast("string")))
+        )
+    return out
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    *,
+    n_shards: int,
+    salt: str = "",
+) -> None:
+    """Materialize :func:`training_shards` as ``shard=K/`` parquet
+    directories, rows sorted by the deterministic ``shard_order`` within
+    each file: ONE repartition exchange on the shard id (so each shard is
+    one writer task's output, no small-file explosion), then a
+    sort-within-partitions (no second exchange). Readers stream
+    ``path/shard=K`` in file order and see the reproducible global
+    shuffle."""
+    sharded = training_shards(df, key_col, n_shards=n_shards, salt=salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        # leading `shard` matters: the partitioned writer REQUIRES its
+        # output ordered by the partition columns and would insert its own
+        # (order-destroying) sort otherwise; with the shard prefix our sort
+        # already satisfies the requirement and survives to the files
+        .sortWithinPartitions("shard", "shard_order")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -82,3 +82,37 @@ def test_zvalue_interleaves_bits(spark):
     ).collect()
     # a occupies even bit positions, b odd: (1,0)->1, (0,1)->2, (3,3)->15
     assert [r["z"] for r in out] == [1, 2, 15]
+
+
+def test_training_shards_balanced_reproducible_roundtrip(spark, tmp_path):
+    """r7 training export: md5 shards are balanced and partition-
+    independent; the written layout reads back complete with the
+    reproducible within-shard order."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_pipeline_spark.operators.layout import (
+        training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    a = training_shards(df, "doc_id", n_shards=8)
+    b = training_shards(df.repartition(7), "doc_id", n_shards=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    sizes = {r["shard"]: r["n"] for r in a.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2 * min(sizes.values())  # ~250 ± √250
+
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert set(back.columns) >= {"doc_id", "text", "shard", "shard_order"}
+    # within one shard file, rows are stored in shard_order (reproducible
+    # global shuffle): reading in file order equals sorting by shard_order
+    one = spark.read.parquet(f"{path}/shard=3")
+    stored = [r["doc_id"] for r in one.collect()]
+    expected = [r["doc_id"] for r in one.orderBy("shard_order").collect()]
+    assert stored == expected

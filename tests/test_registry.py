@@ -70,6 +70,7 @@ CHANGED_OR_NEW_IN_R7 = [
     "table_profile_orders_approx",    # NEW: the 100 TB HLL profile mode
     "ml_quality_filter_docs",         # NEW: GPT-3-style LR quality filter
     "semantic_decontaminate_embeddings",  # NEW: embedding-space decontamination
+    "training_shard_stats",           # NEW: deterministic training-export shards
     "embedding_quantization_stats",   # registered query now runs the Arrow twin
     "semantic_dedup_embeddings",      # auto-tuned n_cells + oracle cell-count rule
     "video_vhash_dup_groups",         # batched pHash + majority fold + repartition
