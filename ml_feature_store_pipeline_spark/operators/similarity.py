@@ -685,3 +685,56 @@ def semantic_decontaminate(
         .drop("__evs")
     )
     return out.filter(~F.col("contaminated")).drop("contaminated") if drop else out
+
+
+def semantic_decontaminate_blas(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    drop: bool = False,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Arrow-batched NumPy twin of :func:`semantic_decontaminate` — the
+    production path once the eval benchmark has thousands of vectors: the
+    codegen higher-order-function form evaluates |eval|·dim interpreted
+    ops per train row, while this does one BLAS ``train_block @ eval.T``
+    per Arrow batch and a row-max (same inversion as
+    :func:`cosine_topk_blas`; measured ~100× at 4k eval vectors in
+    tools/scalecheck.py). The eval matrix ships as one broadcast; the
+    train corpus streams through mapInPandas with zero shuffles. Returns
+    ``(id_col, max_eval_cosine, contaminated)`` — values equal the
+    codegen form within rounding (equivalence-tested); keep the codegen
+    form as the oracle anchor."""
+    import numpy as np
+    import pandas as pd
+
+    spark = train.sparkSession
+    ev = np.array(
+        [r[0] for r in eval_df.select(vec_col).collect()], dtype="float64"
+    )
+    ev_n = ev / np.maximum(np.linalg.norm(ev, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast(ev_n)
+
+    def part(batches):
+        E = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            T = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Tn = T / np.maximum(np.linalg.norm(T, axis=1, keepdims=True), 1e-300)
+            mx = (Tn @ E.T).max(axis=1).round(round_digits)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_eval_cosine": mx,
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    out = train.select(id_col, vec_col).mapInPandas(
+        part, f"{id_col} long, max_eval_cosine double, contaminated boolean"
+    )
+    return out.filter(~F.col("contaminated")).drop("contaminated") if drop else out

@@ -344,3 +344,22 @@ def test_semantic_decontaminate_flags_planted_near_dup(spark):
     assert non_broadcast.count("Exchange") == non_broadcast.count(
         "Exchange SinglePartition"
     )
+
+
+def test_semantic_decontaminate_blas_matches_codegen(spark):
+    """r7: the Arrow/BLAS fast path equals the codegen oracle form on the
+    driver embeddings table (same ids, same rounded max-cosines, same
+    flags)."""
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_blas,
+    )
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    tr = emb.filter(F.col("vec_id") % 50 != 0)
+    cols = ["vec_id", "max_eval_cosine", "contaminated"]
+    a = sorted(map(tuple, semantic_decontaminate(tr, ev, threshold=0.98).select(*cols).collect()))
+    b = sorted(map(tuple, semantic_decontaminate_blas(tr, ev, threshold=0.98).select(*cols).collect()))
+    assert a == b

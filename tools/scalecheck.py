@@ -140,11 +140,13 @@ DOC_OPS = (
     "chunk_documents ngram_jaccard_capped near_dup_pipeline boilerplate_lsh "
     "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
     "video_frame_sample streaming_near_dup lm_score decontaminate phash "
-    "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64"
+    "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64 "
+    "quality_classifier training_shards"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
-    "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization"
+    "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
+    "semantic_decontaminate"
 ).split()
 
 
@@ -587,6 +589,48 @@ def main() -> None:
                 "lm_score_trigram",
                 t_ops.lm_score(docs, model, "doc_id", "text"),
                 args.docs,
+            )
+        if docs is not None and want("quality_classifier"):
+            # r7 GPT-3-style LR quality filter: bounded LBFGS passes over
+            # hashed TF-IDF; the scale question is cost per pass, answered
+            # by rows/sec on a full train+score+keep cycle
+            from pyspark.sql import functions as _F
+
+            from ml_feature_store_pipeline_spark.functions import tokens as _tks
+            from ml_feature_store_pipeline_spark.operators import mlfeatures as _mlf
+
+            labeled = docs.withColumn(
+                "is_q", _F.array_contains(_tks(_F.lower(_F.col("text"))), "doc")
+            )
+            # manual timing: the IDF and LBFGS fits run EAGERLY when the
+            # plan is built, so timed()'s materialize-only clock would
+            # exclude the training cost entirely
+            t0 = time.time()
+            _mlf.pareto_quality_keep(
+                _mlf.quality_classifier_scores(labeled, "doc_id", "text", "is_q"),
+                "doc_id",
+            ).write.format("noop").mode("overwrite").save()
+            log("quality_classifier_train_score_keep", time.time() - t0, args.docs)
+        if docs is not None and want("training_shards"):
+            from ml_feature_store_pipeline_spark.operators import layout as _lay
+
+            out = f"{work}/train_shards"
+            t0 = time.time()
+            _lay.write_training_shards(docs, out, "doc_id", n_shards=64)
+            log("training_shards_write64", time.time() - t0, args.docs)
+        if vecs is not None and want("semantic_decontaminate"):
+            # broadcast eval (2% slice) vs full corpus: zero-shuffle scan
+            from ml_feature_store_pipeline_spark.operators import similarity as _sim
+
+            ev = vecs.filter((F.col("vec_id") % 50) == 0)
+            tr = vecs.filter((F.col("vec_id") % 50) != 0)
+            # BLAS form: the codegen oracle form is |eval|*dim interpreted
+            # ops per train row — fine for the driver's tens of eval
+            # vectors, quadratically painful at benchmark-scale eval
+            timed(
+                "semantic_decontaminate_blas_2pct_eval",
+                _sim.semantic_decontaminate_blas(tr, ev, threshold=0.98),
+                args.vecs,
             )
         if events is not None and want("table_profile"):
             from ml_feature_store_pipeline_spark.operators import profile as tprof
