@@ -93,6 +93,10 @@ HEADLINE_R4 = [
 #: keeps round-over-round comparability.
 HEADLINE_R7 = [
     "serving_parity_audit",
+    "table_profile_orders_approx",
+    "ml_quality_filter_docs",
+    "semantic_decontaminate_embeddings",
+    "training_shard_stats",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed
