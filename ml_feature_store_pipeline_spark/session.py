@@ -30,6 +30,24 @@ ENGINE_CONF: dict[str, str] = {
     # defaults, pinned here so a misconfigured environment can't lose them.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # One BLAS thread per task (cluster mode; local mode inherits the
+    # process env set in get_spark): with N concurrent tasks each spawning
+    # an N-thread OpenBLAS pool, the N² oversubscription collapses every
+    # Arrow/numpy stage — measured 25× on 32 concurrent 6k×64 @ 64×4k
+    # gemms on this container (44 s wall vs 1.8 s single-threaded).
+    # Spark's task parallelism IS the parallelism; BLAS must not nest.
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
+}
+
+#: Env the PYTHON WORKERS must see before numpy first loads (local mode:
+#: workers fork from this process's JVM, so executorEnv does not reach
+#: them — the process env does).
+_BLAS_WORKER_ENV = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
 }
 
 
@@ -45,6 +63,8 @@ def get_spark(app_name: str = "ml_feature_store_pipeline_spark", *, shuffle_part
     from the 2×-cores initial value.
     """
     cpus = default_parallelism()
+    for k, v in _BLAS_WORKER_ENV.items():
+        os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
