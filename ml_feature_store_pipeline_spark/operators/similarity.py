@@ -666,7 +666,13 @@ def semantic_decontaminate(
     pure codegen ``array_max(transform(...))`` over the train scan —
     zero shuffles, zero joins, the train corpus streams through once.
     (|eval|·dim work per train row; for benchmark-scale eval that is the
-    same map-side cost profile as the broadcast n-gram rule.)"""
+    same map-side cost profile as the broadcast n-gram rule.)
+
+    An EMPTY eval set means nothing can be contaminated: every row gets
+    ``max_eval_cosine`` NULL (max over zero vectors) and ``contaminated``
+    false, so ``drop=True`` keeps the whole corpus. (``array_max`` of the
+    empty collect_list is NULL, and a bare ``~(NULL >= t)`` filter would
+    otherwise silently drop every train row.)"""
     from ..functions import cosine_similarity
 
     ev_row = eval_df.agg(F.collect_list(F.col(vec_col)).alias("__evs"))
@@ -681,7 +687,12 @@ def semantic_decontaminate(
     out = (
         train.crossJoin(F.broadcast(ev_row))
         .withColumn("max_eval_cosine", max_cos)
-        .withColumn("contaminated", F.col("max_eval_cosine") >= F.lit(threshold))
+        .withColumn(
+            "contaminated",
+            F.coalesce(
+                F.col("max_eval_cosine") >= F.lit(threshold), F.lit(False)
+            ),
+        )
         .drop("__evs")
     )
     return out.filter(~F.col("contaminated")).drop("contaminated") if drop else out
@@ -707,7 +718,9 @@ def semantic_decontaminate_blas(
     train corpus streams through mapInPandas with zero shuffles. Returns
     ``(id_col, max_eval_cosine, contaminated)`` — values equal the
     codegen form within rounding (equivalence-tested); keep the codegen
-    form as the oracle anchor."""
+    form as the oracle anchor. An empty eval set short-circuits to the
+    same semantics as the codegen twin: NULL ``max_eval_cosine``,
+    ``contaminated`` false, ``drop=True`` keeps everything."""
     import numpy as np
     import pandas as pd
 
@@ -715,6 +728,17 @@ def semantic_decontaminate_blas(
     ev = np.array(
         [r[0] for r in eval_df.select(vec_col).collect()], dtype="float64"
     )
+    if ev.size == 0:
+        out = (
+            train.select(id_col)
+            .withColumn("max_eval_cosine", F.lit(None).cast("double"))
+            .withColumn("contaminated", F.lit(False))
+        )
+        return (
+            out.filter(~F.col("contaminated")).drop("contaminated")
+            if drop
+            else out
+        )
     ev_n = ev / np.maximum(np.linalg.norm(ev, axis=1, keepdims=True), 1e-300)
     bc = spark.sparkContext.broadcast(ev_n)
 

@@ -19,23 +19,34 @@ from ..functions import conditional_count, conditional_mean
 
 #: Sidecar file stamped into a state directory in the SAME atomic swap as
 #: the data (sources.writers.atomic_overwrite_parquet extra_files), holding
-#: the last micro-batch epoch folded into that state. ``_``-prefixed, so
-#: Spark's file listing never sees it — state schemas are unchanged.
+#: the last micro-batch epoch folded into that state plus the logical
+#: stream's ``query_token`` (Delta's ``txnAppId`` idea — epoch ids are
+#: only monotone PER CHECKPOINT, so the guard must know which stream
+#: wrote them). ``_``-prefixed, so Spark's file listing never sees it —
+#: state schemas are unchanged. Format: ``"<epoch>\n<token>"``; markers
+#: written before tokens existed parse as token ``""`` (the default).
 _EPOCH_MARKER = "_last_epoch"
 
 
-def _last_applied_epoch(state_path: str) -> int | None:
-    """Epoch id recorded by the last successful state swap, or None."""
+def _marker_value(epoch_id: int, query_token: str) -> str:
+    return f"{epoch_id}\n{query_token}"
+
+
+def _read_marker(state_path: str) -> tuple[int, str] | None:
+    """(last epoch, query token) recorded by the last state swap, or None."""
     import os
 
     try:
         with open(os.path.join(state_path, _EPOCH_MARKER)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
+            lines = fh.read().splitlines()
+        return int(lines[0].strip()), (lines[1] if len(lines) > 1 else "")
+    except (OSError, ValueError, IndexError):
         return None
 
 
-def _epoch_already_applied(state_path: str, epoch_id: int) -> bool:
+def _epoch_already_applied(
+    state_path: str, epoch_id: int, query_token: str = ""
+) -> bool:
     """Replay guard for ``foreachBatch`` sinks that fold non-idempotent
     merges (sum/count partials, decayed counters) into a stored state.
 
@@ -46,10 +57,68 @@ def _epoch_already_applied(state_path: str, epoch_id: int) -> bool:
     merge laws are associative but not idempotent. The guard makes the
     fold exactly-once: the last-applied epoch travels with the state in
     one atomic rename, so "state updated" and "epoch recorded" cannot
-    diverge, and a replayed (or any stale, since epoch ids are
-    monotonically increasing per query) epoch no-ops."""
-    last = _last_applied_epoch(state_path)
-    return last is not None and epoch_id <= last
+    diverge, and a replayed epoch no-ops.
+
+    Epoch ids are only monotone per CHECKPOINT, and Spark only ever
+    re-delivers the single newest uncommitted batch — so from the same
+    logical stream the only legitimate repeat is ``epoch_id == last``.
+    ``epoch_id < last`` can only mean a DIFFERENT stream (a new query
+    with a fresh checkpoint reusing this state directory, or a restored
+    checkpoint backup): silently no-oping would discard that stream's
+    first ``last+1`` batches with no error, so it raises instead. To
+    intentionally fold a new stream into existing state, pass the sink a
+    fresh ``query_token`` — a marker written under a different token
+    resets the guard."""
+    marker = _read_marker(state_path)
+    if marker is None:
+        return False
+    last, stored_token = marker
+    if stored_token != query_token:
+        return False  # new logical stream takes over; next swap re-stamps
+    if epoch_id < last:
+        raise ValueError(
+            f"foreachBatch epoch {epoch_id} is older than the last epoch "
+            f"{last} applied to state '{state_path}' by the same stream "
+            f"(query_token={query_token!r}). Epoch ids restart at 0 with "
+            "every new checkpoint, so this state directory is being reused "
+            "by a different streaming query — its batches would be "
+            "silently discarded by the replay guard. Pass a fresh "
+            "query_token= to the sink to fold the new stream into this "
+            "state, or point it at a new state directory."
+        )
+    return epoch_id == last
+
+
+def _guard_epoch_dir_reuse(
+    base_path: str, epoch_id: int, query_token: str
+) -> None:
+    """Collision guard for sinks that write ``epoch={id}`` directories
+    under ``base_path``: those directories are keyed by epoch id alone,
+    so a DIFFERENT stream (fresh checkpoint → epochs restart at 0)
+    writing into the same base path silently overwrites earlier epochs'
+    data. Unlike the state-swap guard there is nothing to skip — the
+    per-epoch overwrite is already replay-idempotent — so this only
+    detects foreign reuse and raises."""
+    marker = _read_marker(base_path)
+    if marker is None:
+        return
+    last, stored_token = marker
+    if stored_token != query_token or epoch_id < last:
+        raise ValueError(
+            f"output path '{base_path}' already holds epochs up to {last} "
+            f"written under query_token={stored_token!r}; this write "
+            f"(epoch {epoch_id}, query_token={query_token!r}) comes from a "
+            "different streaming query and would overwrite per-epoch "
+            "directories keyed only by epoch id. Point the new query at a "
+            "fresh output path (or resume from the original checkpoint)."
+        )
+
+
+def _stamp_marker(base_path: str, epoch_id: int, query_token: str) -> None:
+    import os
+
+    with open(os.path.join(base_path, _EPOCH_MARKER), "w") as fh:
+        fh.write(_marker_value(epoch_id, query_token))
 
 
 def streaming_feature_aggregation(
@@ -88,7 +157,9 @@ def streaming_feature_aggregation(
     )
 
 
-def upsert_sink(store_path: str) -> Callable[[DataFrame, int], None]:
+def upsert_sink(
+    store_path: str, *, query_token: str = ""
+) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink: write each micro-batch into the feature
     table under its own ``epoch_id={id}`` partition directory with
     OVERWRITE — the only append shape that is exactly-once under
@@ -99,9 +170,16 @@ def upsert_sink(store_path: str) -> Callable[[DataFrame, int], None]:
     plain-append-with-an-epoch-column form: the native file sink's
     ``_spark_metadata`` batch-id dedup does NOT apply inside
     ``foreachBatch``.) Readers take ``store_path`` — partition discovery
-    unions the epochs and surfaces ``epoch_id`` as a column."""
+    unions the epochs and surfaces ``epoch_id`` as a column.
+
+    The directories are keyed by epoch id alone and epoch ids restart at
+    0 with every new checkpoint, so a NEW query reusing this store path
+    would overwrite earlier epochs' features: a ``_last_epoch`` marker
+    (epoch + ``query_token``) detects foreign reuse and raises instead of
+    silently corrupting the table."""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        _guard_epoch_dir_reuse(store_path, epoch_id, query_token)
         (
             batch.withColumn("window_start", F.col("window.start"))
             .withColumn("window_end", F.col("window.end"))
@@ -109,6 +187,7 @@ def upsert_sink(store_path: str) -> Callable[[DataFrame, int], None]:
             .write.mode("overwrite")
             .parquet(f"{store_path}/epoch_id={epoch_id}")
         )
+        _stamp_marker(store_path, epoch_id, query_token)
 
     return write
 
@@ -128,7 +207,7 @@ def enrich_stream(
 
 
 def incremental_state_sink(
-    state_path: str, keys: list[str], value_col: str
+    state_path: str, keys: list[str], value_col: str, *, query_token: str = ""
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink that maintains a mergeable aggregate STATE
     table (operators.incremental): each micro-batch folds to per-key
@@ -139,6 +218,13 @@ def incremental_state_sink(
     safe: Spark re-delivers the batch with the same epoch id and the
     guard no-ops instead of double-merging the (non-idempotent) sum/count
     partials. Read-side: ``incremental.finalize(spark.read.parquet(path))``.
+
+    ``query_token`` identifies the logical stream (stable across restarts
+    of the same checkpoint — e.g. derive it from the checkpoint path);
+    pass a fresh one when a NEW query (fresh checkpoint, epochs restart
+    at 0) should fold into existing state, else the guard raises on the
+    epoch regression instead of silently discarding the new stream's
+    first batches.
     """
     import os
 
@@ -146,7 +232,7 @@ def incremental_state_sink(
     from ..sources.writers import atomic_overwrite_parquet
 
     def write(batch: DataFrame, epoch_id: int) -> None:
-        if _epoch_already_applied(state_path, epoch_id):
+        if _epoch_already_applied(state_path, epoch_id, query_token):
             return
         new = incremental.aggregate_state(batch, keys, value_col)
         spark = batch.sparkSession
@@ -157,7 +243,7 @@ def incremental_state_sink(
         # to replace — materialize the plan before touching the directory
         new = new.localCheckpoint()
         atomic_overwrite_parquet(
-            new, state_path, extra_files={_EPOCH_MARKER: str(epoch_id)}
+            new, state_path, extra_files={_EPOCH_MARKER: _marker_value(epoch_id, query_token)}
         )
 
     return write
@@ -172,6 +258,7 @@ def incremental_near_dup_sink(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket_size: int = 10_000,
+    query_token: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink for CONTINUOUS near-dup detection: each
     micro-batch of documents is checked against the standing corpus via
@@ -192,6 +279,7 @@ def incremental_near_dup_sink(
     from ..operators.dedup import lsh_candidate_pairs_incremental, minhash_signatures
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        _guard_epoch_dir_reuse(sig_path, epoch_id, query_token)
         spark = batch.sparkSession
         try:
             sigs = spark.read.parquet(sig_path)
@@ -218,6 +306,7 @@ def incremental_near_dup_sink(
         minhash_signatures(batch, id_col, text_col, num_hashes).write.mode(
             "overwrite"
         ).parquet(f"{sig_path}/epoch={epoch_id}")
+        _stamp_marker(sig_path, epoch_id, query_token)
 
     return write
 
@@ -228,6 +317,7 @@ def cdc_merge_sink(
     *,
     op_col: str = "op",
     seq_col: str | None = None,
+    query_token: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink that maintains a MERGE-INTO snapshot
     (operators.cdc): each micro-batch of change rows (upserts + deletes,
@@ -249,7 +339,7 @@ def cdc_merge_sink(
         # merge_changes is idempotent under replay (same upserts/deletes
         # re-apply to the same effect) — the epoch marker just skips the
         # redundant re-merge job on a re-delivered batch
-        if _epoch_already_applied(snapshot_path, epoch_id):
+        if _epoch_already_applied(snapshot_path, epoch_id, query_token):
             return
         spark = batch.sparkSession
         data_cols = [c for c in batch.columns if c not in (op_col, seq_col)]
@@ -264,7 +354,7 @@ def cdc_merge_sink(
         # materialize first (same pattern as incremental_state_sink)
         merged = merged.localCheckpoint()
         atomic_overwrite_parquet(
-            merged, snapshot_path, extra_files={_EPOCH_MARKER: str(epoch_id)}
+            merged, snapshot_path, extra_files={_EPOCH_MARKER: _marker_value(epoch_id, query_token)}
         )
 
     return write
@@ -278,6 +368,7 @@ def bloom_dedup_sink(
     n_bits: int = 1 << 20,
     depth: int = 4,
     hash_fn: str = "md5",
+    query_token: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink for cross-epoch dedup with BOUNDED state: a
     persisted bloom bitmap (≤ n_bits/32 rows forever, vs an ever-growing
@@ -311,7 +402,7 @@ def bloom_dedup_sink(
     from ..sources.writers import atomic_overwrite_parquet
 
     def write(batch: DataFrame, epoch_id: int) -> None:
-        if _epoch_already_applied(bloom_path, epoch_id):
+        if _epoch_already_applied(bloom_path, epoch_id, query_token):
             return
         spark = batch.sparkSession
         w = Window.partitionBy(key_col).orderBy(*[c for c in batch.columns])
@@ -340,7 +431,7 @@ def bloom_dedup_sink(
         )
         atomic_overwrite_parquet(
             merged.localCheckpoint(), bloom_path,
-            extra_files={_EPOCH_MARKER: str(epoch_id)},
+            extra_files={_EPOCH_MARKER: _marker_value(epoch_id, query_token)},
         )
 
     return write
@@ -353,6 +444,7 @@ def decayed_counter_sink(
     ts_col: str,
     value_col: str,
     half_life_seconds: float,
+    query_token: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink maintaining ONLINE decayed counters (the
     streaming twin of ``fe.decayed_agg``): each micro-batch folds to a
@@ -373,7 +465,7 @@ def decayed_counter_sink(
     from ..sources.writers import atomic_overwrite_parquet
 
     def write(batch: DataFrame, epoch_id: int) -> None:
-        if _epoch_already_applied(state_path, epoch_id):
+        if _epoch_already_applied(state_path, epoch_id, query_token):
             return
         new = fe.decayed_state(
             batch, key_col, ts_col, value_col, half_life_seconds=half_life_seconds
@@ -386,14 +478,19 @@ def decayed_counter_sink(
             )
         new = new.localCheckpoint()
         atomic_overwrite_parquet(
-            new, state_path, extra_files={_EPOCH_MARKER: str(epoch_id)}
+            new, state_path, extra_files={_EPOCH_MARKER: _marker_value(epoch_id, query_token)}
         )
 
     return write
 
 
 def distinct_counter_sink(
-    state_path: str, keys: list[str], value_col: str, *, lg_k: int = 12
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    *,
+    lg_k: int = 12,
+    query_token: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink maintaining per-key DISTINCT counts over
     unbounded history in O(keys) space: each micro-batch sketches to HLL
@@ -410,7 +507,7 @@ def distinct_counter_sink(
     def write(batch: DataFrame, epoch_id: int) -> None:
         # HLL union is idempotent, so replay is CORRECT without a guard —
         # the epoch marker just skips the redundant re-union job
-        if _epoch_already_applied(state_path, epoch_id):
+        if _epoch_already_applied(state_path, epoch_id, query_token):
             return
         new = incremental.distinct_state(batch, keys, value_col, lg_k=lg_k)
         spark = batch.sparkSession
@@ -419,7 +516,7 @@ def distinct_counter_sink(
             new = incremental.merge_distinct_states(prev, new)
         new = new.localCheckpoint()
         atomic_overwrite_parquet(
-            new, state_path, extra_files={_EPOCH_MARKER: str(epoch_id)}
+            new, state_path, extra_files={_EPOCH_MARKER: _marker_value(epoch_id, query_token)}
         )
 
     return write

@@ -363,3 +363,28 @@ def test_semantic_decontaminate_blas_matches_codegen(spark):
     a = sorted(map(tuple, semantic_decontaminate(tr, ev, threshold=0.98).select(*cols).collect()))
     b = sorted(map(tuple, semantic_decontaminate_blas(tr, ev, threshold=0.98).select(*cols).collect()))
     assert a == b
+
+
+def test_semantic_decontaminate_empty_eval_keeps_everything(spark):
+    """An empty eval set means nothing is contaminated: both twins keep
+    the whole train corpus under drop=True (the max over zero eval
+    vectors is NULL, and a bare ~(NULL >= t) filter would silently drop
+    EVERY row — a total-data-loss bug in a curation operator), flag no
+    row, and agree with each other."""
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_blas,
+    )
+
+    tr = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    ev = tr.filter(F.lit(False))  # empty, same schema
+    for fn in (semantic_decontaminate, semantic_decontaminate_blas):
+        flagged = fn(tr, ev, threshold=0.95).collect()
+        assert len(flagged) == 3
+        assert all(not r["contaminated"] for r in flagged)
+        assert all(r["max_eval_cosine"] is None for r in flagged)
+        kept = fn(tr, ev, threshold=0.95, drop=True)
+        assert sorted(r["vec_id"] for r in kept.collect()) == [1, 2, 3]

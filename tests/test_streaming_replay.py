@@ -60,7 +60,12 @@ def test_incremental_state_sink_ignores_replayed_epoch(spark, tmp_path):
     before = _state_snapshot(spark, state)
     sink(b1, 1)  # replay: same epoch re-delivered after a lost commit
     assert _state_snapshot(spark, state) == before
-    sink(b0, 0)  # stale epoch replay (monotone guard) — also a no-op
+    # an epoch OLDER than the marker can't come from this stream (Spark
+    # only re-delivers the newest uncommitted batch) — it means a new
+    # query with a fresh checkpoint is reusing the state dir, and a
+    # silent no-op would discard its batches; the guard raises instead
+    with pytest.raises(ValueError, match="different streaming query"):
+        sink(b0, 0)
     assert _state_snapshot(spark, state) == before
     # and the state still equals the batch recompute (nothing was lost)
     got = {
@@ -101,6 +106,34 @@ def test_decayed_counter_sink_ignores_replayed_epoch(spark, tmp_path):
     assert got == pytest.approx(want)
 
 
+def test_fresh_query_token_resets_guard_and_folds_new_stream(spark, tmp_path):
+    """A NEW logical stream (fresh checkpoint → epochs restart at 0) can
+    fold into existing state by passing a fresh query_token: the guard
+    resets instead of discarding (or raising on) the restarted epochs,
+    and replay dedup keeps working under the new token."""
+    state = str(tmp_path / "state")
+    b0 = _df(spark, [(1, 0, 2.0), (2, 1, 8.0)])
+    b1 = _df(spark, [(1, 3, 6.0)])
+    incremental_state_sink(state, ["user_id"], "value", query_token="runA")(b0, 0)
+    incremental_state_sink(state, ["user_id"], "value", query_token="runA")(b0, 1)
+    # new stream, same state dir, fresh token: its epoch 0 must APPLY
+    sink_b = incremental_state_sink(state, ["user_id"], "value", query_token="runB")
+    sink_b(b1, 0)
+    got = {
+        r["user_id"]: (r["n_rows"], r["total"])
+        for r in incremental.finalize(spark.read.parquet(state)).collect()
+    }
+    assert got == {1: (3, 10.0), 2: (2, 16.0)}
+    # and the guard now belongs to runB: replaying its epoch 0 no-ops
+    before = _state_snapshot(spark, state)
+    sink_b(b1, 0)
+    assert _state_snapshot(spark, state) == before
+    # advance runB, then a stale runB epoch is a foreign-stream signal
+    sink_b(b1, 1)
+    with pytest.raises(ValueError, match="different streaming query"):
+        sink_b(b1, 0)
+
+
 def _windowed(spark, triples):
     """Rows shaped like streaming_feature_aggregation output (window struct)."""
     df = _df(spark, triples)
@@ -122,6 +155,24 @@ def test_upsert_sink_replay_overwrites_same_epoch_dir(spark, tmp_path):
     out = spark.read.parquet(store)
     assert {"window_start", "window_end", "epoch_id", "user_id"} <= set(out.columns)
     assert out.count() == 2
+
+
+def test_upsert_sink_raises_on_foreign_store_reuse(spark, tmp_path):
+    """Per-epoch directories are keyed by epoch id alone, so a NEW query
+    (fresh checkpoint → epochs restart at 0) reusing the store path would
+    overwrite earlier epochs' features — the marker detects it and raises
+    instead of silently corrupting the table."""
+    store = str(tmp_path / "feature_table")
+    b0 = _windowed(spark, [(1, 0, 10.0), (2, 2, 30.0)])
+    sink = upsert_sink(store, query_token="runA")
+    sink(b0, 0)
+    sink(b0, 1)
+    with pytest.raises(ValueError, match="different streaming query"):
+        upsert_sink(store, query_token="runB")(b0, 0)
+    with pytest.raises(ValueError, match="different streaming query"):
+        sink(b0, 0)  # stale epoch from a restored checkpoint backup
+    # the table is untouched: both epochs still present
+    assert spark.read.parquet(store).count() == 4
 
 
 def test_bloom_dedup_sink_replay_exactly_once(spark, tmp_path):
