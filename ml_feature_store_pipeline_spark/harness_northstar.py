@@ -812,11 +812,17 @@ def q_ml_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         metricName="areaUnderROC",
     ).evaluate(scored.withColumn("is_quality", F.col("is_quality").cast("double")))
     kept = mlfeatures.pareto_quality_keep(scored, "doc_id")
+    # true keep rate k/n per class: flag each scored doc kept/not via a
+    # left join (doc_id is unique) and average the flag. (An earlier
+    # union-based form double-counted kept docs in the denominator —
+    # k/(n+k) — and only compared correctly because x/(1+x) is monotone.)
     rates = (
-        scored.withColumn("__kept", F.lit(0))
-        .unionByName(kept.withColumn("__kept", F.lit(1)))
+        scored.join(
+            kept.select("doc_id").withColumn("__kept", F.lit(1)), "doc_id", "left"
+        )
+        .withColumn("__kept", F.coalesce(F.col("__kept"), F.lit(0)))
         .groupBy("is_quality")
-        .agg((F.sum("__kept") / F.count(F.lit(1))).alias("rate"))
+        .agg(F.avg("__kept").alias("rate"))
     )
     pos_rate = F.max(F.when(F.col("is_quality") == 1.0, F.col("rate")))
     neg_rate = F.max(F.when(F.col("is_quality") == 0.0, F.col("rate")))

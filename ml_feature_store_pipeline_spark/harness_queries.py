@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from .functions import davg, davg_sql, dsum, dsum_sql, token_count, tokens
 from .harness import register
 from .operators import dedup, joins, similarity, text, windows
+from .operators.sketches import hash_fraction_sql
 from .sources.readers import read_table
 
 
@@ -1472,16 +1473,13 @@ def q_table_profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "training_shard_stats",
-    """
+    f"""
     WITH s AS (
       SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 16 AS shard,
              len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
                AS n_toks,
-             (list_sum(list_transform(range(13), i ->
-                (strpos('0123456789abcdef',
-                        substr(md5(concat('ord', CAST(doc_id AS VARCHAR))), i + 1, 1)) - 1)
-                * power(16, 12 - i))) / power(16, 13)) AS ord_frac
+             {hash_fraction_sql("concat('ord', CAST(doc_id AS VARCHAR))")} AS ord_frac
       FROM documents
     )
     SELECT shard,

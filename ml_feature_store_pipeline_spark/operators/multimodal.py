@@ -719,14 +719,20 @@ def vhash_frames(frames: list[np.ndarray]) -> int:
 
 def _fold_majority(hashes: np.ndarray) -> int:
     """Majority-bit fold of a non-empty uint64 hash array → signed int.
-    Unpacks all 64 bit-planes at once: little-endian bit k of the uint64
+    Unpacks all 64 bit-planes at once: bit k of the LITTLE-ENDIAN uint64
     byte view is exactly ``(h >> k) & 1``, so column sums are the per-bit
-    frame counts — no per-frame 64-iteration Python loop."""
+    frame counts — no per-frame 64-iteration Python loop. Byte order is
+    pinned explicitly (``<u8``) on both the unpack and the repack so the
+    fold is bit-identical on big-endian hosts too — the pHash family's
+    contract is same-hash-for-same-data across platforms, and a native
+    byte view would silently reverse the bit planes on s390x."""
     planes = np.unpackbits(
-        np.ascontiguousarray(hashes)[:, None].view(np.uint8), axis=1, bitorder="little"
+        np.ascontiguousarray(hashes.astype("<u8"))[:, None].view(np.uint8),
+        axis=1,
+        bitorder="little",
     )
     majority = planes.sum(axis=0, dtype=np.int64) * 2 >= len(hashes)
-    bits = int(np.packbits(majority, bitorder="little").view(np.uint64)[0])
+    bits = int(np.packbits(majority, bitorder="little").view("<u8")[0])
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits

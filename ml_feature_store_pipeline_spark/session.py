@@ -43,12 +43,22 @@ ENGINE_CONF: dict[str, str] = {
 
 #: Env the PYTHON WORKERS must see before numpy first loads (local mode:
 #: workers fork from this process's JVM, so executorEnv does not reach
-#: them — the process env does).
+#: them — the process env does). Set at MODULE IMPORT time, not in
+#: get_spark: the driver harness builds its own SparkSession and only
+#: routes through apply_engine_conf, where spark.executorEnv.* is a
+#: static conf that silently no-ops on a running context — but the
+#: harness imports this package before calling getOrCreate, and env set
+#: before the JVM launches is inherited by the workers it spawns. That
+#: makes import-before-session the one path that covers every entry
+#: point, including externally-built sessions.
 _BLAS_WORKER_ENV = {
     "OMP_NUM_THREADS": "1",
     "OPENBLAS_NUM_THREADS": "1",
     "MKL_NUM_THREADS": "1",
 }
+
+for _k, _v in _BLAS_WORKER_ENV.items():
+    os.environ.setdefault(_k, _v)
 
 
 def default_parallelism() -> int:
@@ -63,8 +73,6 @@ def get_spark(app_name: str = "ml_feature_store_pipeline_spark", *, shuffle_part
     from the 2×-cores initial value.
     """
     cpus = default_parallelism()
-    for k, v in _BLAS_WORKER_ENV.items():
-        os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))

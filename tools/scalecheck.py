@@ -41,7 +41,11 @@ ONLY: list[str] = []  # --ops substrings; empty = run everything
 
 
 def want(op: str) -> bool:
-    return not ONLY or any(s in op for s in ONLY)
+    # symmetric containment: a gate may be coarser than the documented op
+    # names it guards (e.g. gate "semantic_dedup_auto" emits rows named
+    # semantic_dedup_auto_0.1x/_1x) — "--ops semantic_dedup_auto_1x",
+    # copied verbatim from the output, must still select that gate
+    return not ONLY or any(s in op or op in s for s in ONLY)
 
 
 class ShuffleMeter:
