@@ -97,6 +97,10 @@ HEADLINE_R7 = [
     "ml_quality_filter_docs",
     "semantic_decontaminate_embeddings",
     "training_shard_stats",
+    # late-r7: multi-epoch mixture (explode fan-out) and priority-ranked
+    # dedup survivors (per-cluster window on top of the CC pipeline)
+    "mixture_epochs_docs",
+    "dedup_survivors_priority_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

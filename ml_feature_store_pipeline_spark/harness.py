@@ -110,13 +110,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "video_vhash_dup_groups",
     "ewma_user_spend_prior",
     "negative_sample_pairs",
-    "index_encode_event_types",
-    # family anchor on the round-7 multimodal repartition + batched-pHash
-    # stack (one representative; its siblings were three-SF verified
-    # locally this round). decayed_user_spend, corpus_curation_pipeline,
-    # incremental_distinct_users_per_type, and audio_afp_dup_groups —
-    # r6-green — yielded their slots to the r7 registrations above.
-    "image_phash_dup_groups",
+    # late-r7 registrations (multi-epoch mixture, priority survivors):
+    # every r7 registration makes the window, so these take the slots of
+    # index_encode_event_types (its dense_index change is covered by
+    # negative_sample_pairs above) and image_phash_dup_groups (the
+    # multimodal fold change is covered by video_vhash_dup_groups, which
+    # is the query that actually calls _fold_majority). Those two — plus
+    # decayed_user_spend, corpus_curation_pipeline,
+    # incremental_distinct_users_per_type, and audio_afp_dup_groups, all
+    # r6-green — yielded their slots to r7 registrations.
+    "mixture_epochs_docs",
+    "dedup_survivors_priority_docs",
 )
 
 

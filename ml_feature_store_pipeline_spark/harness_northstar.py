@@ -1076,6 +1076,77 @@ def q_token_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_epochs_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(LEN({_SQL_TOKS.format(t='text')}) AS BIGINT) AS nt,
+             CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) + 1 AS w
+      FROM documents
+    ),
+    tot AS (SELECT source, MAX(w) AS w, CAST(SUM(nt) AS BIGINT) AS T FROM t GROUP BY source),
+    g AS (SELECT CAST(2 * SUM(T) AS BIGINT) AS budget_b,
+                 CAST(SUM(CASE WHEN T > 0 AND w > 0 THEN w ELSE 0 END) AS BIGINT) AS w_sum
+          FROM tot),
+    plan AS (
+      SELECT source, T,
+             CASE WHEN T > 0 THEN (budget_b * w) // w_sum ELSE 0 END AS tgt
+      FROM tot, g
+    ),
+    p2 AS (
+      SELECT source,
+             CASE WHEN T > 0 AND tgt > 0 THEN tgt // T ELSE 0 END AS base,
+             CASE WHEN T > 0 AND tgt > 0 THEN (10000 * (tgt % T)) // T ELSE 0 END AS cut
+      FROM plan
+    ),
+    e AS (
+      SELECT t.doc_id, t.source, t.nt,
+             p2.base + CASE WHEN CAST(concat('0x', substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                              % 10000 < p2.cut
+                       THEN 1 ELSE 0 END AS n
+      FROM t JOIN p2 USING (source)
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_rows_out,
+           CAST(SUM(n * nt) AS BIGINT) AS tokens_out,
+           CAST(MAX(n) - 1 AS BIGINT) AS max_epoch
+    FROM e GROUP BY source HAVING SUM(n) > 0
+    """,
+)
+def q_mixture_epochs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch data mixture (``sampling.mixture_sample_epochs``, r7):
+    per-source token budgets ∝ srcK weight K+1 with TOTAL budget = 2× the
+    corpus, so high-weight sources repeat for >1 epoch (GPT-3 trains
+    Wikipedia ~3.4 epochs — downsample-only mixing can't express that)
+    while low-weight ones still cut. The DuckDB twin recomputes totals,
+    integer targets, base/fractional copy counts, and md5 membership
+    arithmetically — per-source emitted rows, tokens, and max epoch
+    hash-match exactly, which pins the explode to "exactly n copies with
+    epochs 0..n-1"."""
+    from .functions import token_count
+    from .operators import sampling as smp
+
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    nt = token_count(F.col("text"))
+    totals = {
+        r["__src"]: r["__t"] or 0
+        for r in docs.groupBy(F.col("source").alias("__src"))
+        .agg(F.sum(nt).alias("__t"))
+        .collect()
+    }
+    weights = {s: int(s.removeprefix("src")) + 1 for s in totals}
+    budget = 2 * sum(totals.values())
+    targets = smp.proportional_targets(totals, weights, budget)
+    out = smp.mixture_sample_epochs(
+        docs, "doc_id", "source", targets, n_tokens=nt
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_out"),
+        F.sum(nt).cast("long").alias("tokens_out"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+    )
+
+
 @register("cosine_topk_blas", _TOPK_IDS_SQL)
 def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow+BLAS exact top-k (mapInPandas matmul): same ids/ranks as
@@ -1453,6 +1524,46 @@ def q_dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_doc_frequency=_NGRAM_MAX_DF, parallelism=_par(spark),
     )
     return dedup.dedup_survivors(docs, pairs, "doc_id").select("doc_id")
+
+
+@register(
+    "dedup_survivors_priority_docs",
+    _near_dup_clusters_sql().replace(
+        "    SELECT node, MIN(comp) AS component FROM cc GROUP BY node",
+        """    , comp AS (SELECT node, MIN(comp) AS component FROM cc GROUP BY node),
+    ranked AS (
+      SELECT comp.node,
+             ROW_NUMBER() OVER (
+               PARTITION BY comp.component
+               ORDER BY LEN(t.toks) DESC, comp.node ASC
+             ) AS rn
+      FROM comp JOIN t ON t.doc_id = comp.node
+    ),
+    losers AS (SELECT node FROM ranked WHERE rn > 1)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN losers ON d.doc_id = losers.node
+    WHERE losers.node IS NULL""",
+    ),
+)
+def q_dedup_survivors_priority_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup keeping the LONGEST member of each Jaccard>=0.3 cluster
+    (``dedup.dedup_survivors_by_priority`` with token count as the
+    priority, min-id tiebreak; r7) — the curation-grade survivor rule:
+    the kept doc is what the training set contains, so "keep the most
+    content" beats "keep the smallest id". The DuckDB twin closes the
+    same pair graph with a recursive CTE and ranks each component by the
+    same (token count DESC, id ASC) window — survivor ids hash-match
+    exactly."""
+    from .functions import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3,
+        max_doc_frequency=_NGRAM_MAX_DF, parallelism=_par(spark),
+    )
+    return dedup.dedup_survivors_by_priority(
+        docs, pairs, "doc_id", token_count(F.col("text"))
+    ).select("doc_id")
 
 
 # ---------------------------------------------------------------------------

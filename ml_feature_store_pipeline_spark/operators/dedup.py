@@ -857,6 +857,47 @@ def dedup_survivors(
     return docs.join(losers, id_col, "left_anti")
 
 
+def dedup_survivors_by_priority(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    priority: Column,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dedup keeping the BEST member of each duplicate cluster by an
+    explicit ``priority`` expression (highest wins; ties break to the
+    minimum id) instead of :func:`dedup_survivors`' arbitrary min-id rule.
+    Real curation wants this: among near-duplicate pages keep the longest
+    / highest-quality-scored / most-recent one, because the survivor is
+    what the training set actually contains. ``priority`` is any Column
+    over ``docs`` (token count, ``text.quality_score``, a timestamp cast).
+
+    Scale shape: clustering is :func:`connected_components` on the pair
+    graph; ranking shuffles only (id, priority, component) — never text —
+    and the per-cluster ``row_number`` window partitions by component
+    (clusters are near-dup sized, not corpus sized). Survivor set comes
+    back to ``docs`` as a broadcast-sized anti-join of loser ids."""
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    ranked = (
+        docs.select(F.col(id_col), priority.alias("__prio"))
+        .join(cc, F.col(id_col) == F.col("node"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("__prio").desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+    )
+    losers = ranked.filter(F.col("__rn") > 1).select(F.col(id_col))
+    return docs.join(losers, id_col, "left_anti")
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

@@ -189,6 +189,112 @@ def mixture_sample_by_tokens(
     return df.filter(hash_bucket(F.col(key_col), buckets, salt) < cut)
 
 
+def epoch_mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    n_tokens: Column,
+    target_tokens: dict[str, int],
+) -> dict[str, tuple[int, int, int]]:
+    """Per-source repeat ratios that hit ABSOLUTE token budgets, allowing
+    MULTI-EPOCH upsampling — the other half of the data-mix recipe that
+    :func:`token_mixture_plan` (downsample-only) can't express: GPT-3
+    trains Wikipedia ~3.4 epochs while Common Crawl sees <1 (Brown et al.
+    2020 table 2.2), so a mixture operator must repeat small high-weight
+    sources, not just cut large ones.
+
+    For each source, the repeat ratio r_s = target_s / T_s splits into
+    ``(base, frac_num, frac_den)`` with base = target_s // T_s and
+    frac_num/frac_den = (target_s % T_s) / T_s — ALL INTEGER, so an
+    external engine recomputing the same divisions lands on bit-identical
+    plans (same rationale as :func:`token_mixture_plan`). Every row gets
+    ``base`` full copies; a deterministic md5 draw grants one extra copy
+    to a ``frac`` share of rows, so expected emitted tokens per source
+    equal the budget. Sources without a budget (or with zero tokens) get
+    (0, 0, 1) — dropped.
+
+    The aggregate is |sources| rows — metadata-scale by nature."""
+    totals = {
+        r["__src"]: r["__t"] or 0
+        for r in df.groupBy(F.col(source_col).alias("__src"))
+        .agg(F.sum(n_tokens).alias("__t"))
+        .collect()
+    }
+    plan: dict[str, tuple[int, int, int]] = {}
+    for src, t in totals.items():
+        tgt = int(target_tokens.get(src, 0))
+        if t <= 0 or tgt <= 0:
+            plan[src] = (0, 0, 1)
+        else:
+            plan[src] = (tgt // t, tgt % t, t)
+    return plan
+
+
+def proportional_targets(
+    totals: dict[str, int], weights: dict[str, int], total_budget: int
+) -> dict[str, int]:
+    """Split ``total_budget`` tokens across sources ∝ ``weights`` (integer
+    floor division, so engines agree exactly): target_s = ⌊budget·w_s/W⌋
+    with W = Σ weights of sources that actually have tokens. Pure driver
+    arithmetic over the |sources|-row totals dict."""
+    w_sum = sum(
+        w for s, w in weights.items() if w > 0 and totals.get(s, 0) > 0
+    )
+    if w_sum <= 0:
+        return {s: 0 for s in totals}
+    return {
+        s: (total_budget * weights.get(s, 0)) // w_sum if totals.get(s, 0) > 0 else 0
+        for s in totals
+    }
+
+
+def mixture_sample_epochs(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    target_tokens: dict[str, int],
+    *,
+    n_tokens: Column,
+    buckets: int = 10000,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a data mixture with per-source ABSOLUTE token budgets,
+    repeating rows for budgets above the source's size (multi-epoch) and
+    md5-downsampling for budgets below — see :func:`epoch_mixture_plan`.
+    Each emitted row carries ``epoch_col`` (0-based copy index), so a
+    trainer (or :func:`~.layout.training_shards`) can salt per-epoch
+    shuffle order and dedup never mistakes the copies for corruption.
+
+    Scale shape: one |sources|-row aggregate picks the plan; the
+    expansion itself is a codegen ``explode(sequence(...))`` on the scan —
+    per-row fan-out with NO shuffle and no driver data. Copy counts are a
+    pure function of (key, source), stable under repartitioning and
+    engine-portable: the extra fractional copy uses the same md5-bucket
+    predicate as every sampler here, with the cut ⌊buckets·frac_num/
+    frac_den⌋ in exact integer arithmetic."""
+    plan = epoch_mixture_plan(df, source_col, n_tokens, target_tokens)
+    base_map = F.create_map(
+        *[x for s, (b, _n, _d) in plan.items() for x in (F.lit(s), F.lit(b))]
+    )
+    cut_map = F.create_map(
+        *[
+            x
+            for s, (_b, n, d) in plan.items()
+            for x in (F.lit(s), F.lit((buckets * n) // d))
+        ]
+    )
+    base = F.coalesce(base_map[F.col(source_col)], F.lit(0))
+    cut = F.coalesce(cut_map[F.col(source_col)], F.lit(0))
+    extra = (hash_bucket(F.col(key_col), buckets, salt) < cut).cast("int")
+    n_copies = base + extra
+    # sequence(0, -1) would infer step -1 and emit [0, -1]; guard with an
+    # empty array so zero-copy rows vanish through the explode
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(epoch_col, F.explode(copies))
+
+
 def dense_index(
     df: DataFrame,
     order_col: str | list[str],

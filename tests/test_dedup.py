@@ -501,3 +501,30 @@ def test_ngram_posting_cap_bounds_pairs_and_keeps_links(spark):
     ex = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
     for r in rows:
         assert r["jaccard"] <= ex[(r["id_a"], r["id_b"])] + 1e-9
+
+
+def test_dedup_survivors_by_priority_keeps_best_member(spark):
+    """r7: priority survivors — highest priority wins each cluster, ties
+    break to min id, unpaired docs survive untouched, and min-id survivors
+    (the plain rule) differ exactly where priorities disagree with ids."""
+    from ml_feature_store_pipeline_spark.operators.dedup import (
+        dedup_survivors,
+        dedup_survivors_by_priority,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 5.0), (2, 9.0), (3, 7.0),   # cluster {1,2,3} → keep 2
+            (10, 4.0), (11, 4.0),           # cluster {10,11}, tie → keep 10
+            (20, 1.0),                      # unpaired → survives
+        ],
+        "doc_id long, prio double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = dedup_survivors_by_priority(docs, pairs, "doc_id", F.col("prio"))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 10, 20]
+    # the min-id rule keeps 1 instead of 2 — priorities really steer
+    plain = dedup_survivors(docs, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in plain.collect()) == [1, 10, 20]

@@ -76,7 +76,12 @@ CHANGED_OR_NEW_IN_R7 = [
     "video_vhash_dup_groups",         # batched pHash + majority fold + repartition
     "ewma_user_spend_prior",          # runtime span/half-life guard in the expression
     "negative_sample_pairs",          # dense_index checkpoint gating + lazy persist
-    "index_encode_event_types",       # same dense_index path
+    # (index_encode_event_types rides the same dense_index path as
+    # negative_sample_pairs and yielded its slot to the late-r7
+    # registrations below; image_phash_dup_groups likewise yielded to
+    # video_vhash_dup_groups, the query that calls the changed fold)
+    "mixture_epochs_docs",            # NEW: multi-epoch data mixture
+    "dedup_survivors_priority_docs",  # NEW: priority-ranked dedup survivors
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -243,3 +243,63 @@ def test_negative_sample_no_single_partition_window(spark):
     out.collect()
     plan = _final_plan(out._jdf.queryExecution().executedPlan().toString())
     assert _single_partition_windows(plan) == 0
+
+
+def test_mixture_sample_epochs_copy_counts_match_plan(spark):
+    """r7: multi-epoch mixture — every row is emitted exactly
+    base + (md5 draw < frac cut) times with epochs 0..n-1; a source with
+    no budget vanishes; output is deterministic across invocations."""
+    from ml_feature_store_pipeline_spark.operators.sampling import (
+        epoch_mixture_plan,
+        hash_bucket,
+        mixture_sample_epochs,
+    )
+
+    rows = [
+        (1, "wiki", 10), (2, "wiki", 30),          # T=40
+        (3, "web", 100), (4, "web", 60), (5, "web", 40),  # T=200
+        (6, "junk", 50),                           # T=50, no budget
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, nt long")
+    targets = {"wiki": 100, "web": 90}  # wiki 2.5 epochs, web 0.45, junk 0
+    out = mixture_sample_epochs(
+        df, "doc_id", "source", targets, n_tokens=F.col("nt")
+    )
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+
+    plan = epoch_mixture_plan(df, "source", F.col("nt"), targets)
+    assert plan["wiki"] == (2, 20, 40) and plan["web"] == (0, 90, 200)
+    assert plan["junk"] == (0, 0, 1)
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id"), 10000).alias("b")
+        ).collect()
+    }
+    expect = []
+    for doc_id, src, _nt in rows:
+        base, num, den = plan[src]
+        n = base + (1 if buckets[doc_id] < (10000 * num) // den else 0)
+        expect.extend((doc_id, e) for e in range(n))
+    assert got == sorted(expect)
+    # junk emitted nothing; wiki docs appear at least twice each
+    assert all(d not in (6,) for d, _ in got)
+    assert {d for d, e in got if e >= 2} <= {1, 2}
+    # deterministic: a second run is identical
+    again = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert again == got
+
+
+def test_proportional_targets_integer_split(spark):
+    from ml_feature_store_pipeline_spark.operators.sampling import (
+        proportional_targets,
+    )
+
+    totals = {"a": 100, "b": 50, "c": 0}
+    # c has no tokens: its weight leaves the denominator and its target is 0
+    assert proportional_targets(totals, {"a": 3, "b": 1, "c": 5}, 1000) == {
+        "a": 750,
+        "b": 250,
+        "c": 0,
+    }
+    assert proportional_targets(totals, {}, 1000) == {"a": 0, "b": 0, "c": 0}
