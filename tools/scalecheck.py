@@ -145,7 +145,7 @@ DOC_OPS = (
     "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
     "video_frame_sample streaming_near_dup lm_score decontaminate phash "
     "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64 "
-    "quality_classifier training_shards"
+    "quality_classifier training_shards mixture_epochs priority_survivors"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
@@ -352,7 +352,7 @@ def main() -> None:
         # words + one extra token), so the pair graph has real clusters and
         # the CC rounds do real work — the full SURVEY dedup pipeline as one
         # measured unit, not three separate stages.
-        if docs is not None and want("near_dup_pipeline"):
+        if docs is not None and (want("near_dup_pipeline") or want("priority_survivors")):
             par = spark.sparkContext.defaultParallelism
             base = F.when(F.col("id") % 10 == 9, F.col("id") - 1).otherwise(F.col("id"))
             words = F.array(*[F.lit(w) for w in VOCAB])
@@ -378,6 +378,19 @@ def main() -> None:
             n_surv = surv.count()  # CC runs eagerly inside; count forces the rest
             log("near_dup_pipeline", time.time() - t0, args.docs)
             print(json.dumps({"op": "near_dup_pipeline.survivors", "rows": n_surv}), flush=True)
+            if want("priority_survivors"):
+                from ml_feature_store_pipeline_spark.functions import token_count as _tc
+
+                if METER is not None:
+                    METER.delta()
+                t0 = time.time()
+                pairs2 = dedup.lsh_candidate_pairs(ddocs, "doc_id", "text", parallelism=par)
+                psurv = dedup.dedup_survivors_by_priority(
+                    ddocs, pairs2, "doc_id", _tc(F.col("text"))
+                )
+                n_psurv = psurv.count()
+                log("priority_survivors", time.time() - t0, args.docs)
+                print(json.dumps({"op": "priority_survivors.survivors", "rows": n_psurv}), flush=True)
 
         # ---- degenerate boilerplate corpus: the cap's worst case ----------
         # Every doc shares an identical header sentence, so ~10 shingles
@@ -622,6 +635,30 @@ def main() -> None:
             t0 = time.time()
             _lay.write_training_shards(docs, out, "doc_id", n_shards=64)
             log("training_shards_write64", time.time() - t0, args.docs)
+        if docs is not None and want("mixture_epochs"):
+            # absolute-budget mixture at 2x the corpus: every source fans
+            # out via explode; the only exchange is the |sources|-row plan
+            # aggregate — expansion itself must read as ~0 MB shuffled
+            from ml_feature_store_pipeline_spark.functions import token_count as _tc
+            from ml_feature_store_pipeline_spark.operators import sampling as _smp
+
+            mdocs = docs.withColumn(
+                "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+            )
+            nt = _tc(F.col("text"))
+            totals = {
+                r["__src"]: r["__t"] or 0
+                for r in mdocs.groupBy(F.col("source").alias("__src"))
+                .agg(F.sum(nt).alias("__t"))
+                .collect()
+            }
+            weights = {src: int(src.removeprefix("src")) + 1 for src in totals}
+            targets = _smp.proportional_targets(totals, weights, 2 * sum(totals.values()))
+            timed(
+                "mixture_epochs_2x",
+                _smp.mixture_sample_epochs(mdocs, "doc_id", "source", targets, n_tokens=nt),
+                args.docs,
+            )
         if vecs is not None and want("semantic_decontaminate"):
             # broadcast eval (2% slice) vs full corpus: zero-shuffle scan
             from ml_feature_store_pipeline_spark.operators import similarity as _sim
