@@ -101,6 +101,15 @@ HEADLINE_R7 = [
     # dedup survivors (per-cluster window on top of the CC pipeline)
     "mixture_epochs_docs",
     "dedup_survivors_priority_docs",
+    # label-aware embedding curation wave: quadratic self-kNN audit (the
+    # one to watch — pre-normalized dot, 32-way repartitioned scan),
+    # broadcast hard negatives, centroid prototypicality, and the two
+    # zero-shuffle text passes (Gopher rules, vocab head)
+    "knn_label_audit",
+    "hard_negative_pairs",
+    "prototypicality_scores",
+    "gopher_filter_docs",
+    "vocab_coverage_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

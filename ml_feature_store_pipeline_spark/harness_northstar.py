@@ -2405,3 +2405,175 @@ def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
     return multimodal.resize_image_stats(payloads, out_w=4, out_h=4)
+
+
+# ---------------------------------------------------------------------------
+# label-aware embedding curation (r7: kNN label audit, hard negatives,
+# prototypicality) + Gopher rule filter + vocabulary coverage
+# ---------------------------------------------------------------------------
+
+_STOP_EN_SQL = "('the','a','and','of','to','in','is','it')"
+
+
+@register(
+    "knn_label_audit",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS aid, a.label AS albl, b.vec_id AS bid, b.label AS blbl,
+             {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS c
+      FROM e a, e b WHERE a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT aid, albl, blbl,
+             ROW_NUMBER() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rk
+      FROM p
+    )
+    SELECT aid AS vec_id, albl AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN blbl = albl THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           SUM(CASE WHEN blbl = albl THEN 1 ELSE 0 END) / COUNT(*) AS agree_frac,
+           (SUM(CASE WHEN blbl = albl THEN 1 ELSE 0 END) / COUNT(*)) < 0.5 AS suspect
+    FROM r WHERE rk <= 10
+    GROUP BY aid, albl
+    """,
+)
+def q_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement audit (cleanlab-style label-error triage): each
+    vector's 10 nearest neighbors vote on its label; low agreement flags a
+    likely mislabel. Exact self-kNN (the oracle needs exactness); the
+    operator's ``candidates=`` path is the documented 100 TB route."""
+    emb = read_table(spark, sf_dir, "embeddings").repartition(_par(spark))
+    return similarity.knn_label_consistency(emb, k=10, min_agree=0.5)
+
+
+@register(
+    "hard_negative_pairs",
+    f"""
+    WITH q AS (SELECT vec_id AS anchor_id, label AS albl, embedding AS qv
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.anchor_id, c.vec_id,
+             {_COS_SQL.format(a='q.qv', b='c.embedding')} AS cosine
+      FROM q, embeddings c WHERE c.label <> q.albl
+    ),
+    ranked AS (
+      SELECT anchor_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, vec_id, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: top-5 most-similar DIFFERENT-label vectors per
+    anchor (the contrastive-training negatives a uniform sampler misses).
+    Label filter precedes the top-k window — ids+rank compared, cosine
+    dropped (float summation-order, the cosine_topk_blas precedent)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = similarity.hard_negatives(anchors, emb, k=5)
+    return out.select("anchor_id", "vec_id", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "prototypicality_scores",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    comp AS (
+      SELECT label, i, CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+      FROM e, UNNEST(generate_series(1, LEN(v))) AS u(i)
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label, LIST(cv ORDER BY i) AS c FROM comp GROUP BY label),
+    s AS (
+      SELECT e.vec_id, e.label,
+             ROUND({_COS_SQL.format(a='e.v', b='cent.c')}, 6) AS proto_cos
+      FROM e JOIN cent ON e.label = cent.label
+    )
+    SELECT vec_id, label, proto_cos,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY label ORDER BY proto_cos), 6) AS proto_pct
+    FROM s
+    """,
+)
+def q_prototypicality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning scores (Sorscher et al. 2022): cosine to the
+    label centroid + within-label percentile. Centroid components sum via
+    DECIMAL(28,12) on both engines (order-insensitive), percent_rank ranks
+    the ROUNDED cosine so ties agree across engines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.prototypicality(emb)
+
+
+_GOPHER_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(LEN(toks) AS BIGINT) AS n_words,
+             CASE WHEN LEN(toks) > 0
+                  THEN CAST(LEN(array_to_string(toks, '')) AS DOUBLE) / LEN(toks)
+                  ELSE 0.0 END AS mean_wl,
+             CASE WHEN LEN(toks) > 0
+                  THEN LEN(regexp_extract_all(text, '[#…]|\\.\\.\\.')) / LEN(toks)
+                  ELSE 0.0 END AS sym_ratio,
+             CASE WHEN LEN(toks) > 0
+                  THEN LEN(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / LEN(toks)
+                  ELSE 0.0 END AS alpha_frac,
+             CAST(LEN(list_filter({_SQL_TOKS.format(t='lower(text)')},
+                  x -> x IN {_STOP_EN_SQL})) AS BIGINT) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           ROUND(mean_wl, 6) AS mean_word_len,
+           ROUND(sym_ratio, 6) AS symbol_word_ratio,
+           ROUND(alpha_frac, 6) AS alpha_word_frac,
+           stop_hits AS stopword_hits,
+           (n_words >= 50 AND n_words <= 100000) AS rule_n_words,
+           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS rule_word_len,
+           (sym_ratio <= 0.1) AS rule_symbol,
+           (alpha_frac >= 0.8) AS rule_alpha,
+           (stop_hits >= 2) AS rule_stop,
+           ((n_words >= 50 AND n_words <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+            AND (sym_ratio <= 0.1) AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS keep
+    FROM s
+    """
+
+
+@register("gopher_filter_docs", _GOPHER_SQL)
+def q_gopher_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filter (Rae et al. 2021 §A1.1): per-rule booleans +
+    conjunction ``keep``. Pure codegen scan, zero shuffles — the audit
+    twin of quality_score's blended ranking number."""
+    return text.gopher_rules(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "vocab_coverage_docs",
+    f"""
+    WITH w AS (
+      SELECT UNNEST({_SQL_TOKS.format(t='text')}) AS word FROM documents
+    ),
+    c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ FROM w GROUP BY word),
+    tot AS (SELECT SUM(n_occ) AS total FROM c),
+    top AS (
+      SELECT word, n_occ,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, word ASC) AS BIGINT) AS rank
+      FROM c QUALIFY rank <= 20
+    )
+    SELECT word, n_occ, rank,
+           ROUND(SUM(n_occ) OVER (ORDER BY rank) / (SELECT total FROM tot), 6) AS cum_frac
+    FROM top
+    """,
+)
+def q_vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head + cumulative coverage (tokenizer-budget planning):
+    top-20 corpus tokens, exact counts, running coverage fraction. Exact
+    integer arithmetic end-to-end — the division is the only float."""
+    return text.vocab_coverage(
+        read_table(spark, sf_dir, "documents"), "text", top_n=20
+    )

@@ -762,3 +762,217 @@ def semantic_decontaminate_blas(
         part, f"{id_col} long, max_eval_cosine double, contaminated boolean"
     )
     return out.filter(~F.col("contaminated")).drop("contaminated") if drop else out
+
+
+# ---------------------------------------------------------------------------
+# label-aware neighbor analysis (training-data curation over embeddings)
+# ---------------------------------------------------------------------------
+
+
+def knn_label_consistency(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    min_agree: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vector kNN label-agreement audit (confident-learning style, à la
+    cleanlab): for each vector, the fraction of its ``k`` nearest neighbors
+    (cosine, self excluded) that share its label. Rows whose neighborhood
+    disagrees (``agree_frac < min_agree``) are flagged ``suspect`` — the
+    cheap first pass for label-error triage before a model-based pass.
+
+    Returns (id, label, n_neighbors, n_agree, agree_frac, suspect).
+    ``agree_frac`` is a ratio of integers (engine-exact); ``n_neighbors``
+    can be < k only when the corpus itself has < k+1 rows.
+
+    Scale shape: exact self-kNN is inherently O(N²) — fine up to ~10⁵
+    vectors per run (the corpus ships once as a broadcast of id+label+vec
+    and every executor scores its scan slice; no shuffle until the k-row
+    window per anchor). Past that, pass ``candidates`` — a (id_a, id_b)
+    pair table from :func:`lsh_topk` buckets, :func:`ivf_build` cells, or
+    :func:`embedding_near_dup_pairs` candidates — and only those pairs are
+    scored (recall < 1, the standard ANN trade, same knobs as the
+    similarity stack above).
+    """
+    # pre-normalize once (N norm folds) so the pair score is a plain dot
+    # (N² folds) instead of a full cosine (3·N² folds) — same ordering
+    base = _normalized(df.select(F.col(id_col), F.col(vec_col), F.col(label_col)), vec_col)
+    a = base.select(
+        F.col(id_col).alias("__aid"),
+        F.col(vec_col).alias("__av"),
+        F.col(label_col).alias("__albl"),
+    )
+    b = base.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        F.col(label_col).alias("__blbl"),
+    )
+    if candidates is None:
+        pairs = b.crossJoin(F.broadcast(a)).filter(F.col("__aid") != F.col("__bid"))
+    else:
+        cand = candidates.select(
+            F.col(candidates.columns[0]).alias("__aid"),
+            F.col(candidates.columns[1]).alias("__bid"),
+        ).filter(F.col("__aid") != F.col("__bid"))
+        pairs = cand.join(a, "__aid").join(b, "__bid")
+    scored = pairs.select(
+        "__aid",
+        "__albl",
+        "__bid",
+        "__blbl",
+        dot(F.col("__av"), F.col("__bv")).alias("__cos"),
+    )
+    w = Window.partitionBy("__aid").orderBy(F.desc("__cos"), F.asc("__bid"))
+    knn = scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    agree = F.sum(F.when(F.col("__blbl") == F.col("__albl"), 1).otherwise(0)).cast("long")
+    out = knn.groupBy(F.col("__aid").alias(id_col), F.col("__albl").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        agree.alias("n_agree"),
+    )
+    return out.select(
+        id_col,
+        label_col,
+        "n_neighbors",
+        "n_agree",
+        (F.col("n_agree") / F.col("n_neighbors")).alias("agree_frac"),
+        (F.col("n_agree") / F.col("n_neighbors") < F.lit(min_agree)).alias("suspect"),
+    )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    *,
+    anchor_id: str = "anchor_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric learning: for each
+    anchor, the ``k`` most-similar corpus vectors with a DIFFERENT label
+    (the negatives a random sampler almost never finds, and the ones that
+    carry the gradient). The label filter runs BEFORE the top-k window —
+    a plain top-k-then-filter would under-deliver negatives whenever
+    same-label neighbors crowd the top ranks.
+
+    Returns (anchor_id, corpus_id, cosine, rank) with rank 1..k per
+    anchor, id tiebreak. Scale shape: anchors broadcast against one
+    corpus scan (anchors are the small side by contract — a query batch,
+    not the corpus); per-anchor top-k via window on ≤ corpus rows per
+    anchor. For corpus-wide mining feed anchors in batches, or pre-prune
+    with :func:`ivf_build` cells exactly as in :func:`ivf_topk`.
+    """
+    # pre-normalize each side once so the per-pair score is one dot fold
+    a = _normalized(
+        anchors.select(
+            F.col(anchor_id).alias("__aid"),
+            F.col(vec_col).alias("__av"),
+            F.col(label_col).alias("__albl"),
+        ),
+        "__av",
+    )
+    c = _normalized(
+        corpus.select(
+            F.col(corpus_id).alias("__cid"),
+            F.col(vec_col).alias("__cv"),
+            F.col(label_col).alias("__clbl"),
+        ),
+        "__cv",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("__clbl") != F.col("__albl"))
+        .select(
+            F.col("__aid").alias(anchor_id),
+            F.col("__cid").alias(corpus_id),
+            dot(F.col("__av"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(anchor_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(anchor_id, corpus_id, "cosine", "rank")
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean embedding → (label, centroid array<double>).
+
+    Component sums go through DECIMAL(28,12) (the ``functions.dsum``
+    recipe at embedding precision): decimal addition is associative, so
+    the centroid is bit-identical across partitionings, runs, and engines
+    — the property the DuckDB oracle and any replayed pipeline need.
+    float32 components are ≤ ~1e2 with 24-bit mantissas, so 12 fractional
+    digits lose nothing that survives the final double division anyway.
+
+    Scale shape: ``posexplode`` fans each row into ``dim`` (label, pos,
+    value) tuples, but the groupBy is map-side combinable — the shuffle
+    carries |labels|×dim partial sums per input partition, never N×dim
+    rows. The rebuilt centroid table is |labels|×dim doubles: broadcast
+    material for any downstream join.
+    """
+    pos = df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("__pos", "__v"))
+    comp = pos.groupBy(label_col, "__pos").agg(
+        (
+            F.sum(F.col("__v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))
+        ).alias("__cv")
+    )
+    return (
+        comp.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__cv"))).alias("__s"))
+        .select(label_col, F.transform("__s", lambda s: s["__cv"]).alias("centroid"))
+    )
+
+
+def prototypicality(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Prototypicality score for data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486 "Beyond neural scaling laws"): cosine between each
+    vector and its LABEL CENTROID, plus the vector's percentile rank
+    within its label (0 = least prototypical = the "hard" examples the
+    paper keeps when data is abundant; 1 = most prototypical = the
+    "easy" ones kept when data is scarce). Downstream pruning is a plain
+    filter on ``proto_pct``.
+
+    Returns (id, label, proto_cos, proto_pct). ``proto_cos`` is rounded
+    so the within-label ordering (and therefore ``proto_pct``) is stable
+    across engines; ``proto_pct`` ranks the ROUNDED score with
+    ``percent_rank`` (ties share a rank on both engines), id-tiebreak-free
+    by construction.
+
+    Scale shape: one :func:`label_centroids` aggregate (broadcast-sized
+    result) + a broadcast join + one window partitioned by label. The
+    window sorts each label's rows on one node — with L labels the
+    biggest partition is N/L-ish; for few-label corpora at 100 TB, rank
+    against a :func:`~.sketches` KLL quantile sketch of proto_cos instead
+    (same filter semantics, no global sort).
+    """
+    cents = label_centroids(df, vec_col=vec_col, label_col=label_col)
+    scored = df.join(F.broadcast(cents), label_col).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col("centroid")), round_digits
+        ).alias("proto_cos"),
+    )
+    w = Window.partitionBy(label_col).orderBy("proto_cos")
+    return scored.withColumn(
+        "proto_pct", F.round(F.percent_rank().over(w), round_digits)
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import token_count, tokens
 
@@ -437,4 +438,112 @@ def lm_score(
             F.count(F.lit(1)).alias("n_grams"),
             F.round(-F.avg(lp), round_digits).alias("xent"),
         )
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher rule-based document filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the classic per-document heuristics that
+    gate a web corpus BEFORE any model-based scoring — word-count bounds,
+    mean-word-length band, symbol-to-word ratio ('#'/'…' spam), the
+    fraction of words containing a letter, and a minimum stopword count
+    (English list, matching the paper's "contains ≥2 of a small stopword
+    set" rule). Unlike :func:`quality_score` (one blended number for
+    RANKING), this emits each rule as its own boolean so a pipeline can
+    audit which rule fires and tune thresholds per source; ``keep`` is
+    their conjunction.
+
+    All pure Column expressions over one tokenization — a 100 TB scan
+    stays in whole-stage codegen with zero shuffles (no aggregation at
+    all: the filter is embarrassingly row-parallel).
+
+    Ratio columns are rounded to 6dp so downstream hash comparison is
+    engine-stable; the rule booleans compare the UNrounded values, and
+    thresholds sit far from representable-float boundaries in practice
+    (the rules are heuristics — a doc at exactly the boundary is a coin
+    flip you should not be relying on).
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks).cast("long")
+    total_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_wl = F.when(n_words > 0, total_len / n_words).otherwise(F.lit(0.0))
+    n_symbol = F.size(F.regexp_extract_all(text, F.lit(r"[#…]|\.\.\."), 0)).cast("long")
+    sym_ratio = F.when(n_words > 0, n_symbol / n_words).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    stop_hits = stopword_hits(text, "en").cast("long")
+    rule_n_words = (n_words >= min_words) & (n_words <= max_words)
+    rule_word_len = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    rule_symbol = sym_ratio <= max_symbol_word_ratio
+    rule_alpha = alpha_frac >= min_alpha_word_frac
+    rule_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        rule_n_words.alias("rule_n_words"),
+        rule_word_len.alias("rule_word_len"),
+        rule_symbol.alias("rule_symbol"),
+        rule_alpha.alias("rule_alpha"),
+        rule_stop.alias("rule_stop"),
+        (rule_n_words & rule_word_len & rule_symbol & rule_alpha & rule_stop).alias(
+            "keep"
+        ),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_n`` most frequent whitespace
+    tokens with their corpus counts, frequency rank (count-desc,
+    word-asc tiebreak), and CUMULATIVE coverage — the fraction of all
+    token occurrences a vocabulary truncated at that rank would cover.
+    The first question tokenizer training asks of a corpus ("how big a
+    vocab covers 95%?"), and a cheap drift signal between snapshots.
+
+    Returns (word, n_occ, rank, cum_frac). Counts are exact integers and
+    ``cum_frac`` divides exact integer partial sums by the exact total,
+    so every engine agrees bit-for-bit.
+
+    Scale shape: explode → groupBy(word) is map-side combinable (the
+    shuffle carries one partial count per distinct word per partition);
+    the top-n cut is TakeOrderedAndProject (never a full sort); only the
+    ≤ ``top_n`` surviving rows pass through the single-partition running
+    -sum window, which is the bounded-small-data case where one
+    partition is correct, not a bottleneck. The corpus-total count is a
+    scalar crossJoin (broadcast).
+    """
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    total = counts.agg(F.sum("n_occ").alias("__total"))
+    top = counts.orderBy(F.desc("n_occ"), F.asc("word")).limit(top_n)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("word"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_frac",
+            F.round(F.sum("n_occ").over(w) / F.col("__total"), 6),
+        )
+        .select("word", "n_occ", "rank", "cum_frac")
     )

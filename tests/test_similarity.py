@@ -388,3 +388,122 @@ def test_semantic_decontaminate_empty_eval_keeps_everything(spark):
         assert all(r["max_eval_cosine"] is None for r in flagged)
         kept = fn(tr, ev, threshold=0.95, drop=True)
         assert sorted(r["vec_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# label-aware neighbor analysis (r7: kNN label audit, hard negatives,
+# prototypicality)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def labeled_corpus(spark, vectors):
+    # label = two clusters by construction: shift half the vectors so kNN
+    # neighborhoods are label-coherent, then plant one mislabeled row
+    shifted = vectors.copy()
+    shifted[: N // 2] += 3.0  # cluster A sits far from cluster B
+    labels = [0 if i < N // 2 else 1 for i in range(N)]
+    labels[0] = 1  # planted label error inside cluster A
+    rows = [
+        (i, [float(x) for x in shifted[i]], labels[i]) for i in range(N)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_knn_label_audit_flags_planted_error(spark, labeled_corpus):
+    out = similarity.knn_label_consistency(labeled_corpus, k=5).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == N
+    # the planted mislabel sits inside cluster A: its neighbors carry label 0
+    assert by_id[0]["suspect"] is True
+    assert by_id[0]["agree_frac"] == 0.0
+    # a clean cluster-B row agrees with its neighborhood
+    assert by_id[N - 1]["suspect"] is False
+    for r in out:
+        assert r["n_neighbors"] == 5
+        assert 0.0 <= r["agree_frac"] <= 1.0
+        assert r["n_agree"] <= r["n_neighbors"]
+
+
+def test_knn_label_audit_candidates_path_subsets_exact(spark, labeled_corpus):
+    # candidate pairs restricted to a band of ids: scored neighborhoods can
+    # only shrink, and every returned neighbor count is <= k
+    exact = similarity.knn_label_consistency(labeled_corpus, k=5)
+    ids = labeled_corpus.select("vec_id")
+    cands = (
+        ids.withColumnRenamed("vec_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("vec_id", "id_b"))
+        .filter((F.col("id_a") % 2) == (F.col("id_b") % 2))
+    )
+    approx = similarity.knn_label_consistency(labeled_corpus, k=5, candidates=cands)
+    n_exact = exact.count()
+    rows = approx.collect()
+    assert 0 < len(rows) <= n_exact
+    for r in rows:
+        assert r["n_neighbors"] <= 5
+
+
+def test_hard_negatives_never_share_label(spark, labeled_corpus):
+    anchors = labeled_corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = similarity.hard_negatives(anchors, labeled_corpus, k=3)
+    joined = out.join(
+        labeled_corpus.select("vec_id", F.col("label").alias("nbr_label")), "vec_id"
+    ).join(
+        anchors.select(F.col("anchor_id"), F.col("label").alias("a_label")),
+        "anchor_id",
+    )
+    rows = joined.collect()
+    assert {r["anchor_id"] for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        assert r["nbr_label"] != r["a_label"]
+        assert 1 <= r["rank"] <= 3
+
+
+def test_hard_negatives_matches_numpy(spark, labeled_corpus):
+    data = labeled_corpus.orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in data], dtype="float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    labels = np.array([r["label"] for r in data])
+    a_idx = 0
+    sims = Vn @ Vn[a_idx]
+    mask = labels != labels[a_idx]
+    order = sorted(np.nonzero(mask)[0], key=lambda j: (-sims[j], j))
+    expect = [int(j) for j in order[:3]]
+    anchors = labeled_corpus.filter(F.col("vec_id") == a_idx).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    got = (
+        similarity.hard_negatives(anchors, labeled_corpus, k=3)
+        .orderBy("rank")
+        .select("vec_id")
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == expect
+
+
+def test_label_centroids_match_numpy(spark, labeled_corpus):
+    data = labeled_corpus.collect()
+    got = {
+        r["label"]: np.array(r["centroid"])
+        for r in similarity.label_centroids(labeled_corpus).collect()
+    }
+    for lbl in (0, 1):
+        members = np.array(
+            [r["embedding"] for r in data if r["label"] == lbl], dtype="float64"
+        )
+        np.testing.assert_allclose(got[lbl], members.mean(axis=0), atol=1e-9)
+
+
+def test_prototypicality_ranges_and_extremes(spark, labeled_corpus):
+    rows = similarity.prototypicality(labeled_corpus).collect()
+    assert len(rows) == N
+    for r in rows:
+        assert -1.0 <= r["proto_cos"] <= 1.0
+        assert 0.0 <= r["proto_pct"] <= 1.0
+    # per label: exactly one row at pct 0 or tied-min, and max pct == 1.0
+    for lbl in (0, 1):
+        pcts = sorted(r["proto_pct"] for r in rows if r["label"] == lbl)
+        assert pcts[0] == 0.0
+        assert pcts[-1] == 1.0

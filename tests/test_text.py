@@ -207,3 +207,75 @@ class TestLmScore:
         docs = spark.createDataFrame([(1, "ABCabc")], "id long, text string")
         got = {r["gram"]: r["cnt"] for r in char_ngram_model(docs, "text").collect()}
         assert got == {"abc": 2, "bca": 1, "cab": 1}
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule filter + vocabulary coverage (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_hand_cases(spark):
+    long_good = "the quick brown fox jumps over a lazy dog and then it " * 5  # 60 words
+    short = "the cat sat on a mat"  # 6 words — fails min_words
+    symbols = ("the word " * 30) + ("# " * 20)  # symbol ratio 20/80 = 0.25
+    no_alpha = ("the of to in is it " * 10) + ("123 456 789 000 111 " * 30)
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, symbols), (4, no_alpha)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["n_words"] == 60
+    assert out[2]["keep"] is False and out[2]["rule_n_words"] is False
+    assert out[3]["rule_symbol"] is False
+    # 60 alpha words of 210 total → alpha_word_frac < 0.8
+    assert out[4]["rule_alpha"] is False
+    assert abs(out[4]["alpha_word_frac"] - 60 / 210) < 1e-6
+
+
+def test_gopher_rules_word_len_band(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd " * 20 + "the of it is to in"),  # mean len ~2 → fail
+            (2, "extraordinarily incomprehensibilities " * 30 + "the of it"),  # ~too long
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["rule_word_len"] is False
+    assert out[2]["rule_word_len"] is False
+
+
+def test_gopher_rules_empty_text_safe(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    out = text.gopher_rules(df, "doc_id", "text").collect()
+    for r in out:
+        assert r["n_words"] == 0
+        assert r["keep"] is False
+        assert r["mean_word_len"] == 0.0
+
+
+def test_vocab_coverage_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a b c"), (3, "a d")], "doc_id long, text string"
+    )
+    rows = text.vocab_coverage(df, "text", top_n=3).orderBy("rank").collect()
+    # counts: a=4, b=2, c=1, d=1 (total 8); top-3 tiebreak c before d
+    assert [(r["word"], r["n_occ"], r["rank"]) for r in rows] == [
+        ("a", 4, 1),
+        ("b", 2, 2),
+        ("c", 1, 3),
+    ]
+    assert rows[0]["cum_frac"] == 0.5
+    assert rows[1]["cum_frac"] == 0.75
+    assert rows[2]["cum_frac"] == 0.875
+
+
+def test_vocab_coverage_cum_frac_monotone_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} shared") for i in range(40)], "doc_id long, text string"
+    )
+    rows = text.vocab_coverage(df, "text", top_n=100).orderBy("rank").collect()
+    fracs = [r["cum_frac"] for r in rows]
+    assert all(a <= b for a, b in zip(fracs, fracs[1:]))
+    assert fracs[-1] == 1.0  # top_n covers the whole vocab here
