@@ -110,6 +110,11 @@ HEADLINE_R7 = [
     "prototypicality_scores",
     "gopher_filter_docs",
     "vocab_coverage_docs",
+    # corpus-selection wave: DSIR importance resample (two gram passes +
+    # broadcast ratio join), banded token-budget prefix sum, chunk dedup
+    "dsir_select_docs",
+    "budget_select_docs",
+    "chunk_dedup_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .functions import dsum, dsum_sql, tokens
 from .harness import register
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, selection, similarity, text
 from .sources.readers import read_table
 
 
@@ -2577,3 +2577,156 @@ def q_vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_coverage(
         read_table(spark, sf_dir, "documents"), "text", top_n=20
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus selection (r7: DSIR importance resampling, token-budget subsetting,
+# chunk-level dedup + reassembly)
+# ---------------------------------------------------------------------------
+
+_GRAMS_SQL = (
+    "list_concat({t}, CASE WHEN LEN({t}) >= 2 THEN "
+    "list_transform(generate_series(1, LEN({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i + 1]) ELSE [] END)"
+)
+
+
+@register(
+    "dsir_select_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS.format(t='text')} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, gram
+      FROM t, UNNEST({_GRAMS_SQL.format(t='toks')}) AS u(gram)
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM g
+    ),
+    tc AS (SELECT bucket, COUNT(*) AS n FROM b WHERE doc_id % 11 = 0 GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS n FROM b WHERE doc_id % 11 <> 0 GROUP BY bucket),
+    lr AS (
+      SELECT s.bucket,
+             ROUND(LN((COALESCE(tc.n, 0) + 1.0) / ((SELECT SUM(n) FROM tc) + 256.0))
+                 - LN((COALESCE(rc.n, 0) + 1.0) / ((SELECT SUM(n) FROM rc) + 256.0)),
+                   9) AS log_ratio
+      FROM (SELECT UNNEST(generate_series(0, 255)) AS bucket) s
+      LEFT JOIN tc ON s.bucket = tc.bucket
+      LEFT JOIN rc ON s.bucket = rc.bucket
+    ),
+    dw AS (
+      SELECT b.doc_id,
+             CAST(SUM(CAST(lr.log_ratio AS DECIMAL(20,9))) AS DOUBLE) AS log_weight
+      FROM b JOIN lr USING (bucket) WHERE b.doc_id % 11 <> 0 GROUP BY b.doc_id
+    ),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(dw.log_weight, 0.0) AS log_weight,
+             ROUND(COALESCE(dw.log_weight, 0.0) + (-LN(-LN(
+               (CAST(concat('0x', substr(md5('g|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0))), 6) AS sample_key
+      FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+      WHERE d.doc_id % 11 <> 0
+    )
+    SELECT doc_id, log_weight, sample_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id ASC) AS INT)
+             AS sample_rank
+    FROM keyed QUALIFY sample_rank <= 50
+    """,
+)
+def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): every 11th doc plays
+    the TARGET distribution, the rest the raw pool; hashed unigram+bigram
+    bucket log-ratios (Laplace-smoothed, 256 buckets) score each raw doc,
+    and Gumbel-top-k (md5-derived uniforms) draws 50 without replacement.
+    Log-weights sum in DECIMAL(20,9) so both engines agree bit-for-bit."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    target = docs.filter(F.col("doc_id") % 11 == 0)
+    raw = docs.filter(F.col("doc_id") % 11 != 0)
+    ratios = selection.dsir_log_ratios(target, raw, "text", n_buckets=256)
+    return selection.dsir_sample(raw, "doc_id", "text", ratios, k=50, n_buckets=256)
+
+
+@register(
+    "budget_select_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(LEN({_SQL_TOKS.format(t='text')}) AS BIGINT) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS punct,
+             CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS digit,
+             CAST(LEN(list_filter({_SQL_TOKS.format(t='lower(text)')},
+                  x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+               / GREATEST(LEN({_SQL_TOKS.format(t='text')}), 1) AS stop_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, n_tok AS n_tokens,
+             ROUND(
+               (CASE WHEN n_tok < 5 THEN n_tok / 5.0 WHEN n_tok > 5000 THEN 0.5 ELSE 1.0 END)
+               * (1.0 - LEAST(punct * 2, 1.0))
+               * (1.0 - LEAST(digit * 2, 1.0))
+               * (0.5 + LEAST(stop_ratio * 2, 0.5)), 6) AS quality_score
+      FROM t
+    )
+    SELECT doc_id, quality_score, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC)
+                AS BIGINT) AS cum_weight
+    FROM q QUALIFY cum_weight <= 3000
+    """,
+)
+def q_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus subsetting: fill a 3000-token training budget
+    from the top of the quality ranking (score desc, id tiebreak). The
+    operator's banded prefix sum must equal the oracle's single global
+    window — band assignment is provably order-preserving."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    qs = text.quality_score(docs, "doc_id", "text")
+    return selection.select_by_budget(
+        qs, "doc_id", score_col="quality_score", weight_col="n_tokens", budget=3000
+    )
+
+
+@register(
+    "chunk_dedup_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS.format(t='text')} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks, CAST(FLOOR((LEN(toks) - 1) / 16.0) AS BIGINT) + 1 AS nc
+      FROM t WHERE LEN(toks) > 0
+    ),
+    ch AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+             array_to_string(toks[(i-1)*16 + 1 : i*16], ' ') AS chunk_text
+      FROM c, UNNEST(generate_series(1, nc)) AS u(i)
+    ),
+    k AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM ch
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nk,
+             array_to_string(LIST(chunk_text ORDER BY chunk_id), ' ') AS clean_text
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nc2 FROM ch GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(tot.nc2, 0) AS n_chunks,
+           COALESCE(agg.nk, 0) AS n_chunks_kept,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level corpus dedup (CCNet/RefinedWeb paragraph dedup at
+    16-token-window grain): keep each distinct chunk's first occurrence
+    (doc_id, chunk_id order), rebuild every document from its survivors.
+    First-occurrence ranking shuffles by chunk md5; reassembly by id."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return selection.chunk_dedup(docs, "doc_id", "text", chunk_tokens=16)
