@@ -115,6 +115,10 @@ HEADLINE_R7 = [
     "dsir_select_docs",
     "budget_select_docs",
     "chunk_dedup_docs",
+    # curation diagnostics: per-source percentile calibration (one window),
+    # cross-source chunk-overlap matrix (digest-only self-join)
+    "quality_calibrated_docs",
+    "source_overlap_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

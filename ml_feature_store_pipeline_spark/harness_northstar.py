@@ -2730,3 +2730,85 @@ def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     First-occurrence ranking shuffles by chunk md5; reassembly by id."""
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     return selection.chunk_dedup(docs, "doc_id", "text", chunk_tokens=16)
+
+
+@register(
+    "quality_calibrated_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(LEN({_SQL_TOKS.format(t='text')}) AS BIGINT) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS punct,
+             CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS digit,
+             CAST(LEN(list_filter({_SQL_TOKS.format(t='lower(text)')},
+                  x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+               / GREATEST(LEN({_SQL_TOKS.format(t='text')}), 1) AS stop_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             ROUND(
+               (CASE WHEN n_tok < 5 THEN n_tok / 5.0 WHEN n_tok > 5000 THEN 0.5 ELSE 1.0 END)
+               * (1.0 - LEAST(punct * 2, 1.0))
+               * (1.0 - LEAST(digit * 2, 1.0))
+               * (0.5 + LEAST(stop_ratio * 2, 0.5)), 6) AS quality_score
+      FROM t
+    )
+    SELECT doc_id, source, quality_score,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality_score), 6)
+             AS score_pct
+    FROM q
+    """,
+)
+def q_quality_calibrated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration (CCNet-style per-domain buckets):
+    within-source percent_rank of the heuristic quality score, so one
+    percentile threshold means "the best X% of EVERY source" instead of
+    favoring the easiest domain. percent_rank over the rounded score is a
+    pure function of the per-source score multiset — tie-stable on both
+    engines."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    qs = text.quality_score(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).drop("n_tokens")
+    return text.quality_calibrate(qs, "doc_id", "quality_score", "source")
+
+
+@register(
+    "source_overlap_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_TOKS.format(t='text')} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, toks,
+             CAST(FLOOR((LEN(toks) - 1) / 16.0) AS BIGINT) + 1 AS nc
+      FROM t WHERE LEN(toks) > 0
+    ),
+    s AS (
+      SELECT DISTINCT md5(array_to_string(toks[(i-1)*16 + 1 : i*16], ' ')) AS d, source
+      FROM c, UNNEST(generate_series(1, nc)) AS u(i)
+    ),
+    tot AS (SELECT source AS source_a, CAST(COUNT(*) AS BIGINT) AS n_chunks_a
+            FROM s GROUP BY source),
+    p AS (
+      SELECT x.source AS source_a, y.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM s x JOIN s y ON x.d = y.d
+      GROUP BY x.source, y.source
+    )
+    SELECT p.source_a, p.source_b, tot.n_chunks_a, p.n_shared,
+           ROUND(CAST(p.n_shared AS DOUBLE) / tot.n_chunks_a, 6) AS overlap_frac
+    FROM p JOIN tot ON p.source_a = tot.source_a
+    """,
+)
+def q_source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix at 16-token-chunk grain: the
+    fraction of each source's distinct chunks also present in every other
+    source — decides dedup order and mixture weights before training. The
+    join input is DISTINCT (md5 digest, source) pairs: 16-byte digests,
+    never text."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return selection.source_overlap(docs, "doc_id", "text", "source", chunk_tokens=16)

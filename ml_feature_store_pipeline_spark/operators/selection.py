@@ -368,3 +368,67 @@ def chunk_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap diagnostics
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    *,
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every ordered source pair
+    (a, b), the number and fraction of source *a*'s DISTINCT chunks that
+    also appear somewhere in source *b* — the "how much of Common Crawl is
+    already in Wikipedia" diagnostic that decides dedup order and mixture
+    weights before training. The diagonal (a = a) reports each source's
+    internal distinct-chunk count as the denominator row.
+
+    Returns (source_a, source_b, n_chunks_a, n_shared, overlap_frac) for
+    every source pair that shares at least one chunk, plus the diagonal.
+    ``overlap_frac = n_shared / n_chunks_a`` (asymmetric by design — a
+    small source can be fully contained in a large one, not vice versa).
+
+    Scale shape: chunks reduce to DISTINCT (md5 digest, source) pairs
+    before any join — the join input carries 16-byte digests, never text,
+    and is at most |distinct chunks| × |sources| rows. The digest
+    self-join groups by (source_a, source_b): map-side combinable, so the
+    final exchange carries |sources|² partials per partition.
+    """
+    chunks = chunk_documents(df.select(F.col(id_col), F.col(text_col), F.col(source_col)),
+                             id_col, text_col, chunk_tokens=chunk_tokens, overlap=0)
+    # chunk_documents drops extra columns; rebuild (digest, source) by joining
+    # the source back on the id, then dedup per source
+    sources = df.select(F.col(id_col), F.col(source_col))
+    ds = (
+        chunks.join(sources, id_col)
+        .select(F.md5(F.col("chunk_text")).alias("__d"), F.col(source_col).alias("__src"))
+        .distinct()
+    )
+    totals = ds.groupBy(F.col("__src").alias("source_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks_a")
+    )
+    pairs = (
+        ds.alias("x")
+        .join(ds.alias("y"), "__d")
+        .groupBy(
+            F.col("x.__src").alias("source_a"), F.col("y.__src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.join(F.broadcast(totals), "source_a")
+        .select(
+            "source_a",
+            "source_b",
+            "n_chunks_a",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_chunks_a"), 6).alias("overlap_frac"),
+        )
+    )

@@ -547,3 +547,40 @@ def vocab_coverage(
         )
         .select("word", "n_occ", "rank", "cum_frac")
     )
+
+
+def quality_calibrate(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    group_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group score calibration: each row's ``percent_rank`` of
+    ``score_col`` WITHIN its ``group_col`` (source, domain, language).
+    Raw quality scores are not comparable across domains — legal text
+    scores systematically lower than encyclopedia text on the same
+    heuristics — so corpus pipelines threshold the within-domain
+    percentile instead (the CCNet move: per-domain perplexity *buckets*,
+    not one global cutoff). ``keep score_pct >= 0.8`` then means "the
+    best 20% of EVERY source", never "everything from the easiest one".
+
+    Returns (id, group, score, score_pct). The rank runs over the
+    ``round_digits``-rounded score so engines agree on ties (percent_rank
+    gives tied values identical ranks — no id tiebreak needed, making the
+    output a pure function of the score multiset per group).
+
+    Scale shape: one window partitioned by group — the biggest task sorts
+    ~N/|groups| rows. For few-group corpora at 100 TB, rank against a
+    per-group KLL quantile sketch (:mod:`.sketches`) instead: same filter
+    semantics, no per-group sort.
+    """
+    score = F.round(F.col(score_col), round_digits)
+    w = Window.partitionBy(group_col).orderBy(score)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        score.alias(score_col),
+        F.round(F.percent_rank().over(w), round_digits).alias("score_pct"),
+    )

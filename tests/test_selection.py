@@ -216,3 +216,71 @@ def test_chunk_dedup_partitioning_invariant(spark):
         key=key,
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# source overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_containment_and_diagonal(spark):
+    # src A: chunks [a b], [c d]; src B repeats [a b] and adds [x y];
+    # chunk size 2 — A∩B = {[a b]}; B's [a b] comes from doc 10 too
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "A"),
+            (10, "a b x y", "B"),
+            (11, "x y x y", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from ml_feature_store_pipeline_spark.operators.selection import source_overlap
+
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, "doc_id", "text", "source", chunk_tokens=2).collect()
+    }
+    # A has 2 distinct chunks; B has 2 ([a b], [x y] — doc 11 adds no new)
+    assert out[("A", "A")]["n_chunks_a"] == 2 and out[("A", "A")]["n_shared"] == 2
+    assert out[("B", "B")]["n_chunks_a"] == 2
+    assert out[("A", "B")]["n_shared"] == 1 and out[("A", "B")]["overlap_frac"] == 0.5
+    assert out[("B", "A")]["n_shared"] == 1 and out[("B", "A")]["overlap_frac"] == 0.5
+    # no pair row for sources sharing nothing
+    assert ("A", "C") not in out
+
+
+def test_source_overlap_digests_not_text(spark):
+    # plan hygiene: the self-join input projects only digest + source
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}", f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    from ml_feature_store_pipeline_spark.operators.selection import source_overlap
+
+    out = source_overlap(docs, "doc_id", "text", "source", chunk_tokens=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # chunk_text must not survive past the distinct into the join
+    assert "chunk_text" not in plan.split("Join")[0].split("HashAggregate")[-1]
+    assert out.count() >= 2
+
+
+# ---------------------------------------------------------------------------
+# quality calibration
+# ---------------------------------------------------------------------------
+
+
+def test_quality_calibrate_within_group_percentile(spark):
+    from ml_feature_store_pipeline_spark.operators.text import quality_calibrate
+
+    rows = [
+        (1, "A", 0.1), (2, "A", 0.5), (3, "A", 0.9),
+        (4, "B", 0.2), (5, "B", 0.2), (6, "B", 0.8),
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    out = {r["id"]: r for r in quality_calibrate(df, "id", "score", "src").collect()}
+    assert out[1]["score_pct"] == 0.0
+    assert out[2]["score_pct"] == 0.5
+    assert out[3]["score_pct"] == 1.0
+    # ties share a rank: both B 0.2 rows get 0.0
+    assert out[4]["score_pct"] == 0.0 and out[5]["score_pct"] == 0.0
+    assert out[6]["score_pct"] == 1.0

@@ -145,12 +145,13 @@ DOC_OPS = (
     "boilerplate_ngram pack_sequences incremental_lsh audio_decode "
     "video_frame_sample streaming_near_dup lm_score decontaminate phash "
     "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64 "
-    "quality_classifier training_shards mixture_epochs priority_survivors"
+    "quality_classifier training_shards mixture_epochs priority_survivors "
+    "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
     "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
-    "semantic_decontaminate"
+    "semantic_decontaminate knn_label_audit hard_negatives prototypicality"
 ).split()
 
 
@@ -796,6 +797,90 @@ def main() -> None:
                 ),
                 flush=True,
             )
+        # ---- round-7 fourth wave: corpus selection + label-aware curation -
+        if docs is not None and want("gopher_rules"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # pure Column scan — shuffle W must read ~0 MB
+            timed("gopher_rules", _text.gopher_rules(docs, "doc_id", "text"), args.docs)
+        if docs is not None and want("vocab_coverage"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # explode → map-side-combined word counts; top-n cut must be
+            # TakeOrderedAndProject, so shuffle carries |vocab| partials
+            timed("vocab_coverage_top1000", _text.vocab_coverage(docs, "text", top_n=1000), args.docs)
+        if docs is not None and want("dsir_select"):
+            from ml_feature_store_pipeline_spark.operators import selection as _sel
+
+            # 1% of docs play the target; ratios are two gram passes whose
+            # shuffles carry <= n_buckets partials per partition, the weight
+            # pass one decimal partial per (partition, doc); top-k never sorts
+            target = docs.filter(F.col("doc_id") % 100 == 0)
+            raw = docs.filter(F.col("doc_id") % 100 != 0)
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            ratios = _sel.dsir_log_ratios(target, raw, "text", n_buckets=4096)
+            picked = _sel.dsir_sample(raw, "doc_id", "text", ratios, k=10_000, n_buckets=4096)
+            n_picked = picked.count()
+            log("dsir_select_10k_of_corpus", time.time() - t0, args.docs)
+            print(json.dumps({"op": "dsir_select.picked", "rows": n_picked}), flush=True)
+        if docs is not None and want("budget_select"):
+            from ml_feature_store_pipeline_spark.operators import selection as _sel
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # banded prefix sum: biggest task sorts ~N/256; two eager small
+            # jobs (min/max, band totals) + one windowed pass
+            qs = _text.quality_score(docs, "doc_id", "text")
+            total_toks = qs.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            kept = _sel.select_by_budget(
+                qs, "doc_id", score_col="quality_score", weight_col="n_tokens",
+                budget=int(total_toks * 0.3),
+            )
+            n_kept = kept.count()
+            log("budget_select_30pct_tokens", time.time() - t0, args.docs)
+            print(json.dumps({"op": "budget_select.kept", "rows": n_kept}), flush=True)
+        if docs is not None and want("chunk_dedup"):
+            from ml_feature_store_pipeline_spark.operators import selection as _sel
+
+            # chunk text crosses the wire twice (digest rank, id reassembly)
+            # — the documented cost of rebuilding text output
+            timed("chunk_dedup_16tok", _sel.chunk_dedup(docs, "doc_id", "text", chunk_tokens=16), args.docs)
+        if vecs is not None and (want("knn_label_audit") or want("hard_negatives") or want("prototypicality")):
+            lvecs = vecs.withColumn("label", (F.col("vec_id") % 16).cast("int"))
+            if want("knn_label_audit"):
+                # exact self-kNN is O(N²) by definition — the 200k-scale path
+                # is the candidates= route: sign-LSH co-bucket pairs (both
+                # directions), then per-anchor top-k over candidates only
+                sig = similarity.hyperplane_signature(F.col("embedding"), 64, 14, seed=7)
+                bucketed = lvecs.select("vec_id", sig.alias("bucket"))
+                cands = (
+                    bucketed.alias("x")
+                    .join(bucketed.alias("y"), "bucket")
+                    .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+                    .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+                )
+                if METER is not None:
+                    METER.delta()
+                t0 = time.time()
+                out = similarity.knn_label_consistency(lvecs, k=10, candidates=cands)
+                n_suspect = out.filter(F.col("suspect")).count()
+                log("knn_label_audit_lsh_candidates", time.time() - t0, args.vecs)
+                print(json.dumps({"op": "knn_label_audit.suspects", "rows": n_suspect}), flush=True)
+            if want("hard_negatives"):
+                anchors = lvecs.filter(F.col("vec_id") % 2000 == 0).select(
+                    F.col("vec_id").alias("anchor_id"), "embedding", "label"
+                )
+                # ~N/2000 anchors broadcast against one corpus scan — the
+                # same shape as cosine_topk_100q plus the label filter
+                timed("hard_negatives_100a", similarity.hard_negatives(anchors, lvecs, k=10), args.vecs)
+            if want("prototypicality"):
+                # one |labels|×dim aggregate + broadcast join + per-label window
+                timed("prototypicality", similarity.prototypicality(lvecs), args.vecs)
+
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
