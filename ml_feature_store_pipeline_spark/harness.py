@@ -98,29 +98,36 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "distinct_users_per_type_2stage",
     # flagship anchor
     "user_features",
-    # round-7 registrations and code/oracle changes: verify on the new
-    # implementations (every r7 registration makes the window)
-    "serving_parity_audit",
-    "table_profile_orders_approx",
-    "ml_quality_filter_docs",
-    "semantic_decontaminate_embeddings",
-    "training_shard_stats",
+    # r7-CHANGED previously-green queries: their old driver greens verified
+    # code that no longer exists (Arrow quantization twin, SemDeDup
+    # auto-tune, vectorized video fold, ewma runtime guard, dense_index
+    # checkpoint pin), so a fresh hard row outranks a never-checked new
+    # registration that carries this session's 3-SF local verification
     "embedding_quantization_stats",
     "semantic_dedup_embeddings",
     "video_vhash_dup_groups",
     "ewma_user_spend_prior",
     "negative_sample_pairs",
-    # late-r7 registrations (multi-epoch mixture, priority survivors):
-    # every r7 registration makes the window, so these take the slots of
-    # index_encode_event_types (its dense_index change is covered by
-    # negative_sample_pairs above) and image_phash_dup_groups (the
-    # multimodal fold change is covered by video_vhash_dup_groups, which
-    # is the query that actually calls _fold_majority). Those two — plus
-    # decayed_user_spend, corpus_curation_pipeline,
-    # incremental_distinct_users_per_type, and audio_afp_dup_groups, all
-    # r6-green — yielded their slots to r7 registrations.
+    # r7 NEW registrations, 7 of 17 (the window holds 50; the stale-37
+    # commitment from the r6 verdict binds first). Chosen for operator-risk
+    # and family diversity: the store-parity audit, the two cleverest
+    # equivalence claims (DSIR decimal-exact weights + Gumbel ranking;
+    # banded prefix sum = global window), chunk dedup + reassembly, the
+    # LSH-candidates kNN label audit, the Gopher rule filter, and the
+    # multi-epoch mixture plan. The other 10 r7 registrations
+    # (table_profile_orders_approx, ml_quality_filter_docs,
+    # semantic_decontaminate_embeddings, training_shard_stats,
+    # dedup_survivors_priority_docs, hard_negative_pairs,
+    # prototypicality_scores, vocab_coverage_docs, quality_calibrated_docs,
+    # source_overlap_docs) all passed tools/verify_oracle.py at sf0.001 /
+    # 0.01 / 0.1 this round and rotate into the r8 window.
+    "serving_parity_audit",
+    "dsir_select_docs",
+    "budget_select_docs",
+    "chunk_dedup_docs",
+    "knn_label_audit",
+    "gopher_filter_docs",
     "mixture_epochs_docs",
-    "dedup_survivors_priority_docs",
 )
 
 

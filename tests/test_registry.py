@@ -63,25 +63,41 @@ LAST_GREEN_R3 = [
     "distinct_users_per_type_2stage",
 ]
 
-# Code or oracle changed (or first registered) in round 7 — must verify on
-# the new implementations.
+# Round-7 anchor slots (50 − 37 stale − 1 flagship = 12). Priority: the
+# five r7-CHANGED previously-green queries (their old driver rows verified
+# code that no longer exists), then 7 of the 17 r7-new registrations chosen
+# for operator risk + family diversity. The 10 new registrations that did
+# not fit all passed tools/verify_oracle.py at sf0.001/0.01/0.1 in round 7
+# and rotate into the r8 window.
 CHANGED_OR_NEW_IN_R7 = [
-    "serving_parity_audit",           # NEW: store-lifecycle parity audit
-    "table_profile_orders_approx",    # NEW: the 100 TB HLL profile mode
-    "ml_quality_filter_docs",         # NEW: GPT-3-style LR quality filter
-    "semantic_decontaminate_embeddings",  # NEW: embedding-space decontamination
-    "training_shard_stats",           # NEW: deterministic training-export shards
     "embedding_quantization_stats",   # registered query now runs the Arrow twin
     "semantic_dedup_embeddings",      # auto-tuned n_cells + oracle cell-count rule
     "video_vhash_dup_groups",         # batched pHash + majority fold + repartition
     "ewma_user_spend_prior",          # runtime span/half-life guard in the expression
     "negative_sample_pairs",          # dense_index checkpoint gating + lazy persist
-    # (index_encode_event_types rides the same dense_index path as
-    # negative_sample_pairs and yielded its slot to the late-r7
-    # registrations below; image_phash_dup_groups likewise yielded to
-    # video_vhash_dup_groups, the query that calls the changed fold)
+    "serving_parity_audit",           # NEW: store-lifecycle parity audit
+    "dsir_select_docs",               # NEW: DSIR decimal-exact weights + Gumbel top-k
+    "budget_select_docs",             # NEW: banded prefix sum = global-window claim
+    "chunk_dedup_docs",               # NEW: chunk dedup + doc reassembly
+    "knn_label_audit",                # NEW: kNN label-consistency audit
+    "gopher_filter_docs",             # NEW: Gopher rule filter
     "mixture_epochs_docs",            # NEW: multi-epoch data mixture
-    "dedup_survivors_priority_docs",  # NEW: priority-ranked dedup survivors
+]
+
+# r7-new registrations awaiting their first driver row in the r8 window —
+# each locally 3-SF oracle-verified in round 7 (pinned here so the r8
+# rotation has its queue in code, not in a doc)
+R8_WINDOW_QUEUE = [
+    "table_profile_orders_approx",
+    "ml_quality_filter_docs",
+    "semantic_decontaminate_embeddings",
+    "training_shard_stats",
+    "dedup_survivors_priority_docs",
+    "hard_negative_pairs",
+    "prototypicality_scores",
+    "vocab_coverage_docs",
+    "quality_calibrated_docs",
+    "source_overlap_docs",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
@@ -104,6 +120,10 @@ def test_round7_rotation_policy_is_in_window():
     assert list(DRIVER_WINDOW[:3]) == LAST_GREEN_LE_R2
     # the 37 stale queries fill the front of the window before the anchors
     assert set(DRIVER_WINDOW[:37]) == set(LAST_GREEN_LE_R2 + LAST_GREEN_R3)
+    # the r8 queue is disjoint from the window and fully registered+oracled
+    assert not set(R8_WINDOW_QUEUE) & set(DRIVER_WINDOW)
+    oracles = oracle_registry()
+    assert all(n in oracles for n in R8_WINDOW_QUEUE)
 
 
 def test_every_oracle_has_a_query():
