@@ -60,8 +60,27 @@ def _grams(text: Column) -> Column:
     return F.concat(toks, bigrams)
 
 
+def _gram_bucket(gram: Column, n_buckets: int, salt: str, hash_fn: str) -> Column:
+    """Gram → bucket in [0, n_buckets). ``md5`` (default) is the
+    engine-portable form the DuckDB oracle replays; ``xxhash64`` is one
+    JVM codegen hash instead of md5 → hex → conv → cast — still a pure
+    function of the gram (partitioning/run/seed stable), but
+    Spark-private, so oracle queries must keep md5. Both are valid DSIR
+    featurizers (the paper's hashing is arbitrary-but-fixed). Measured
+    end-to-end gain is modest — ~1.16× at 200 k docs (SCALE.md): gram
+    STRING CONSTRUCTION dominates the pipeline, not the hash — so md5
+    stays the default; pick xxhash64 only when the hash itself shows up
+    in profiles (very short documents, very high gram fan-out)."""
+    if hash_fn == "md5":
+        return hash_bucket(gram, n_buckets, salt)
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.concat(F.lit(salt), gram))
+        return ((h % n_buckets) + n_buckets) % n_buckets
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
 def _bucket_counts(
-    df: DataFrame, text_col: str, *, n_buckets: int, salt: str
+    df: DataFrame, text_col: str, *, n_buckets: int, salt: str, hash_fn: str = "md5"
 ) -> DataFrame:
     """(bucket, n) gram-occurrence counts over a corpus. The explode fans
     each doc into its grams, but the groupBy is map-side combinable, so the
@@ -69,7 +88,7 @@ def _bucket_counts(
     corpus size never reaches the exchange."""
     grams = df.select(F.explode(_grams(F.col(text_col))).alias("__gram"))
     return grams.groupBy(
-        hash_bucket(F.col("__gram"), n_buckets, salt).alias("bucket")
+        _gram_bucket(F.col("__gram"), n_buckets, salt, hash_fn).alias("bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
@@ -81,6 +100,7 @@ def dsir_log_ratios(
     n_buckets: int = 1024,
     alpha: float = 1.0,
     salt: str = "",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-bucket log importance ratios for DSIR: hashed unigram+bigram
     counts over the TARGET corpus (what we want more of) and the RAW corpus
@@ -98,8 +118,8 @@ def dsir_log_ratios(
     broadcast material however big the corpora are.
     """
     spark = raw.sparkSession
-    t_counts = _bucket_counts(target, text_col, n_buckets=n_buckets, salt=salt)
-    r_counts = _bucket_counts(raw, text_col, n_buckets=n_buckets, salt=salt)
+    t_counts = _bucket_counts(target, text_col, n_buckets=n_buckets, salt=salt, hash_fn=hash_fn)
+    r_counts = _bucket_counts(raw, text_col, n_buckets=n_buckets, salt=salt, hash_fn=hash_fn)
     t_tot = t_counts.agg(F.sum("n").alias("__tt"))
     r_tot = r_counts.agg(F.sum("n").alias("__rt"))
     dense = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
@@ -129,6 +149,7 @@ def dsir_log_weights(
     *,
     n_buckets: int = 1024,
     salt: str = "",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document DSIR log importance weight: the sum of ``log_ratio``
     over the document's hashed grams (occurrences, not distinct — the bag
@@ -145,7 +166,7 @@ def dsir_log_weights(
     per_gram = df.select(
         F.col(id_col), F.explode(_grams(F.col(text_col))).alias("__gram")
     ).select(
-        F.col(id_col), hash_bucket(F.col("__gram"), n_buckets, salt).alias("bucket")
+        F.col(id_col), _gram_bucket(F.col("__gram"), n_buckets, salt, hash_fn).alias("bucket")
     )
     summed = (
         per_gram.join(F.broadcast(ratios), "bucket")
@@ -175,6 +196,7 @@ def dsir_sample(
     k: int,
     n_buckets: int = 1024,
     salt: str = "",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Gumbel-top-k DSIR resample: draw ``k`` documents without replacement
     with probability ∝ exp(log_weight), via the Gumbel-max trick —
@@ -191,7 +213,7 @@ def dsir_sample(
     (TakeOrderedAndProject — never a global sort).
     """
     weights = dsir_log_weights(
-        df, id_col, text_col, ratios, n_buckets=n_buckets, salt=salt
+        df, id_col, text_col, ratios, n_buckets=n_buckets, salt=salt, hash_fn=hash_fn
     )
     u = (
         F.conv(

@@ -284,3 +284,29 @@ def test_quality_calibrate_within_group_percentile(spark):
     # ties share a rank: both B 0.2 rows get 0.0
     assert out[4]["score_pct"] == 0.0 and out[5]["score_pct"] == 0.0
     assert out[6]["score_pct"] == 1.0
+
+
+def test_dsir_xxhash64_fast_path_same_contract(spark, docs):
+    # the fast path is a different (valid) featurizer: same dense-ratio
+    # contract, same determinism, same domain separation — not same values
+    target = docs.filter(F.col("doc_id").isin(0, 1, 6))
+    raw = docs.filter(~F.col("doc_id").isin(0, 1, 6))
+    ratios = selection.dsir_log_ratios(target, raw, "text", n_buckets=64, hash_fn="xxhash64")
+    assert ratios.count() == 64
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in selection.dsir_log_weights(
+            raw, "doc_id", "text", ratios, n_buckets=64, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert w[4] > max(w[2], w[3], w[5], w[7])  # ml-ish doc still wins
+    a = selection.dsir_sample(raw, "doc_id", "text", ratios, k=3, n_buckets=64, hash_fn="xxhash64")
+    b = selection.dsir_sample(
+        raw.repartition(5), "doc_id", "text", ratios, k=3, n_buckets=64, hash_fn="xxhash64"
+    )
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted((r.asDict() for r in a.collect()), key=key) == sorted(
+        (r.asDict() for r in b.collect()), key=key
+    )
+    with pytest.raises(ValueError):
+        selection.dsir_log_ratios(target, raw, "text", hash_fn="sha1")

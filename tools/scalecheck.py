@@ -825,6 +825,17 @@ def main() -> None:
             n_picked = picked.count()
             log("dsir_select_10k_of_corpus", time.time() - t0, args.docs)
             print(json.dumps({"op": "dsir_select.picked", "rows": n_picked}), flush=True)
+            # the xxhash64 fast path: same pipeline, JVM hash instead of
+            # md5→hex→conv — the production featurizer for corpora where
+            # no DuckDB replay is needed
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            ratios_x = _sel.dsir_log_ratios(target, raw, "text", n_buckets=4096, hash_fn="xxhash64")
+            picked_x = _sel.dsir_sample(raw, "doc_id", "text", ratios_x, k=10_000, n_buckets=4096, hash_fn="xxhash64")
+            n_picked_x = picked_x.count()
+            log("dsir_select_10k_xxhash64", time.time() - t0, args.docs)
+            print(json.dumps({"op": "dsir_select_xxhash64.picked", "rows": n_picked_x}), flush=True)
         if docs is not None and want("budget_select"):
             from ml_feature_store_pipeline_spark.operators import selection as _sel
             from ml_feature_store_pipeline_spark.operators import text as _text
