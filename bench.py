@@ -119,6 +119,10 @@ HEADLINE_R7 = [
     # cross-source chunk-overlap matrix (digest-only self-join)
     "quality_calibrated_docs",
     "source_overlap_docs",
+    # BPE pre-tokenizer accounting (zero-shuffle scan) + first-merge pair
+    # counts (two explodes into one map-side-combined agg)
+    "bpe_token_stats_docs",
+    "bpe_pair_stats_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -2812,3 +2812,59 @@ def q_source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never text."""
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     return selection.source_overlap(docs, "doc_id", "text", "source", chunk_tokens=16)
+
+
+# the BPE pre-tokenizer pattern as a DuckDB SQL literal (leading quote
+# doubled); Java regex and RE2 split identically on it (no lookahead)
+_BPE_RE_SQL = r"'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"
+
+
+@register(
+    "bpe_token_stats_docs",
+    f"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, {_BPE_RE_SQL})) AS BIGINT) AS n_pretokens,
+           CAST(LEN({_SQL_TOKS.format(t='text')}) AS BIGINT) AS n_ws_tokens,
+           ROUND(CAST(LEN(regexp_extract_all(text, {_BPE_RE_SQL})) AS DOUBLE)
+                 / GREATEST(LEN({_SQL_TOKS.format(t='text')}), 1), 6)
+             AS pretokens_per_word
+    FROM documents
+    """,
+)
+def q_bpe_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting under the GPT-2-style (lookahead-free)
+    pre-tokenizer: per-doc pre-token vs whitespace-token counts. Pure
+    regexp codegen, zero shuffles; Java regex and RE2 verified to split
+    identically (leftmost-first alternation, no lookahead)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.bpe_token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "bpe_pair_stats_docs",
+    f"""
+    WITH t AS (
+      SELECT UNNEST(regexp_extract_all(text, {_BPE_RE_SQL})) AS tok FROM documents
+    ),
+    p AS (
+      SELECT substr(tok, i, 1) AS "left", substr(tok, i + 1, 1) AS "right"
+      FROM t, UNNEST(generate_series(1, LEN(tok) - 1)) AS u(i)
+      WHERE LEN(tok) >= 2
+    ),
+    c AS (
+      SELECT "left", "right", CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM p GROUP BY "left", "right"
+    )
+    SELECT "left", "right", n_occ,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, "left" ASC, "right" ASC)
+                AS BIGINT) AS rank
+    FROM c QUALIFY rank <= 30
+    """,
+)
+def q_bpe_pair_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training step: corpus-wide adjacent character-pair counts
+    within pre-tokens — the top pair is the first merge a BPE trainer
+    learns. Two nested explodes into one map-side-combined groupBy; the
+    shuffle carries |alphabet|² partials, never corpus positions."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return text.bpe_pair_stats(docs, "text", top_n=30)

@@ -584,3 +584,87 @@ def quality_calibrate(
         score.alias(score_col),
         F.round(F.percent_rank().over(w), round_digits).alias("score_pct"),
     )
+
+
+#: GPT-2-style pre-tokenizer pattern, lookahead-free so RE2 (DuckDB) can
+#: replay it exactly: contractions, space-prefixed letter runs,
+#: space-prefixed digit runs, space-prefixed punctuation runs, whitespace
+#: runs. The published GPT-2 pattern's `\s+(?!\S)` trailing-space lookahead
+#: is dropped (RE2 has no lookahead) — whitespace runs tokenize as single
+#: units instead, which only differs on multi-space input. Both Java regex
+#: and RE2 use leftmost-first alternation, so the two engines split
+#: identically.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """GPT-2-style pre-tokens (the units BPE merges never cross), as an
+    array<string>. Leading spaces stay attached to their word — the Ġ
+    convention — so round-tripping ``concat(pretokens)`` reproduces the
+    input exactly."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token-budget accounting under a BPE-style pre-tokenizer: per doc,
+    the pre-token count next to the whitespace-token count and their
+    ratio — the cheap estimator for "how many model tokens will this
+    corpus cost" before any real tokenizer runs (pre-tokens lower-bound
+    BPE tokens: merges only ever split pre-tokens further, never join).
+
+    Returns (id, n_pretokens, n_ws_tokens, pretokens_per_word). Pure
+    Column expressions — zero shuffles, scan-parallel at any size.
+    """
+    pre = F.size(bpe_pretokens(F.col(text_col))).cast("long")
+    ws = token_count(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        pre.alias("n_pretokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(pre / F.greatest(ws, F.lit(1)), 6).alias("pretokens_per_word"),
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_n: int = 100,
+) -> DataFrame:
+    """The first step of BPE training: corpus-wide counts of adjacent
+    character pairs WITHIN pre-tokens (merges never cross pre-token
+    boundaries). The top pair is the first merge a BPE trainer would
+    learn; the table doubles as a drift signal between corpus snapshots.
+
+    Returns (left, right, n_occ, rank) for the ``top_n`` most frequent
+    pairs, rank by (count desc, left asc, right asc) — exact integers,
+    engine-stable.
+
+    Scale shape: two nested explodes (doc → pre-tokens → char pairs) feed
+    one map-side-combinable groupBy — the shuffle carries |alphabet|²
+    partials per partition, never corpus positions; the top-n cut is
+    TakeOrderedAndProject. One full-corpus scan total.
+    """
+    toks = df.select(F.explode(bpe_pretokens(F.col(text_col))).alias("__t"))
+    n = F.length("__t")
+    pairs = toks.filter(n >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.col("__t").substr(i, F.lit(1)).alias("left"),
+                    F.col("__t").substr(i + 1, F.lit(1)).alias("right"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.left", "p.right")
+    counts = pairs.groupBy("left", "right").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    top = counts.orderBy(
+        F.desc("n_occ"), F.asc("left"), F.asc("right")
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("left"), F.asc("right"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "left", "right", "n_occ", "rank"
+    )

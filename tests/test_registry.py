@@ -98,6 +98,8 @@ R8_WINDOW_QUEUE = [
     "vocab_coverage_docs",
     "quality_calibrated_docs",
     "source_overlap_docs",
+    "bpe_token_stats_docs",
+    "bpe_pair_stats_docs",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -279,3 +279,50 @@ def test_vocab_coverage_cum_frac_monotone_and_bounded(spark):
     fracs = [r["cum_frac"] for r in rows]
     assert all(a <= b for a, b in zip(fracs, fracs[1:]))
     assert fracs[-1] == 1.0  # top_n covers the whole vocab here
+
+
+# ---------------------------------------------------------------------------
+# BPE pre-tokenizer (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pretokens_match_python_re_and_roundtrip(spark):
+    import re
+
+    # ascii twin of the \p{L}/\p{N} pattern (test corpus is ascii)
+    pat = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+    rows = [
+        (1, "the quick brown fox isn't slow, really 42 times!"),
+        (2, "hello   world"),
+        (3, ""),
+        (4, "a"),
+        (5, "x1y2 3.14 --dash"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select("doc_id", text.bpe_pretokens(F.col("text")).alias("toks")).collect()
+    }
+    for i, t in rows:
+        assert got[i] == pat.findall(t), (i, got[i])
+        assert "".join(got[i]) == t  # pre-tokens partition the input exactly
+
+
+def test_bpe_token_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "isn't it 42"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.bpe_token_stats(df, "doc_id", "text").collect()}
+    # isn / 't / " it" / " 42" → 4 pretokens over 3 ws tokens
+    assert out[1]["n_pretokens"] == 4 and out[1]["n_ws_tokens"] == 3
+    assert out[2]["n_pretokens"] == 0 and out[2]["pretokens_per_word"] == 0.0
+
+
+def test_bpe_pair_stats_hand_counted(spark):
+    # "abab abab" → pretokens: "abab", " abab"; pairs inside:
+    # abab: ab, ba, ab; " abab": " a", ab, ba, ab → ab×4, ba×2, " a"×1
+    df = spark.createDataFrame([(1, "abab abab")], "doc_id long, text string")
+    rows = {(r["left"], r["right"]): r for r in text.bpe_pair_stats(df, "text", top_n=10).collect()}
+    assert rows[("a", "b")]["n_occ"] == 4 and rows[("a", "b")]["rank"] == 1
+    assert rows[("b", "a")]["n_occ"] == 2
+    assert rows[(" ", "a")]["n_occ"] == 1
