@@ -123,6 +123,8 @@ HEADLINE_R7 = [
     # counts (two explodes into one map-side-combined agg)
     "bpe_token_stats_docs",
     "bpe_pair_stats_docs",
+    # the zero-sort sketch calibration path (one agg + broadcast join)
+    "quality_calibrated_sketch_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

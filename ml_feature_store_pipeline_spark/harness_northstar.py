@@ -2868,3 +2868,66 @@ def q_bpe_pair_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries |alphabet|² partials, never corpus positions."""
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     return text.bpe_pair_stats(docs, "text", top_n=30)
+
+
+@register(
+    "quality_calibrated_sketch_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(LEN({_SQL_TOKS.format(t='text')}) AS BIGINT) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS punct,
+             CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS digit,
+             CAST(LEN(list_filter({_SQL_TOKS.format(t='lower(text)')},
+                  x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+               / GREATEST(LEN({_SQL_TOKS.format(t='text')}), 1) AS stop_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             ROUND(
+               (CASE WHEN n_tok < 5 THEN n_tok / 5.0 WHEN n_tok > 5000 THEN 0.5 ELSE 1.0 END)
+               * (1.0 - LEAST(punct * 2, 1.0))
+               * (1.0 - LEAST(digit * 2, 1.0))
+               * (0.5 + LEAST(stop_ratio * 2, 0.5)), 6) AS quality_score
+      FROM t
+    ),
+    bounds AS (
+      SELECT source, MIN(quality_score) AS lo, MAX(quality_score) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM q GROUP BY source
+    ),
+    r AS (
+      SELECT q.doc_id, q.source, q.quality_score, b.tot,
+             LEAST(GREATEST(CAST(FLOOR(
+               CASE WHEN b.hi - b.lo > 0
+                    THEN (q.quality_score - b.lo) / (b.hi - b.lo) ELSE 0.0 END
+               * 256) AS BIGINT), 0), 255) AS bk
+      FROM q JOIN bounds b ON q.source = b.source
+    ),
+    h AS (SELECT source, bk, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY source, bk),
+    c AS (
+      SELECT source, bk,
+             SUM(n) OVER (PARTITION BY source ORDER BY bk) - n AS below
+      FROM h
+    )
+    SELECT r.doc_id, r.source, r.quality_score,
+           ROUND(CAST(c.below AS DOUBLE) / r.tot, 6) AS score_pct
+    FROM r JOIN c ON r.source = c.source AND r.bk = c.bk
+    """,
+)
+def q_quality_calibrated_sketch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB calibration path made concrete: bucket-granular
+    per-source percentile from a fixed-width histogram — one map-side
+    aggregate + broadcast join, NO row ever shuffles and nothing sorts
+    (vs the exact form's per-source percent_rank window). Error ≤ one
+    bucket's mass; the oracle replays the identical bucket arithmetic."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    qs = text.quality_score(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).drop("n_tokens")
+    return text.quality_calibrate(
+        qs, "doc_id", "quality_score", "source", strategy="sketch"
+    )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: 16^13 = 2^52: the largest hex-prefix whose integer value is exact in a
 #: double — the whole md5→uniform pipeline stays bit-identical across
@@ -582,3 +583,62 @@ def bloom_probe_dense(
         pred = p if pred is None else (pred & p)
     drop = ["__arr"] + [f"__{x}{j}" for j in range(depth) for x in ("w", "b")]
     return out.withColumn("bloom_pass", pred).drop(*drop)
+
+
+def histogram_percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+    n_buckets: int = 256,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-row percentile rank from a fixed-width histogram — the ZERO-SORT
+    inverse of :func:`quantile_from_histogram`, and the documented 100 TB
+    path everywhere a ``percent_rank`` window appears over few groups
+    (:func:`~.text.quality_calibrate`, :func:`~.similarity.prototypicality`):
+    ``percent_rank`` sorts each group's N/|groups| rows on one task, while
+    this runs one map-side-combined aggregate plus a broadcast join — no
+    row ever shuffles.
+
+    Definition (bucket-granular, deterministic): ``pct_rank = n_strictly_
+    lower_buckets / total`` for the row's group — every row in a bucket
+    shares the rank of the bucket's lower edge, so the estimate
+    under-reads true percent_rank by at most one bucket's mass (≤ 1/
+    n_buckets for near-uniform data; the min row reads exactly 0 like
+    percent_rank). All-integer counts → bit-identical on any engine or
+    partitioning. Constant values (hi == lo) collapse into bucket 0 →
+    rank 0 for all, matching percent_rank's all-tied behavior.
+
+    Returns the input columns plus ``out_col`` (6-dp rounded).
+    """
+    g = [group_col] if group_col else []
+    bounds = df.groupBy(*g).agg(
+        F.min(F.col(value_col).cast("double")).alias("__lo"),
+        F.max(F.col(value_col).cast("double")).alias("__hi"),
+        F.count(F.lit(1)).alias("__tot"),
+    )
+    withb = df.join(F.broadcast(bounds), g) if g else df.crossJoin(F.broadcast(bounds))
+    span = F.col("__hi") - F.col("__lo")
+    frac = F.when(span > 0, (F.col(value_col).cast("double") - F.col("__lo")) / span).otherwise(
+        F.lit(0.0)
+    )
+    bucket = F.least(
+        F.greatest(F.floor(frac * n_buckets).cast("long"), F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    hist = (
+        withb.select(*g, bucket.alias("__b"))
+        .groupBy(*g, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # cumulative count STRICTLY below each bucket: the per-group histogram
+    # is ≤ n_buckets rows, so the window is bounded-small by construction
+    w = Window.partitionBy(*g).orderBy("__b") if g else Window.orderBy("__b")
+    cum = hist.withColumn("__below", F.sum("__n").over(w) - F.col("__n")).drop("__n")
+    return (
+        withb.withColumn("__b", bucket)
+        .join(F.broadcast(cum), g + ["__b"])
+        .withColumn(out_col, F.round(F.col("__below") / F.col("__tot"), 6))
+        .drop("__b", "__lo", "__hi", "__tot", "__below")
+    )

@@ -556,6 +556,8 @@ def quality_calibrate(
     group_col: str,
     *,
     round_digits: int = 6,
+    strategy: str = "exact",
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Per-group score calibration: each row's ``percent_rank`` of
     ``score_col`` WITHIN its ``group_col`` (source, domain, language).
@@ -571,12 +573,25 @@ def quality_calibrate(
     gives tied values identical ranks — no id tiebreak needed, making the
     output a pure function of the score multiset per group).
 
-    Scale shape: one window partitioned by group — the biggest task sorts
-    ~N/|groups| rows. For few-group corpora at 100 TB, rank against a
-    per-group KLL quantile sketch (:mod:`.sketches`) instead: same filter
-    semantics, no per-group sort.
+    Scale shape: the default ``strategy="exact"`` is one window
+    partitioned by group — the biggest task sorts ~N/|groups| rows.
+    ``strategy="sketch"`` is the few-group 100 TB path: bucket-granular
+    percentile from :func:`~.sketches.histogram_percentile_rank` (one
+    map-side-combined aggregate + broadcast join, NO row ever shuffles;
+    error ≤ one bucket's mass, registered + oracle-checked as
+    ``quality_calibrated_sketch_docs``).
     """
     score = F.round(F.col(score_col), round_digits)
+    if strategy == "sketch":
+        from .sketches import histogram_percentile_rank
+
+        base = df.select(F.col(id_col), F.col(group_col), score.alias(score_col))
+        return histogram_percentile_rank(
+            base, score_col, group_col=group_col, n_buckets=n_buckets,
+            out_col="score_pct",
+        ).select(id_col, group_col, score_col, "score_pct")
+    if strategy != "exact":
+        raise ValueError(f"strategy must be 'exact' or 'sketch', got {strategy!r}")
     w = Window.partitionBy(group_col).orderBy(score)
     return df.select(
         F.col(id_col),

@@ -100,6 +100,7 @@ R8_WINDOW_QUEUE = [
     "source_overlap_docs",
     "bpe_token_stats_docs",
     "bpe_pair_stats_docs",
+    "quality_calibrated_sketch_docs",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

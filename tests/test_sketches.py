@@ -221,3 +221,62 @@ def test_bloom_probe_dense_equals_join_probe(spark):
 
     with _pytest.raises(ValueError):
         sketches.bloom_probe_dense(probe, state, "k", n_bits=1 << 24)
+
+
+# ---------------------------------------------------------------------------
+# histogram percentile rank (the zero-sort percent_rank path; r7)
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_percentile_rank_bounds_and_determinism(spark):
+    from pyspark.sql.window import Window
+
+    from ml_feature_store_pipeline_spark.operators.sketches import (
+        histogram_percentile_rank,
+    )
+
+    rows = [(i, "A" if i % 3 else "B", float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string, v double")
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in histogram_percentile_rank(df, "v", group_col="src", n_buckets=256).collect()
+    }
+    exact = {
+        r["id"]: r["pr"]
+        for r in df.select(
+            "id",
+            F.percent_rank().over(Window.partitionBy("src").orderBy("v")).alias("pr"),
+        ).collect()
+    }
+    assert len(got) == 300
+    for i in got:
+        # bucket-granular estimate: within one bucket's mass of exact
+        assert abs(got[i] - exact[i]) <= 0.05, (i, got[i], exact[i])
+        assert 0.0 <= got[i] <= 1.0
+    # group minima read exactly 0 like percent_rank
+    for src in ("A", "B"):
+        vmin = min(v for _, s, v in rows if s == src)
+        imin = next(i for i, s, v in rows if s == src and v == vmin)
+        assert got[imin] == 0.0
+    # partitioning-invariant
+    got2 = {
+        r["id"]: r["pct_rank"]
+        for r in histogram_percentile_rank(
+            df.repartition(13), "v", group_col="src", n_buckets=256
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_histogram_percentile_rank_constant_and_ungrouped(spark):
+    from ml_feature_store_pipeline_spark.operators.sketches import (
+        histogram_percentile_rank,
+    )
+
+    const = spark.createDataFrame([(i, 7.0) for i in range(5)], "id long, v double")
+    assert all(
+        r["pct_rank"] == 0.0 for r in histogram_percentile_rank(const, "v").collect()
+    )
+    seq = spark.createDataFrame([(i, float(i)) for i in range(64)], "id long, v double")
+    out = {r["id"]: r["pct_rank"] for r in histogram_percentile_rank(seq, "v", n_buckets=64).collect()}
+    assert out[0] == 0.0 and abs(out[63] - 63 / 64) < 1e-9
