@@ -125,6 +125,10 @@ HEADLINE_R7 = [
     "bpe_pair_stats_docs",
     # the zero-sort sketch calibration path (one agg + broadcast join)
     "quality_calibrated_sketch_docs",
+    # event analytics: ordered funnel (k chained min-aggs) and per-user OLS
+    # trend slope (one decimal-exact aggregation pass)
+    "funnel_view_click_purchase",
+    "trend_slope_user_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from .functions import dsum, dsum_sql, tokens
 from .harness import register
 from .operators import dedup, multimodal, selection, similarity, text
+from .operators import fe as fe_ops
+from .operators import windows as windows_ops
 from .sources.readers import read_table
 
 
@@ -2930,4 +2932,102 @@ def q_quality_calibrated_sketch_docs(spark: SparkSession, sf_dir: str) -> DataFr
     ).drop("n_tokens")
     return text.quality_calibrate(
         qs, "doc_id", "quality_score", "source", strategy="sketch"
+    )
+
+
+@register(
+    "trend_slope_user_value",
+    """
+    WITH t0 AS (SELECT MIN(epoch_us(ts)) AS v FROM events),
+    b AS (
+      SELECT user_id, epoch_us(ts) - (SELECT v FROM t0) AS t,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(t AS DECIMAL(38,0))) AS st,
+             SUM(v) AS sv,
+             SUM(CAST(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS stt,
+             -- DECIMAL(19)+ forces DuckDB's int128 multiply path (width-18
+             -- products run in int64 and overflow on epoch-scale values)
+             SUM(CAST(CAST(t AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,6))
+                      AS DECIMAL(38,6))) AS stv
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           ROUND(
+             CASE WHEN CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0
+                  THEN (CAST(n_events AS DOUBLE) * CAST(stv AS DOUBLE)
+                        - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                       / (CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+                          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                       * 86400000000.0
+                  ELSE NULL END, 6) AS slope_per_day
+    FROM a
+    """,
+)
+def q_trend_slope_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS spend-trend slope (value-units/day) in ONE aggregation
+    pass: exact decimal sums (order-free) recentered on the dataset's min
+    timestamp (bounds the n·Σt²−(Σt)² cancellation by the data span), then
+    IEEE-deterministic double combine — both engines bit-agree."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return fe_ops.trend_slope(events, "user_id", "ts", "value")
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS r1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS r2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.r1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS r3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.r2
+      GROUP BY e.user_id
+    ),
+    n AS (
+      SELECT CAST(COUNT(s1.user_id) AS BIGINT) AS n1,
+             CAST(COUNT(s2.user_id) AS BIGINT) AS n2,
+             CAST(COUNT(s3.user_id) AS BIGINT) AS n3
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage, n1 AS n_keys,
+             ROUND(CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 ELSE 0.0 END, 6) AS conv_from_prev,
+             ROUND(CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 ELSE 0.0 END, 6) AS conv_from_first
+      FROM n
+      UNION ALL
+      SELECT CAST(2 AS INT), 'click', n2,
+             ROUND(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 ELSE 0.0 END, 6),
+             ROUND(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 ELSE 0.0 END, 6)
+      FROM n
+      UNION ALL
+      SELECT CAST(3 AS INT), 'purchase', n3,
+             ROUND(CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 ELSE 0.0 END, 6),
+             ROUND(CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 ELSE 0.0 END, 6)
+      FROM n
+    )
+    """,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the event log: stage i
+    counts only via an event at/after the user's stage i−1 reach time.
+    One filtered scan + min-aggregate per stage, chained by per-key joins
+    — no windows, no per-user event sorting."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return windows_ops.funnel_summary(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )

@@ -621,3 +621,67 @@ def target_encode_oof(
             ).alias("enc"),
         )
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key OLS trend slope of ``value`` over time, in value-units per
+    DAY — the classic "is this user's spend trending up" feature. One
+    aggregation pass via the closed form
+    ``slope = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²)``.
+
+    Engine-exact and numerically sound:
+
+    - times enter as INTEGER microseconds RE-CENTERED on the dataset-wide
+      minimum (one scalar aggregate, broadcast) — centering bounds the
+      classic catastrophic cancellation in ``n·Σt² − (Σt)²`` by the data's
+      own span instead of the Unix epoch's;
+    - values truncate to DECIMAL(18,6); all five sums accumulate as exact
+      decimals (order-free), so every engine and partitioning produces the
+      SAME sums;
+    - the final combine casts each exact sum to double — IEEE arithmetic
+      on identical doubles is identical everywhere — and rounds.
+
+    Returns (key, n_events, slope_per_day); slope is NULL for keys with a
+    zero time variance (one event, or all events at one timestamp).
+
+    Scale shape: one broadcast scalar + one map-side-combined groupBy —
+    shuffle carries five decimal partials per (partition, key).
+    """
+    t0 = df.agg(F.min(F.unix_micros(F.col(ts_col))).alias("__t0"))
+    base = df.crossJoin(F.broadcast(t0)).select(
+        F.col(key_col),
+        (F.unix_micros(F.col(ts_col)) - F.col("__t0")).alias("__t"),
+        F.col(value_col).cast("decimal(18,6)").alias("__v"),
+    )
+    agg = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("__t").cast("decimal(38,0)")).alias("__st"),
+        F.sum(F.col("__v")).alias("__sv"),
+        # t² must multiply as DECIMAL: centered micros reach ~3e13, whose
+        # square (~1e27) silently overflows int64
+        F.sum(
+            (F.col("__t").cast("decimal(19,0)") * F.col("__t").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).alias("__stt"),
+        F.sum((F.col("__t").cast("decimal(18,0)") * F.col("__v")).cast("decimal(38,6)")).alias("__stv"),
+    )
+    n = F.col("n_events").cast("double")
+    st = F.col("__st").cast("double")
+    sv = F.col("__sv").cast("double")
+    stt = F.col("__stt").cast("double")
+    stv = F.col("__stv").cast("double")
+    den = n * stt - st * st
+    micros_per_day = F.lit(86400.0 * 1e6)
+    slope = F.when(den > 0, (n * stv - st * sv) / den * micros_per_day)
+    return agg.select(
+        key_col,
+        "n_events",
+        F.round(slope, round_digits).alias("slope_per_day"),
+    )

@@ -123,3 +123,90 @@ def scd2_compress(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest time each stage
+    was reached IN ORDER — stage *i* counts only via an event at or after
+    the key's stage *i−1* reach time (a purchase before any view does not
+    complete a view→click→purchase funnel). The product-analytics staple
+    over an event log.
+
+    Returns one row per key that reached stage 1:
+    (key, reached_1..reached_k timestamps — NULL once the chain breaks —
+    and ``furthest_stage`` 1..k). Chain semantics use ``>=`` so
+    same-timestamp events can complete consecutive stages.
+
+    Scale shape: one filtered scan + map-side-combined min-aggregate per
+    stage, chained by per-key joins (each side is already aggregated to
+    one row per key). k passes for a k-stage funnel — no windows, no
+    per-key event sorting, no event list ever collected.
+    """
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    key, ts, typ = F.col(key_col), F.col(ts_col), F.col(type_col)
+    cur = (
+        df.filter(typ == stages[0])
+        .groupBy(key_col)
+        .agg(F.min(ts).alias("reached_1"))
+    )
+    out = cur
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = (
+            df.filter(typ == st)
+            .join(out.select(key_col, f"reached_{i-1}"), key_col)
+            .filter(ts >= F.col(f"reached_{i-1}"))
+            .groupBy(key_col)
+            .agg(F.min(ts).alias(f"reached_{i}"))
+        )
+        out = out.join(nxt, key_col, "left")
+    furthest = F.lit(1)
+    for i in range(2, len(stages) + 1):
+        furthest = F.when(F.col(f"reached_{i}").isNotNull(), F.lit(i)).otherwise(furthest)
+    return out.withColumn("furthest_stage", furthest.cast("int"))
+
+
+def funnel_summary(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Stage-level rollup of :func:`funnel`: per stage, how many keys
+    reached it (in order), conversion from the previous stage, and from
+    stage 1. Returns (stage_idx, stage, n_keys, conv_from_prev,
+    conv_from_first) — the |stages|-row table a dashboard wants."""
+    per_key = funnel(df, key_col, ts_col, type_col, stages)
+    counts = per_key.agg(
+        *[
+            F.count(F.col(f"reached_{i}")).cast("long").alias(f"n_{i}")
+            for i in range(1, len(stages) + 1)
+        ]
+    )
+    rows = []
+    for i, st in enumerate(stages, start=1):
+        prev = F.col(f"n_{i-1}") if i > 1 else F.col("n_1")
+        rows.append(
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(st).alias("stage"),
+                F.col(f"n_{i}").alias("n_keys"),
+                F.round(
+                    F.when(prev > 0, F.col(f"n_{i}") / prev).otherwise(F.lit(0.0)), 6
+                ).alias("conv_from_prev"),
+                F.round(
+                    F.when(F.col("n_1") > 0, F.col(f"n_{i}") / F.col("n_1")).otherwise(
+                        F.lit(0.0)
+                    ),
+                    6,
+                ).alias("conv_from_first"),
+            )
+        )
+    return counts.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

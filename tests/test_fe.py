@@ -404,3 +404,48 @@ class TestRobustAndOof:
         assert len(rare) == 1 and rare[0]["n_oof"] == 0
         gmean = 50.0 / 51.0
         assert rare[0]["enc"] == pytest.approx(gmean, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# trend slope (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_trend_slope_matches_numpy_and_guards(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from ml_feature_store_pipeline_spark.operators.fe import trend_slope
+
+    b = dt.datetime(2023, 1, 1)
+    rows = []
+    # u1: noisy rising series — compare against numpy polyfit
+    vals = [5.0, 9.1, 7.3, 12.8, 11.0, 16.2]
+    for d, v in enumerate(vals):
+        rows.append((1, b + dt.timedelta(days=d, hours=d % 3), v))
+    # u2: constant value → slope 0; u3: one event → NULL; u4: two events
+    # at the SAME timestamp → zero time variance → NULL
+    rows += [(2, b + dt.timedelta(days=d), 4.5) for d in range(4)]
+    rows += [(3, b, 1.0), (4, b, 2.0), (4, b, 9.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["user_id"]: r for r in trend_slope(df, "user_id", "ts", "value").collect()}
+    ts1 = np.array([(dt.timedelta(days=d, hours=d % 3)).total_seconds() / 86400 for d in range(len(vals))])
+    expect = np.polyfit(ts1, np.array(vals), 1)[0]
+    assert abs(out[1]["slope_per_day"] - expect) < 1e-4
+    assert out[2]["slope_per_day"] == 0.0
+    assert out[3]["slope_per_day"] is None and out[3]["n_events"] == 1
+    assert out[4]["slope_per_day"] is None
+
+
+def test_trend_slope_partitioning_invariant(spark):
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.fe import trend_slope
+
+    b = dt.datetime(2023, 1, 1)
+    rows = [(i % 7, b + dt.timedelta(hours=i), float((i * 13) % 29)) for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    a = sorted((r["user_id"], r["slope_per_day"]) for r in trend_slope(df, "user_id", "ts", "value").collect())
+    c = sorted((r["user_id"], r["slope_per_day"]) for r in trend_slope(df.repartition(17), "user_id", "ts", "value").collect())
+    assert a == c

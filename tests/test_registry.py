@@ -101,6 +101,8 @@ R8_WINDOW_QUEUE = [
     "bpe_token_stats_docs",
     "bpe_pair_stats_docs",
     "quality_calibrated_sketch_docs",
+    "funnel_view_click_purchase",
+    "trend_slope_user_value",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

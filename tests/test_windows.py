@@ -63,3 +63,56 @@ def test_sessionize_exact_gap_not_new_session(spark):
     out = windows.sessionize(df, "user_id", "ts", gap_seconds=1800)
     # gap == threshold is NOT > threshold → same session
     assert {r["session_id"] for r in out.collect()} == {1}
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_order_matters_and_chain_breaks(spark):
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.windows import funnel
+
+    b = dt.datetime(2023, 1, 1)
+    h = dt.timedelta(hours=1)
+    ev = [
+        # u1: clean full chain
+        (1, "view", b), (1, "click", b + h), (1, "purchase", b + 2 * h),
+        # u2: purchase BEFORE view — must not count (no click at all)
+        (2, "purchase", b), (2, "view", b + h),
+        # u3: click before view, then view — click must not count
+        (3, "click", b), (3, "view", b + h),
+        # u4: same-timestamp view+click completes both (>= semantics)
+        (4, "view", b), (4, "click", b),
+        # u5: never views — excluded from the funnel entirely
+        (5, "click", b), (5, "purchase", b + h),
+    ]
+    df = spark.createDataFrame(ev, "user_id long, event_type string, ts timestamp")
+    out = {r["user_id"]: r for r in funnel(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    assert out[1]["furthest_stage"] == 3
+    assert out[2]["furthest_stage"] == 1 and out[2]["reached_2"] is None
+    assert out[3]["furthest_stage"] == 1
+    assert out[4]["furthest_stage"] == 2
+    assert 5 not in out
+
+
+def test_funnel_summary_counts_and_validation(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from ml_feature_store_pipeline_spark.operators.windows import funnel, funnel_summary
+
+    b = dt.datetime(2023, 1, 1)
+    ev = [(i, t, b + dt.timedelta(hours=k)) for i, seq in
+          [(1, ["view", "click", "purchase"]), (2, ["view", "click"]), (3, ["view"])]
+          for k, t in enumerate(seq)]
+    df = spark.createDataFrame(ev, "user_id long, event_type string, ts timestamp")
+    rows = {r["stage_idx"]: r for r in funnel_summary(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    assert rows[1]["n_keys"] == 3 and rows[1]["conv_from_first"] == 1.0
+    assert rows[2]["n_keys"] == 2 and abs(rows[2]["conv_from_prev"] - 2 / 3) < 1e-6
+    assert rows[3]["n_keys"] == 1 and rows[3]["conv_from_prev"] == 0.5
+    with _pytest.raises(ValueError):
+        funnel(df, "user_id", "ts", "event_type", ["view"])
