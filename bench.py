@@ -129,6 +129,9 @@ HEADLINE_R7 = [
     # trend slope (one decimal-exact aggregation pass)
     "funnel_view_click_purchase",
     "trend_slope_user_value",
+    # cohort triangle (distinct-before-join) + JL sign projection (pure scan)
+    "cohort_retention_weekly",
+    "random_projection_embeddings",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

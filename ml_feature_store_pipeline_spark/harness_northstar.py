@@ -3031,3 +3031,64 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows_ops.funnel_summary(
         events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p FROM events
+    ),
+    first AS (SELECT user_id, MIN(p) AS cohort FROM act GROUP BY user_id),
+    j AS (
+      SELECT act.user_id, f.cohort,
+             CAST(datediff('day', f.cohort, act.p) / 7 AS BIGINT) AS off
+      FROM act JOIN first f ON act.user_id = f.user_id
+    ),
+    c AS (
+      SELECT cohort, off, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM j GROUP BY cohort, off
+    ),
+    s AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM first GROUP BY cohort)
+    SELECT c.cohort, CAST(c.off AS INT) AS period_offset, c.n_active, s.cohort_size,
+           ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM c JOIN s ON c.cohort = s.cohort
+    """,
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the event log: users grouped
+    by first-activity week, re-activity counted per whole-week offset. The
+    (key, period) activity set distincts BEFORE any join, so shuffles carry
+    one row per user-week, never per event."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return windows_ops.cohort_retention(events, "user_id", "ts", period="week")
+
+
+@register(
+    "random_projection_embeddings",
+    """
+    WITH m AS (
+      SELECT j, i,
+             CASE WHEN CAST(concat('0x', substr(md5('rp_' || CAST(j AS VARCHAR)
+                       || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS r
+      FROM (SELECT UNNEST(generate_series(0, 15)) AS j),
+           (SELECT UNNEST(generate_series(0, 63)) AS i)
+    ),
+    rows_m AS (SELECT j, LIST(r ORDER BY i) AS w FROM m GROUP BY j)
+    SELECT e.vec_id, CAST(rm.j AS INT) AS component,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), rm.w) / sqrt(16.0), 6) AS value
+    FROM embeddings e, rows_m rm
+    """,
+)
+def q_random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection 64→16 (Achlioptas ±1 matrix
+    from md5 bits — reproducible on any engine, no weight shipping): the
+    dimension-reduction front of a 100 TB ANN pipeline. Pure codegen scan,
+    zero shuffles; components rounded 6 dp (the cosine-oracle contract)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    rp = similarity.random_projection(emb, in_dim=64, out_dim=16)
+    # long format: the driver comparator hashes scalars, not arrays
+    return rp.select(
+        "vec_id", F.posexplode("rp").alias("component", "value")
+    ).select("vec_id", F.col("component").cast("int").alias("component"), "value")

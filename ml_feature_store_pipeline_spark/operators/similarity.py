@@ -976,3 +976,59 @@ def prototypicality(
     return scored.withColumn(
         "proto_pct", F.round(F.percent_rank().over(w), round_digits)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: str = "rp",
+    round_digits: int = 6,
+    out_col: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003,
+    JCSS 66(4): ±1 entries preserve pairwise distances as well as
+    Gaussian ones): project ``in_dim`` → ``out_dim`` with
+    ``y_j = (Σ_i r_ji·x_i) / √out_dim``, where ``r_ji ∈ {−1, +1}`` comes
+    from one md5 bit per (j, i) — the same deterministic-weights recipe as
+    :func:`hyperplane_signature`, so the matrix is reproducible on any
+    engine with no driver-side weight shipping.
+
+    The dimension-reduction front of a 100 TB ANN pipeline: distances
+    distort by at most ~√(in/out)·ε while the embedding payload (and every
+    downstream shuffle, index, and scan) shrinks ``in_dim/out_dim``-fold.
+    Components round to ``round_digits`` so both engines agree (same
+    contract as the cosine oracles).
+
+    Returns (id, out_col array<double>). Pure codegen scan — zero
+    shuffles; out_dim × in_dim fused multiply-adds per row.
+    """
+    import math
+
+    vec = F.col(vec_col)
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for j in range(out_dim):
+        # bind the prefix OUTSIDE the lambda (a defaulted second lambda
+        # param would receive the array index — hyperplane_signature note)
+        prefix = F.lit(f"{seed}_{j}_")
+        w = F.transform(
+            F.sequence(F.lit(0), F.lit(in_dim - 1)),
+            lambda i: F.when(
+                F.conv(F.substring(F.md5(F.concat(prefix, i.cast("string"))), 1, 8), 16, 10)
+                .cast("long")
+                .bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, wj: x.cast("double") * wj),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        comps.append(F.round(proj * F.lit(inv), round_digits))
+    return df.select(F.col(id_col), F.array(*comps).alias(out_col))

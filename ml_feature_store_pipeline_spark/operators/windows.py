@@ -210,3 +210,55 @@ def funnel_summary(
             )
         )
     return counts.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: keys grouped by their FIRST-activity period
+    (the cohort), then for each later period offset, how many of the
+    cohort were active again — the standard growth-analytics triangle.
+
+    Returns (cohort, period_offset, n_active, cohort_size, retention) with
+    offset 0 = the cohort period itself (retention 1.0 by construction).
+    ``period`` is ``day``, ``week``, or ``month``. Day/week offsets are
+    integer day arithmetic over truncated dates (a week diff is always a
+    multiple of 7); month offsets use calendar ``months_between`` on
+    first-of-month dates (day division would drift — 59 days ÷ 30 is not
+    2 months). Exact on both engines either way.
+
+    Scale shape: one min-aggregate per key (map-side combined), a
+    co-keyed join back to the (key, period) activity set — distinct'd
+    BEFORE the join so the shuffle carries one row per (key, period), not
+    per event — and a final small groupBy. No windows, no sorting.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be 'day', 'week', or 'month'")
+    key, ts = F.col(key_col), F.col(ts_col)
+    p = F.date_trunc(period, ts).cast("date")
+    activity = df.select(key.alias("__k"), p.alias("__p")).distinct()
+    first = activity.groupBy("__k").agg(F.min("__p").alias("__cohort"))
+    if period == "month":
+        off = F.months_between(F.col("__p"), F.col("__cohort")).cast("long")
+    else:
+        days = 1 if period == "day" else 7
+        off = (F.datediff(F.col("__p"), F.col("__cohort")) / days).cast("long")
+    joined = activity.join(first, "__k").select("__k", "__cohort", off.alias("__off"))
+    counts = joined.groupBy("__cohort", "__off").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    sizes = first.groupBy("__cohort").agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    return (
+        counts.join(F.broadcast(sizes), "__cohort")
+        .select(
+            F.col("__cohort").alias("cohort"),
+            F.col("__off").cast("int").alias("period_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )

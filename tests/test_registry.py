@@ -103,6 +103,8 @@ R8_WINDOW_QUEUE = [
     "quality_calibrated_sketch_docs",
     "funnel_view_click_purchase",
     "trend_slope_user_value",
+    "cohort_retention_weekly",
+    "random_projection_embeddings",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

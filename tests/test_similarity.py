@@ -507,3 +507,33 @@ def test_prototypicality_ranges_and_extremes(spark, labeled_corpus):
         pcts = sorted(r["proto_pct"] for r in rows if r["label"] == lbl)
         assert pcts[0] == 0.0
         assert pcts[-1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_preserves_distances(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.random_projection(df, in_dim=vectors.shape[1], out_dim=16)
+    proj = {r["vec_id"]: np.array(r["rp"]) for r in out.collect()}
+    V = vectors.astype("float64")
+    # JL with ±1/sqrt(k): squared-norm ratios concentrate around 1
+    ratios = []
+    for i in range(0, N, 3):
+        orig = float(np.dot(V[i], V[i]))
+        if orig > 0:
+            ratios.append(float(np.dot(proj[i], proj[i])) / orig)
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.5 < med < 1.5, med
+    # deterministic across partitionings
+    again = {
+        r["vec_id"]: np.array(r["rp"])
+        for r in similarity.random_projection(
+            df.repartition(7), in_dim=vectors.shape[1], out_dim=16
+        ).collect()
+    }
+    for i in proj:
+        assert np.array_equal(proj[i], again[i])

@@ -116,3 +116,46 @@ def test_funnel_summary_counts_and_validation(spark):
     assert rows[3]["n_keys"] == 1 and rows[3]["conv_from_prev"] == 0.5
     with _pytest.raises(ValueError):
         funnel(df, "user_id", "ts", "event_type", ["view"])
+
+
+def test_cohort_retention_weekly_triangle(spark):
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.windows import cohort_retention
+
+    b = dt.datetime(2023, 1, 2)  # a Monday
+    wk = dt.timedelta(days=7)
+    ev = [
+        # cohort W0: u1 active w0,w1,w2; u2 active w0,w2; u3 w0 only
+        (1, b), (1, b + wk), (1, b + 2 * wk),
+        (2, b + dt.timedelta(days=3)), (2, b + 2 * wk),
+        (3, b),
+        # cohort W1: u4 active w1
+        (4, b + wk),
+    ]
+    df = spark.createDataFrame(ev, "user_id long, ts timestamp")
+    out = {
+        (r["cohort"].isoformat(), r["period_offset"]): r
+        for r in cohort_retention(df, "user_id", "ts", period="week").collect()
+    }
+    c0 = b.date().isoformat()
+    c1 = (b + wk).date().isoformat()
+    assert out[(c0, 0)]["n_active"] == 3 and out[(c0, 0)]["retention"] == 1.0
+    assert out[(c0, 1)]["n_active"] == 1  # only u1
+    assert out[(c0, 2)]["n_active"] == 2  # u1 + u2
+    assert out[(c1, 0)]["cohort_size"] == 1
+    assert abs(out[(c0, 2)]["retention"] - 2 / 3) < 1e-6
+
+
+def test_cohort_retention_month_calendar_offsets(spark):
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.windows import cohort_retention
+
+    # Jan 31 → Mar 1: 59 days but exactly 2 calendar months after truncation
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2023, 1, 31)), (1, dt.datetime(2023, 3, 1))],
+        "user_id long, ts timestamp",
+    )
+    out = {r["period_offset"] for r in cohort_retention(df, "user_id", "ts", period="month").collect()}
+    assert out == {0, 2}
