@@ -132,6 +132,9 @@ HEADLINE_R7 = [
     # cohort triangle (distinct-before-join) + JL sign projection (pure scan)
     "cohort_retention_weekly",
     "random_projection_embeddings",
+    # MMR diverse re-rank: one broadcast scoring scan + k-1 pool-bounded
+    # checkpointed greedy iterations
+    "mmr_rerank_embeddings",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

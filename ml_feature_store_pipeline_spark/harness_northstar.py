@@ -3092,3 +3092,69 @@ def q_random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return rp.select(
         "vec_id", F.posexplode("rp").alias("component", "value")
     ).select("vec_id", F.col("component").cast("int").alias("component"), "value")
+
+
+_MMR_S1 = _COS_SQL.format(a="c.v", b="s1.v1")
+_MMR_S2 = _COS_SQL.format(a="c.v", b="s2.v2")
+_MMR_S3 = _COS_SQL.format(a="c.v", b="s3.v3")
+
+
+@register(
+    "mmr_rerank_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    sc AS (
+      SELECT q.qid, e.vec_id AS i,
+             ROUND({_COS_SQL.format(a='q.qv', b='e.embedding')}, 6) AS rel,
+             e.embedding AS v
+      FROM q, embeddings e
+    ),
+    cand AS (
+      SELECT * FROM sc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, i ASC) <= 20
+    ),
+    s1 AS (
+      SELECT qid, i AS i1, rel AS r1, v AS v1 FROM cand
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, i ASC) = 1
+    ),
+    s2 AS (
+      SELECT c.qid, c.i AS i2, c.rel AS r2, c.v AS v2
+      FROM cand c JOIN s1 USING (qid) WHERE c.i <> s1.i1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+        ROUND(0.7 * c.rel - 0.3 * ROUND({_MMR_S1}, 6), 6) DESC, c.i ASC) = 1
+    ),
+    s3 AS (
+      SELECT c.qid, c.i AS i3, c.rel AS r3, c.v AS v3
+      FROM cand c JOIN s1 USING (qid) JOIN s2 USING (qid)
+      WHERE c.i <> s1.i1 AND c.i <> s2.i2
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+        ROUND(0.7 * c.rel - 0.3 * GREATEST(
+          ROUND({_MMR_S1}, 6), ROUND({_MMR_S2}, 6)), 6) DESC, c.i ASC) = 1
+    ),
+    s4 AS (
+      SELECT c.qid, c.i AS i4, c.rel AS r4
+      FROM cand c JOIN s1 USING (qid) JOIN s2 USING (qid) JOIN s3 USING (qid)
+      WHERE c.i <> s1.i1 AND c.i <> s2.i2 AND c.i <> s3.i3
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+        ROUND(0.7 * c.rel - 0.3 * GREATEST(
+          ROUND({_MMR_S1}, 6), ROUND({_MMR_S2}, 6), ROUND({_MMR_S3}, 6)), 6) DESC,
+        c.i ASC) = 1
+    )
+    SELECT qid AS query_id, i1 AS vec_id, r1 AS relevance, CAST(1 AS INT) AS mmr_rank FROM s1
+    UNION ALL SELECT qid, i2, r2, CAST(2 AS INT) FROM s2
+    UNION ALL SELECT qid, i3, r3, CAST(3 AS INT) FROM s3
+    UNION ALL SELECT qid, i4, r4, CAST(4 AS INT) FROM s4
+    """,
+)
+def q_mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    8 query vectors, top-20 relevance pool, greedy k=4 at λ=0.7 — the
+    diversity pass between ANN retrieval and a RAG prompt. Every argmax
+    compares 6-dp-rounded scores with id tiebreak, so the oracle's
+    UNROLLED greedy (one CTE per step) reproduces the selection exactly;
+    the operator itself takes any k via checkpointed iterations."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.mmr_rerank(queries, emb, k=4, pool=20, lam=0.7)

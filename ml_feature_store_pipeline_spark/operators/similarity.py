@@ -1032,3 +1032,94 @@ def random_projection(
         )
         comps.append(F.round(proj * F.lit(inv), round_digits))
     return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    per query, greedily select ``k`` results from the top-``pool``
+    relevance candidates, each step maximizing
+    ``λ·relevance − (1−λ)·max_similarity_to_already_selected`` — the
+    standard diversity pass between ANN retrieval and a RAG prompt
+    (without it, near-duplicate chunks crowd out coverage).
+
+    Deterministic on every engine: relevance and pairwise cosines round to
+    ``round_digits`` BEFORE any argmax (ordering decisions compare rounded
+    values — the cosine-oracle contract), ties break by candidate id.
+
+    Returns (query_id, corpus_id, relevance, mmr_rank 1..k).
+
+    Scale shape: stage 1 is :func:`cosine_topk` (one corpus scan however
+    many queries); the greedy then runs ``k−1`` bounded iterations over
+    ≤ pool rows per query — per-query joins and windows, everything keyed
+    by query id, checkpointed per step so the plan stays O(1) deep. The
+    corpus is never touched again after the pool is cut.
+    """
+    # pool cut ranks on the ROUNDED relevance (id tiebreak): ranking on the
+    # raw cosine would let a last-ulp engine difference swap membership at
+    # the pool boundary — the same reason every later argmax compares
+    # rounded values only
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    c = _normalized(corpus.select(F.col(corpus_id), F.col(vec_col)), vec_col)
+    scored0 = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        F.round(cosine_similarity(F.col("__qv"), F.col(vec_col)), round_digits).alias(
+            "relevance"
+        ),
+        F.col(vec_col).alias("__v"),
+    )
+    wp = Window.partitionBy(query_id).orderBy(F.desc("relevance"), F.asc(corpus_id))
+    work = (
+        scored0.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= pool)
+        .drop("__pr")
+        .localCheckpoint(eager=False)
+    )
+    w0 = Window.partitionBy(query_id).orderBy(F.desc("relevance"), F.asc(corpus_id))
+    selected = (
+        work.withColumn("__r", F.row_number().over(w0))
+        .filter(F.col("__r") == 1)
+        .select(query_id, corpus_id, "relevance", "__v", F.lit(1).alias("mmr_rank"))
+        .localCheckpoint(eager=False)
+    )
+    for t in range(2, k + 1):
+        sel = selected.select(
+            F.col(query_id), F.col(corpus_id).alias("__sid"), F.col("__v").alias("__sv")
+        )
+        rem = work.join(
+            selected.select(query_id, corpus_id), [query_id, corpus_id], "left_anti"
+        )
+        maxsim = (
+            rem.join(sel, query_id)
+            .groupBy(query_id, corpus_id)
+            .agg(
+                F.max(F.round(dot(F.col("__v"), F.col("__sv")), round_digits)).alias("__ms")
+            )
+        )
+        scored = rem.join(maxsim, [query_id, corpus_id]).withColumn(
+            "__mmr",
+            F.round(
+                F.lit(float(lam)) * F.col("relevance")
+                - F.lit(1.0 - float(lam)) * F.col("__ms"),
+                round_digits,
+            ),
+        )
+        wt = Window.partitionBy(query_id).orderBy(F.desc("__mmr"), F.asc(corpus_id))
+        pick = (
+            scored.withColumn("__r", F.row_number().over(wt))
+            .filter(F.col("__r") == 1)
+            .select(query_id, corpus_id, "relevance", "__v", F.lit(t).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(query_id, corpus_id, "relevance", "mmr_rank")

@@ -105,6 +105,7 @@ R8_WINDOW_QUEUE = [
     "trend_slope_user_value",
     "cohort_retention_weekly",
     "random_projection_embeddings",
+    "mmr_rerank_embeddings",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

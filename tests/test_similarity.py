@@ -537,3 +537,59 @@ def test_random_projection_preserves_distances(spark, vectors):
     }
     for i in proj:
         assert np.array_equal(proj[i], again[i])
+
+
+def test_mmr_rerank_matches_python_greedy(spark, labeled_corpus):
+    # independent greedy reimplementation over the same rounded scores
+    data = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in labeled_corpus.collect()}
+    ids = sorted(data)
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    queries = labeled_corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.mmr_rerank(queries, labeled_corpus, k=4, pool=10, lam=0.6)
+    rows = out.collect()
+    for qid in range(3):
+        qv = data[qid]
+        rel = {i: cos(qv, data[i]) for i in ids}
+        pool = sorted(ids, key=lambda i: (-rel[i], i))[:10]
+        sel = [min(pool, key=lambda i: (-rel[i], i))]
+        while len(sel) < 4:
+            rem = [i for i in pool if i not in sel]
+            def mmr(i):
+                return round(0.6 * rel[i] - 0.4 * max(cos(data[i], data[j]) for j in sel), 6)
+            sel.append(min(rem, key=lambda i: (-mmr(i), i)))
+        got = [r["vec_id"] for r in sorted((r for r in rows if r["query_id"] == qid), key=lambda r: r["mmr_rank"])]
+        assert got == sel, (qid, got, sel)
+
+
+def test_mmr_rerank_diversifies_duplicate_cluster(spark):
+    # corpus: 3 near-identical vectors by the query + 2 distinct directions;
+    # plain top-3 would return the clones — MMR must break out of the cluster
+    base = np.zeros(8); base[0] = 1.0
+    near = [base + 1e-3 * np.eye(8)[i + 1] for i in range(3)]
+    other1 = np.zeros(8); other1[1] = 1.0; other1[0] = 0.4
+    other2 = np.zeros(8); other2[2] = 1.0; other2[0] = 0.4
+    vecs = near + [other1, other2]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in base])], "query_id long, embedding array<float>"
+    )
+    # λ must make the diversity penalty decisive: with the query aligned to
+    # the clone direction, rel(i) ≈ sim(i, s1) for every candidate, so at
+    # λ=0.5 step-2 MMR ties at ~0 for all — λ=0.3 weights the penalty enough
+    # that staying in the clone cluster always loses
+    got = [
+        r["vec_id"]
+        for r in similarity.mmr_rerank(queries, corpus, k=3, pool=5, lam=0.3)
+        .orderBy("mmr_rank").collect()
+    ]
+    # rank 1 = most relevant clone; ranks 2-3 must leave the clone cluster
+    assert got[0] == 0
+    assert set(got[1:]) == {3, 4}
