@@ -135,6 +135,8 @@ HEADLINE_R7 = [
     # MMR diverse re-rank: one broadcast scoring scan + k-1 pool-bounded
     # checkpointed greedy iterations
     "mmr_rerank_embeddings",
+    # ColBERT MaxSim late interaction (broadcast query bag, combinable max)
+    "maxsim_multivector_topk",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

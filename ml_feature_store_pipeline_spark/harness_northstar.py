@@ -3158,3 +3158,45 @@ def q_mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.mmr_rerank(queries, emb, k=4, pool=20, lam=0.7)
+
+
+@register(
+    "maxsim_multivector_topk",
+    f"""
+    WITH d AS (
+      SELECT vec_id % 50 AS doc_id, vec_id, embedding FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id % 2 AS query_id, vec_id AS qvec_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 6
+    ),
+    per_qv AS (
+      SELECT q.query_id, q.qvec_id, d.doc_id,
+             MAX(ROUND({_COS_SQL.format(a='q.qv', b='d.embedding')}, 6)) AS m
+      FROM q, d
+      GROUP BY q.query_id, q.qvec_id, d.doc_id
+    ),
+    sc AS (
+      SELECT query_id, doc_id,
+             ROUND(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim_score
+      FROM per_qv GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, maxsim_score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY maxsim_score DESC, doc_id ASC) AS INT) AS rank
+    FROM sc QUALIFY rank <= 10
+    """,
+)
+def q_maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT MaxSim): 2 queries
+    of 3 vectors each against 50 multi-vector documents (embeddings
+    grouped by vec_id % 50). Per-pair cosines round BEFORE the max, the
+    per-doc sum is decimal-exact — both engines agree bit-for-bit."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = emb.select((F.col("vec_id") % 50).alias("doc_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") % 2).alias("query_id"),
+        F.col("vec_id").alias("qvec_id"),
+        "embedding",
+    )
+    return similarity.maxsim_topk(queries, docs, k=10)

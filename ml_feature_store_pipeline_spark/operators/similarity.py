@@ -1123,3 +1123,67 @@ def mmr_rerank(
         )
         selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected.select(query_id, corpus_id, "relevance", "mmr_rank")
+
+
+def maxsim_topk(
+    query_vecs: DataFrame,
+    doc_vecs: DataFrame,
+    *,
+    query_id: str = "query_id",
+    qvec_id: str = "qvec_id",
+    doc_id: str = "doc_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT MaxSim, Khattab &
+    Zaharia 2020, SIGIR): queries and documents are BAGS of vectors;
+    ``score(q, d) = Σ_{qv∈q} max_{dv∈d} cos(qv, dv)`` — each query vector
+    finds its best-matching doc vector, and the per-query-vector maxima
+    sum. The retrieval model between single-vector ANN and full
+    cross-encoders.
+
+    Deterministic: per-pair cosines round to ``round_digits`` BEFORE the
+    max (max of rounded = exact), the per-doc sum runs in DECIMAL (exact,
+    order-free), ranks tiebreak by doc id.
+
+    Returns (query_id, doc_id, maxsim_score, rank 1..k).
+
+    Scale shape: the query bag broadcasts (queries × vectors-per-query
+    rows — a query batch, not a corpus); doc vectors are scanned ONCE and
+    never shuffled with payloads — the max-aggregate is map-side
+    combinable on (query_id, query vector index, doc_id), and the score
+    sum shuffles one decimal partial per (partition, query, doc).
+    """
+    # the caller-provided qvec_id keeps duplicate identical vectors in one
+    # query bag as SEPARATE summands (a derived digest index would collapse
+    # them and undercount the MaxSim sum)
+    q = _normalized(
+        query_vecs.select(
+            F.col(query_id), F.col(qvec_id).alias("__qi"), F.col(vec_col).alias("__qv")
+        ),
+        "__qv",
+    )
+    d = _normalized(doc_vecs.select(F.col(doc_id), F.col(vec_col).alias("__dv")), "__dv")
+    per_qv = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            query_id,
+            "__qi",
+            doc_id,
+            F.round(dot(F.col("__qv"), F.col("__dv")), round_digits).alias("__cos"),
+        )
+        .groupBy(query_id, "__qi", doc_id)
+        .agg(F.max("__cos").alias("__m"))
+    )
+    scored = per_qv.groupBy(query_id, doc_id).agg(
+        F.round(
+            F.sum(F.col("__m").cast("decimal(18,6)")).cast("double"), round_digits
+        ).alias("maxsim_score")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("maxsim_score"), F.asc(doc_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, doc_id, "maxsim_score", "rank")
+    )

@@ -106,6 +106,7 @@ R8_WINDOW_QUEUE = [
     "cohort_retention_weekly",
     "random_projection_embeddings",
     "mmr_rerank_embeddings",
+    "maxsim_multivector_topk",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -593,3 +593,45 @@ def test_mmr_rerank_diversifies_duplicate_cluster(spark):
     # rank 1 = most relevant clone; ranks 2-3 must leave the clone cluster
     assert got[0] == 0
     assert set(got[1:]) == {3, 4}
+
+
+def test_maxsim_matches_numpy(spark, labeled_corpus):
+    data = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in labeled_corpus.collect()}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    docs = labeled_corpus.select((F.col("vec_id") % 5).alias("doc_id"), "embedding")
+    queries = labeled_corpus.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") % 2).alias("query_id"),
+        F.col("vec_id").alias("qvec_id"),
+        "embedding",
+    )
+    rows = similarity.maxsim_topk(queries, docs, k=3).collect()
+    from collections import defaultdict
+
+    dmap = defaultdict(list)
+    for i in data:
+        dmap[i % 5].append(i)
+    for qid in (0, 1):
+        qvs = [data[v] for v in range(4) if v % 2 == qid]
+        scores = {
+            d: round(sum(max(cos(qv, data[m]) for m in ms) for qv in qvs), 6)
+            for d, ms in dmap.items()
+        }
+        expect = sorted(dmap, key=lambda d: (-scores[d], d))[:3]
+        got = [r["doc_id"] for r in sorted((r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got == expect, (qid, got, expect)
+
+
+def test_maxsim_duplicate_query_vectors_count_twice(spark):
+    # a query bag with the SAME vector twice must sum its best match twice
+    v = [1.0, 0.0, 0.0, 0.0]
+    u = [0.0, 1.0, 0.0, 0.0]
+    docs = spark.createDataFrame([(1, v), (2, u)], "doc_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, 10, v), (0, 11, v)], "query_id long, qvec_id long, embedding array<float>"
+    )
+    out = {r["doc_id"]: r["maxsim_score"] for r in similarity.maxsim_topk(queries, docs, k=2).collect()}
+    assert out[1] == 2.0  # two query vectors, each max-matching doc 1 at cos 1
+    assert out[2] == 0.0

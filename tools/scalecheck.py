@@ -146,12 +146,14 @@ DOC_OPS = (
     "video_frame_sample streaming_near_dup lm_score decontaminate phash "
     "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64 "
     "quality_classifier training_shards mixture_epochs priority_survivors "
-    "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup"
+    "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup "
+    "bpe_stats bpe_pairs sketch_calibrate"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
     "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
-    "semantic_decontaminate knn_label_audit hard_negatives prototypicality"
+    "semantic_decontaminate knn_label_audit hard_negatives prototypicality "
+    "random_projection mmr_rerank"
 ).split()
 
 
@@ -860,6 +862,57 @@ def main() -> None:
             # chunk text crosses the wire twice (digest rank, id reassembly)
             # — the documented cost of rebuilding text output
             timed("chunk_dedup_16tok", _sel.chunk_dedup(docs, "doc_id", "text", chunk_tokens=16), args.docs)
+        if docs is not None and want("bpe_stats"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # regexp_extract_all scan — zero shuffles like gopher_rules
+            timed("bpe_stats_scan", _text.bpe_token_stats(docs, "doc_id", "text"), args.docs)
+        if docs is not None and want("bpe_pairs"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # two explodes into one map-side-combined agg: shuffle carries
+            # |alphabet|^2 partials per partition, never corpus positions
+            timed("bpe_pairs_top1000", _text.bpe_pair_stats(docs, "text", top_n=1000), args.docs)
+        if docs is not None and want("sketch_calibrate"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            qs = _text.quality_score(docs, "doc_id", "text").join(
+                docs.withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")))
+                .select("doc_id", "source"),
+                "doc_id",
+            )
+            # exact per-source percent_rank window vs the zero-sort
+            # histogram path on the SAME input — the trade made measurable
+            timed(
+                "sketch_calibrate_exact_window",
+                _text.quality_calibrate(qs, "doc_id", "quality_score", "source"),
+                args.docs,
+            )
+            timed(
+                "sketch_calibrate_histogram",
+                _text.quality_calibrate(qs, "doc_id", "quality_score", "source", strategy="sketch"),
+                args.docs,
+            )
+        if vecs is not None and want("random_projection"):
+            # pure codegen scan: out_dim x in_dim fused multiply-adds per row
+            timed(
+                "random_projection_64to16",
+                similarity.random_projection(vecs, in_dim=64, out_dim=16),
+                args.vecs,
+            )
+        if vecs is not None and want("mmr_rerank"):
+            qset = vecs.filter(F.col("vec_id") % 2000 == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            # stage 1 scores ~100 queries against one corpus scan; the greedy
+            # then iterates over <= pool rows per query only
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            out = similarity.mmr_rerank(qset, vecs, k=5, pool=50)
+            n_out = out.count()
+            log("mmr_rerank_100q_k5", time.time() - t0, args.vecs)
+            print(json.dumps({"op": "mmr_rerank.selected", "rows": n_out}), flush=True)
         if vecs is not None and (want("knn_label_audit") or want("hard_negatives") or want("prototypicality")):
             lvecs = vecs.withColumn("label", (F.col("vec_id") % 16).cast("int"))
             if want("knn_label_audit"):
