@@ -1,8 +1,10 @@
 """End-to-end LLM training-corpus curation demo on the sf0.001 test tables:
 
-filter (language + quality) → LM-perplexity gate → exact dedup →
-near-dup survivors → benchmark decontamination → semantic dedup over
-embeddings → sequence packing → token-mix rebalance.
+filter (language + quality + Gopher rules) → LM-perplexity gate → exact
+dedup → near-dup survivors → chunk-level dedup → benchmark
+decontamination → DSIR target-distribution selection → semantic dedup
+over embeddings → sequence packing → token-mix rebalance → MMR-diverse
+retrieval spot-check.
 
 Each stage is one of this repo's oracle-verified operators; this script
 chains them the way a real data pipeline would. Run:
@@ -19,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from ml_feature_store_pipeline_spark.operators import dedup, sampling, similarity, text
+from ml_feature_store_pipeline_spark.operators import dedup, sampling, selection, similarity, text
 from ml_feature_store_pipeline_spark.session import get_spark
 from ml_feature_store_pipeline_spark.sources.readers import read_table
 
@@ -44,6 +46,12 @@ def main() -> None:
     )
     n1 = gated.count()
     print(f"after language+quality gate: {n1} ({n0 - n1} dropped)")
+
+    # 1b. Gopher rule audit (r7): per-rule booleans; keep the conjunction
+    gr = text.gopher_rules(gated, "doc_id", "text", min_words=10, min_stopword_hits=1)
+    gated = gated.join(gr.filter(F.col("keep")).select("doc_id"), "doc_id")
+    n1b = gated.count()
+    print(f"after Gopher rules: {n1b} ({n1 - n1b} dropped)")
 
     # 2. exact dedup (digest-first: shuffle carries md5, never text);
     # exact_dedup keeps id + content only, so re-attach source afterwards
@@ -70,6 +78,17 @@ def main() -> None:
     n3 = survivors.count()
     print(f"after near-dedup: {n3} ({n2 - n3} dropped)")
 
+    # 3a'. chunk-level dedup (r7): drop repeated 16-token windows
+    # corpus-wide, rebuild surviving text per doc
+    cd = selection.chunk_dedup(survivors, "doc_id", "text", chunk_tokens=16)
+    survivors = (
+        survivors.drop("text")
+        .join(cd.filter(F.col("n_chunks_kept") > 0), "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"), "source")
+    )
+    dropped_chunks = cd.agg(F.sum(F.col("n_chunks") - F.col("n_chunks_kept"))).collect()[0][0]
+    print(f"chunk dedup: {dropped_chunks} repeated chunks removed; {survivors.count()} docs remain")
+
     # 3b. benchmark decontamination: drop training docs sharing any 5-gram
     # with the held-out eval slice (every 31st doc plays the benchmark)
     ev = survivors.filter(F.col("doc_id") % 31 == 0)
@@ -80,6 +99,14 @@ def main() -> None:
     survivors = tr.join(contaminated, "doc_id", "left_anti")
     n3b = survivors.count()
     print(f"after decontamination: {n3b} train docs ({contaminated.count()} dropped)")
+
+    # 3c. DSIR selection (r7): keep the half of the corpus that looks most
+    # like the held-out eval slice (hashed-n-gram importance resampling)
+    ratios = selection.dsir_log_ratios(ev, survivors, "text", n_buckets=512)
+    k_dsir = max(survivors.count() // 2, 1)
+    picked = selection.dsir_sample(survivors, "doc_id", "text", ratios, k=k_dsir, n_buckets=512)
+    survivors = survivors.join(picked.select("doc_id"), "doc_id")
+    print(f"after DSIR selection (target = eval distribution): {survivors.count()} docs")
 
     # 4. semantic dedup over the embedding table (SemDeDup, deterministic cells)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -111,6 +138,22 @@ def main() -> None:
         mixed.groupBy("source").agg(F.sum("n_tokens").alias("tokens")).orderBy("source").collect()
     ):
         print(f"  {r['source']}: {r['tokens']} tokens")
+
+    # 7. retrieval spot-check: MMR-diverse top-5 for two query embeddings
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mmr = similarity.mmr_rerank(queries, emb, k=5, pool=25, lam=0.7)
+    print("MMR-diverse top-5 per query (id:relevance):")
+    for qid in (0, 1):
+        picks = [
+            f"{r['vec_id']}:{r['relevance']:.3f}"
+            for r in sorted(
+                (r for r in mmr.collect() if r["query_id"] == qid),
+                key=lambda r: r["mmr_rank"],
+            )
+        ]
+        print(f"  q{qid}: {' '.join(picks)}")
 
 
 if __name__ == "__main__":

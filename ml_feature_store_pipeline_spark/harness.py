@@ -108,19 +108,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "video_vhash_dup_groups",
     "ewma_user_spend_prior",
     "negative_sample_pairs",
-    # r7 NEW registrations, 7 of 17 (the window holds 50; the stale-37
+    # r7 NEW registrations, 7 of 26 (the window holds 50; the stale-37
     # commitment from the r6 verdict binds first). Chosen for operator-risk
     # and family diversity: the store-parity audit, the two cleverest
     # equivalence claims (DSIR decimal-exact weights + Gumbel ranking;
     # banded prefix sum = global window), chunk dedup + reassembly, the
     # LSH-candidates kNN label audit, the Gopher rule filter, and the
-    # multi-epoch mixture plan. The other 10 r7 registrations
-    # (table_profile_orders_approx, ml_quality_filter_docs,
-    # semantic_decontaminate_embeddings, training_shard_stats,
-    # dedup_survivors_priority_docs, hard_negative_pairs,
-    # prototypicality_scores, vocab_coverage_docs, quality_calibrated_docs,
-    # source_overlap_docs) all passed tools/verify_oracle.py at sf0.001 /
-    # 0.01 / 0.1 this round and rotate into the r8 window.
+    # multi-epoch mixture plan. The other 19 r7 registrations — pinned in
+    # tests/test_registry.py::R8_WINDOW_QUEUE — all passed
+    # tools/verify_oracle.py at sf0.001 / 0.01 / 0.1 this round and rotate
+    # into the r8 window.
     "serving_parity_audit",
     "dsir_select_docs",
     "budget_select_docs",

@@ -473,3 +473,43 @@ def test_index_encode_is_a_bijection_on_vocab(spark, labels):
     assert [r["idx"] for r in rows] == list(range(len(rows)))
     ranked = [(-r["n"], r["value"]) for r in rows]
     assert ranked == sorted(ranked)
+
+
+# ---------------------------------------------------------------------------
+# banded budget selection == single global window (r7)
+# ---------------------------------------------------------------------------
+
+budget_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),           # id (dups filtered below)
+        st.floats(min_value=-5, max_value=5, allow_nan=False, width=16),
+        st.integers(min_value=0, max_value=20),           # weight
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=budget_rows, budget=st.integers(min_value=0, max_value=120))
+@SETTINGS
+def test_select_by_budget_property(spark, rows, budget):
+    """The banded prefix sum must equal the plain global-window rule for
+    ANY scores (ties, negatives, constants) and any budget — including
+    weights of 0 and duplicate scores straddling band boundaries."""
+    from ml_feature_store_pipeline_spark.operators.selection import select_by_budget
+
+    uniq = {i: (s, w) for i, s, w in rows}
+    data = [(i, round(s, 6), w) for i, (s, w) in sorted(uniq.items())]
+    df = spark.createDataFrame(data, "id long, score double, w long").repartition(3)
+    got = sorted(
+        (r["id"], r["cum_weight"])
+        for r in select_by_budget(
+            df, "id", score_col="score", weight_col="w", budget=budget, n_bands=8
+        ).collect()
+    )
+    expect, cum = [], 0
+    for i, s, w in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += w
+        if cum <= budget:
+            expect.append((i, cum))
+    assert got == sorted(expect)
