@@ -418,3 +418,46 @@ def test_target_encode_single_category_shuffle(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-7 zero-shuffle scan claims, pinned at the plan level
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_filter_is_exchange_free(spark, registry):
+    """gopher_rules claims a pure codegen scan — any Exchange in the plan
+    means a rule started aggregating."""
+    df = registry["gopher_filter_docs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bpe_token_stats_is_exchange_free(spark, registry):
+    df = registry["bpe_token_stats_docs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_random_projection_is_exchange_free(spark, registry):
+    df = registry["random_projection_embeddings"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # md5 weights live in codegen
+
+
+def test_maxsim_broadcasts_queries_never_shuffles_doc_vectors(spark, registry):
+    """The doc-vector side must reach the per-(qvec, doc) max through a
+    broadcast join; the only exchanges carry (query, doc) aggregates."""
+    df = registry["maxsim_multivector_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_topn_is_take_ordered(spark, registry):
+    """The top-n cut must be TakeOrderedAndProject — a global Sort of the
+    word counts would be the scale bug the docstring rules out."""
+    df = registry["vocab_coverage_docs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
