@@ -137,6 +137,8 @@ HEADLINE_R7 = [
     "mmr_rerank_embeddings",
     # ColBERT MaxSim late interaction (broadcast query bag, combinable max)
     "maxsim_multivector_topk",
+    # market-basket affinity (distinct-before-join; AQE-broadcast marginals)
+    "event_type_affinity",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -3200,3 +3200,33 @@ def q_maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
     )
     return similarity.maxsim_topk(queries, docs, k=10)
+
+
+@register(
+    "event_type_affinity",
+    """
+    WITH kt AS (SELECT DISTINCT user_id, event_type FROM events),
+    nk AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM kt),
+    marg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS na FROM kt GROUP BY event_type),
+    p AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_keys_both
+      FROM kt x JOIN kt y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY x.event_type, y.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_keys_both,
+           ROUND(p.n_keys_both / (SELECT n FROM nk), 6) AS support,
+           ROUND((p.n_keys_both / (SELECT n FROM nk))
+                 / ((ma.na / (SELECT n FROM nk)) * (mb.na / (SELECT n FROM nk))), 6) AS lift
+    FROM p
+    JOIN marg ma ON p.type_a = ma.event_type
+    JOIN marg mb ON p.type_b = mb.event_type
+    """,
+)
+def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over the event log: per unordered event-type
+    pair, co-occurrence support across users and lift vs independence.
+    Events reduce to DISTINCT (user, type) before any join — ≤ |types|
+    rows per user regardless of event volume."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return windows_ops.type_affinity(events, "user_id", "event_type")

@@ -262,3 +262,59 @@ def cohort_retention(
             F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
         )
     )
+
+
+def type_affinity(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    *,
+    min_pair_keys: int = 1,
+) -> DataFrame:
+    """Association analysis over an event log: for every UNORDERED pair of
+    event types, how many keys exhibit both, the pair's support, and its
+    LIFT vs independence (``lift > 1`` = types co-occur in the same users
+    more than chance — the market-basket signal behind "users who error
+    also churn" dashboards).
+
+    Returns (type_a, type_b, n_keys_both, support, lift) for pairs seen by
+    ≥ ``min_pair_keys`` keys, with type_a < type_b lexically. Support and
+    lift round to 6 dp (ratios of exact integers).
+
+    Scale shape: the event log reduces to DISTINCT (key, type) FIRST —
+    with T types that is ≤ T rows per key regardless of event volume — and
+    the pair self-join is co-keyed on the key column (one shuffle of the
+    distinct set; AQE broadcasts the T-row marginals).
+    """
+    kt = df.select(F.col(key_col).alias("__k"), F.col(type_col).alias("__t")).distinct()
+    n_keys = kt.select("__k").distinct().count()
+    marg = kt.groupBy(F.col("__t").alias("type_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    pairs = (
+        kt.alias("x")
+        .join(kt.alias("y"), "__k")
+        .filter(F.col("x.__t") < F.col("y.__t"))
+        .groupBy(
+            F.col("x.__t").alias("type_a"), F.col("y.__t").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys_both"))
+        .filter(F.col("n_keys_both") >= min_pair_keys)
+    )
+    margb = marg.select(F.col("type_a").alias("type_b"), F.col("__na").alias("__nb"))
+    n = F.lit(float(n_keys))
+    return (
+        pairs.join(F.broadcast(marg), "type_a")
+        .join(F.broadcast(margb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_keys_both",
+            F.round(F.col("n_keys_both") / n, 6).alias("support"),
+            F.round(
+                (F.col("n_keys_both") / n)
+                / ((F.col("__na") / n) * (F.col("__nb") / n)),
+                6,
+            ).alias("lift"),
+        )
+    )

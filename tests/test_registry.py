@@ -107,6 +107,7 @@ R8_WINDOW_QUEUE = [
     "random_projection_embeddings",
     "mmr_rerank_embeddings",
     "maxsim_multivector_topk",
+    "event_type_affinity",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

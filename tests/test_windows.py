@@ -159,3 +159,26 @@ def test_cohort_retention_month_calendar_offsets(spark):
     )
     out = {r["period_offset"] for r in cohort_retention(df, "user_id", "ts", period="month").collect()}
     assert out == {0, 2}
+
+
+def test_type_affinity_lift_hand_computed(spark):
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.windows import type_affinity
+
+    b = dt.datetime(2023, 1, 1)
+    # 4 users: A+B together twice, A alone once, C alone once
+    ev = [
+        (1, "A", b), (1, "B", b), (1, "A", b),  # dup event must not double count
+        (2, "A", b), (2, "B", b),
+        (3, "A", b),
+        (4, "C", b),
+    ]
+    df = spark.createDataFrame(ev, "user_id long, event_type string, ts timestamp")
+    out = {(r["type_a"], r["type_b"]): r for r in type_affinity(df, "user_id", "event_type").collect()}
+    ab = out[("A", "B")]
+    assert ab["n_keys_both"] == 2
+    assert ab["support"] == 0.5  # 2 of 4 users
+    # lift = P(AB)/(P(A)P(B)) = 0.5/(0.75*0.5) = 4/3
+    assert abs(ab["lift"] - round(4 / 3, 6)) < 1e-9
+    assert ("A", "C") not in out  # never co-occur
