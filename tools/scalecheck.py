@@ -137,7 +137,8 @@ EVENT_OPS = (
     "deterministic_sample_10pct training_set_1view asof_join_bucketed_1key "
     "interval_join_2k_bands bloom_probe cdc_merge fe_quantile_bin "
     "fe_target_encode fe_hashed_cross negative_sample table_profile "
-    "quality_profile fe_ewma fe_index_encode"
+    "quality_profile fe_ewma fe_index_encode funnel trend_slope "
+    "cohort_retention type_affinity"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -862,6 +863,32 @@ def main() -> None:
             # chunk text crosses the wire twice (digest rank, id reassembly)
             # — the documented cost of rebuilding text output
             timed("chunk_dedup_16tok", _sel.chunk_dedup(docs, "doc_id", "text", chunk_tokens=16), args.docs)
+        if events is not None and want("funnel"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # one filtered scan + combinable min-agg per stage; joins are
+            # per-key aggregates, never event rows
+            timed(
+                "funnel_3stage",
+                _win.funnel_summary(events, "user_id", "timestamp", "event_type",
+                                    ["view", "click", "purchase"]),
+                args.events,
+            )
+        if events is not None and want("trend_slope"):
+            from ml_feature_store_pipeline_spark.operators import fe as _fe
+
+            # one broadcast scalar + one map-side-combined groupBy: shuffle
+            # carries five decimal partials per (partition, user)
+            timed("trend_slope_per_user", _fe.trend_slope(events, "user_id", "timestamp", "amount"), args.events)
+        if events is not None and want("cohort_retention"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # activity distincts to (user, week) BEFORE the join
+            timed("cohort_retention_weekly", _win.cohort_retention(events, "user_id", "timestamp", period="week"), args.events)
+        if events is not None and want("type_affinity"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            timed("type_affinity_pairs", _win.type_affinity(events, "user_id", "event_type"), args.events)
         if docs is not None and want("bpe_stats"):
             from ml_feature_store_pipeline_spark.operators import text as _text
 
