@@ -108,13 +108,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "video_vhash_dup_groups",
     "ewma_user_spend_prior",
     "negative_sample_pairs",
-    # r7 NEW registrations, 7 of 26 (the window holds 50; the stale-37
+    # r7 NEW registrations, 7 of 27 (the window holds 50; the stale-37
     # commitment from the r6 verdict binds first). Chosen for operator-risk
     # and family diversity: the store-parity audit, the two cleverest
     # equivalence claims (DSIR decimal-exact weights + Gumbel ranking;
     # banded prefix sum = global window), chunk dedup + reassembly, the
     # LSH-candidates kNN label audit, the Gopher rule filter, and the
-    # multi-epoch mixture plan. The other 19 r7 registrations — pinned in
+    # multi-epoch mixture plan. The other 20 r7 registrations — pinned in
     # tests/test_registry.py::R8_WINDOW_QUEUE — all passed
     # tools/verify_oracle.py at sf0.001 / 0.01 / 0.1 this round and rotate
     # into the r8 window.
