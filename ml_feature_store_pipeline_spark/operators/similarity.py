@@ -61,25 +61,28 @@ def cosine_topk(
 
 def hyperplane_signature(vec: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
     """Sign-LSH bucket id: ``n_planes`` pseudo-random hyperplanes with
-    deterministic ±1/±0.5… weights derived from md5(seed, plane, dim-index)
-    — reproducible across runs and engines, no driver-side weight shipping.
+    deterministic ±1 weights derived from md5(seed, plane, dim-index) —
+    reproducible across runs and engines.
+
+    The weights are hoisted to LITERAL arrays at plan-build time (hashlib
+    md5, byte-identical to Spark's md5 on these ASCII keys — the
+    random_projection python-recount proves the equivalence): computing
+    the md5 inside the row expression re-hashed n_planes × dim times PER
+    ROW — at 4 tables × 8 planes × 64 dims that was 2048 hashes per
+    vector, ~20× the projection's useful flops. Signatures are
+    bit-identical either way (same formula, same fold order).
     """
+    import hashlib
+
     bits = []
     for p in range(n_planes):
-        # weight_j ∈ {-1, +1} from one hash bit per (plane, j). The prefix is
-        # bound OUTSIDE the lambda: a second lambda parameter (even defaulted)
-        # would make PySpark pass the array index into it.
-        prefix = F.lit(f"{seed}_{p}_")
-        w = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: F.when(
-                F.conv(F.substring(F.md5(F.concat(prefix, j.cast("string"))), 1, 8), 16, 10)
-                .cast("long")
-                .bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+        signs = [
+            1.0
+            if int(hashlib.md5(f"{seed}_{p}_{j}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for j in range(dim)
+        ]
+        w = F.array(*[F.lit(s) for s in signs])
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, wj: x.cast("double") * wj),
             F.lit(0.0),
@@ -1004,27 +1007,28 @@ def random_projection(
     contract as the cosine oracles).
 
     Returns (id, out_col array<double>). Pure codegen scan — zero
-    shuffles; out_dim × in_dim fused multiply-adds per row.
+    shuffles; out_dim × in_dim fused multiply-adds per row. The ±1 matrix
+    is hoisted to LITERAL arrays at plan-build time (hashlib md5, byte-
+    identical to Spark's md5 on these ASCII keys — python-recount-tested):
+    leaving the md5 inside the row expression re-hashes out_dim × in_dim
+    times PER ROW (~20× the useful flops; measured 6.9 s → sub-second at
+    sf0.1). The oracle still derives the same matrix from md5 in SQL, so
+    engine-portability is untouched.
     """
+    import hashlib
     import math
 
     vec = F.col(vec_col)
     inv = 1.0 / math.sqrt(out_dim)
     comps = []
     for j in range(out_dim):
-        # bind the prefix OUTSIDE the lambda (a defaulted second lambda
-        # param would receive the array index — hyperplane_signature note)
-        prefix = F.lit(f"{seed}_{j}_")
-        w = F.transform(
-            F.sequence(F.lit(0), F.lit(in_dim - 1)),
-            lambda i: F.when(
-                F.conv(F.substring(F.md5(F.concat(prefix, i.cast("string"))), 1, 8), 16, 10)
-                .cast("long")
-                .bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+        signs = [
+            1.0
+            if int(hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for i in range(in_dim)
+        ]
+        w = F.array(*[F.lit(s) for s in signs])
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, wj: x.cast("double") * wj),
             F.lit(0.0),
