@@ -139,6 +139,10 @@ HEADLINE_R7 = [
     "maxsim_multivector_topk",
     # market-basket affinity (distinct-before-join; AQE-broadcast marginals)
     "event_type_affinity",
+    # corpus health diagnostics: 8-gram duplication rate (digest-only
+    # shuffle), Zipf vocabulary fit (bounded-small regression)
+    "corpus_duplication_rate_docs",
+    "zipf_fit_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

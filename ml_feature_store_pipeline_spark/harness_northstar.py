@@ -3230,3 +3230,76 @@ def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per user regardless of event volume."""
     events = read_table(spark, sf_dir, "events").repartition(_par(spark))
     return windows_ops.type_affinity(events, "user_id", "event_type")
+
+
+@register(
+    "corpus_duplication_rate_docs",
+    f"""
+    WITH t AS (SELECT {_SQL_TOKS.format(t='text')} AS toks FROM documents),
+    g AS (
+      SELECT md5(array_to_string(toks[i : i + 7], ' ')) AS d
+      FROM t, UNNEST(generate_series(1, LEN(toks) - 7)) AS u(i)
+      WHERE LEN(toks) >= 8
+    ),
+    c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY d)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS dup_frac,
+           ROUND(SUM(CASE WHEN n >= 10 THEN n ELSE 0 END)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS heavy_frac
+    FROM c
+    """,
+)
+def q_corpus_duplication_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 8-gram duplication rate (Lee et al. 2022's dedup
+    health-check, across documents): the shuffle carries 16-byte window
+    digests with map-side-combined partial counts, never window text."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return text.corpus_duplication_rate(docs, "text", ngram=8)
+
+
+@register(
+    "zipf_fit_docs",
+    f"""
+    WITH w AS (
+      SELECT UNNEST({_SQL_TOKS.format(t='text')}) AS word FROM documents
+    ),
+    c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ FROM w GROUP BY word),
+    top AS (
+      SELECT n_occ,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, word ASC) AS BIGINT) AS rank
+      FROM c QUALIFY rank <= 50
+    ),
+    h AS (
+      SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+             CAST(ROUND(LN(CAST(n_occ AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+      FROM top
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+      FROM h
+    )
+    SELECT n_words,
+           ROUND((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) * sx)
+                 / n_words, 6) AS zipf_intercept,
+           ROUND(CASE WHEN syy - sy * sy / n_words > 0
+                 THEN 1.0 - (syy - sy * sy / n_words
+                      - POW((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 2)
+                        * (n_words * sxx - sx * sx) / n_words)
+                      / (syy - sy * sy / n_words)
+                 ELSE 1.0 END, 6) AS r2
+    FROM a
+    """,
+)
+def q_zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-50 vocabulary (natural text ≈ −1 slope;
+    this synthetic near-uniform corpus reads ≈ 0 — exactly the signal):
+    OLS on 9-dp-rounded logs with exact decimal sums, IEEE double combine
+    — the trend_slope recipe on bounded-small data."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return text.zipf_fit(docs, "text", top_n=50)

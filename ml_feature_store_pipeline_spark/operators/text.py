@@ -683,3 +683,103 @@ def bpe_pair_stats(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "left", "right", "n_occ", "rank"
     )
+
+
+def corpus_duplication_rate(
+    df: DataFrame,
+    text_col: str,
+    *,
+    ngram: int = 8,
+) -> DataFrame:
+    """Corpus-level n-gram duplication rate: of all ``ngram``-token windows
+    in the corpus, what fraction are repeats of a window seen elsewhere
+    (``dup_frac = 1 − distinct/total``), plus the share of windows whose
+    text occurs ≥10×. THE one-number health check dedup pipelines trend
+    per snapshot — Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") motivates exactly this measurement; unlike
+    :func:`repetition_stats` (within-document), this is ACROSS documents.
+
+    Returns one row: (n_ngrams, n_distinct, dup_frac, heavy_frac). All
+    counts exact; fractions are 6-dp ratios of exact integers.
+
+    Scale shape: explode → md5 digest → one map-side-combined groupBy on
+    the digest (the shuffle carries 16-byte digests with partial counts,
+    never window text), then a scalar aggregate.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = df.filter(n >= ngram).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - ngram + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, ngram))),
+            )
+        ).alias("__d")
+    )
+    counts = grams.groupBy("__d").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return counts.agg(
+        F.sum("__n").cast("long").alias("n_ngrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("__n"), 6).alias("dup_frac"),
+        F.round(
+            F.sum(F.when(F.col("__n") >= 10, F.col("__n")).otherwise(F.lit(0)))
+            / F.sum("__n"),
+            6,
+        ).alias("heavy_frac"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_n: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the vocabulary head: OLS of ``ln(count)`` on
+    ``ln(rank)`` for the ``top_n`` most frequent tokens. Natural text runs
+    a slope near −1; templated/synthetic/boilerplate corpora flatten
+    toward 0 — a one-row drift signal between corpus snapshots and a
+    cheap "does this source look like natural language" check.
+
+    Returns (n_words, zipf_slope, zipf_intercept, r2). The regression
+    runs on ≤ ``top_n`` (rank, count) pairs — bounded-small by
+    construction — with the sums in exact decimal over 9-dp-rounded logs
+    (the :func:`~.fe.trend_slope` recipe), so both engines agree.
+    """
+    head = vocab_coverage(df, text_col, top_n=top_n).select(
+        F.round(F.log(F.col("rank").cast("double")), 9).alias("__x"),
+        F.round(F.log(F.col("n_occ").cast("double")), 9).alias("__y"),
+    )
+    # DECIMAL(12,9): logs of counts/ranks are < 1e3, and 12+12 digit
+    # products stay inside both engines' 38-digit cap EXACTLY (20,9 squares
+    # would hit Spark's precision-loss reduction and DuckDB's width error)
+    x9 = F.col("__x").cast("decimal(12,9)")
+    y9 = F.col("__y").cast("decimal(12,9)")
+    agg = head.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(x9).alias("__sx"),
+        F.sum(y9).alias("__sy"),
+        F.sum((x9 * x9).cast("decimal(38,18)")).alias("__sxx"),
+        F.sum((x9 * y9).cast("decimal(38,18)")).alias("__sxy"),
+        F.sum((y9 * y9).cast("decimal(38,18)")).alias("__syy"),
+    )
+    n = F.col("n_words").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("__sxx").cast("double"),
+        F.col("__sxy").cast("double"),
+        F.col("__syy").cast("double"),
+    )
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    ss_res = syy - sy * sy / n - slope * slope * den / n
+    ss_tot = syy - sy * sy / n
+    r2 = F.when(ss_tot > 0, F.lit(1.0) - ss_res / ss_tot).otherwise(F.lit(1.0))
+    return agg.select(
+        "n_words",
+        F.round(slope, round_digits).alias("zipf_slope"),
+        F.round(intercept, round_digits).alias("zipf_intercept"),
+        F.round(r2, round_digits).alias("r2"),
+    )

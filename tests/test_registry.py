@@ -108,6 +108,8 @@ R8_WINDOW_QUEUE = [
     "mmr_rerank_embeddings",
     "maxsim_multivector_topk",
     "event_type_affinity",
+    "corpus_duplication_rate_docs",
+    "zipf_fit_docs",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

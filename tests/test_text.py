@@ -326,3 +326,45 @@ def test_bpe_pair_stats_hand_counted(spark):
     assert rows[("a", "b")]["n_occ"] == 4 and rows[("a", "b")]["rank"] == 1
     assert rows[("b", "a")]["n_occ"] == 2
     assert rows[(" ", "a")]["n_occ"] == 1
+
+
+def test_corpus_duplication_rate_hand_counted(spark):
+    # chunk_tokens=2-grams over 2 docs: doc1 "a b c" → (a b),(b c);
+    # doc2 "a b x" → (a b),(b x): 4 windows, 3 distinct → dup 0.25
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    r = text.corpus_duplication_rate(docs, "text", ngram=2).collect()[0]
+    assert (r["n_ngrams"], r["n_distinct"]) == (4, 3)
+    assert r["dup_frac"] == 0.25
+    assert r["heavy_frac"] == 0.0
+    # a window repeated 10+ times trips heavy_frac
+    heavy = spark.createDataFrame(
+        [(i, "p q") for i in range(12)], "doc_id long, text string"
+    )
+    r2 = text.corpus_duplication_rate(heavy, "text", ngram=2).collect()[0]
+    assert r2["heavy_frac"] == 1.0 and r2["n_distinct"] == 1
+
+
+def test_zipf_fit_matches_numpy_on_true_zipf(spark):
+    import math
+
+    import numpy as np
+
+    # plant a corpus with count(rank r) ∝ 1/r: slope must come out ≈ -1
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * (2000 // r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = text.zipf_fit(docs, "text", top_n=20).collect()[0]
+    counts = sorted((2000 // r for r in range(1, 21)), reverse=True)
+    x = np.array([round(math.log(i + 1), 9) for i in range(20)])
+    y = np.array([round(math.log(c), 9) for c in counts])
+    s, i = np.polyfit(x, y, 1)
+    assert got["n_words"] == 20
+    assert abs(got["zipf_slope"] - round(float(s), 6)) < 1e-6
+    assert abs(got["zipf_intercept"] - round(float(i), 6)) < 1e-6
+    assert got["zipf_slope"] < -0.9  # a true Zipf corpus reads ≈ -1
+    assert got["r2"] > 0.99
