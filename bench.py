@@ -143,6 +143,8 @@ HEADLINE_R7 = [
     # shuffle), Zipf vocabulary fit (bounded-small regression)
     "corpus_duplication_rate_docs",
     "zipf_fit_docs",
+    # DAU/WAU/MAU spine (distinct key-days into a bounded range join)
+    "active_users_daily",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

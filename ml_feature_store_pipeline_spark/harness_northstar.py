@@ -3303,3 +3303,48 @@ def q_zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the trend_slope recipe on bounded-small data."""
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     return text.zipf_fit(docs, "text", top_n=50)
+
+
+@register(
+    "active_users_daily",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    sp AS (
+      SELECT UNNEST(generate_series(
+        (SELECT MIN(d) FROM act), (SELECT MAX(d) FROM act), INTERVAL 1 DAY
+      ))::DATE AS day
+    ),
+    w1 AS (
+      SELECT sp.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n
+      FROM sp JOIN act a ON a.d <= sp.day AND a.d > sp.day - 1
+      GROUP BY sp.day
+    ),
+    w7 AS (
+      SELECT sp.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n
+      FROM sp JOIN act a ON a.d <= sp.day AND a.d > sp.day - 7
+      GROUP BY sp.day
+    ),
+    w28 AS (
+      SELECT sp.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n
+      FROM sp JOIN act a ON a.d <= sp.day AND a.d > sp.day - 28
+      GROUP BY sp.day
+    )
+    SELECT sp.day,
+           COALESCE(w1.n, 0) AS active_1d,
+           COALESCE(w7.n, 0) AS active_7d,
+           COALESCE(w28.n, 0) AS active_28d
+    FROM sp
+    LEFT JOIN w1 ON sp.day = w1.day
+    LEFT JOIN w7 ON sp.day = w7.day
+    LEFT JOIN w28 ON sp.day = w28.day
+    """,
+)
+def q_active_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU per calendar day: trailing 1/7/28-day distinct-active
+    counts over a day spine (gap days report 0). Events reduce to
+    DISTINCT (user, day) before any join — the range join fans each
+    key-day into ≤28 spine rows, never event rows."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return windows_ops.active_user_counts(events, "user_id", "ts", windows=(1, 7, 28))

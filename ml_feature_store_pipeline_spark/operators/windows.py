@@ -318,3 +318,53 @@ def type_affinity(
             ).alias("lift"),
         )
     )
+
+
+def active_user_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    windows: tuple[int, ...] = (1, 7, 28),
+) -> DataFrame:
+    """Rolling distinct-active counts per calendar day — DAU/WAU/MAU when
+    ``windows=(1, 7, 28)``: for each day the data contains, how many
+    distinct keys were active in the trailing N days, one column per N.
+    The growth dashboard's backbone metric.
+
+    Returns (day, active_1d, active_7d, active_28d, …) for every day from
+    the first to the last active day (gap days included, counting 0).
+
+    Scale shape: events reduce to DISTINCT (key, day) FIRST (≤ one row
+    per key-day however big the log); each window then joins that set to
+    the day spine over a bounded day-range condition — max(windows) rows
+    per key-day — and counts distinct keys per day. No sliding-window
+    state, no per-key sorting; the spine comes from ``sequence`` over the
+    min/max days (one scalar aggregate).
+    """
+    if not windows or any(w < 1 for w in windows):
+        raise ValueError("windows must be positive day counts")
+    act = df.select(
+        F.col(key_col).alias("__k"), F.date_trunc("day", F.col(ts_col)).cast("date").alias("__d")
+    ).distinct()
+    spine = (
+        act.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+        .select(F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day"))
+    )
+    out = spine
+    for w in windows:
+        # range join: activity day in (day - w, day]
+        cnt = (
+            spine.join(
+                act,
+                (act["__d"] <= spine["day"])
+                & (act["__d"] > F.date_sub(spine["day"], w)),
+            )
+            .groupBy("day")
+            .agg(F.countDistinct("__k").cast("long").alias(f"active_{w}d"))
+        )
+        out = out.join(cnt, "day", "left")
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(f"active_{w}d"), F.lit(0)).alias(f"active_{w}d") for w in windows],
+    ).orderBy("day")

@@ -110,6 +110,7 @@ R8_WINDOW_QUEUE = [
     "event_type_affinity",
     "corpus_duplication_rate_docs",
     "zipf_fit_docs",
+    "active_users_daily",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -182,3 +182,27 @@ def test_type_affinity_lift_hand_computed(spark):
     # lift = P(AB)/(P(A)P(B)) = 0.5/(0.75*0.5) = 4/3
     assert abs(ab["lift"] - round(4 / 3, 6)) < 1e-9
     assert ("A", "C") not in out  # never co-occur
+
+
+def test_active_user_counts_hand_checked(spark):
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.windows import active_user_counts
+
+    b = dt.datetime(2023, 1, 1)
+    ev = [
+        (1, b), (2, b), (1, b),            # day 0: users {1,2} (dup event once)
+        (1, b + dt.timedelta(days=2)),     # day 2: {1}
+        (3, b + dt.timedelta(days=9)),     # day 9: {3}
+    ]
+    df = spark.createDataFrame(ev, "user_id long, ts timestamp")
+    out = {r["day"].isoformat(): r for r in active_user_counts(df, "user_id", "ts", windows=(1, 7)).collect()}
+    assert len(out) == 10  # full spine, gaps included
+    assert out["2023-01-01"]["active_1d"] == 2
+    assert out["2023-01-02"]["active_1d"] == 0 and out["2023-01-02"]["active_7d"] == 2
+    assert out["2023-01-03"]["active_1d"] == 1
+    assert out["2023-01-07"]["active_7d"] == 2   # days 1+3 both inside [1..7]
+    assert out["2023-01-08"]["active_7d"] == 1   # day 1 aged out, day 3 remains
+    assert out["2023-01-10"]["active_1d"] == 1 and out["2023-01-10"]["active_7d"] == 1
+    with __import__("pytest").raises(ValueError):
+        active_user_counts(df, "user_id", "ts", windows=())
