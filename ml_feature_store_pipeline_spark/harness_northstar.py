@@ -1140,7 +1140,7 @@ def q_mixture_epochs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = 2 * sum(totals.values())
     targets = smp.proportional_targets(totals, weights, budget)
     out = smp.mixture_sample_epochs(
-        docs, "doc_id", "source", targets, n_tokens=nt
+        docs, "doc_id", "source", targets, n_tokens=nt, totals=totals
     )
     return out.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows_out"),
@@ -2423,7 +2423,7 @@ _STOP_EN_SQL = "('the','a','and','of','to','in','is','it')"
     WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
     p AS (
       SELECT a.vec_id AS aid, a.label AS albl, b.vec_id AS bid, b.label AS blbl,
-             {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS c
+             ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS c
       FROM e a, e b WHERE a.vec_id <> b.vec_id
     ),
     r AS (
@@ -2456,7 +2456,7 @@ def q_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings WHERE vec_id < 20),
     scored AS (
       SELECT q.anchor_id, c.vec_id,
-             {_COS_SQL.format(a='q.qv', b='c.embedding')} AS cosine
+             ROUND({_COS_SQL.format(a='q.qv', b='c.embedding')}, 6) AS cosine
       FROM q, embeddings c WHERE c.label <> q.albl
     ),
     ranked AS (

@@ -276,8 +276,12 @@ def ewma_prior(
     )
     t_max = F.max(_secs(F.col(ts_col))).over(wk)
     back = (t_max - _secs(F.col(ts_col))) / F.lit(float(half_life_seconds))
+    # NULL ts → NULL back-span: assert_true raises on a NULL condition
+    # (it does NOT propagate NULL), so a row with no timestamp must pass
+    # the guard explicitly — it contributes NULL z and lands on the
+    # final coalesce's 0.0, exactly the pre-guard behavior.
     guard = F.assert_true(
-        back <= F.lit(EWMA_SPAN_HALF_LIVES),
+        F.coalesce(back <= F.lit(EWMA_SPAN_HALF_LIVES), F.lit(True)),
         F.lit(
             "ewma_prior: a key's time span exceeds "
             f"{EWMA_SPAN_HALF_LIVES:.0f} half-lives — the rescaled-cumsum "

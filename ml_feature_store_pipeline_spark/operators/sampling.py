@@ -194,6 +194,8 @@ def epoch_mixture_plan(
     source_col: str,
     n_tokens: Column,
     target_tokens: dict[str, int],
+    *,
+    totals: dict[str, int] | None = None,
 ) -> dict[str, tuple[int, int, int]]:
     """Per-source repeat ratios that hit ABSOLUTE token budgets, allowing
     MULTI-EPOCH upsampling — the other half of the data-mix recipe that
@@ -212,13 +214,17 @@ def epoch_mixture_plan(
     equal the budget. Sources without a budget (or with zero tokens) get
     (0, 0, 1) — dropped.
 
-    The aggregate is |sources| rows — metadata-scale by nature."""
-    totals = {
-        r["__src"]: r["__t"] or 0
-        for r in df.groupBy(F.col(source_col).alias("__src"))
-        .agg(F.sum(n_tokens).alias("__t"))
-        .collect()
-    }
+    The aggregate is |sources| rows — metadata-scale by nature.
+    Callers that already hold the per-source token totals (e.g. they
+    derived the budgets from the same aggregate) pass ``totals=`` to
+    skip the corpus scan entirely."""
+    if totals is None:
+        totals = {
+            r["__src"]: r["__t"] or 0
+            for r in df.groupBy(F.col(source_col).alias("__src"))
+            .agg(F.sum(n_tokens).alias("__t"))
+            .collect()
+        }
     plan: dict[str, tuple[int, int, int]] = {}
     for src, t in totals.items():
         tgt = int(target_tokens.get(src, 0))
@@ -257,6 +263,7 @@ def mixture_sample_epochs(
     buckets: int = 10000,
     salt: str = "",
     epoch_col: str = "epoch",
+    totals: dict[str, int] | None = None,
 ) -> DataFrame:
     """Materialize a data mixture with per-source ABSOLUTE token budgets,
     repeating rows for budgets above the source's size (multi-epoch) and
@@ -272,7 +279,7 @@ def mixture_sample_epochs(
     engine-portable: the extra fractional copy uses the same md5-bucket
     predicate as every sampler here, with the cut ⌊buckets·frac_num/
     frac_den⌋ in exact integer arithmetic."""
-    plan = epoch_mixture_plan(df, source_col, n_tokens, target_tokens)
+    plan = epoch_mixture_plan(df, source_col, n_tokens, target_tokens, totals=totals)
     base_map = F.create_map(
         *[x for s, (b, _n, _d) in plan.items() for x in (F.lit(s), F.lit(b))]
     )

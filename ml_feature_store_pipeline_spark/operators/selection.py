@@ -256,7 +256,9 @@ def select_by_budget(
     training mix from the top of the quality ranking" pass.
 
     Returns the kept rows as (id, score, weight, cum_weight) — identical to
-    the SQL ``SUM(w) OVER (ORDER BY score DESC, id) <= budget``.
+    the SQL ``SUM(w) OVER (ORDER BY score DESC, id) <= budget``. NULL
+    scores fill LAST (after every scored row), matching both engines'
+    default NULLS LAST under ``DESC``.
 
     Scale shape: a single global ORDER BY window would sort the corpus on
     one task, so the prefix sum is BANDED: scores map monotonically into
@@ -280,9 +282,13 @@ def select_by_budget(
             F.col(id_col), score.alias(score_col),
             F.col(weight_col), F.lit(0).cast("long").alias("cum_weight"),
         ).limit(0)
-    lo, hi = float(bounds["lo"]), float(bounds["hi"])
-    if hi > lo:
-        band = F.least(
+    # min/max ignore NULLs: bounds can be None with n > 0 (all-NULL
+    # scores). NULL scores band to -1 — sorted(…, reverse=True) places
+    # -1 after every real band, so they fill last, matching the SQL
+    # form's NULLS LAST default (same default in Spark and DuckDB).
+    if bounds["lo"] is not None and float(bounds["hi"]) > float(bounds["lo"]):
+        lo, hi = float(bounds["lo"]), float(bounds["hi"])
+        core = F.least(
             F.greatest(
                 F.floor((score - F.lit(lo)) / F.lit(hi - lo) * n_bands).cast("int"),
                 F.lit(0),
@@ -290,7 +296,8 @@ def select_by_budget(
             F.lit(n_bands - 1),
         )
     else:
-        band = F.lit(0)
+        core = F.lit(0)
+    band = F.when(score.isNull(), F.lit(-1)).otherwise(core)
     banded = df.select(
         F.col(id_col), score.alias("__score"), F.col(weight_col).alias("__w"),
         band.alias("__band"),

@@ -781,6 +781,7 @@ def knn_label_consistency(
     k: int = 10,
     min_agree: float = 0.5,
     candidates: DataFrame | None = None,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Per-vector kNN label-agreement audit (confident-learning style, à la
     cleanlab): for each vector, the fraction of its ``k`` nearest neighbors
@@ -817,17 +818,27 @@ def knn_label_consistency(
     if candidates is None:
         pairs = b.crossJoin(F.broadcast(a)).filter(F.col("__aid") != F.col("__bid"))
     else:
+        # candidate tables are typically ORDERED (id_a < id_b — the shape
+        # embedding_near_dup_pairs and the LSH/banding stack emit), which
+        # covers only half of each anchor's neighborhood; symmetrize, then
+        # distinct so an already-bidirectional table isn't double-counted
         cand = candidates.select(
             F.col(candidates.columns[0]).alias("__aid"),
             F.col(candidates.columns[1]).alias("__bid"),
         ).filter(F.col("__aid") != F.col("__bid"))
+        cand = cand.union(
+            cand.select(F.col("__bid").alias("__aid"), F.col("__aid").alias("__bid"))
+        ).distinct()
         pairs = cand.join(a, "__aid").join(b, "__bid")
+    # round BEFORE the rank window (the mmr_rerank rule): ordering
+    # decisions compare rounded values + id tiebreak only, so a last-ulp
+    # algebra difference between engines cannot swap a rank-k neighbor
     scored = pairs.select(
         "__aid",
         "__albl",
         "__bid",
         "__blbl",
-        dot(F.col("__av"), F.col("__bv")).alias("__cos"),
+        F.round(dot(F.col("__av"), F.col("__bv")), round_digits).alias("__cos"),
     )
     w = Window.partitionBy("__aid").orderBy(F.desc("__cos"), F.asc("__bid"))
     knn = scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
@@ -855,6 +866,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/metric learning: for each
     anchor, the ``k`` most-similar corpus vectors with a DIFFERENT label
@@ -893,7 +905,9 @@ def hard_negatives(
         .select(
             F.col("__aid").alias(anchor_id),
             F.col("__cid").alias(corpus_id),
-            dot(F.col("__av"), F.col("__cv")).alias("cosine"),
+            # rounded BEFORE the rank window (mmr_rerank rule): rank
+            # boundaries compare rounded cosine + id tiebreak only
+            F.round(dot(F.col("__av"), F.col("__cv")), round_digits).alias("cosine"),
         )
     )
     w = Window.partitionBy(anchor_id).orderBy(F.desc("cosine"), F.asc(corpus_id))

@@ -115,10 +115,18 @@ def _guard_epoch_dir_reuse(
 
 
 def _stamp_marker(base_path: str, epoch_id: int, query_token: str) -> None:
+    """Write-tmp + atomic rename: a crash mid-write must never leave a
+    truncated marker (e.g. the epoch line without the token line), which
+    would parse as a FOREIGN stream and wedge every subsequent replay of
+    the epoch-dir sinks behind a spurious reuse error. The state sinks
+    already get this for free (their marker rides atomic_overwrite_parquet's
+    tmp-dir + rename); this gives the epoch-dir sinks the same guarantee."""
     import os
 
-    with open(os.path.join(base_path, _EPOCH_MARKER), "w") as fh:
+    tmp = os.path.join(base_path, f".{_EPOCH_MARKER}.tmp")
+    with open(tmp, "w") as fh:
         fh.write(_marker_value(epoch_id, query_token))
+    os.replace(tmp, os.path.join(base_path, _EPOCH_MARKER))
 
 
 def streaming_feature_aggregation(
@@ -395,13 +403,26 @@ def bloom_dedup_sink(
     bitmap, recomputes the identical novel set, and overwrites the same
     epoch directory. Neither duplicates output rows nor drops novel rows
     as "seen" — the two failure modes of the old append-then-swap form.
-    Readers take ``out_path`` (partition discovery unions the epochs)."""
+    Readers take ``out_path`` (partition discovery unions the epochs).
+
+    Because the survivor output is keyed by epoch id alone, a DIFFERENT
+    stream reusing these paths (fresh checkpoint → epochs restart at 0)
+    would overwrite earlier epochs' survivors — so, like the near-dup
+    sink, foreign reuse raises; there is no token-takeover path here.
+    Point a new query at fresh ``bloom_path``/``out_path``."""
     import os
 
     from ..operators import sketches
     from ..sources.writers import atomic_overwrite_parquet
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        # unlike the pure state sinks, this sink ALSO owns epoch={id}
+        # output directories keyed by epoch id alone — a new stream
+        # (fresh checkpoint, epochs restart at 0) taking over the bloom
+        # state via a new query_token would silently overwrite earlier
+        # epochs' survivor output; like the near-dup sink, foreign reuse
+        # raises instead (point the new query at fresh paths)
+        _guard_epoch_dir_reuse(bloom_path, epoch_id, query_token)
         if _epoch_already_applied(bloom_path, epoch_id, query_token):
             return
         spark = batch.sparkSession

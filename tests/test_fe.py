@@ -449,3 +449,30 @@ def test_trend_slope_partitioning_invariant(spark):
     a = sorted((r["user_id"], r["slope_per_day"]) for r in trend_slope(df, "user_id", "ts", "value").collect())
     c = sorted((r["user_id"], r["slope_per_day"]) for r in trend_slope(df.repartition(17), "user_id", "ts", "value").collect())
     assert a == c
+
+
+def test_ewma_null_timestamp_passes_span_guard(spark):
+    """A row with a NULL timestamp must not trip the span guard
+    (assert_true RAISES on a NULL condition rather than propagating
+    NULL) — it contributes nothing and its own EWMA coalesces to 0.0,
+    the pre-guard behavior."""
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.fe import ewma_prior
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (0, 1, t0, 10.0),
+            (1, 1, t0 + dt.timedelta(seconds=60), 5.0),
+            (2, 1, None, 7.0),
+        ],
+        "id long, k long, t timestamp, v double",
+    )
+    got = {
+        r["id"]: r["ewma_prior"]
+        for r in ewma_prior(df, "k", "t", "v", half_life_seconds=60.0, tie_col="id").collect()
+    }
+    assert got[2] == 0.0
+    assert got[0] == 0.0  # NULL-ts row sorts first but contributes NULL z
+    assert got[1] == 5.0  # 10 * 0.5^(60/60)

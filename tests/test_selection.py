@@ -310,3 +310,30 @@ def test_dsir_xxhash64_fast_path_same_contract(spark, docs):
     )
     with pytest.raises(ValueError):
         selection.dsir_log_ratios(target, raw, "text", hash_fn="sha1")
+
+
+def test_select_by_budget_null_scores_fill_last(spark):
+    """NULL scores band to -1 and fill AFTER every scored row — the SQL
+    global window's default NULLS LAST under DESC (same in DuckDB)."""
+    rows = [(1, 0.9, 4), (2, None, 4), (3, 0.1, 4), (4, None, 4)]
+    df = spark.createDataFrame(rows, "id long, score double, w long").repartition(3)
+    kept = lambda budget: sorted(
+        r["id"]
+        for r in selection.select_by_budget(
+            df, "id", score_col="score", weight_col="w", budget=budget, n_bands=4
+        ).collect()
+    )
+    assert kept(8) == [1, 3]          # scored rows exhaust the budget first
+    assert kept(12) == [1, 2, 3]      # first NULL (id asc) fills next
+    assert kept(100) == [1, 2, 3, 4]
+
+
+def test_select_by_budget_all_null_scores(spark):
+    # min/max return None with n > 0 — must not crash; id-asc fill order
+    df = spark.createDataFrame(
+        [(1, None, 3), (2, None, 3), (3, None, 3)], "id long, score double, w long"
+    )
+    kept = selection.select_by_budget(
+        df, "id", score_col="score", weight_col="w", budget=6
+    ).collect()
+    assert sorted(r["id"] for r in kept) == [1, 2]

@@ -635,3 +635,40 @@ def test_maxsim_duplicate_query_vectors_count_twice(spark):
     out = {r["doc_id"]: r["maxsim_score"] for r in similarity.maxsim_topk(queries, docs, k=2).collect()}
     assert out[1] == 2.0  # two query vectors, each max-matching doc 1 at cos 1
     assert out[2] == 0.0
+
+
+def test_knn_label_audit_symmetrizes_ordered_candidates(spark, labeled_corpus):
+    """An ORDERED (id_a < id_b) candidate table — the shape the near-dup /
+    LSH stack emits — must cover the FULL neighborhood of every anchor:
+    the operator unions the swapped orientation (and distincts, so an
+    already-bidirectional table is not double-counted). A complete
+    ordered pair table must therefore reproduce the exact audit."""
+    exact = sorted(map(tuple, similarity.knn_label_consistency(labeled_corpus, k=5).collect()))
+    ids = labeled_corpus.select("vec_id")
+    ordered = (
+        ids.withColumnRenamed("vec_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("vec_id", "id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    via_ordered = sorted(
+        map(
+            tuple,
+            similarity.knn_label_consistency(
+                labeled_corpus, k=5, candidates=ordered
+            ).collect(),
+        )
+    )
+    assert via_ordered == exact
+    # bidirectional table: distinct() must keep each pair scored once
+    both = ordered.union(
+        ordered.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    via_both = sorted(
+        map(
+            tuple,
+            similarity.knn_label_consistency(
+                labeled_corpus, k=5, candidates=both
+            ).collect(),
+        )
+    )
+    assert via_both == exact

@@ -331,3 +331,25 @@ def test_kill_and_resume_soak_state_equals_batch_recompute(spark, tmp_path):
     assert set(got_d) == set(want_d)
     for k in want_d:
         assert got_d[k] == pytest.approx(want_d[k], abs=1e-6)
+
+
+def test_bloom_dedup_sink_raises_on_foreign_path_reuse(spark, tmp_path):
+    """The survivor output is keyed by epoch id alone, so a NEW stream
+    (fresh checkpoint, epochs restart at 0) reusing the paths would
+    silently overwrite epoch=0's survivors — foreign reuse must raise
+    and leave both the output and the bitmap untouched."""
+    from ml_feature_store_pipeline_spark.streaming.ingest import bloom_dedup_sink
+
+    bloom = str(tmp_path / "bloom")
+    out = str(tmp_path / "out")
+    schema = "k long, v string"
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    sink = bloom_dedup_sink(bloom, out, "k", n_bits=1 << 12, query_token="runA")
+    sink(b0, 0)
+    sink(spark.createDataFrame([(3, "c")], schema), 1)
+    fresh = spark.createDataFrame([(9, "z")], schema)
+    with pytest.raises(ValueError, match="different streaming query"):
+        bloom_dedup_sink(bloom, out, "k", n_bits=1 << 12, query_token="runB")(fresh, 0)
+    with pytest.raises(ValueError, match="different streaming query"):
+        sink(b0, 0)  # stale epoch from a restored checkpoint backup
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
