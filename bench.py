@@ -145,6 +145,11 @@ HEADLINE_R7 = [
     "zipf_fit_docs",
     # DAU/WAU/MAU spine (distinct key-days into a bounded range join)
     "active_users_daily",
+    # RFM quintile segmentation (one percentile agg + broadcast assign —
+    # no global ntile sort) and first/last-touch attribution (both touches
+    # from one user-window pass)
+    "rfm_segments",
+    "touch_attribution_events",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -3348,3 +3348,89 @@ def q_active_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-day into ≤28 spine rows, never event rows."""
     events = read_table(spark, sf_dir, "events").repartition(_par(spark))
     return windows_ops.active_user_counts(events, "user_id", "ts", windows=(1, 7, 28))
+
+
+_RFM_TILES = 5
+_RFM_BOUNDS = ", ".join(
+    f"ROUND(quantile_cont({m}, {i / _RFM_TILES}), 6) AS b_{m}{i - 1}"
+    for m in ("recency_days", "frequency", "monetary")
+    for i in range(1, _RFM_TILES)
+)
+_RFM_TILE = {
+    m: "(1 + "
+    + " + ".join(
+        f"CAST(ROUND({m}, 6) > qb.b_{m}{i} AS INT)" for i in range(_RFM_TILES - 1)
+    )
+    + ")"
+    for m in ("recency_days", "frequency", "monetary")
+}
+
+
+@register(
+    "rfm_segments",
+    f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    rfm AS (
+      SELECT o_custkey AS custkey,
+             CAST(FLOOR(date_diff('second', MAX(o_orderdate), mx.m) / 86400.0) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {dsum_sql('o_totalprice')} AS monetary
+      FROM orders, mx GROUP BY o_custkey, mx.m
+    ),
+    qb AS (SELECT {_RFM_BOUNDS} FROM rfm)
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST({_RFM_TILES + 1} - {_RFM_TILE['recency_days']} AS INT) AS r_score,
+           CAST({_RFM_TILE['frequency']} AS INT) AS f_score,
+           CAST({_RFM_TILE['monetary']} AS INT) AS m_score,
+           CAST(({_RFM_TILES + 1} - {_RFM_TILE['recency_days']}) * 100
+                + {_RFM_TILE['frequency']} * 10
+                + {_RFM_TILE['monetary']} AS INT) AS rfm_segment
+    FROM rfm, qb
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders (windows.rfm_scores): per
+    customer, days since last order (as of the data's max date),
+    order count, and decimal-exact spend, each quintiled via exact
+    interpolated percentiles broadcast map-side — no global ntile sort.
+    The oracle recomputes boundaries with quantile_cont and the same
+    rounded > comparisons."""
+    o = read_table(spark, sf_dir, "orders").repartition(_par(spark))
+    out = windows_ops.rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")
+    return out.withColumnRenamed("o_custkey", "custkey")
+
+
+@register(
+    "touch_attribution_events",
+    f"""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      FROM events
+    ),
+    c AS (SELECT * FROM t WHERE event_type = 'purchase')
+    SELECT 'first_touch' AS model, COALESCE(ft, '(direct)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS conversions, {dsum_sql('value')} AS attributed_value
+    FROM c GROUP BY 2
+    UNION ALL
+    SELECT 'last_touch', COALESCE(lt, '(direct)'),
+           CAST(COUNT(*) AS BIGINT), {dsum_sql('value')}
+    FROM c GROUP BY 2
+    """,
+)
+def q_touch_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch conversion attribution (windows.touch_attribution):
+    each purchase credits the first and the most recent strictly-prior
+    non-purchase event of the same user; no prior touch → '(direct)'.
+    Both touches come from ONE user-window pass ((ts, event_id) total
+    order); the per-channel rollups are |channels|-sized."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return windows_ops.touch_attribution(
+        events, "user_id", "ts", "event_type",
+        conversion="purchase", tie_col="event_id", value_col="value",
+    )

@@ -368,3 +368,146 @@ def active_user_counts(
         "day",
         *[F.coalesce(F.col(f"active_{w}d"), F.lit(0)).alias(f"active_{w}d") for w in windows],
     ).orderBy("day")
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    *,
+    n_tiles: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """RFM segmentation — the feature store's classic customer scoring:
+    per key, Recency (whole days since the key's last transaction, as of
+    the GLOBAL max timestamp — data-derived, never the wall clock, so
+    replays reproduce), Frequency (transaction count) and Monetary
+    (decimal-exact amount sum), each scored into ``n_tiles``
+    equal-population tiles. ``r_score`` inverts (most recent → highest);
+    ``rfm_segment`` = r·100 + f·10 + m (e.g. 555 = best).
+
+    Tiles come from ONE exact interpolated-percentile aggregate whose
+    rounded boundaries broadcast to a map-side assignment (the
+    ``fe.quantile_bin`` recipe) — NOT a global ``ntile`` window, which
+    would total-sort every key on one task. Boundary ties resolve by the
+    ``> boundary`` comparison on both engines identically.
+
+    Scale shape: 3 passes — a column-pruned global-max scan, the
+    key-grain aggregate, and the boundary aggregate over that key-grain
+    plan (re-executed; persist upstream if the fact scan dominates).
+    Shuffles carry key-grain rows only; the boundary table is
+    3·(n_tiles−1) doubles.
+    """
+    from ..functions import dsum
+
+    if n_tiles < 2:
+        raise ValueError("n_tiles must be >= 2")
+    asof_row = df.agg(F.max(F.unix_timestamp(F.col(ts_col))).alias("m")).collect()[0]
+    out_schema = (
+        f"{key_col} long, recency_days long, frequency long, monetary double, "
+        "r_score int, f_score int, m_score int, rfm_segment int"
+    )
+    if asof_row["m"] is None:
+        return df.sparkSession.createDataFrame([], out_schema)
+    asof = int(asof_row["m"])
+    rfm = df.groupBy(key_col).agg(
+        F.floor((F.lit(asof) - F.unix_timestamp(F.max(F.col(ts_col)))) / 86400)
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        dsum(F.col(amount_col)).alias("monetary"),
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    q_arr = f"array({', '.join(str(q) for q in qs)})"
+    bounds = rfm.agg(
+        *[
+            F.expr(f"percentile({m}, {q_arr})").alias(f"__{m}")
+            for m in ("recency_days", "frequency", "monetary")
+        ]
+    ).select(
+        *[
+            F.round(F.element_at(F.col(f"__{m}"), i + 1), round_digits).alias(f"__{m}{i}")
+            for m in ("recency_days", "frequency", "monetary")
+            for i in range(len(qs))
+        ]
+    )
+
+    def tile(metric: str) -> Column:
+        v = F.round(F.col(metric), round_digits)
+        return sum(
+            (v > F.col(f"__{metric}{i}")).cast("int") for i in range(len(qs))
+        ) + F.lit(1)
+
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(n_tiles + 1) - tile("recency_days")).cast("int").alias("r_score"),
+        tile("frequency").cast("int").alias("f_score"),
+        tile("monetary").cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    conversion: str,
+    tie_col: str,
+    value_col: str | None = None,
+    direct_label: str = "(direct)",
+) -> DataFrame:
+    """First- and last-touch conversion attribution over an event log: for
+    every conversion event (``type_col == conversion``), the FIRST and the
+    most recent ("last") strictly-preceding non-conversion event of the
+    same key name the credited channels; conversions with no prior touch
+    credit ``direct_label``. Output is long-format —
+    (model, channel, conversions, attributed_value) with model in
+    {'first_touch', 'last_touch'} — the two standard single-touch models.
+
+    Deterministic: "preceding" is the total order (ts, tie_col), so
+    same-timestamp events cannot swap credit between engines or runs.
+
+    Scale shape: ONE shuffle on ``key_col`` computes both touches in the
+    same window pass (frame = everything strictly before the current
+    row, ``ignorenulls`` skipping conversion rows); the two per-channel
+    aggregates that follow are |channels|-sized and branch from the same
+    exchange (AQE reuses it). Hot keys serialize in the window — the
+    sessionize/as-of SKEW CONTRACT applies.
+    """
+    from ..functions import dsum
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tie_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_conv = F.when(F.col(type_col) != F.lit(conversion), F.col(type_col))
+    conv = (
+        df.withColumn("__ft", F.first(non_conv, ignorenulls=True).over(w))
+        .withColumn("__lt", F.last(non_conv, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == F.lit(conversion))
+    )
+    val = dsum(F.col(value_col)) if value_col else dsum(F.lit(0.0))
+
+    def roll(touch_col: str, model: str) -> DataFrame:
+        return (
+            conv.groupBy(
+                F.coalesce(F.col(touch_col), F.lit(direct_label)).alias("channel")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("conversions"),
+                val.alias("attributed_value"),
+            )
+            .select(F.lit(model).alias("model"), "channel", "conversions", "attributed_value")
+        )
+
+    return roll("__ft", "first_touch").unionByName(roll("__lt", "last_touch"))

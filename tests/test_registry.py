@@ -111,6 +111,8 @@ R8_WINDOW_QUEUE = [
     "corpus_duplication_rate_docs",
     "zipf_fit_docs",
     "active_users_daily",
+    "rfm_segments",
+    "touch_attribution_events",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -206,3 +206,102 @@ def test_active_user_counts_hand_checked(spark):
     assert out["2023-01-10"]["active_1d"] == 1 and out["2023-01-10"]["active_7d"] == 1
     with __import__("pytest").raises(ValueError):
         active_user_counts(df, "user_id", "ts", windows=())
+
+
+def test_rfm_scores_hand_checked(spark):
+    """n_tiles=2 on 4 customers with distinct metric orderings: boundary =
+    the interpolated median; scores assigned by > comparisons; recency
+    inverted (most recent → highest)."""
+    b = dt.datetime(2023, 1, 1)
+    rows = [
+        # cust 1: 1 order, long ago, small spend  -> worst on all three
+        (1, b, 10.0),
+        # cust 2: 3 recent orders, big spend      -> best on all three
+        (2, b + dt.timedelta(days=8), 100.0),
+        (2, b + dt.timedelta(days=9), 100.0),
+        (2, b + dt.timedelta(days=10), 100.0),
+        # cust 3: 2 mid orders, mid spend
+        (3, b + dt.timedelta(days=4), 50.0),
+        (3, b + dt.timedelta(days=5), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t timestamp, amt double")
+    out = {r["k"]: r for r in windows.rfm_scores(df, "k", "t", "amt", n_tiles=2).collect()}
+    # asof = day 10. recency: c1=10, c2=0, c3=5; frequency: 1,3,2; monetary: 10,300,90
+    assert out[1]["recency_days"] == 10 and out[2]["recency_days"] == 0
+    assert out[3]["recency_days"] == 5
+    assert (out[1]["frequency"], out[2]["frequency"], out[3]["frequency"]) == (1, 3, 2)
+    assert out[2]["monetary"] == 300.0
+    # medians: recency 5, frequency 2, monetary 90 → >boundary lands in tile 2
+    assert out[2]["rfm_segment"] == 222  # recency 0 ≤ 5 → r tile 1 → r_score 2
+    assert out[1]["rfm_segment"] == 111  # recency 10 > 5 → r_score 1; f,m lowest
+    assert out[3]["rfm_segment"] == 211  # recency 5 ≤ 5 → r_score 2; f=2,m=90 at boundary → tile 1
+    for r in out.values():
+        assert r["rfm_segment"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+
+
+def test_rfm_scores_partitioning_invariant_and_empty(spark):
+    b = dt.datetime(2023, 1, 1)
+    rows = [
+        ((i * 7) % 23, b + dt.timedelta(days=i % 40, hours=i % 5), float((i * 13) % 97) + 1)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, t timestamp, amt double")
+    a = sorted(map(tuple, windows.rfm_scores(df, "k", "t", "amt").collect()))
+    c = sorted(map(tuple, windows.rfm_scores(df.repartition(13), "k", "t", "amt").collect()))
+    assert a == c and len(a) == 23
+    empty = spark.createDataFrame([], "k long, t timestamp, amt double")
+    out = windows.rfm_scores(empty, "k", "t", "amt")
+    assert out.count() == 0
+    assert out.columns == [
+        "k", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "rfm_segment",
+    ]
+
+
+def test_touch_attribution_hand_checked(spark):
+    """user 1: view → click → purchase → purchase (first=view, last for the
+    2nd purchase = click — the 1st purchase never credits); user 2: a bare
+    purchase → (direct) on both models."""
+    b = dt.datetime(2023, 1, 1)
+    rows = [
+        (1, b, 1, "view", 0.0),
+        (2, b + dt.timedelta(minutes=1), 1, "click", 0.0),
+        (3, b + dt.timedelta(minutes=2), 1, "purchase", 10.0),
+        (4, b + dt.timedelta(minutes=3), 1, "purchase", 5.0),
+        (5, b, 2, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    out = {
+        (r["model"], r["channel"]): (r["conversions"], r["attributed_value"])
+        for r in windows.touch_attribution(
+            df, "user_id", "ts", "event_type",
+            conversion="purchase", tie_col="event_id", value_col="value",
+        ).collect()
+    }
+    assert out[("first_touch", "view")] == (2, 15.0)
+    assert out[("first_touch", "(direct)")] == (1, 7.0)
+    assert out[("last_touch", "click")] == (2, 15.0)   # purchases are never touches
+    assert out[("last_touch", "(direct)")] == (1, 7.0)
+    assert ("last_touch", "purchase") not in out
+
+
+def test_touch_attribution_same_ts_tiebreak_deterministic(spark):
+    """Two touches share the purchase's preceding timestamp: the (ts,
+    event_id) total order pins which is 'last' regardless of partitioning."""
+    b = dt.datetime(2023, 1, 1)
+    rows = [
+        (1, b, 1, "view", 0.0),
+        (2, b, 1, "click", 0.0),     # same ts as the view; higher event_id → later
+        (3, b + dt.timedelta(minutes=1), 1, "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    for reps in (1, 7):
+        out = {
+            (r["model"], r["channel"])
+            for r in windows.touch_attribution(
+                df.repartition(reps), "user_id", "ts", "event_type",
+                conversion="purchase", tie_col="event_id", value_col="value",
+            ).collect()
+        }
+        assert ("first_touch", "view") in out
+        assert ("last_touch", "click") in out

@@ -138,7 +138,7 @@ EVENT_OPS = (
     "interval_join_2k_bands bloom_probe cdc_merge fe_quantile_bin "
     "fe_target_encode fe_hashed_cross negative_sample table_profile "
     "quality_profile fe_ewma fe_index_encode funnel trend_slope "
-    "cohort_retention type_affinity"
+    "cohort_retention type_affinity rfm attribution"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -889,6 +889,27 @@ def main() -> None:
             from ml_feature_store_pipeline_spark.operators import windows as _win
 
             timed("type_affinity_pairs", _win.type_affinity(events, "user_id", "event_type"), args.events)
+        if events is not None and want("rfm"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # key-grain agg + ONE percentile aggregate; boundaries broadcast
+            timed("rfm_quintiles", _win.rfm_scores(events, "user_id", "timestamp", "amount"), args.events)
+        if events is not None and want("attribution"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # one user-window pass computes both touches; rollups are
+            # |channels|-sized. tie col synthesized (generator has none)
+            ev = events.withColumn(
+                "event_id", F.xxhash64("user_id", "timestamp", "event_type", "amount")
+            )
+            timed(
+                "touch_attribution",
+                _win.touch_attribution(
+                    ev, "user_id", "timestamp", "event_type",
+                    conversion="purchase", tie_col="event_id", value_col="amount",
+                ),
+                args.events,
+            )
         if docs is not None and want("bpe_stats"):
             from ml_feature_store_pipeline_spark.operators import text as _text
 
