@@ -461,3 +461,36 @@ def test_vocab_coverage_topn_is_take_ordered(spark, registry):
     df = registry["vocab_coverage_docs"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_has_no_global_sort_and_broadcasts_boundaries(spark, registry):
+    """rfm_scores claims 'no global ntile sort': the only acceptable
+    exchanges are the key-grain hash aggregates — a rangepartitioning
+    exchange would mean a global sort crept in. Boundary attachment must
+    be a broadcast, never a shuffled join."""
+    df = registry["rfm_segments"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan
+    assert "ntile(" not in plan.lower().replace("percentile(", "")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_touch_attribution_single_key_shuffle(spark, registry):
+    """Both touches and both per-channel rollups must ride ONE
+    hashpartitioning exchange on the key — the window pass; extra
+    fact-sized exchanges would mean the touches are computed twice."""
+    from ml_feature_store_pipeline_spark.operators import windows as windows_ops
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    events = read_table(spark, SF, "events")
+    out = windows_ops.touch_attribution(
+        events, "user_id", "ts", "event_type",
+        conversion="purchase", tie_col="event_id", value_col="value",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one exchange per union branch feeds the window (Spark dedups them at
+    # runtime via ReuseExchange in the executed plan); events themselves
+    # shuffle only on the window key
+    assert plan.count("hashpartitioning(user_id") <= 2
+    assert "rangepartitioning" not in plan
