@@ -150,6 +150,8 @@ HEADLINE_R7 = [
     # from one user-window pass)
     "rfm_segments",
     "touch_attribution_events",
+    # per-key interpurchase gaps (lag window + agg on the SAME partitioning)
+    "interpurchase_gaps",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

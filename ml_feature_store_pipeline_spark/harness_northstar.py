@@ -3434,3 +3434,35 @@ def q_touch_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "user_id", "ts", "event_type",
         conversion="purchase", tie_col="event_id", value_col="value",
     )
+
+
+@register(
+    "interpurchase_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey AS custkey,
+             ROUND(date_diff('second',
+                             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) / 86400.0, 6) AS gap
+      FROM orders
+    )
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(CAST(gap AS DECIMAL(28,6))) AS DOUBLE) / COUNT(gap), 6) AS mean_gap_days,
+           ROUND(quantile_cont(gap, 0.5), 6) AS median_gap_days,
+           MIN(gap) AS min_gap_days,
+           MAX(gap) AS max_gap_days
+    FROM g GROUP BY custkey
+    """,
+)
+def q_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer interpurchase-time profile (windows.interarrival_stats):
+    gaps between consecutive orders in (o_orderdate, o_orderkey) order —
+    count / decimal-exact mean / exact interpolated median / min / max in
+    fractional days. One shuffle: the groupBy reuses the lag window's
+    key partitioning."""
+    o = read_table(spark, sf_dir, "orders").repartition(_par(spark))
+    out = windows_ops.interarrival_stats(o, "o_custkey", "o_orderdate", tie_col="o_orderkey")
+    return out.withColumnRenamed("o_custkey", "custkey")

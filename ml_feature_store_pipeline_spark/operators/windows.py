@@ -511,3 +511,47 @@ def touch_attribution(
         )
 
     return roll("__ft", "first_touch").unionByName(roll("__lt", "last_touch"))
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    tie_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key inter-arrival gap profile: the fractional-day gaps between
+    CONSECUTIVE events in ``(ts, tie_col)`` order, aggregated to
+    (key, n_events, n_gaps, mean_gap_days, median_gap_days, min_gap_days,
+    max_gap_days). The classic churn/LTV feature block — "orders every
+    ~9 days, but it's been 40" is ``recency / mean_gap``, and a widening
+    median gap is the earliest churn signal.
+
+    Keys with one event report n_gaps 0 and NULL gap stats. Gaps round
+    to ``round_digits`` at the row level and the mean runs through the
+    decimal-sum recipe, so both engines aggregate identical inputs;
+    ``tie_col`` pins same-timestamp order (gap 0 rows are legitimate).
+
+    Scale shape: ONE shuffle — the lag window partitions by key, and the
+    following groupBy reuses that partitioning (no second exchange). The
+    per-key exact median buffers each key's gap list on the aggregator —
+    the grouped-quantile cost documented at `quality.grouped_quantiles`;
+    hot keys serialize in the window (sessionize SKEW CONTRACT).
+    """
+    secs = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tie_col))
+    gap = F.round((secs - F.lag(secs).over(w)) / F.lit(86400.0), round_digits)
+    from ..functions import dsum
+
+    g = df.select(F.col(key_col), gap.alias("__gap"))
+    return g.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("__gap").cast("long").alias("n_gaps"),
+        F.round(dsum(F.col("__gap"), scale=6) / F.count("__gap"), round_digits).alias(
+            "mean_gap_days"
+        ),
+        F.round(F.expr("percentile(__gap, 0.5)"), round_digits).alias("median_gap_days"),
+        F.min("__gap").alias("min_gap_days"),
+        F.max("__gap").alias("max_gap_days"),
+    )

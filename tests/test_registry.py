@@ -113,6 +113,7 @@ R8_WINDOW_QUEUE = [
     "active_users_daily",
     "rfm_segments",
     "touch_attribution_events",
+    "interpurchase_gaps",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -305,3 +305,43 @@ def test_touch_attribution_same_ts_tiebreak_deterministic(spark):
         }
         assert ("first_touch", "view") in out
         assert ("last_touch", "click") in out
+
+
+def test_interarrival_stats_hand_checked(spark):
+    b = dt.datetime(2023, 1, 1)
+    rows = [
+        (10, 1, b),
+        (11, 1, b + dt.timedelta(days=2)),            # gap 2.0
+        (12, 1, b + dt.timedelta(days=2, hours=12)),  # gap 0.5
+        (13, 2, b),                                   # single event: no gaps
+        (14, 3, b), (15, 3, b),                       # same ts: gap 0 (tie order)
+    ]
+    df = spark.createDataFrame(rows, "oid long, k long, t timestamp")
+    out = {r["k"]: r for r in windows.interarrival_stats(df, "k", "t", tie_col="oid").collect()}
+    assert (out[1]["n_events"], out[1]["n_gaps"]) == (3, 2)
+    assert out[1]["mean_gap_days"] == 1.25
+    assert out[1]["median_gap_days"] == 1.25  # interpolated midpoint of {0.5, 2.0}
+    assert (out[1]["min_gap_days"], out[1]["max_gap_days"]) == (0.5, 2.0)
+    assert (out[2]["n_events"], out[2]["n_gaps"]) == (1, 0)
+    assert out[2]["mean_gap_days"] is None and out[2]["median_gap_days"] is None
+    assert out[3]["n_gaps"] == 1 and out[3]["max_gap_days"] == 0.0
+
+
+def test_interarrival_stats_partitioning_invariant_single_exchange(spark):
+    b = dt.datetime(2023, 1, 1)
+    rows = [
+        (i, (i * 3) % 11, b + dt.timedelta(hours=(i * 7) % 200)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "oid long, k long, t timestamp")
+    a = sorted(map(tuple, windows.interarrival_stats(df, "k", "t", tie_col="oid").collect()))
+    c = sorted(
+        map(tuple, windows.interarrival_stats(df.repartition(9), "k", "t", tie_col="oid").collect())
+    )
+    assert a == c and len(a) == 11
+    # the groupBy must REUSE the window's key partitioning: exactly one
+    # hashpartitioning exchange on the key in the whole plan
+    plan = (
+        windows.interarrival_stats(df, "k", "t", tie_col="oid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("hashpartitioning(k#") == 1

@@ -138,7 +138,7 @@ EVENT_OPS = (
     "interval_join_2k_bands bloom_probe cdc_merge fe_quantile_bin "
     "fe_target_encode fe_hashed_cross negative_sample table_profile "
     "quality_profile fe_ewma fe_index_encode funnel trend_slope "
-    "cohort_retention type_affinity rfm attribution"
+    "cohort_retention type_affinity rfm attribution interarrival"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -908,6 +908,19 @@ def main() -> None:
                     ev, "user_id", "timestamp", "event_type",
                     conversion="purchase", tie_col="event_id", value_col="amount",
                 ),
+                args.events,
+            )
+        if events is not None and want("interarrival"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # one key shuffle; the groupBy reuses the lag window's
+            # partitioning (plan-asserted in test_windows.py)
+            ev = events.withColumn(
+                "event_id", F.xxhash64("user_id", "timestamp", "event_type", "amount")
+            )
+            timed(
+                "interarrival_gaps",
+                _win.interarrival_stats(ev, "user_id", "timestamp", tie_col="event_id"),
                 args.events,
             )
         if docs is not None and want("bpe_stats"):
