@@ -152,6 +152,10 @@ HEADLINE_R7 = [
     "touch_attribution_events",
     # per-key interpurchase gaps (lag window + agg on the SAME partitioning)
     "interpurchase_gaps",
+    # k-anonymity governance audit (two combinable aggs, zero row egress)
+    # and daily resample+ffill (keys x days spine, one key shuffle)
+    "k_anonymity_events",
+    "resample_ffill_user_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -3466,3 +3466,74 @@ def q_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").repartition(_par(spark))
     out = windows_ops.interarrival_stats(o, "o_custkey", "o_orderdate", tie_col="o_orderkey")
     return out.withColumnRenamed("o_custkey", "custkey")
+
+
+@register(
+    "k_anonymity_events",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(FLOOR(value / 10.0) AS BIGINT) AS vb,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(5 AS INT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_at_risk,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE) / SUM(n), 6) AS rows_at_risk_frac,
+           CAST(MIN(n) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+)
+def q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity risk audit (quality.k_anonymity_profile) on the event
+    log's quasi-identifier tuple (event_type, day, value decile-bucket):
+    how many rows live in groups an adversary could single out (<k=5).
+    The governance twin of scrub_pii — two map-side-combinable
+    aggregates, zero row data off the executors."""
+    from . import quality
+
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    qdf = events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("vb"),
+    )
+    return quality.k_anonymity_profile(qdf, ["event_type", "d", "vb"], k=5)
+
+
+@register(
+    "resample_ffill_user_value",
+    """
+    WITH daily AS (
+      SELECT user_id, d, value FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < 200
+      ) WHERE rn = 1
+    ),
+    hi AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS h FROM events WHERE user_id < 200),
+    spine AS (
+      SELECT d.user_id, CAST(UNNEST(generate_series(d.lo, hi.h, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT user_id, MIN(d) AS lo FROM daily GROUP BY user_id) d, hi
+    )
+    SELECT s.user_id, s.day,
+           LAST_VALUE(daily.value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           daily.value IS NOT NULL AS is_observed
+    FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.d
+    """,
+)
+def q_resample_ffill_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + forward-fill (windows.resample_daily_ffill) of each
+    user's last event value — the irregular-series → daily-feature-matrix
+    step. User subset keeps the keys×days fan-out driver-comparable; the
+    day's last value is pinned by (ts, event_id)."""
+    events = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return windows_ops.resample_daily_ffill(
+        events, "user_id", "ts", "value", tie_col="event_id"
+    )

@@ -555,3 +555,62 @@ def interarrival_stats(
         F.min("__gap").alias("min_gap_days"),
         F.max("__gap").alias("max_gap_days"),
     )
+
+
+def resample_daily_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tie_col: str,
+    value_alias: str = "value_ffill",
+) -> DataFrame:
+    """Regularize an irregular per-key event series onto a daily grid with
+    last-observation-carried-forward — the feature-matrix prep step that
+    turns "balance updated whenever it changes" into "one row per key per
+    day": each key gets every calendar day from its FIRST event day to
+    the corpus's LAST day; days with events take the day's final value
+    (by ``(ts, tie_col)`` — the tie pins same-timestamp updates), gap
+    days carry the previous value forward. ``is_observed`` marks real
+    observations vs carried fills.
+
+    Scale shape: events reduce to one row per (key, day) FIRST (the
+    day's last value via a row_number window); the spine explode then
+    fans keys×days rows — bounded by the calendar span, not event count.
+    One key shuffle serves the window, the spine aggregate, AND the
+    fill window (same partitioning end-to-end); the global max day is a
+    one-row broadcast. Output size is |keys| × span-days — resample to
+    coarser grids upstream if that product explodes.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    w_last = Window.partitionBy(key_col, "__d").orderBy(
+        F.desc(ts_col), F.desc(tie_col)
+    )
+    daily = (
+        df.select(F.col(key_col), day.alias("__d"), F.col(ts_col), F.col(tie_col), F.col(value_col))
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "__d", F.col(value_col).alias("__v"))
+    )
+    hi = df.agg(F.max(day).alias("__hi"))
+    spine = (
+        daily.groupBy(key_col)
+        .agg(F.min("__d").alias("__lo"))
+        .crossJoin(F.broadcast(hi))
+        .select(key_col, F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day"))
+    )
+    joined = spine.join(
+        daily.withColumnRenamed("__d", "day"), [key_col, "day"], "left"
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        "day",
+        F.last("__v", ignorenulls=True).over(w_fill).alias(value_alias),
+        F.col("__v").isNotNull().alias("is_observed"),
+    )

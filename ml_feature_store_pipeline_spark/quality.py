@@ -263,3 +263,41 @@ class DataQualityValidator:
             overall_score=score,
         )
         return metrics, prof
+
+
+def k_anonymity_profile(
+    df: DataFrame, quasi_cols: list[str], *, k: int = 5
+) -> DataFrame:
+    """K-anonymity re-identification risk profile: group the table by the
+    quasi-identifier tuple and report how much of it lives in groups
+    smaller than ``k`` — the rows an adversary who knows the quasi
+    identifiers can single out. The governance audit that pairs with
+    ``text.scrub_pii``: scrubbing direct identifiers does nothing if the
+    (type, day, rounded-amount) tuple is unique.
+
+    One row out: (k, n_rows, n_groups, n_groups_at_risk, n_rows_at_risk,
+    rows_at_risk_frac, min_group_size). NULL quasi values group together
+    (standard GROUP BY semantics on both engines) — NULL is itself a
+    quasi-identifier value for this purpose.
+
+    Scale shape: one map-side-combinable count per quasi group, then a
+    second aggregate over the |groups|-sized count table. Nothing else
+    shuffles; no row data leaves the executors.
+    """
+    g = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    at_risk = F.col("__n") < k
+    return g.agg(
+        F.lit(int(k)).cast("int").alias("k"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(at_risk.cast("long")).cast("long").alias("n_groups_at_risk"),
+        F.sum(F.when(at_risk, F.col("__n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(at_risk, F.col("__n")).otherwise(F.lit(0))) / F.sum("__n"), 6
+        ).alias("rows_at_risk_frac"),
+        F.min("__n").cast("long").alias("min_group_size"),
+    )

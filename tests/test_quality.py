@@ -194,3 +194,22 @@ class TestJsDivergence:
         # closed form: p=(3/4,1/4), q=(1/4,3/4), m=(1/2,1/2)
         want = 0.5 * (0.75 * math.log(1.5) + 0.25 * math.log(0.5)) * 2
         assert d1 == pytest.approx(want, abs=1e-6)
+
+
+def test_k_anonymity_profile_hand_checked(spark):
+    from ml_feature_store_pipeline_spark.quality import k_anonymity_profile
+
+    rows = (
+        [("a", 1)] * 6      # safe group (>= k)
+        + [("a", 2)] * 2    # at risk
+        + [("b", 1)] * 1    # at risk
+        + [(None, 1)] * 5   # NULL tuple groups together -> safe at k=5
+    )
+    df = spark.createDataFrame(rows, "qa string, qb int")
+    out = k_anonymity_profile(df, ["qa", "qb"], k=5).collect()[0]
+    assert out["n_rows"] == 14 and out["n_groups"] == 4
+    assert out["n_groups_at_risk"] == 2 and out["n_rows_at_risk"] == 3
+    assert out["rows_at_risk_frac"] == round(3 / 14, 6)
+    assert out["min_group_size"] == 1
+    safe = k_anonymity_profile(df, ["qa", "qb"], k=1).collect()[0]
+    assert safe["n_groups_at_risk"] == 0 and safe["n_rows_at_risk"] == 0

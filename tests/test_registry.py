@@ -114,6 +114,8 @@ R8_WINDOW_QUEUE = [
     "rfm_segments",
     "touch_attribution_events",
     "interpurchase_gaps",
+    "k_anonymity_events",
+    "resample_ffill_user_value",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

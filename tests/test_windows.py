@@ -345,3 +345,43 @@ def test_interarrival_stats_partitioning_invariant_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("hashpartitioning(k#") == 1
+
+
+def test_resample_daily_ffill_hand_checked(spark):
+    """key 1: events on days 0 and 2 (two same-day updates on day 0 — the
+    (ts, tie) LAST wins); spine runs to the corpus max (day 4, set by
+    key 2), so day 3-4 carry day 2's value."""
+    b = dt.datetime(2023, 1, 1)
+    rows = [
+        (1, 1, b + dt.timedelta(hours=1), 10.0),
+        (2, 1, b + dt.timedelta(hours=1), 99.0),   # same ts, higher tie → wins day 0
+        (3, 1, b + dt.timedelta(days=2), 20.0),
+        (4, 2, b + dt.timedelta(days=4), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "eid long, k long, t timestamp, v double")
+    out = {
+        (r["k"], r["day"].isoformat()): (r["value_ffill"], r["is_observed"])
+        for r in windows.resample_daily_ffill(df, "k", "t", "v", tie_col="eid").collect()
+    }
+    assert out[(1, "2023-01-01")] == (99.0, True)
+    assert out[(1, "2023-01-02")] == (99.0, False)   # gap day carries forward
+    assert out[(1, "2023-01-03")] == (20.0, True)
+    assert out[(1, "2023-01-04")] == (20.0, False)
+    assert out[(1, "2023-01-05")] == (20.0, False)   # carried to corpus max day
+    assert out[(2, "2023-01-05")] == (7.0, True)
+    assert len([k for k in out if k[0] == 1]) == 5   # day 0..4 spine
+    assert len([k for k in out if k[0] == 2]) == 1   # starts at its first day
+
+
+def test_resample_daily_ffill_partitioning_invariant(spark):
+    b = dt.datetime(2023, 1, 1)
+    rows = [
+        (i, (i * 5) % 7, b + dt.timedelta(hours=(i * 11) % 400), float(i % 30))
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "eid long, k long, t timestamp, v double")
+    a = sorted(map(tuple, windows.resample_daily_ffill(df, "k", "t", "v", tie_col="eid").collect()))
+    c = sorted(
+        map(tuple, windows.resample_daily_ffill(df.repartition(11), "k", "t", "v", tie_col="eid").collect())
+    )
+    assert a == c

@@ -138,7 +138,8 @@ EVENT_OPS = (
     "interval_join_2k_bands bloom_probe cdc_merge fe_quantile_bin "
     "fe_target_encode fe_hashed_cross negative_sample table_profile "
     "quality_profile fe_ewma fe_index_encode funnel trend_slope "
-    "cohort_retention type_affinity rfm attribution interarrival"
+    "cohort_retention type_affinity rfm attribution interarrival "
+    "k_anonymity resample_ffill"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -921,6 +922,29 @@ def main() -> None:
             timed(
                 "interarrival_gaps",
                 _win.interarrival_stats(ev, "user_id", "timestamp", tie_col="event_id"),
+                args.events,
+            )
+        if events is not None and want("k_anonymity"):
+            from ml_feature_store_pipeline_spark import quality as _q
+
+            qdf = events.select(
+                "event_type",
+                F.date_trunc("day", F.col("timestamp")).cast("date").alias("d"),
+                F.floor(F.col("amount") / 10.0).cast("long").alias("vb"),
+            )
+            # two combinable aggs; only (group, count) rows ever shuffle
+            timed("k_anonymity_profile", _q.k_anonymity_profile(qdf, ["event_type", "d", "vb"]), args.events)
+        if events is not None and want("resample_ffill"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            ev = events.withColumn(
+                "event_id", F.xxhash64("user_id", "timestamp", "event_type", "amount")
+            )
+            # events reduce to (key, day) BEFORE the spine fan-out; output
+            # is keys x span-days, independent of event count
+            timed(
+                "resample_ffill_daily",
+                _win.resample_daily_ffill(ev, "user_id", "timestamp", "amount", tie_col="event_id"),
                 args.events,
             )
         if docs is not None and want("bpe_stats"):
