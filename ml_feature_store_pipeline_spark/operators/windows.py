@@ -404,12 +404,24 @@ def rfm_scores(
     if n_tiles < 2:
         raise ValueError("n_tiles must be >= 2")
     asof_row = df.agg(F.max(F.unix_timestamp(F.col(ts_col))).alias("m")).collect()[0]
-    out_schema = (
-        f"{key_col} long, recency_days long, frequency long, monetary double, "
-        "r_score int, f_score int, m_score int, rfm_segment int"
-    )
     if asof_row["m"] is None:
-        return df.sparkSession.createDataFrame([], out_schema)
+        # empty input (or all-NULL timestamps): emit the output schema with
+        # the CALLER's key type — keys are not always longs
+        from pyspark.sql.types import StructField, StructType
+
+        key_field = df.schema[key_col]
+        schema = StructType([StructField(key_col, key_field.dataType, key_field.nullable)])
+        for name, typ in (
+            ("recency_days", "long"),
+            ("frequency", "long"),
+            ("monetary", "double"),
+            ("r_score", "integer"),
+            ("f_score", "integer"),
+            ("m_score", "integer"),
+            ("rfm_segment", "integer"),
+        ):
+            schema = schema.add(name, typ)
+        return df.sparkSession.createDataFrame([], schema)
     asof = int(asof_row["m"])
     rfm = df.groupBy(key_col).agg(
         F.floor((F.lit(asof) - F.unix_timestamp(F.max(F.col(ts_col)))) / 86400)

@@ -385,3 +385,10 @@ def test_resample_daily_ffill_partitioning_invariant(spark):
         map(tuple, windows.resample_daily_ffill(df.repartition(11), "k", "t", "v", tie_col="eid").collect())
     )
     assert a == c
+
+
+def test_rfm_scores_empty_preserves_caller_key_type(spark):
+    empty = spark.createDataFrame([], "k string, t timestamp, amt double")
+    out = windows.rfm_scores(empty, "k", "t", "amt")
+    assert out.count() == 0
+    assert dict(out.dtypes)["k"] == "string"
