@@ -3512,7 +3512,7 @@ def q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, value,
                ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
                                   ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE user_id < 200
+        FROM events WHERE user_id < 200 AND value IS NOT NULL
       ) WHERE rn = 1
     ),
     hi AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS h FROM events WHERE user_id < 200),

@@ -403,10 +403,13 @@ def rfm_scores(
 
     if n_tiles < 2:
         raise ValueError("n_tiles must be >= 2")
-    asof_row = df.agg(F.max(F.unix_timestamp(F.col(ts_col))).alias("m")).collect()[0]
-    if asof_row["m"] is None:
-        # empty input (or all-NULL timestamps): emit the output schema with
-        # the CALLER's key type — keys are not always longs
+    asof_row = df.agg(
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not asof_row["n"]:
+        # empty input: emit the output schema with the CALLER's key type —
+        # keys are not always longs
         from pyspark.sql.types import StructField, StructType
 
         key_field = df.schema[key_col]
@@ -422,9 +425,13 @@ def rfm_scores(
         ):
             schema = schema.add(name, typ)
         return df.sparkSession.createDataFrame([], schema)
-    asof = int(asof_row["m"])
+    # rows with no usable timestamp anywhere: keys still aggregate —
+    # recency, its boundaries, and r_score/segment come out NULL while
+    # frequency/monetary score normally (exactly what the SQL recompute
+    # yields, since NULL propagates through the same expressions)
+    asof = F.lit(int(asof_row["m"])) if asof_row["m"] is not None else F.lit(None).cast("long")
     rfm = df.groupBy(key_col).agg(
-        F.floor((F.lit(asof) - F.unix_timestamp(F.max(F.col(ts_col)))) / 86400)
+        F.floor((asof - F.unix_timestamp(F.max(F.col(ts_col)))) / 86400)
         .cast("long")
         .alias("recency_days"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
@@ -560,7 +567,10 @@ def interarrival_stats(
     return g.groupBy(key_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count("__gap").cast("long").alias("n_gaps"),
-        F.round(dsum(F.col("__gap"), scale=6) / F.count("__gap"), round_digits).alias(
+        # decimal scale tracks round_digits: the gaps are rounded to
+        # round_digits, so a coarser sum scale would silently re-round
+        # the mean below the precision of the other stats
+        F.round(dsum(F.col("__gap"), scale=round_digits) / F.count("__gap"), round_digits).alias(
             "mean_gap_days"
         ),
         F.round(F.expr("percentile(__gap, 0.5)"), round_digits).alias("median_gap_days"),
@@ -585,7 +595,10 @@ def resample_daily_ffill(
     the corpus's LAST day; days with events take the day's final value
     (by ``(ts, tie_col)`` — the tie pins same-timestamp updates), gap
     days carry the previous value forward. ``is_observed`` marks real
-    observations vs carried fills.
+    observations vs carried fills. NULL-valued events count as "no
+    observation" (they neither shadow a same-day real value nor mark the
+    day observed); the spine's far edge is still the whole input's last
+    event day.
 
     Scale shape: events reduce to one row per (key, day) FIRST (the
     day's last value via a row_number window); the spine explode then
@@ -599,8 +612,12 @@ def resample_daily_ffill(
     w_last = Window.partitionBy(key_col, "__d").orderBy(
         F.desc(ts_col), F.desc(tie_col)
     )
+    # NULL-valued events are "no observation", not tombstones: they must
+    # neither shadow an earlier same-day real value as the day's last row
+    # nor mark the day observed — filter them before the reduction
     daily = (
-        df.select(F.col(key_col), day.alias("__d"), F.col(ts_col), F.col(tie_col), F.col(value_col))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(key_col), day.alias("__d"), F.col(ts_col), F.col(tie_col), F.col(value_col))
         .withColumn("__rn", F.row_number().over(w_last))
         .filter(F.col("__rn") == 1)
         .select(key_col, "__d", F.col(value_col).alias("__v"))

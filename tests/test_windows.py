@@ -209,7 +209,7 @@ def test_active_user_counts_hand_checked(spark):
 
 
 def test_rfm_scores_hand_checked(spark):
-    """n_tiles=2 on 4 customers with distinct metric orderings: boundary =
+    """n_tiles=2 on 3 customers with distinct metric orderings: boundary =
     the interpolated median; scores assigned by > comparisons; recency
     inverted (most recent → highest)."""
     b = dt.datetime(2023, 1, 1)
@@ -392,3 +392,46 @@ def test_rfm_scores_empty_preserves_caller_key_type(spark):
     out = windows.rfm_scores(empty, "k", "t", "amt")
     assert out.count() == 0
     assert dict(out.dtypes)["k"] == "string"
+
+
+def test_rfm_scores_all_null_timestamps_keep_rows(spark):
+    """Rows with no usable timestamp anywhere must still aggregate —
+    frequency/monetary score normally, recency and r_score/segment are
+    NULL (exactly what the SQL recompute yields; review finding)."""
+    rows = [(1, None, 10.0), (1, None, 20.0), (2, None, 99.0)]
+    df = spark.createDataFrame(rows, "k long, t timestamp, amt double")
+    out = {r["k"]: r for r in windows.rfm_scores(df, "k", "t", "amt", n_tiles=2).collect()}
+    assert len(out) == 2
+    assert out[1]["recency_days"] is None and out[1]["r_score"] is None
+    assert out[1]["rfm_segment"] is None
+    assert (out[1]["frequency"], out[2]["frequency"]) == (2, 1)
+    assert out[2]["m_score"] == 2 and out[1]["m_score"] == 1  # 99 > median 64.5
+
+
+def test_interarrival_mean_respects_round_digits(spark):
+    """One gap → mean must EQUAL max at any round_digits (the decimal sum
+    scale tracks round_digits; review finding: scale=6 re-rounded it)."""
+    b = dt.datetime(2023, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, b), (2, 1, b + dt.timedelta(seconds=4))], "oid long, k long, t timestamp"
+    )
+    out = windows.interarrival_stats(df, "k", "t", tie_col="oid", round_digits=8).collect()[0]
+    assert out["mean_gap_days"] == out["max_gap_days"] == round(4 / 86400.0, 8)
+
+
+def test_resample_ffill_null_value_is_not_an_observation(spark):
+    """A NULL-valued event must neither shadow a same-day real value as
+    the day's last row nor mark the day observed (review finding)."""
+    b = dt.datetime(2023, 1, 1)
+    rows = [
+        (1, 1, b + dt.timedelta(hours=9), 50.0),
+        (2, 1, b + dt.timedelta(hours=17), None),   # later same day, NULL
+        (3, 1, b + dt.timedelta(days=1, hours=1), None),  # all-NULL day
+    ]
+    df = spark.createDataFrame(rows, "eid long, k long, t timestamp, v double")
+    out = {
+        r["day"].isoformat(): (r["value_ffill"], r["is_observed"])
+        for r in windows.resample_daily_ffill(df, "k", "t", "v", tie_col="eid").collect()
+    }
+    assert out["2023-01-01"] == (50.0, True)    # real value survives the NULL
+    assert out["2023-01-02"] == (50.0, False)   # NULL-only day = carried fill

@@ -890,23 +890,36 @@ def main() -> None:
             from ml_feature_store_pipeline_spark.operators import windows as _win
 
             timed("type_affinity_pairs", _win.type_affinity(events, "user_id", "event_type"), args.events)
+        # shared tie column for the order-sensitive event ops below (the
+        # generator emits no event id; one recipe, defined once)
+        def _tied(e):
+            return e.withColumn(
+                "event_id", F.xxhash64("user_id", "timestamp", "event_type", "amount")
+            )
+
         if events is not None and want("rfm"):
             from ml_feature_store_pipeline_spark.operators import windows as _win
 
-            # key-grain agg + ONE percentile aggregate; boundaries broadcast
-            timed("rfm_quintiles", _win.rfm_scores(events, "user_id", "timestamp", "amount"), args.events)
+            # key-grain agg + ONE percentile aggregate; boundaries
+            # broadcast. rfm_scores runs an eager global-max collect at
+            # plan-build time — time the construction too, or the
+            # published row omits one of the op's documented 3 passes
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _win.rfm_scores(events, "user_id", "timestamp", "amount").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            log("rfm_quintiles", time.time() - t0, args.events)
         if events is not None and want("attribution"):
             from ml_feature_store_pipeline_spark.operators import windows as _win
 
             # one user-window pass computes both touches; rollups are
-            # |channels|-sized. tie col synthesized (generator has none)
-            ev = events.withColumn(
-                "event_id", F.xxhash64("user_id", "timestamp", "event_type", "amount")
-            )
+            # |channels|-sized
             timed(
                 "touch_attribution",
                 _win.touch_attribution(
-                    ev, "user_id", "timestamp", "event_type",
+                    _tied(events), "user_id", "timestamp", "event_type",
                     conversion="purchase", tie_col="event_id", value_col="amount",
                 ),
                 args.events,
@@ -916,12 +929,9 @@ def main() -> None:
 
             # one key shuffle; the groupBy reuses the lag window's
             # partitioning (plan-asserted in test_windows.py)
-            ev = events.withColumn(
-                "event_id", F.xxhash64("user_id", "timestamp", "event_type", "amount")
-            )
             timed(
                 "interarrival_gaps",
-                _win.interarrival_stats(ev, "user_id", "timestamp", tie_col="event_id"),
+                _win.interarrival_stats(_tied(events), "user_id", "timestamp", tie_col="event_id"),
                 args.events,
             )
         if events is not None and want("k_anonymity"):
@@ -937,14 +947,13 @@ def main() -> None:
         if events is not None and want("resample_ffill"):
             from ml_feature_store_pipeline_spark.operators import windows as _win
 
-            ev = events.withColumn(
-                "event_id", F.xxhash64("user_id", "timestamp", "event_type", "amount")
-            )
             # events reduce to (key, day) BEFORE the spine fan-out; output
             # is keys x span-days, independent of event count
             timed(
                 "resample_ffill_daily",
-                _win.resample_daily_ffill(ev, "user_id", "timestamp", "amount", tie_col="event_id"),
+                _win.resample_daily_ffill(
+                    _tied(events), "user_id", "timestamp", "amount", tie_col="event_id"
+                ),
                 args.events,
             )
         if docs is not None and want("bpe_stats"):
