@@ -156,6 +156,8 @@ HEADLINE_R7 = [
     # and daily resample+ffill (keys x days spine, one key shuffle)
     "k_anonymity_events",
     "resample_ffill_user_value",
+    # corpus session metrics (sessionize window + same-partitioning rollup)
+    "session_stats_events",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

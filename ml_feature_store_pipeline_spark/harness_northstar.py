@@ -3537,3 +3537,42 @@ def q_resample_ffill_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows_ops.resample_daily_ffill(
         events, "user_id", "ts", "value", tie_col="event_id"
     )
+
+
+@register(
+    "session_stats_events",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    per AS (
+      SELECT user_id, sid, COUNT(*) AS n,
+             DATE_DIFF('second', MIN(ts), MAX(ts)) AS dur
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_sessions,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+           ROUND({dsum_sql('n')} / COUNT(*), 6) AS avg_session_events,
+           ROUND({dsum_sql('dur')} / COUNT(*), 6) AS avg_duration_s,
+           ROUND(quantile_cont(dur, 0.5), 6) AS median_duration_s,
+           CAST(MAX(dur) AS BIGINT) AS max_duration_s
+    FROM per
+    """,
+)
+def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus session metrics (windows.session_stats, 30-min gap): session
+    count, bounce rate, decimal-exact mean events/duration, exact median
+    and max duration. The (user, session) rollup reuses the sessionize
+    window's partitioning — no new fact exchange."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return windows_ops.session_stats(events, "user_id", "ts", 1800)

@@ -643,3 +643,52 @@ def resample_daily_ffill(
         F.last("__v", ignorenulls=True).over(w_fill).alias(value_alias),
         F.col("__v").isNotNull().alias("is_observed"),
     )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-level session metrics from gap sessionization — the product
+    dashboard's second row after DAU: one output row with ``n_sessions``,
+    ``bounce_sessions`` / ``bounce_rate`` (single-event sessions — the
+    classic engagement alarm), decimal-exact ``avg_session_events``,
+    and duration stats (``avg`` decimal-exact, ``median`` exact
+    interpolated, ``max``) in seconds.
+
+    Built on :func:`sessionize` (same determinism: same-timestamp ties
+    produce gap 0 regardless of intra-tie order, so session boundaries
+    are engine-stable without a tie column).
+
+    Scale shape: the (key, session) rollup reuses the sessionize window's
+    key partitioning (partial agg, no new fact exchange); the final
+    one-row summary reduces |sessions| rows. The global exact median of
+    session durations buffers |sessions| longs on one aggregator — swap
+    for ``percentile_approx`` when sessions outnumber executor memory.
+    """
+    from ..functions import dsum
+
+    sess = sessionize(df, key_col, ts_col, gap_seconds)
+    secs = F.unix_timestamp(F.col(ts_col))
+    per = sess.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.max(secs) - F.min(secs)).alias("__dur"),
+    )
+    bounce = F.sum((F.col("__n") == 1).cast("long"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounce.cast("long").alias("bounce_sessions"),
+        F.round(bounce / F.count(F.lit(1)), round_digits).alias("bounce_rate"),
+        F.round(dsum(F.col("__n")) / F.count(F.lit(1)), round_digits).alias(
+            "avg_session_events"
+        ),
+        F.round(dsum(F.col("__dur")) / F.count(F.lit(1)), round_digits).alias(
+            "avg_duration_s"
+        ),
+        F.round(F.expr("percentile(__dur, 0.5)"), round_digits).alias("median_duration_s"),
+        F.max("__dur").cast("long").alias("max_duration_s"),
+    )

@@ -116,6 +116,7 @@ R8_WINDOW_QUEUE = [
     "interpurchase_gaps",
     "k_anonymity_events",
     "resample_ffill_user_value",
+    "session_stats_events",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

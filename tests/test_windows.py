@@ -65,6 +65,29 @@ def test_sessionize_exact_gap_not_new_session(spark):
     assert {r["session_id"] for r in out.collect()} == {1}
 
 
+def test_session_stats_bounce_and_durations(spark):
+    rows = [
+        # user 1, session A: 3 events over 600 s
+        (1, ts("2024-01-01 10:00:00")),
+        (1, ts("2024-01-01 10:05:00")),
+        (1, ts("2024-01-01 10:10:00")),
+        # user 1, session B: single event → bounce, duration 0
+        (1, ts("2024-01-01 12:00:00")),
+        # user 2, session C: 2 events over 120 s
+        (2, ts("2024-01-01 09:00:00")),
+        (2, ts("2024-01-01 09:02:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = windows.session_stats(df, "user_id", "ts", 1800).collect()[0]
+    assert r["n_sessions"] == 3
+    assert r["bounce_sessions"] == 1
+    assert abs(r["bounce_rate"] - 1 / 3) < 1e-6
+    assert r["avg_session_events"] == 2.0
+    assert r["avg_duration_s"] == 240.0  # (600 + 0 + 120) / 3
+    assert r["median_duration_s"] == 120.0
+    assert r["max_duration_s"] == 600
+
+
 # ---------------------------------------------------------------------------
 # ordered funnel (r7)
 # ---------------------------------------------------------------------------
