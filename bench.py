@@ -158,6 +158,16 @@ HEADLINE_R7 = [
     "resample_ffill_user_value",
     # corpus session metrics (sessionize window + same-partitioning rollup)
     "session_stats_events",
+    # native session_window batch agg (engine merge loop, one key shuffle)
+    "session_window_agg_events",
+    # within-session trigram mining (vocab^3-bounded top-k)
+    "session_trigrams_events",
+    # per-user behavioral entropy (two dimension-sized aggs)
+    "user_event_entropy",
+    # Benford first-digit audit (9-group count, broadcast spine)
+    "benford_orders_totalprice",
+    # daily OHLC bars (one (key, day) shuffle for window + agg)
+    "ohlc_user_value_daily",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

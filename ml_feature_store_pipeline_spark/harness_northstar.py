@@ -3576,3 +3576,184 @@ def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's partitioning — no new fact exchange."""
     events = read_table(spark, sf_dir, "events").repartition(_par(spark))
     return windows_ops.session_stats(events, "user_id", "ts", 1800)
+
+
+@register(
+    "session_window_agg_events",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows (F.session_window) in batch mode, 30-min
+    gap: microsecond boundary comparison, gap == threshold starts a new
+    session, session_end = last event + gap. The oracle replays exactly
+    those semantics with epoch_us (NOT the sessionize queries' whole-second
+    DATE_DIFF — different operator, different contract)."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return windows_ops.session_window_agg(
+        events, "user_id", "ts", "30 minutes", "value"
+    )
+
+
+@register(
+    "session_trigrams_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    tri AS (
+      SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+                        || '>' || LEAD(event_type, 2) OVER w2 AS ngram,
+             LEAD(event_type, 2) OVER w2 AS third
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri WHERE third IS NOT NULL
+    GROUP BY ngram
+    ORDER BY n DESC, ngram ASC
+    LIMIT 10
+    """,
+)
+def q_session_trigrams_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 within-session event-type trigrams (30-min gap sessionize,
+    (ts, event_id) order): the path-analysis primitive. The top-k is a
+    TakeOrdered over ≤ |vocab|³ aggregate rows, never a data sort."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return windows_ops.session_ngram_topk(
+        events, "user_id", "ts", "event_type", 1800, n=3, top_k=10,
+        tie_col="event_id",
+    )
+
+
+@register(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, c, SUM(c) OVER (PARTITION BY user_id) AS n FROM c
+    ),
+    k AS (
+      SELECT user_id,
+             CAST(MAX(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             -(CAST(SUM(CAST((c / n) * LN(c / n) AS DECIMAL(28,9))) AS DOUBLE)) + 0.0 AS h
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           ROUND(h, 6) AS entropy,
+           ROUND(CASE WHEN n_types > 1 THEN h / LN(CAST(n_types AS DOUBLE)) END, 6)
+             AS norm_entropy
+    FROM k
+    """,
+)
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy of the event-type
+    distribution (decimal(28,9)-summed terms — order-insensitive,
+    engine-identical) plus the ln(n_types)-normalized form."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.categorical_entropy(events, "user_id", "event_type")
+
+
+def _benford_values_sql() -> str:
+    from .quality import BENFORD_EXPECTED
+
+    return ", ".join(f"({d}, {v!r})" for d, v in BENFORD_EXPECTED.items())
+
+
+@register(
+    "benford_orders_totalprice",
+    f"""
+    WITH f AS (
+      SELECT CAST(FLOOR(o_totalprice / POWER(10,
+               LENGTH(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)) - 1))
+             AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n FROM f GROUP BY digit),
+    tot AS (SELECT SUM(n) AS t FROM obs),
+    e(digit, exp) AS (VALUES {_benford_values_sql()})
+    SELECT e.digit,
+           CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+           ROUND(COALESCE(obs.n, 0) / tot.t, 6) AS freq,
+           ROUND(e.exp, 6) AS expected_freq,
+           ROUND(COALESCE(obs.n, 0) / tot.t - e.exp, 6) AS deviation,
+           ROUND(POWER(COALESCE(obs.n, 0) - e.exp * tot.t, 2) / (e.exp * tot.t), 6)
+             AS chi2_contrib
+    FROM e LEFT JOIN obs ON e.digit = obs.digit CROSS JOIN tot
+    """,
+)
+def q_benford_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: string-length digit
+    extraction (no log10 — engine-exact), inline-literal expectations
+    shared with the oracle, per-digit chi-square contributions."""
+    from .quality import benford_profile
+
+    orders = read_table(spark, sf_dir, "orders")
+    return benford_profile(orders, "o_totalprice")
+
+
+@register(
+    "ohlc_user_value_daily",
+    f"""
+    WITH b AS (
+      SELECT user_id, DATE_TRUNC('day', ts) AS bucket, value,
+             FIRST_VALUE(value) OVER w AS o,
+             LAST_VALUE(value) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, DATE_TRUNC('day', ts)
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           MIN(o) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(c) AS close,
+           {dsum_sql('value')} AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY user_id, bucket
+    """,
+)
+def q_ohlc_user_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily OHLC bars over event value ((ts, event_id) total
+    order): one (key, bucket) shuffle shared by the first/last window and
+    the extremes/volume aggregate."""
+    events = read_table(spark, sf_dir, "events")
+    return windows_ops.ohlc_bars(
+        events, "user_id", "ts", "value", tie_col="event_id", freq="day"
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def bin_index(col: Column, lo: float, hi: float, bins: int) -> Column:
@@ -181,3 +182,64 @@ def js_divergence(
         F.sum("jsd_contrib").alias("jsd")
     ).collect()
     return float(rows[0]["jsd"] or 0.0)
+
+
+def categorical_entropy(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key Shannon entropy of a categorical column — the behavioral-
+    diversity feature ("does this user do one thing or many?") and the
+    per-segment label-balance audit, in one operator. Output per key:
+    ``n_events``, ``n_types``, ``entropy`` (nats), and ``norm_entropy``
+    = entropy / ln(n_types) ∈ [0, 1] (NULL for single-type keys, where
+    the normalizer is 0).
+
+    Engine-stable math: each category's ``p·ln p`` term is summed through
+    a decimal(28,9) cast (the :func:`~..functions.dsum` recipe at higher
+    scale — the term magnitudes are ≤ 1/e so 9 fractional digits keep
+    ~1e-9 accuracy while staying order-insensitive and bit-identical
+    across engines); ``ln`` parity between the JVM and DuckDB libm is the
+    same contract the green JSD oracle already rides. NULL categories are
+    excluded (entropy of observed values).
+
+    Scale shape: one map-side-combinable count per (key, category), then
+    a key-level aggregate over the |keys × vocab| count table — for a
+    bounded vocabulary that second shuffle carries dimension-sized rows.
+    No window, no join, no row egress.
+    """
+    counts = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(key_col, cat_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = Window.partitionBy(key_col)
+    # p per (key, cat) needs the key total: a window-sum over the count
+    # table (dimension-sized) avoids a self-join
+    with_p = counts.withColumn("__n", F.sum("__c").over(tot)).withColumn(
+        "__p", F.col("__c") / F.col("__n")
+    )
+    term = (F.col("__p") * F.log(F.col("__p"))).cast("decimal(28,9)")
+    per_key = with_p.groupBy(key_col).agg(
+        F.max("__n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        # + 0.0 normalizes the single-type key's -0.0 to +0.0 (a -0.0
+        # would hash differently from the oracle's 0.0)
+        (-F.sum(term).cast("double") + F.lit(0.0)).alias("__h"),
+    )
+    return per_key.select(
+        key_col,
+        "n_events",
+        "n_types",
+        F.round(F.col("__h"), round_digits).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_types") > 1,
+                F.col("__h") / F.log(F.col("n_types").cast("double")),
+            ),
+            round_digits,
+        ).alias("norm_entropy"),
+    )

@@ -692,3 +692,156 @@ def session_stats(
         F.round(F.expr("percentile(__dur, 0.5)"), round_digits).alias("median_duration_s"),
         F.max("__dur").cast("long").alias("max_duration_s"),
     )
+
+
+def session_window_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key session aggregation via Spark's NATIVE ``session_window``
+    (the Structured Streaming session operator, run in batch mode) —
+    the engine-level twin of :func:`sessionize`, with two semantic
+    differences worth knowing when choosing between them:
+
+    - boundaries compare FULL microsecond timestamps (``sessionize``
+      compares ``unix_timestamp`` whole seconds). A new session starts
+      when the gap is STRICTLY greater than the threshold — an event
+      landing exactly ``gap`` after the previous one still merges
+      (verified against Spark's merge behavior; the same ``>`` contract
+      as ``sessionize``, just at microsecond precision);
+    - ``session_end`` is ``last event + gap`` (the window close), not the
+      last event itself.
+
+    Scale shape: one shuffle on the grouping key; Spark merges
+    overlapping per-event windows inside the aggregation (no window
+    function, no second sort). In streaming the same expression works
+    under a watermark with state eviction at window close — this batch
+    form IS the backfill path for that stream.
+    """
+    from ..functions import dsum
+
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col(value_col)).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_ngram_topk(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    token_col: str,
+    gap_seconds: int,
+    *,
+    n: int = 3,
+    top_k: int = 10,
+    tie_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most frequent within-session n-grams of a categorical event
+    stream — "what do users DO in a session": the path-analysis primitive
+    behind next-action suggestion and funnel discovery. Sequences never
+    cross a session boundary (an n-gram needs ``n`` consecutive events in
+    ONE session of one key).
+
+    Ordering inside a session is ``(ts, tie_col)`` — pass a unique tie
+    column for a total order, or same-timestamp n-grams are engine-
+    arbitrary. Output: (ngram, count), count desc / ngram asc, ``top_k``
+    rows.
+
+    Scale shape: sessionize's key shuffle, then the lead() chain rides
+    the SAME (key, session) partitioning (one sort, no new exchange); the
+    count groupBy shuffles |distinct n-grams| ≤ |vocab|^n rows — for a
+    bounded event vocabulary that is dimension-sized, so the final
+    ordered top-k is a TakeOrdered over a tiny aggregate, not a data sort.
+    """
+    sess = sessionize(df, key_col, ts_col, gap_seconds)
+    order = [F.asc(ts_col)] + ([F.asc(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col, "session_id").orderBy(*order)
+    parts = [F.col(token_col)] + [
+        F.lead(token_col, i).over(w) for i in range(1, n)
+    ]
+    # gram and the window-end sentinel must come out of the SAME projection:
+    # filtering first would re-evaluate the leads over the filtered rows
+    # (shorter sessions → wrong neighbors)
+    seq = sess.select(
+        F.concat_ws(sep, *parts).alias("ngram"), parts[-1].alias("__last")
+    )
+    return (
+        seq.filter(F.col("__last").isNotNull())
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(top_k)
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tie_col: str | None = None,
+    freq: str = "day",
+) -> DataFrame:
+    """Per-key time bars: open/high/low/close + volume + count per
+    ``freq`` bucket (the OHLC resample every metrics store grows
+    eventually — "first/last/extremes of the metric per user per day").
+
+    Open/close are the first/last value in ``(ts, tie_col)`` order —
+    pass a unique tie column or same-timestamp opens are engine-
+    arbitrary. Only buckets with data appear (no calendar spine — compose
+    with :func:`resample_daily_ffill` for gap-filled series).
+
+    Scale shape: ONE shuffle on (key, bucket): the first/last window and
+    the final groupBy share the same partitioning, so Catalyst plans the
+    agg on the window's exchange. min/max/sum partial-aggregate map-side;
+    first/last are window-computed (no ``min_by`` — DuckDB's ``arg_min``
+    on a composite key has no engine-stable NULL/tie contract to oracle
+    against).
+    """
+    from ..functions import dsum
+
+    bucket = F.date_trunc(freq, F.col(ts_col)).alias("bucket")
+    order = [F.asc(ts_col)] + ([F.asc(tie_col)] if tie_col else [])
+    base = df.select(
+        F.col(key_col), bucket, F.col(ts_col), F.col(value_col),
+        *([F.col(tie_col)] if tie_col else []),
+    )
+    w = (
+        Window.partitionBy(key_col, "bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    framed = base.select(
+        key_col,
+        "bucket",
+        F.first(value_col).over(w).alias("__open"),
+        F.last(value_col).over(w).alias("__close"),
+        F.col(value_col),
+    )
+    # __open/__close are constant within each group, so min() reads them
+    # back partial-aggregably (first() in an agg has no determinism
+    # contract worth relying on, even when it happens to be safe)
+    return framed.groupBy(key_col, "bucket").agg(
+        F.min("__open").alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.min("__close").alias("close"),
+        dsum(F.col(value_col)).alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -23,6 +23,7 @@ driver-side data movement beyond the scalar results.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -300,4 +301,74 @@ def k_anonymity_profile(
             F.sum(F.when(at_risk, F.col("__n")).otherwise(F.lit(0))) / F.sum("__n"), 6
         ).alias("rows_at_risk_frac"),
         F.min("__n").cast("long").alias("min_group_size"),
+    )
+
+
+#: Benford first-digit expectation log10(1 + 1/d), d = 1..9, computed once
+#: driver-side so Spark and the SQL oracle inline the IDENTICAL double
+#: literals (no cross-engine log10 call to keep in sync).
+BENFORD_EXPECTED: dict[int, float] = {
+    d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_profile(
+    df: DataFrame, value_col: str, *, round_digits: int = 6
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    vs Benford's law — the classic fabricated-data / unit-mixup audit for
+    financial and telemetry amounts. One row per digit 1–9: observed
+    count and frequency, the Benford expectation, the deviation, and the
+    digit's chi-square contribution ``(obs − exp·N)² / (exp·N)`` (sum the
+    column and compare to χ²₈ for a significance call).
+
+    Digit extraction is engine-exact WITHOUT log10: rows are filtered to
+    ``value ≥ 1`` (sub-unit magnitudes need a decimal-string walk that no
+    two engines share) and the first digit is
+    ``floor(v / 10^(len(str(floor(v))) − 1))`` — integer string length
+    plus IEEE division, bit-identical on any engine. Digits with zero
+    observations still appear (expected > 0 ⇒ they carry chi-square).
+
+    Scale shape: one map-side-combinable 9-group count; the digit spine
+    and total broadcast. No sort, no row egress.
+    """
+    spark = df.sparkSession
+    v = F.col(value_col)
+    k = F.length(F.floor(v).cast("long").cast("string"))
+    digit = F.floor(v / F.pow(F.lit(10.0), (k - 1).cast("double"))).cast("int")
+    obs = (
+        df.filter(v >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_freq = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in BENFORD_EXPECTED.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    total = obs.agg(F.sum("n").alias("__t"))
+    joined = (
+        spine.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            (F.coalesce("n", F.lit(0)) / F.col("__t")).alias("__freq"),
+            exp_freq.alias("__exp"),
+            F.col("__t"),
+        )
+    )
+    chi2 = F.pow(F.col("n") - F.col("__exp") * F.col("__t"), F.lit(2.0)) / (
+        F.col("__exp") * F.col("__t")
+    )
+    return joined.select(
+        "digit",
+        "n",
+        F.round("__freq", round_digits).alias("freq"),
+        F.round("__exp", round_digits).alias("expected_freq"),
+        F.round(F.col("__freq") - F.col("__exp"), round_digits).alias("deviation"),
+        F.round(chi2, round_digits).alias("chi2_contrib"),
     )

@@ -213,3 +213,48 @@ def test_k_anonymity_profile_hand_checked(spark):
     assert out["min_group_size"] == 1
     safe = k_anonymity_profile(df, ["qa", "qb"], k=1).collect()[0]
     assert safe["n_groups_at_risk"] == 0 and safe["n_rows_at_risk"] == 0
+
+
+def test_categorical_entropy_uniform_and_degenerate(spark):
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.drift import categorical_entropy
+
+    rows = (
+        [(1, "a")] * 3 + [(1, "b")] * 3          # uniform over 2 types
+        + [(2, "a")] * 4                          # single type
+        + [(3, "a"), (3, "b"), (3, "b"), (3, None)]  # NULL excluded
+    )
+    df = spark.createDataFrame(rows, "k long, c string")
+    out = {r["k"]: r for r in categorical_entropy(df, "k", "c").collect()}
+    assert out[1]["n_events"] == 6 and out[1]["n_types"] == 2
+    assert out[1]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[1]["norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+    # single type: entropy exactly +0.0 (not -0.0), normalizer undefined
+    assert out[2]["entropy"] == 0.0 and str(out[2]["entropy"]) == "0.0"
+    assert out[2]["norm_entropy"] is None
+    # NULL category rows don't count: key 3 is (a=1, b=2) over n=3
+    assert out[3]["n_events"] == 3 and out[3]["n_types"] == 2
+    want = -(1 / 3 * math.log(1 / 3) + 2 / 3 * math.log(2 / 3))
+    assert out[3]["entropy"] == pytest.approx(want, abs=1e-6)
+
+
+def test_benford_profile_hand_checked(spark):
+    from ml_feature_store_pipeline_spark.quality import (
+        BENFORD_EXPECTED,
+        benford_profile,
+    )
+
+    # first digits: 1, 1, 2, 9; 0.5 excluded (< 1)
+    df = spark.createDataFrame(
+        [(1.5,), (123.4,), (250.0,), (9000.01,), (0.5,)], "v double"
+    )
+    rows = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))  # zero-count digits still appear
+    assert rows[1]["n"] == 2 and rows[2]["n"] == 1 and rows[9]["n"] == 1
+    assert rows[3]["n"] == 0
+    assert rows[1]["freq"] == 0.5
+    assert rows[1]["expected_freq"] == round(BENFORD_EXPECTED[1], 6)
+    # chi2 contribution for digit 3: (0 - e*4)^2 / (e*4) = e*4
+    e3 = BENFORD_EXPECTED[3]
+    assert rows[3]["chi2_contrib"] == pytest.approx(e3 * 4, abs=1e-6)

@@ -117,6 +117,11 @@ R8_WINDOW_QUEUE = [
     "k_anonymity_events",
     "resample_ffill_user_value",
     "session_stats_events",
+    "session_window_agg_events",
+    "session_trigrams_events",
+    "user_event_entropy",
+    "benford_orders_totalprice",
+    "ohlc_user_value_daily",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

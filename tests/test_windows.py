@@ -458,3 +458,66 @@ def test_resample_ffill_null_value_is_not_an_observation(spark):
     }
     assert out["2023-01-01"] == (50.0, True)    # real value survives the NULL
     assert out["2023-01-02"] == (50.0, False)   # NULL-only day = carried fill
+
+
+def test_session_window_agg_native_semantics(spark):
+    rows = [
+        # gap exactly == 30 min → still MERGES (strictly-greater starts new)
+        (1, ts("2024-01-01 10:00:00"), 1.0),
+        (1, ts("2024-01-01 10:30:00"), 2.0),
+        # 30 min + 1 µs after the previous event → NEW session
+        (1, ts("2024-01-01 11:00:00.000001"), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        windows.session_window_agg(df, "user_id", "ts", "30 minutes", "value").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert len(out) == 2
+    assert out[0]["n_events"] == 2 and out[0]["total_value"] == 3.0
+    assert out[0]["session_end"] == ts("2024-01-01 11:00:00")  # last + gap
+    assert out[1]["n_events"] == 1 and out[1]["total_value"] == 3.0
+    assert out[1]["session_end"] == ts("2024-01-01 11:30:00.000001")
+
+
+def test_session_ngram_topk_respects_session_boundaries(spark):
+    b = ts("2024-01-01 10:00:00")
+    import datetime as dt
+
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # session 1: a b c d → trigrams a>b>c, b>c>d
+        (1, b + 0 * m, 1, "a"),
+        (1, b + 1 * m, 2, "b"),
+        (1, b + 2 * m, 3, "c"),
+        (1, b + 3 * m, 4, "d"),
+        # session 2 (2h later): c d e → trigram c>d>e (no cross-session gram)
+        (1, b + 120 * m, 5, "c"),
+        (1, b + 121 * m, 6, "d"),
+        (1, b + 122 * m, 7, "e"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["ngram"]: r["n"] for r in windows.session_ngram_topk(
+        df, "user_id", "ts", "event_type", 1800, n=3, top_k=10, tie_col="event_id"
+    ).collect()}
+    assert out == {"a>b>c": 1, "b>c>d": 1, "c>d>e": 1}
+
+
+def test_ohlc_bars_open_close_tiebreak(spark):
+    rows = [
+        # same day, same ts for the last two events: event_id breaks the tie
+        (1, ts("2024-01-01 09:00:00"), 1, 10.0),
+        (1, ts("2024-01-01 15:00:00"), 2, 50.0),
+        (1, ts("2024-01-01 15:00:00"), 3, 20.0),
+        # second day
+        (1, ts("2024-01-02 09:00:00"), 4, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r["bucket"]: r for r in windows.ohlc_bars(
+        df, "user_id", "ts", "value", tie_col="event_id", freq="day"
+    ).collect()}
+    d1 = out[ts("2024-01-01 00:00:00")]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"]) == (10.0, 50.0, 10.0, 20.0)
+    assert d1["volume"] == 80.0 and d1["n_events"] == 3
+    d2 = out[ts("2024-01-02 00:00:00")]
+    assert (d2["open"], d2["close"], d2["n_events"]) == (7.0, 7.0, 1)
