@@ -168,6 +168,14 @@ HEADLINE_R7 = [
     "benford_orders_totalprice",
     # daily OHLC bars (one (key, day) shuffle for window + agg)
     "ohlc_user_value_daily",
+    # KMV audience overlap (two distinct-hash reductions, bottom-k merge)
+    "kmv_user_overlap_view_purchase",
+    # exact weighted median (one group shuffle: cum window + crossing pick)
+    "weighted_median_price_by_flag",
+    # l-diversity governance audit (two combinable aggs)
+    "l_diversity_events",
+    # part co-purchase market basket (co-keyed self-join on the fact side)
+    "part_copurchase_lift",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -3757,3 +3757,144 @@ def q_ohlc_user_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows_ops.ohlc_bars(
         events, "user_id", "ts", "value", tie_col="event_id", freq="day"
     )
+
+
+from .operators import sketches as sketches_ops  # noqa: E402
+
+
+@register(
+    "kmv_user_overlap_view_purchase",
+    sketches_ops.kmv_set_ops_sql(
+        "(SELECT user_id FROM events WHERE event_type = 'view')",
+        "user_id",
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+        "user_id",
+        k=256,
+    ),
+)
+def q_kmv_user_overlap_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates between viewer and purchaser user sets
+    (union / intersection / Jaccard / A-only) — audience-overlap without
+    shuffling the event log. Below 256 combined distinct users (sf0.01)
+    the sketch IS exact set algebra; above (sf0.1) it estimates — the
+    oracle replays the md5 sketch bit-for-bit either way."""
+    events = read_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view")
+    buys = events.filter(F.col("event_type") == "purchase")
+    return sketches_ops.kmv_set_ops(views, buys, "user_id", "user_id", k=256)
+
+
+@register(
+    "weighted_median_price_by_flag",
+    """
+    WITH clean AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity > 0
+    ),
+    c AS (
+      SELECT l_returnflag, v,
+             CAST(SUM(CAST(w AS DECIMAL(28,4))) OVER (
+                    PARTITION BY l_returnflag ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum,
+             CAST(SUM(CAST(w AS DECIMAL(28,4))) OVER (
+                    PARTITION BY l_returnflag) AS DOUBLE) AS tot
+      FROM clean
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median, MIN(tot) AS total_weight
+    FROM c WHERE cum >= 0.5 * tot
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of lineitem price per return flag:
+    decimal cumulative weights (tie-order-proof), one group-key shuffle
+    shared by both windows and the crossing-row pick."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return windows_ops.weighted_quantile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", 0.5,
+        out_col="weighted_median",
+    )
+
+
+@register(
+    "l_diversity_events",
+    """
+    WITH pv AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT event_type, day, SUM(n) AS rows_,
+             COUNT(CASE WHEN user_id IS NOT NULL THEN 1 END) AS lv
+      FROM pv GROUP BY 1, 2
+    )
+    SELECT CAST(3 AS INT) AS l,
+           CAST(SUM(rows_) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN lv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below,
+           CAST(SUM(CASE WHEN lv < 3 THEN rows_ ELSE 0 END) AS BIGINT) AS n_rows_below,
+           ROUND(CAST(SUM(CASE WHEN lv < 3 THEN rows_ ELSE 0 END) AS DOUBLE)
+                 / SUM(rows_), 6) AS rows_below_frac,
+           CAST(MIN(lv) AS BIGINT) AS min_distinct_sensitive
+    FROM g
+    """,
+)
+def q_l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit of (event_type, day) groups against user_id:
+    the homogeneity-attack complement to the k-anonymity query — two
+    map-side-combinable aggregates, no raw-row count_distinct shuffle."""
+    from .quality import l_diversity_profile
+
+    events = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return l_diversity_profile(
+        events.select(F.col("event_type"), day, F.col("user_id")),
+        ["event_type", "day"],
+        "user_id",
+        l=3,
+    )
+
+
+@register(
+    "part_copurchase_lift",
+    """
+    WITH kt AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS t FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT k) AS nk FROM kt),
+    marg AS (SELECT t, COUNT(*) AS c FROM kt GROUP BY t),
+    pairs AS (
+      SELECT x.t AS a, y.t AS b, COUNT(*) AS nb
+      FROM kt x JOIN kt y ON x.k = y.k AND x.t < y.t
+      GROUP BY 1, 2
+    )
+    SELECT a AS part_a, b AS part_b,
+           CAST(nb AS BIGINT) AS n_keys_both,
+           ROUND(nb / nk, 6) AS support,
+           ROUND((nb / nk) / ((ma.c / nk) * (mb.c / nk)), 6) AS lift
+    FROM pairs
+    JOIN marg ma ON ma.t = a
+    JOIN marg mb ON mb.t = b
+    CROSS JOIN n
+    ORDER BY n_keys_both DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def q_part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket over the FACT side: top-20 part pairs co-purchased in
+    the same order by count, with support and lift — windows.type_affinity
+    re-keyed to (orderkey, partkey), where the self-join stays co-keyed on
+    the order (one distinct-set shuffle) and the ~|parts| marginals
+    broadcast. The top-20 is a TakeOrdered over pair aggregates."""
+    li = read_table(spark, sf_dir, "lineitem")
+    aff = windows_ops.type_affinity(li, "l_orderkey", "l_partkey")
+    return (
+        aff.select(
+            F.col("type_a").alias("part_a"),
+            F.col("type_b").alias("part_b"),
+            "n_keys_both",
+            "support",
+            "lift",
+        )
+        .orderBy(F.desc("n_keys_both"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

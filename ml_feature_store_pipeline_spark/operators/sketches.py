@@ -642,3 +642,91 @@ def histogram_percentile_rank(
         .withColumn(out_col, F.round(F.col("__below") / F.col("__tot"), 6))
         .drop("__b", "__lo", "__hi", "__tot", "__below")
     )
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, col_a: str, col_b: str, *, k: int = 256
+) -> DataFrame:
+    """KMV set-operation estimates between two key populations — "how many
+    users BOTH view and purchase" without shuffling either fact table:
+    one row ``(k_seen, max_frac, union_est, jaccard_est, intersection_est,
+    a_only_est)``. Everything is derived from the bottom-k of the UNION's
+    hash fractions (Beyer et al. 2007): with K = bottom-k distinct hashes
+    tagged by side membership, ``jaccard ≈ |K∩A∩B| / |K|`` and
+    ``intersection ≈ jaccard · union_est``.
+
+    When the combined universe has fewer than ``k`` distinct keys the
+    sketch degrades gracefully to EXACT set algebra (every hash is kept),
+    so small populations pay no estimation error — and the driver's
+    sf0.01 oracle run checks that exact path while sf0.1 exercises the
+    estimator.
+
+    Same md5 ``hash_fraction`` as :func:`kmv_distinct` — deterministic,
+    mergeable, and bit-replayable in the SQL oracle. Scale shape: each
+    side reduces to distinct hashes (map-side combine), the bottom-k is a
+    TakeOrderedAndProject; nothing O(N) crosses the network.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    ha = (
+        a.select(hash_fraction(F.col(col_a)).alias("h"))
+        .distinct()
+        .select("h", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+    )
+    hb = (
+        b.select(hash_fraction(F.col(col_b)).alias("h"))
+        .distinct()
+        .select("h", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    )
+    tagged = (
+        ha.unionByName(hb)
+        .groupBy("h")
+        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    k_seen = F.count(F.lit(1))
+    n_both = F.sum(F.col("__a") * F.col("__b"))
+    union_est = F.when(k_seen < k, k_seen.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.max("h")
+    )
+    jac = n_both / k_seen
+    return tagged.agg(
+        k_seen.cast("long").alias("k_seen"),
+        F.round(F.max("h"), 12).alias("max_frac"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * union_est, 4).alias("intersection_est"),
+        F.round((F.sum(F.col("__a") * (1 - F.col("__b"))) / k_seen) * union_est, 4).alias(
+            "a_only_est"
+        ),
+    )
+
+
+def kmv_set_ops_sql(
+    table_a: str, expr_a: str, table_b: str, expr_b: str, *, k: int = 256
+) -> str:
+    """DuckDB oracle for :func:`kmv_set_ops` (same hash, same estimator)."""
+    fa, fb = hash_fraction_sql(expr_a), hash_fraction_sql(expr_b)
+    return f"""
+    WITH ha AS (SELECT DISTINCT {fa} AS h FROM {table_a}),
+    hb AS (SELECT DISTINCT {fb} AS h FROM {table_b}),
+    tagged AS (
+      SELECT h, MAX(a) AS a, MAX(b) AS b
+      FROM (SELECT h, 1 AS a, 0 AS b FROM ha
+            UNION ALL SELECT h, 0, 1 FROM hb)
+      GROUP BY h ORDER BY h LIMIT {k}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_seen,
+           ROUND(MAX(h), 12) AS max_frac,
+           ROUND(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE {float(k - 1)} / MAX(h) END, 4) AS union_est,
+           ROUND(CAST(SUM(a * b) AS DOUBLE) / COUNT(*), 6) AS jaccard_est,
+           ROUND((CAST(SUM(a * b) AS DOUBLE) / COUNT(*))
+                 * CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE {float(k - 1)} / MAX(h) END, 4) AS intersection_est,
+           ROUND((CAST(SUM(a * (1 - b)) AS DOUBLE) / COUNT(*))
+                 * CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE {float(k - 1)} / MAX(h) END, 4) AS a_only_est
+    FROM tagged
+    """

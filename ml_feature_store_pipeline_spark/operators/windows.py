@@ -845,3 +845,57 @@ def ohlc_bars(
         dsum(F.col(value_col)).alias("volume"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q: float,
+    *,
+    out_col: str = "weighted_quantile",
+) -> DataFrame:
+    """Exact per-group WEIGHTED quantile: the smallest value whose
+    cumulative weight reaches ``q`` of the group's total — the
+    lower-weighted-median family (price weighted by quantity, latency
+    weighted by traffic). Neither engine ships this as a builtin, so the
+    contract is pinned here: cumulative weights are decimal-summed
+    (order-insensitive → same-value ties can't flip the crossing row),
+    and the threshold comparison is ``cum ≥ q·total`` in doubles.
+
+    Output: one row per group, ``group_cols + [out_col, total_weight]``.
+    Rows with NULL value or NULL/non-positive weight are ignored.
+
+    Scale shape: ONE shuffle on the group key — the cumulative window and
+    the per-group total (window over the same partitioning) reuse it, and
+    the crossing-row pick is a filter + min aggregate on the same keys
+    again. No global sort; per-group sort only, which is the operator's
+    intrinsic cost.
+    """
+    from ..functions import dsum
+
+    clean = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.asc(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    dec = F.col(weight_col).cast("decimal(28,4)")
+    cum = F.sum(dec).over(wcum).cast("double")
+    tot = F.sum(dec).over(wall).cast("double")
+    crossed = clean.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        cum.alias("__cum"),
+        tot.alias("__tot"),
+    ).filter(F.col("__cum") >= F.lit(float(q)) * F.col("__tot"))
+    return crossed.groupBy(*group_cols).agg(
+        F.min("__v").alias(out_col),
+        F.min("__tot").alias("total_weight"),
+    )

@@ -372,3 +372,45 @@ def benford_profile(
         F.round(F.col("__freq") - F.col("__exp"), round_digits).alias("deviation"),
         F.round(chi2, round_digits).alias("chi2_contrib"),
     )
+
+
+def l_diversity_profile(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, *, l: int = 3
+) -> DataFrame:
+    """L-diversity audit — :func:`k_anonymity_profile`'s sharper sibling:
+    a quasi-identifier group can be large (k-anonymous) yet still leak if
+    every row in it shares ONE sensitive value (the homogeneity attack).
+    Each group must exhibit at least ``l`` DISTINCT sensitive values.
+
+    One row out: (l, n_rows, n_groups, n_groups_below, n_rows_below,
+    rows_below_frac, min_distinct_sensitive). NULL quasi values group
+    together; NULL sensitive values do not count toward a group's
+    diversity (an unknown value diversifies nothing).
+
+    Scale shape: distinct-per-group via two map-side-combinable
+    aggregates — (quasi, sensitive) count first, then the group rollup —
+    never a count_distinct shuffle of raw rows; the final profile reduces
+    the |groups| table. No row egress.
+    """
+    per_val = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    g = per_val.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("__n").alias("__rows"),
+        F.count(F.when(F.col("__s").isNotNull(), F.lit(1))).alias("__l"),
+    )
+    below = F.col("__l") < l
+    return g.agg(
+        F.lit(int(l)).cast("int").alias("l"),
+        F.sum("__rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(below.cast("long")).cast("long").alias("n_groups_below"),
+        F.sum(F.when(below, F.col("__rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_below"),
+        F.round(
+            F.sum(F.when(below, F.col("__rows")).otherwise(F.lit(0))) / F.sum("__rows"),
+            6,
+        ).alias("rows_below_frac"),
+        F.min("__l").cast("long").alias("min_distinct_sensitive"),
+    )

@@ -258,3 +258,20 @@ def test_benford_profile_hand_checked(spark):
     # chi2 contribution for digit 3: (0 - e*4)^2 / (e*4) = e*4
     e3 = BENFORD_EXPECTED[3]
     assert rows[3]["chi2_contrib"] == pytest.approx(e3 * 4, abs=1e-6)
+
+
+def test_l_diversity_profile_hand_checked(spark):
+    from ml_feature_store_pipeline_spark.quality import l_diversity_profile
+
+    rows = (
+        [("g1", "s1")] * 3 + [("g1", "s2")] * 2 + [("g1", "s3")]  # l=3, safe
+        + [("g2", "s1")] * 4                                      # l=1, below
+        + [("g3", "s1"), ("g3", None), ("g3", None)]              # NULLs don't diversify → l=1
+    )
+    df = spark.createDataFrame(rows, "qa string, s string")
+    out = l_diversity_profile(df, ["qa"], "s", l=3).collect()[0]
+    assert out["n_rows"] == 13 and out["n_groups"] == 3
+    assert out["n_groups_below"] == 2
+    assert out["n_rows_below"] == 7
+    assert out["rows_below_frac"] == round(7 / 13, 6)
+    assert out["min_distinct_sensitive"] == 1

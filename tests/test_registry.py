@@ -122,6 +122,10 @@ R8_WINDOW_QUEUE = [
     "user_event_entropy",
     "benford_orders_totalprice",
     "ohlc_user_value_daily",
+    "kmv_user_overlap_view_purchase",
+    "weighted_median_price_by_flag",
+    "l_diversity_events",
+    "part_copurchase_lift",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

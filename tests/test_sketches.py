@@ -280,3 +280,30 @@ def test_histogram_percentile_rank_constant_and_ungrouped(spark):
     seq = spark.createDataFrame([(i, float(i)) for i in range(64)], "id long, v double")
     out = {r["id"]: r["pct_rank"] for r in histogram_percentile_rank(seq, "v", n_buckets=64).collect()}
     assert out[0] == 0.0 and abs(out[63] - 63 / 64) < 1e-9
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    from ml_feature_store_pipeline_spark.operators.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")        # 1..10
+    b = spark.createDataFrame([(i,) for i in range(6, 16)], "id long")        # 6..15
+    r = kmv_set_ops(a, b, "id", "id", k=256).collect()[0]
+    # universe (15) < k → exact set algebra
+    assert r["k_seen"] == 15
+    assert r["union_est"] == 15.0
+    assert r["intersection_est"] == 5.0
+    assert r["a_only_est"] == 5.0
+    assert r["jaccard_est"] == round(5 / 15, 6)
+
+
+def test_kmv_set_ops_estimates_above_k(spark):
+    from ml_feature_store_pipeline_spark.operators.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], "id long")
+    r = kmv_set_ops(a, b, "id", "id", k=256).collect()[0]
+    assert r["k_seen"] == 256
+    # union 3000, intersection 1000: allow the ~1/sqrt(k) sketch error
+    assert abs(r["union_est"] - 3000) / 3000 < 0.25
+    assert abs(r["intersection_est"] - 1000) / 1000 < 0.35
+    assert 0.15 < r["jaccard_est"] < 0.55

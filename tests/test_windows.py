@@ -521,3 +521,20 @@ def test_ohlc_bars_open_close_tiebreak(spark):
     assert d1["volume"] == 80.0 and d1["n_events"] == 3
     d2 = out[ts("2024-01-02 00:00:00")]
     assert (d2["open"], d2["close"], d2["n_events"]) == (7.0, 7.0, 1)
+
+
+def test_weighted_quantile_median_hand_checked(spark):
+    rows = [
+        ("a", 1.0, 1.0),
+        ("a", 2.0, 1.0),
+        ("a", 3.0, 8.0),   # heavy weight pulls the median to 3
+        ("a", 4.0, 0.0),   # non-positive weight ignored
+        ("b", 5.0, 2.0),
+        ("b", 7.0, 2.0),   # cum at v=5 is exactly half the total → crossing
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {r["g"]: r for r in windows.weighted_quantile(df, ["g"], "v", "w", 0.5).collect()}
+    assert out["a"]["weighted_quantile"] == 3.0
+    assert out["a"]["total_weight"] == 10.0
+    # cum(5)=2 >= 0.5*4 → the lower value wins at an exact boundary
+    assert out["b"]["weighted_quantile"] == 5.0
