@@ -176,6 +176,12 @@ HEADLINE_R7 = [
     "l_diversity_events",
     # part co-purchase market basket (co-keyed self-join on the fact side)
     "part_copurchase_lift",
+    # Markov next-event matrix (one key shuffle, vocab^2 agg)
+    "event_transition_matrix",
+    # key-inequality scalars (count-of-counts fold)
+    "key_skew_gini_events",
+    # categorical-numeric dependence screen (one contingency agg)
+    "event_value_mutual_info",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -3898,3 +3898,108 @@ def q_part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_keys_both"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH p AS (
+      SELECT event_type AS from_token,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS to_token
+      FROM events
+    ),
+    c AS (
+      SELECT from_token, to_token, COUNT(*) AS n
+      FROM p WHERE to_token IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_token, to_token, CAST(n AS BIGINT) AS n,
+           ROUND(n / SUM(n) OVER (PARTITION BY from_token), 6) AS prob
+    FROM c
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event matrix over the event log ((ts,
+    event_id) order, transitions never cross users): one key shuffle for
+    the lead window, |vocab|² aggregate rows after."""
+    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    return windows_ops.transition_matrix(
+        events, "user_id", "ts", "event_type", tie_col="event_id"
+    )
+
+
+@register(
+    "key_skew_gini_events",
+    """
+    WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    runs AS (SELECT c, COUNT(*) AS m FROM counts GROUP BY c),
+    staged AS (
+      SELECT c, m,
+             COALESCE(SUM(m) OVER (ORDER BY c ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM runs
+    )
+    SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
+           CAST(SUM(c * m) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(c * (2*m*s + m*m + m)) - (SUM(m) + 1) * SUM(c*m) AS DOUBLE)
+                 / CAST(SUM(m) * SUM(c*m) AS DOUBLE), 6) AS gini,
+           ROUND(CASE WHEN SUM(m) > 1 THEN
+                   (CAST(SUM(c*c*m) AS DOUBLE) / CAST(SUM(c*m) * SUM(c*m) AS DOUBLE)
+                    - 1 / SUM(m)) / (1 - 1 / SUM(m))
+                 END, 6) AS hhi_norm,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows
+    FROM staged
+    """,
+)
+def q_key_skew_gini_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini + normalized-HHI inequality of the user_id shuffle key —
+    key_skew_profile's scalar companion, folded over runs of equal counts
+    so the global window never exceeds |distinct count values| rows."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.key_gini_skew(events, ["user_id"])
+
+
+@register(
+    "event_value_mutual_info",
+    """
+    WITH cells AS (
+      SELECT event_type AS x,
+             CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 50.0), 0), 9) AS INT) AS y,
+             COUNT(*) AS c
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND value >= 0.0 AND value <= 500.0
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c,
+             SUM(c) OVER () AS n,
+             SUM(c) OVER (PARTITION BY x) AS cx,
+             SUM(c) OVER (PARTITION BY y) AS cy
+      FROM cells
+    ),
+    agg AS (
+      SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+             CAST(SUM(CAST((c/n) * LN((c/n) / ((cx/n) * (cy/n))) AS DECIMAL(28,9))) AS DOUBLE) + 0.0 AS mi_,
+             -(CAST(SUM(CAST((c/n) * LN(cx/n) AS DECIMAL(28,9))) AS DOUBLE)) + 0.0 AS hx,
+             -(CAST(SUM(CAST((c/n) * LN(cy/n) AS DECIMAL(28,9))) AS DOUBLE)) + 0.0 AS hy
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+           ROUND(mi_, 6) AS mi,
+           ROUND(CASE WHEN LEAST(hx, hy) > 0 THEN mi_ / LEAST(hx, hy) END, 6) AS nmi
+    FROM agg
+    """,
+)
+def q_event_value_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and the 10-binned value
+    column ([0, 500) fixed-width bins — deterministic edges): the
+    model-free dependence screen, one |cats|×bins contingency aggregate."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.mutual_information(
+        events, "event_type", "value", lo=0.0, hi=500.0, bins=10
+    )

@@ -243,3 +243,124 @@ def categorical_entropy(
             round_digits,
         ).alias("norm_entropy"),
     )
+
+
+def key_gini_skew(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Single-row inequality summary of a prospective shuffle key: the
+    GINI coefficient of the per-key row counts (0 = perfectly even, → 1 =
+    one key owns everything) and the normalized Herfindahl index — the
+    scalar companions to :func:`key_skew_profile`'s top-N listing, and
+    the number a capacity planner thresholds on before picking a
+    partitioning.
+
+    Gini via the sorted-rank identity
+    ``G = (2·Σᵢ i·cᵢ − (n+1)·Σ cᵢ) / (n·Σ cᵢ)`` (counts ascending,
+    i = 1..n), folded over RUNS of equal counts: a count value ``c`` with
+    multiplicity ``m`` whose run starts after ``S`` smaller keys
+    contributes ``Σ i·c = c·(m·S + m(m+1)/2)`` — exact integers all the
+    way, one double division at the end. HHI_norm =
+    (Σ(cᵢ/N)² − 1/n) / (1 − 1/n), NULL for a single key.
+
+    Scale shape: one map-side-combined count per key, then a second
+    count-of-counts aggregate — the global cumulative window runs over
+    |distinct count VALUES| (heavily concentrated in practice; worst case
+    |keys| when every key has a unique count), never over keys or rows.
+    """
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    runs = counts.groupBy("__c").agg(F.count(F.lit(1)).alias("__m"))
+    w = Window.orderBy(F.asc("__c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # rank·count and count² overflow int64 past ~1e9 keys × 1e9 rows/key;
+    # decimal(38,0) keeps the integer identity exact (DuckDB's HUGEINT
+    # promotion gives the oracle the same headroom for free)
+    dec = lambda c: c.cast("decimal(38,0)")
+    staged = runs.select(
+        "__c",
+        "__m",
+        F.coalesce(F.sum("__m").over(w), F.lit(0)).alias("__s"),
+    )
+    c, m, s = dec(F.col("__c")), dec(F.col("__m")), dec(F.col("__s"))
+    n = F.sum(dec(F.col("__m")))
+    tot = F.sum(c * m)
+    # 2·Σ i·cᵢ over the run, kept integral: c·(2mS + m² + m)
+    weighted2 = F.sum(c * (2 * m * s + m * m + m))
+    hh = F.sum(c * c * m)
+    gini = (weighted2 - (n + 1) * tot).cast("double") / (n * tot).cast(
+        "double"
+    )
+    hhi = hh.cast("double") / (tot * tot).cast("double")
+    n_keys = F.sum("__m")
+    hhi_norm = F.when(n_keys > 1, (hhi - 1 / n_keys) / (1 - 1 / n_keys))
+    return staged.agg(
+        n_keys.cast("long").alias("n_keys"),
+        F.sum(F.col("__c") * F.col("__m")).cast("long").alias("n_rows"),
+        F.round(gini, 6).alias("gini"),
+        F.round(hhi_norm, 6).alias("hhi_norm"),
+        F.max("__c").cast("long").alias("max_key_rows"),
+    )
+
+
+def mutual_information(
+    a: DataFrame,
+    cat_col: str,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) between a categorical column and a BINNED
+    numeric column — the model-free dependence screen ("does event type
+    carry any signal about value?") that feature selection runs before
+    training anything. One row: (n, n_cells, mi, nmi) with
+    ``nmi = mi / min(H(cat), H(bin))`` ∈ [0, 1] (NULL when either
+    marginal entropy is 0).
+
+    Terms ``p_xy·ln(p_xy/(p_x·p_y))`` are decimal(28,9)-summed (the
+    engine-stable recipe from :func:`categorical_entropy`); marginals
+    come from window sums over the |cells| contingency table. Rows with
+    NULL category or NULL/out-of-range value are excluded.
+
+    Scale shape: ONE map-side-combined count to ≤ |cats|·bins cells;
+    everything after runs on that dimension-sized table. No row egress.
+    """
+    v = F.col(value_col)
+    cells = (
+        a.filter(F.col(cat_col).isNotNull() & v.isNotNull() & (v >= lo) & (v <= hi))
+        .select(F.col(cat_col).alias("__x"), bin_index(v, lo, hi, bins).alias("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = Window.partitionBy()
+    wx = Window.partitionBy("__x")
+    wy = Window.partitionBy("__y")
+    with_m = cells.select(
+        "__c",
+        F.sum("__c").over(tot).alias("__n"),
+        F.sum("__c").over(wx).alias("__cx"),
+        F.sum("__c").over(wy).alias("__cy"),
+    )
+    pxy = F.col("__c") / F.col("__n")
+    px = F.col("__cx") / F.col("__n")
+    py = F.col("__cy") / F.col("__n")
+    mi_term = (pxy * F.log(pxy / (px * py))).cast("decimal(28,9)")
+    hx_term = (pxy * F.log(px)).cast("decimal(28,9)")
+    hy_term = (pxy * F.log(py)).cast("decimal(28,9)")
+    agg = with_m.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (F.sum(mi_term).cast("double") + F.lit(0.0)).alias("__mi"),
+        (-F.sum(hx_term).cast("double") + F.lit(0.0)).alias("__hx"),
+        (-F.sum(hy_term).cast("double") + F.lit(0.0)).alias("__hy"),
+    )
+    hmin = F.least(F.col("__hx"), F.col("__hy"))
+    return agg.select(
+        "n",
+        "n_cells",
+        F.round(F.col("__mi"), round_digits).alias("mi"),
+        F.round(F.when(hmin > 0, F.col("__mi") / hmin), round_digits).alias("nmi"),
+    )

@@ -899,3 +899,45 @@ def weighted_quantile(
         F.min("__v").alias(out_col),
         F.min("__tot").alias("total_weight"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    token_col: str,
+    *,
+    tie_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix of a per-key event stream:
+    for every observed (from, to) consecutive pair, the count and the
+    row-conditional probability P(to | from) — the sequence-model summary
+    behind next-action prediction and anomaly scoring ("this user's path
+    had probability 1e-9").
+
+    Transitions never cross keys. Ordering is ``(ts, tie_col)`` — pass a
+    unique tie column for a total order. Output: (from_token, to_token,
+    n, prob), where prob sums to 1 per from_token by construction
+    (exact integer ratio, rounded).
+
+    Scale shape: one key shuffle for the lead window, then a map-side-
+    combined count to |vocab|² rows; the per-from totals are a window
+    over that dimension-sized aggregate, not over events.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = df.select(
+        F.col(token_col).alias("from_token"),
+        F.lead(token_col).over(w).alias("to_token"),
+    ).filter(F.col("to_token").isNotNull())
+    counts = pairs.groupBy("from_token", "to_token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wfrom = Window.partitionBy("from_token")
+    return counts.select(
+        "from_token",
+        "to_token",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wfrom), round_digits).alias("prob"),
+    )

@@ -275,3 +275,52 @@ def test_l_diversity_profile_hand_checked(spark):
     assert out["n_rows_below"] == 7
     assert out["rows_below_frac"] == round(7 / 13, 6)
     assert out["min_distinct_sensitive"] == 1
+
+
+def test_key_gini_skew_extremes(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import key_gini_skew
+
+    # perfectly even: 4 keys x 3 rows -> gini 0, hhi_norm 0
+    even = spark.createDataFrame([(k,) for k in range(4) for _ in range(3)], "k long")
+    r = key_gini_skew(even, ["k"]).collect()[0]
+    assert r["n_keys"] == 4 and r["n_rows"] == 12
+    assert r["gini"] == 0.0 and r["hhi_norm"] == 0.0
+    assert r["max_key_rows"] == 3
+
+    # one dominant key: 1 key with 97 rows + 3 keys with 1 -> high gini
+    skewed = spark.createDataFrame(
+        [(0,)] * 97 + [(1,), (2,), (3,)], "k long"
+    )
+    s = key_gini_skew(skewed, ["k"]).collect()[0]
+    # exact: counts [1,1,1,97]; G = (2*(1+2+3+4*97) - 5*100)/(4*100)
+    assert s["gini"] == round((2 * (1 + 2 + 3 + 4 * 97) - 5 * 100) / 400, 6)
+    assert s["max_key_rows"] == 97
+    assert s["hhi_norm"] == round(((3 + 97 * 97) / 10000 - 0.25) / 0.75, 6)
+
+    # single key: hhi_norm undefined
+    one = key_gini_skew(spark.createDataFrame([(1,), (1,)], "k long"), ["k"]).collect()[0]
+    assert one["gini"] == 0.0 and one["hhi_norm"] is None
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.drift import mutual_information
+
+    # perfect dependence: cat determines the bin exactly
+    dep = spark.createDataFrame(
+        [("a", 5.0)] * 10 + [("b", 95.0)] * 10, "c string, v double"
+    )
+    r = mutual_information(dep, "c", "v", lo=0.0, hi=100.0, bins=10).collect()[0]
+    assert r["n"] == 20 and r["n_cells"] == 2
+    assert r["mi"] == pytest.approx(math.log(2), abs=1e-6)
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+    # independence: every (cat, bin) cell equally likely -> mi 0
+    ind = spark.createDataFrame(
+        [(c, v) for c in ("a", "b") for v in (5.0, 95.0) for _ in range(5)],
+        "c string, v double",
+    )
+    r0 = mutual_information(ind, "c", "v", lo=0.0, hi=100.0, bins=10).collect()[0]
+    assert r0["mi"] == 0.0
+    assert r0["nmi"] == 0.0

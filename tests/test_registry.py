@@ -126,6 +126,9 @@ R8_WINDOW_QUEUE = [
     "weighted_median_price_by_flag",
     "l_diversity_events",
     "part_copurchase_lift",
+    "event_transition_matrix",
+    "key_skew_gini_events",
+    "event_value_mutual_info",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -538,3 +538,26 @@ def test_weighted_quantile_median_hand_checked(spark):
     assert out["a"]["total_weight"] == 10.0
     # cum(5)=2 >= 0.5*4 → the lower value wins at an exact boundary
     assert out["b"]["weighted_quantile"] == 5.0
+
+
+def test_transition_matrix_hand_checked(spark):
+    b = ts("2024-01-01 10:00:00")
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: a -> b -> a
+        (1, b + 0 * m, 1, "a"),
+        (1, b + 1 * m, 2, "b"),
+        (1, b + 2 * m, 3, "a"),
+        # user 2: a -> a (no cross-user transition from user 1's last "a")
+        (2, b + 0 * m, 4, "a"),
+        (2, b + 1 * m, 5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {(r["from_token"], r["to_token"]): r for r in windows.transition_matrix(
+        df, "user_id", "ts", "event_type", tie_col="event_id"
+    ).collect()}
+    assert set(out) == {("a", "b"), ("b", "a"), ("a", "a")}
+    assert out[("a", "b")]["n"] == 1 and out[("a", "a")]["n"] == 1
+    # P(to | from='a'): two outgoing transitions from 'a'
+    assert out[("a", "b")]["prob"] == 0.5 and out[("a", "a")]["prob"] == 0.5
+    assert out[("b", "a")]["prob"] == 1.0

@@ -139,7 +139,9 @@ EVENT_OPS = (
     "fe_target_encode fe_hashed_cross negative_sample table_profile "
     "quality_profile fe_ewma fe_index_encode funnel trend_slope "
     "cohort_retention type_affinity rfm attribution interarrival "
-    "k_anonymity resample_ffill"
+    "k_anonymity resample_ffill session_stats session_window trigram_paths "
+    "user_entropy benford ohlc weighted_quantile kmv_overlap l_diversity "
+    "copurchase transition_matrix gini_skew mutual_info"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -954,6 +956,135 @@ def main() -> None:
                 _win.resample_daily_ffill(
                     _tied(events), "user_id", "timestamp", "amount", tie_col="event_id"
                 ),
+                args.events,
+            )
+        if events is not None and want("session_stats"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # (key, session) rollup reuses the sessionize partitioning; the
+            # exact-median cost is |sessions| longs on one aggregator
+            timed(
+                "session_stats",
+                _win.session_stats(events, "user_id", "timestamp", 1800),
+                args.events,
+            )
+        if events is not None and want("session_window"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # native engine merge loop vs sessionize's two window passes —
+            # the comparison this row exists for
+            timed(
+                "session_window_native",
+                _win.session_window_agg(events, "user_id", "timestamp", "30 minutes", "amount"),
+                args.events,
+            )
+        if events is not None and want("trigram_paths"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # lead chain rides the sessionize sort; agg output ≤ |vocab|^3
+            timed(
+                "trigram_paths_top10",
+                _win.session_ngram_topk(
+                    _tied(events), "user_id", "timestamp", "event_type", 1800,
+                    n=3, top_k=10, tie_col="event_id",
+                ),
+                args.events,
+            )
+        if events is not None and want("user_entropy"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # two map-side-combinable aggs; shuffles carry (key, type) rows
+            timed(
+                "user_entropy",
+                _drift.categorical_entropy(events, "user_id", "event_type"),
+                args.events,
+            )
+        if events is not None and want("benford"):
+            from ml_feature_store_pipeline_spark import quality as _q
+
+            # 9-group count; spine + total broadcast — zero row egress
+            timed("benford_profile", _q.benford_profile(events, "amount"), args.events)
+        if events is not None and want("ohlc"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # one (key, day) shuffle shared by the first/last window + agg
+            timed(
+                "ohlc_daily",
+                _win.ohlc_bars(
+                    _tied(events), "user_id", "timestamp", "amount",
+                    tie_col="event_id", freq="day",
+                ),
+                args.events,
+            )
+        if events is not None and want("weighted_quantile"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # per-group sort is the intrinsic cost; cum window + total +
+            # crossing pick share ONE group shuffle
+            timed(
+                "weighted_quantile_median",
+                _win.weighted_quantile(
+                    events.withColumn("w", (F.col("amount") % 7 + 1).cast("double")),
+                    ["event_type"], "amount", "w", 0.5,
+                ),
+                args.events,
+            )
+        if events is not None and want("kmv_overlap"):
+            from ml_feature_store_pipeline_spark.operators import sketches as _sk
+
+            a = events.filter(F.col("event_type") == "view")
+            b = events.filter(F.col("event_type") == "purchase")
+            # each side reduces to distinct hash fractions map-side; the
+            # bottom-k merge is a TakeOrdered — nothing O(N) shuffles
+            timed("kmv_overlap_set_ops", _sk.kmv_set_ops(a, b, "user_id", "user_id", k=256), args.events)
+        if events is not None and want("transition_matrix"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # one key shuffle (lead window); |vocab|^2 aggregate after
+            timed(
+                "transition_matrix",
+                _win.transition_matrix(_tied(events), "user_id", "timestamp", "event_type", tie_col="event_id"),
+                args.events,
+            )
+        if events is not None and want("gini_skew"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # count-of-counts fold: global window over distinct count VALUES
+            timed("gini_skew", _drift.key_gini_skew(events, ["user_id"]), args.events)
+        if events is not None and want("mutual_info"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # one contingency aggregate to |cats| x bins cells
+            timed(
+                "mutual_info",
+                _drift.mutual_information(events, "event_type", "amount", lo=0.0, hi=500.0, bins=10),
+                args.events,
+            )
+        if events is not None and want("l_diversity"):
+            from ml_feature_store_pipeline_spark import quality as _q
+
+            ldf = events.select(
+                "event_type",
+                F.date_trunc("day", F.col("timestamp")).cast("date").alias("d"),
+                "user_id",
+            )
+            # same shuffle discipline as k_anonymity: (group, count) rows only
+            timed("l_diversity_profile", _q.l_diversity_profile(ldf, ["event_type", "d"], "user_id"), args.events)
+        if events is not None and want("copurchase"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # market basket at HIGH category cardinality (5k items, baskets
+            # of ~5): the distinct (basket, item) set is what self-joins —
+            # pair count ≈ baskets × C(basket_size, 2), not events²
+            baskets = _tied(events).select(
+                (F.col("event_id") % (args.events // 5 + 1)).alias("basket"),
+                (F.xxhash64("event_id") % 5000).alias("item"),
+            )
+            timed(
+                "copurchase_lift_5k_items",
+                _win.type_affinity(baskets, "basket", "item")
+                .orderBy(F.desc("n_keys_both"), F.asc("type_a"), F.asc("type_b"))
+                .limit(20),
                 args.events,
             )
         if docs is not None and want("bpe_stats"):
