@@ -182,6 +182,8 @@ HEADLINE_R7 = [
     "key_skew_gini_events",
     # categorical-numeric dependence screen (one contingency agg)
     "event_value_mutual_info",
+    # sort-free exact weighted median (3 scans, |groups|-row pins)
+    "weighted_median_price_hist",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

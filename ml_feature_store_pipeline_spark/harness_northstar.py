@@ -4003,3 +4003,36 @@ def q_event_value_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_ops.mutual_information(
         events, "event_type", "value", lo=0.0, hi=500.0, bins=10
     )
+
+
+@register(
+    "weighted_median_price_hist",
+    """
+    WITH clean AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity > 0
+    ),
+    c AS (
+      SELECT l_returnflag, v,
+             CAST(SUM(CAST(w AS DECIMAL(28,4))) OVER (
+                    PARTITION BY l_returnflag ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum,
+             CAST(SUM(CAST(w AS DECIMAL(28,4))) OVER (
+                    PARTITION BY l_returnflag) AS DOUBLE) AS tot
+      FROM clean
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median, MIN(tot) AS total_weight
+    FROM c WHERE cum >= 0.5 * tot
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median_price_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME weighted median through the sort-free histogram-crossing
+    plan (weighted_quantile_hist): the oracle is the window recompute —
+    value-identity of the two plans is the claim this row verifies."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return windows_ops.weighted_quantile_hist(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", 0.5,
+        out_col="weighted_median",
+    )

@@ -941,3 +941,116 @@ def transition_matrix(
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(wfrom), round_digits).alias("prob"),
     )
+
+
+def weighted_quantile_hist(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q: float,
+    *,
+    bins: int = 1024,
+    out_col: str = "weighted_quantile",
+) -> DataFrame:
+    """EXACT weighted quantile without the per-group sort — the 100 TB
+    form of :func:`weighted_quantile` for FEW-group corpora, where the
+    window form's per-group sort serializes onto |groups| tasks (measured
+    28.5 s vs the histogram path at 20 M rows × 5 groups; SCALE.md).
+
+    Same answer, different plan: (1) per-group min/max/total aggregate,
+    (2) fixed-``bins`` weighted histogram over the group's own [min, max]
+    span, (3) the CROSSING bin — the smallest whose cumulative weight
+    reaches ``q·total`` — found on the |groups|×bins table, and (4) only
+    rows landing in that bin are re-scanned; their reduction adds the
+    bin-prefix weight back. The crossing VALUE provably lies in the
+    crossing bin (bin index is monotone in value and equal values share a
+    bin), so step 4's candidate set is ~1/bins of each group.
+
+    Cumulative weights stay DECIMAL end to end — bin prefix + within-bin
+    cumsum is then bit-identical to the window form's single decimal
+    cumsum, and the double-cast threshold comparison matches it exactly
+    (equivalence-tested). Three scans instead of one sort: the right
+    trade whenever |groups| ≪ cores.
+    """
+    from ..functions import dsum
+
+    wdec = F.col("__w").cast("decimal(28,4)")
+    clean = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(*group_cols, F.col(value_col).alias("__v"), F.col(weight_col).alias("__w"))
+
+    spans = clean.groupBy(*group_cols).agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        dsum(F.col("__w")).alias("__tot"),
+    )
+    # pin the |groups|-row aggregate through the driver: it feeds THREE
+    # downstream subplans, and a lazy plan would re-scan the fact table
+    # for each (measured 6 scans → 3). Bounded by |groups| — the
+    # few-group regime is exactly what this operator exists for.
+    spark = df.sparkSession
+    spans = spark.createDataFrame(spans.collect(), spans.schema)
+    # bin the value against ITS group's span (degenerate span → bin 0)
+    with_span = clean.join(F.broadcast(spans), group_cols)
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    raw = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.floor((F.col("__v") - F.col("__lo")) / width),
+    ).otherwise(F.lit(0))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    hist = with_span.groupBy(*group_cols, bin_.alias("__b")).agg(
+        F.sum(wdec).alias("__bw")  # decimal — NOT dsum's double cast
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.asc("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("__bw").over(wcum)  # decimal cumulative over ≤ bins rows
+    staged = (
+        hist.join(F.broadcast(spans.select(*group_cols, "__tot")), group_cols)
+        .select(
+            *group_cols,
+            "__b",
+            (cum - F.col("__bw")).alias("__below"),  # decimal bin prefix
+            cum.cast("double").alias("__cumd"),
+            "__tot",
+        )
+        .filter(F.col("__cumd") >= F.lit(float(q)) * F.col("__tot"))
+    )
+    crossing = staged.groupBy(*group_cols).agg(
+        F.min_by(F.struct("__b", "__below"), "__b").alias("__cross"),
+        F.min("__tot").alias("__tot"),
+    ).select(
+        *group_cols,
+        F.col("__cross.__b").alias("__cb"),
+        F.col("__cross.__below").alias("__below"),
+        "__tot",
+    )
+    # same pinning: crossing is |groups| rows and gates the pass-3 scan —
+    # leaving it lazy would re-run the histogram pass inside that plan
+    crossing = spark.createDataFrame(crossing.collect(), crossing.schema)
+    # pass 3: only the crossing bin's rows; the within-bin decimal cumsum
+    # plus the decimal bin prefix equals the window form's global cumsum
+    cand = (
+        with_span.drop("__tot")
+        .withColumn("__b", bin_)
+        .join(F.broadcast(crossing), group_cols)
+        .filter(F.col("__b") == F.col("__cb"))
+    )
+    wrow = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rcum = (F.col("__below") + F.sum(wdec).over(wrow)).cast("double")
+    hit = cand.select(
+        *group_cols, "__v", "__tot", rcum.alias("__rcum")
+    ).filter(F.col("__rcum") >= F.lit(float(q)) * F.col("__tot"))
+    return hit.groupBy(*group_cols).agg(
+        F.min("__v").alias(out_col),
+        F.min("__tot").alias("total_weight"),
+    )

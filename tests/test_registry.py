@@ -129,6 +129,7 @@ R8_WINDOW_QUEUE = [
     "event_transition_matrix",
     "key_skew_gini_events",
     "event_value_mutual_info",
+    "weighted_median_price_hist",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

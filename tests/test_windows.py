@@ -561,3 +561,30 @@ def test_transition_matrix_hand_checked(spark):
     # P(to | from='a'): two outgoing transitions from 'a'
     assert out[("a", "b")]["prob"] == 0.5 and out[("a", "a")]["prob"] == 0.5
     assert out[("b", "a")]["prob"] == 1.0
+
+
+def test_weighted_quantile_hist_matches_window_form(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(200):
+            # coarse grid forces heavy value ties; weights include repeats
+            rows.append((g, round(rnd.uniform(0, 10), 1), float(rnd.randint(1, 5))))
+    # degenerate group: single distinct value
+    rows += [("d", 4.2, 2.0)] * 7
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    for q in (0.1, 0.5, 0.9):
+        want = {
+            r["g"]: (r["weighted_quantile"], r["total_weight"])
+            for r in windows.weighted_quantile(df, ["g"], "v", "w", q).collect()
+        }
+        for bins in (4, 1024):
+            got = {
+                r["g"]: (r["weighted_quantile"], r["total_weight"])
+                for r in windows.weighted_quantile_hist(
+                    df, ["g"], "v", "w", q, bins=bins
+                ).collect()
+            }
+            assert got == want, (q, bins)

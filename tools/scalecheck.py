@@ -1029,6 +1029,18 @@ def main() -> None:
                 ),
                 args.events,
             )
+            # the sort-free exact twin: 3 scans instead of |groups|
+            # single-task sorts — the few-group 100 TB path. Its two
+            # |groups|-row pins collect at PLAN-BUILD time, so time the
+            # construction too (the rfm rule: publish all 3 passes)
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _win.weighted_quantile_hist(
+                events.withColumn("w", (F.col("amount") % 7 + 1).cast("double")),
+                ["event_type"], "amount", "w", 0.5,
+            ).write.format("noop").mode("overwrite").save()
+            log("weighted_quantile_hist1024", time.time() - t0, args.events)
         if events is not None and want("kmv_overlap"):
             from ml_feature_store_pipeline_spark.operators import sketches as _sk
 
