@@ -7,6 +7,7 @@ from .ingest import (
     incremental_near_dup_sink,
     incremental_state_sink,
     streaming_feature_aggregation,
+    streaming_session_aggregation,
     upsert_sink,
 )
 from .stateful import dedup_stream, join_streams, sessionize_stream
@@ -23,5 +24,6 @@ __all__ = [
     "join_streams",
     "sessionize_stream",
     "streaming_feature_aggregation",
+    "streaming_session_aggregation",
     "upsert_sink",
 ]

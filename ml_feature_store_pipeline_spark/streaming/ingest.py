@@ -541,3 +541,41 @@ def distinct_counter_sink(
         )
 
     return write
+
+
+def streaming_session_aggregation(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """NATIVE session-window aggregation over a stream — the streaming
+    twin of :func:`~..operators.windows.session_window_agg` (same
+    ``F.session_window`` expression, same output columns), so the batch
+    form IS this stream's backfill: a session emitted here (append mode,
+    after the watermark passes its close) equals the row the batch
+    operator computes over the same events — equivalence-tested in
+    ``test_stateful_streaming.py``.
+
+    State: Spark merges overlapping per-event windows in the session
+    aggregation and evicts a session once the watermark passes
+    ``last event + gap``; state is bounded by open sessions per key.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col)).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -314,3 +314,60 @@ def test_bloom_dedup_sink_bounded_cross_epoch(spark, tmp_path):
     assert sorted(r["k"] for r in rows) == [1, 2, 3]
     # bounded state: the bitmap can never exceed n_bits/32 words
     assert spark.read.parquet(bloom).count() <= (1 << 12) // 32
+
+
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """The streaming session aggregation's CLOSED sessions must equal the
+    batch session_window_agg rows over the same events — the backfill
+    contract the operator docstrings claim."""
+    from ml_feature_store_pipeline_spark.streaming import (
+        streaming_session_aggregation,
+    )
+
+    src, ckpt, out = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "o")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        q = (
+            streaming_session_aggregation(
+                stream, key_col="user_id", value_col="value",
+                ts_col="ts", gap="10 minutes", watermark="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        (1, _m(0), 1, "click", 1.0),
+        (2, _m(2), 1, "purchase", 2.0),   # merges with the first (gap 2m)
+        (3, _m(30), 2, "view", 5.0),      # separate user
+    ]
+    spark.createDataFrame(b1, EVENTS_DDL).write.mode("append").parquet(src)
+    run_once()
+    # advance the watermark far past both sessions' closes
+    b2 = [(4, _m(600), 99, "view", 0.0)]
+    spark.createDataFrame(b2, EVENTS_DDL).write.mode("append").parquet(src)
+    run_once()
+    run_once()  # extra tick so the final watermark commit emits stragglers
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = windows.session_window_agg(
+        spark.createDataFrame(b1 + b2, EVENTS_DDL), "user_id", "ts",
+        "10 minutes", "value",
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["total_value"])
+        for r in batch.collect()
+        if r["user_id"] != 99  # user 99's session is still open in the stream
+    }
+    assert want  # sanity: the batch side produced the closed sessions
+    for k, v in want.items():
+        assert got[k] == v, k
