@@ -494,3 +494,73 @@ def test_touch_attribution_single_key_shuffle(spark, registry):
     # shuffle only on the window key
     assert plan.count("hashpartitioning(user_id") <= 2
     assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-7 session/quality-wave plan claims
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_window_and_agg_share_one_key_exchange(spark, registry):
+    """The first/last window and the extremes/volume groupBy both key on
+    (user, bucket) — a second fact-sized exchange would mean the agg
+    repartitioned instead of reusing the window's shuffle."""
+    df = registry["ohlc_user_value_daily"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_benford_is_exchange_light_and_broadcasts(spark, registry):
+    """A 9-group count: the only exchanges may carry digit partials (and
+    the single-row total); the spine/total attachment must broadcast."""
+    df = registry["benford_orders_totalprice"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_mutual_information_single_contingency_exchange(spark, registry):
+    """Everything after the |cats|×bins contingency aggregate runs on that
+    dimension-sized table — exactly one exchange may touch fact rows."""
+    df = registry["event_value_mutual_info"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the contingency groupBy partials are the only fact-sized shuffle;
+    # the marginal windows re-exchange only (x, y, c) cells
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "rangepartitioning" not in plan or plan.count("rangepartitioning") <= 2
+
+
+def test_session_trigrams_topk_is_take_ordered(spark, registry):
+    """The top-10 over ≤|vocab|³ n-gram counts must be TakeOrdered, never
+    a global data sort."""
+    df = registry["session_trigrams_events"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_part_copurchase_distincts_before_self_join(spark, registry):
+    """The self-join must consume the DISTINCT (order, part) set — a
+    SortMergeJoin on the raw lineitem would square the fact table."""
+    df = registry["part_copurchase_lift"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # marginals attach via broadcast (AQE may pick BHJ for the co-keyed
+    # self-join too; what must NOT appear is a cartesian product)
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_skew_window_runs_on_count_of_counts(spark, registry):
+    """The global cumulative window must consume the (count, multiplicity)
+    table: a window keyed on the raw per-key counts (or worse, rows)
+    would be the |keys| single-task rank the operator exists to avoid."""
+    from ml_feature_store_pipeline_spark.operators import drift as drift_ops
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    events = read_table(spark, SF, "events")
+    out = drift_ops.key_gini_skew(events, ["user_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two hash aggregates (per-key count, count-of-counts) before the
+    # single-partition window over distinct count values
+    assert plan.count("Exchange hashpartitioning") >= 2
+    assert "Exchange SinglePartition" in plan  # the tiny runs-table window
