@@ -184,6 +184,8 @@ HEADLINE_R7 = [
     "event_value_mutual_info",
     # sort-free exact weighted median (3 scans, |groups|-row pins)
     "weighted_median_price_hist",
+    # PQ ANN + exact re-rank (code-index scan, candidate-only rerank)
+    "pq_ann_topk",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -130,6 +130,7 @@ R8_WINDOW_QUEUE = [
     "key_skew_gini_events",
     "event_value_mutual_info",
     "weighted_median_price_hist",
+    "pq_ann_topk",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -672,3 +672,33 @@ def test_knn_label_audit_symmetrizes_ordered_candidates(spark, labeled_corpus):
         )
     )
     assert via_both == exact
+
+
+def test_pq_full_shortlist_equals_exact(spark, corpus):
+    """shortlist ≥ |corpus| makes the re-rank stage score EVERY corpus
+    vector exactly — PQ degrades to brute force (id sets must match)."""
+    q = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.cosine_topk(q, corpus, k=3).collect()
+    }
+    pq = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.pq_topk_rerank(
+            q, corpus, k=3, m=8, k_codes=4, shortlist=N
+        ).collect()
+    }
+    assert pq == exact
+
+
+def test_pq_codes_shape_and_determinism(spark, corpus):
+    cb1, codes1 = similarity.pq_build(corpus, m=8, k_codes=4)
+    cb2, codes2 = similarity.pq_build(corpus, m=8, k_codes=4)
+    assert cb1 == cb2  # md5-deterministic codebook
+    assert len(cb1) == 8 and len(cb1[0]) == 4 and len(cb1[0][0]) == 2
+    rows1 = {r["vec_id"]: r["codes"] for r in codes1.collect()}
+    rows2 = {r["vec_id"]: r["codes"] for r in codes2.collect()}
+    assert rows1 == rows2
+    assert all(len(c) == 8 and all(0 <= x < 4 for x in c) for c in rows1.values())

@@ -157,7 +157,7 @@ VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
     "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
     "semantic_decontaminate knn_label_audit hard_negatives prototypicality "
-    "random_projection mmr_rerank"
+    "random_projection mmr_rerank pq_rerank"
 ).split()
 
 
@@ -1130,6 +1130,22 @@ def main() -> None:
                 _text.quality_calibrate(qs, "doc_id", "quality_score", "source", strategy="sketch"),
                 args.docs,
             )
+        if vecs is not None and want("pq_rerank"):
+            from ml_feature_store_pipeline_spark.operators import similarity as _sim
+
+            pq_queries = vecs.filter(F.col("vec_id") < 100).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            # stage 1 scores the CODE index (m ints/vector), stage 2
+            # re-ranks only |queries|x shortlist real vectors. The build's
+            # seed collect happens at plan-build — time it all (rfm rule)
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _sim.pq_topk_rerank(
+                pq_queries, vecs, k=10, m=16, k_codes=16, shortlist=100
+            ).write.format("noop").mode("overwrite").save()
+            log("pq_rerank_topk", time.time() - t0, args.vecs * 100)
         if vecs is not None and want("random_projection"):
             # pure codegen scan: out_dim x in_dim fused multiply-adds per row
             timed(
