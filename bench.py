@@ -186,6 +186,12 @@ HEADLINE_R7 = [
     "weighted_median_price_hist",
     # PQ ANN + exact re-rank (code-index scan, candidate-only rerank)
     "pq_ann_topk",
+    # mergeable HLL MAU rollup vs exact (|days|x28 sketch rows shuffle)
+    "active_users_hll_daily",
+    # per-day exact percentile bands (one day shuffle)
+    "daily_value_percentiles",
+    # hour-of-day chi-square profile (24-group count)
+    "hourly_seasonality_events",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -4074,3 +4074,82 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(5).cast("int").alias("k"),
         (F.col("n_hit") / F.col("n_exact") >= 0.7).alias("recall_ok"),
     )
+
+
+@register(
+    "active_users_hll_daily",
+    """
+    WITH act AS (SELECT DISTINCT user_id, DATE_TRUNC('day', ts)::DATE AS d FROM events),
+    span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM act),
+    spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM span),
+    ex AS (
+      SELECT s.day, COUNT(DISTINCT a.user_id) AS exact_28d
+      FROM spine s LEFT JOIN act a
+        ON a.d <= s.day AND a.d > s.day - INTERVAL 28 DAY
+      GROUP BY s.day
+    )
+    SELECT day, CAST(exact_28d AS BIGINT) AS exact_28d, TRUE AS est_ok FROM ex
+    """,
+)
+def q_active_users_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day actives from MERGEABLE daily HLL sketches (the
+    1e9-user MAU path: |days|·28 sketch rows shuffle, never key-days)
+    against the exact recompute: per day, the exact count hash-anchors
+    the row and ``est_ok`` asserts the sketch estimate within 5 % (lg_k
+    12 ⇒ ~1.6 % typical) — the lsh_ann_topk bounded-oracle pattern."""
+    events = read_table(spark, sf_dir, "events")
+    est = windows_ops.active_user_counts_hll(
+        events, "user_id", "ts", windows=(28,), lg_k=12
+    ).withColumnRenamed("active_28d", "est_28d")
+    exact = windows_ops.active_user_counts(
+        events, "user_id", "ts", windows=(28,)
+    ).withColumnRenamed("active_28d", "exact_28d")
+    ok = F.when(
+        F.col("exact_28d") == 0,
+        F.col("est_28d") == 0,
+    ).otherwise(
+        (F.abs(F.col("est_28d") - F.col("exact_28d")) / F.col("exact_28d")) <= 0.05
+    )
+    return exact.join(est, "day").select(
+        "day", F.col("exact_28d").cast("long").alias("exact_28d"), ok.alias("est_ok")
+    )
+
+
+@register(
+    "daily_value_percentiles",
+    """
+    SELECT DATE_TRUNC('day', ts)::DATE AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact p50/p95/p99 of event value (linear interpolation —
+    Spark percentile == DuckDB quantile_cont): one day shuffle, per-day
+    reducer buffering is the documented exact-percentile cost."""
+    events = read_table(spark, sf_dir, "events")
+    return windows_ops.daily_value_percentiles(events, "ts", "value")
+
+
+@register(
+    "hourly_seasonality_events",
+    """
+    WITH obs AS (SELECT EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM obs),
+    spine AS (SELECT UNNEST(range(24)) AS hour)
+    SELECT CAST(spine.hour AS INT) AS hour,
+           CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+           ROUND(COALESCE(obs.n, 0) / tot.t, 6) AS share,
+           ROUND(POWER(COALESCE(obs.n, 0) - tot.t / 24.0, 2) / (tot.t / 24.0), 6) AS chi2_contrib
+    FROM spine LEFT JOIN obs ON obs.hour = spine.hour CROSS JOIN tot
+    """,
+)
+def q_hourly_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity histogram + chi-square uniformity
+    contributions: a 24-group count with broadcast spine/total."""
+    events = read_table(spark, sf_dir, "events")
+    return windows_ops.hourly_seasonality(events, "ts")

@@ -1054,3 +1054,132 @@ def weighted_quantile_hist(
         F.min("__v").alias(out_col),
         F.min("__tot").alias("total_weight"),
     )
+
+
+def active_user_counts_hll(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    windows: tuple[int, ...] = (1, 7, 28),
+    lg_k: int = 12,
+) -> DataFrame:
+    """The 100 TB form of :func:`active_user_counts`: DAU/WAU/MAU from
+    MERGEABLE daily HLL sketches (Spark's DataSketches
+    ``hll_sketch_agg`` / ``hll_union_agg``) instead of distinct key-day
+    rows. The event log reduces to ONE ~KB sketch per day in a single
+    map-side-combinable pass; each trailing-N count is then a union of
+    ≤ N sketch rows — shuffle volume is |days|·N·sketch_bytes,
+    INDEPENDENT of user cardinality (the exact path's range join fans
+    out |active keys| rows per day, which at 1e9 users is the whole
+    point of not doing it).
+
+    Estimates carry the sketch's ~1.6 % relative error at ``lg_k=12``
+    (tighten with ``lg_k``). Returns (day, active_1d, …) for every day
+    in the data's span, 0 for gap days.
+    """
+    if not windows or any(w < 1 for w in windows):
+        raise ValueError("windows must be positive day counts")
+    daily = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("__d"),
+        )
+        .groupBy("__d")
+        .agg(F.hll_sketch_agg(F.col("__k"), F.lit(lg_k)).alias("__sk"))
+    )
+    spine = daily.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi")).select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day")
+    )
+    out = spine
+    for w in windows:
+        cnt = (
+            spine.join(
+                daily,
+                (daily["__d"] <= spine["day"])
+                & (daily["__d"] > F.date_sub(spine["day"], w)),
+            )
+            .groupBy("day")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg(F.col("__sk"), F.lit(True))
+                ).alias(f"active_{w}d")
+            )
+        )
+        out = out.join(cnt, "day", "left")
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(f"active_{w}d"), F.lit(0)).cast("long").alias(f"active_{w}d")
+            for w in windows
+        ],
+    ).orderBy("day")
+
+
+def daily_value_percentiles(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-day exact interpolated percentile bands of a metric (p50/p95/
+    p99 by default) — the latency/value SLO dashboard row.
+
+    Scale shape: one shuffle on the day key; the exact percentile buffers
+    each day's values on its reducer — the operator's intrinsic cost,
+    bounded by rows-per-day, parallel across days. Swap in
+    ``percentile_approx`` (same call shape, mergeable KLL state) when a
+    single day outgrows a reducer. Output: (day, n, p50, p95, p99 …).
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    arr = "array(" + ", ".join(repr(float(p)) for p in percentiles) + ")"
+    pct = F.expr(f"percentile({value_col}, {arr})")
+    cols = [
+        F.round(F.element_at(F.col("__p"), i + 1), round_digits).alias(
+            f"p{100 * p:g}".replace(".", "_")  # 0.5→p50, 0.99→p99, 0.999→p99_9
+        )
+        for i, p in enumerate(percentiles)
+    ]
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), pct.alias("__p"))
+        .select("day", "n", *cols)
+    )
+
+
+def hourly_seasonality(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hour-of-day activity profile with a chi-square uniformity test —
+    "is this log diurnal or a bot?": one row per hour 0–23 with the
+    count, share, and the hour's chi-square contribution against the
+    uniform expectation (sum the column, compare to χ²₂₃). Zero-count
+    hours still appear. One 24-group count; spine and total broadcast.
+    """
+    spark = df.sparkSession
+    obs = (
+        df.select(F.hour(F.col(ts_col)).alias("hour"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    total = obs.agg(F.sum("n").alias("__t"))
+    exp = F.col("__t") / F.lit(24.0)
+    return (
+        spine.join(F.broadcast(obs), "hour", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "hour",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.round(F.coalesce("n", F.lit(0)) / F.col("__t"), round_digits).alias("share"),
+            F.round(
+                F.pow(F.coalesce("n", F.lit(0)) - exp, F.lit(2.0)) / exp, round_digits
+            ).alias("chi2_contrib"),
+        )
+    )

@@ -131,6 +131,9 @@ R8_WINDOW_QUEUE = [
     "event_value_mutual_info",
     "weighted_median_price_hist",
     "pq_ann_topk",
+    "active_users_hll_daily",
+    "daily_value_percentiles",
+    "hourly_seasonality_events",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -588,3 +588,54 @@ def test_weighted_quantile_hist_matches_window_form(spark):
                 ).collect()
             }
             assert got == want, (q, bins)
+
+
+def test_active_user_counts_hll_tracks_exact(spark):
+    rows = []
+    b = ts("2024-01-01 00:00:00")
+    for d in range(10):
+        for u in range(1 + d * 3):  # growing actives
+            rows.append((u, b + dt.timedelta(days=d, minutes=u)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    exact = {
+        r["day"]: (r["active_1d"], r["active_7d"])
+        for r in windows.active_user_counts(df, "user_id", "ts", windows=(1, 7)).collect()
+    }
+    est = {
+        r["day"]: (r["active_1d"], r["active_7d"])
+        for r in windows.active_user_counts_hll(df, "user_id", "ts", windows=(1, 7)).collect()
+    }
+    assert set(est) == set(exact)
+    for day, (e1, e7) in exact.items():
+        a1, a7 = est[day]
+        # tiny cardinalities: the sketch is exact in sparse mode
+        assert abs(a1 - e1) <= max(1, 0.05 * e1)
+        assert abs(a7 - e7) <= max(1, 0.05 * e7)
+
+
+def test_daily_value_percentiles_hand_checked(spark):
+    rows = [(ts("2024-01-01 10:00:00"), float(v)) for v in range(1, 101)]
+    rows += [(ts("2024-01-02 10:00:00"), 7.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["day"].isoformat(): r for r in windows.daily_value_percentiles(df, "ts", "value").collect()}
+    d1 = out["2024-01-01"]
+    assert d1["n"] == 100
+    assert d1["p50"] == 50.5   # linear interpolation between 50 and 51
+    assert d1["p95"] == 95.05
+    assert d1["p99"] == 99.01
+    d2 = out["2024-01-02"]
+    assert (d2["p50"], d2["p95"], d2["p99"]) == (7.0, 7.0, 7.0)
+
+
+def test_hourly_seasonality_uniform_and_spike(spark):
+    rows = [(ts(f"2024-01-01 {h:02d}:00:00"),) for h in range(24)] * 2
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["hour"]: r for r in windows.hourly_seasonality(df, "ts").collect()}
+    assert len(out) == 24
+    assert all(r["n"] == 2 and r["chi2_contrib"] == 0.0 for r in out.values())
+
+    spike = spark.createDataFrame([(ts("2024-01-01 03:00:00"),)] * 24, "ts timestamp")
+    s = {r["hour"]: r for r in windows.hourly_seasonality(spike, "ts").collect()}
+    assert s[3]["n"] == 24 and s[3]["share"] == 1.0
+    assert s[0]["n"] == 0 and s[0]["chi2_contrib"] == 1.0  # (0-1)^2/1
+    assert s[3]["chi2_contrib"] == 529.0  # (24-1)^2/1

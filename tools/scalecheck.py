@@ -141,7 +141,8 @@ EVENT_OPS = (
     "cohort_retention type_affinity rfm attribution interarrival "
     "k_anonymity resample_ffill session_stats session_window trigram_paths "
     "user_entropy benford ohlc weighted_quantile kmv_overlap l_diversity "
-    "copurchase transition_matrix gini_skew mutual_info"
+    "copurchase transition_matrix gini_skew mutual_info hll_actives "
+    "daily_percentiles seasonality"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -1063,6 +1064,34 @@ def main() -> None:
 
             # count-of-counts fold: global window over distinct count VALUES
             timed("gini_skew", _drift.key_gini_skew(events, ["user_id"]), args.events)
+        if events is not None and want("hll_actives"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # one ~KB sketch per day; the range join fans out 28 sketch
+            # rows/day — compare the exact path's key-day fan-out below
+            timed(
+                "hll_actives_28d",
+                _win.active_user_counts_hll(events, "user_id", "timestamp", windows=(28,)),
+                args.events,
+            )
+            timed(
+                "hll_actives_exact_28d",
+                _win.active_user_counts(events, "user_id", "timestamp", windows=(28,)),
+                args.events,
+            )
+        if events is not None and want("daily_percentiles"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # per-day reducer buffering is the exact-percentile cost
+            timed(
+                "daily_percentiles",
+                _win.daily_value_percentiles(events, "timestamp", "amount"),
+                args.events,
+            )
+        if events is not None and want("seasonality"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            timed("hourly_seasonality", _win.hourly_seasonality(events, "timestamp"), args.events)
         if events is not None and want("mutual_info"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
