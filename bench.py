@@ -192,6 +192,8 @@ HEADLINE_R7 = [
     "daily_value_percentiles",
     # hour-of-day chi-square profile (24-group count)
     "hourly_seasonality_events",
+    # trailing-baseline z-score + WoW anomaly flags (day-grain windows)
+    "daily_anomaly_profile_events",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

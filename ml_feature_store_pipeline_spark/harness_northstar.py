@@ -4153,3 +4153,41 @@ def q_hourly_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions: a 24-group count with broadcast spine/total."""
     events = read_table(spark, sf_dir, "events")
     return windows_ops.hourly_seasonality(events, "ts")
+
+
+@register(
+    "daily_anomaly_profile_events",
+    f"""
+    WITH daily AS (
+      SELECT DATE_TRUNC('day', ts)::DATE AS day, CAST(COUNT(*) AS BIGINT) AS n,
+             {dsum_sql('value')} AS total
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    st AS (
+      SELECT day, n, total,
+             COUNT(total) OVER w AS bn,
+             CAST(SUM(CAST(total AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(total * total AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s2,
+             LAG(total, 7) OVER (ORDER BY day ASC) AS wow
+      FROM daily
+      WINDOW w AS (ORDER BY day ASC ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, n, total,
+           CAST(bn AS BIGINT) AS baseline_days,
+           ROUND(CASE WHEN bn >= 2 AND (s2/bn - (s1/bn)*(s1/bn)) > 0
+                      THEN (total - s1/bn) / SQRT(s2/bn - (s1/bn)*(s1/bn)) END, 6) AS z_score,
+           ROUND(CASE WHEN wow <> 0 THEN total / wow - 1 END, 6) AS wow_change,
+           COALESCE(ABS(CASE WHEN bn >= 2 AND (s2/bn - (s1/bn)*(s1/bn)) > 0
+                      THEN (total - s1/bn) / SQRT(s2/bn - (s1/bn)*(s1/bn)) END) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM st
+    """,
+)
+def q_daily_anomaly_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue anomaly monitoring: trailing-7-day z-score from
+    decimal-summed Σx/Σx² (no engine stddev — one closed form both
+    engines evaluate identically), week-over-week change, |z|>3 flag."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.daily_anomaly_profile(events, "ts", "value")

@@ -364,3 +364,78 @@ def mutual_information(
         F.round(F.col("__mi"), round_digits).alias("mi"),
         F.round(F.when(hmin > 0, F.col("__mi") / hmin), round_digits).alias("nmi"),
     )
+
+
+def daily_anomaly_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    baseline_days: int = 7,
+    z_threshold: float = 3.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Daily metric monitoring: per day, the decimal-exact total, a
+    z-score against the TRAILING ``baseline_days`` (strictly before the
+    day — the day never scores against itself), week-over-week change,
+    and an anomaly flag — the alerting row every metrics pipeline ends up
+    writing. Days with fewer than 2 baseline days (or zero baseline
+    variance) get NULL z.
+
+    Engine-stable math: daily totals are decimal sums; the trailing
+    mean/variance come from decimal-summed Σx and Σx² over the ≤
+    ``baseline_days`` frame (population variance, one closed form — no
+    engine ``stddev`` whose summation order could differ), so both
+    engines evaluate the identical double expression.
+
+    Scale shape: one map-side-combinable day aggregate; every window after
+    runs on the |days| table (a single-partition frame over day-grain
+    rows — dimension-sized by construction).
+    """
+    from ..functions import dsum
+
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum(F.col(value_col)).alias("total"),
+        )
+    )
+    frame = (
+        Window.orderBy(F.asc("day"))
+        .rowsBetween(-baseline_days, -1)
+    )
+    dec = lambda c: c.cast("decimal(28,6)")
+    cnt = F.count("total").over(frame)
+    s1 = F.sum(dec(F.col("total"))).over(frame).cast("double")
+    s2 = F.sum(dec(F.col("total") * F.col("total"))).over(frame).cast("double")
+    wow = F.lag("total", 7).over(Window.orderBy(F.asc("day")))
+    staged = daily.select(
+        "day",
+        "n",
+        "total",
+        cnt.alias("__bn"),
+        s1.alias("__s1"),
+        s2.alias("__s2"),
+        wow.alias("__wow"),
+    )
+    mean = F.col("__s1") / F.col("__bn")
+    var = F.col("__s2") / F.col("__bn") - mean * mean
+    z = F.when(
+        (F.col("__bn") >= 2) & (var > 0),
+        (F.col("total") - mean) / F.sqrt(var),
+    )
+    return staged.select(
+        "day",
+        "n",
+        "total",
+        F.col("__bn").cast("long").alias("baseline_days"),
+        F.round(z, round_digits).alias("z_score"),
+        F.round(
+            F.when(F.col("__wow") != 0, F.col("total") / F.col("__wow") - 1),
+            round_digits,
+        ).alias("wow_change"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

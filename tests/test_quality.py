@@ -324,3 +324,33 @@ def test_mutual_information_extremes(spark):
     r0 = mutual_information(ind, "c", "v", lo=0.0, hi=100.0, bins=10).collect()[0]
     assert r0["mi"] == 0.0
     assert r0["nmi"] == 0.0
+
+
+def test_daily_anomaly_profile_flags_spike(spark):
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.drift import daily_anomaly_profile
+
+    b = dt.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    # 8 flat days at total 10.0 (2 events x 5.0), then a 100x spike day
+    for d in range(8):
+        rows += [(b + dt.timedelta(days=d), 5.0), (b + dt.timedelta(days=d), 5.0)]
+    rows += [(b + dt.timedelta(days=8), 1000.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["day"].isoformat(): r for r in daily_anomaly_profile(df, "ts", "value").collect()}
+    assert out["2024-01-01"]["z_score"] is None          # no baseline yet
+    assert out["2024-01-02"]["z_score"] is None          # 1 baseline day < 2
+    assert out["2024-01-03"]["z_score"] is None          # zero variance
+    assert out["2024-01-03"]["is_anomaly"] is False
+    spike = out["2024-01-09"]
+    assert spike["baseline_days"] == 7
+    assert spike["z_score"] is None or spike["z_score"] > 3  # flat baseline → var 0 → NULL
+    # flat baseline has zero variance, so the spike z is NULL but wow fires
+    assert spike["wow_change"] == 99.0                   # 1000/10 - 1
+    # perturb one baseline day so variance > 0 and the z flag fires
+    rows2 = rows[:-1] + [(b + dt.timedelta(days=3), 1.0)] + [(b + dt.timedelta(days=8), 1000.0)]
+    df2 = spark.createDataFrame(rows2, "ts timestamp, value double")
+    out2 = {r["day"].isoformat(): r for r in daily_anomaly_profile(df2, "ts", "value").collect()}
+    assert out2["2024-01-09"]["is_anomaly"] is True
+    assert out2["2024-01-09"]["z_score"] > 3

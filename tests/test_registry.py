@@ -134,6 +134,7 @@ R8_WINDOW_QUEUE = [
     "active_users_hll_daily",
     "daily_value_percentiles",
     "hourly_seasonality_events",
+    "daily_anomaly_profile_events",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
