@@ -194,6 +194,12 @@ HEADLINE_R7 = [
     "hourly_seasonality_events",
     # trailing-baseline z-score + WoW anomaly flags (day-grain windows)
     "daily_anomaly_profile_events",
+    # FK audit (distinct-key full-outer join, no fact egress)
+    "referential_integrity_lineitem_orders",
+    # Welch A/B t-test (one combinable moment aggregate)
+    "welch_ttest_view_purchase",
+    # time-to-convert stats (funnel mins + one rollup)
+    "conversion_latency_view_purchase",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

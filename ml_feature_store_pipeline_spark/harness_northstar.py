@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import dsum, dsum_sql, tokens
+from .functions import davg_sql, dsum, dsum_sql, tokens
 from .harness import register
 from .operators import dedup, multimodal, selection, similarity, text
 from .operators import fe as fe_ops
@@ -4191,3 +4191,106 @@ def q_daily_anomaly_profile_events(spark: SparkSession, sf_dir: str) -> DataFram
 
     events = read_table(spark, sf_dir, "events")
     return drift_ops.daily_anomaly_profile(events, "ts", "value")
+
+
+@register(
+    "referential_integrity_lineitem_orders",
+    """
+    WITH ck AS (SELECT l_orderkey AS k, COUNT(*) AS cn FROM lineitem
+                WHERE l_orderkey IS NOT NULL GROUP BY 1),
+    pkt AS (SELECT o_orderkey AS k, COUNT(*) AS pn FROM orders
+            WHERE o_orderkey IS NOT NULL GROUP BY 1),
+    j AS (SELECT cn, pn FROM ck FULL OUTER JOIN pkt ON ck.k = pkt.k)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_parent,
+           CAST(SUM(CASE WHEN pn IS NULL AND cn IS NOT NULL THEN cn ELSE 0 END) AS BIGINT)
+             AS n_orphan_child_rows,
+           CAST(SUM(CASE WHEN pn IS NULL AND cn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_child_keys,
+           CAST(SUM(CASE WHEN cn IS NULL AND pn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_childless_parents,
+           CAST(SUM(CASE WHEN pn > 1 THEN pn - 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_parent_rows
+    FROM j
+    """,
+)
+def q_referential_integrity_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit lineitem.l_orderkey → orders.o_orderkey: orphan
+    facts, childless orders, PK duplicates — distinct-key joins only,
+    never fact rows."""
+    from .quality import referential_integrity_audit
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    return referential_integrity_audit(li, orders, "l_orderkey", "o_orderkey")
+
+
+@register(
+    "welch_ttest_view_purchase",
+    """
+    WITH g AS (
+      SELECT event_type AS gname, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    a AS (SELECT n AS na, s1 AS sa1, s2 AS sa2 FROM g WHERE gname = 'view'),
+    b AS (SELECT n AS nb, s1 AS sb1, s2 AS sb2 FROM g WHERE gname = 'purchase'),
+    m AS (
+      SELECT na, nb, sa1 / na AS ma, sb1 / nb AS mb,
+             (sa2 - na * (sa1 / na) * (sa1 / na)) / (na - 1) AS va,
+             (sb2 - nb * (sb1 / nb) * (sb1 / nb)) / (nb - 1) AS vb
+      FROM a, b
+    ),
+    s AS (SELECT *, va / na + vb / nb AS se2 FROM m)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND(ma - mb, 6) AS mean_diff,
+           ROUND(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                      THEN (ma - mb) / SQRT(se2) END, 6) AS t_stat,
+           ROUND(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                      THEN (se2 * se2) / ((va / na) * (va / na) / (na - 1)
+                                          + (vb / nb) * (vb / nb) / (nb - 1))
+                 END, 6) AS df
+    FROM s
+    """,
+)
+def q_welch_ttest_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test of event value, viewers vs purchasers: one
+    combinable moment aggregate (decimal Σx/Σx²), the A/B readout."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.welch_ttest(events, "event_type", "value", "view", "purchase")
+
+
+@register(
+    "conversion_latency_view_purchase",
+    f"""
+    WITH f1 AS (SELECT user_id, MIN(ts) AS r1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    f2 AS (SELECT e.user_id, MIN(e.ts) AS r2
+           FROM events e JOIN f1 ON e.user_id = f1.user_id AND e.ts >= f1.r1
+           WHERE e.event_type = 'purchase' GROUP BY 1),
+    j AS (SELECT f1.user_id, DATE_DIFF('second', f1.r1, f2.r2) AS lat
+          FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_started,
+           CAST(COUNT(lat) AS BIGINT) AS n_converted,
+           ROUND(COUNT(lat) / COUNT(*), 6) AS conv_rate,
+           ROUND({davg_sql('lat')}, 6) AS mean_latency_s,
+           ROUND(quantile_cont(lat, 0.5), 6) AS median_latency_s,
+           ROUND(quantile_cont(lat, 0.9), 6) AS p90_latency_s,
+           CAST(MAX(lat) AS BIGINT) AS max_latency_s
+    FROM j
+    """,
+)
+def q_conversion_latency_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→purchase time-to-convert distribution (funnel ≥ semantics,
+    whole-second floors): conversion rate + decimal mean + exact
+    median/p90/max latency."""
+    events = read_table(spark, sf_dir, "events")
+    return windows_ops.conversion_latency_stats(
+        events, "user_id", "ts", "event_type", "view", "purchase"
+    )

@@ -439,3 +439,71 @@ def daily_anomaly_profile(
         ).alias("wow_change"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Welch's two-sample t-test between two groups of a metric — the A/B
+    readout: one row (n_a, n_b, mean_a, mean_b, mean_diff, t_stat, df).
+    Compare ``t_stat`` to the t-distribution at ``df`` degrees of freedom
+    (Welch–Satterthwaite) driver-side; the engine's job is the moments.
+
+    Engine-stable: means and sample variances come from decimal-summed
+    Σx / Σx² (one closed form, both engines evaluate the identical
+    doubles); NULL values are excluded; t/df are NULL when either group
+    has < 2 rows or both variances are 0.
+
+    Scale shape: ONE map-side-combinable aggregate over the filtered
+    scan — five partials per group, zero row egress, no shuffle beyond
+    the 2-row group table.
+    """
+    v = F.col(value_col)
+    dec = lambda c: c.cast("decimal(28,6)")
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(dec(v)).cast("double").alias("__s1"),
+            F.sum(dec(v * v)).cast("double").alias("__s2"),
+        )
+    )
+    a = g.filter(F.col("__g") == group_a).select(
+        F.col("__n").alias("na"), F.col("__s1").alias("sa1"), F.col("__s2").alias("sa2")
+    )
+    b = g.filter(F.col("__g") == group_b).select(
+        F.col("__n").alias("nb"), F.col("__s1").alias("sb1"), F.col("__s2").alias("sb2")
+    )
+    j = a.crossJoin(b)
+    ma = F.col("sa1") / F.col("na")
+    mb = F.col("sb1") / F.col("nb")
+    va = (F.col("sa2") - F.col("na") * ma * ma) / (F.col("na") - 1)
+    vb = (F.col("sb2") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
+    se2 = va / F.col("na") + vb / F.col("nb")
+    t = F.when(
+        (F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0), (ma - mb) / F.sqrt(se2)
+    )
+    dof = F.when(
+        (F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0),
+        (se2 * se2)
+        / (
+            (va / F.col("na")) * (va / F.col("na")) / (F.col("na") - 1)
+            + (vb / F.col("nb")) * (vb / F.col("nb")) / (F.col("nb") - 1)
+        ),
+    )
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma, round_digits).alias("mean_a"),
+        F.round(mb, round_digits).alias("mean_b"),
+        F.round(ma - mb, round_digits).alias("mean_diff"),
+        F.round(t, round_digits).alias("t_stat"),
+        F.round(dof, round_digits).alias("df"),
+    )

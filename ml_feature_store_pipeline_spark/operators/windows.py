@@ -1183,3 +1183,45 @@ def hourly_seasonality(
             ).alias("chi2_contrib"),
         )
     )
+
+
+def conversion_latency_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Time-to-convert distribution: among keys whose journey starts with
+    ``from_type``, how many ever reach ``to_type`` AT OR AFTER that start
+    (:func:`funnel` semantics), and how long it takes — one row with
+    ``n_started``, ``n_converted``, ``conv_rate``, decimal-exact
+    ``mean_latency_s``, exact interpolated ``median_latency_s`` /
+    ``p90_latency_s`` and ``max_latency_s`` (whole seconds, the
+    ``unix_timestamp`` floor both engines share).
+
+    Scale shape: two filtered min-aggregates + a per-key join (funnel's
+    shape); the final rollup reduces |converted keys| latencies — the
+    exact percentile buffers those on one aggregator (percentile_approx
+    swap when conversions outgrow it).
+    """
+    from ..functions import davg
+
+    per = funnel(df, key_col, ts_col, type_col, [from_type, to_type])
+    lat = (
+        F.unix_timestamp(F.col("reached_2")) - F.unix_timestamp(F.col("reached_1"))
+    ).alias("__lat")
+    staged = per.select(lat)
+    pct = F.expr("percentile(__lat, array(0.5, 0.9))")
+    return staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_started"),
+        F.count("__lat").cast("long").alias("n_converted"),
+        F.round(F.count("__lat") / F.count(F.lit(1)), round_digits).alias("conv_rate"),
+        F.round(davg(F.col("__lat")), round_digits).alias("mean_latency_s"),
+        F.round(F.element_at(pct, 1), round_digits).alias("median_latency_s"),
+        F.round(F.element_at(pct, 2), round_digits).alias("p90_latency_s"),
+        F.max("__lat").cast("long").alias("max_latency_s"),
+    )

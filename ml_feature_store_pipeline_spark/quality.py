@@ -414,3 +414,55 @@ def l_diversity_profile(
         ).alias("rows_below_frac"),
         F.min("__l").cast("long").alias("min_distinct_sensitive"),
     )
+
+
+def referential_integrity_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Relational-ingest integrity audit between a child (fact) and its
+    parent (dimension/PK) table — the first thing to run after loading a
+    normalized extract: one row with ``n_child`` / ``n_parent`` rows,
+    orphan child rows AND distinct orphan keys (child keys with no
+    parent), childless parents (PK rows no child references), and parent
+    primary-key duplicates. All zeros = the foreign key actually holds.
+
+    Scale shape: the child reduces to distinct keys + per-key counts
+    FIRST (map-side combine), so the orphan check joins key tables, not
+    fact rows; the parent side aggregates once for both the dup count
+    and the childless probe. No fact-row egress.
+    """
+    ck = child.select(F.col(child_key).alias("__k")).filter(F.col("__k").isNotNull())
+    child_keys = ck.groupBy("__k").agg(F.count(F.lit(1)).alias("__cn"))
+    pk = parent.select(F.col(parent_key).alias("__k")).filter(F.col("__k").isNotNull())
+    parent_keys = pk.groupBy("__k").agg(F.count(F.lit(1)).alias("__pn"))
+    joined = child_keys.join(parent_keys, "__k", "full_outer")
+    totals = child.agg(F.count(F.lit(1)).alias("__tc")).crossJoin(
+        parent.agg(F.count(F.lit(1)).alias("__tp"))
+    )
+    orphan = F.col("__pn").isNull() & F.col("__cn").isNotNull()
+    childless = F.col("__cn").isNull() & F.col("__pn").isNotNull()
+    audit = joined.agg(
+        F.sum(F.when(orphan, F.col("__cn")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_orphan_child_rows"),
+        F.sum(orphan.cast("long")).cast("long").alias("n_orphan_child_keys"),
+        F.sum(childless.cast("long")).cast("long").alias("n_childless_parents"),
+        F.sum(
+            F.when(F.col("__pn") > 1, F.col("__pn") - 1).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_dup_parent_rows"),
+    )
+    # totals ride a broadcast 1-row cross join — no driver collect at
+    # plan-build, the whole audit is one action
+    return audit.crossJoin(F.broadcast(totals)).select(
+        F.col("__tc").cast("long").alias("n_child"),
+        F.col("__tp").cast("long").alias("n_parent"),
+        "n_orphan_child_rows",
+        "n_orphan_child_keys",
+        "n_childless_parents",
+        "n_dup_parent_rows",
+    )

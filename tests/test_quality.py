@@ -354,3 +354,41 @@ def test_daily_anomaly_profile_flags_spike(spark):
     out2 = {r["day"].isoformat(): r for r in daily_anomaly_profile(df2, "ts", "value").collect()}
     assert out2["2024-01-09"]["is_anomaly"] is True
     assert out2["2024-01-09"]["z_score"] > 3
+
+
+def test_referential_integrity_audit_hand_checked(spark):
+    from ml_feature_store_pipeline_spark.quality import referential_integrity_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (2,), (3,)], "pk long")
+    r = referential_integrity_audit(child, parent, "fk", "pk").collect()[0]
+    assert r["n_child"] == 6 and r["n_parent"] == 4
+    assert r["n_orphan_child_rows"] == 2      # the two fk=99 rows
+    assert r["n_orphan_child_keys"] == 1
+    assert r["n_childless_parents"] == 1      # pk=3
+    assert r["n_dup_parent_rows"] == 1        # pk=2 appears twice
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import welch_ttest
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.0, 4.0, 6.0, 8.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 100.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    import statistics
+
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / se2**0.5
+    dof = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert r["n_a"] == 5 and r["n_b"] == 4
+    assert r["mean_a"] == ma and r["mean_b"] == mb
+    assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert r["df"] == pytest.approx(dof, abs=1e-6)

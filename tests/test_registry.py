@@ -135,6 +135,9 @@ R8_WINDOW_QUEUE = [
     "daily_value_percentiles",
     "hourly_seasonality_events",
     "daily_anomaly_profile_events",
+    "referential_integrity_lineitem_orders",
+    "welch_ttest_view_purchase",
+    "conversion_latency_view_purchase",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -639,3 +639,28 @@ def test_hourly_seasonality_uniform_and_spike(spark):
     assert s[3]["n"] == 24 and s[3]["share"] == 1.0
     assert s[0]["n"] == 0 and s[0]["chi2_contrib"] == 1.0  # (0-1)^2/1
     assert s[3]["chi2_contrib"] == 529.0  # (24-1)^2/1
+
+
+def test_conversion_latency_funnel_semantics(spark):
+    b = ts("2024-01-01 10:00:00")
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # u1 converts in 10 min
+        (1, b, "view"), (1, b + 10 * m, "purchase"),
+        # u2 purchases BEFORE viewing — not a conversion
+        (2, b, "purchase"), (2, b + 5 * m, "view"),
+        # u3 views, never purchases
+        (3, b, "view"),
+        # u4 converts in 30 min
+        (4, b, "view"), (4, b + 30 * m, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = windows.conversion_latency_stats(
+        df, "user_id", "ts", "event_type", "view", "purchase"
+    ).collect()[0]
+    assert r["n_started"] == 4        # all four view at some point
+    assert r["n_converted"] == 2      # u1 and u4 only
+    assert r["conv_rate"] == 0.5
+    assert r["mean_latency_s"] == 1200.0
+    assert r["median_latency_s"] == 1200.0
+    assert r["max_latency_s"] == 1800
