@@ -142,7 +142,8 @@ EVENT_OPS = (
     "k_anonymity resample_ffill session_stats session_window trigram_paths "
     "user_entropy benford ohlc weighted_quantile kmv_overlap l_diversity "
     "copurchase transition_matrix gini_skew mutual_info hll_actives "
-    "daily_percentiles seasonality"
+    "daily_percentiles seasonality anomaly_profile welch_ttest "
+    "ref_integrity conversion_latency"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -1092,6 +1093,45 @@ def main() -> None:
             from ml_feature_store_pipeline_spark.operators import windows as _win
 
             timed("hourly_seasonality", _win.hourly_seasonality(events, "timestamp"), args.events)
+        if events is not None and want("anomaly_profile"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # day aggregate, then |days|-grain frames — dimension-sized
+            timed(
+                "anomaly_profile_daily",
+                _drift.daily_anomaly_profile(events, "timestamp", "amount"),
+                args.events,
+            )
+        if events is not None and want("welch_ttest"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # ONE combinable moment aggregate; zero row egress
+            timed(
+                "welch_ttest",
+                _drift.welch_ttest(events, "event_type", "amount", "view", "purchase"),
+                args.events,
+            )
+        if events is not None and want("ref_integrity"):
+            from ml_feature_store_pipeline_spark import quality as _q
+
+            # child keys distinct first: the FK join carries key tables
+            child = events.select((F.col("user_id") % 90000).alias("fk"))
+            parent = spark.range(100_000).select(F.col("id").alias("pk"))
+            timed(
+                "ref_integrity_audit",
+                _q.referential_integrity_audit(child, parent, "fk", "pk"),
+                args.events,
+            )
+        if events is not None and want("conversion_latency"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            timed(
+                "conversion_latency",
+                _win.conversion_latency_stats(
+                    events, "user_id", "timestamp", "event_type", "view", "purchase"
+                ),
+                args.events,
+            )
         if events is not None and want("mutual_info"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
