@@ -51,6 +51,9 @@ sys.path.insert(0, ".")
 #: CartesianProduct appearing anywhere now fails the sweep.
 ALLOW: dict[tuple[str, str], str] = {
     ("hist_quantile_prices", "window_1part"): "cumulative count over the n_bins-row histogram table (constant-sized by construction)",
+    ("key_skew_gini_events", "window_1part"): "cumulative multiplicity over the count-of-counts table (|distinct count values| rows — the operator exists to avoid the |keys| rank this replaces; plan-shape-tested)",
+    ("event_value_mutual_info", "window_1part"): "marginal/total windows over the |cats|x bins contingency table (<= 50 cells by construction)",
+    ("daily_anomaly_profile_events", "window_1part"): "trailing-baseline frame over the day-grain table (|days| rows by construction)",
 }
 
 
