@@ -200,6 +200,8 @@ HEADLINE_R7 = [
     "welch_ttest_view_purchase",
     # time-to-convert stats (funnel mins + one rollup)
     "conversion_latency_view_purchase",
+    # binned two-sample KS drift (two bins-row counts + CDF windows)
+    "ks_value_drift_halves",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

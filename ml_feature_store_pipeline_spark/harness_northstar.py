@@ -4294,3 +4294,58 @@ def q_conversion_latency_view_purchase(spark: SparkSession, sf_dir: str) -> Data
     return windows_ops.conversion_latency_stats(
         events, "user_id", "ts", "event_type", "view", "purchase"
     )
+
+
+@register(
+    "ks_value_drift_halves",
+    """
+    WITH sa AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 0.5), 0), 999) AS INT) AS bin,
+                       COUNT(*) AS na
+                FROM events
+                WHERE value IS NOT NULL AND value >= 0.0 AND value <= 500.0
+                      AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                GROUP BY 1),
+    sb AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 0.5), 0), 999) AS INT) AS bin,
+                  COUNT(*) AS nb
+           FROM events
+           WHERE value IS NOT NULL AND value >= 0.0 AND value <= 500.0
+                 AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+           GROUP BY 1),
+    spine AS (SELECT UNNEST(range(1000))::INT AS bin),
+    j AS (SELECT spine.bin, COALESCE(sa.na, 0) AS na, COALESCE(sb.nb, 0) AS nb
+          FROM spine LEFT JOIN sa ON sa.bin = spine.bin
+                     LEFT JOIN sb ON sb.bin = spine.bin),
+    staged AS (
+      SELECT bin,
+             SUM(na) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(na) OVER () AS fa,
+             SUM(nb) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(nb) OVER () AS fb,
+             SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb
+      FROM j
+    ),
+    d AS (SELECT bin, ta, tb, ABS(fa - fb) AS d FROM staged),
+    best AS (SELECT bin, d FROM d ORDER BY d DESC, bin ASC LIMIT 1)
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_a,
+           CAST(MAX(tb) AS BIGINT) AS n_b,
+           ROUND((SELECT d FROM best), 6) AS d_stat,
+           (SELECT bin FROM best) AS at_bin
+    FROM d
+    """,
+)
+def q_ks_value_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift between the event log's first and second
+    half-months (fixed split 2024-01-16, fixed [0,500]×1000 bins): the
+    numeric-drift test PSI's binning blurs — exact for the binned CDFs."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return drift_ops.ks_statistic(
+        events.filter(F.col("ts") < cut),
+        events.filter(F.col("ts") >= cut),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        bins=1000,
+    )

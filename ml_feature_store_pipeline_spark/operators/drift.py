@@ -507,3 +507,68 @@ def welch_ttest(
         F.round(t, round_digits).alias("t_stat"),
         F.round(dof, round_digits).alias("df"),
     )
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov statistic — the numeric-drift
+    test that PSI's binning hides: ``D = max |F_a − F_b|`` over the bin
+    right-edges of fixed-width [lo, hi] bins (exact for the binned
+    distributions; resolution (hi−lo)/bins, tighten with ``bins``).
+    One row: (n_a, n_b, d_stat, at_bin) — ``at_bin`` the smallest bin
+    attaining the max. Compare ``d_stat`` to c(α)·√((n_a+n_b)/(n_a·n_b))
+    driver-side.
+
+    Scale shape: one ≤``bins``-row count per side (map-side combined);
+    CDFs are cumulative windows over the joined bin table — the
+    single-partition frame is |bins| rows by construction. NULL and
+    out-of-range values are excluded from both CDFs (same filter both
+    sides — drift in the tails outside [lo, hi] is invisible by design,
+    like :func:`psi_table`'s clamp).
+    """
+    spark = a.sparkSession
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col)
+        return (
+            df.filter(v.isNotNull() & (v >= lo) & (v <= hi))
+            .groupBy(bin_index(v, lo, hi, bins).alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    joined = (
+        spine.join(F.broadcast(side(a, "__na")), "bin", "left")
+        .join(F.broadcast(side(b, "__nb")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("__na", F.lit(0)).alias("__na"),
+            F.coalesce("__nb", F.lit(0)).alias("__nb"),
+        )
+    )
+    w = Window.orderBy(F.asc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    staged = joined.select(
+        "bin",
+        (F.sum("__na").over(w) / F.sum("__na").over(tot)).alias("__fa"),
+        (F.sum("__nb").over(w) / F.sum("__nb").over(tot)).alias("__fb"),
+        F.sum("__na").over(tot).alias("__ta"),
+        F.sum("__nb").over(tot).alias("__tb"),
+    )
+    d = F.abs(F.col("__fa") - F.col("__fb"))
+    return staged.select("bin", "__ta", "__tb", d.alias("__d")).agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+        F.round(F.max("__d"), round_digits).alias("d_stat"),
+        F.min_by(F.col("bin"), F.struct(-F.col("__d"), F.col("bin"))).alias("at_bin"),
+    )

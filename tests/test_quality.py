@@ -392,3 +392,18 @@ def test_welch_ttest_matches_scipy_formula(spark):
     assert r["mean_a"] == ma and r["mean_b"] == mb
     assert r["t_stat"] == pytest.approx(t, abs=1e-6)
     assert r["df"] == pytest.approx(dof, abs=1e-6)
+
+
+def test_ks_statistic_extremes(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import ks_statistic
+
+    same = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
+    r = ks_statistic(same, same, "v", lo=0.0, hi=100.0, bins=100).collect()[0]
+    assert r["d_stat"] == 0.0 and r["n_a"] == r["n_b"] == 100
+
+    lowv = spark.createDataFrame([(5.0,)] * 10, "v double")
+    high = spark.createDataFrame([(95.0,)] * 10, "v double")
+    s = ks_statistic(lowv, high, "v", lo=0.0, hi=100.0, bins=10).collect()[0]
+    # disjoint masses: F_a jumps to 1 at bin 0, F_b stays 0 until bin 9
+    assert s["d_stat"] == 1.0
+    assert s["at_bin"] == 0

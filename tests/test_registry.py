@@ -138,6 +138,7 @@ R8_WINDOW_QUEUE = [
     "referential_integrity_lineitem_orders",
     "welch_ttest_view_purchase",
     "conversion_latency_view_purchase",
+    "ks_value_drift_halves",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -54,6 +54,7 @@ ALLOW: dict[tuple[str, str], str] = {
     ("key_skew_gini_events", "window_1part"): "cumulative multiplicity over the count-of-counts table (|distinct count values| rows — the operator exists to avoid the |keys| rank this replaces; plan-shape-tested)",
     ("event_value_mutual_info", "window_1part"): "marginal/total windows over the |cats|x bins contingency table (<= 50 cells by construction)",
     ("daily_anomaly_profile_events", "window_1part"): "trailing-baseline frame over the day-grain table (|days| rows by construction)",
+    ("ks_value_drift_halves", "window_1part"): "CDF cumulative windows over the fixed bins-row table (1000 rows by construction)",
 }
 
 
