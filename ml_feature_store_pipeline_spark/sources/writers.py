@@ -177,3 +177,4 @@ def compact_partition(
     shutil.rmtree(old)
     after = len([n for n in os.listdir(path) if n.endswith(".parquet")])
     return {"files_before": len(names), "files_after": after, "bytes": total, "compacted": True}
+

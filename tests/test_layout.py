@@ -116,3 +116,4 @@ def test_training_shards_balanced_reproducible_roundtrip(spark, tmp_path):
     stored = [r["doc_id"] for r in one.collect()]
     expected = [r["doc_id"] for r in one.orderBy("shard_order").collect()]
     assert stored == expected
+

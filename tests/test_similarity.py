@@ -702,3 +702,28 @@ def test_pq_codes_shape_and_determinism(spark, corpus):
     rows2 = {r["vec_id"]: r["codes"] for r in codes2.collect()}
     assert rows1 == rows2
     assert all(len(c) == 8 and all(0 <= x < 4 for x in c) for c in rows1.values())
+
+
+def test_pq_index_roundtrips_through_parquet(spark, corpus, tmp_path):
+    """The PQ index is engine-plain (a JSON-able codebook + a codes
+    DataFrame): persist both, reload, and the ADC query must reproduce
+    the in-memory results exactly — the per-corpus build is paid once."""
+    import json
+
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb, codes = similarity.pq_build(corpus, m=8, k_codes=4)
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in similarity.pq_query(q, cb, codes, k=5).collect()
+    }
+    codes.write.mode("overwrite").parquet(str(tmp_path / "codes"))
+    (tmp_path / "codebook.json").write_text(json.dumps(cb))
+    cb2 = json.loads((tmp_path / "codebook.json").read_text())
+    codes2 = spark.read.parquet(str(tmp_path / "codes"))
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in similarity.pq_query(q, cb2, codes2, k=5).collect()
+    }
+    assert got == want
