@@ -202,6 +202,10 @@ HEADLINE_R7 = [
     "conversion_latency_view_purchase",
     # binned two-sample KS drift (two bins-row counts + CDF windows)
     "ks_value_drift_halves",
+    # deterministic A/B assignment + SRM chi-square (zero-shuffle arm fn)
+    "ab_assignment_srm_events",
+    # MAD robust outlier profile (two exact-median passes + flag count)
+    "mad_outliers_order_price",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -4349,3 +4349,74 @@ def q_ks_value_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=500.0,
         bins=1000,
     )
+
+
+def _srm_hash_sql() -> str:
+    from .operators.sketches import hash_fraction_sql
+
+    return hash_fraction_sql("'exp1:' || CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "ab_assignment_srm_events",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    h AS (SELECT user_id, {_srm_hash_sql()} AS h FROM u),
+    asg AS (SELECT CASE WHEN h < 0.5 THEN 'control'
+                        WHEN h < 0.75 THEN 'treat_a'
+                        ELSE 'treat_b' END AS arm FROM h),
+    obs AS (SELECT arm, COUNT(*) AS n FROM asg GROUP BY arm),
+    d(arm, expected_frac) AS (VALUES ('control', 0.5), ('treat_a', 0.25), ('treat_b', 0.25)),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT d.arm, CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+           ROUND(COALESCE(obs.n, 0) / tot.t, 6) AS observed_frac,
+           ROUND(d.expected_frac, 6) AS expected_frac,
+           ROUND(POWER(COALESCE(obs.n, 0) - d.expected_frac * tot.t, 2)
+                 / (d.expected_frac * tot.t), 6) AS chi2_contrib
+    FROM d LEFT JOIN obs ON obs.arm = d.arm CROSS JOIN tot
+    """,
+)
+def q_ab_assignment_srm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50/25/25 experiment assignment of distinct users
+    (md5 of 'exp1:' + key — sticky, engine-replayable, zero-shuffle) and
+    its sample-ratio-mismatch chi-square readout."""
+    from .operators import sampling as sampling_ops
+
+    events = read_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    arms = {"control": 0.5, "treat_a": 0.25, "treat_b": 0.25}
+    assigned = sampling_ops.experiment_assignment(
+        users, "user_id", salt="exp1", arms=arms
+    )
+    return sampling_ops.srm_check(assigned, "arm", arms)
+
+
+@register(
+    "mad_outliers_order_price",
+    """
+    WITH clean AS (SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+                   WHERE o_totalprice IS NOT NULL),
+    med AS (SELECT g, quantile_cont(v, 0.5) AS med, COUNT(*) AS n FROM clean GROUP BY g),
+    mad AS (SELECT c.g, quantile_cont(ABS(c.v - m.med), 0.5) AS mad
+            FROM clean c JOIN med m ON c.g = m.g GROUP BY c.g),
+    st AS (SELECT c.g, c.v, m.med, m.n, d.mad
+           FROM clean c JOIN med m ON c.g = m.g JOIN mad d ON c.g = d.g)
+    SELECT g AS o_orderpriority,
+           CAST(MIN(n) AS BIGINT) AS n,
+           ROUND(MIN(med), 6) AS median,
+           ROUND(MIN(mad), 6) AS mad,
+           CAST(SUM(CASE WHEN mad > 0 AND ABS(0.6745 * (v - med) / mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN mad > 0 AND ABS(0.6745 * (v - med) / mad) > 3.5
+                          THEN 1 ELSE 0 END) / MIN(n), 6) AS outlier_frac
+    FROM st GROUP BY g
+    """,
+)
+def q_mad_outliers_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority MAD robust-outlier profile of order totals
+    (Iglewicz–Hoaglin modified z, |z| > 3.5): the median-based test a few
+    extremes cannot drag, next to the IQR band the profile already has."""
+    from .quality import mad_outlier_profile
+
+    orders = read_table(spark, sf_dir, "orders")
+    return mad_outlier_profile(orders, ["o_orderpriority"], "o_totalprice")

@@ -499,3 +499,83 @@ def negative_sample_sql(
       WHERE q.{user_expr} = d.{user_expr} AND q.{item_expr} = d.{item_expr}
     )
     """
+
+
+def experiment_assignment(
+    df: DataFrame,
+    key_col: str,
+    *,
+    salt: str,
+    arms: dict[str, float],
+    arm_col: str = "arm",
+) -> DataFrame:
+    """Deterministic A/B-experiment assignment: each key lands in an arm
+    by its md5 hash fraction of ``salt:key`` against the arms' cumulative
+    weight thresholds — sticky across runs, engines, and partitionings
+    (the same uniform the samplers use), independent across experiments
+    via ``salt``. Weights are normalized; arm order follows the dict.
+
+    Pure projection — zero shuffles; assignment happens wherever the row
+    already is. That is the property that matters at 100 TB: the arm is
+    a FUNCTION of the key, not a stored table to join.
+    """
+    from .sketches import hash_fraction
+
+    total = float(sum(arms.values()))
+    if total <= 0:
+        raise ValueError("arm weights must sum to > 0")
+    h = hash_fraction(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    expr = None
+    cum = 0.0
+    names = list(arms)
+    for name in names[:-1]:
+        cum += arms[name] / total
+        cond = h < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(arm_col, expr)
+
+
+def srm_check(
+    assigned: DataFrame,
+    arm_col: str,
+    arms: dict[str, float],
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an experiment assignment: one row
+    per arm with the observed count/fraction, the design fraction, and
+    the chi-square contribution ``(n − e·N)²/(e·N)`` — sum the column
+    against χ²(arms−1); a significant SRM means the assignment or
+    logging pipeline is broken and the experiment readout is void.
+    Arms with zero observations still appear. One |arms|-group count.
+    """
+    total_w = float(sum(arms.values()))
+    spark = assigned.sparkSession
+    design = spark.createDataFrame(
+        [(k, v / total_w) for k, v in arms.items()], f"{arm_col} string, expected_frac double"
+    )
+    obs = assigned.groupBy(arm_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("__t"))
+    j = (
+        design.join(F.broadcast(obs), arm_col, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            arm_col,
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            (F.coalesce("n", F.lit(0)) / F.col("__t")).alias("__of"),
+            F.col("expected_frac"),
+            F.col("__t"),
+        )
+    )
+    chi2 = F.pow(F.col("n") - F.col("expected_frac") * F.col("__t"), F.lit(2.0)) / (
+        F.col("expected_frac") * F.col("__t")
+    )
+    return j.select(
+        arm_col,
+        "n",
+        F.round("__of", round_digits).alias("observed_frac"),
+        F.round("expected_frac", round_digits).alias("expected_frac"),
+        F.round(chi2, round_digits).alias("chi2_contrib"),
+    )

@@ -466,3 +466,52 @@ def referential_integrity_audit(
         "n_childless_parents",
         "n_dup_parent_rows",
     )
+
+
+def mad_outlier_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    z_threshold: float = 3.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier profile via the MAD rule (Iglewicz–
+    Hoaglin): modified z = 0.6745·(x − median)/MAD, flag |z| >
+    ``z_threshold`` — the outlier test that, unlike the IQR band or a
+    σ-rule, a few extreme values cannot drag (both its center and its
+    spread are medians). One row per group: (n, median, mad, n_outliers,
+    outlier_frac). A zero MAD (> half the group identical) flags nothing
+    — the rule is undefined there and the honest answer is "use a
+    different test", not a division by zero.
+
+    Scale shape: three scans sharing the group key — exact median
+    aggregate, |x−median| median aggregate (medians broadcast between
+    them), then the flag count. Exact percentiles buffer per group on a
+    reducer; swap ``percentile_approx`` into both median steps when a
+    group outgrows one.
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull()).select(*group_cols, v.alias("__v"))
+    med = clean.groupBy(*group_cols).agg(
+        F.expr("percentile(__v, 0.5)").alias("__med"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    with_med = clean.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.select(*group_cols, F.abs(F.col("__v") - F.col("__med")).alias("__ad"))
+        .groupBy(*group_cols)
+        .agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    )
+    staged = with_med.join(F.broadcast(mad), group_cols)
+    mz = F.lit(0.6745) * (F.col("__v") - F.col("__med")) / F.col("__mad")
+    is_out = (F.col("__mad") > 0) & (F.abs(mz) > z_threshold)
+    return staged.groupBy(*group_cols).agg(
+        F.min("__n").cast("long").alias("n"),
+        F.round(F.min("__med"), round_digits).alias("median"),
+        F.round(F.min("__mad"), round_digits).alias("mad"),
+        F.sum(is_out.cast("long")).cast("long").alias("n_outliers"),
+        F.round(F.sum(is_out.cast("long")) / F.min("__n"), round_digits).alias(
+            "outlier_frac"
+        ),
+    )

@@ -407,3 +407,19 @@ def test_ks_statistic_extremes(spark):
     # disjoint masses: F_a jumps to 1 at bin 0, F_b stays 0 until bin 9
     assert s["d_stat"] == 1.0
     assert s["at_bin"] == 0
+
+
+def test_mad_outlier_profile_robust_to_extremes(spark):
+    from ml_feature_store_pipeline_spark.quality import mad_outlier_profile
+
+    # 99 values near 10 (median 10, MAD 1) + one wild point
+    rows = [("g", 10.0 + (i % 3) - 1) for i in range(99)] + [("g", 1e6)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mad_outlier_profile(df, ["g"], "v").collect()[0]
+    assert r["median"] == 10.0 and r["mad"] == 1.0
+    assert r["n_outliers"] == 1 and r["outlier_frac"] == 0.01
+
+    # constant group: MAD 0 -> flags nothing, by contract
+    const = spark.createDataFrame([("c", 5.0)] * 10 + [("c", 5.0)], "g string, v double")
+    c = mad_outlier_profile(const, ["g"], "v").collect()[0]
+    assert c["mad"] == 0.0 and c["n_outliers"] == 0

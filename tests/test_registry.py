@@ -139,6 +139,8 @@ R8_WINDOW_QUEUE = [
     "welch_ttest_view_purchase",
     "conversion_latency_view_purchase",
     "ks_value_drift_halves",
+    "ab_assignment_srm_events",
+    "mad_outliers_order_price",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -303,3 +303,38 @@ def test_proportional_targets_integer_split(spark):
         "c": 0,
     }
     assert proportional_targets(totals, {}, 1000) == {"a": 0, "b": 0, "c": 0}
+
+
+def test_experiment_assignment_sticky_and_partitioned(spark):
+    from ml_feature_store_pipeline_spark.operators.sampling import (
+        experiment_assignment,
+        srm_check,
+    )
+
+    users = spark.range(2000).withColumnRenamed("id", "uid")
+    arms = {"a": 0.5, "b": 0.5}
+    one = {r["uid"]: r["arm"] for r in experiment_assignment(users, "uid", salt="s", arms=arms).collect()}
+    two = {r["uid"]: r["arm"] for r in experiment_assignment(
+        users.repartition(7), "uid", salt="s", arms=arms
+    ).collect()}
+    assert one == two  # sticky across partitionings
+    other = {r["uid"]: r["arm"] for r in experiment_assignment(users, "uid", salt="s2", arms=arms).collect()}
+    assert one != other  # a new salt is a new experiment
+    # roughly balanced, and the SRM readout reflects the same counts
+    n_a = sum(1 for v in one.values() if v == "a")
+    assert 0.45 < n_a / 2000 < 0.55
+    srm = {r["arm"]: r for r in srm_check(
+        experiment_assignment(users, "uid", salt="s", arms=arms), "arm", arms
+    ).collect()}
+    assert srm["a"]["n"] == n_a and srm["b"]["n"] == 2000 - n_a
+    assert srm["a"]["expected_frac"] == 0.5
+
+
+def test_srm_check_zero_count_arm_appears(spark):
+    from ml_feature_store_pipeline_spark.operators.sampling import srm_check
+
+    assigned = spark.createDataFrame([("x",)] * 10, "arm string")
+    out = {r["arm"]: r for r in srm_check(assigned, "arm", {"x": 0.5, "y": 0.5}).collect()}
+    assert out["y"]["n"] == 0
+    assert out["y"]["chi2_contrib"] == 5.0  # (0 - 5)^2 / 5
+    assert out["x"]["chi2_contrib"] == 5.0
