@@ -143,7 +143,7 @@ EVENT_OPS = (
     "user_entropy benford ohlc weighted_quantile kmv_overlap l_diversity "
     "copurchase transition_matrix gini_skew mutual_info hll_actives "
     "daily_percentiles seasonality anomaly_profile welch_ttest "
-    "ref_integrity conversion_latency"
+    "ref_integrity conversion_latency ks_drift ab_srm mad_outliers"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -1132,6 +1132,38 @@ def main() -> None:
                 ),
                 args.events,
             )
+        if events is not None and want("ks_drift"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            half = events.filter(F.col("user_id") % 2 == 0)
+            other = events.filter(F.col("user_id") % 2 == 1)
+            # two <=bins-row counts; CDF windows on the 1000-row bin table
+            timed(
+                "ks_drift_1000bins",
+                _drift.ks_statistic(half, other, "amount", lo=0.0, hi=500.0, bins=1000),
+                args.events,
+            )
+        if events is not None and want("ab_srm"):
+            from ml_feature_store_pipeline_spark.operators import sampling as _s
+
+            arms = {"control": 0.5, "treat_a": 0.25, "treat_b": 0.25}
+            assigned = _s.experiment_assignment(events, "user_id", salt="exp1", arms=arms)
+            # the arm is a zero-shuffle FUNCTION of the key; SRM is a
+            # 3-group count
+            timed("ab_srm_check", _s.srm_check(assigned, "arm", arms), args.events)
+        if events is not None and want("mad_outliers"):
+            from ml_feature_store_pipeline_spark import quality as _q
+
+            # three group-key scans: median, MAD, flag count. The two
+            # |groups|-row pins collect at plan-build — time construction
+            # too (the rfm rule)
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _q.mad_outlier_profile(events, ["event_type"], "amount").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            log("mad_outliers", time.time() - t0, args.events)
         if events is not None and want("mutual_info"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
