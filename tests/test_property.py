@@ -513,3 +513,100 @@ def test_select_by_budget_property(spark, rows, budget):
         if cum <= budget:
             expect.append((i, cum))
     assert got == sorted(expect)
+
+
+@SETTINGS
+@given(rows=events_strategy)
+def test_transition_matrix_probs_sum_to_one_per_from(spark, rows):
+    """Row-conditional probabilities must partition each from-token's mass
+    and the counts must total |events| − |keys with ≥1 event| transitions,
+    for arbitrary tie-heavy inputs."""
+    from ml_feature_store_pipeline_spark.operators.windows import transition_matrix
+
+    data = [
+        (u, t, BASE + dt.timedelta(seconds=s), i)
+        for i, (u, t, _a, s) in enumerate(rows)
+    ]
+    sdf = spark.createDataFrame(
+        data, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = transition_matrix(sdf, "user_id", "ts", "event_type", tie_col="event_id").collect()
+    pdf = pd.DataFrame([r.asDict() for r in out])
+    n_keys = len({u for u, *_ in rows})
+    assert (pdf["n"].sum() if len(pdf) else 0) == len(rows) - n_keys
+    if len(pdf):
+        sums = pdf.groupby("from_token")["prob"].sum()
+        assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+@SETTINGS
+@given(rows=events_strategy)
+def test_categorical_entropy_bounds(spark, rows):
+    """0 ≤ H ≤ ln(n_types) and norm ∈ [0, 1] for arbitrary inputs."""
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.drift import categorical_entropy
+
+    data = [(u, t) for u, t, _a, _s in rows]
+    sdf = spark.createDataFrame(data, "user_id long, event_type string")
+    for r in categorical_entropy(sdf, "user_id", "event_type").collect():
+        assert 0.0 <= r["entropy"] <= math.log(r["n_types"]) + 1e-9
+        if r["n_types"] > 1:
+            assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-9
+        else:
+            assert r["norm_entropy"] is None
+
+
+@SETTINGS
+@given(rows=events_strategy)
+def test_gini_matches_numpy_reference(spark, rows):
+    """The run-folded Gini equals the classic sorted-rank formula computed
+    in numpy on the same per-key counts; bounds hold."""
+    import numpy as np
+
+    from ml_feature_store_pipeline_spark.operators.drift import key_gini_skew
+
+    sdf = spark.createDataFrame([(u,) for u, *_ in rows], "user_id long")
+    r = key_gini_skew(sdf, ["user_id"]).collect()[0]
+    counts = pd.Series([u for u, *_ in rows]).value_counts().sort_values().to_numpy()
+    n, tot = len(counts), counts.sum()
+    want = (2 * np.sum(np.arange(1, n + 1) * counts) - (n + 1) * tot) / (n * tot)
+    assert r["gini"] == pytest.approx(float(want), abs=1e-6)
+    assert 0.0 <= r["gini"] < 1.0
+    if n > 1:
+        assert -1e-9 <= r["hhi_norm"] <= 1.0 + 1e-9
+
+
+@SETTINGS
+@given(rows=events_strategy)
+def test_session_stats_matches_pandas_recompute(spark, rows):
+    """Bounce/duration stats equal a pandas gap-sessionization recompute
+    (whole-second gaps, > threshold starts a session)."""
+    from ml_feature_store_pipeline_spark.operators.windows import session_stats
+
+    data = [(u, BASE + dt.timedelta(seconds=s)) for u, _t, _a, s in rows]
+    sdf = spark.createDataFrame(data, "user_id long, ts timestamp")
+    r = session_stats(sdf, "user_id", "ts", 600).collect()[0]
+
+    pdf = pd.DataFrame(data, columns=["u", "ts"]).sort_values(["u", "ts"])
+    sessions = []
+    for _u, g in pdf.groupby("u"):
+        t = g["ts"].astype("int64") // 10**9
+        start = None
+        prev = None
+        for x in t:
+            if prev is None or x - prev > 600:
+                if start is not None:
+                    sessions.append((start, prev))
+                start = x
+            prev = x
+        sessions.append((start, prev))
+    n = len(sessions)
+    durs = sorted(e - s for s, e in sessions)
+    assert r["n_sessions"] == n
+    # bounce = single-EVENT sessions, which this (start, end)-only
+    # recompute cannot distinguish from multi-event same-timestamp
+    # sessions — so bound it: every bounce has duration 0
+    assert r["bounce_sessions"] <= sum(1 for s_, e in sessions if e == s_)
+    assert r["max_duration_s"] == max(durs)
+    assert r["avg_duration_s"] == pytest.approx(sum(durs) / n, abs=1e-4)
