@@ -206,6 +206,10 @@ HEADLINE_R7 = [
     "ab_assignment_srm_events",
     # MAD robust outlier profile (two exact-median passes + flag count)
     "mad_outliers_order_price",
+    # calendar feature block (zero-shuffle projection, ISO pinned)
+    "calendar_features_events",
+    # per-class precision/recall/F1 (one contingency aggregate)
+    "classification_report_embeddings",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -4420,3 +4420,84 @@ def q_mad_outliers_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders")
     return mad_outlier_profile(orders, ["o_orderpriority"], "o_totalprice")
+
+
+@register(
+    "calendar_features_events",
+    """
+    SELECT event_id,
+           CAST(isodow(ts) AS INT) AS dow_iso,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           CAST(EXTRACT(day FROM ts) AS INT) AS day,
+           CAST(EXTRACT(month FROM ts) AS INT) AS month,
+           CAST(EXTRACT(year FROM ts) AS INT) AS year,
+           CAST(weekofyear(ts) AS INT) AS week_iso,
+           isodow(ts) >= 6 AS is_weekend
+    FROM events
+    """,
+)
+def q_calendar_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard calendar feature block (ISO weekday/week pinned
+    explicitly — Spark's bare dayofweek is 1=Sunday, a cross-engine
+    trap): pure zero-shuffle projection."""
+    events = read_table(spark, sf_dir, "events")
+    return fe_ops.calendar_features(events, "ts").select(
+        "event_id", "dow_iso", "hour", "day", "month", "year",
+        "week_iso", "is_weekend",
+    )
+
+
+def _clf_hash_sql(salt: str) -> str:
+    from .operators.sketches import hash_fraction_sql
+
+    return hash_fraction_sql(f"'{salt}:' || CAST(vec_id AS VARCHAR)")
+
+
+@register(
+    "classification_report_embeddings",
+    f"""
+    WITH p AS (
+      SELECT label,
+             CASE WHEN {_clf_hash_sql('clf')} < 0.7 THEN label
+                  ELSE CAST((label + 1 + CAST(FLOOR({_clf_hash_sql('clf2')} * 9) AS BIGINT)) % 10 AS INT)
+             END AS pred
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    cells AS (SELECT label AS y, pred, COUNT(*) AS c FROM p GROUP BY 1, 2),
+    ts_ AS (SELECT y AS class, SUM(c) AS n_true,
+                   SUM(CASE WHEN pred = y THEN c ELSE 0 END) AS tp
+            FROM cells GROUP BY y),
+    ps_ AS (SELECT pred AS class, SUM(c) AS n_pred FROM cells GROUP BY pred)
+    SELECT COALESCE(ts_.class, ps_.class) AS class,
+           CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+           CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+           ROUND(CASE WHEN COALESCE(n_pred, 0) > 0 THEN COALESCE(tp, 0) / n_pred END, 6)
+             AS precision,
+           ROUND(CASE WHEN COALESCE(n_true, 0) > 0 THEN COALESCE(tp, 0) / n_true END, 6)
+             AS recall,
+           ROUND(CASE WHEN COALESCE(n_pred, 0) > 0 AND COALESCE(n_true, 0) > 0
+                           AND (COALESCE(tp, 0) / n_pred + COALESCE(tp, 0) / n_true) > 0
+                      THEN 2 * (COALESCE(tp, 0) / n_pred) * (COALESCE(tp, 0) / n_true)
+                           / (COALESCE(tp, 0) / n_pred + COALESCE(tp, 0) / n_true)
+                 END, 6) AS f1
+    FROM ts_ FULL OUTER JOIN ps_ ON ts_.class = ps_.class
+    """,
+)
+def q_classification_report_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 report over a DETERMINISTIC pseudo-
+    classifier on the labeled embeddings (md5 keeps 70 % correct, the
+    rest offset by a hashed 1–9 shift — fully SQL-replayable, so the
+    report operator itself verifies exactly; real predictions plug into
+    the same (label, pred) contract)."""
+    from .operators import mlfeatures
+    from .operators.sketches import hash_fraction
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    h1 = hash_fraction(F.concat(F.lit("clf:"), F.col("vec_id").cast("string")))
+    h2 = hash_fraction(F.concat(F.lit("clf2:"), F.col("vec_id").cast("string")))
+    pred = F.when(h1 < 0.7, F.col("label")).otherwise(
+        ((F.col("label") + 1 + F.floor(h2 * 9)) % 10).cast("int")
+    )
+    scored = emb.select(F.col("label"), pred.alias("pred"))
+    return mlfeatures.classification_report(scored, "label", "pred")

@@ -689,3 +689,30 @@ def trend_slope(
         "n_events",
         F.round(slope, round_digits).alias("slope_per_day"),
     )
+
+
+def calendar_features(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    prefix: str = "",
+) -> DataFrame:
+    """Standard calendar feature block from a timestamp — the first
+    feature family every tabular model gets: ISO weekday (1 = Monday),
+    hour, day-of-month, month, year, ISO week, and an ``is_weekend``
+    flag. Pure projection (zero shuffles); ISO conventions pinned
+    explicitly because engines disagree on bare ``dayofweek`` (Spark's
+    is 1 = Sunday — never expose that trap downstream).
+    """
+    t = F.col(ts_col)
+    p = prefix
+    return df.select(
+        "*",
+        (F.weekday(t) + 1).cast("int").alias(f"{p}dow_iso"),
+        F.hour(t).cast("int").alias(f"{p}hour"),
+        F.dayofmonth(t).cast("int").alias(f"{p}day"),
+        F.month(t).cast("int").alias(f"{p}month"),
+        F.year(t).cast("int").alias(f"{p}year"),
+        F.weekofyear(t).cast("int").alias(f"{p}week_iso"),
+        (F.weekday(t) >= 5).alias(f"{p}is_weekend"),
+    )

@@ -215,3 +215,70 @@ def pareto_quality_keep(
     u = hash_fraction(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
     return scored.filter(draw > (F.lit(1.0) - F.col(score_col)))
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-class classification report from (label, prediction) columns —
+    the model-monitoring rollup a feature store serves next to its
+    features: one row per class seen in EITHER column with support,
+    predicted count, true positives, precision, recall, and F1 (NULL
+    where the denominator is 0; F1 NULL unless both parts exist).
+
+    Scale shape: ONE (label, pred) contingency aggregate (map-side
+    combined, ≤ |classes|² rows); marginals and the diagonal are windows
+    over that table. No row egress, no second scan.
+    """
+    from pyspark.sql.window import Window
+
+    cells = (
+        df.filter(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            F.col(label_col).alias("__y"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wy = Window.partitionBy("__y")
+    wp = Window.partitionBy("__p")
+    staged = cells.select(
+        "__y",
+        "__p",
+        "__c",
+        F.sum("__c").over(wy).alias("__ny"),
+        F.sum("__c").over(wp).alias("__np"),
+    )
+    # per-class rows: union the label-side and pred-side views so classes
+    # that are never predicted (or never true) still appear
+    true_side = staged.groupBy(F.col("__y").alias("class")).agg(
+        F.max("__ny").alias("n_true"),
+        F.sum(F.when(F.col("__p") == F.col("__y"), F.col("__c")).otherwise(F.lit(0))).alias("tp"),
+    )
+    pred_side = staged.groupBy(F.col("__p").alias("class")).agg(
+        F.max("__np").alias("n_pred")
+    )
+    j = true_side.join(pred_side, "class", "full_outer").select(
+        "class",
+        F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    f1 = F.when(
+        (F.col("n_pred") > 0) & (F.col("n_true") > 0) & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return j.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(prec, round_digits).alias("precision"),
+        F.round(rec, round_digits).alias("recall"),
+        F.round(f1, round_digits).alias("f1"),
+    )

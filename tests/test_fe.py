@@ -476,3 +476,22 @@ def test_ewma_null_timestamp_passes_span_guard(spark):
     assert got[2] == 0.0
     assert got[0] == 0.0  # NULL-ts row sorts first but contributes NULL z
     assert got[1] == 5.0  # 10 * 0.5^(60/60)
+
+
+def test_calendar_features_iso_conventions(spark):
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.fe import calendar_features
+
+    rows = [
+        (1, dt.datetime(2024, 1, 6, 10, 30)),   # Saturday
+        (2, dt.datetime(2024, 1, 7, 23, 0)),    # Sunday
+        (3, dt.datetime(2024, 1, 8, 0, 0)),     # Monday
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = {r["id"]: r for r in calendar_features(df, "ts").collect()}
+    assert out[1]["dow_iso"] == 6 and out[1]["is_weekend"] is True
+    assert out[2]["dow_iso"] == 7 and out[2]["is_weekend"] is True
+    assert out[3]["dow_iso"] == 1 and out[3]["is_weekend"] is False
+    assert out[1]["hour"] == 10 and out[1]["week_iso"] == 1
+    assert out[3]["week_iso"] == 2

@@ -106,3 +106,27 @@ def test_quality_classifier_separates_planted_label_and_pareto_keep(spark):
     pos_rate = sum(1 for i in kept_set if i % 3 == 0) / len(pos)
     neg_rate = sum(1 for i in kept_set if i % 3 != 0) / len(neg)
     assert pos_rate > neg_rate  # importance sampling is score-monotone
+
+
+def test_classification_report_hand_checked(spark):
+    from ml_feature_store_pipeline_spark.operators.mlfeatures import (
+        classification_report,
+    )
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),   # a: 3 true, 2 tp
+        ("b", "a"),                            # b: 1 true, never correct
+        ("c", None),                           # null pred excluded
+    ]
+    df = spark.createDataFrame(rows, "y string, p string")
+    out = {r["class"]: r for r in classification_report(df, "y", "p").collect()}
+    a = out["a"]
+    assert (a["n_true"], a["n_pred"], a["tp"]) == (3, 3, 2)
+    assert a["precision"] == round(2 / 3, 6) and a["recall"] == round(2 / 3, 6)
+    assert a["f1"] == round(2 / 3, 6)
+    b = out["b"]
+    assert (b["n_true"], b["n_pred"], b["tp"]) == (1, 1, 0)
+    assert b["precision"] is None or b["precision"] == 0.0
+    # precision is 0/1 = 0.0 (pred exists), recall 0/1 = 0.0, f1 NULL (sum 0)
+    assert b["precision"] == 0.0 and b["recall"] == 0.0 and b["f1"] is None
+    assert "c" not in out  # its only row had a NULL prediction

@@ -141,6 +141,8 @@ R8_WINDOW_QUEUE = [
     "ks_value_drift_halves",
     "ab_assignment_srm_events",
     "mad_outliers_order_price",
+    "calendar_features_events",
+    "classification_report_embeddings",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
