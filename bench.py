@@ -210,6 +210,8 @@ HEADLINE_R7 = [
     "calendar_features_events",
     # per-class precision/recall/F1 (one contingency aggregate)
     "classification_report_embeddings",
+    # fixed-point PageRank, 10 iterations (pinned edges, 2 joins + agg each)
+    "part_pagerank_top20",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

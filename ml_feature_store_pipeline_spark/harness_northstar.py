@@ -4501,3 +4501,56 @@ def q_classification_report_embeddings(spark: SparkSession, sf_dir: str) -> Data
     )
     scored = emb.select(F.col("label"), pred.alias("pred"))
     return mlfeatures.classification_report(scored, "label", "pred")
+
+
+def _copurchase_edges_sql() -> str:
+    return (
+        "SELECT x.t AS a, y.t AS b "
+        "FROM (SELECT DISTINCT l_orderkey AS k, l_partkey AS t FROM lineitem) x "
+        "JOIN (SELECT DISTINCT l_orderkey AS k, l_partkey AS t FROM lineitem) y "
+        "ON x.k = y.k AND x.t < y.t"
+    )
+
+
+def _pagerank_oracle() -> str:
+    from .operators.graph import pagerank_sql
+
+    return pagerank_sql(
+        _copurchase_edges_sql(), "a", "b", iterations=10, top_k=20,
+        node_alias="part",
+    )
+
+
+@register("part_pagerank_top20", None)  # oracle installed below (generated)
+def q_part_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the part co-purchase graph, top-20 most
+    central parts: the canonical iterative join-aggregate loop, integer
+    arithmetic end-to-end so the 10 unrolled iterations replay bit-exact
+    in the oracle. Lineage checkpointed every 4 iterations."""
+    from .operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    kt = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("t")
+    ).distinct()
+    edges = (
+        kt.alias("x")
+        .join(kt.alias("y"), "k")
+        .filter(F.col("x.t") < F.col("y.t"))
+        .select(F.col("x.t").alias("a"), F.col("y.t").alias("b"))
+    )
+    pr = pagerank(edges, "a", "b", iterations=10)
+    return (
+        pr.select(F.col("node").alias("part"), "rank")
+        .orderBy(F.desc("rank"), F.asc("part"))
+        .limit(20)
+    )
+
+
+def _install_graph_oracle() -> None:
+    from .harness import _ORACLES
+
+    _ORACLES["part_pagerank_top20"] = _pagerank_oracle()
+
+
+_install_graph_oracle()

@@ -1,0 +1,139 @@
+"""Iterative graph algorithms (beyond-reference; SURVEY §2 extension).
+
+Connected components live in ``dedup`` (min-label propagation for the
+near-dup clusters); this module adds PAGE RANK — the canonical iterative
+join-aggregate loop, in a FIXED-POINT INTEGER formulation so a SQL oracle
+that unrolls the same iterations (the MMR unrolled-CTE precedent)
+reproduces every rank bit-for-bit.
+
+Why fixed-point: float (and even decimal) formulations round each
+iteration, and scale-9 ranks divided by small integer degrees land on
+EXACT half-boundaries at the rounding digit systematically — where Spark's
+shortest-repr HALF_UP and DuckDB's binary-value rounding disagree by one
+ulp (found by the oracle-parity test; the error then compounds across
+iterations). Integer arithmetic with floor division has no rounding step
+at all: ranks are carried as units of 1e−9 and every operation is exact
+on both engines by construction. The floor bias per operation is ≤ 1e−9 —
+far below any use of a rank.
+
+Scale shape per iteration: one join of the (src-keyed) edge list with the
+|nodes| rank table + one map-side-combinable sum to |nodes| rows. Lineage
+is cut with ``localCheckpoint`` every few iterations — the standard
+iterative-algorithm discipline on Spark (without it the plan doubles per
+iteration and the optimizer chokes long before the cluster does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point unit: ranks are longs counting 1e-9ths. 64-bit headroom:
+#: the damping step computes damp_pct × Σ_in ≤ 100 × N × UNIT, so the
+#: long path is safe to ~1e8 nodes; past that, lift the sums to
+#: decimal(38,0) (DuckDB already promotes to HUGEINT).
+UNIT = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Undirected PageRank over an edge list (multi-edges collapse; each
+    edge contributes both directions). Returns (node, rank) with SCALED
+    ranks — mean ≈ 1.0, i.e. classic rank × |nodes| — so values read as
+    "this part is 38× as central as average" independent of graph size.
+
+    ``damping_pct`` is an integer percentage (85 = the classic 0.85) —
+    the fixed-point step is ``rank' = (100−d)·UNIT/100 + (d · Σ_in
+    ⌊rank/deg⌋) div 100``, all in longs, exact on any engine.
+    Undirected ⇒ no dangling nodes ⇒ no dangling-mass term.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be an integer in (0, 100)")
+    base = (100 - damping_pct) * UNIT // 100
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .distinct()
+    )
+    # pin the (possibly expensive) edge derivation and the degree table
+    # ONCE — lazily they re-execute inside every iteration's plan
+    # (measured 24 s → the pin removes 10 recomputes of an 800k-edge
+    # self-join at sf0.1)
+    und = und.localCheckpoint()
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    nodes = deg.select(F.col("s").alias("node"))
+    ranks = nodes.select("node", F.lit(UNIT).cast("long").alias("rank_fp"))
+    for i in range(iterations):
+        contrib = (
+            und.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank_fp div deg").alias("__c"),
+            )
+        )
+        agg = contrib.groupBy("node").agg(F.sum("__c").alias("__sum"))
+        new_fp = F.lit(base).cast("long") + F.expr(
+            f"({damping_pct} * coalesce(__sum, 0L)) div 100"
+        )
+        ranks = nodes.join(agg, "node", "left").select(
+            "node", new_fp.alias("rank_fp")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        "node", (F.col("rank_fp").cast("double") / F.lit(float(UNIT))).alias("rank")
+    )
+
+
+def pagerank_sql(
+    edges_sql: str,
+    src: str,
+    dst: str,
+    *,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    top_k: int | None = None,
+    node_alias: str = "node",
+) -> str:
+    """DuckDB oracle for :func:`pagerank`: the same fixed-point iterations
+    UNROLLED as chained CTEs (aggregation is illegal in a recursive CTE
+    member, and unrolling keeps every iteration literally inspectable —
+    the MMR oracle's pattern). ``edges_sql`` must yield ``{src}, {dst}``.
+    All arithmetic is integer (DuckDB promotes sums to HUGEINT; ``//`` on
+    positives is the same floor as Spark's ``div``)."""
+    base = (100 - damping_pct) * UNIT // 100
+    parts = [
+        f"e0 AS (SELECT {src} AS a, {dst} AS b FROM ({edges_sql}))",
+        "und AS (SELECT DISTINCT s, d FROM (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0))",
+        "deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s)",
+        f"r0 AS (SELECT s AS node, CAST({UNIT} AS BIGINT) AS rank_fp FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             CAST({base} + ({damping_pct} * COALESCE(SUM(r.rank_fp // dg.deg), 0)) // 100 AS BIGINT) AS rank_fp
+      FROM (SELECT node FROM r0) n
+      LEFT JOIN und u ON u.d = n.node
+      LEFT JOIN r{i-1} r ON r.node = u.s
+      LEFT JOIN deg dg ON dg.s = u.s
+      GROUP BY n.node
+    )"""
+        )
+    tail = (
+        f"SELECT node AS {node_alias}, CAST(rank_fp AS DOUBLE) / {float(UNIT)!r} AS rank "
+        f"FROM r{iterations}"
+    )
+    if top_k is not None:
+        tail += f" ORDER BY rank DESC, node ASC LIMIT {top_k}"
+    return "WITH " + ",\n".join(parts) + "\n" + tail

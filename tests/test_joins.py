@@ -325,3 +325,36 @@ class TestAsofTolerance:
         without = joins.asof_join(trades, quotes, **kw)
         key = lambda r: r["trade_id"]
         assert sorted(with_t.collect(), key=key) == sorted(without.collect(), key=key)
+
+
+def test_pagerank_star_graph_semantics(spark):
+    """Center of a star outranks the leaves; leaves are symmetric; total
+    scaled mass converges to |nodes| (the undirected no-dangling
+    invariant)."""
+    from ml_feature_store_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a long, b long"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, "a", "b", iterations=20).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[0] > out[1]
+    assert abs(sum(out.values()) - 4.0) < 1e-3
+
+
+def test_pagerank_matches_unrolled_oracle(spark):
+    """The Spark loop and the unrolled-CTE SQL must produce IDENTICAL
+    rounded ranks at every node — the engine-replayability claim."""
+    import duckdb
+
+    from ml_feature_store_pipeline_spark.operators.graph import pagerank, pagerank_sql
+
+    rows = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, "a", "b", iterations=7).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE e (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    sql = pagerank_sql("SELECT a, b FROM e", "a", "b", iterations=7)
+    want = {int(n): float(r) for n, r in con.sql(sql).fetchall()}
+    assert got == want

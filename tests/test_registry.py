@@ -143,6 +143,7 @@ R8_WINDOW_QUEUE = [
     "mad_outliers_order_price",
     "calendar_features_events",
     "classification_report_embeddings",
+    "part_pagerank_top20",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -143,7 +143,7 @@ EVENT_OPS = (
     "user_entropy benford ohlc weighted_quantile kmv_overlap l_diversity "
     "copurchase transition_matrix gini_skew mutual_info hll_actives "
     "daily_percentiles seasonality anomaly_profile welch_ttest "
-    "ref_integrity conversion_latency ks_drift ab_srm mad_outliers"
+    "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -1164,6 +1164,22 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             log("mad_outliers", time.time() - t0, args.events)
+        if events is not None and want("pagerank"):
+            from ml_feature_store_pipeline_spark.operators import graph as _graph
+
+            # synthetic power-law-ish graph: 2M edges over ~200k nodes.
+            # und/deg pin at plan-build (localCheckpoint) — time it all
+            edges_df = spark.range(2_000_000).select(
+                (F.xxhash64("id") % 200_000).alias("a"),
+                (F.xxhash64("id", F.lit(1)) % 20_000).alias("b"),
+            ).filter(F.col("a") != F.col("b"))
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _graph.pagerank(edges_df, "a", "b", iterations=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            log("pagerank_10iter_2m_edges", time.time() - t0, 2_000_000 * 10)
         if events is not None and want("mutual_info"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
