@@ -86,7 +86,10 @@ CHANGED_OR_NEW_IN_R7 = [
 
 # r7-new registrations awaiting their first driver row in the r8 window —
 # each locally 3-SF oracle-verified in round 7 (pinned here so the r8
-# rotation has its queue in code, not in a doc)
+# rotation has its queue in code, not in a doc). The queue now exceeds one
+# 50-slot window: r8 should take them IN THIS ORDER (registration order,
+# oldest verification first) plus its own anchors, and roll the remainder
+# to r9 — the same aging discipline the r7 rotation applied.
 R8_WINDOW_QUEUE = [
     "table_profile_orders_approx",
     "ml_quality_filter_docs",
