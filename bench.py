@@ -212,6 +212,8 @@ HEADLINE_R7 = [
     "classification_report_embeddings",
     # fixed-point PageRank, 10 iterations (pinned edges, 2 joins + agg each)
     "part_pagerank_top20",
+    # class-separability centroid matrix (one dim-grain shuffle)
+    "label_centroid_distances",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

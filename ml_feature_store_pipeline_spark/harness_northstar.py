@@ -4554,3 +4554,34 @@ def _install_graph_oracle() -> None:
 
 
 _install_graph_oracle()
+
+
+@register(
+    "label_centroid_distances",
+    f"""
+    WITH x AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    c AS (SELECT label, dim, {davg_sql('v', scale=9)} AS c FROM x GROUP BY 1, 2),
+    n AS (SELECT label,
+                 SQRT(CAST(SUM(CAST(c * c AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+          FROM c GROUP BY label),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST(a.c * b.c AS DECIMAL(28,9))) AS DOUBLE) AS dot
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT p.label_a, p.label_b,
+           ROUND(p.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM p JOIN n na ON na.label = p.label_a JOIN n nb ON nb.label = p.label_b
+    """,
+)
+def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability matrix: pairwise cosine between decimal-mean
+    label centroids of the embedding corpus (45 pairs for 10 labels) —
+    everything after the posexplode is |labels|×dim-sized."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_distances(emb, "label", "embedding")

@@ -1434,3 +1434,63 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def label_centroid_distances(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise cosine between LABEL CENTROIDS — the class-separability
+    diagnostic that tells you whether an embedding space can support the
+    labels at all (near-1 centroid cosines ⇒ the classes are not
+    linearly separated ⇒ prototypicality pruning and centroid classifiers
+    will thrash). One row per unordered label pair (label_a < label_b).
+
+    Engine-stable: centroids are decimal-mean per (label, dim); the dot
+    products and norms decimal-sum their 64 products — everything after
+    the explode is |labels|·dim-sized.
+
+    Scale shape: posexplode to (label, dim, value) reduces map-side to
+    |labels|×dim partial means (the only fact-sized stage, one shuffle of
+    dimension-grain partials); the pair join runs on that tiny table.
+    """
+    from ..functions import davg
+
+    x = (
+        df.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .select("label", "dim", F.col("v").cast("double").alias("v"))
+    )
+    cent = x.groupBy("label", "dim").agg(davg(F.col("v"), scale=9).alias("c"))
+    dec = lambda col: col.cast("decimal(28,9)")
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(dec(F.col("c") * F.col("c"))).cast("double")).alias("nrm")
+    )
+    pairs = (
+        cent.alias("a")
+        .join(cent.alias("b"), "dim")
+        .filter(F.col("a.label") < F.col("b.label"))
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(dec(F.col("a.c") * F.col("b.c"))).cast("double").alias("__dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("__na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("__nb"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), round_digits).alias(
+                "cosine"
+            ),
+        )
+    )

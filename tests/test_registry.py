@@ -147,6 +147,7 @@ R8_WINDOW_QUEUE = [
     "calendar_features_events",
     "classification_report_embeddings",
     "part_pagerank_top20",
+    "label_centroid_distances",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

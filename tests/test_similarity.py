@@ -727,3 +727,20 @@ def test_pq_index_roundtrips_through_parquet(spark, corpus, tmp_path):
         for r in similarity.pq_query(q, cb2, codes2, k=5).collect()
     }
     assert got == want
+
+
+def test_label_centroid_distances_separated_classes(spark):
+    """Two orthogonal clusters → centroid cosine ≈ 0; a cluster vs itself
+    shifted slightly → cosine ≈ 1 (and label_a < label_b ordering)."""
+    rows = []
+    for i in range(10):
+        rows.append((0, [1.0 + 0.01 * i, 0.0, 0.0, 0.0]))   # x-axis cluster
+        rows.append((1, [0.0, 1.0 + 0.01 * i, 0.0, 0.0]))   # y-axis cluster
+        rows.append((2, [1.0, 0.01 * i, 0.0, 0.0]))          # near x-axis
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {(r["label_a"], r["label_b"]): r["cosine"]
+           for r in similarity.label_centroid_distances(df, "label", "embedding").collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert abs(out[(0, 1)]) < 1e-6
+    assert out[(0, 2)] > 0.99
+    assert 0 < out[(1, 2)] < 0.3
