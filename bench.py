@@ -214,6 +214,8 @@ HEADLINE_R7 = [
     "part_pagerank_top20",
     # class-separability centroid matrix (one dim-grain shuffle)
     "label_centroid_distances",
+    # graph degree inequality (count-of-counts fold over the edge list)
+    "copurchase_degree_profile",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -4585,3 +4585,53 @@ def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after the posexplode is |labels|×dim-sized."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.label_centroid_distances(emb, "label", "embedding")
+
+
+@register(
+    "copurchase_degree_profile",
+    f"""
+    WITH e0 AS ({_copurchase_edges_sql()}),
+    und AS (SELECT DISTINCT s, d FROM
+            (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0)),
+    counts AS (SELECT s, COUNT(*) AS c FROM und GROUP BY s),
+    runs AS (SELECT c, COUNT(*) AS m FROM counts GROUP BY c),
+    staged AS (
+      SELECT c, m,
+             COALESCE(SUM(m) OVER (ORDER BY c ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM runs
+    )
+    SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
+           CAST(SUM(c * m) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(c * (2*m*s + m*m + m)) - (SUM(m) + 1) * SUM(c*m) AS DOUBLE)
+                 / CAST(SUM(m) * SUM(c*m) AS DOUBLE), 6) AS gini,
+           ROUND(CASE WHEN SUM(m) > 1 THEN
+                   (CAST(SUM(c*c*m) AS DOUBLE) / CAST(SUM(c*m) * SUM(c*m) AS DOUBLE)
+                    - 1 / SUM(m)) / (1 - 1 / SUM(m))
+                 END, 6) AS hhi_norm,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows
+    FROM staged
+    """,
+)
+def q_copurchase_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-inequality profile of the co-purchase graph (n_nodes as
+    n_keys, directed-degree sum as n_rows, Gini + normalized HHI of the
+    degree distribution, hub max) — key_gini_skew composed over the
+    symmetrized edge list: the pre-flight read on whether PageRank/CC
+    over this graph will see hub stragglers."""
+    from .operators import drift as drift_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    kt = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("t")
+    ).distinct()
+    edges = (
+        kt.alias("x")
+        .join(kt.alias("y"), "k")
+        .filter(F.col("x.t") < F.col("y.t"))
+        .select(F.col("x.t").alias("a"), F.col("y.t").alias("b"))
+    )
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    return drift_ops.key_gini_skew(und, ["a"])

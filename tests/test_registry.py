@@ -148,6 +148,7 @@ R8_WINDOW_QUEUE = [
     "classification_report_embeddings",
     "part_pagerank_top20",
     "label_centroid_distances",
+    "copurchase_degree_profile",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
