@@ -55,6 +55,7 @@ ALLOW: dict[tuple[str, str], str] = {
     ("event_value_mutual_info", "window_1part"): "marginal/total windows over the |cats|x bins contingency table (<= 50 cells by construction)",
     ("daily_anomaly_profile_events", "window_1part"): "trailing-baseline frame over the day-grain table (|days| rows by construction)",
     ("ks_value_drift_halves", "window_1part"): "CDF cumulative windows over the fixed bins-row table (1000 rows by construction)",
+    ("copurchase_degree_profile", "window_1part"): "same count-of-counts fold as key_skew_gini_events, over the degree distribution's distinct values",
 }
 
 
