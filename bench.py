@@ -216,6 +216,8 @@ HEADLINE_R7 = [
     "label_centroid_distances",
     # graph degree inequality (count-of-counts fold over the edge list)
     "copurchase_degree_profile",
+    # BPE training, 4 merges (per merge: one pair-count scan + fold apply)
+    "bpe_train_merges",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

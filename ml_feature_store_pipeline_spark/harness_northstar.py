@@ -4635,3 +4635,22 @@ def q_copurchase_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     return drift_ops.key_gini_skew(und, ["a"])
+
+
+def _bpe_train_oracle() -> str:
+    return text.bpe_train_sql("documents", "text", n_merges=4)
+
+
+@register("bpe_train_merges", None)  # generated oracle installed below
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING (Sennrich et al. 2016), four merges over
+    the documents corpus: per merge one pair-count scan, a pinned argmax,
+    and the exact list-walk fold application — the learned merge table
+    replays bit-for-bit in the unrolled-CTE oracle."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return text.bpe_train(docs, "text", n_merges=4)
+
+
+from .harness import _ORACLES as _O  # noqa: E402
+
+_O["bpe_train_merges"] = _bpe_train_oracle()

@@ -783,3 +783,184 @@ def zipf_fit(
         F.round(intercept, round_digits).alias("zipf_intercept"),
         F.round(r2, round_digits).alias("r2"),
     )
+
+
+#: accumulator separator for the BPE merge fold — a control char no
+#: pre-tokenizer class emits for normal text (documented assumption:
+#: corpora containing \x01 must pre-scrub it)
+_BPE_ACC_SEP = "\x01"
+
+
+def _bpe_merge_fold(sym_str: Column, left: str, right: str, merged: str) -> Column:
+    """Apply ONE learned merge to a space-joined symbol string with the
+    exact left-to-right list-walk semantics (a merged symbol never
+    re-merges in the same pass): a string fold whose accumulator encodes
+    ``emitted || \\x01 || pending``. Plain string replace can NOT do this
+    — back-to-back occurrences share the boundary space and a scan that
+    consumes it skips every second merge (chains like ``a b a b`` come
+    out half-merged)."""
+    arr = F.split(sym_str, " ")
+    init = F.lit(_BPE_ACC_SEP)
+
+    def step(acc: Column, x: Column) -> Column:
+        out = F.substring_index(acc, _BPE_ACC_SEP, 1)
+        pend = F.substring_index(acc, _BPE_ACC_SEP, -1)
+        return (
+            F.when(pend == F.lit(""), F.concat(acc, x))
+            .when(
+                (pend == F.lit(left)) & (x == F.lit(right)),
+                F.concat(out, F.lit(" " + merged), F.lit(_BPE_ACC_SEP)),
+            )
+            .otherwise(F.concat(out, F.lit(" "), pend, F.lit(_BPE_ACC_SEP), x))
+        )
+
+    def finish(acc: Column) -> Column:
+        out = F.substring_index(acc, _BPE_ACC_SEP, 1)
+        pend = F.substring_index(acc, _BPE_ACC_SEP, -1)
+        return F.ltrim(
+            F.concat(out, F.when(pend != "", F.concat(F.lit(" "), pend)).otherwise(F.lit("")))
+        )
+
+    return F.aggregate(arr, init, step, finish)
+
+
+def _bpe_symbol_corpus(df: DataFrame, text_col: str) -> DataFrame:
+    """Explode documents to pre-tokens and lay each out as a space-joined
+    character-symbol string ('Ġhello' → 'Ġ h e l l o'); leading spaces
+    become the GPT-2 Ġ marker so the space separator stays unambiguous."""
+    tok = F.regexp_replace(F.col("__t"), " ", "Ġ")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(tok)), lambda i: F.substring(tok, i, 1)
+    )
+    return (
+        df.select(F.explode(bpe_pretokens(F.col(text_col))).alias("__t"))
+        .filter(F.length("__t") >= 1)
+        .select(F.concat_ws(" ", chars).alias("sym"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Distributed BPE TRAINING, not just the first-pair diagnostic
+    (:func:`bpe_pair_stats`): learn ``n_merges`` merges over the corpus
+    exactly as Sennrich et al. 2016 — count adjacent symbol pairs within
+    pre-tokens, take the most frequent (count desc, then pair asc — ties
+    pinned), apply it left-to-right, repeat. Returns the merge table
+    (merge_rank, left, right, merged, n_occ).
+
+    Engine-replayable end to end: pair counts are exact integers, the
+    argmax tie rule is total, and the merge APPLICATION is the string
+    fold of :func:`_bpe_merge_fold` — deterministic list-walk semantics
+    both engines express identically (oracle: the same iterations
+    unrolled as CTEs, the pagerank/MMR pattern).
+
+    Scale shape per merge: one corpus scan (pair explode → map-side-
+    combined count, shuffling |symbol-vocab|² partials), one 1-row
+    collect, one fold projection; the folded corpus is localCheckpoint'd
+    so iteration k+1 scans data, not k stacked fold plans. Real
+    tokenizers run thousands of merges — at that depth keep the corpus
+    checkpointed exactly like this and batch the counts (the per-merge
+    structure is unchanged; only the loop is longer).
+    """
+    corpus = _bpe_symbol_corpus(df, text_col).localCheckpoint()
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        arr = F.split(F.col("sym"), " ")
+        n = F.size(arr)
+        pairs = corpus.filter(n >= 2).select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, n - 1).alias("l"),
+                    F.slice(arr, 2, n - 1).alias("r"),
+                )
+            ).alias("p")
+        )
+        counts = pairs.groupBy(
+            F.col("p.l").alias("left"), F.col("p.r").alias("right")
+        ).agg(F.count(F.lit(1)).alias("n_occ"))
+        top = counts.orderBy(
+            F.desc("n_occ"), F.asc("left"), F.asc("right")
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, n_occ = top[0]["left"], top[0]["right"], int(top[0]["n_occ"])
+        merged = left + right
+        out.append((rank, left, right, merged, n_occ))
+        corpus = corpus.select(
+            _bpe_merge_fold(F.col("sym"), left, right, merged).alias("sym")
+        ).localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "merge_rank int, left string, right string, merged string, n_occ long"
+    )
+
+
+def bpe_train_sql(
+    docs_table: str,
+    text_col: str,
+    *,
+    n_merges: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`bpe_train`: the same merges unrolled —
+    per iteration a pair-count CTE, a 1-row argmax CTE, and a corpus CTE
+    applying the fold via ``list_reduce`` with the argmax cross-joined in
+    (the accumulator encoding is byte-identical to the Spark fold;
+    probe-verified: init sentinel as a prepended list element, struct
+    fields by numeric index)."""
+    sep = "chr(1)"
+    re_esc = BPE_PRETOKEN_RE.replace("'", "''")
+    parts = [
+        f"""toks AS (
+      SELECT replace(UNNEST(regexp_extract_all({text_col}, '{re_esc}')), ' ', 'Ġ') AS t
+      FROM {docs_table}
+    )""",
+        """c0 AS (
+      SELECT array_to_string(list_transform(range(1, length(t) + 1), i -> substr(t, i, 1)), ' ') AS sym
+      FROM toks WHERE length(t) >= 1
+    )""",
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"c{k-1}"
+        parts.append(
+            f"""p{k} AS (
+      SELECT u[1] AS left_, u[2] AS right_, COUNT(*) AS n_occ
+      FROM (
+        SELECT UNNEST(list_zip(a[1:len(a)-1], a[2:len(a)])) AS u
+        FROM (SELECT string_split(sym, ' ') AS a FROM {prev}) WHERE len(a) >= 2
+      )
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"m{k} AS (SELECT left_, right_, left_ || right_ AS merged, n_occ FROM p{k} ORDER BY n_occ DESC, left_ ASC, right_ ASC LIMIT 1)"
+        )
+        parts.append(
+            f"""c{k} AS (
+      SELECT ltrim(
+        split_part(acc, {sep}, 1) ||
+        CASE WHEN split_part(acc, {sep}, 2) <> ''
+             THEN ' ' || split_part(acc, {sep}, 2) ELSE '' END
+      ) AS sym
+      FROM (
+        SELECT list_reduce(
+          [{sep}] || string_split(sym, ' '),
+          (acc, x) -> CASE
+            WHEN split_part(acc, {sep}, 2) = '' THEN acc || x
+            WHEN split_part(acc, {sep}, 2) = m.left_ AND x = m.right_
+              THEN split_part(acc, {sep}, 1) || ' ' || m.merged || {sep}
+            ELSE split_part(acc, {sep}, 1) || ' ' || split_part(acc, {sep}, 2) || {sep} || x
+          END
+        ) AS acc
+        FROM {prev} CROSS JOIN m{k} m
+      )
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f'SELECT CAST({k} AS INT) AS merge_rank, left_ AS "left", right_ AS "right", merged, CAST(n_occ AS BIGINT) AS n_occ FROM m{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union

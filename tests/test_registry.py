@@ -149,6 +149,7 @@ R8_WINDOW_QUEUE = [
     "part_pagerank_top20",
     "label_centroid_distances",
     "copurchase_degree_profile",
+    "bpe_train_merges",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -368,3 +368,36 @@ def test_zipf_fit_matches_numpy_on_true_zipf(spark):
     assert abs(got["zipf_intercept"] - round(float(i), 6)) < 1e-6
     assert got["zipf_slope"] < -0.9  # a true Zipf corpus reads ≈ -1
     assert got["r2"] > 0.99
+
+
+def test_bpe_train_hand_checked_merges(spark):
+    from ml_feature_store_pipeline_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([("aaab aaab",), ("aa",)], "text string")
+    out = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["n_occ"])
+        for r in bpe_train(docs, "text", n_merges=3).orderBy("merge_rank").collect()
+    ]
+    # iter1: (a,a) wins with 5 within-pretoken adjacencies (left-to-right
+    # walk merges 'a a a' into 'aa a', NOT 'a aa');
+    # iter2: (a,b) and (aa,a) tie at 2 — 'a' < 'aa' pins the winner;
+    # iter3: the chain completes to the full pre-token 'aaab'
+    assert out == [
+        (1, "a", "a", "aa", 5),
+        (2, "a", "b", "ab", 2),
+        (3, "aa", "ab", "aaab", 2),
+    ]
+
+
+def test_bpe_merge_fold_chain_semantics(spark):
+    """Back-to-back pair occurrences must BOTH merge (the case plain
+    string replace gets wrong by consuming the shared boundary space)."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_pipeline_spark.operators.text import _bpe_merge_fold
+
+    df = spark.createDataFrame([("a b a b",), ("a a a",), ("x a b x",)], "sym string")
+    out = [r["m"] for r in df.select(_bpe_merge_fold(F.col("sym"), "a", "b", "ab").alias("m")).collect()]
+    assert out == ["ab ab", "a a a", "x ab x"]
+    out2 = [r["m"] for r in df.select(_bpe_merge_fold(F.col("sym"), "a", "a", "aa").alias("m")).collect()]
+    assert out2 == ["a b a b", "aa a", "x a b x"]
