@@ -153,7 +153,7 @@ DOC_OPS = (
     "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64 "
     "quality_classifier training_shards mixture_epochs priority_survivors "
     "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup "
-    "bpe_stats bpe_pairs sketch_calibrate"
+    "bpe_stats bpe_pairs bpe_train sketch_calibrate"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
@@ -1227,6 +1227,19 @@ def main() -> None:
             # two explodes into one map-side-combined agg: shuffle carries
             # |alphabet|^2 partials per partition, never corpus positions
             timed("bpe_pairs_top1000", _text.bpe_pair_stats(docs, "text", top_n=1000), args.docs)
+        if docs is not None and want("bpe_train"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # iterative trainer: per merge one pair-count scan + fold
+            # apply; corpus localCheckpoints pin the loop (time the
+            # driver argmax collects too — they ARE the iteration)
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _text.bpe_train(docs, "text", n_merges=4).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            log("bpe_train_4merges", time.time() - t0, args.docs)
         if docs is not None and want("sketch_calibrate"):
             from ml_feature_store_pipeline_spark.operators import text as _text
 
