@@ -218,6 +218,8 @@ HEADLINE_R7 = [
     "copurchase_degree_profile",
     # BPE training, 4 merges (per merge: one pair-count scan + fold apply)
     "bpe_train_merges",
+    # BPE train -> encode roundtrip (4 folds chained in ONE projection)
+    "bpe_encode_stats_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

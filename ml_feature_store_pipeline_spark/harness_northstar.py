@@ -4654,3 +4654,24 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .harness import _ORACLES as _O  # noqa: E402
 
 _O["bpe_train_merges"] = _bpe_train_oracle()
+
+
+@register("bpe_encode_stats_docs", None)  # generated oracle installed below
+def q_bpe_encode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 4 BPE merges on the corpus, then ENCODE it and report per-doc
+    token accounting (chars/token compression) — the train → serve
+    roundtrip in one verified query; the encode pass chains the 4 folds
+    in a single projection."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in text.bpe_train(docs, "text", n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return text.bpe_encode_stats(docs, "doc_id", "text", merges)
+
+
+_O["bpe_encode_stats_docs"] = text.bpe_encode_stats_sql(
+    "documents", "doc_id", "text", n_merges=4
+)

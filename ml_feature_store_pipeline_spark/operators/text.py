@@ -964,3 +964,123 @@ def bpe_train_sql(
         for k in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, str]],
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ENCODE with a learned merge table — the serving half of
+    :func:`bpe_train`: apply every (left, right, merged) in rank order
+    (each one the exact list-walk fold) and report per-doc token
+    accounting: (id, n_pretokens, n_chars, n_tokens,
+    chars_per_token) — the compression ratio a tokenizer team actually
+    tracks per corpus slice.
+
+    Scale shape: ONE pass — the k folds chain inside a single projection
+    over the exploded pre-tokens (no per-merge scans at inference; the
+    iteration was training's cost), then a map-side-combinable per-doc
+    rollup.
+    """
+    tok = F.regexp_replace(F.col("__t"), " ", "Ġ")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(tok)), lambda i: F.substring(tok, i, 1)
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(bpe_pretokens(F.col(text_col))).alias("__t")
+    ).filter(F.length("__t") >= 1)
+    sym = F.concat_ws(" ", chars)
+    for left, right, merged in merges:
+        sym = _bpe_merge_fold(sym, left, right, merged)
+    staged = exploded.select(
+        F.col(id_col),
+        F.length(F.regexp_replace(F.col("__t"), " ", "Ġ")).alias("__chars"),
+        F.size(F.split(sym, " ")).alias("__toks"),
+    )
+    return staged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+        F.sum("__chars").cast("long").alias("n_chars"),
+        F.sum("__toks").cast("long").alias("n_tokens"),
+        F.round(F.sum("__chars") / F.sum("__toks"), round_digits).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def bpe_encode_stats_sql(
+    docs_table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    n_merges: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`bpe_encode_stats` with merges LEARNED IN
+    THE SAME QUERY (the m1..mN CTEs of :func:`bpe_train_sql`), so the
+    train → encode roundtrip verifies end-to-end: the encode corpus keeps
+    doc ids and chains the same list_reduce folds."""
+    sep = "chr(1)"
+    re_esc = BPE_PRETOKEN_RE.replace("'", "''")
+    parts = [
+        f"""toks AS (
+      SELECT {id_col}, replace(UNNEST(regexp_extract_all({text_col}, '{re_esc}')), ' ', 'Ġ') AS t
+      FROM {docs_table}
+    )""",
+        f"""e0 AS (
+      SELECT {id_col},
+             array_to_string(list_transform(range(1, length(t) + 1), i -> substr(t, i, 1)), ' ') AS sym,
+             length(t) AS n_chars
+      FROM toks WHERE length(t) >= 1
+    )""",
+        # training corpus (id-free) — identical to bpe_train_sql
+        "c0 AS (SELECT sym FROM e0)",
+    ]
+    fold = (
+        "list_reduce([{sep}] || string_split(sym, ' '), (acc, x) -> CASE "
+        "WHEN split_part(acc, {sep}, 2) = '' THEN acc || x "
+        "WHEN split_part(acc, {sep}, 2) = m.left_ AND x = m.right_ "
+        "THEN split_part(acc, {sep}, 1) || ' ' || m.merged || {sep} "
+        "ELSE split_part(acc, {sep}, 1) || ' ' || split_part(acc, {sep}, 2) || {sep} || x END)"
+    )
+    finish = (
+        "ltrim(split_part(acc, {sep}, 1) || CASE WHEN split_part(acc, {sep}, 2) <> '' "
+        "THEN ' ' || split_part(acc, {sep}, 2) ELSE '' END)"
+    )
+    for k in range(1, n_merges + 1):
+        prev = f"c{k-1}"
+        parts.append(
+            f"""p{k} AS (
+      SELECT u[1] AS left_, u[2] AS right_, COUNT(*) AS n_occ
+      FROM (
+        SELECT UNNEST(list_zip(a[1:len(a)-1], a[2:len(a)])) AS u
+        FROM (SELECT string_split(sym, ' ') AS a FROM {prev}) WHERE len(a) >= 2
+      )
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"m{k} AS (SELECT left_, right_, left_ || right_ AS merged FROM p{k} ORDER BY n_occ DESC, left_ ASC, right_ ASC LIMIT 1)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT {finish.format(sep=sep)} AS sym FROM (SELECT {fold.format(sep=sep)} AS acc FROM {prev} CROSS JOIN m{k} m))"
+        )
+        # encode corpus: same fold, doc ids carried
+        prev_e = f"e{k-1}"
+        parts.append(
+            f"e{k} AS (SELECT {id_col}, {finish.format(sep=sep)} AS sym, n_chars FROM (SELECT {id_col}, {fold.format(sep=sep)} AS acc, n_chars FROM {prev_e} CROSS JOIN m{k} m))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(sym, ' '))) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_chars) / SUM(len(string_split(sym, ' '))), 6) AS chars_per_token
+    FROM e{n_merges} GROUP BY {id_col}
+    """
+    )

@@ -150,6 +150,7 @@ R8_WINDOW_QUEUE = [
     "label_centroid_distances",
     "copurchase_degree_profile",
     "bpe_train_merges",
+    "bpe_encode_stats_docs",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

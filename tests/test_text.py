@@ -401,3 +401,19 @@ def test_bpe_merge_fold_chain_semantics(spark):
     assert out == ["ab ab", "a a a", "x ab x"]
     out2 = [r["m"] for r in df.select(_bpe_merge_fold(F.col("sym"), "a", "a", "aa").alias("m")).collect()]
     assert out2 == ["a b a b", "aa a", "x a b x"]
+
+
+def test_bpe_encode_stats_roundtrip(spark):
+    from ml_feature_store_pipeline_spark.operators.text import bpe_encode_stats
+
+    docs = spark.createDataFrame([(1, "aaab aaab"), (2, "aa")], "doc_id long, text string")
+    merges = [("a", "a", "aa"), ("a", "b", "ab"), ("aa", "ab", "aaab")]
+    out = {r["doc_id"]: r for r in bpe_encode_stats(docs, "doc_id", "text", merges).collect()}
+    # doc 1: pretokens 'aaab', 'Ġaaab' → both encode to ONE token after
+    # the 3 merges ('aaab'; 'Ġaaab' → 'Ġ aaab' = 2: Ġ never merged)
+    assert out[1]["n_pretokens"] == 2
+    assert out[1]["n_chars"] == 9          # 'aaab' 4 + 'Ġaaab' 5
+    assert out[1]["n_tokens"] == 3         # ['aaab'], ['Ġ','aaab']
+    assert out[1]["chars_per_token"] == 3.0
+    # doc 2: 'aa' → one merged token
+    assert out[2]["n_tokens"] == 1 and out[2]["n_chars"] == 2
