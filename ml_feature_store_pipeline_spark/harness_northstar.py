@@ -4675,3 +4675,203 @@ def q_bpe_encode_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O["bpe_encode_stats_docs"] = text.bpe_encode_stats_sql(
     "documents", "doc_id", "text", n_merges=4
 )
+
+
+# ---------------------------------------------------------------------------
+# rank / correlation statistics (round 7, late wave)
+# ---------------------------------------------------------------------------
+
+#: DuckDB average (fractional) rank of {v} within the current window scope —
+#: identical semantics to operators.drift.banded_avg_rank (1-based, ties
+#: share the mean of their positions).
+_AVG_RANK = (
+    "RANK() OVER (ORDER BY {v}) + (COUNT(*) OVER (PARTITION BY {v}) - 1) / 2.0"
+)
+
+
+@register(
+    "corr_matrix_lineitem",
+    """
+    WITH keep AS (
+      SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS d, l_tax AS t
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(q * q AS DECIMAL(28,6))) AS DOUBLE) AS qq,
+             CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(p * p AS DECIMAL(28,6))) AS DOUBLE) AS qp,
+             CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(d * d AS DECIMAL(28,6))) AS DOUBLE) AS qd,
+             CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(t * t AS DECIMAL(28,6))) AS DOUBLE) AS qt,
+             CAST(SUM(CAST(q * p AS DECIMAL(28,6))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(q * d AS DECIMAL(28,6))) AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(q * t AS DECIMAL(28,6))) AS DOUBLE) AS sqt,
+             CAST(SUM(CAST(p * d AS DECIMAL(28,6))) AS DOUBLE) AS spd,
+             CAST(SUM(CAST(p * t AS DECIMAL(28,6))) AS DOUBLE) AS spt,
+             CAST(SUM(CAST(d * t AS DECIMAL(28,6))) AS DOUBLE) AS sdt
+      FROM keep
+    ),
+    pairs AS (
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n, sq AS sx, qq AS qx, sp AS sy, qp AS qy, sqp AS sxy FROM g
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', n, sq, qq, sd, qd, sqd FROM g
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax', n, sq, qq, st, qt, sqt FROM g
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', n, sp, qp, sd, qd, spd FROM g
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax', n, sp, qp, st, qt, spt FROM g
+      UNION ALL
+      SELECT 'l_discount', 'l_tax', n, sd, qd, st, qt, sdt FROM g
+    )
+    SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN n >= 2 AND (qx - n * (sx / n) * (sx / n)) > 0
+                           AND (qy - n * (sy / n) * (sy / n)) > 0
+                 THEN (sxy - n * (sx / n) * (sy / n))
+                      / SQRT((qx - n * (sx / n) * (sx / n))
+                             * (qy - n * (sy / n) * (sy / n))) END, 6) AS corr
+    FROM pairs
+    """,
+)
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's four numeric measures —
+    ONE decimal-moment aggregate, the pair fan-out on the single agg row."""
+    from .operators import drift as drift_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return drift_ops.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
+    "spearman_price_quantity",
+    f"""
+    WITH keep AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    ranked AS (
+      SELECT {_AVG_RANK.format(v='x')} AS rx,
+             {_AVG_RANK.format(v='y')} AS ry
+      FROM keep
+    ),
+    g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(rx * rx AS DECIMAL(28,6))) AS DOUBLE) AS qx,
+             CAST(SUM(CAST(ry AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ry * ry AS DECIMAL(28,6))) AS DOUBLE) AS qy,
+             CAST(SUM(CAST(rx * ry AS DECIMAL(28,6))) AS DOUBLE) AS pxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN n >= 2 AND (qx - n * (sx / n) * (sx / n)) > 0
+                           AND (qy - n * (sy / n) * (sy / n)) > 0
+                 THEN (pxy - n * (sx / n) * (sy / n))
+                      / SQRT((qx - n * (sx / n) * (sx / n))
+                             * (qy - n * (sy / n) * (sy / n))) END, 6) AS spearman
+    FROM g
+    """,
+)
+def q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price — two
+    BANDED rank passes (no global single-task sort) + one moment agg."""
+    from .operators import drift as drift_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return drift_ops.spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+@register(
+    "mann_whitney_view_purchase",
+    f"""
+    WITH keep AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, v, {_AVG_RANK.format(v='v')} AS r FROM keep
+    ),
+    sums AS (
+      SELECT g, COUNT(*) AS n,
+             CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS rs
+      FROM ranked GROUP BY g
+    ),
+    a AS (SELECT n AS na, rs AS ra FROM sums WHERE g = 'view'),
+    b AS (SELECT n AS nb, rs AS rb FROM sums WHERE g = 'purchase'),
+    ties AS (
+      SELECT CAST(SUM(CAST(t * t * t - t AS DECIMAL(28,6))) AS DOUBLE) AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM keep GROUP BY v)
+    ),
+    m AS (
+      SELECT na, nb, ra, rb, tie_term,
+             ra - na * (na + 1) / 2 AS u_a,
+             rb - nb * (nb + 1) / 2 AS u_b,
+             na * nb / 2.0 AS mean_u,
+             na * nb / 12.0 * (((na + nb) + 1)
+                               - tie_term / ((na + nb) * ((na + nb) - 1))) AS var
+      FROM a, b, ties
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(u_a, 6) AS u_a, ROUND(u_b, 6) AS u_b,
+           ROUND(CASE WHEN na >= 1 AND nb >= 1 AND var > 0
+                 THEN (u_a - mean_u + CASE WHEN u_a > mean_u THEN -0.5
+                                           WHEN u_a < mean_u THEN 0.5
+                                           ELSE 0.0 END) / SQRT(var) END, 6) AS z
+    FROM m
+    """,
+)
+def q_mann_whitney_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U of event value, viewers vs purchasers — the
+    nonparametric twin of welch_ttest_view_purchase; banded ranks, one
+    rank-sum agg, one value-grain tie agg."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.mann_whitney_u(events, "event_type", "value", "view", "purchase")
+
+
+@register(
+    "acf_daily_value",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS qx
+      FROM daily
+    ),
+    lags AS (SELECT CAST(r AS INTEGER) AS lag FROM range(1, 8) t(r)),
+    pairs AS (
+      SELECT lag, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(a.x AS DECIMAL(28,6))) AS DOUBLE) AS sh,
+             CAST(SUM(CAST(b.x AS DECIMAL(28,6))) AS DOUBLE) AS st
+      FROM lags JOIN daily a ON TRUE JOIN daily b ON a.day + lag = b.day
+      GROUP BY lag
+    )
+    SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(CASE WHEN n >= 2 AND (qx - n * (sx / n) * (sx / n)) > 0
+                 THEN (sxy - (sx / n) * (sh + st) + n_pairs * (sx / n) * (sx / n))
+                      / (qx - n * (sx / n) * (sx / n)) END, 6) AS acf
+    FROM pairs, stats
+    """,
+)
+def q_acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-value total at calendar lags
+    1..7 — the seasonality screen behind the trailing anomaly baseline;
+    everything after the day-grain agg is |days|-sized."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.daily_acf(events, "ts", "value", max_lag=7)

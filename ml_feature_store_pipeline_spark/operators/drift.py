@@ -572,3 +572,317 @@ def ks_statistic(
         F.round(F.max("__d"), round_digits).alias("d_stat"),
         F.min_by(F.col("bin"), F.struct(-F.col("__d"), F.col("bin"))).alias("at_bin"),
     )
+
+
+def banded_avg_rank(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_bands: int = 256,
+    rank_col: str = "avg_rank",
+) -> DataFrame:
+    """Average (fractional) rank of ``value_col`` ascending, 1-based, ties
+    sharing the mean of their positions — the rank transform under every
+    rank statistic (Spearman, Mann-Whitney). NULL values must be filtered
+    by the caller (a NULL has no rank).
+
+    Scale shape: a single global ``ORDER BY`` window would rank the table
+    on one task, so ranking is BANDED exactly like
+    :func:`~.selection.select_by_budget`'s prefix sum: values map
+    monotonically into ``n_bands`` range bands (one min/max aggregate),
+    per-band counts aggregate to driver-side offsets (``n_bands`` rows),
+    and rank()/tie-count windows run PER BAND — the biggest task sorts
+    ~N/n_bands rows. Banding is a pure function of the value, so ties can
+    never straddle a band and (band, in-band rank) equals the global rank.
+
+    Average ranks are integers or half-integers — exact in binary doubles
+    and in ``DECIMAL(…, 1)``, so downstream decimal sums stay engine-exact.
+    """
+    v = F.col(value_col)
+    bounds = df.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if not bounds["n"]:
+        return df.withColumn(rank_col, F.lit(None).cast("double")).limit(0)
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    if hi > lo:
+        band = F.least(
+            F.greatest(
+                F.floor((v - F.lit(lo)) / F.lit(hi - lo) * n_bands).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bands - 1),
+        )
+    else:
+        band = F.lit(0)
+    banded = df.withColumn("__band", band)
+    counts = {
+        r["__band"]: r["c"]
+        for r in banded.groupBy("__band").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):  # offset = rows in all LOWER-value bands
+        offsets[b] = acc
+        acc += counts[b]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()], "__band int, __off long"
+    )
+    w_rank = Window.partitionBy("__band").orderBy(v.asc())
+    w_tie = Window.partitionBy("__band", v)
+    return (
+        banded.join(F.broadcast(off_df), "__band")
+        .withColumn(
+            rank_col,
+            F.col("__off")
+            + F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0),
+        )
+        .drop("__band", "__off")
+    )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], *, round_digits: int = 6
+) -> DataFrame:
+    """Pearson correlation for every column pair — the numeric-redundancy
+    screen before feature selection. Long format, one row per unordered
+    pair (i < j in ``cols`` order): (col_x, col_y, n, corr); ``corr`` NULL
+    when either column is constant. Rows with a NULL in ANY of ``cols``
+    are excluded (listwise deletion), so every pair shares one n.
+
+    Engine-stable: Σx, Σx², Σxy come from one decimal-summed aggregate;
+    the correlation closed form then runs in IEEE doubles — identical
+    inputs, identical operation order, identical results both engines.
+
+    Scale shape: ONE map-side-combinable aggregate over the scan —
+    2·k + k·(k−1)/2 + 1 partials, zero row egress. The pair fan-out
+    happens on the single aggregate row.
+    """
+    dec = lambda c: c.cast("decimal(28,6)")
+    keep = df
+    for c in cols:
+        keep = keep.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(dec(F.col(c))).cast("double").alias(f"__s_{c}"))
+        aggs.append(F.sum(dec(F.col(c) * F.col(c))).cast("double").alias(f"__q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(dec(F.col(a) * F.col(b))).cast("double").alias(f"__p_{a}_{b}")
+            )
+    g = keep.agg(*aggs)
+    n = F.col("__n")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa, qa = F.col(f"__s_{a}"), F.col(f"__q_{a}")
+            sb, qb = F.col(f"__s_{b}"), F.col(f"__q_{b}")
+            sab = F.col(f"__p_{a}_{b}")
+            ma, mb = sa / n, sb / n
+            cov = sab - n * ma * mb
+            va = qa - n * ma * ma
+            vb = qb - n * mb * mb
+            corr = F.when((n >= 2) & (va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    n.cast("long").alias("n"),
+                    F.round(corr, round_digits).alias("corr"),
+                )
+            )
+    return g.select(F.explode(F.array(*pairs)).alias("__pair")).select("__pair.*")
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    n_bands: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation — Pearson on the average-rank transforms
+    of both columns, the monotone-dependence screen that survives
+    outliers and nonlinear scales. One row: (n, spearman). NULL in either
+    column excludes the row; constant columns yield NULL.
+
+    Exactness: ranks from :func:`banded_avg_rank` are half-integers, so
+    the rank moments are decimal-exact; the closed form runs in identical
+    IEEE doubles both engines. Valid to ~3e8 rows before rank-product
+    sums (≈ N³) exhaust DECIMAL(28,6) — far past any population a single
+    Spearman readout should see; shard by group above that.
+
+    Scale shape: two banded rank passes (each: min/max probe + band-count
+    probe + per-band window) and one combinable moment aggregate. No
+    global single-task sort.
+    """
+    keep = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull()).select(
+        F.col(col_x).alias("__x"), F.col(col_y).alias("__y")
+    )
+    ranked = banded_avg_rank(keep, "__x", n_bands=n_bands, rank_col="__rx")
+    ranked = banded_avg_rank(ranked, "__y", n_bands=n_bands, rank_col="__ry")
+    dec = lambda c: c.cast("decimal(28,6)")
+    rx, ry = F.col("__rx"), F.col("__ry")
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec(rx)).cast("double").alias("__sx"),
+        F.sum(dec(rx * rx)).cast("double").alias("__qx"),
+        F.sum(dec(ry)).cast("double").alias("__sy"),
+        F.sum(dec(ry * ry)).cast("double").alias("__qy"),
+        F.sum(dec(rx * ry)).cast("double").alias("__pxy"),
+    )
+    n = F.col("__n")
+    mx, my = F.col("__sx") / n, F.col("__sy") / n
+    cov = F.col("__pxy") - n * mx * my
+    vx = F.col("__qx") - n * mx * mx
+    vy = F.col("__qy") - n * my * my
+    corr = F.when((n >= 2) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return g.select(
+        n.cast("long").alias("n"), F.round(corr, round_digits).alias("spearman")
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    n_bands: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two groups — the
+    nonparametric A/B test for when :func:`welch_ttest`'s normality is
+    indefensible (heavy-tailed spend, latencies). One row:
+    (n_a, n_b, u_a, u_b, z) with average ranks for ties, the normal
+    approximation's tie-corrected variance
+    ``σ² = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N·(N−1)))``, and a ±0.5
+    continuity correction toward the null. ``z`` is NULL when either
+    group is empty or every value ties (σ = 0).
+
+    Exactness: rank sums are half-integer decimal sums; tie counts come
+    from a value-grain aggregate; the z closed form runs in identical
+    IEEE doubles both engines.
+
+    Scale shape: one banded rank pass over the two groups' union, one
+    rank-sum aggregate, one value-grain tie aggregate (map-side
+    combined) — no global sort, no row egress.
+    """
+    v = F.col(value_col)
+    keep = df.filter(
+        F.col(group_col).isin([group_a, group_b]) & v.isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    ranked = banded_avg_rank(keep, "__v", n_bands=n_bands, rank_col="__r")
+    dec = lambda c: c.cast("decimal(28,6)")
+    sums = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(dec(F.col("__r"))).cast("double").alias("__rs")
+    )
+    a = sums.filter(F.col("__g") == group_a).select(
+        F.col("__n").alias("na"), F.col("__rs").alias("ra")
+    )
+    b = sums.filter(F.col("__g") == group_b).select(
+        F.col("__n").alias("nb"), F.col("__rs").alias("rb")
+    )
+    ties = (
+        keep.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.sum(
+                dec(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+            ).cast("double").alias("tie_term")
+        )
+    )
+    j = a.crossJoin(b).crossJoin(ties)
+    na, nb = F.col("na"), F.col("nb")
+    u_a = F.col("ra") - na * (na + 1) / 2
+    u_b = F.col("rb") - nb * (nb + 1) / 2
+    n_tot = na + nb
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n_tot + 1) - F.col("tie_term") / (n_tot * (n_tot - 1)))
+    )
+    mean_u = na * nb / F.lit(2.0)
+    cc = F.when(u_a > mean_u, F.lit(-0.5)).when(u_a < mean_u, F.lit(0.5)).otherwise(
+        F.lit(0.0)
+    )
+    z = F.when((na >= 1) & (nb >= 1) & (var > 0), (u_a - mean_u + cc) / F.sqrt(var))
+    return j.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u_a, round_digits).alias("u_a"),
+        F.round(u_b, round_digits).alias("u_b"),
+        F.round(z, round_digits).alias("z"),
+    )
+
+
+def daily_acf(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Autocorrelation of the DAILY total of ``value_col`` at calendar
+    lags 1..``max_lag`` — the seasonality screen behind
+    :func:`daily_anomaly_profile`'s trailing window (a 7-day echo in the
+    ACF says "compare to last week, not yesterday"). One row per lag:
+    (lag, n_pairs, acf). Lag pairs match on CALENDAR day (t, t+k days);
+    days with no rows are absent, not zero — a gap simply produces no
+    pair at the lags it interrupts. The denominator is the full-series
+    variance (the standard biased estimator), so ``acf`` is NULL only
+    when the series is constant or shorter than 2 days.
+
+    Engine-stable: daily totals are decimal sums cast once to double;
+    per-lag products are decimal-summed; the final closed form
+    ``(Sxy − x̄·(Sx_h + Sy_t) + n_k·x̄²) / Sxx_centered`` runs in
+    identical IEEE doubles both engines.
+
+    Scale shape: one day-grain aggregate (map-side combined), then every
+    window/join runs on the |days|-sized series — dimension-sized by
+    construction, broadcast throughout. The lag fan-out is an explode on
+    the series (|days|·max_lag rows) feeding an equi-join on the shifted
+    day, so the plan is a hash join, not a nested loop.
+    """
+    dec = lambda c: c.cast("decimal(28,6)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("__day"))
+        .agg(F.sum(dec(F.col(value_col))).cast("double").alias("__x"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec(F.col("__x"))).cast("double").alias("__sx"),
+        F.sum(dec(F.col("__x") * F.col("__x"))).cast("double").alias("__qx"),
+    )
+    lag_arr = F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    head = daily.select(
+        F.explode(lag_arr).alias("lag"),
+        F.col("__day").alias("__d1"),
+        F.col("__x").alias("__x1"),
+    )
+    tail = daily.select(F.col("__day").alias("__d2"), F.col("__x").alias("__x2"))
+    pairs = (
+        head.join(F.broadcast(tail), F.expr("date_add(__d1, lag)") == F.col("__d2"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dec(F.col("__x1") * F.col("__x2"))).cast("double").alias("__sxy"),
+            F.sum(dec(F.col("__x1"))).cast("double").alias("__sh"),
+            F.sum(dec(F.col("__x2"))).cast("double").alias("__st"),
+        )
+    )
+    n = F.col("__n")
+    mean = F.col("__sx") / n
+    sxx = F.col("__qx") - n * mean * mean
+    num = F.col("__sxy") - mean * (F.col("__sh") + F.col("__st")) + F.col("n_pairs") * mean * mean
+    acf = F.when((n >= 2) & (sxx > 0), num / sxx)
+    out = pairs.crossJoin(F.broadcast(stats)).select(
+        "lag",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(acf, round_digits).alias("acf"),
+    )
+    return out

@@ -423,3 +423,107 @@ def test_mad_outlier_profile_robust_to_extremes(spark):
     const = spark.createDataFrame([("c", 5.0)] * 10 + [("c", 5.0)], "g string, v double")
     c = mad_outlier_profile(const, ["g"], "v").collect()[0]
     assert c["mad"] == 0.0 and c["n_outliers"] == 0
+
+
+def test_banded_avg_rank_matches_pandas(spark):
+    import pandas as pd
+
+    from ml_feature_store_pipeline_spark.operators.drift import banded_avg_rank
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    # small n_bands forces multi-band offsets; ties must still average
+    got = banded_avg_rank(df, "v", n_bands=3, rank_col="r").toPandas()
+    got = got.sort_values(["v", "r"], ignore_index=True)
+    exp = pd.Series(vals).rank(method="average").sort_values(ignore_index=True)
+    want = pd.DataFrame({"v": sorted(vals), "r": exp.to_numpy()})
+    assert (got["r"].to_numpy() == want["r"].to_numpy()).all()
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from ml_feature_store_pipeline_spark.operators.drift import correlation_matrix
+
+    rng = [(float(i), float(i * 2 + (i % 3)), float(10 - i)) for i in range(20)]
+    df = spark.createDataFrame(rng + [(None, 1.0, 1.0)], "a double, b double, c double")
+    out = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    arr = np.array(rng)
+    for (i, x), (j, y) in [((0, "a"), (1, "b")), ((0, "a"), (2, "c")), ((1, "b"), (2, "c"))]:
+        assert out[(x, y)] == pytest.approx(np.corrcoef(arr[:, i], arr[:, j])[0, 1], abs=1e-6)
+
+
+def test_correlation_matrix_constant_column_is_null(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import correlation_matrix
+
+    df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)], "a double, k double")
+    r = correlation_matrix(df, ["a", "k"]).collect()[0]
+    assert r["corr"] is None and r["n"] == 3
+
+
+def test_spearman_corr_matches_pandas(spark):
+    import pandas as pd
+
+    from ml_feature_store_pipeline_spark.operators.drift import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 5.0, 7.0]
+    ys = [10.0, 9.0, 9.0, 7.0, 8.0, 3.0, 2.0, 1.0]
+    df = spark.createDataFrame(list(zip(xs, ys)) + [(None, 1.0)], "x double, y double")
+    r = spearman_corr(df, "x", "y", n_bands=3).collect()[0]
+    # pandas spearman needs scipy (absent here): rank by hand, Pearson on ranks
+    want = pd.Series(xs).rank(method="average").corr(pd.Series(ys).rank(method="average"))
+    assert r["n"] == 8
+    assert r["spearman"] == pytest.approx(want, abs=1e-6)
+
+
+def test_mann_whitney_u_hand_computed(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import mann_whitney_u
+
+    # classic small example with a tie across groups
+    a = [1.0, 2.0, 4.0, 4.0, 7.0]
+    b = [3.0, 4.0, 6.0, 8.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("z", 0.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b", n_bands=2).collect()[0]
+    # combined ranks: 1:1, 2:2, 3:3, 4s -> (4+5+6)/3 = 5 each, 6:7, 7:8, 8:9
+    ra = 1 + 2 + 5 + 5 + 8
+    rb = 3 + 5 + 7 + 9
+    ua = ra - 5 * 6 / 2
+    ub = rb - 4 * 5 / 2
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert r["u_a"] == ua and r["u_b"] == ub
+    # U_a + U_b == n_a * n_b  (rank-sum identity)
+    assert r["u_a"] + r["u_b"] == 20
+    n = 9
+    tie = 3**3 - 3
+    var = 5 * 4 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    mean_u = 10.0
+    z = (ua - mean_u + (0.5 if ua < mean_u else -0.5 if ua > mean_u else 0.0)) / var**0.5
+    assert r["z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_daily_acf_constant_series_null_and_shift_detects_period(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import daily_acf
+
+    base = datetime.datetime(2024, 1, 1)
+    # period-2 alternating daily totals -> strong negative lag-1, positive lag-2
+    rows = [
+        (base + datetime.timedelta(days=i), 100.0 if i % 2 == 0 else 10.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["lag"]: r for r in daily_acf(df, "ts", "value", max_lag=3).collect()}
+    assert out[1]["n_pairs"] == 29 and out[2]["n_pairs"] == 28
+    assert out[1]["acf"] < -0.9 and out[2]["acf"] > 0.9
+
+    const = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), 5.0) for i in range(10)],
+        "ts timestamp, value double",
+    )
+    for r in daily_acf(const, "ts", "value", max_lag=2).collect():
+        assert r["acf"] is None
