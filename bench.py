@@ -220,6 +220,22 @@ HEADLINE_R7 = [
     "bpe_train_merges",
     # BPE train -> encode roundtrip (4 folds chained in ONE projection)
     "bpe_encode_stats_docs",
+    # rank/correlation statistics: one moment agg (Pearson), two banded
+    # rank passes (Spearman), rank + tie aggs (Mann-Whitney U), and the
+    # |days|-sized lag join (ACF)
+    "corr_matrix_lineitem",
+    "spearman_price_quantity",
+    "mann_whitney_view_purchase",
+    "acf_daily_value",
+    # lexical + hybrid retrieval: filtered explode + broadcast stats (BM25),
+    # candidate-sized fusion join (RRF)
+    "bm25_topk_docs",
+    "hybrid_rrf_topk",
+    # supervised encodings + independence: banded rank transform, one
+    # category agg (WOE/IV), one contingency agg (chi-square)
+    "quantile_transform_orders",
+    "woe_iv_event_type",
+    "chi2_event_type_hour",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

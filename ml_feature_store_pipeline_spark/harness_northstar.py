@@ -4806,7 +4806,7 @@ def q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (SELECT n AS na, rs AS ra FROM sums WHERE g = 'view'),
     b AS (SELECT n AS nb, rs AS rb FROM sums WHERE g = 'purchase'),
     ties AS (
-      SELECT CAST(SUM(CAST(t * t * t - t AS DECIMAL(28,6))) AS DOUBLE) AS tie_term
+      SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS tie_term
       FROM (SELECT COUNT(*) AS t FROM keep GROUP BY v)
     ),
     m AS (
@@ -4875,3 +4875,184 @@ def q_acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_table(spark, sf_dir, "events")
     return drift_ops.daily_acf(events, "ts", "value", max_lag=7)
+
+
+# ---------------------------------------------------------------------------
+# lexical + hybrid retrieval (round 7, late wave)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["vector", "stream", "customer"]
+
+
+@register("bm25_topk_docs", None)  # generated oracle installed below
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 for a fixed query-term bag over the documents
+    corpus — only query-matching tokens explode; df/corpus stats
+    broadcast; top-k is TakeOrderedAndProject on the exact decimal score."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=15)
+
+
+_O["bm25_topk_docs"] = text.bm25_sql("documents", "doc_id", "text", _BM25_TERMS, k=15)
+
+
+@register(
+    "hybrid_rrf_topk",
+    f"""
+    WITH lex AS (
+      SELECT doc_id, rank FROM ({text.bm25_sql("documents", "doc_id", "text", _BM25_TERMS, k=50)})
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dense_scored AS (
+      SELECT c.vec_id AS doc_id,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+      FROM q, embeddings c
+    ),
+    dense AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+        FROM dense_scored
+      ) WHERE rank <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+             lex.rank AS rank_lex, dense.rank AS rank_dense,
+             COALESCE(1.0 / (60 + lex.rank), 0.0)
+               + COALESCE(1.0 / (60 + dense.rank), 0.0) AS s
+      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, rank_lex, rank_dense, s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS fused_rank
+      FROM fused
+    )
+    SELECT doc_id, CAST(rank_lex AS INT) AS rank_lex,
+           CAST(rank_dense AS INT) AS rank_dense,
+           ROUND(s, 9) AS rrf_score, CAST(fused_rank AS INT) AS fused_rank
+    FROM ranked WHERE fused_rank <= 10
+    """,
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (lexical) ∪ brute-cosine top-50 for
+    query vec 0 (dense, ids shared with doc_id), fused by reciprocal-rank
+    fusion — rank-only, so the two scorers' scales never need calibration.
+    Every join/window after the candidate lists is ≤100 rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=50)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = similarity.cosine_topk(qv, emb, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = similarity.rrf_fuse(lex, dense, "doc_id", top_k=10)
+    return fused.select(
+        "doc_id",
+        F.col("rank_a").cast("int").alias("rank_lex"),
+        F.col("rank_b").cast("int").alias("rank_dense"),
+        "rrf_score",
+        "fused_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# supervised encodings + independence tests (round 7, late wave)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_transform_orders",
+    """
+    SELECT o_orderkey, o_totalprice,
+           ROUND((rk - 0.5) / CAST(n AS DOUBLE), 9) AS quantile
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             RANK() OVER (ORDER BY o_totalprice)
+               + (COUNT(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0 AS rk,
+             COUNT(*) OVER () AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS DOUBLE) AS quantile
+    FROM orders WHERE o_totalprice IS NULL
+    """,
+)
+def q_quantile_transform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-to-uniform quantile transform of order totals — one banded
+    rank pass (no global single-task sort), outlier-proof scaling."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return fe_ops.quantile_transform(orders, "o_totalprice")
+
+
+@register(
+    "woe_iv_event_type",
+    """
+    WITH base AS (
+      SELECT event_type AS category,
+             CASE WHEN value > 0 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+      SELECT category, CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg
+      FROM base GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+                   CAST(SUM(n_neg) AS BIGINT) AS tn,
+                   COUNT(*) AS k FROM per)
+    SELECT category, n_pos, n_neg,
+           ROUND(LN(((n_pos + 0.5) / (tp + 0.5 * k))
+                    / ((n_neg + 0.5) / (tn + 0.5 * k))), 6) AS woe,
+           ROUND((((n_pos + 0.5) / (tp + 0.5 * k))
+                  - ((n_neg + 0.5) / (tn + 0.5 * k)))
+                 * LN(((n_pos + 0.5) / (tp + 0.5 * k))
+                      / ((n_neg + 0.5) / (tn + 0.5 * k))), 6) AS iv_term
+    FROM per, tot
+    """,
+)
+def q_woe_iv_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information-value encoding of event_type
+    against the is-purchase label — one category aggregate, totals
+    broadcast."""
+    events = read_table(spark, sf_dir, "events")
+    return fe_ops.woe_iv(events, "event_type", F.col("value") > 0)
+
+
+@register(
+    "chi2_event_type_hour",
+    """
+    WITH cells AS (
+      SELECT event_type AS a, EXTRACT(hour FROM ts) AS b, COUNT(*) AS o
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    row_t AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+    col_t AS (SELECT b, SUM(o) AS rb FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka,
+                   COUNT(DISTINCT b) AS kb FROM cells),
+    terms AS (
+      SELECT n, ka, kb,
+             (o - ra * rb / n) * (o - ra * rb / n) / (ra * rb / n) AS term,
+             ra * rb / n AS e
+      FROM cells JOIN row_t USING (a) JOIN col_t USING (b), tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST((MAX(ka) - 1) * (MAX(kb) - 1) AS BIGINT) AS dof,
+           ROUND(CAST(SUM(CAST(ROUND(term, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                 + (MAX(n) - CAST(SUM(CAST(ROUND(e, 9) AS DECIMAL(28,9))) AS DOUBLE)),
+                 6) AS chi2
+    FROM terms
+    """,
+)
+def q_chi2_event_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type × hour-of-day — one
+    contingency aggregate; absent cells folded in closed form (no
+    grid-completing join)."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour")
+    )
+    return drift_ops.chi_square_independence(events, "event_type", "hour")

@@ -786,12 +786,17 @@ def mann_whitney_u(
     b = sums.filter(F.col("__g") == group_b).select(
         F.col("__n").alias("nb"), F.col("__rs").alias("rb")
     )
+    # t³ overflows long once one tie group passes ~2.1M rows (found by the
+    # 20M-row stress: a 2-value column has t ≈ 10M). Cube in DECIMAL(38,0)
+    # — exact integers to t ≈ 2e12, no ANSI overflow; the oracle's HUGEINT
+    # cube is the same exact integer, so the double casts agree.
+    t_dec = F.col("__t").cast("decimal(38,0)")
     ties = (
         keep.groupBy("__v")
         .agg(F.count(F.lit(1)).alias("__t"))
         .agg(
             F.sum(
-                dec(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+                t_dec * F.col("__t") * F.col("__t") - F.col("__t")
             ).cast("double").alias("tie_term")
         )
     )
@@ -886,3 +891,68 @@ def daily_acf(
         F.round(acf, round_digits).alias("acf"),
     )
     return out
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categoricals —
+    the dependence screen for pairs of discrete features (the categorical
+    twin of :func:`mutual_information`, in test-statistic units). One
+    row: (n, dof, chi2) with ``chi2 = Σ (o − e)²/e`` over observed cells,
+    ``e = row_tot · col_tot / n``, ``dof = (|a|−1)(|b|−1)``. Rows with a
+    NULL in either column are excluded. Compare to the chi-square
+    distribution driver-side.
+
+    Only OBSERVED cells enter the sum — absent combinations contribute
+    ``(0 − e)²/e = e``, so the missing mass is added in closed form:
+    ``Σ_all = Σ_observed((o−e)²/e) + (n − Σ_observed e)`` (the expected
+    totals sum to n over the full grid). This keeps the plan free of a
+    grid-completing join.
+
+    Exactness: cell/marginal counts are exact longs; per-cell terms are
+    9-dp-rounded doubles summed in DECIMAL(28,9); the closed form runs in
+    identical IEEE doubles both engines.
+
+    Scale shape: one (a, b) contingency aggregate (map-side combined,
+    ≤ |a|·|b| rows), marginals re-aggregated from it, everything after
+    dimension-sized.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    row_t = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_t = cells.groupBy("__b").agg(F.sum("__o").alias("__rb"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__a").alias("__ka"),
+        F.countDistinct("__b").alias("__kb"),
+    )
+    j = (
+        cells.join(F.broadcast(row_t), "__a")
+        .join(F.broadcast(col_t), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("__ra") * F.col("__rb") / F.col("__n")
+    term = (F.col("__o") - e) * (F.col("__o") - e) / e
+    agg = j.agg(
+        F.max("__n").alias("__n"),
+        F.max("__ka").alias("__ka"),
+        F.max("__kb").alias("__kb"),
+        F.sum(F.round(term, 9).cast("decimal(28,9)")).cast("double").alias("__obs"),
+        F.sum(F.round(e, 9).cast("decimal(28,9)")).cast("double").alias("__esum"),
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        ((F.col("__ka") - 1) * (F.col("__kb") - 1)).cast("long").alias("dof"),
+        F.round(F.col("__obs") + (F.col("__n") - F.col("__esum")), round_digits).alias(
+            "chi2"
+        ),
+    )

@@ -716,3 +716,92 @@ def calendar_features(
         F.weekofyear(t).cast("int").alias(f"{p}week_iso"),
         (F.weekday(t) >= 5).alias(f"{p}is_weekend"),
     )
+
+
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    *,
+    out_col: str = "quantile",
+    n_bands: int = 256,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Rank-to-uniform quantile transform — map each value to its
+    empirical quantile ``(avg_rank − 0.5) / N`` in (0, 1), the
+    distribution-free scaling that kills outliers and skew entirely
+    (sklearn's ``QuantileTransformer`` with a uniform target, exact
+    instead of subsampled). Ties share one quantile (average rank);
+    NULL values pass through as NULL ``out_col``.
+
+    Scale shape: one banded rank pass
+    (:func:`~.drift.banded_avg_rank` — no global single-task sort) over
+    the non-NULL rows, unioned with the NULL rows untouched.
+
+    Exactness: avg ranks are half-integers; ``(r − 0.5)/N`` on identical
+    doubles is engine-identical; rounding is display-stability only.
+    """
+    from .drift import banded_avg_rank
+
+    v = F.col(value_col)
+    nn = df.filter(v.isNotNull())
+    nulls = df.filter(v.isNull()).withColumn(out_col, F.lit(None).cast("double"))
+    ranked = banded_avg_rank(nn, value_col, n_bands=n_bands, rank_col="__r")
+    n = nn.count()
+    out = ranked.withColumn(
+        out_col,
+        F.round((F.col("__r") - F.lit(0.5)) / F.lit(float(n)), round_digits),
+    ).drop("__r")
+    return out.unionByName(nulls)
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    label: Column,
+    *,
+    smoothing: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information-value terms per category
+    — the credit-scoring-standard supervised encoding for binary targets:
+    ``woe = ln((pos_c/pos_tot) / (neg_c/neg_tot))`` with ``smoothing``
+    added to every cell (so empty cells stay finite), and
+    ``iv_term = (pos_c/pos_tot − neg_c/neg_tot) · woe`` (sum the terms
+    for the feature's total IV; >0.3 = strong predictor). ``label`` is a
+    boolean Column; NULL labels are excluded, NULL categories group as a
+    real level (they carry signal). Output per category:
+    (category, n_pos, n_neg, woe, iv_term).
+
+    Exactness: counts are exact longs; totals broadcast from a 1-row
+    aggregate; the smoothed ratio closed form runs in identical IEEE
+    doubles both engines.
+
+    Scale shape: ONE map-side-combinable (category) aggregate + a 1-row
+    cross join — dimension-sized everything after the scan.
+    """
+    base = df.filter(label.isNotNull()).select(
+        F.col(cat_col).alias("category"), label.cast("int").alias("__y")
+    )
+    per_cat = base.groupBy("category").agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("n_neg"),
+    )
+    tot = per_cat.agg(
+        F.sum("n_pos").alias("__tp"),
+        F.sum("n_neg").alias("__tn"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    j = per_cat.crossJoin(F.broadcast(tot))
+    s = F.lit(smoothing)
+    # smoothed totals add one `smoothing` per category so the per-category
+    # fractions still sum to 1 across levels
+    p = (F.col("n_pos") + s) / (F.col("__tp") + s * F.col("__k"))
+    q = (F.col("n_neg") + s) / (F.col("__tn") + s * F.col("__k"))
+    woe = F.log(p / q)
+    return j.select(
+        "category",
+        "n_pos",
+        "n_neg",
+        F.round(woe, round_digits).alias("woe"),
+        F.round((p - q) * woe, round_digits).alias("iv_term"),
+    )

@@ -1494,3 +1494,52 @@ def label_centroid_distances(
             ),
         )
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    *,
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    top_k: int = 10,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two candidate
+    rankings — the standard hybrid-search combiner (BM25 ∪ dense ANN):
+    ``rrf = Σ_lists 1/(k_rrf + rank)``, missing-from-a-list contributes 0.
+    Output: (id, rank_a, rank_b, rrf_score, fused_rank) top-``top_k`` by
+    (score desc, id asc); absent ranks stay NULL.
+
+    Rank-only fusion is what makes hybrid search robust: the two scorers'
+    scales (BM25 logs vs cosine) never meet, so no calibration is needed.
+    ``k_rrf=60`` is the paper's constant.
+
+    Exactness: each term is ``1.0/(k + rank)`` on integer ranks — the
+    identical double in any engine — and the two-term sum has a fixed
+    operand order, so the fused score is bit-stable.
+
+    Scale shape: both inputs are top-N candidate lists (bounded small by
+    construction); the full-outer join and the final window are
+    candidate-sized, broadcast-friendly.
+    """
+    ra = ranked_a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    rb = ranked_b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    j = ra.join(rb, id_col, "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0))
+    w = Window.orderBy(F.desc("__s"), F.asc(id_col))
+    return (
+        j.withColumn("__s", score)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            id_col,
+            "rank_a",
+            "rank_b",
+            F.round(F.col("__s"), round_digits).alias("rrf_score"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )

@@ -1084,3 +1084,127 @@ def bpe_encode_stats_sql(
     FROM e{n_merges} GROUP BY {id_col}
     """
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Okapi BM25 top-k lexical retrieval (Robertson & Zaragoza 2009) for a
+    fixed query-term bag — the keyword side of hybrid search, and the exact,
+    oracle-checkable scoring the TF-IDF table (:func:`tfidf_terms`) stops
+    short of. Lucene-style nonnegative idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``; per-(doc, term) contribution
+    ``idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``. Documents
+    matching no query term are absent (score would be 0). Output:
+    (id, score, rank), rank 1..k by (score desc, id asc).
+
+    Exactness: contributions are 9-dp-rounded doubles summed in
+    DECIMAL(20,9) (the DSIR recipe) — the per-doc score is the same exact
+    decimal on any engine and any partitioning, so ordering on it is
+    deterministic; the cast-to-double output is hash-stable.
+
+    Scale shape: only QUERY-MATCHING tokens explode (the array filter
+    runs in codegen before the explode); tf is a map-side-combinable
+    (doc, term) aggregate; df and the corpus stats broadcast (≤ |query|
+    + 1 rows); top-k is an orderBy().limit() — TakeOrderedAndProject,
+    never a single-task global sort. The rank window runs on k rows.
+    """
+    toks = tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+        terms = sorted({t.lower() for t in query_terms})
+    else:
+        terms = sorted(set(query_terms))
+    docs = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__dl"),
+        F.filter(toks, lambda t: t.isin(terms)).alias("__hits"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__total")
+    )
+    tf = (
+        docs.select(F.col(id_col), "__dl", F.explode("__hits").alias("__term"))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    joined = tf.join(F.broadcast(df_t), "__term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("__total") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("__dl") / avgdl)
+    )
+    contrib = idf * (F.col("__tf") * F.lit(k1 + 1.0)) / denom
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum(F.round(contrib, 9).cast("decimal(20,9)")).alias("__s")
+    )
+    topk = per_doc.orderBy(F.desc("__s"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("__s"), F.asc(id_col))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            F.col("__s").cast("double").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def bm25_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` (lowercase mode) — identical idf /
+    tf-normalization closed form on identical doubles, the same
+    DECIMAL(20,9) contribution sum, the same (score desc, id asc) order."""
+    terms = ", ".join(f"'{t.lower()}'" for t in sorted({t.lower() for t in query_terms}))
+    return f"""
+    WITH d AS (
+      SELECT {id_col} AS id,
+             list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM {table}
+    ),
+    dl AS (SELECT id, CAST(len(ts) AS BIGINT) AS dl, ts FROM d),
+    stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+    tf AS (
+      SELECT id, dl, t.term AS term, COUNT(*) AS tf
+      FROM dl, UNNEST(ts) AS t(term) WHERE t.term IN ({terms})
+      GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY 1),
+    scored AS (
+      SELECT id,
+             SUM(CAST(ROUND(
+               LN(1.0 + (n - dft + 0.5) / (dft + 0.5))
+                 * (tf * {k1 + 1.0!r})
+                 / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * (dl / (total / n)))),
+               9) AS DECIMAL(20,9))) AS s
+      FROM tf JOIN dft USING (term), stats
+      GROUP BY id
+    ),
+    ranked AS (
+      SELECT id, s, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT id AS {id_col}, CAST(s AS DOUBLE) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """

@@ -495,3 +495,46 @@ def test_calendar_features_iso_conventions(spark):
     assert out[3]["dow_iso"] == 1 and out[3]["is_weekend"] is False
     assert out[1]["hour"] == 10 and out[1]["week_iso"] == 1
     assert out[3]["week_iso"] == 2
+
+
+def test_quantile_transform_uniform_and_ties(spark):
+    from ml_feature_store_pipeline_spark.operators.fe import quantile_transform
+
+    vals = [10.0, 20.0, 20.0, 30.0, None]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    out = {r["id"]: r["quantile"] for r in quantile_transform(df, "v", n_bands=2).collect()}
+    # ranks: 10 -> 1, 20 -> 2.5 (tie avg), 30 -> 4; q = (r - 0.5)/4
+    assert out[0] == pytest.approx((1 - 0.5) / 4)
+    assert out[1] == out[2] == pytest.approx((2.5 - 0.5) / 4)
+    assert out[3] == pytest.approx((4 - 0.5) / 4)
+    assert out[4] is None
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.fe import woe_iv
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 2 + [("b", 0)] * 8
+    df = spark.createDataFrame(rows, "c string, y int")
+    out = {r["category"]: r for r in woe_iv(df, "c", F.col("y") == 1).collect()}
+    tp, tn, k, s = 10, 10, 2, 0.5
+    for cat, (np_, nn) in {"a": (8, 2), "b": (2, 8)}.items():
+        p = (np_ + s) / (tp + s * k)
+        q = (nn + s) / (tn + s * k)
+        assert out[cat]["woe"] == pytest.approx(math.log(p / q), abs=1e-6)
+        assert out[cat]["iv_term"] == pytest.approx((p - q) * math.log(p / q), abs=1e-6)
+    # symmetric design: woe(a) == -woe(b), iv terms equal
+    assert out["a"]["woe"] == pytest.approx(-out["b"]["woe"], abs=1e-9)
+    assert out["a"]["iv_term"] == pytest.approx(out["b"]["iv_term"], abs=1e-9)
+
+
+def test_woe_iv_empty_cell_stays_finite(spark):
+    from ml_feature_store_pipeline_spark.operators.fe import woe_iv
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1)] * 5 + [("b", 0)] * 5  # a has zero negatives
+    df = spark.createDataFrame(rows, "c string, y int")
+    out = {r["category"]: r for r in woe_iv(df, "c", F.col("y") == 1).collect()}
+    assert out["a"]["woe"] is not None and abs(out["a"]["woe"]) < 100

@@ -527,3 +527,32 @@ def test_daily_acf_constant_series_null_and_shift_detects_period(spark):
     )
     for r in daily_acf(const, "ts", "value", max_lag=2).collect():
         assert r["acf"] is None
+
+
+def test_chi_square_independence_matches_formula(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import chi_square_independence
+
+    # 2x2 with a known chi-square: [[10, 20], [20, 10]]
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 20 + [("y", "v")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    assert r["n"] == 60 and r["dof"] == 1
+    # e = 15 everywhere; chi2 = 4 * (5^2 / 15)
+    assert r["chi2"] == pytest.approx(4 * 25 / 15, abs=1e-6)
+
+
+def test_chi_square_independence_absent_cells_counted(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import chi_square_independence
+
+    # cell (y, v) has ZERO observations -> contributes e, via the closed form
+    rows = [("x", "u")] * 5 + [("x", "v")] * 5 + [("y", "u")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    n = 20
+    exp = {("x", "u"): 10 * 15 / n, ("x", "v"): 10 * 5 / n,
+           ("y", "u"): 10 * 15 / n, ("y", "v"): 10 * 5 / n}
+    obs = {("x", "u"): 5, ("x", "v"): 5, ("y", "u"): 10, ("y", "v"): 0}
+    want = sum((obs[c] - e) ** 2 / e for c, e in exp.items())
+    assert r["chi2"] == pytest.approx(want, abs=1e-6)

@@ -744,3 +744,32 @@ def test_label_centroid_distances_separated_classes(spark):
     assert abs(out[(0, 1)]) < 1e-6
     assert out[(0, 2)] > 0.99
     assert 0 < out[(1, 2)] < 0.3
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from ml_feature_store_pipeline_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "id long, rank int")
+    out = {r["id"]: r for r in rrf_fuse(a, b, "id", k_rrf=60, top_k=10).collect()}
+    assert set(out) == {10, 20, 30, 40}
+    assert out[20]["rrf_score"] == pytest.approx(1 / 61 + 1 / 62, abs=1e-9)
+    assert out[10]["rrf_score"] == pytest.approx(1 / 61, abs=1e-9)
+    assert out[40]["rrf_score"] == pytest.approx(1 / 62, abs=1e-9)
+    assert out[10]["rank_b"] is None and out[40]["rank_a"] is None
+    # both-lists doc outranks any single-list doc here
+    assert out[20]["fused_rank"] == 1
+    # equal scores (10 vs a hypothetical tie) break by id: 10 < 40 in score,
+    # so ordering is 20, 10, 30&40 by score then id
+    ranks = sorted((r["fused_rank"], i) for i, r in out.items())
+    assert [i for _, i in ranks] == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_top_k_truncates(spark):
+    from ml_feature_store_pipeline_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)], "id long, rank int")
+    b = spark.createDataFrame([(i, i) for i in range(5, 12)], "id long, rank int")
+    out = rrf_fuse(a, b, "id", top_k=3).collect()
+    assert len(out) == 3
+    assert [r["fused_rank"] for r in sorted(out, key=lambda r: r["fused_rank"])] == [1, 2, 3]

@@ -417,3 +417,46 @@ def test_bpe_encode_stats_roundtrip(spark):
     assert out[1]["chars_per_token"] == 3.0
     # doc 2: 'aa' → one merged token
     assert out[2]["n_tokens"] == 1 and out[2]["n_chars"] == 2
+
+
+def test_bm25_topk_hand_computed(spark):
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),          # dl=3, tf(cat)=2
+            (2, "dog bird"),              # dl=2, tf(cat)=0
+            (3, "cat fish fish fish"),    # dl=4, tf(cat)=1
+            (4, "bird bird"),             # no match
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_topk(docs, "doc_id", "text", ["cat"], k=10).collect()}
+    assert set(out) == {1, 3}  # only cat-matching docs
+    n, df_t, avgdl = 4, 2, (3 + 2 + 4 + 2) / 4
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def score(tf, dl):
+        return round(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * (dl / avgdl))), 9)
+
+    assert out[1]["score"] == pytest.approx(score(2, 3), abs=1e-9)
+    assert out[3]["score"] == pytest.approx(score(1, 4), abs=1e-9)
+    assert out[1]["rank"] == 1 and out[3]["rank"] == 2  # tf=2 wins
+
+
+def test_bm25_topk_multi_term_sums_contributions(spark):
+    from ml_feature_store_pipeline_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a a"), (3, "b c")], "doc_id long, text string"
+    )
+    both = {r["doc_id"]: r["score"] for r in bm25_topk(docs, "doc_id", "text", ["a", "b"], k=3).collect()}
+    only_a = {r["doc_id"]: r["score"] for r in bm25_topk(docs, "doc_id", "text", ["a"], k=3).collect()}
+    only_b = {r["doc_id"]: r["score"] for r in bm25_topk(docs, "doc_id", "text", ["b"], k=3).collect()}
+    # doc 1 matches both terms: its 2-term score is the sum of the 1-term scores
+    assert both[1] == pytest.approx(only_a[1] + only_b[1], abs=1e-8)
+    # lowercase + dedup of query terms
+    dup = {r["doc_id"]: r["score"] for r in bm25_topk(docs, "doc_id", "text", ["A", "a"], k=3).collect()}
+    assert dup == only_a

@@ -143,7 +143,8 @@ EVENT_OPS = (
     "user_entropy benford ohlc weighted_quantile kmv_overlap l_diversity "
     "copurchase transition_matrix gini_skew mutual_info hll_actives "
     "daily_percentiles seasonality anomaly_profile welch_ttest "
-    "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank"
+    "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank "
+    "corr_matrix spearman mann_whitney daily_acf quantile_transform woe_chi2"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -153,7 +154,7 @@ DOC_OPS = (
     "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64 "
     "quality_classifier training_shards mixture_epochs priority_survivors "
     "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup "
-    "bpe_stats bpe_pairs bpe_train sketch_calibrate"
+    "bpe_stats bpe_pairs bpe_train sketch_calibrate bm25"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
@@ -1216,6 +1217,63 @@ def main() -> None:
                 .limit(20),
                 args.events,
             )
+        if events is not None and want("corr_matrix"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # one combinable moment aggregate over 3 derived numerics
+            cdf = events.select(
+                F.col("amount").alias("a"),
+                (F.hour("timestamp").cast("double")).alias("h"),
+                ((F.col("user_id") % 1000).cast("double")).alias("u"),
+            )
+            timed("corr_matrix_3col", _drift.correlation_matrix(cdf, ["a", "h", "u"]), args.events)
+        if events is not None and want("spearman"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # two banded rank passes over the full fact table — the biggest
+            # task sorts ~N/256 rows; shuffle carries (value, band) rows
+            sdf = events.select(
+                F.col("amount").alias("a"),
+                (F.unix_timestamp("timestamp") % 86400).cast("double").alias("tod"),
+            )
+            timed("spearman_banded_ranks", _drift.spearman_corr(sdf, "a", "tod"), args.events)
+        if events is not None and want("mann_whitney"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            timed(
+                "mann_whitney_2group",
+                _drift.mann_whitney_u(events, "event_type", "amount", "view", "purchase"),
+                args.events,
+            )
+        if events is not None and want("daily_acf"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # one day-grain agg; everything after is |days|-sized
+            timed("daily_acf_lag7", _drift.daily_acf(events, "timestamp", "amount", max_lag=7), args.events)
+        if events is not None and want("quantile_transform"):
+            from ml_feature_store_pipeline_spark.operators import fe as _fe
+
+            # one banded rank pass; per-row output (the FE-transform shape)
+            timed(
+                "quantile_transform_amount",
+                _fe.quantile_transform(events.select("amount"), "amount"),
+                args.events,
+            )
+        if events is not None and want("woe_chi2"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+            from ml_feature_store_pipeline_spark.operators import fe as _fe
+
+            timed(
+                "woe_iv_event_type",
+                _fe.woe_iv(events, "event_type", F.col("amount") > 0),
+                args.events,
+            )
+            c2 = events.select("event_type", F.hour("timestamp").alias("h"))
+            timed(
+                "chi2_type_hour",
+                _drift.chi_square_independence(c2, "event_type", "h"),
+                args.events,
+            )
         if docs is not None and want("bpe_stats"):
             from ml_feature_store_pipeline_spark.operators import text as _text
 
@@ -1240,6 +1298,16 @@ def main() -> None:
                 "overwrite"
             ).save()
             log("bpe_train_4merges", time.time() - t0, args.docs)
+        if docs is not None and want("bm25"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # only query-matching tokens explode; stats broadcast; top-k is
+            # TakeOrderedAndProject — no global sort
+            timed(
+                "bm25_topk_3terms",
+                _text.bm25_topk(docs, "doc_id", "text", ["vector", "stream", "customer"], k=100),
+                args.docs,
+            )
         if docs is not None and want("sketch_calibrate"):
             from ml_feature_store_pipeline_spark.operators import text as _text
 
