@@ -236,6 +236,9 @@ HEADLINE_R7 = [
     "quantile_transform_orders",
     "woe_iv_event_type",
     "chi2_event_type_hour",
+    # deterministic k-means: 4 zero-shuffle assignment scans against
+    # literal centroids + 3 k×dim update shuffles
+    "kmeans_embeddings",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -5056,3 +5056,23 @@ def q_chi2_event_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hour("ts").alias("hour")
     )
     return drift_ops.chi_square_independence(events, "event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means clustering (round 7, late wave)
+# ---------------------------------------------------------------------------
+
+
+@register("kmeans_embeddings", None)  # generated oracle installed below
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=8, 3 iterations, md5 seeds) over the
+    embedding corpus — assignment is a zero-shuffle codegen projection
+    against literal centroids; each update shuffles k×dim decimal
+    partials; the whole trajectory replays in the unrolled-CTE oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_stats(emb, k=8, n_iters=3)
+
+
+_O["kmeans_embeddings"] = similarity.kmeans_sql(
+    "embeddings", "vec_id", "embedding", k=8, n_iters=3
+)

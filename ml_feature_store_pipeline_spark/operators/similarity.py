@@ -1543,3 +1543,178 @@ def rrf_fuse(
             F.col("fused_rank").cast("int").alias("fused_rank"),
         )
     )
+
+
+def kmeans_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iters: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd) over an embedding column,
+    fixed ``n_iters`` assignment→update cycles from md5-picked seeds —
+    the clustering primitive behind cluster-balanced sampling and corpus
+    topic profiling, built so the whole trajectory replays bit-for-bit in
+    the unrolled-CTE oracle (the fixed-point PageRank precedent). Output
+    after a final assignment under the last centroids: one row per
+    surviving cluster — (cluster, n_members, inertia).
+
+    Determinism, engine-for-engine:
+
+    - seeds: the ``k`` vectors with smallest ``md5('km:' || id)`` (id
+      tiebreak), cluster index = position in that order;
+    - distance: ``(x·x − 2·x·c) + c·c`` with every dot the same
+      sequential fold both engines (the ``cosine_topk`` equivalence);
+      ``c·c`` bakes as a plan literal computed by the identical python
+      left-fold on the exact collected doubles;
+    - argmin: lexicographic min of (d², cluster) — ties to the lowest
+      cluster id;
+    - update: per-dimension DECIMAL(28,12) sums (exact, order-free) over
+      assigned members, cast double, divided by the member count — the
+      ``label_centroids`` recipe. A cluster that loses every member
+      DROPS (both engines identically); no re-seeding;
+    - inertia: 9-dp-rounded d² summed in DECIMAL(28,9).
+
+    Scale shape — the production k-means loop: centroids are a k×dim
+    model COLLECTED to the driver each update (tiny by contract) and
+    baked into the next iteration's plan as literals, so ASSIGNMENT is a
+    zero-join, zero-shuffle codegen projection over one scan; the update
+    shuffle carries k×dim decimal partials per partition (map-side
+    combined), never vectors. Total: ``n_iters + 1`` scans.
+    """
+    from ..functions import dot
+
+    x = F.col("__x")
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("__x"),
+    )
+    h = F.md5(F.concat(F.lit("km:"), F.col("__id").cast("string")))
+    seeds = v.select(h.alias("__h"), "__id", "__x").orderBy("__h", "__id").limit(k).collect()
+    centroids: list[tuple[int, list[float]]] = [
+        (i, [float(c) for c in r["__x"]]) for i, r in enumerate(seeds)
+    ]
+
+    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
+        dxx = dot(x, x)
+        cands = []
+        for ci, comps in cents:
+            c_arr = F.array(*[F.lit(c) for c in comps])
+            # python left-fold == both engines' sequential dot fold on the
+            # same exact doubles (no FMA anywhere in the three)
+            dcc = 0.0
+            for c in comps:
+                dcc += c * c
+            d2 = (dxx - F.lit(2.0) * dot(x, c_arr)) + F.lit(dcc)
+            cands.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cluster")))
+        best = F.array_min(F.array(*cands))
+        return v.select(
+            "__id", "__x", best["cluster"].alias("__cluster"), best["d2"].alias("__d2")
+        )
+
+    for _ in range(n_iters):
+        assigned = assign(centroids)
+        comp = (
+            assigned.select("__cluster", F.posexplode("__x").alias("__pos", "__v"))
+            .groupBy("__cluster", "__pos")
+            .agg(
+                (
+                    F.sum(F.col("__v").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("__cv")
+            )
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in comp.collect():
+            by_cluster.setdefault(r["__cluster"], {})[r["__pos"]] = r["__cv"]
+        centroids = [
+            (ci, [comps[p] for p in sorted(comps)]) for ci, comps in sorted(by_cluster.items())
+        ]
+
+    final = assign(centroids)
+    return (
+        final.groupBy(F.col("__cluster").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.round(F.col("__d2"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("__inertia"),
+        )
+        .select(
+            F.col("cluster").cast("int"),
+            "n_members",
+            F.round(F.col("__inertia"), round_digits).alias("inertia"),
+        )
+    )
+
+
+def kmeans_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    n_iters: int = 3,
+) -> str:
+    """DuckDB twin of :func:`kmeans_stats`: the same seeds, the same
+    ``n_iters`` unrolled assignment/update CTE pairs, the same final
+    assignment and decimal inertia — bit-for-bit."""
+    ldp = "list_dot_product"
+
+    def d2(c_tab: str) -> str:
+        return (
+            f"(({ldp}(v.x, v.x) - 2 * {ldp}(v.x, {c_tab}.c)) "
+            f"+ {ldp}({c_tab}.c, {c_tab}.c))"
+        )
+
+    def assign_cte(i: int) -> str:
+        return f"""
+    a{i} AS (
+      SELECT id, x, cluster, d2 FROM (
+        SELECT v.id, v.x, c{i - 1}.cluster, {d2(f'c{i - 1}')} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.id
+                                  ORDER BY {d2(f'c{i - 1}')} ASC,
+                                           c{i - 1}.cluster ASC) AS rn
+        FROM v, c{i - 1}
+      ) WHERE rn = 1
+    )"""
+
+    def update_cte(i: int) -> str:
+        return f"""
+    c{i} AS (
+      SELECT cluster, list(cv ORDER BY pos) AS c FROM (
+        SELECT cluster, pos,
+               CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*) AS cv
+        FROM (SELECT cluster, generate_subscripts(x, 1) AS pos,
+                     UNNEST(x) AS val
+              FROM a{i})
+        GROUP BY cluster, pos
+      ) GROUP BY cluster
+    )"""
+
+    body = ""
+    for i in range(1, n_iters + 1):
+        body += "," + assign_cte(i) + "," + update_cte(i)
+    body += "," + assign_cte(n_iters + 1)
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS x FROM {table}
+    ),
+    c0 AS (
+      SELECT cluster, x AS c FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5('km:' || CAST(id AS VARCHAR)) ASC, id ASC
+               ) - 1 AS cluster, x
+        FROM v
+      ) WHERE cluster < {k}
+    ){body}
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+             AS inertia
+    FROM a{n_iters + 1} GROUP BY cluster
+    """

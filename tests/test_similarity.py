@@ -773,3 +773,64 @@ def test_rrf_fuse_top_k_truncates(spark):
     out = rrf_fuse(a, b, "id", top_k=3).collect()
     assert len(out) == 3
     assert [r["fused_rank"] for r in sorted(out, key=lambda r: r["fused_rank"])] == [1, 2, 3]
+
+
+def test_kmeans_stats_matches_numpy_lloyd(spark):
+    import hashlib
+
+    import numpy as np
+
+    from ml_feature_store_pipeline_spark.operators.similarity import kmeans_stats
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    pts = np.vstack([c + rng.randn(20, 2) * 0.3 for c in centers])
+    rows = [(int(i), [float(a), float(b)]) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["cluster"]: r for r in kmeans_stats(df, k=3, n_iters=3).collect()}
+
+    # replicate: md5 seeds, 3 Lloyd iterations, final assignment
+    X = np.array([[np.float64(np.float32(a)), np.float64(np.float32(b))] for a, b in pts])
+    order = sorted(range(len(X)), key=lambda i: (hashlib.md5(f"km:{i}".encode()).hexdigest(), i))
+    cents = {ci: X[order[ci]].copy() for ci in range(3)}
+
+    def assign():
+        out = {}
+        for i, x in enumerate(X):
+            best = min(
+                ((float((x @ x) - 2 * (x @ c) + (c @ c)), ci) for ci, c in cents.items())
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    for _ in range(3):
+        a = assign()
+        new = {}
+        for ci in cents:
+            members = [X[i] for i, (c, _) in a.items() if c == ci]
+            if members:
+                new[ci] = np.mean(members, axis=0)
+        cents = new
+    final = assign()
+    want_n = {ci: sum(1 for c, _ in final.values() if c == ci) for ci in cents}
+    want_inertia = {
+        ci: sum(round(d, 9) for c, d in final.values() if c == ci) for ci in cents
+    }
+    assert {c: r["n_members"] for c, r in got.items()} == {
+        c: n for c, n in want_n.items() if n
+    }
+    for ci, r in got.items():
+        assert r["inertia"] == pytest.approx(want_inertia[ci], abs=1e-5)
+    # three tight planted blobs of 20 -> each cluster holds one blob
+    assert sorted(r["n_members"] for r in got.values()) == [20, 20, 20]
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    from ml_feature_store_pipeline_spark.operators.similarity import kmeans_stats
+
+    # two identical points: whichever seed loses every member must vanish
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = kmeans_stats(df, k=2, n_iters=2).collect()
+    assert len(out) == 1 and out[0]["n_members"] == 2

@@ -144,7 +144,8 @@ EVENT_OPS = (
     "copurchase transition_matrix gini_skew mutual_info hll_actives "
     "daily_percentiles seasonality anomaly_profile welch_ttest "
     "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank "
-    "corr_matrix spearman mann_whitney daily_acf quantile_transform woe_chi2"
+    "corr_matrix spearman mann_whitney daily_acf quantile_transform "
+    "woe_iv chi2"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -160,7 +161,7 @@ VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
     "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
     "semantic_decontaminate knn_label_audit hard_negatives prototypicality "
-    "random_projection mmr_rerank pq_rerank"
+    "random_projection mmr_rerank pq_rerank kmeans"
 ).split()
 
 
@@ -1259,7 +1260,7 @@ def main() -> None:
                 _fe.quantile_transform(events.select("amount"), "amount"),
                 args.events,
             )
-        if events is not None and want("woe_chi2"):
+        if events is not None and (want("woe_iv") or want("chi2")):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
             from ml_feature_store_pipeline_spark.operators import fe as _fe
 
@@ -1344,6 +1345,19 @@ def main() -> None:
                 pq_queries, vecs, k=10, m=16, k_codes=16, shortlist=100
             ).write.format("noop").mode("overwrite").save()
             log("pq_rerank_topk", time.time() - t0, args.vecs * 100)
+        if vecs is not None and want("kmeans"):
+            from ml_feature_store_pipeline_spark.operators import similarity as _sim
+
+            # 4 zero-shuffle assignment scans + 3 kxdim update shuffles;
+            # the per-iteration centroid collects happen at plan-build —
+            # time it all (the bpe_train rule)
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _sim.kmeans_stats(vecs, k=8, n_iters=3).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            log("kmeans_k8_3iters", time.time() - t0, args.vecs)
         if vecs is not None and want("random_projection"):
             # pure codegen scan: out_dim x in_dim fused multiply-adds per row
             timed(
