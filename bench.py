@@ -239,6 +239,8 @@ HEADLINE_R7 = [
     # deterministic k-means: 4 zero-shuffle assignment scans against
     # literal centroids + 3 k×dim update shuffles
     "kmeans_embeddings",
+    # degree-oriented triangle count (hub-proof wedge join)
+    "triangle_stats_copurchase",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

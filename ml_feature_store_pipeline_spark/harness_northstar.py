@@ -5076,3 +5076,59 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O["kmeans_embeddings"] = similarity.kmeans_sql(
     "embeddings", "vec_id", "embedding", k=8, n_iters=3
 )
+
+
+@register(
+    "triangle_stats_copurchase",
+    f"""
+    WITH e0 AS ({_copurchase_edges_sql()}),
+    e1 AS (SELECT DISTINCT a, b FROM e0),
+    deg AS (
+      SELECT v, COUNT(*) AS deg
+      FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                  THEN a ELSE b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                  THEN b ELSE a END AS w
+      FROM e1 JOIN deg da ON da.v = e1.a JOIN deg db ON db.v = e1.b
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM (SELECT e1.w AS v1, e2.w AS v2
+            FROM o e1 JOIN o e2 ON e1.u = e2.u WHERE e1.w < e2.w) wj
+      JOIN (SELECT LEAST(u, w) AS v1, GREATEST(u, w) AS v2 FROM o) c
+        USING (v1, v2)
+    ),
+    nodes AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(CAST(deg AS HUGEINT) * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    base AS (SELECT COUNT(*) AS n_edges FROM e1)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           n_wedges,
+           ROUND(CASE WHEN n_wedges > 0
+                 THEN 3.0 * n_triangles / n_wedges END, 6) AS gcc
+    FROM tri, base, nodes
+    """,
+)
+def q_triangle_stats_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangles + clustering coefficient of the part co-purchase
+    graph — degree-oriented wedge join (hub-proof), everything integer."""
+    from .operators.graph import triangle_stats
+
+    li = read_table(spark, sf_dir, "lineitem")
+    kt = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("t")
+    ).distinct()
+    edges = (
+        kt.alias("x")
+        .join(kt.alias("y"), "k")
+        .filter(F.col("x.t") < F.col("y.t"))
+        .select(F.col("x.t").alias("a"), F.col("y.t").alias("b"))
+    )
+    return triangle_stats(edges, "a", "b")

@@ -137,3 +137,89 @@ def pagerank_sql(
     if top_k is not None:
         tail += f" ORDER BY rank DESC, node ASC LIMIT {top_k}"
     return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph — the cohesion readout for co-occurrence graphs
+    (co-purchase, co-session): one row (n_nodes, n_edges, n_triangles,
+    n_wedges, gcc) with ``gcc = 3·triangles / wedges``.
+
+    Algorithm: the DEGREE-ORIENTED node-iterator — every edge is oriented
+    from its lower-(degree, id) endpoint to the higher, so each triangle
+    is counted exactly once as a wedge (u→v, u→w) closed by (v→w), and
+    the wedge fan-out is bounded by the oriented OUT-degree, which is
+    O(√m) amortized on any graph — the standard defense against the
+    power-law hub that makes the naive a<b wedge join quadratic in the
+    hub degree.
+
+    Exactness: everything is integer joins and counts; wedge sums go
+    through DECIMAL(38,0) (Σ deg·(deg−1) cubes past int64 only beyond
+    ~3e9-degree hubs); ``gcc`` is one double division, identical both
+    engines.
+
+    Scale shape: canonical edges localCheckpoint once (they feed the
+    degree table, the orientation join, and all three legs of the wedge
+    join — the PageRank pin discipline); degrees broadcast-join back onto
+    edges; the closing join is edge-keyed equi-join, never a cross.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("__db"))
+    keyed = canon.join(da, "a").join(db, "b")
+    fwd = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+    ).localCheckpoint()
+    # wedges (u -> v1, u -> v2) with v1 < v2 in plain id order (any total
+    # order works — each unordered pair once), closed by an oriented edge
+    # in EITHER direction between v1 and v2
+    e1 = o.select(F.col("u"), F.col("w").alias("v1"))
+    e2 = o.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
+    closing = o.select(
+        F.least("u", "w").alias("v1"), F.greatest("u", "w").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    base = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (
+            F.sum(F.col("deg").cast("decimal(38,0)") * (F.col("deg") - 1)) / 2
+        ).cast("long").alias("n_wedges"),
+    )
+    j = tri.crossJoin(F.broadcast(base)).crossJoin(F.broadcast(nodes))
+    gcc = F.when(
+        F.col("n_wedges") > 0,
+        F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+    )
+    return j.select(
+        F.col("n_nodes").cast("long"),
+        F.col("n_edges").cast("long"),
+        F.col("n_triangles").cast("long"),
+        F.col("n_wedges").cast("long"),
+        F.round(gcc, round_digits).alias("gcc"),
+    )

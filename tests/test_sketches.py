@@ -307,3 +307,29 @@ def test_kmv_set_ops_estimates_above_k(spark):
     assert abs(r["union_est"] - 3000) / 3000 < 0.25
     assert abs(r["intersection_est"] - 1000) / 1000 < 0.35
     assert 0.15 < r["jaccard_est"] < 0.55
+
+
+def test_triangle_stats_known_graphs(spark):
+    from ml_feature_store_pipeline_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles, 6 edges, wedges = 4 * C(3,2) = 12, gcc = 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_stats(
+        spark.createDataFrame(k4, "a long, b long"), "a", "b"
+    ).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["n_wedges"]) == (4, 6, 4, 12)
+    assert r["gcc"] == pytest.approx(1.0)
+
+    # star K1,5: zero triangles, wedges C(5,2)=10, gcc=0
+    star = [(0, i) for i in range(1, 6)]
+    s = triangle_stats(
+        spark.createDataFrame(star, "a long, b long"), "a", "b"
+    ).collect()[0]
+    assert (s["n_triangles"], s["n_wedges"], s["gcc"]) == (0, 10, 0.0)
+
+    # duplicate + reversed + self-loop edges canonicalize away
+    messy = [(1, 2), (2, 1), (1, 2), (3, 3), (2, 3), (1, 3)]
+    m = triangle_stats(
+        spark.createDataFrame(messy, "a long, b long"), "a", "b"
+    ).collect()[0]
+    assert (m["n_edges"], m["n_triangles"]) == (3, 1)

@@ -144,6 +144,7 @@ EVENT_OPS = (
     "copurchase transition_matrix gini_skew mutual_info hll_actives "
     "daily_percentiles seasonality anomaly_profile welch_ttest "
     "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank "
+    "triangles "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
     "woe_iv chi2"
 ).split()
@@ -1182,6 +1183,24 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             log("pagerank_10iter_2m_edges", time.time() - t0, 2_000_000 * 10)
+        if events is not None and want("triangles"):
+            from ml_feature_store_pipeline_spark.operators import graph as _graph
+
+            # same synthetic 2M-edge graph as pagerank; the degree
+            # orientation bounds the wedge fan-out by oriented out-degree
+            # (the 20k-node b side makes real hubs). Pins at plan-build —
+            # time it all
+            tri_edges = spark.range(2_000_000).select(
+                (F.xxhash64("id") % 200_000).alias("a"),
+                (F.xxhash64("id", F.lit(1)) % 20_000).alias("b"),
+            ).filter(F.col("a") != F.col("b"))
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _graph.triangle_stats(tri_edges, "a", "b").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            log("triangles_2m_edges", time.time() - t0, 2_000_000)
         if events is not None and want("mutual_info"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
