@@ -241,6 +241,8 @@ HEADLINE_R7 = [
     "kmeans_embeddings",
     # degree-oriented triangle count (hub-proof wedge join)
     "triangle_stats_copurchase",
+    # language-ID confusion vs ground truth (guess projection + one agg)
+    "lang_confusion_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -5132,3 +5132,34 @@ def q_triangle_stats_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.t").alias("a"), F.col("y.t").alias("b"))
     )
     return triangle_stats(edges, "a", "b")
+
+
+def _lang_confusion_sql() -> str:
+    inner = _lang_sql()
+    return f"""
+    WITH guesses AS ({inner}),
+    joined AS (
+      SELECT d.lang AS lang_true, g.lang_guess
+      FROM documents d JOIN guesses g ON d.doc_id = g.doc_id
+      WHERE d.lang IS NOT NULL
+    ),
+    cells AS (
+      SELECT lang_true, lang_guess, COUNT(*) AS n FROM joined GROUP BY 1, 2
+    ),
+    totals AS (SELECT lang_true, SUM(n) AS t FROM cells GROUP BY 1)
+    SELECT lang_true, lang_guess, CAST(n AS BIGINT) AS n,
+           ROUND(n / t, 6) AS recall
+    FROM cells JOIN totals USING (lang_true)
+    """
+
+
+@register("lang_confusion_docs", None)  # generated oracle installed below
+def q_lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the documents table's ground-truth
+    lang column — the classifier-calibration readout; one codegen guess
+    projection + one (truth, guess) aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.lang_confusion(docs, "doc_id", "text", "lang")
+
+
+_O["lang_confusion_docs"] = _lang_confusion_sql()

@@ -1208,3 +1208,42 @@ def bm25_sql(
     SELECT id AS {id_col}, CAST(s AS DOUBLE) AS score, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+def lang_confusion(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    truth_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Confusion matrix of :func:`language_id` against a ground-truth
+    language column — the calibration readout a heuristic classifier
+    needs before it gates a corpus (which languages leak into which).
+    One row per observed (lang_true, lang_guess): (n, recall) with
+    ``recall = n / total rows of that true language``. NULL truth is
+    excluded.
+
+    Scale shape: the guess is a pure codegen projection (the
+    ``language_id`` stopword scorer); then ONE map-side-combinable
+    (truth, guess) aggregate; per-truth totals re-aggregate from the
+    ≤ |langs|² cell table and join broadcast.
+    """
+    base = df.filter(F.col(truth_col).isNotNull())
+    scored = language_id(base, id_col, text_col).join(
+        base.select(F.col(id_col), F.col(truth_col).alias("lang_true")), id_col
+    )
+    cells = scored.groupBy("lang_true", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = cells.groupBy("lang_true").agg(F.sum("n").alias("__t"))
+    return (
+        cells.join(F.broadcast(totals), "lang_true")
+        .select(
+            "lang_true",
+            "lang_guess",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__t"), round_digits).alias("recall"),
+        )
+    )

@@ -460,3 +460,23 @@ def test_bm25_topk_multi_term_sums_contributions(spark):
     # lowercase + dedup of query terms
     dup = {r["doc_id"]: r["score"] for r in bm25_topk(docs, "doc_id", "text", ["A", "a"], k=3).collect()}
     assert dup == only_a
+
+
+def test_lang_confusion_counts_and_recall(spark):
+    from ml_feature_store_pipeline_spark.operators.text import lang_confusion
+
+    rows = [
+        (1, "the cat and the dog", "en"),     # clear en
+        (2, "der hund und die katze", "de"),  # clear de
+        (3, "xyzzy qwerty", "en"),            # no stopword hits -> 'und'
+        (4, "the dog is here", "en"),
+        (5, "le chat et le chien", None),     # NULL truth excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r["lang_true"], r["lang_guess"]): r for r in lang_confusion(df, "doc_id", "text", "lang").collect()}
+    assert out[("en", "en")]["n"] == 2
+    assert out[("en", "und")]["n"] == 1
+    assert out[("de", "de")]["n"] == 1
+    assert out[("en", "en")]["recall"] == pytest.approx(2 / 3)
+    assert out[("de", "de")]["recall"] == pytest.approx(1.0)
+    assert sum(r["n"] for r in out.values()) == 4  # NULL truth dropped
