@@ -243,6 +243,8 @@ HEADLINE_R7 = [
     "triangle_stats_copurchase",
     # language-ID confusion vs ground truth (guess projection + one agg)
     "lang_confusion_docs",
+    # retrieval eval: precision/recall@10 + NDCG@10, |queries|x k joins
+    "ranking_metrics_label_topk",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -5163,3 +5163,89 @@ def q_lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _O["lang_confusion_docs"] = _lang_confusion_sql()
+
+
+@register(
+    "ranking_metrics_label_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlab
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT qid, c.vec_id AS iid,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY {_COS_SQL.format(a='q.qv', b='c.embedding')} DESC,
+                        c.vec_id ASC) AS rk0
+      FROM q, embeddings c
+    ),
+    topk AS (
+      SELECT qid, iid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rk0) AS rk
+      FROM scored WHERE rk0 <= 11 AND iid <> qid
+    ),
+    rel AS (
+      SELECT q.qid, e.vec_id AS iid
+      FROM q JOIN embeddings e ON e.label = q.qlab AND e.vec_id <> q.qid
+    ),
+    nrel AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+    j AS (
+      SELECT t.qid, t.rk,
+             CASE WHEN r.iid IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM topk t LEFT JOIN rel r ON r.qid = t.qid AND r.iid = t.iid
+      WHERE t.rk <= 10
+    ),
+    perq AS (
+      SELECT qid, CAST(SUM(hit) AS BIGINT) AS hits,
+             CAST(SUM(CAST(CASE WHEN hit = 1
+                           THEN ROUND(1.0 / log2(rk + 1.0), 9)
+                           ELSE 0.0 END AS DECIMAL(20,9))) AS DOUBLE) AS dcg
+      FROM j GROUP BY 1
+    ),
+    spine AS (SELECT r AS pos FROM range(1, 11) t(r)),
+    idcg AS (
+      SELECT qid, n_rel,
+             CAST(SUM(CAST(ROUND(1.0 / log2(pos + 1.0), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS idcg
+      FROM nrel JOIN spine ON pos <= n_rel GROUP BY 1, 2
+    )
+    SELECT p.qid AS query_id,
+           CAST(COALESCE(i.n_rel, 0) AS BIGINT) AS n_rel, p.hits,
+           ROUND(p.hits / 10.0, 6) AS precision_at_k,
+           ROUND(p.hits / i.n_rel, 6) AS recall_at_k,
+           ROUND(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg END, 6) AS ndcg
+    FROM perq p LEFT JOIN idcg i ON i.qid = p.qid
+    """,
+)
+def q_ranking_metrics_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall@10 + NDCG@10 of brute-cosine retrieval judged by
+    label agreement — the eval harness for the ANN stack; self-matches
+    excluded, candidate re-rank and metric joins all ≤ |queries|·k rows."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.mlfeatures import ranking_metrics
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding", F.col("label").alias("qlab")
+    )
+    topk = (
+        similarity.cosine_topk(queries.select("query_id", "embedding"), emb, k=11)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.asc("rank"))
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("item_id"), F.col("rk").alias("rank"))
+    )
+    rel = (
+        queries.select("query_id", "qlab")
+        .join(emb.select(F.col("vec_id").alias("item_id"), "label"),
+              F.col("label") == F.col("qlab"))
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id")
+    )
+    return ranking_metrics(topk, rel, k=10)

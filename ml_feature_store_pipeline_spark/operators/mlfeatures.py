@@ -282,3 +282,73 @@ def classification_report(
         F.round(rec, round_digits).alias("recall"),
         F.round(f1, round_digits).alias("f1"),
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    *,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Retrieval-quality metrics per query — precision@k, recall@k and
+    NDCG@k (binary relevance) of a candidate ranking against a relevance
+    set: the eval harness every ANN/hybrid stack needs before its results
+    gate anything. ``ranked`` carries (query, item, rank 1-based);
+    ``relevant`` carries the ground-truth (query, item) pairs. Output per
+    query: (query, n_rel, hits, precision_at_k, recall_at_k, ndcg);
+    recall/ndcg are NULL for queries with an empty relevance set; queries
+    appear if they have ranked rows.
+
+    Exactness: DCG terms ``1/log2(rank+1)`` are 9-dp-rounded doubles
+    summed in DECIMAL(20,9) (order-free); IDCG sums the same rounded
+    terms over ranks 1..min(k, n_rel) via a k-row spine, so the ratio is
+    identical IEEE arithmetic both engines.
+
+    Scale shape: one broadcast-friendly left join of the top-k rows
+    (≤ k per query by contract) against the relevance pairs, one
+    per-query aggregate, and a k-row spine join for IDCG — nothing
+    scales past |queries|·k rows after the inputs.
+    """
+    q, it, rk = F.col(query_col), F.col(item_col), F.col(rank_col)
+    spark = ranked.sparkSession
+    term = lambda r: F.round(F.lit(1.0) / F.log2(r + F.lit(1.0)), 9)
+    rel = relevant.select(q.alias("__q"), it.alias("__i"), F.lit(1).alias("__rel"))
+    topk = ranked.filter(rk <= k).select(
+        q.alias("__q"), it.alias("__i"), rk.alias("__rk")
+    )
+    joined = topk.join(rel, ["__q", "__i"], "left")
+    per_q = joined.groupBy("__q").agg(
+        F.sum(F.coalesce(F.col("__rel"), F.lit(0))).cast("long").alias("hits"),
+        F.sum(
+            F.when(F.col("__rel").isNotNull(), term(F.col("__rk")))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(20,9)")
+        ).cast("double").alias("__dcg"),
+    )
+    n_rel = rel.groupBy("__q").agg(F.count(F.lit(1)).alias("n_rel"))
+    spine = spark.range(1, k + 1).select(F.col("id").alias("__pos"))
+    idcg = (
+        n_rel.join(F.broadcast(spine), F.col("__pos") <= F.col("n_rel"))
+        .groupBy("__q", "n_rel")
+        .agg(
+            F.sum(term(F.col("__pos")).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("__idcg")
+        )
+    )
+    out = per_q.join(idcg, "__q", "left")
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        "hits",
+        F.round(F.col("hits") / F.lit(float(k)), round_digits).alias("precision_at_k"),
+        F.round(F.col("hits") / F.col("n_rel"), round_digits).alias("recall_at_k"),
+        F.round(
+            F.when(F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")),
+            round_digits,
+        ).alias("ndcg"),
+    )

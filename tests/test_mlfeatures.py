@@ -130,3 +130,48 @@ def test_classification_report_hand_checked(spark):
     # precision is 0/1 = 0.0 (pred exists), recall 0/1 = 0.0, f1 NULL (sum 0)
     assert b["precision"] == 0.0 and b["recall"] == 0.0 and b["f1"] is None
     assert "c" not in out  # its only row had a NULL prediction
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.mlfeatures import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2)],
+        "query_id string, item_id string, rank int",
+    )
+    rel = spark.createDataFrame(
+        [("q1", "a"), ("q1", "c"), ("q1", "zzz"),   # zzz never retrieved
+         ("q3", "only")],                             # q3 has no ranking rows
+        "query_id string, item_id string",
+    )
+    out = {r["query_id"]: r for r in ranking_metrics(ranked, rel, k=3).collect()}
+    assert set(out) == {"q1", "q2"}
+    r1 = out["q1"]
+    assert (r1["n_rel"], r1["hits"]) == (3, 2)
+    assert r1["precision_at_k"] == pytest.approx(2 / 3)
+    assert r1["recall_at_k"] == pytest.approx(2 / 3)
+    dcg = round(1 / math.log2(2), 9) + round(1 / math.log2(4), 9)
+    idcg = sum(round(1 / math.log2(i + 1), 9) for i in (1, 2, 3))
+    assert r1["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+    # q2 has an empty relevance set: recall and ndcg NULL, precision 0
+    r2 = out["q2"]
+    assert r2["n_rel"] == 0 and r2["hits"] == 0
+    assert r2["precision_at_k"] == 0.0
+    assert r2["recall_at_k"] is None and r2["ndcg"] is None
+
+
+def test_ranking_metrics_perfect_ranking_ndcg_1(spark):
+    from ml_feature_store_pipeline_spark.operators.mlfeatures import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [("q", f"i{r}", r) for r in range(1, 6)], "query_id string, item_id string, rank int"
+    )
+    rel = spark.createDataFrame(
+        [("q", f"i{r}") for r in range(1, 6)], "query_id string, item_id string"
+    )
+    r = ranking_metrics(ranked, rel, k=5).collect()[0]
+    assert r["ndcg"] == pytest.approx(1.0)
+    assert r["precision_at_k"] == 1.0 and r["recall_at_k"] == 1.0
