@@ -245,6 +245,8 @@ HEADLINE_R7 = [
     "lang_confusion_docs",
     # retrieval eval: precision/recall@10 + NDCG@10, |queries|x k joins
     "ranking_metrics_label_topk",
+    # reliability diagram + ECE terms (one bin aggregate)
+    "calibration_curve_embeddings",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

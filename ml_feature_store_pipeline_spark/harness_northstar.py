@@ -5249,3 +5249,45 @@ def q_ranking_metrics_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "item_id")
     )
     return ranking_metrics(topk, rel, k=10)
+
+
+@register(
+    "calibration_curve_embeddings",
+    f"""
+    WITH scored AS (
+      SELECT CASE WHEN label >= 5
+                  THEN 0.3 + 0.7 * {_clf_hash_sql('cal')}
+                  ELSE 0.7 * {_clf_hash_sql('cal')} END AS s,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    bins AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(s * 10) AS INTEGER), 0), 9) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(s AS DECIMAL(28,9))) AS DOUBLE) AS ss,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM bins)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           ROUND(ss / n, 6) AS mean_score,
+           ROUND(pos / n, 6) AS frac_pos,
+           ROUND(ABS(ss / n - pos / n) * (n / t), 6) AS ece_term
+    FROM bins, tot
+    """,
+)
+def q_calibration_curve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of a deterministic pseudo-probability (md5
+    uniform shifted by the true binary label, so it IS informative but
+    imperfectly calibrated) — one bin aggregate; ece_term sums to ECE."""
+    from .operators.mlfeatures import calibration_curve
+    from .operators.sketches import hash_fraction
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    h = hash_fraction(F.concat(F.lit("cal:"), F.col("vec_id").cast("string")))
+    y = F.col("label") >= 5
+    scored = emb.select(
+        F.when(y, F.lit(0.3) + F.lit(0.7) * h).otherwise(F.lit(0.7) * h).alias("score"),
+        F.col("label"),
+    )
+    return calibration_curve(scored, "score", F.col("label") >= 5, n_bins=10)

@@ -352,3 +352,55 @@ def ranking_metrics(
             round_digits,
         ).alias("ndcg"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    *,
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier — per
+    equal-width score bin over [0, 1]: (bin, n, mean_score, frac_pos,
+    ece_term), where ``ece_term = |mean_score − frac_pos| · n/N`` sums to
+    the expected calibration error. The monitoring readout that catches a
+    drifted or overconfident scorer before thresholded decisions do.
+    ``label`` is a boolean Column; rows with NULL score or label are
+    excluded; only observed bins appear (empty bins carry no evidence).
+
+    Exactness: scores sum in DECIMAL(28,9); counts are exact longs; the
+    closed form runs in identical IEEE doubles both engines.
+
+    Scale shape: ONE map-side-combinable aggregate over the scan to
+    ≤ ``n_bins`` rows; the total broadcasts back from a 1-row aggregate.
+    """
+    s = F.col(score_col)
+    base = df.filter(s.isNotNull() & label.isNotNull()).select(
+        s.alias("__s"), label.cast("int").alias("__y")
+    )
+    b = F.least(
+        F.greatest(F.floor(F.col("__s") * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    bins = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__s").cast("decimal(28,9)")).cast("double").alias("__ss"),
+        F.sum("__y").cast("long").alias("__pos"),
+    )
+    tot = bins.agg(F.sum("__n").alias("__t"))
+    mean_s = F.col("__ss") / F.col("__n")
+    frac = F.col("__pos") / F.col("__n")
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("__n").cast("long").alias("n"),
+            F.round(mean_s, round_digits).alias("mean_score"),
+            F.round(frac, round_digits).alias("frac_pos"),
+            F.round(
+                F.abs(mean_s - frac) * (F.col("__n") / F.col("__t")), round_digits
+            ).alias("ece_term"),
+        )
+    )

@@ -175,3 +175,31 @@ def test_ranking_metrics_perfect_ranking_ndcg_1(spark):
     r = ranking_metrics(ranked, rel, k=5).collect()[0]
     assert r["ndcg"] == pytest.approx(1.0)
     assert r["precision_at_k"] == 1.0 and r["recall_at_k"] == 1.0
+
+
+def test_calibration_curve_hand_computed(spark):
+    from ml_feature_store_pipeline_spark.operators.mlfeatures import calibration_curve
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0.05, 0), (0.08, 0),              # bin 0: mean 0.065, frac 0
+        (0.95, 1), (0.92, 0),              # bin 9: mean 0.935, frac 0.5
+        (1.0, 1),                           # clamps into bin 9
+        (None, 1), (0.5, None),             # excluded
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["bin"]: r for r in calibration_curve(df, "s", F.col("y") == 1).collect()}
+    assert set(out) == {0, 9}
+    b0, b9 = out[0], out[9]
+    assert b0["n"] == 2 and b0["mean_score"] == pytest.approx(0.065)
+    assert b0["frac_pos"] == 0.0
+    assert b0["ece_term"] == pytest.approx(0.065 * 2 / 5, abs=1e-6)
+    assert b9["n"] == 3
+    assert b9["mean_score"] == pytest.approx((0.95 + 0.92 + 1.0) / 3, abs=1e-6)
+    assert b9["frac_pos"] == pytest.approx(2 / 3)
+    # ECE of a perfectly calibrated scorer is ~0
+    perfect = spark.createDataFrame(
+        [(0.25, 1 if i % 4 == 0 else 0) for i in range(400)], "s double, y int"
+    )
+    p = calibration_curve(perfect, "s", F.col("y") == 1).collect()[0]
+    assert p["ece_term"] == pytest.approx(0.0, abs=1e-6)
