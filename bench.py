@@ -247,6 +247,8 @@ HEADLINE_R7 = [
     "ranking_metrics_label_topk",
     # reliability diagram + ECE terms (one bin aggregate)
     "calibration_curve_embeddings",
+    # exact tie-aware ROC AUC (banded rank pass + 2-class agg)
+    "roc_auc_embeddings",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

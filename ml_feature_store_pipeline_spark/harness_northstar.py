@@ -5291,3 +5291,46 @@ def q_calibration_curve_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("label"),
     )
     return calibration_curve(scored, "score", F.col("label") >= 5, n_bins=10)
+
+
+@register(
+    "roc_auc_embeddings",
+    f"""
+    WITH scored AS (
+      SELECT CASE WHEN label >= 5
+                  THEN 0.3 + 0.7 * {_clf_hash_sql('cal')}
+                  ELSE 0.7 * {_clf_hash_sql('cal')} END AS s,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    ranked AS (
+      SELECT y, {_AVG_RANK.format(v='s')} AS r FROM scored
+    ),
+    g AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS np,
+             CAST(SUM(1 - y) AS BIGINT) AS nn,
+             CAST(SUM(CAST(CASE WHEN y = 1 THEN r ELSE 0.0 END
+                           AS DECIMAL(28,6))) AS DOUBLE) AS rp
+      FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           ROUND(CASE WHEN np > 0 AND nn > 0
+                 THEN (rp - np * (np + 1) / 2) / (np * nn) END, 6) AS auc
+    FROM g
+    """,
+)
+def q_roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (rank formulation, tie-aware) of the same md5
+    pseudo-probability the calibration curve grades — one banded rank
+    pass + a 2-class aggregate."""
+    from .operators.mlfeatures import roc_auc
+    from .operators.sketches import hash_fraction
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    h = hash_fraction(F.concat(F.lit("cal:"), F.col("vec_id").cast("string")))
+    y = F.col("label") >= 5
+    scored = emb.select(
+        F.when(y, F.lit(0.3) + F.lit(0.7) * h).otherwise(F.lit(0.7) * h).alias("score"),
+        F.col("label"),
+    )
+    return roc_auc(scored, "score", F.col("label") >= 5)

@@ -404,3 +404,48 @@ def calibration_curve(
             ).alias("ece_term"),
         )
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    *,
+    n_bands: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label — computed as the
+    normalized Mann-Whitney U statistic,
+    ``AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` with average ranks (so score
+    ties contribute exactly ½, the trapezoidal ROC convention). One row:
+    (n_pos, n_neg, auc); NULL when either class is empty. The companion
+    of :func:`calibration_curve` — discrimination vs calibration.
+
+    Scale shape: one BANDED rank pass (:func:`~..operators.drift
+    .banded_avg_rank` — no global single-task sort) + one 2-row
+    aggregate. Rank sums are half-integer decimal sums, so the readout is
+    engine-exact.
+    """
+    from .drift import banded_avg_rank
+
+    s = F.col(score_col)
+    base = df.filter(s.isNotNull() & label.isNotNull()).select(
+        s.alias("__s"), label.cast("int").alias("__y")
+    )
+    ranked = banded_avg_rank(base, "__s", n_bands=n_bands, rank_col="__r")
+    g = ranked.agg(
+        F.sum("__y").cast("long").alias("np"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("nn"),
+        F.sum(
+            F.when(F.col("__y") == 1, F.col("__r")).otherwise(F.lit(0.0))
+            .cast("decimal(28,6)")
+        ).cast("double").alias("rp"),
+    )
+    np_, nn = F.col("np"), F.col("nn")
+    auc = F.when(
+        (np_ > 0) & (nn > 0),
+        (F.col("rp") - np_ * (np_ + 1) / 2) / (np_ * nn),
+    )
+    return g.select(
+        np_.alias("n_pos"), nn.alias("n_neg"), F.round(auc, round_digits).alias("auc")
+    )

@@ -203,3 +203,31 @@ def test_calibration_curve_hand_computed(spark):
     )
     p = calibration_curve(perfect, "s", F.col("y") == 1).collect()[0]
     assert p["ece_term"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_roc_auc_known_values(spark):
+    from ml_feature_store_pipeline_spark.operators.mlfeatures import roc_auc
+    from pyspark.sql import functions as F
+
+    # perfect separation -> AUC 1; inverted -> 0; random-ish hand case
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
+    )
+    assert roc_auc(perfect, "s", F.col("y") == 1).collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], "s double, y int"
+    )
+    assert roc_auc(inverted, "s", F.col("y") == 1).collect()[0]["auc"] == 0.0
+    # ties across classes count half: scores all equal -> AUC 0.5
+    tied = spark.createDataFrame([(0.5, 1), (0.5, 0)] * 10, "s double, y int")
+    assert roc_auc(tied, "s", F.col("y") == 1).collect()[0]["auc"] == 0.5
+    # hand case: pos {0.8, 0.4}, neg {0.6, 0.2}: pairs won 3, lost 1 -> 0.75
+    hand = spark.createDataFrame(
+        [(0.8, 1), (0.4, 1), (0.6, 0), (0.2, 0)], "s double, y int"
+    )
+    r = roc_auc(hand, "s", F.col("y") == 1, n_bands=2).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["auc"] == 0.75
+    # single-class input -> NULL
+    one = spark.createDataFrame([(0.5, 1)], "s double, y int")
+    assert roc_auc(one, "s", F.col("y") == 1).collect()[0]["auc"] is None
