@@ -564,3 +564,68 @@ def test_gini_skew_window_runs_on_count_of_counts(spark, registry):
     # single-partition window over distinct count values
     assert plan.count("Exchange hashpartitioning") >= 2
     assert "Exchange SinglePartition" in plan  # the tiny runs-table window
+
+
+# ---------------------------------------------------------------------------
+# round-7 statistics / retrieval / clustering waves, pinned at the plan level
+# ---------------------------------------------------------------------------
+
+
+def test_corr_matrix_single_moment_aggregate(spark, registry):
+    """correlation_matrix claims ONE map-side-combinable aggregate: no
+    joins, no windows, a single exchange for the final 1-row combine."""
+    df = registry["corr_matrix_lineitem"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_spearman_ranks_are_banded_not_global(spark, registry):
+    """Every Window in the Spearman plan partitions by the rank band —
+    an 'Exchange SinglePartition' feeding a Window would mean the global
+    sort the banding exists to avoid."""
+    df = registry["spearman_price_quantity"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        # single-partition exchanges may only feed the FINAL 1-row agg,
+        # never a Window; windows must hash-partition on __band
+        pre = plan[: m.start()].splitlines()[-1]
+        assert "Window" not in pre
+    assert "hashpartitioning(__band" in plan
+
+
+def test_kmeans_assignment_is_zero_join(spark, registry):
+    """k-means assignment evaluates literal centroids inside codegen: the
+    final-assignment plan has NO join of any kind and exactly one
+    exchange (the stats aggregate)."""
+    df = registry["kmeans_embeddings"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_bm25_topk_is_take_ordered(spark, registry):
+    """BM25's top-k must be TakeOrderedAndProject (distributed top-k),
+    never a global Sort feeding a Limit."""
+    df = registry["bm25_topk_docs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # df/stats tables join broadcast
+
+
+def test_triangle_wedge_join_has_no_cartesian(spark, registry):
+    df = registry["triangle_stats_copurchase"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_roc_auc_single_class_aggregate(spark, registry):
+    """ROC AUC = one banded rank pass + one 1-row aggregate; no joins
+    beyond the band-offset broadcast."""
+    df = registry["roc_auc_embeddings"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(__band" in plan
