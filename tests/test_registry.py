@@ -151,6 +151,23 @@ R8_WINDOW_QUEUE = [
     "copurchase_degree_profile",
     "bpe_train_merges",
     "bpe_encode_stats_docs",
+    # late-r7 statistics / retrieval / encodings / clustering / eval waves
+    # (all passed tools/verify_oracle.py at sf0.001/0.01/0.1 this round)
+    "corr_matrix_lineitem",
+    "spearman_price_quantity",
+    "mann_whitney_view_purchase",
+    "acf_daily_value",
+    "bm25_topk_docs",
+    "hybrid_rrf_topk",
+    "quantile_transform_orders",
+    "woe_iv_event_type",
+    "chi2_event_type_hour",
+    "kmeans_embeddings",
+    "triangle_stats_copurchase",
+    "lang_confusion_docs",
+    "ranking_metrics_label_topk",
+    "calibration_curve_embeddings",
+    "roc_auc_embeddings",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
