@@ -249,6 +249,8 @@ HEADLINE_R7 = [
     "calibration_curve_embeddings",
     # exact tie-aware ROC AUC (banded rank pass + 2-class agg)
     "roc_auc_embeddings",
+    # cluster-balanced curation sample (kmeans scans + per-cluster top-m)
+    "kmeans_balanced_sample",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

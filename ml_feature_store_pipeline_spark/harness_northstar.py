@@ -5334,3 +5334,17 @@ def q_roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"),
     )
     return roc_auc(scored, "score", F.col("label") >= 5)
+
+
+@register("kmeans_balanced_sample", None)  # generated oracle installed below
+def q_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset off the k-means trajectory: 5 md5-picked
+    members per surviving cluster — the diversity-preserving curation
+    sampler; one per-cluster top-m window on top of the kmeans scans."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_balanced_sample(emb, k=8, n_iters=3, per_cluster=5)
+
+
+_O["kmeans_balanced_sample"] = similarity.kmeans_sample_sql(
+    "embeddings", "vec_id", "embedding", k=8, n_iters=3, per_cluster=5
+)

@@ -1585,6 +1585,30 @@ def kmeans_stats(
     shuffle carries k×dim decimal partials per partition (map-side
     combined), never vectors. Total: ``n_iters + 1`` scans.
     """
+    final = _kmeans_final_assignment(df, id_col, vec_col, k, n_iters)
+    return (
+        final.groupBy(F.col("__cluster").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.round(F.col("__d2"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("__inertia"),
+        )
+        .select(
+            F.col("cluster").cast("int"),
+            "n_members",
+            F.round(F.col("__inertia"), round_digits).alias("inertia"),
+        )
+    )
+
+
+def _kmeans_final_assignment(
+    df: DataFrame, id_col: str, vec_col: str, k: int, n_iters: int
+) -> DataFrame:
+    """The shared Lloyd trajectory behind :func:`kmeans_stats` and
+    :func:`kmeans_balanced_sample`: returns the final per-row assignment
+    (__id, __x, __cluster, __d2) under the ``n_iters``-times-updated
+    centroids. See :func:`kmeans_stats` for the determinism contract."""
     from ..functions import dot
 
     x = F.col("__x")
@@ -1634,34 +1658,48 @@ def kmeans_stats(
             (ci, [comps[p] for p in sorted(comps)]) for ci, comps in sorted(by_cluster.items())
         ]
 
-    final = assign(centroids)
+    return assign(centroids)
+
+
+def kmeans_balanced_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iters: int = 3,
+    per_cluster: int = 5,
+) -> DataFrame:
+    """Cluster-balanced subset: run the :func:`kmeans_stats` trajectory,
+    then keep ``per_cluster`` members from every surviving cluster by
+    ``md5('kbs:' || id)`` order (id tiebreak) — the diversity-preserving
+    sampler for corpus curation (SemDeDup §5-style topic balance: a
+    uniform draw over-represents the head cluster; this caps every
+    cluster's contribution). Output: (id, cluster, pick) with pick
+    1..per_cluster.
+
+    Scale shape: the kmeans scans (see :func:`kmeans_stats`) plus ONE
+    per-cluster top-m window — k partitions, each sorting its members on
+    an md5 hash (the classic top-n-per-group shape; salt-split a cluster
+    if one ever dominates).
+    """
+    final = _kmeans_final_assignment(df, id_col, vec_col, k, n_iters)
+    h = F.md5(F.concat(F.lit("kbs:"), F.col("__id").cast("string")))
+    w = Window.partitionBy("__cluster").orderBy(h.asc(), F.col("__id").asc())
     return (
-        final.groupBy(F.col("__cluster").alias("cluster"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.sum(F.round(F.col("__d2"), 9).cast("decimal(28,9)"))
-            .cast("double")
-            .alias("__inertia"),
-        )
+        final.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= per_cluster)
         .select(
-            F.col("cluster").cast("int"),
-            "n_members",
-            F.round(F.col("__inertia"), round_digits).alias("inertia"),
+            F.col("__id").alias(id_col),
+            F.col("__cluster").cast("int").alias("cluster"),
+            F.col("pick").cast("int").alias("pick"),
         )
     )
 
 
-def kmeans_sql(
-    table: str,
-    id_col: str,
-    vec_col: str,
-    *,
-    k: int = 8,
-    n_iters: int = 3,
-) -> str:
-    """DuckDB twin of :func:`kmeans_stats`: the same seeds, the same
-    ``n_iters`` unrolled assignment/update CTE pairs, the same final
-    assignment and decimal inertia — bit-for-bit."""
+def _kmeans_ctes(table: str, id_col: str, vec_col: str, k: int, n_iters: int) -> str:
+    """The shared unrolled-trajectory WITH-clause (v, c0, a1, c1, …,
+    a{n_iters+1}) behind :func:`kmeans_sql` and :func:`kmeans_sample_sql`."""
     ldp = "list_dot_product"
 
     def d2(c_tab: str) -> str:
@@ -1711,10 +1749,49 @@ def kmeans_sql(
                ) - 1 AS cluster, x
         FROM v
       ) WHERE cluster < {k}
-    ){body}
+    ){body}"""
+
+
+def kmeans_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    n_iters: int = 3,
+) -> str:
+    """DuckDB twin of :func:`kmeans_stats`: the same seeds, the same
+    ``n_iters`` unrolled assignment/update CTE pairs, the same final
+    assignment and decimal inertia — bit-for-bit."""
+    return f"""{_kmeans_ctes(table, id_col, vec_col, k, n_iters)}
     SELECT CAST(cluster AS INT) AS cluster,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            ROUND(CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
              AS inertia
     FROM a{n_iters + 1} GROUP BY cluster
+    """
+
+
+def kmeans_sample_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    n_iters: int = 3,
+    per_cluster: int = 5,
+) -> str:
+    """DuckDB twin of :func:`kmeans_balanced_sample`: same trajectory,
+    same md5 per-cluster pick order."""
+    return f"""{_kmeans_ctes(table, id_col, vec_col, k, n_iters)}
+    SELECT id AS {id_col}, CAST(cluster AS INT) AS cluster,
+           CAST(pick AS INT) AS pick
+    FROM (
+      SELECT id, cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY md5('kbs:' || CAST(id AS VARCHAR)) ASC, id ASC
+             ) AS pick
+      FROM a{n_iters + 1}
+    ) WHERE pick <= {per_cluster}
     """

@@ -168,6 +168,7 @@ R8_WINDOW_QUEUE = [
     "ranking_metrics_label_topk",
     "calibration_curve_embeddings",
     "roc_auc_embeddings",
+    "kmeans_balanced_sample",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

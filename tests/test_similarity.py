@@ -834,3 +834,34 @@ def test_kmeans_empty_cluster_drops(spark):
     )
     out = kmeans_stats(df, k=2, n_iters=2).collect()
     assert len(out) == 1 and out[0]["n_members"] == 2
+
+
+def test_kmeans_balanced_sample_caps_every_cluster(spark):
+    import numpy as np
+
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        kmeans_balanced_sample,
+        kmeans_stats,
+    )
+
+    rng = np.random.RandomState(3)
+    # skewed sizes: 50 + 50 + 5 points in three tight blobs
+    blobs = [([0.0, 0.0], 50), ([10.0, 10.0], 50), ([0.0, 10.0], 5)]
+    rows, i = [], 0
+    for c, n in blobs:
+        for _ in range(n):
+            p = np.array(c) + rng.randn(2) * 0.2
+            rows.append((i, [float(p[0]), float(p[1])]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sample = kmeans_balanced_sample(df, k=3, n_iters=3, per_cluster=4).collect()
+    sizes = {r["cluster"]: r["n_members"] for r in kmeans_stats(df, k=3, n_iters=3).collect()}
+    by_cluster = {}
+    for r in sample:
+        by_cluster.setdefault(r["cluster"], []).append(r["pick"])
+    # every surviving cluster contributes min(per_cluster, size) rows
+    for c, picks in by_cluster.items():
+        assert sorted(picks) == list(range(1, min(4, sizes[c]) + 1))
+    assert set(by_cluster) == set(sizes)
+    # the head cluster cannot dominate: no cluster exceeds per_cluster rows
+    assert max(len(p) for p in by_cluster.values()) <= 4
