@@ -251,6 +251,8 @@ HEADLINE_R7 = [
     "roc_auc_embeddings",
     # cluster-balanced curation sample (kmeans scans + per-cluster top-m)
     "kmeans_balanced_sample",
+    # Kaplan-Meier churn curve (per-key span agg; |durations|-sized tail)
+    "survival_curve_users",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -5348,3 +5348,59 @@ def q_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O["kmeans_balanced_sample"] = similarity.kmeans_sample_sql(
     "embeddings", "vec_id", "embedding", k=8, n_iters=3, per_cluster=5
 )
+
+
+@register(
+    "survival_curve_users",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             MIN(epoch(ts)) AS f, MAX(epoch(ts)) AS l
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(epoch(ts)) AS hmax FROM events),
+    staged AS (
+      SELECT CAST(FLOOR((l - f) / 86400) AS BIGINT) AS t_days,
+             CASE WHEN l > hmax - 7 * 86400 THEN 1 ELSE 0 END AS censored
+      FROM spans, horizon
+    ),
+    per_t AS (
+      SELECT t_days,
+             CAST(SUM(1 - censored) AS BIGINT) AS n_events,
+             CAST(SUM(censored) AS BIGINT) AS n_censored
+      FROM staged GROUP BY t_days
+    ),
+    tot AS (SELECT SUM(n_events + n_censored) AS n FROM per_t),
+    risked AS (
+      SELECT t_days, n_events, n_censored,
+             CAST(n - COALESCE(SUM(n_events + n_censored) OVER (
+                 ORDER BY t_days ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM per_t, tot
+    ),
+    cum AS (
+      SELECT t_days, n_risk, n_events, n_censored,
+             SUM(CAST(CASE WHEN n_events > 0 AND n_events < n_risk
+                      THEN ROUND(LN(1.0 - n_events / n_risk), 9)
+                      ELSE 0.0 END AS DECIMAL(28,9))) OVER (
+               ORDER BY t_days ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+             MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END) OVER (
+               ORDER BY t_days ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+      FROM risked
+    )
+    SELECT t_days, n_risk, n_events, n_censored,
+           ROUND(CASE WHEN dead = 1 THEN 0.0
+                      ELSE EXP(CAST(ls AS DOUBLE)) END, 6) AS survival
+    FROM cum
+    """,
+)
+def q_survival_curve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime survival with 7-day right-censoring —
+    per-key span aggregate, then everything on the |durations| table."""
+    from .operators import windows as win_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return win_ops.survival_curve(events, "user_id", "ts", censor_days=7)

@@ -1225,3 +1225,88 @@ def conversion_latency_stats(
         F.round(F.element_at(pct, 2), round_digits).alias("p90_latency_s"),
         F.max("__lat").cast("long").alias("max_latency_s"),
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    censor_days: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate of per-key LIFETIME (first to last
+    activity, whole days) with right-censoring — the churn readout
+    "what fraction of users are still active after t days": keys whose
+    last event falls within ``censor_days`` of the corpus max timestamp
+    are CENSORED (still alive; their lifetime is a lower bound), everyone
+    else "died" at their observed duration. One row per observed duration
+    t: (t_days, n_risk, n_events, n_censored, survival) with
+    ``S(t) = Π_{u ≤ t} (1 − d_u / n_u)`` over event times.
+
+    Exactness: counts are exact; the product runs as a CUMULATIVE window
+    sum of 9-dp-rounded ``ln(1 − d/n)`` terms in DECIMAL(28,9) (exact,
+    order-free) exponentiated once — identical doubles both engines.
+
+    Scale shape: one per-key (first, last) aggregate — map-side combined
+    — then everything runs on the |distinct durations| table (bounded by
+    the corpus day span; the documented dimension-sized single-partition
+    window).
+    """
+    ts = F.col(ts_col)
+    spans = df.groupBy(key_col).agg(
+        F.min(F.unix_timestamp(ts)).alias("__first"),
+        F.max(F.unix_timestamp(ts)).alias("__last"),
+    )
+    horizon = df.agg(F.max(F.unix_timestamp(ts)).alias("__hmax"))
+    staged = spans.crossJoin(F.broadcast(horizon)).select(
+        F.floor((F.col("__last") - F.col("__first")) / 86400).alias("t_days"),
+        (
+            F.col("__last") > F.col("__hmax") - F.lit(censor_days * 86400)
+        ).cast("int").alias("__censored"),
+    )
+    per_t = staged.groupBy("t_days").agg(
+        F.sum(F.lit(1) - F.col("__censored")).cast("long").alias("n_events"),
+        F.sum("__censored").cast("long").alias("n_censored"),
+    )
+    w_prev = (
+        Window.orderBy(F.asc("t_days"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy(F.asc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_t.agg(F.sum(F.col("n_events") + F.col("n_censored")).alias("__n"))
+    staged2 = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        (
+            F.col("__n")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev), F.lit(0)
+            )
+        ).cast("long"),
+    )
+    # d == n_risk means everyone still at risk died at t: S hits exactly 0
+    # and ln(0) would poison the decimal sum — flag it and pin S(t)=0 from
+    # that time on instead
+    log_term = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.round(F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")), 9),
+    ).otherwise(F.lit(0.0))
+    died_out = F.max(
+        (F.col("n_events") >= F.col("n_risk")).cast("int")
+    ).over(w_cum)
+    out = staged2.withColumn(
+        "survival",
+        F.round(
+            F.when(died_out == 1, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(log_term.cast("decimal(28,9)")).over(w_cum).cast("double")
+                )
+            ),
+            round_digits,
+        ),
+    )
+    return out.select(
+        F.col("t_days").cast("long"), "n_risk", "n_events", "n_censored", "survival"
+    )

@@ -169,6 +169,7 @@ R8_WINDOW_QUEUE = [
     "calibration_curve_embeddings",
     "roc_auc_embeddings",
     "kmeans_balanced_sample",
+    "survival_curve_users",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ml_feature_store_pipeline_spark.operators import windows
@@ -664,3 +666,58 @@ def test_conversion_latency_funnel_semantics(spark):
     assert r["mean_latency_s"] == 1200.0
     assert r["median_latency_s"] == 1200.0
     assert r["max_latency_s"] == 1800
+
+
+def test_survival_curve_matches_hand_km(spark):
+    import datetime
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.windows import survival_curve
+
+    base = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    # corpus max ts = day 30. censor window 7d -> last event after day 23
+    # censored. users: A dies d=2, B dies d=2, C dies d=5, D censored d=10
+    # (last event day 25 > 23), E dies d=0 (single event), F censored d=29
+    rows = []
+    for uid, (start, dur) in enumerate(
+        [(0, 2), (1, 2), (3, 5), (15, 10), (5, 0), (1, 29)]
+    ):
+        rows.append((uid, base + start * day))
+        rows.append((uid, base + (start + dur) * day))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["t_days"]: r for r in survival_curve(df, "user_id", "ts", censor_days=7).collect()}
+    # observed durations: 0(d), 2(d,d), 5(d), 10(c), 29(c)
+    assert out[0]["n_risk"] == 6 and out[0]["n_events"] == 1
+    assert out[2]["n_risk"] == 5 and out[2]["n_events"] == 2
+    assert out[5]["n_risk"] == 3 and out[5]["n_events"] == 1
+    assert out[10]["n_censored"] == 1 and out[10]["n_events"] == 0
+    s0 = 1 - 1 / 6
+    s2 = s0 * (1 - 2 / 5)
+    s5 = s2 * (1 - 1 / 3)
+    assert out[0]["survival"] == pytest.approx(s0, abs=1e-6)
+    assert out[2]["survival"] == pytest.approx(s2, abs=1e-6)
+    assert out[5]["survival"] == pytest.approx(s5, abs=1e-6)
+    # censoring never moves the estimate
+    assert out[10]["survival"] == out[5]["survival"]
+
+
+def test_survival_curve_everyone_dies_hits_zero(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.windows import survival_curve
+
+    base = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    # two users, both die at d=1; corpus max ts day 30 (a third user's
+    # single day-30 event, censored at d=0)
+    rows = [
+        (1, base), (1, base + day),
+        (2, base), (2, base + day),
+        (3, base + 30 * day),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["t_days"]: r for r in survival_curve(df, "user_id", "ts", censor_days=7).collect()}
+    assert out[0]["n_censored"] == 1 and out[0]["n_events"] == 0
+    assert out[1]["n_events"] == 2 and out[1]["n_risk"] == 2
+    assert out[1]["survival"] == 0.0  # d == n_risk pins S to exactly 0
