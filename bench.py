@@ -253,6 +253,8 @@ HEADLINE_R7 = [
     "kmeans_balanced_sample",
     # Kaplan-Meier churn curve (per-key span agg; |durations|-sized tail)
     "survival_curve_users",
+    # difference-in-differences (one 4-cell aggregate)
+    "did_event_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -5404,3 +5404,62 @@ def q_survival_curve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_table(spark, sf_dir, "events")
     return win_ops.survival_curve(events, "user_id", "ts", censor_days=7)
+
+
+def _did_hash_sql() -> str:
+    from .operators.sketches import hash_fraction_sql
+
+    return hash_fraction_sql("'did:' || CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "did_event_value",
+    f"""
+    WITH base AS (
+      SELECT CASE WHEN {_did_hash_sql()} < 0.5 THEN 1 ELSE 0 END AS t,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS p,
+             value AS v
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    cells AS (
+      SELECT t, p, COUNT(*) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS s
+      FROM base GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN t = 1 AND p = 0 THEN n END) AS n_treat_pre,
+        MAX(CASE WHEN t = 1 AND p = 1 THEN n END) AS n_treat_post,
+        MAX(CASE WHEN t = 0 AND p = 0 THEN n END) AS n_ctrl_pre,
+        MAX(CASE WHEN t = 0 AND p = 1 THEN n END) AS n_ctrl_post,
+        MAX(CASE WHEN t = 1 AND p = 0 THEN s / n END) AS m_tp0,
+        MAX(CASE WHEN t = 1 AND p = 1 THEN s / n END) AS m_tp1,
+        MAX(CASE WHEN t = 0 AND p = 0 THEN s / n END) AS m_cp0,
+        MAX(CASE WHEN t = 0 AND p = 1 THEN s / n END) AS m_cp1
+      FROM cells
+    )
+    SELECT CAST(n_treat_pre AS BIGINT) AS n_treat_pre,
+           CAST(n_treat_post AS BIGINT) AS n_treat_post,
+           CAST(n_ctrl_pre AS BIGINT) AS n_ctrl_pre,
+           CAST(n_ctrl_post AS BIGINT) AS n_ctrl_post,
+           ROUND(m_tp0, 6) AS mean_treat_pre,
+           ROUND(m_tp1, 6) AS mean_treat_post,
+           ROUND(m_cp0, 6) AS mean_ctrl_pre,
+           ROUND(m_cp1, 6) AS mean_ctrl_post,
+           ROUND((m_tp1 - m_tp0) - (m_cp1 - m_cp0), 6) AS did
+    FROM wide
+    """,
+)
+def q_did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on event value: md5-assigned pseudo
+    treatment × a fixed calendar split — one 4-cell aggregate, the
+    quasi-experimental completion of the Welch/MWU/SRM family."""
+    from .operators import drift as drift_ops
+    from .operators.sketches import hash_fraction
+
+    events = read_table(spark, sf_dir, "events")
+    treat = hash_fraction(
+        F.concat(F.lit("did:"), F.col("user_id").cast("string"))
+    ) < 0.5
+    post = F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return drift_ops.diff_in_diff(events, treat, post, "value")

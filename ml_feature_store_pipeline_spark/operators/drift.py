@@ -956,3 +956,56 @@ def chi_square_independence(
             "chi2"
         ),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat: Column,
+    post: Column,
+    value_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimate — the quasi-experimental readout
+    when assignment wasn't randomized: ``DiD = (ȳ_treat,post −
+    ȳ_treat,pre) − (ȳ_control,post − ȳ_control,pre)``. ``treat`` and
+    ``post`` are boolean Columns; rows where either is NULL (or the value
+    is NULL) are excluded. One row: the four cell (n, mean) pairs plus
+    ``did``; NULL when any cell is empty.
+
+    Engine-stable: one decimal-summed aggregate per cell (a single
+    map-side-combinable groupBy over the scan); the four means and the
+    double subtraction chain are identical IEEE both engines.
+
+    Scale shape: ONE 4-row aggregate — zero row egress, no joins.
+    """
+    v = F.col(value_col)
+    base = df.filter(treat.isNotNull() & post.isNotNull() & v.isNotNull()).select(
+        treat.cast("int").alias("__t"), post.cast("int").alias("__p"),
+        v.alias("__v"),
+    )
+    cells = base.groupBy("__t", "__p").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(28,6)")).cast("double").alias("__s"),
+    )
+    def cell(t: int, p: int, name: str):
+        return [
+            F.max(F.when((F.col("__t") == t) & (F.col("__p") == p), F.col("__n")))
+            .cast("long").alias(f"n_{name}"),
+            F.max(F.when((F.col("__t") == t) & (F.col("__p") == p),
+                         F.col("__s") / F.col("__n"))).alias(f"__m_{name}"),
+        ]
+    agg = cells.agg(
+        *cell(1, 0, "treat_pre"), *cell(1, 1, "treat_post"),
+        *cell(0, 0, "ctrl_pre"), *cell(0, 1, "ctrl_post"),
+    )
+    m = lambda name: F.col(f"__m_{name}")
+    did = (m("treat_post") - m("treat_pre")) - (m("ctrl_post") - m("ctrl_pre"))
+    return agg.select(
+        "n_treat_pre", "n_treat_post", "n_ctrl_pre", "n_ctrl_post",
+        F.round(m("treat_pre"), round_digits).alias("mean_treat_pre"),
+        F.round(m("treat_post"), round_digits).alias("mean_treat_post"),
+        F.round(m("ctrl_pre"), round_digits).alias("mean_ctrl_pre"),
+        F.round(m("ctrl_post"), round_digits).alias("mean_ctrl_post"),
+        F.round(did, round_digits).alias("did"),
+    )

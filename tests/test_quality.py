@@ -556,3 +556,34 @@ def test_chi_square_independence_absent_cells_counted(spark):
     obs = {("x", "u"): 5, ("x", "v"): 5, ("y", "u"): 10, ("y", "v"): 0}
     want = sum((obs[c] - e) ** 2 / e for c, e in exp.items())
     assert r["chi2"] == pytest.approx(want, abs=1e-6)
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import diff_in_diff
+
+    rows = []
+    # control: 10 pre at 5.0, 10 post at 6.0 (secular trend +1)
+    rows += [(0, 0, 5.0)] * 10 + [(0, 1, 6.0)] * 10
+    # treatment: 10 pre at 7.0, 10 post at 11.0 (+1 trend, +3 effect)
+    rows += [(1, 0, 7.0)] * 10 + [(1, 1, 11.0)] * 10
+    rows += [(None, 1, 9.9), (1, None, 9.9), (1, 1, None)]  # all excluded
+    df = spark.createDataFrame(rows, "t int, p int, v double")
+    from pyspark.sql import functions as F
+
+    r = diff_in_diff(df, F.col("t") == 1, F.col("p") == 1, "v").collect()[0]
+    assert (r["n_treat_pre"], r["n_treat_post"], r["n_ctrl_pre"], r["n_ctrl_post"]) == (
+        10, 10, 10, 10,
+    )
+    assert r["did"] == pytest.approx(3.0)
+    assert r["mean_ctrl_post"] == 6.0
+
+
+def test_diff_in_diff_empty_cell_is_null(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import diff_in_diff
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 1, 2.0), (0, 0, 1.0), (0, 1, 1.5)], "t int, p int, v double"
+    )  # no treat-pre cell
+    r = diff_in_diff(df, F.col("t") == 1, F.col("p") == 1, "v").collect()[0]
+    assert r["n_treat_pre"] is None and r["did"] is None

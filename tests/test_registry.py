@@ -170,6 +170,7 @@ R8_WINDOW_QUEUE = [
     "roc_auc_embeddings",
     "kmeans_balanced_sample",
     "survival_curve_users",
+    "did_event_value",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
