@@ -255,6 +255,8 @@ HEADLINE_R7 = [
     "survival_curve_users",
     # difference-in-differences (one 4-cell aggregate)
     "did_event_value",
+    # sparse TF-IDF doc-doc top-k (inverted-index join, broadcast queries)
+    "tfidf_doc_similarity_topk",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -5463,3 +5463,55 @@ def q_did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) < 0.5
     post = F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
     return drift_ops.diff_in_diff(events, treat, post, "value")
+
+
+@register(
+    "tfidf_doc_similarity_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_transform({_SQL_TOKS.format(t='text')}, x -> lower(x)) AS toks
+      FROM documents
+    ),
+    dt AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    w AS (
+      SELECT doc_id AS id, term,
+             tf * (LN((1.0 + nd) / (1.0 + df_t)) + 1.0) AS w
+      FROM tf JOIN dft USING (term), n
+    ),
+    norms AS (
+      SELECT id, SQRT(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9)))
+                           AS DOUBLE)) AS nrm
+      FROM w GROUP BY 1
+    ),
+    wq AS (SELECT id AS qid, term, w AS wq FROM w WHERE id < 10),
+    dots AS (
+      SELECT qid, id, CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             CAST(SUM(CAST(ROUND(w.w * wq.wq, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS dot
+      FROM w JOIN wq USING (term) WHERE w.id <> wq.qid GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.qid, dots.id, dots.n_shared_terms,
+             dots.dot / (na.nrm * nq.nrm) AS cosine
+      FROM dots JOIN norms na ON na.id = dots.id
+                JOIN norms nq ON nq.id = dots.qid
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT qid AS query_id, id AS doc_id, n_shared_terms,
+           ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document-to-document top-5 via an inverted-index
+    join: 10 query docs' term vectors broadcast against the corpus —
+    topical-twin retrieval with exact decimal dot products."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=5)

@@ -1247,3 +1247,73 @@ def lang_confusion(
             F.round(F.col("n") / F.col("__t"), round_digits).alias("recall"),
         )
     )
+
+
+def tfidf_doc_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    min_df: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lexical document-to-document similarity: top-``k`` most similar
+    corpus documents per query document by TF-IDF cosine over an
+    INVERTED-INDEX join — the sparse-vector retrieval that finds topical
+    twins where MinHash finds near-copies. Output per (query, match):
+    (query_id, doc_id, n_shared_terms, cosine, rank), self-matches
+    excluded, rank by (cosine desc, doc_id asc).
+
+    Exactness: per-term weight products and squared weights are
+    9-dp-rounded doubles summed in DECIMAL(28,9) (order-free across the
+    term join), so dot products and norms are engine-exact; the cosine
+    division runs on identical doubles.
+
+    Scale shape: the query documents' term vectors are a broadcast-sized
+    table (|queries| ≪ corpus by contract); the corpus streams through
+    ONE term-keyed broadcast join — a corpus document is touched only for
+    terms shared with some query. The rank window partitions per query.
+    """
+    w = tfidf_terms(df, id_col, text_col, min_df=min_df).select(
+        F.col(id_col).alias("__id"), F.col("term"), F.col("tfidf").alias("__w")
+    )
+    norms = w.groupBy("__id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("__w") * F.col("__w"), 9).cast("decimal(28,9)"))
+            .cast("double")
+        ).alias("__norm")
+    )
+    wq = w.filter(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("__qid"), "term", F.col("__w").alias("__wq")
+    )
+    dots = (
+        w.join(F.broadcast(wq), "term")
+        .filter(F.col("__id") != F.col("__qid"))
+        .groupBy("__qid", "__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(F.round(F.col("__w") * F.col("__wq"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("__dot"),
+        )
+    )
+    nq = norms.select(F.col("__id").alias("__qid"), F.col("__norm").alias("__qnorm"))
+    scored = (
+        dots.join(norms, "__id")
+        .join(F.broadcast(nq), "__qid")
+        .withColumn("cosine", F.col("__dot") / (F.col("__norm") * F.col("__qnorm")))
+    )
+    rw = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias(id_col),
+            "n_shared_terms",
+            F.round(F.col("cosine"), round_digits).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -171,6 +171,7 @@ R8_WINDOW_QUEUE = [
     "kmeans_balanced_sample",
     "survival_curve_users",
     "did_event_value",
+    "tfidf_doc_similarity_topk",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

@@ -480,3 +480,52 @@ def test_lang_confusion_counts_and_recall(spark):
     assert out[("en", "en")]["recall"] == pytest.approx(2 / 3)
     assert out[("de", "de")]["recall"] == pytest.approx(1.0)
     assert sum(r["n"] for r in out.values()) == 4  # NULL truth dropped
+
+
+def test_tfidf_doc_topk_hand_computed(spark):
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.text import tfidf_doc_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "apple banana cherry"),
+            (2, "cherry durian durian"),
+            (3, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["query_id"], r["doc_id"]): r for r in tfidf_doc_topk(docs, "doc_id", "text", [0], k=3).collect()}
+    # doc 0 shares terms with 1 (apple, banana) but not 2 or 3
+    assert set(out) == {(0, 1)}
+    r = out[(0, 1)]
+    assert r["n_shared_terms"] == 2 and r["rank"] == 1
+
+    n = 4
+    idf = lambda df_t: math.log((1 + n) / (1 + df_t)) + 1
+    w0 = {"apple": 2 * idf(2), "banana": 1 * idf(2)}
+    w1 = {"apple": 1 * idf(2), "banana": 1 * idf(2), "cherry": 1 * idf(2)}
+    dot = sum(round(w0[t] * w1[t], 9) for t in ("apple", "banana"))
+    n0 = math.sqrt(sum(round(w * w, 9) for w in w0.values()))
+    n1 = math.sqrt(sum(round(w * w, 9) for w in w1.values()))
+    assert r["cosine"] == pytest.approx(dot / (n0 * n1), abs=1e-6)
+
+
+def test_tfidf_doc_topk_rank_order_and_k(spark):
+    from ml_feature_store_pipeline_spark.operators.text import tfidf_doc_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x y z"),
+            (1, "x y z"),       # identical -> cosine 1, rank 1
+            (2, "x y q"),       # 2 shared
+            (3, "x p q"),       # 1 shared
+            (4, "p q r"),       # 0 shared -> absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["rank"], r["doc_id"]) for r in tfidf_doc_topk(docs, "doc_id", "text", [0], k=2).collect()
+    )
+    assert rows == [(1, 1), (2, 2)]  # k=2 truncates; similarity order holds
