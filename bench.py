@@ -257,6 +257,8 @@ HEADLINE_R7 = [
     "did_event_value",
     # sparse TF-IDF doc-doc top-k (inverted-index join, broadcast queries)
     "tfidf_doc_similarity_topk",
+    # additive trend/weekday/residual split (|days|-sized after one agg)
+    "seasonal_decompose_daily_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -5515,3 +5515,55 @@ def q_tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topical-twin retrieval with exact decimal dot products."""
     docs = read_table(spark, sf_dir, "documents")
     return text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=5)
+
+
+@register(
+    "seasonal_decompose_daily_value",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ks AS (SELECT CAST(r AS INTEGER) AS k FROM range(-3, 4) t(r)),
+    neigh AS (SELECT daily.day + k AS nday, value AS v FROM daily, ks),
+    trend AS (
+      SELECT nday AS day, COUNT(*) AS n7,
+             CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS t
+      FROM neigh GROUP BY 1
+    ),
+    based AS (
+      SELECT d.day, d.value, CASE WHEN t.n7 = 7 THEN t.t END AS trend
+      FROM daily d LEFT JOIN trend t USING (day)
+    ),
+    detr AS (
+      SELECT day, value, trend, CAST(isodow(day) AS INTEGER) AS dow,
+             value - trend AS detr
+      FROM based
+    ),
+    dowm AS (
+      SELECT dow,
+             CAST(SUM(CAST(ROUND(detr, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS dm
+      FROM detr WHERE detr IS NOT NULL GROUP BY 1
+    ),
+    grand AS (
+      SELECT CAST(SUM(CAST(ROUND(dm, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS gm
+      FROM dowm
+    ),
+    seas AS (SELECT dow, dm - gm AS s FROM dowm, grand)
+    SELECT day, ROUND(value, 6) AS value, ROUND(trend, 6) AS trend,
+           ROUND(s, 6) AS seasonal,
+           ROUND(value - trend - s, 6) AS residual
+    FROM detr LEFT JOIN seas USING (dow)
+    """,
+)
+def q_seasonal_decompose_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/weekday-seasonal/residual split of the daily value
+    total — centered 7-day MA trend (NULL at edges/gaps), ISO-weekday
+    seasonality; everything after the day aggregate is |days|-sized."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.seasonal_decompose_daily(events, "ts", "value")

@@ -1009,3 +1009,83 @@ def diff_in_diff(
         F.round(m("ctrl_post"), round_digits).alias("mean_ctrl_post"),
         F.round(did, round_digits).alias("did"),
     )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Classical additive decomposition of the DAILY total —
+    ``value = trend + seasonal + residual`` with a centered 7-day moving
+    average trend and mean-centered ISO-weekday seasonality: the
+    explainable split behind :func:`daily_anomaly_profile` ("is Monday
+    low, or is the business down?"). One row per day with a complete
+    7-day neighborhood: (day, value, trend, seasonal, residual).
+
+    Semantics pinned for engine parity: the trend at day t averages the
+    7 CALENDAR days t−3..t+3 and is NULL unless all 7 exist (absent days
+    are missing data, not zeros — edges and gaps drop rather than bias);
+    weekday indexes are ISO (Monday 1); the seasonal component is the
+    weekday mean of (value − trend) minus the grand mean of those
+    weekday means (so seasonals sum to ~0 and trend keeps the level).
+
+    Exactness: daily totals are decimal sums; the trend/seasonal means
+    are decimal-summed over 6-dp-rounded terms; every division runs on
+    identical doubles both engines.
+
+    Scale shape: one day-grain aggregate, then everything — the ±3-day
+    self-join, weekday means, final assembly — is |days|-sized and
+    broadcast-friendly.
+    """
+    dec = lambda c: c.cast("decimal(28,6)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.sum(dec(F.col(value_col))).cast("double").alias("value"))
+    )
+    off = F.array(*[F.lit(k) for k in range(-3, 4)])
+    neigh = daily.select(
+        F.explode(off).alias("__k"), F.col("day").alias("__d"), F.col("value").alias("__v")
+    ).select(F.expr("date_add(__d, __k)").alias("day"), "__v")
+    trend = neigh.groupBy("day").agg(
+        F.count(F.lit(1)).alias("__n7"),
+        (F.sum(dec(F.col("__v"))).cast("double") / F.lit(7.0)).alias("__t"),
+    )
+    based = daily.join(F.broadcast(trend), "day", "left").select(
+        "day",
+        "value",
+        F.when(F.col("__n7") == 7, F.col("__t")).alias("trend"),
+    )
+    detr = based.select(
+        "day", "value", "trend",
+        F.expr("weekday(day) + 1").alias("__dow"),  # ISO: Monday = 1
+        (F.col("value") - F.col("trend")).alias("__detr"),
+    )
+    dow_means = detr.filter(F.col("__detr").isNotNull()).groupBy("__dow").agg(
+        (
+            F.sum(F.round(F.col("__detr"), 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__dm")
+    )
+    grand = dow_means.agg(
+        (
+            F.sum(F.round(F.col("__dm"), 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__gm")
+    )
+    seasonal = dow_means.crossJoin(F.broadcast(grand)).select(
+        "__dow", (F.col("__dm") - F.col("__gm")).alias("__seas")
+    )
+    out = detr.join(F.broadcast(seasonal), "__dow", "left").select(
+        "day",
+        F.round(F.col("value"), round_digits).alias("value"),
+        F.round(F.col("trend"), round_digits).alias("trend"),
+        F.round(F.col("__seas"), round_digits).alias("seasonal"),
+        F.round(
+            F.col("value") - F.col("trend") - F.col("__seas"), round_digits
+        ).alias("residual"),
+    )
+    return out

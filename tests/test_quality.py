@@ -587,3 +587,36 @@ def test_diff_in_diff_empty_cell_is_null(spark):
     )  # no treat-pre cell
     r = diff_in_diff(df, F.col("t") == 1, F.col("p") == 1, "v").collect()[0]
     assert r["n_treat_pre"] is None and r["did"] is None
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import seasonal_decompose_daily
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    day = datetime.timedelta(days=1)
+    # value(t) = 100 + 2t (trend) + weekday bump (+20 on Saturdays idx 5)
+    rows = []
+    for t in range(28):
+        v = 100.0 + 2.0 * t + (20.0 if t % 7 == 5 else 0.0)
+        rows.append((base + t * day, v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["day"].isoformat(): r for r in seasonal_decompose_daily(df, "ts", "value").collect()}
+    assert len(out) == 28
+    # edges (first/last 3 days) have no full 7-day neighborhood
+    assert out["2024-01-01"]["trend"] is None and out["2024-01-28"]["trend"] is None
+    # interior: centered MA of a linear trend = the trend + the bump's
+    # 1/7 share; Saturday seasonal ~ +20 * 6/7, others ~ -20/7
+    mid = out["2024-01-10"]  # Wednesday, t=9
+    assert mid["trend"] == pytest.approx(100 + 2 * 9 + 20 / 7, abs=1e-4)
+    sat = out["2024-01-06"]  # Saturday, t=5
+    assert sat["seasonal"] == pytest.approx(20 * 6 / 7, abs=1e-4)
+    assert mid["seasonal"] == pytest.approx(-20 / 7, abs=1e-4)
+    # decomposition identity holds wherever trend exists
+    for r in out.values():
+        if r["trend"] is not None:
+            assert r["residual"] == pytest.approx(
+                r["value"] - r["trend"] - r["seasonal"], abs=1e-5
+            )
+            assert abs(r["residual"]) < 0.5  # planted signal fully explained

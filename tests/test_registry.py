@@ -172,6 +172,7 @@ R8_WINDOW_QUEUE = [
     "survival_curve_users",
     "did_event_value",
     "tfidf_doc_similarity_topk",
+    "seasonal_decompose_daily_value",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
