@@ -91,6 +91,40 @@ def main() -> None:
     ).collect()[0]["chi2"]
     print(f"  chi-square vs Benford: {chi2} (synthetic uniform amounts SHOULD flunk)")
 
+    print("== nonparametric A/B: Mann-Whitney U (view vs purchase amounts) ==")
+    mw = drift.mann_whitney_u(ev, "event_type", "amount", "view", "purchase").collect()[0]
+    print(f"  n=({mw['n_a']}, {mw['n_b']})  z={mw['z']}")
+
+    print("== seasonality screen: daily ACF lags 1..7 ==")
+    acf_rows = drift.daily_acf(ev, "timestamp", "amount", max_lag=7).orderBy("lag").collect()
+    for r in acf_rows:
+        print(f"  lag {r['lag']}: acf={r['acf']}")
+    if not acf_rows:
+        print("  (series shorter than 2 days — no lag pairs)")
+
+    print("== trend/weekday/residual split (first decomposed day) ==")
+    dec = (
+        drift.seasonal_decompose_daily(ev, "timestamp", "amount")
+        .filter("trend IS NOT NULL").orderBy("day").limit(1).collect()
+    )
+    if dec:
+        d = dec[0]
+        print(
+            f"  {d['day']}: value={d['value']} trend={d['trend']} "
+            f"seasonal={d['seasonal']} residual={d['residual']}"
+        )
+    else:
+        print("  (no day has a complete 7-day neighborhood — series too short)")
+
+    print("== churn: Kaplan-Meier user-lifetime survival (first 3 rows) ==")
+    for r in windows.survival_curve(ev, "user_id", "timestamp", censor_days=7).orderBy(
+        "t_days"
+    ).limit(3).collect():
+        print(
+            f"  t={r['t_days']}d: risk={r['n_risk']} events={r['n_events']} "
+            f"S(t)={r['survival']}"
+        )
+
 
 if __name__ == "__main__":
     main()
