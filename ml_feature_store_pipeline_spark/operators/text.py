@@ -1257,6 +1257,7 @@ def tfidf_doc_topk(
     *,
     k: int = 5,
     min_df: int = 1,
+    max_df_frac: float | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
     """Lexical document-to-document similarity: top-``k`` most similar
@@ -1275,10 +1276,24 @@ def tfidf_doc_topk(
     table (|queries| ≪ corpus by contract); the corpus streams through
     ONE term-keyed broadcast join — a corpus document is touched only for
     terms shared with some query. The rank window partitions per query.
+    The join fans out by Σ_t df(t) over query terms, so STOP TERMS are
+    the cost driver: ``max_df_frac`` drops terms present in more than
+    that fraction of documents BEFORE the join (they carry ~zero idf
+    signal at ~maximal posting size — the classic stop-term cut; the
+    degenerate tiny-vocab stress in tools/scalecheck.py is exactly this
+    failure mode). Dropped terms leave both dot products and norms, so
+    the cut changes the metric — the oracle must apply the same cut.
     """
     w = tfidf_terms(df, id_col, text_col, min_df=min_df).select(
-        F.col(id_col).alias("__id"), F.col("term"), F.col("tfidf").alias("__w")
+        F.col(id_col).alias("__id"), F.col("term"), F.col("tfidf").alias("__w"),
+        F.col("df_t"),
     )
+    if max_df_frac is not None:
+        n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+        w = w.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("df_t") <= F.col("__n") * F.lit(float(max_df_frac))
+        ).drop("__n")
+    w = w.drop("df_t")
     norms = w.groupBy("__id").agg(
         F.sqrt(
             F.sum(F.round(F.col("__w") * F.col("__w"), 9).cast("decimal(28,9)"))

@@ -529,3 +529,23 @@ def test_tfidf_doc_topk_rank_order_and_k(spark):
         (r["rank"], r["doc_id"]) for r in tfidf_doc_topk(docs, "doc_id", "text", [0], k=2).collect()
     )
     assert rows == [(1, 1), (2, 2)]  # k=2 truncates; similarity order holds
+
+
+def test_tfidf_doc_topk_max_df_cut_drops_stop_terms(spark):
+    from ml_feature_store_pipeline_spark.operators.text import tfidf_doc_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare0"),
+            (1, "common rare0"),   # shares both with 0
+            (2, "common other"),   # shares only the stop term
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'common' is in 4/4 docs; with the cut at 0.5 only rare terms join
+    out = tfidf_doc_topk(docs, "doc_id", "text", [0], k=4, max_df_frac=0.5).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in out} == {(0, 1)}
+    # without the cut, the stop term connects doc 0 to everything
+    full = tfidf_doc_topk(docs, "doc_id", "text", [0], k=4).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in full} == {(0, 1), (0, 2), (0, 3)}

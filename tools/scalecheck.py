@@ -146,7 +146,7 @@ EVENT_OPS = (
     "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank "
     "triangles "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
-    "woe_iv chi2"
+    "woe_iv chi2 survival"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -156,7 +156,7 @@ DOC_OPS = (
     "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64 "
     "quality_classifier training_shards mixture_epochs priority_survivors "
     "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup "
-    "bpe_stats bpe_pairs bpe_train sketch_calibrate bm25"
+    "bpe_stats bpe_pairs bpe_train sketch_calibrate bm25 tfidf_doc_topk"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
@@ -1265,6 +1265,15 @@ def main() -> None:
                 _drift.mann_whitney_u(events, "event_type", "amount", "view", "purchase"),
                 args.events,
             )
+        if events is not None and want("survival"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # per-key span aggregate; the KM product runs on |durations| rows
+            timed(
+                "survival_curve_km",
+                _win.survival_curve(events, "user_id", "timestamp", censor_days=2),
+                args.events,
+            )
         if events is not None and want("daily_acf"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
@@ -1326,6 +1335,16 @@ def main() -> None:
             timed(
                 "bm25_topk_3terms",
                 _text.bm25_topk(docs, "doc_id", "text", ["vector", "stream", "customer"], k=100),
+                args.docs,
+            )
+        if docs is not None and want("tfidf_doc_topk"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # 10 query docs' term vectors broadcast; corpus streams through
+            # one term-keyed join — the sparse-retrieval shape
+            timed(
+                "tfidf_doc_topk_10q",
+                _text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=10),
                 args.docs,
             )
         if docs is not None and want("sketch_calibrate"):
