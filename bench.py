@@ -259,6 +259,8 @@ HEADLINE_R7 = [
     "tfidf_doc_similarity_topk",
     # additive trend/weekday/residual split (|days|-sized after one agg)
     "seasonal_decompose_daily_value",
+    # one-pass Poisson bootstrap CI (2B combinable partials, no copies)
+    "bootstrap_mean_ci_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -5567,3 +5567,19 @@ def q_seasonal_decompose_daily_value(spark: SparkSession, sf_dir: str) -> DataFr
 
     events = read_table(spark, sf_dir, "events")
     return drift_ops.seasonal_decompose_daily(events, "ts", "value")
+
+
+@register("bootstrap_mean_ci_value", None)  # generated oracle installed below
+def q_bootstrap_mean_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value: 16 md5-seeded
+    replicate reweightings folded into ONE aggregate — the one-pass
+    distributed bootstrap (no resampled copies, no shuffle)."""
+    from .operators.sampling import bootstrap_mean_ci
+
+    events = read_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(events, "value", "event_id", n_replicates=16)
+
+
+from .operators.sampling import bootstrap_mean_ci_sql as _boot_sql  # noqa: E402
+
+_O["bootstrap_mean_ci_value"] = _boot_sql("events", "value", "event_id", n_replicates=16)

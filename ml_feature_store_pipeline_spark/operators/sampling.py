@@ -579,3 +579,164 @@ def srm_check(
         F.round("expected_frac", round_digits).alias("expected_frac"),
         F.round(chi2, round_digits).alias("chi2_contrib"),
     )
+
+
+#: Poisson(1) CDF thresholds for the md5-uniform inverse-CDF draw behind
+#: the one-pass bootstrap: a hash fraction u maps to the smallest k with
+#: u < P(X ≤ k), capped at 8 (P(X > 8) ≈ 1e-5). Plan literals in both
+#: engines, so replicate weights replay bit-for-bit.
+_POISSON1_CDF: tuple[float, ...] = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def _poisson_weight(u: Column) -> Column:
+    w: Column | None = None
+    for k, t in enumerate(_POISSON1_CDF):
+        w = F.when(u < t, k) if w is None else w.when(u < t, k)
+    return w.otherwise(F.lit(len(_POISSON1_CDF)))
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    *,
+    n_replicates: int = 16,
+    salt: str = "",
+    alpha: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the mean, via the
+    POISSON BOOTSTRAP (Chamandy et al. 2012 — "Estimating uncertainty
+    for massive data streams", the Google one-pass formulation):
+    replicate b reweights each row by an independent Poisson(1) count
+    drawn deterministically from ``md5('boot:{salt}:{b}:' || key)``, so
+    all ``n_replicates`` resampled means come out of ONE aggregate —
+    no data is ever copied or shuffled. Output one row:
+    (n, mean, ci_lo, ci_hi, n_replicates) with the interpolated
+    α/2 and 1−α/2 percentiles of the replicate means.
+
+    Engine-stable: the Poisson inverse-CDF thresholds are plan literals;
+    weighted sums run in DECIMAL(28,6); replicate means and the
+    percentile interpolation are identical IEEE both engines. NULL
+    values are excluded. (A replicate whose total weight lands on 0 —
+    vanishingly unlikely past toy sizes — yields a NULL mean that the
+    percentile skips.)
+
+    Scale shape: one map-side-combinable aggregate with 2·B + 2 partials
+    per partition (B weighted decimal sums + B weight counts), then the
+    B-row replicate table aggregates on the driver side of a broadcast —
+    zero row egress, no joins, no shuffle beyond the 1-row combine.
+    """
+    from .sketches import hash_fraction
+
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        F.col(key_col).cast("string").alias("__k"), v.alias("__v")
+    )
+    dec = lambda c: c.cast("decimal(28,6)")
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec(F.col("__v"))).cast("double").alias("__sv"),
+    ]
+    for b in range(n_replicates):
+        u = hash_fraction(F.concat(F.lit(f"boot:{salt}:{b}:"), F.col("__k")))
+        w = _poisson_weight(u)
+        aggs.append(F.sum(dec(w * F.col("__v"))).cast("double").alias(f"__ws_{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"__wn_{b}"))
+    g = base.agg(*aggs)
+    means = F.array(
+        *[
+            F.when(
+                F.col(f"__wn_{b}") > 0, F.col(f"__ws_{b}") / F.col(f"__wn_{b}")
+            )
+            for b in range(n_replicates)
+        ]
+    )
+    reps = g.select(
+        "__n", "__sv", F.explode(means).alias("__m")
+    )
+    return reps.groupBy("__n", "__sv").agg(
+        F.percentile(F.col("__m"), F.lit(alpha / 2)).alias("__lo"),
+        F.percentile(F.col("__m"), F.lit(1 - alpha / 2)).alias("__hi"),
+    ).select(
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__sv") / F.col("__n"), round_digits).alias("mean"),
+        F.round(F.col("__lo"), round_digits).alias("ci_lo"),
+        F.round(F.col("__hi"), round_digits).alias("ci_hi"),
+        F.lit(n_replicates).cast("int").alias("n_replicates"),
+    )
+
+
+def bootstrap_mean_ci_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    *,
+    n_replicates: int = 16,
+    salt: str = "",
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`bootstrap_mean_ci` — the same md5 draws,
+    Poisson thresholds, decimal sums, and interpolated percentiles."""
+    from .sketches import hash_fraction_sql
+
+    u_exprs = [
+        hash_fraction_sql("'boot:" + salt + ":" + str(b) + ":' || k")
+        for b in range(n_replicates)
+    ]
+    us = ",\n             ".join(
+        f"{expr} AS u{b}" for b, expr in enumerate(u_exprs)
+    )
+
+    def case(b: int) -> str:
+        whens = " ".join(
+            f"WHEN u{b} < {t!r} THEN {k}" for k, t in enumerate(_POISSON1_CDF)
+        )
+        return f"CASE {whens} ELSE {len(_POISSON1_CDF)} END"
+
+    ws = ",\n             ".join(f"{case(b)} AS w{b}" for b in range(n_replicates))
+    gs = ",\n             ".join(
+        f"CAST(SUM(CAST(w{b} * v AS DECIMAL(28,6))) AS DOUBLE) AS ws{b},\n"
+        f"             CAST(SUM(w{b}) AS BIGINT) AS wn{b}"
+        for b in range(n_replicates)
+    )
+    ms = ", ".join(
+        f"CASE WHEN wn{b} > 0 THEN ws{b} / wn{b} END" for b in range(n_replicates)
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST({key_col} AS VARCHAR) AS k, {value_col} AS v
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    u AS (
+      SELECT v,
+             {us}
+      FROM base
+    ),
+    w AS (
+      SELECT v,
+             {ws}
+      FROM u
+    ),
+    g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+             {gs}
+      FROM w
+    ),
+    reps AS (SELECT n, sv, UNNEST([{ms}]) AS m FROM g)
+    SELECT CAST(n AS BIGINT) AS n, ROUND(sv / n, 6) AS mean,
+           ROUND(quantile_cont(m, {alpha / 2!r}), 6) AS ci_lo,
+           ROUND(quantile_cont(m, {1 - alpha / 2!r}), 6) AS ci_hi,
+           CAST({n_replicates} AS INTEGER) AS n_replicates
+    FROM reps GROUP BY n, sv
+    """

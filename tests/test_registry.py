@@ -173,6 +173,7 @@ R8_WINDOW_QUEUE = [
     "did_event_value",
     "tfidf_doc_similarity_topk",
     "seasonal_decompose_daily_value",
+    "bootstrap_mean_ci_value",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

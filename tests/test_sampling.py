@@ -338,3 +338,53 @@ def test_srm_check_zero_count_arm_appears(spark):
     assert out["y"]["n"] == 0
     assert out["y"]["chi2_contrib"] == 5.0  # (0 - 5)^2 / 5
     assert out["x"]["chi2_contrib"] == 5.0
+
+
+def test_bootstrap_mean_ci_brackets_and_converges(spark):
+    import hashlib
+
+    from ml_feature_store_pipeline_spark.operators.sampling import (
+        _POISSON1_CDF,
+        bootstrap_mean_ci,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    r = bootstrap_mean_ci(df, "v", "k", n_replicates=16).collect()[0]
+    true_mean = sum(i % 100 for i in range(2000)) / 2000
+    assert r["n"] == 2000 and r["mean"] == true_mean
+    # the CI must bracket the point estimate and be sane-width for n=2000
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    assert 0 < r["ci_hi"] - r["ci_lo"] < 10
+
+    # python-recount one replicate's weighted mean exactly
+    def pois(u: float) -> int:
+        for k, t in enumerate(_POISSON1_CDF):
+            if u < t:
+                return k
+        return len(_POISSON1_CDF)
+
+    def frac(s: str) -> float:
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16) / 16**13
+
+    ws = wn = 0.0
+    for i in range(2000):
+        w = pois(frac(f"boot::0:{i}"))
+        ws += round(w * float(i % 100), 6)  # decimal(28,6) truncation-free here
+        wn += w
+    # replicate 0's mean must be within the CI computation's value set:
+    # re-run with 1 replicate, where lo = hi = that replicate's mean
+    one = bootstrap_mean_ci(df, "v", "k", n_replicates=1).collect()[0]
+    assert one["ci_lo"] == one["ci_hi"] == round(ws / wn, 6)
+
+
+def test_bootstrap_mean_ci_excludes_nulls(spark):
+    from ml_feature_store_pipeline_spark.operators.sampling import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    r = bootstrap_mean_ci(df, "v", "k", n_replicates=4).collect()[0]
+    assert r["n"] == 2 and r["mean"] == 15.0
