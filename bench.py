@@ -261,6 +261,8 @@ HEADLINE_R7 = [
     "seasonal_decompose_daily_value",
     # one-pass Poisson bootstrap CI (2B combinable partials, no copies)
     "bootstrap_mean_ci_value",
+    # CUPED variance-reduced lift (per-user agg + one moment agg)
+    "cuped_lift_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

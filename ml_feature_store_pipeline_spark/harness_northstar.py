@@ -5583,3 +5583,95 @@ def q_bootstrap_mean_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.sampling import bootstrap_mean_ci_sql as _boot_sql  # noqa: E402
 
 _O["bootstrap_mean_ci_value"] = _boot_sql("events", "value", "event_id", n_replicates=16)
+
+
+@register(
+    "cuped_lift_value",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+               / NULLIF(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                   THEN 1 END), 0) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+               / NULLIF(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                   THEN 1 END), 0) AS y,
+             CASE WHEN {_did_hash_sql()} < 0.5 THEN 1 ELSE 0 END AS t
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    base AS (SELECT t, x, y FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL),
+    g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+             CAST(SUM(t) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN t = 1 THEN CAST(x AS DECIMAL(28,6)) END) AS DOUBLE) AS stx,
+             CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE) AS sty,
+             CAST(SUM(1 - t) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN t = 0 THEN CAST(x AS DECIMAL(28,6)) END) AS DOUBLE) AS scx,
+             CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE) AS scy
+      FROM base
+    )
+    SELECT nt AS n_treat, nc AS n_ctrl,
+           ROUND(CASE WHEN (sxx - n * (sx / n) * (sx / n)) > 0
+                 THEN (sxy - n * (sx / n) * (sy / n))
+                      / (sxx - n * (sx / n) * (sx / n)) END, 6) AS theta,
+           ROUND(CASE WHEN nt > 0 AND nc > 0
+                 THEN sty / nt - scy / nc END, 6) AS raw_lift,
+           ROUND(CASE WHEN nt > 0 AND nc > 0
+                           AND (sxx - n * (sx / n) * (sx / n)) > 0
+                 THEN (sty / nt - scy / nc)
+                      - ((sxy - n * (sx / n) * (sy / n))
+                         / (sxx - n * (sx / n) * (sx / n)))
+                        * (stx / nt - scx / nc) END, 6) AS cuped_lift,
+           ROUND(CASE WHEN (sxx - n * (sx / n) * (sx / n)) > 0
+                           AND (syy - n * (sy / n) * (sy / n)) > 0
+                 THEN (sxy - n * (sx / n) * (sy / n))
+                      * (sxy - n * (sx / n) * (sy / n))
+                      / ((sxx - n * (sx / n) * (sx / n))
+                         * (syy - n * (sy / n) * (sy / n))) END, 6)
+             AS var_reduction
+    FROM g
+    """,
+)
+def q_cuped_lift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced lift of post-period mean value (md5 pseudo
+    arms, Jan 1-15 pre-period covariate) — one per-user aggregate feeding
+    one moment aggregate, no per-unit adjusted column materialized."""
+    from .operators import drift as drift_ops
+    from .operators.sketches import hash_fraction
+
+    events = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    dec = lambda c: c.cast("decimal(28,6)")
+    per_user = (
+        events.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("ts") < cut, dec(F.col("value")))).cast("double")
+                / F.nullif(
+                    F.count(F.when(F.col("ts") < cut, F.lit(1))), F.lit(0)
+                )
+            ).alias("pre_value"),
+            (
+                F.sum(F.when(F.col("ts") >= cut, dec(F.col("value")))).cast("double")
+                / F.nullif(
+                    F.count(F.when(F.col("ts") >= cut, F.lit(1))), F.lit(0)
+                )
+            ).alias("post_value"),
+        )
+        .withColumn(
+            "treat",
+            hash_fraction(
+                F.concat(F.lit("did:"), F.col("user_id").cast("string"))
+            ) < 0.5,
+        )
+    )
+    return drift_ops.cuped_lift(per_user, F.col("treat"), "pre_value", "post_value")

@@ -620,3 +620,41 @@ def test_seasonal_decompose_recovers_planted_components(spark):
                 r["value"] - r["trend"] - r["seasonal"], abs=1e-5
             )
             assert abs(r["residual"]) < 0.5  # planted signal fully explained
+
+
+def test_cuped_lift_removes_covariate_noise(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import cuped_lift
+    from pyspark.sql import functions as F
+
+    # y = x + effect·t: raw lift is polluted by an unlucky x imbalance;
+    # CUPED with theta == 1 recovers the planted effect exactly
+    rows = []
+    for i in range(200):
+        t = i % 2
+        x = float(i)  # strongly imbalanced across arms (odd ids are treat)
+        y = x + (3.0 if t else 0.0)
+        rows.append((t, x, y))
+    df = spark.createDataFrame(rows, "t int, x double, y double")
+    r = cuped_lift(df, F.col("t") == 1, "x", "y").collect()[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (100, 100)
+    # raw lift = effect + x imbalance (odd mean − even mean = 1): 3 + 1
+    assert r["raw_lift"] == pytest.approx(4.0, abs=1e-4)
+    # the alternating arm correlates faintly with x, so theta ~ 1 + O(1/var)
+    assert r["theta"] == pytest.approx(1.0, abs=1e-2)
+    assert r["cuped_lift"] == pytest.approx(3.0, abs=0.05)
+    assert abs(r["cuped_lift"] - 3.0) < abs(r["raw_lift"] - 3.0)  # strictly better
+    assert r["var_reduction"] > 0.99  # x explains almost all variance
+
+
+def test_cuped_lift_null_guards(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import cuped_lift
+    from pyspark.sql import functions as F
+
+    # constant covariate: theta undefined, cuped NULL, raw still reported
+    df = spark.createDataFrame(
+        [(1, 5.0, 10.0), (0, 5.0, 8.0), (1, 5.0, 12.0), (0, 5.0, 9.0)],
+        "t int, x double, y double",
+    )
+    r = cuped_lift(df, F.col("t") == 1, "x", "y").collect()[0]
+    assert r["theta"] is None and r["cuped_lift"] is None
+    assert r["raw_lift"] == pytest.approx(11.0 - 8.5)

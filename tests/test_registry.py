@@ -174,6 +174,7 @@ R8_WINDOW_QUEUE = [
     "tfidf_doc_similarity_topk",
     "seasonal_decompose_daily_value",
     "bootstrap_mean_ci_value",
+    "cuped_lift_value",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
