@@ -367,7 +367,8 @@ def test_bootstrap_mean_ci_brackets_and_converges(spark):
         return len(_POISSON1_CDF)
 
     def frac(s: str) -> float:
-        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16) / 16**13
+        # replicate 0 = first 8-hex (32-bit) chunk of md5('boot::0:' || key)
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 16**8
 
     ws = wn = 0.0
     for i in range(2000):

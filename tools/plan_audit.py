@@ -56,6 +56,7 @@ ALLOW: dict[tuple[str, str], str] = {
     ("daily_anomaly_profile_events", "window_1part"): "trailing-baseline frame over the day-grain table (|days| rows by construction)",
     ("ks_value_drift_halves", "window_1part"): "CDF cumulative windows over the fixed bins-row table (1000 rows by construction)",
     ("copurchase_degree_profile", "window_1part"): "same count-of-counts fold as key_skew_gini_events, over the degree distribution's distinct values",
+    ("survival_curve_users", "window_1part"): "risk-set and KM-product cumulative windows over the |distinct durations| table (bounded by the corpus day span; the fact table reduces in the per-key span aggregate first)",
 }
 
 

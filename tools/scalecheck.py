@@ -146,7 +146,7 @@ EVENT_OPS = (
     "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank "
     "triangles "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
-    "woe_iv chi2 survival"
+    "woe_iv chi2 survival bootstrap cuped did_estimate seasonal"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -1272,6 +1272,51 @@ def main() -> None:
             timed(
                 "survival_curve_km",
                 _win.survival_curve(events, "user_id", "timestamp", censor_days=2),
+                args.events,
+            )
+        if events is not None and want("bootstrap"):
+            from ml_feature_store_pipeline_spark.operators import sampling as _s
+
+            # 16 replicate reweightings in ONE aggregate — 34 partials/row,
+            # the md5 draws are the cost (16 hashes per row)
+            timed(
+                "bootstrap_ci_16rep",
+                _s.bootstrap_mean_ci(events, "amount", "user_id", n_replicates=16),
+                args.events,
+            )
+        if events is not None and want("cuped"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+            from ml_feature_store_pipeline_spark.operators.sketches import hash_fraction
+
+            cut = F.lit("2023-01-01 02:00:00").cast("timestamp")
+            per_user = events.groupBy("user_id").agg(
+                F.avg(F.when(F.col("timestamp") < cut, F.col("amount"))).alias("x"),
+                F.avg(F.when(F.col("timestamp") >= cut, F.col("amount"))).alias("y"),
+            ).withColumn(
+                "t", hash_fraction(F.col("user_id").cast("string")) < 0.5
+            )
+            timed(
+                "cuped_lift",
+                _drift.cuped_lift(per_user, F.col("t"), "x", "y"),
+                args.events,
+            )
+        if events is not None and want("did_estimate"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+            from ml_feature_store_pipeline_spark.operators.sketches import hash_fraction
+
+            treat = hash_fraction(F.col("user_id").cast("string")) < 0.5
+            post = F.col("timestamp") >= F.lit("2023-01-01 02:00:00").cast("timestamp")
+            timed(
+                "did_estimate_4cell",
+                _drift.diff_in_diff(events, treat, post, "amount"),
+                args.events,
+            )
+        if events is not None and want("seasonal"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            timed(
+                "seasonal_decompose",
+                _drift.seasonal_decompose_daily(events, "timestamp", "amount"),
                 args.events,
             )
         if events is not None and want("daily_acf"):
