@@ -263,6 +263,8 @@ HEADLINE_R7 = [
     "bootstrap_mean_ci_value",
     # CUPED variance-reduced lift (per-user agg + one moment agg)
     "cuped_lift_value",
+    # Mann-Kendall + Theil-Sen (|days|^2 pairwise, dimension-sized)
+    "robust_trend_daily_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

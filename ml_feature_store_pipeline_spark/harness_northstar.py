@@ -5675,3 +5675,48 @@ def q_cuped_lift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drift_ops.cuped_lift(per_user, F.col("treat"), "pre_value", "post_value")
+
+
+@register(
+    "robust_trend_daily_value",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SIGN(b.x - a.x) AS BIGINT) AS sgn,
+             (b.x - a.x) / date_diff('day', a.day, b.day) AS slope
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    ps AS (
+      SELECT CAST(SUM(sgn) AS BIGINT) AS mk_s,
+             quantile_cont(slope, 0.5) AS sen
+      FROM pairs
+    ),
+    ties AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS DOUBLE)
+               AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY x)
+    )
+    SELECT n AS n_days, mk_s,
+           ROUND(CASE WHEN n >= 2
+                       AND (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                            - tie_term) / 18.0 > 0
+                 THEN (CASE WHEN mk_s > 0 THEN mk_s - 1
+                            WHEN mk_s < 0 THEN mk_s + 1 ELSE 0 END)
+                      / SQRT((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                              - tie_term) / 18.0) END, 6) AS mk_z,
+           ROUND(sen, 6) AS sen_slope_per_day
+    FROM ps, ties
+    """,
+)
+def q_robust_trend_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope of the daily value total
+    — outlier-proof trend detection; the pairwise join is |days|²-sized."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.robust_trend_daily(events, "ts", "value")

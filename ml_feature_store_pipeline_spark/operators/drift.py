@@ -1161,3 +1161,75 @@ def cuped_lift(
         F.round(cuped, round_digits).alias("cuped_lift"),
         F.round(rho2, round_digits).alias("var_reduction"),
     )
+
+
+def robust_trend_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nonparametric trend readout for the DAILY series: the Mann-Kendall
+    test (S = Σ sign(x_j − x_i) over day pairs i<j, tie-corrected normal
+    z with continuity correction) plus the Theil-Sen slope (median of
+    pairwise slopes, value-units per day) — the robust twin of
+    :func:`~.fe.trend_slope` that one outlier day can't bend. One row:
+    (n_days, mk_s, mk_z, sen_slope_per_day); z NULL below 2 days or when
+    every value ties.
+
+    Exactness: S and tie counts are exact integers; the variance closed
+    form and the interpolated slope median run on identical doubles both
+    engines (slopes are ratios of identical doubles over integer day
+    gaps).
+
+    Scale shape: one day-grain decimal aggregate; the pairwise self-join
+    is |days|² — dimension-sized by construction (a decade is ~6.7M
+    pairs), broadcast-friendly.
+    """
+    dec = lambda c: c.cast("decimal(28,6)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("__day"))
+        .agg(F.sum(dec(F.col(value_col))).cast("double").alias("__x"))
+    )
+    a = daily.select(F.col("__day").alias("__d1"), F.col("__x").alias("__x1"))
+    b = daily.select(F.col("__day").alias("__d2"), F.col("__x").alias("__x2"))
+    pairs = a.join(F.broadcast(b), F.col("__d1") < F.col("__d2")).select(
+        F.signum(F.col("__x2") - F.col("__x1")).cast("long").alias("__sgn"),
+        (
+            (F.col("__x2") - F.col("__x1"))
+            / F.datediff(F.col("__d2"), F.col("__d1"))
+        ).alias("__slope"),
+    )
+    ps = pairs.agg(
+        F.sum("__sgn").cast("long").alias("mk_s"),
+        F.percentile(F.col("__slope"), F.lit(0.5)).alias("__sen"),
+    )
+    ties = (
+        daily.groupBy("__x")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_check"),
+            F.sum(
+                F.col("__t").cast("decimal(38,0)")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).cast("double").alias("__tie_term"),
+            F.sum("__t").cast("long").alias("__n"),
+        )
+    )
+    j = ps.crossJoin(F.broadcast(ties))
+    n = F.col("__n")
+    var = (
+        n.cast("double") * (n - 1) * (2 * n + 5) - F.col("__tie_term")
+    ) / F.lit(18.0)
+    s = F.col("mk_s")
+    cc = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(F.lit(0))
+    z = F.when((n >= 2) & (var > 0), cc / F.sqrt(var))
+    return j.select(
+        n.alias("n_days"),
+        "mk_s",
+        F.round(z, round_digits).alias("mk_z"),
+        F.round(F.col("__sen"), round_digits).alias("sen_slope_per_day"),
+    )

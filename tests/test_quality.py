@@ -658,3 +658,37 @@ def test_cuped_lift_null_guards(spark):
     r = cuped_lift(df, F.col("t") == 1, "x", "y").collect()[0]
     assert r["theta"] is None and r["cuped_lift"] is None
     assert r["raw_lift"] == pytest.approx(11.0 - 8.5)
+
+
+def test_robust_trend_detects_monotone_and_resists_outlier(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import robust_trend_daily
+
+    base = datetime.datetime(2024, 3, 1)
+    day = datetime.timedelta(days=1)
+    # strictly increasing daily totals +5/day, one wild outlier day
+    rows = []
+    for t in range(20):
+        v = 100.0 + 5.0 * t if t != 10 else 100000.0
+        rows.append((base + t * day, v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = robust_trend_daily(df, "ts", "value").collect()[0]
+    assert r["n_days"] == 20
+    # S near max: all pairs increasing except those crossing the spike
+    assert r["mk_s"] > 100 and r["mk_z"] > 3
+    # Theil-Sen ignores the outlier: slope stays ~5/day (OLS would not)
+    assert r["sen_slope_per_day"] == pytest.approx(5.0, abs=0.5)
+
+
+def test_robust_trend_constant_series(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import robust_trend_daily
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(base + datetime.timedelta(days=t), 7.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = robust_trend_daily(df, "ts", "value").collect()[0]
+    assert r["mk_s"] == 0 and r["mk_z"] is None
+    assert r["sen_slope_per_day"] == 0.0

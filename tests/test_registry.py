@@ -175,6 +175,7 @@ R8_WINDOW_QUEUE = [
     "seasonal_decompose_daily_value",
     "bootstrap_mean_ci_value",
     "cuped_lift_value",
+    "robust_trend_daily_value",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
