@@ -1612,6 +1612,11 @@ def _kmeans_final_assignment(
     from ..functions import dot
 
     x = F.col("__x")
+    # NOT pinned: an A/B at sf0.1 showed localCheckpoint-ing the parsed
+    # vector table buys nothing here (per-job latency dominates the 8 small
+    # scans) while pinning non-replicated blocks for the session. At real
+    # scale, persist the input ONCE caller-side (MLlib's kmeans caches its
+    # training matrix) — the operator composes with that.
     v = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("__x"),
