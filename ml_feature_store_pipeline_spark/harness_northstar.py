@@ -4852,16 +4852,21 @@ def q_mann_whitney_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     ),
     lags AS (SELECT CAST(r AS INTEGER) AS lag FROM range(1, 8) t(r)),
-    pairs AS (
+    pairs0 AS (
       SELECT lag, COUNT(*) AS n_pairs,
              CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
              CAST(SUM(CAST(a.x AS DECIMAL(28,6))) AS DOUBLE) AS sh,
              CAST(SUM(CAST(b.x AS DECIMAL(28,6))) AS DOUBLE) AS st
       FROM lags JOIN daily a ON TRUE JOIN daily b ON a.day + lag = b.day
       GROUP BY lag
+    ),
+    pairs AS (
+      SELECT l.lag, COALESCE(p.n_pairs, 0) AS n_pairs, p.sxy, p.sh, p.st
+      FROM lags l LEFT JOIN pairs0 p ON p.lag = l.lag
     )
     SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
            ROUND(CASE WHEN n >= 2 AND (qx - n * (sx / n) * (sx / n)) > 0
+                           AND n_pairs > 0
                  THEN (sxy - (sx / n) * (sh + st) + n_pairs * (sx / n) * (sx / n))
                       / (qx - n * (sx / n) * (sx / n)) END, 6) AS acf
     FROM pairs, stats
@@ -5356,7 +5361,7 @@ _O["kmeans_balanced_sample"] = similarity.kmeans_sample_sql(
     WITH spans AS (
       SELECT user_id,
              MIN(epoch(ts)) AS f, MAX(epoch(ts)) AS l
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     horizon AS (SELECT MAX(epoch(ts)) AS hmax FROM events),
     staged AS (

@@ -580,11 +580,15 @@ def banded_avg_rank(
     *,
     n_bands: int = 256,
     rank_col: str = "avg_rank",
-) -> DataFrame:
+    return_count: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Average (fractional) rank of ``value_col`` ascending, 1-based, ties
     sharing the mean of their positions — the rank transform under every
     rank statistic (Spearman, Mann-Whitney). NULL values must be filtered
-    by the caller (a NULL has no rank).
+    by the caller (a NULL has no rank). With ``return_count=True``,
+    returns ``(ranked_df, n_rows)`` — the total is already known from the
+    bounds probe, so callers that need N (quantile_transform) avoid a
+    third full scan.
 
     Scale shape: a single global ``ORDER BY`` window would rank the table
     on one task, so ranking is BANDED exactly like
@@ -602,8 +606,10 @@ def banded_avg_rank(
     bounds = df.agg(
         F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
-    if not bounds["n"]:
-        return df.withColumn(rank_col, F.lit(None).cast("double")).limit(0)
+    n_rows = int(bounds["n"])
+    if not n_rows:
+        empty = df.withColumn(rank_col, F.lit(None).cast("double")).limit(0)
+        return (empty, 0) if return_count else empty
     lo, hi = float(bounds["lo"]), float(bounds["hi"])
     if hi > lo:
         band = F.least(
@@ -629,7 +635,7 @@ def banded_avg_rank(
     )
     w_rank = Window.partitionBy("__band").orderBy(v.asc())
     w_tie = Window.partitionBy("__band", v)
-    return (
+    ranked = (
         banded.join(F.broadcast(off_df), "__band")
         .withColumn(
             rank_col,
@@ -639,6 +645,7 @@ def banded_avg_rank(
         )
         .drop("__band", "__off")
     )
+    return (ranked, n_rows) if return_count else ranked
 
 
 def correlation_matrix(
@@ -777,14 +784,20 @@ def mann_whitney_u(
     ).select(F.col(group_col).alias("__g"), v.alias("__v"))
     ranked = banded_avg_rank(keep, "__v", n_bands=n_bands, rank_col="__r")
     dec = lambda c: c.cast("decimal(28,6)")
-    sums = ranked.groupBy("__g").agg(
-        F.count(F.lit(1)).alias("__n"), F.sum(dec(F.col("__r"))).cast("double").alias("__rs")
-    )
-    a = sums.filter(F.col("__g") == group_a).select(
-        F.col("__n").alias("na"), F.col("__rs").alias("ra")
-    )
-    b = sums.filter(F.col("__g") == group_b).select(
-        F.col("__n").alias("nb"), F.col("__rs").alias("rb")
+    # ONE conditional aggregate (not per-group frames joined after): the
+    # output stays exactly one row even when a group is empty — the
+    # documented NULL-z contract (review finding: the old crossJoin of
+    # filtered 1-row frames returned ZERO rows for an absent group)
+    is_a = F.col("__g") == group_a
+    sums = ranked.agg(
+        F.count(F.when(is_a, F.lit(1))).cast("long").alias("na"),
+        F.coalesce(
+            F.sum(F.when(is_a, dec(F.col("__r")))).cast("double"), F.lit(0.0)
+        ).alias("ra"),
+        F.count(F.when(~is_a, F.lit(1))).cast("long").alias("nb"),
+        F.coalesce(
+            F.sum(F.when(~is_a, dec(F.col("__r")))).cast("double"), F.lit(0.0)
+        ).alias("rb"),
     )
     # t³ overflows long once one tie group passes ~2.1M rows (found by the
     # 20M-row stress: a 2-value column has t ≈ 10M). Cube in DECIMAL(38,0)
@@ -795,12 +808,15 @@ def mann_whitney_u(
         keep.groupBy("__v")
         .agg(F.count(F.lit(1)).alias("__t"))
         .agg(
-            F.sum(
-                t_dec * F.col("__t") * F.col("__t") - F.col("__t")
-            ).cast("double").alias("tie_term")
+            F.coalesce(
+                F.sum(
+                    t_dec * F.col("__t") * F.col("__t") - F.col("__t")
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("tie_term")
         )
     )
-    j = a.crossJoin(b).crossJoin(ties)
+    j = sums.crossJoin(ties)
     na, nb = F.col("na"), F.col("nb")
     u_a = F.col("ra") - na * (na + 1) / 2
     u_b = F.col("rb") - nb * (nb + 1) / 2
@@ -880,14 +896,21 @@ def daily_acf(
             F.sum(dec(F.col("__x2"))).cast("double").alias("__st"),
         )
     )
+    # left-join the full 1..max_lag spine so pair-less lags (short or
+    # gapped series) still appear as (lag, 0, NULL) — the documented
+    # one-row-per-lag contract (review finding: the inner groupBy dropped
+    # them)
+    spark = df.sparkSession
+    spine = spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    full = spine.join(F.broadcast(pairs), "lag", "left")
     n = F.col("__n")
     mean = F.col("__sx") / n
     sxx = F.col("__qx") - n * mean * mean
     num = F.col("__sxy") - mean * (F.col("__sh") + F.col("__st")) + F.col("n_pairs") * mean * mean
-    acf = F.when((n >= 2) & (sxx > 0), num / sxx)
-    out = pairs.crossJoin(F.broadcast(stats)).select(
+    acf = F.when((n >= 2) & (sxx > 0) & (F.col("n_pairs") > 0), num / sxx)
+    out = full.crossJoin(F.broadcast(stats)).select(
         "lag",
-        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
         F.round(acf, round_digits).alias("acf"),
     )
     return out
@@ -1210,7 +1233,6 @@ def robust_trend_daily(
         daily.groupBy("__x")
         .agg(F.count(F.lit(1)).alias("__t"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("__n_check"),
             F.sum(
                 F.col("__t").cast("decimal(38,0)")
                 * (F.col("__t") - 1)

@@ -745,8 +745,10 @@ def quantile_transform(
     v = F.col(value_col)
     nn = df.filter(v.isNotNull())
     nulls = df.filter(v.isNull()).withColumn(out_col, F.lit(None).cast("double"))
-    ranked = banded_avg_rank(nn, value_col, n_bands=n_bands, rank_col="__r")
-    n = nn.count()
+    # return_count reuses the bounds probe's total — no third full scan
+    ranked, n = banded_avg_rank(
+        nn, value_col, n_bands=n_bands, rank_col="__r", return_count=True
+    )
     out = ranked.withColumn(
         out_col,
         F.round((F.col("__r") - F.lit(0.5)) / F.lit(float(n)), round_digits),

@@ -1254,9 +1254,17 @@ def survival_curve(
     window).
     """
     ts = F.col(ts_col)
-    spans = df.groupBy(key_col).agg(
-        F.min(F.unix_timestamp(ts)).alias("__first"),
-        F.max(F.unix_timestamp(ts)).alias("__last"),
+    # NULL timestamps carry no lifetime information, and a key with ONLY
+    # NULL ts would produce a NULL duration whose sort position differs
+    # between Spark (NULLS FIRST asc) and the oracle (NULLS LAST) —
+    # desynchronizing the cumulative risk set. Drop them up front.
+    spans = (
+        df.filter(ts.isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.min(F.unix_timestamp(ts)).alias("__first"),
+            F.max(F.unix_timestamp(ts)).alias("__last"),
+        )
     )
     horizon = df.agg(F.max(F.unix_timestamp(ts)).alias("__hmax"))
     staged = spans.crossJoin(F.broadcast(horizon)).select(

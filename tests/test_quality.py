@@ -692,3 +692,46 @@ def test_robust_trend_constant_series(spark):
     r = robust_trend_daily(df, "ts", "value").collect()[0]
     assert r["mk_s"] == 0 and r["mk_z"] is None
     assert r["sen_slope_per_day"] == 0.0
+
+
+def test_mann_whitney_empty_group_returns_one_null_row(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import mann_whitney_u
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()
+    assert len(r) == 1  # the documented one-row contract
+    assert (r[0]["n_a"], r[0]["n_b"]) == (2, 0)
+    assert r[0]["z"] is None
+
+
+def test_daily_acf_emits_every_lag_even_without_pairs(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import daily_acf
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=i), float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["lag"]: r for r in daily_acf(df, "ts", "value", max_lag=7).collect()}
+    assert set(out) == set(range(1, 8))  # full spine
+    assert out[2]["n_pairs"] == 1
+    for lag in range(3, 8):
+        assert out[lag]["n_pairs"] == 0 and out[lag]["acf"] is None
+
+
+def test_survival_curve_ignores_null_timestamps(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.windows import survival_curve
+
+    base = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    rows = [
+        (1, base), (1, base + day),
+        (2, None), (2, None),            # all-NULL key: no lifetime info
+        (3, base + 30 * day),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = survival_curve(df, "user_id", "ts", censor_days=7).collect()
+    assert all(r["t_days"] is not None for r in out)
+    assert sum(r["n_events"] + r["n_censored"] for r in out) == 2  # key 2 dropped

@@ -1333,8 +1333,7 @@ def main() -> None:
                 _fe.quantile_transform(events.select("amount"), "amount"),
                 args.events,
             )
-        if events is not None and (want("woe_iv") or want("chi2")):
-            from ml_feature_store_pipeline_spark.operators import drift as _drift
+        if events is not None and want("woe_iv"):
             from ml_feature_store_pipeline_spark.operators import fe as _fe
 
             timed(
@@ -1342,6 +1341,9 @@ def main() -> None:
                 _fe.woe_iv(events, "event_type", F.col("amount") > 0),
                 args.events,
             )
+        if events is not None and want("chi2"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
             c2 = events.select("event_type", F.hour("timestamp").alias("h"))
             timed(
                 "chi2_type_hour",
