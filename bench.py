@@ -265,6 +265,9 @@ HEADLINE_R7 = [
     "cuped_lift_value",
     # Mann-Kendall + Theil-Sen (|days|^2 pairwise, dimension-sized)
     "robust_trend_daily_value",
+    # banded-rank robust center + concentration (one rank pass each)
+    "trimmed_mean_order_price",
+    "value_gini_order_price",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

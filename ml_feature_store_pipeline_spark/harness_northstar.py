@@ -5725,3 +5725,66 @@ def q_robust_trend_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_table(spark, sf_dir, "events")
     return drift_ops.robust_trend_daily(events, "ts", "value")
+
+
+@register(
+    "trimmed_mean_order_price",
+    f"""
+    WITH nn AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+    ranked AS (
+      SELECT v, {_AVG_RANK.format(v='v')} AS r, COUNT(*) OVER (PARTITION BY v) AS t
+      FROM nn
+    ),
+    grp AS (SELECT v, r, MAX(t) AS t FROM ranked GROUP BY v, r),
+    meta AS (SELECT COUNT(*) AS n FROM nn),
+    surv AS (
+      SELECT v,
+             CAST(GREATEST(
+               LEAST(r + (t - 1) / 2, n - CAST(FLOOR(n * 0.05) AS BIGINT))
+               - GREATEST(r - (t - 1) / 2, CAST(FLOOR(n * 0.05) AS BIGINT) + 1) + 1,
+               0.0) AS BIGINT) AS keep
+      FROM grp, meta
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM meta) AS n,
+           (SELECT CAST(CAST(FLOOR(n * 0.05) AS BIGINT) AS BIGINT) FROM meta)
+             AS n_trimmed_each_side,
+           ROUND(CASE WHEN SUM(keep) > 0
+                 THEN CAST(SUM(CAST(v AS DECIMAL(28,6)) * keep) AS DOUBLE)
+                      / SUM(keep) END, 6) AS trimmed_mean
+    FROM surv WHERE keep > 0
+    """,
+)
+def q_trimmed_mean_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% symmetric trimmed mean of order totals — banded ranks, keep-count
+    overlap per value group, one decimal survivor mean."""
+    from .operators import drift as drift_ops
+
+    orders = read_table(spark, sf_dir, "orders")
+    return drift_ops.trimmed_mean(orders, "o_totalprice", trim_frac=0.05)
+
+
+@register(
+    "value_gini_order_price",
+    f"""
+    WITH nn AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+    ranked AS (SELECT v, {_AVG_RANK.format(v='v')} AS r FROM nn),
+    g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(r * v, 9) AS DECIMAL(28,9))) AS DOUBLE) AS srx,
+             CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n, ROUND(sx, 6) AS total,
+           ROUND(CASE WHEN n >= 2 AND sx > 0 AND neg = 0
+                 THEN 2.0 * srx / (n * sx) - (n + 1) / n END, 6) AS gini
+    FROM g
+    """,
+)
+def q_value_gini_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order totals — revenue-inequality readout on
+    banded average ranks; one rank pass + one combinable aggregate."""
+    from .operators import drift as drift_ops
+
+    orders = read_table(spark, sf_dir, "orders")
+    return drift_ops.value_gini(orders, "o_totalprice")

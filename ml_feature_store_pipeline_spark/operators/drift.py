@@ -1255,3 +1255,113 @@ def robust_trend_daily(
         F.round(z, round_digits).alias("mk_z"),
         F.round(F.col("__sen"), round_digits).alias("sen_slope_per_day"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    *,
+    trim_frac: float = 0.05,
+    n_bands: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact symmetric trimmed mean — drop the ``⌊n·trim_frac⌋`` smallest
+    and largest observations (by rank, ties broken low-rank-first so the
+    cut is well-defined) and decimal-average the rest: the robust center
+    between the mean (trim 0) and the median (trim 0.5) that a fat tail
+    can't drag. One row: (n, n_trimmed_each_side, trimmed_mean). NULLs
+    are excluded; all-trimmed inputs yield NULL.
+
+    Exactness: equal values are interchangeable, so the cut only needs
+    KEEP-COUNTS per value group — each group's rows occupy the contiguous
+    row positions [r−(t−1)/2, r+(t−1)/2] around its average rank r, and
+    the overlap of that span with [k+1, n−k] (exact integer arithmetic in
+    doubles — ranks are half-integers) says how many copies survive. The
+    oracle replays the identical overlap; the survivor mean is a decimal
+    sum.
+
+    Scale shape: one banded rank pass (no global single-task sort) + one
+    decimal mean over the survivors.
+    """
+    v = F.col(value_col)
+    nn = df.filter(v.isNotNull()).select(v.alias("__v"))
+    ranked, n = banded_avg_rank(
+        nn, "__v", n_bands=n_bands, rank_col="__r", return_count=True
+    )
+    if n == 0:
+        return nn.sparkSession.createDataFrame(
+            [], "n long, n_trimmed_each_side long, trimmed_mean double"
+        )
+    k = int(n * trim_frac)
+    # avg rank r with tie count t spans row positions [r−(t−1)/2, r+(t−1)/2]:
+    # a value group is FULLY below the low cut iff r + (t−1)/2 <= k, fully
+    # above the high cut iff r − (t−1)/2 > n − k; a group STRADDLING a cut
+    # keeps (boundary-count) copies — equal values are interchangeable, so
+    # keep-counts per group are enough (no per-row tiebreak needed)
+    grp = ranked.groupBy("__v", "__r").agg(F.count(F.lit(1)).alias("__t"))
+    lo_pos = F.col("__r") - (F.col("__t") - 1) / 2  # first row position
+    hi_pos = F.col("__r") + (F.col("__t") - 1) / 2  # last row position
+    keep = F.greatest(
+        F.least(hi_pos, F.lit(float(n - k))) - F.greatest(lo_pos, F.lit(float(k + 1)))
+        + 1,
+        F.lit(0.0),
+    ).cast("long")
+    dec = lambda c: c.cast("decimal(28,6)")
+    surv = grp.withColumn("__keep", keep).filter(F.col("__keep") > 0)
+    out = surv.agg(
+        F.sum(dec(F.col("__v")) * F.col("__keep")).cast("double").alias("__s"),
+        F.sum("__keep").cast("long").alias("__m"),
+    )
+    return out.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("n_trimmed_each_side"),
+        F.round(
+            F.when(F.col("__m") > 0, F.col("__s") / F.col("__m")), round_digits
+        ).alias("trimmed_mean"),
+    )
+
+
+def value_gini(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_bands: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gini coefficient of a NONNEGATIVE metric's distribution across rows
+    (revenue concentration, whale analysis) — the value-weighted
+    counterpart of :func:`key_gini_skew`'s count inequality:
+    ``G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n`` over ascending average ranks
+    (tied values share a rank; the identity still holds exactly because
+    tied x's are equal). One row: (n, total, gini); gini is NULL when the
+    total is 0, n < 2, or ANY value is negative (the index is undefined
+    there — a NULL beats a nonsense number).
+
+    Exactness: ranks are half-integers; rank-value products are
+    9-dp-rounded decimal sums; the closed form runs on identical doubles
+    both engines.
+
+    Scale shape: one banded rank pass + one combinable aggregate.
+    """
+    v = F.col(value_col)
+    nn = df.filter(v.isNotNull()).select(v.alias("__v"))
+    ranked = banded_avg_rank(nn, "__v", n_bands=n_bands, rank_col="__r")
+    neg = F.sum((F.col("__v") < 0).cast("int")).alias("__neg")
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.round(F.col("__r") * F.col("__v"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("__srx"),
+        F.sum(F.col("__v").cast("decimal(28,6)")).cast("double").alias("__sx"),
+        neg,
+    )
+    n = F.col("__n")
+    gini = F.when(
+        (n >= 2) & (F.col("__sx") > 0) & (F.col("__neg") == 0),
+        F.lit(2.0) * F.col("__srx") / (n * F.col("__sx")) - (n + 1) / n,
+    )
+    return g.select(
+        n.cast("long").alias("n"),
+        F.round(F.col("__sx"), round_digits).alias("total"),
+        F.round(gini, round_digits).alias("gini"),
+    )

@@ -735,3 +735,33 @@ def test_survival_curve_ignores_null_timestamps(spark):
     out = survival_curve(df, "user_id", "ts", censor_days=7).collect()
     assert all(r["t_days"] is not None for r in out)
     assert sum(r["n_events"] + r["n_censored"] for r in out) == 2  # key 2 dropped
+
+
+def test_trimmed_mean_hand_computed_with_tie_straddle(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import trimmed_mean
+
+    # 10 values; trim 20% -> k=2 each side. Ties straddle the low cut:
+    # [1, 1, 1, 4, 5, 6, 7, 8, 100, 200] -> keep positions 3..8
+    vals = [1.0, 1.0, 1.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0, 200.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = trimmed_mean(df, "v", trim_frac=0.2, n_bands=3).collect()[0]
+    want = (1.0 + 4 + 5 + 6 + 7 + 8) / 6  # one of the three 1s survives
+    assert (r["n"], r["n_trimmed_each_side"]) == (10, 2)
+    assert r["trimmed_mean"] == pytest.approx(want, abs=1e-6)
+    # robustness: the two big outliers are gone; plain mean is far away
+    assert abs(r["trimmed_mean"] - sum(vals) / 10) > 25
+
+
+def test_value_gini_extremes(spark):
+    from ml_feature_store_pipeline_spark.operators.drift import value_gini
+
+    equal = spark.createDataFrame([(5.0,)] * 10, "v double")
+    assert value_gini(equal, "v").collect()[0]["gini"] == 0.0
+
+    # one row owns everything: G = (n-1)/n
+    conc = spark.createDataFrame([(0.0,)] * 9 + [(90.0,)], "v double")
+    r = value_gini(conc, "v").collect()[0]
+    assert r["gini"] == pytest.approx(9 / 10, abs=1e-9)
+
+    neg = spark.createDataFrame([(1.0,), (-1.0,)], "v double")
+    assert value_gini(neg, "v").collect()[0]["gini"] is None

@@ -176,6 +176,8 @@ R8_WINDOW_QUEUE = [
     "bootstrap_mean_ci_value",
     "cuped_lift_value",
     "robust_trend_daily_value",
+    "trimmed_mean_order_price",
+    "value_gini_order_price",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
