@@ -268,6 +268,8 @@ HEADLINE_R7 = [
     # banded-rank robust center + concentration (one rank pass each)
     "trimmed_mean_order_price",
     "value_gini_order_price",
+    # CUSUM level-shift detector (running-min identity, |days|-sized)
+    "cusum_daily_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

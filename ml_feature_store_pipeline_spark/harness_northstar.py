@@ -5788,3 +5788,60 @@ def q_value_gini_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders")
     return drift_ops.value_gini(orders, "o_totalprice")
+
+
+@register(
+    "cusum_daily_value",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    idx AS (SELECT day, value, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+    base AS (
+      SELECT COUNT(*) AS bn,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS bs,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS bq
+      FROM idx WHERE i <= 7
+    ),
+    j AS (
+      SELECT idx.day, idx.value, idx.i, bn,
+             bs / bn AS mu,
+             SQRT(GREATEST(bq / bn - (bs / bn) * (bs / bn), 0.0)) AS sig
+      FROM idx, base
+    ),
+    c AS (
+      SELECT day, value, i, bn, sig,
+             CAST(SUM(CAST(ROUND(value - mu - 0.0, 6) AS DECIMAL(28,6))) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cp,
+             CAST(SUM(CAST(ROUND(mu - value - 0.0, 6) AS DECIMAL(28,6))) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cn
+      FROM j
+    ),
+    s AS (
+      SELECT day, value, i, bn, sig,
+             cp - LEAST(MIN(cp) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0.0) AS sp,
+             cn - LEAST(MIN(cn) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0.0) AS sn
+      FROM c
+    )
+    SELECT day, ROUND(value, 6) AS value,
+           ROUND(sp, 6) AS cusum_pos, ROUND(sn, 6) AS cusum_neg,
+           (i > bn AND sig > 0 AND (sp > 5.0 * sig OR sn > 5.0 * sig)) AS is_alarm
+    FROM s
+    """,
+)
+def q_cusum_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift detector on the daily value total —
+    the recursive max(0, ·) fold expressed exactly as cum − running-min;
+    baseline μ₀/σ₀ from the first 7 days; everything |days|-sized."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.cusum_daily(events, "ts", "value")

@@ -1365,3 +1365,88 @@ def value_gini(
         F.round(F.col("__sx"), round_digits).alias("total"),
         F.round(gini, round_digits).alias("gini"),
     )
+
+
+def cusum_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    baseline_days: int = 7,
+    slack: float = 0.0,
+    threshold_sigmas: float = 5.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One-sided CUSUM change detection on the daily total — the
+    sequential level-shift detector :func:`daily_anomaly_profile`'s
+    single-day z-scores can't replace (a small persistent shift never
+    trips a per-day z but accumulates in the CUSUM). Per day:
+    (day, value, cusum_pos, cusum_neg, is_alarm).
+
+    The recursive statistic ``s_t = max(0, s_{t−1} + (x_t − μ₀ − slack))``
+    folds EXACTLY into windows via the running-min identity:
+    ``s_t = cum_t − min_{u≤t}(cum_u)`` with ``cum`` the inclusive
+    cumulative sum of deviations (and ``cum_0 = 0`` injected by clamping
+    the running min at 0) — no recursion, no UDF. μ₀ and σ₀ come from the
+    FIRST ``baseline_days`` days (decimal moments); the alarm fires when
+    either side exceeds ``threshold_sigmas·σ₀``. Baseline days themselves
+    are never alarmed (the detector needs a reference before it can
+    accuse).
+
+    Exactness: daily totals and deviation cumsums are decimal (exact,
+    order-free; the window's running order is the day order); μ₀/σ₀ and
+    the final thresholds are identical IEEE doubles.
+
+    Scale shape: one day-grain aggregate; all windows run on the |days|
+    table (the documented dimension-sized exception).
+    """
+    dec = lambda c: c.cast("decimal(28,6)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.sum(dec(F.col(value_col))).cast("double").alias("value"))
+    )
+    w_idx = Window.orderBy(F.asc("day"))
+    idx = daily.withColumn("__i", F.row_number().over(w_idx))
+    base = idx.filter(F.col("__i") <= baseline_days).agg(
+        F.count(F.lit(1)).alias("__bn"),
+        F.sum(dec(F.col("value"))).cast("double").alias("__bs"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("__bq"),
+    )
+    j = idx.crossJoin(F.broadcast(base))
+    bn = F.col("__bn")
+    mu = F.col("__bs") / bn
+    sigma = F.sqrt(
+        F.greatest(F.col("__bq") / bn - mu * mu, F.lit(0.0))
+    )
+    dev_p = F.round(F.col("value") - mu - F.lit(slack), 6)
+    dev_n = F.round(mu - F.col("value") - F.lit(slack), 6)
+    w_cum = Window.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_p = F.sum(dev_p.cast("decimal(28,6)")).over(w_cum).cast("double")
+    cum_n = F.sum(dev_n.cast("decimal(28,6)")).over(w_cum).cast("double")
+    staged = j.select(
+        "day", "value", F.col("__i").alias("__i"),
+        cum_p.alias("__cp"), cum_n.alias("__cn"),
+        sigma.alias("__sig"), bn.alias("__bn"),
+    )
+    run_min = lambda c: F.least(
+        F.min(c).over(w_cum), F.lit(0.0)
+    )  # cum_0 = 0 enters the min
+    s_p = F.col("__cp") - run_min(F.col("__cp"))
+    s_n = F.col("__cn") - run_min(F.col("__cn"))
+    thr = F.lit(threshold_sigmas) * F.col("__sig")
+    return staged.select(
+        "day",
+        F.round(F.col("value"), round_digits).alias("value"),
+        F.round(s_p, round_digits).alias("cusum_pos"),
+        F.round(s_n, round_digits).alias("cusum_neg"),
+        (
+            (F.col("__i") > F.col("__bn"))
+            & (F.col("__sig") > 0)
+            & ((s_p > thr) | (s_n > thr))
+        ).alias("is_alarm"),
+    )

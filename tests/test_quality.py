@@ -765,3 +765,36 @@ def test_value_gini_extremes(spark):
 
     neg = spark.createDataFrame([(1.0,), (-1.0,)], "v double")
     assert value_gini(neg, "v").collect()[0]["gini"] is None
+
+
+def test_cusum_matches_recursive_fold_and_detects_shift(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import cusum_daily
+
+    base = datetime.datetime(2024, 5, 1)
+    day = datetime.timedelta(days=1)
+    # baseline 7 days around 100 (sigma ~ small but > 0), then +8 shift:
+    # too small for a per-day z alarm, accumulates in the CUSUM
+    series = [100.0, 104.0, 96.0, 102.0, 98.0, 101.0, 99.0] + [108.0] * 10
+    rows = [(base + i * day, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["day"].isoformat(): r for r in cusum_daily(df, "ts", "value").collect()}
+    mu = sum(series[:7]) / 7
+    sigma = (sum(v * v for v in series[:7]) / 7 - mu * mu) ** 0.5
+
+    # recursive reference fold
+    sp = 0.0
+    expect = {}
+    for i, v in enumerate(series):
+        sp = max(0.0, sp + round(v - mu, 6))
+        expect[(base + i * day).date().isoformat()] = sp
+    for d, want in expect.items():
+        assert out[d]["cusum_pos"] == pytest.approx(want, abs=1e-5)
+    # baseline days never alarm; the shift eventually does
+    for i in range(7):
+        assert not out[(base + i * day).date().isoformat()]["is_alarm"]
+    assert out[(base + 16 * day).date().isoformat()]["is_alarm"]
+    # alarm day consistent with the threshold
+    alarm_days = [d for d, r in out.items() if r["is_alarm"]]
+    assert all(expect[d] > 5 * sigma for d in alarm_days)

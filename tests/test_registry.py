@@ -178,6 +178,7 @@ R8_WINDOW_QUEUE = [
     "robust_trend_daily_value",
     "trimmed_mean_order_price",
     "value_gini_order_price",
+    "cusum_daily_value",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

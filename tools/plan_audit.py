@@ -57,6 +57,7 @@ ALLOW: dict[tuple[str, str], str] = {
     ("ks_value_drift_halves", "window_1part"): "CDF cumulative windows over the fixed bins-row table (1000 rows by construction)",
     ("copurchase_degree_profile", "window_1part"): "same count-of-counts fold as key_skew_gini_events, over the degree distribution's distinct values",
     ("survival_curve_users", "window_1part"): "risk-set and KM-product cumulative windows over the |distinct durations| table (bounded by the corpus day span; the fact table reduces in the per-key span aggregate first)",
+    ("cusum_daily_value", "window_1part"): "day-index, deviation-cumsum, and running-min windows over the |days| table (the fact table reduces in the day-grain aggregate first)",
 }
 
 
