@@ -610,3 +610,64 @@ def test_session_stats_matches_pandas_recompute(spark, rows):
     assert r["bounce_sessions"] <= sum(1 for s_, e in sessions if e == s_)
     assert r["max_duration_s"] == max(durs)
     assert r["avg_duration_s"] == pytest.approx(sum(durs) / n, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# banded average ranks (the shared helper under Spearman / MWU / ROC AUC /
+# quantile transform / trimmed mean / value Gini)
+# ---------------------------------------------------------------------------
+
+rank_values_strategy = st.lists(
+    # tie-prone small domain mixed with arbitrary floats
+    st.one_of(
+        st.integers(min_value=0, max_value=5).map(float),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(vals=rank_values_strategy, n_bands=st.integers(min_value=1, max_value=7))
+def test_banded_avg_rank_equals_pandas_average_rank(spark, vals, n_bands):
+    """For ANY values and ANY band count, banded ranks equal pandas'
+    method='average' ranks — bands are a pure function of the value, so
+    ties can never straddle a band and offsets compose exactly."""
+    import pandas as pd
+
+    from ml_feature_store_pipeline_spark.operators.drift import banded_avg_rank
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = (
+        banded_avg_rank(df, "v", n_bands=n_bands, rank_col="r")
+        .toPandas()
+        .sort_values(["v", "r"], ignore_index=True)
+    )
+    want = pd.Series(sorted(vals)).rank(method="average")
+    assert (got["r"].to_numpy() == want.to_numpy()).all()
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=9).map(float), min_size=1, max_size=30
+    ),
+    trim_pct=st.sampled_from([0.0, 0.1, 0.25, 0.4]),
+)
+def test_trimmed_mean_equals_sorted_slice(spark, vals, trim_pct):
+    """The keep-count overlap construction equals the textbook 'sort, drop
+    k each side, average the middle' definition on arbitrary tie-heavy
+    inputs."""
+    from ml_feature_store_pipeline_spark.operators.drift import trimmed_mean
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = trimmed_mean(df, "v", trim_frac=trim_pct, n_bands=3).collect()[0]
+    n = len(vals)
+    k = int(n * trim_pct)
+    middle = sorted(vals)[k : n - k]
+    assert r["n"] == n and r["n_trimmed_each_side"] == k
+    if middle:
+        assert r["trimmed_mean"] == pytest.approx(sum(middle) / len(middle), abs=1e-9)
+    else:
+        assert r["trimmed_mean"] is None
