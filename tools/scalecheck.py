@@ -146,7 +146,8 @@ EVENT_OPS = (
     "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank "
     "triangles "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
-    "woe_iv chi2 survival bootstrap cuped did_estimate seasonal"
+    "woe_iv chi2 survival bootstrap cuped did_estimate seasonal "
+    "trimmed_mean value_gini cusum"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -1317,6 +1318,32 @@ def main() -> None:
             timed(
                 "seasonal_decompose",
                 _drift.seasonal_decompose_daily(events, "timestamp", "amount"),
+                args.events,
+            )
+        if events is not None and want("trimmed_mean"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # one banded rank pass + keep-count overlap + survivor mean
+            timed(
+                "trimmed_mean_5pct",
+                _drift.trimmed_mean(events, "amount", trim_frac=0.05),
+                args.events,
+            )
+        if events is not None and want("value_gini"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            timed(
+                "value_gini",
+                _drift.value_gini(events, "amount"),
+                args.events,
+            )
+        if events is not None and want("cusum"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # one day-grain agg; CUSUM windows on the |days| table
+            timed(
+                "cusum_daily",
+                _drift.cusum_daily(events, "timestamp", "amount"),
                 args.events,
             )
         if events is not None and want("daily_acf"):
