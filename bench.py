@@ -270,6 +270,8 @@ HEADLINE_R7 = [
     "value_gini_order_price",
     # CUSUM level-shift detector (running-min identity, |days|-sized)
     "cusum_daily_value",
+    # term co-occurrence PMI (distinct-before-self-join market basket)
+    "term_pmi_docs",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

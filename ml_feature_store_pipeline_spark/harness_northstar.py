@@ -5845,3 +5845,40 @@ def q_cusum_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_table(spark, sf_dir, "events")
     return drift_ops.cusum_daily(events, "ts", "value")
+
+
+@register(
+    "term_pmi_docs",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id AS d, t AS term
+      FROM (
+        SELECT doc_id,
+               UNNEST(list_transform({_SQL_TOKS.format(t='text')}, x -> lower(x))) AS t
+        FROM documents
+      )
+    ),
+    n AS (SELECT COUNT(DISTINCT d) AS nd FROM dt),
+    marg AS (SELECT term, COUNT(*) AS na FROM dt GROUP BY 1),
+    pairs AS (
+      SELECT x.term AS term_a, y.term AS term_b, COUNT(*) AS c
+      FROM dt x JOIN dt y ON x.d = y.d AND x.term < y.term
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT term_a, term_b, CAST(c AS BIGINT) AS n_docs_both,
+           ROUND(LN((c / CAST(nd AS DOUBLE))
+                    / ((ma.na / CAST(nd AS DOUBLE))
+                       * (mb.na / CAST(nd AS DOUBLE)))), 6) AS pmi
+    FROM pairs
+    JOIN marg ma ON ma.term = pairs.term_a
+    JOIN marg mb ON mb.term = pairs.term_b, n
+    ORDER BY n_docs_both DESC, term_a ASC, term_b ASC
+    LIMIT 20
+    """,
+)
+def q_term_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 term co-occurrence pairs by document count with PMI —
+    distinct (doc, term) before the co-keyed self-join; marginals
+    broadcast; exact counts, ln of identical doubles."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.term_pmi_topk(docs, "doc_id", "text", top_k=20)

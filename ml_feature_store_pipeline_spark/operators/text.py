@@ -1332,3 +1332,68 @@ def tfidf_doc_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def term_pmi_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 20,
+    min_pair_docs: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information of term CO-OCCURRENCE at document
+    grain — the collocation/topic-pair readout (``pmi = ln(p(a,b) /
+    (p(a)·p(b)))`` over document presence): which vocabulary pairs travel
+    together more than chance. Returns the ``top_k`` most frequent pairs
+    (ties by pair name) as (term_a, term_b, n_docs_both, pmi),
+    term_a < term_b.
+
+    Scale shape: the corpus reduces to DISTINCT (doc, term) FIRST (≤
+    |vocab| rows per doc regardless of length — the
+    :func:`~.windows.type_affinity` market-basket discipline), the pair
+    self-join is co-keyed on the doc, marginals broadcast, and top-k is
+    TakeOrderedAndProject on exact integer counts.
+
+    Exactness: counts are exact; pmi is ``ln`` of a ratio of identical
+    doubles both engines.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    dt = (
+        df.select(F.col(id_col).alias("__d"), F.explode(toks).alias("__t"))
+        .distinct()
+    )
+    n_docs = dt.select("__d").distinct().count()
+    marg = dt.groupBy(F.col("__t").alias("term_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    pairs = (
+        dt.alias("x")
+        .join(dt.alias("y"), "__d")
+        .filter(F.col("x.__t") < F.col("y.__t"))
+        .groupBy(F.col("x.__t").alias("term_a"), F.col("y.__t").alias("term_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_both"))
+        .filter(F.col("n_docs_both") >= min_pair_docs)
+    )
+    margb = marg.select(F.col("term_a").alias("term_b"), F.col("__na").alias("__nb"))
+    n = F.lit(float(n_docs))
+    scored = (
+        pairs.join(F.broadcast(marg), "term_a")
+        .join(F.broadcast(margb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "n_docs_both",
+            F.round(
+                F.log(
+                    (F.col("n_docs_both") / n)
+                    / ((F.col("__na") / n) * (F.col("__nb") / n))
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_docs_both"), F.asc("term_a"), F.asc("term_b")
+    ).limit(top_k)

@@ -179,6 +179,7 @@ R8_WINDOW_QUEUE = [
     "trimmed_mean_order_price",
     "value_gini_order_price",
     "cusum_daily_value",
+    "term_pmi_docs",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

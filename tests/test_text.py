@@ -549,3 +549,31 @@ def test_tfidf_doc_topk_max_df_cut_drops_stop_terms(spark):
     # without the cut, the stop term connects doc 0 to everything
     full = tfidf_doc_topk(docs, "doc_id", "text", [0], k=4).collect()
     assert {(r["query_id"], r["doc_id"]) for r in full} == {(0, 1), (0, 2), (0, 3)}
+
+
+def test_term_pmi_hand_computed(spark):
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.text import term_pmi_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta"),
+            (3, "alpha gamma"),
+            (4, "delta delta delta"),   # repeats collapse to presence
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["term_a"], r["term_b"]): r for r in term_pmi_topk(docs, "doc_id", "text", min_pair_docs=1).collect()}
+    n = 4
+    # (alpha, beta): c=2, df_alpha=3, df_beta=2 -> pmi = ln((2/4)/((3/4)(2/4)))
+    ab = out[("alpha", "beta")]
+    assert ab["n_docs_both"] == 2
+    assert ab["pmi"] == pytest.approx(math.log((2 / 4) / ((3 / 4) * (2 / 4))), abs=1e-6)
+    # delta pairs with nothing; presence not frequency: no (delta, delta)
+    assert not any("delta" in k for k in out)
+    # perfect co-occurrence beats partial: pmi(alpha,beta) < pmi(beta,?) ...
+    ag = out[("alpha", "gamma")]
+    assert ag["n_docs_both"] == 1
+    assert ag["pmi"] == pytest.approx(math.log((1 / 4) / ((3 / 4) * (1 / 4))), abs=1e-6)
