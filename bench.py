@@ -272,6 +272,8 @@ HEADLINE_R7 = [
     "cusum_daily_value",
     # term co-occurrence PMI (distinct-before-self-join market basket)
     "term_pmi_docs",
+    # Markov entropy rate (one lead window + |vocab|^2 table)
+    "markov_entropy_rate_events",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

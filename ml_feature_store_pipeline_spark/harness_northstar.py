@@ -5882,3 +5882,44 @@ def q_term_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; exact counts, ln of identical doubles."""
     docs = read_table(spark, sf_dir, "documents")
     return text.term_pmi_topk(docs, "doc_id", "text", top_k=20)
+
+
+@register(
+    "markov_entropy_rate_events",
+    """
+    WITH p AS (
+      SELECT event_type AS f,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS t
+      FROM events
+    ),
+    counts AS (
+      SELECT f, t, COUNT(*) AS c FROM p WHERE t IS NOT NULL GROUP BY 1, 2
+    ),
+    staged AS (SELECT f, c, SUM(c) OVER (PARTITION BY f) AS cf FROM counts),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_transitions,
+             CAST(COUNT(DISTINCT f) AS BIGINT) AS n_states,
+             CAST(SUM(CAST(cf * ROUND(-(c / cf) * LN(c / cf), 9)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS weighted
+      FROM staged
+    )
+    SELECT n_transitions, n_states,
+           ROUND(weighted / n_transitions, 6) AS entropy_rate,
+           ROUND(CASE WHEN n_states > 1
+                 THEN (weighted / n_transitions)
+                      / LN(CAST(n_states AS DOUBLE)) END, 6)
+             AS norm_entropy_rate
+    FROM agg
+    """,
+)
+def q_markov_entropy_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user next-event Markov chain — how
+    predictable the next action is given the current one; everything
+    after the lead window is |vocab|²-sized."""
+    from .operators import windows as win_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return win_ops.markov_entropy_rate(
+        events, "user_id", "ts", "event_type", tie_col="event_id"
+    )

@@ -1318,3 +1318,65 @@ def survival_curve(
     return out.select(
         F.col("t_days").cast("long"), "n_risk", "n_events", "n_censored", "survival"
     )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    token_col: str,
+    *,
+    tie_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Entropy rate of the first-order Markov chain behind
+    :func:`transition_matrix` — ``H = Σ_{s,t} (c_st/total)·(−ln(c_st/c_s·))``
+    with the EMPIRICAL from-state distribution as the weighting: how
+    predictable the next event is given the current one, in nats. One
+    row: (n_transitions, n_states, entropy_rate, norm_entropy_rate) with
+    the normalization ``/ ln(n_states)`` (NULL for a single-state chain).
+    A perfectly deterministic chain scores 0; uniform chaos scores 1.
+
+    Exactness: transition counts are exact; per-pair terms are
+    9-dp-rounded doubles summed in DECIMAL(28,9); ln on identical
+    doubles.
+
+    Scale shape: one key shuffle for the lead window, then everything on
+    the |vocab|² pair table.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = df.select(
+        F.col(token_col).alias("__f"),
+        F.lead(token_col).over(w).alias("__t"),
+    ).filter(F.col("__t").isNotNull())
+    counts = pairs.groupBy("__f", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    wfrom = Window.partitionBy("__f")
+    staged = counts.select(
+        "__f",
+        "__c",
+        F.sum("__c").over(wfrom).alias("__cf"),
+    )
+    term = F.round(
+        -(F.col("__c") / F.col("__cf")) * F.log(F.col("__c") / F.col("__cf")), 9
+    )
+    # weight each row term by its share of ALL transitions: Σ (c/total)·
+    # (−ln(c/cf)) = Σ (cf/total)·(c/cf)·(−ln(c/cf)); fold total in at the
+    # end so the decimal sum stays share-free and exact
+    agg = staged.agg(
+        F.sum("__c").cast("long").alias("n_transitions"),
+        F.countDistinct("__f").cast("long").alias("n_states"),
+        F.sum(
+            (F.col("__cf") * term).cast("decimal(28,6)")
+        ).cast("double").alias("__weighted"),
+    )
+    h = F.col("__weighted") / F.col("n_transitions")
+    norm = F.when(
+        F.col("n_states") > 1, h / F.log(F.col("n_states").cast("double"))
+    )
+    return agg.select(
+        "n_transitions",
+        "n_states",
+        F.round(h, round_digits).alias("entropy_rate"),
+        F.round(norm, round_digits).alias("norm_entropy_rate"),
+    )

@@ -180,6 +180,7 @@ R8_WINDOW_QUEUE = [
     "value_gini_order_price",
     "cusum_daily_value",
     "term_pmi_docs",
+    "markov_entropy_rate_events",
 ]
 
 def test_window_is_exactly_the_first_50_entries():

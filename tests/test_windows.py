@@ -721,3 +721,37 @@ def test_survival_curve_everyone_dies_hits_zero(spark):
     assert out[0]["n_censored"] == 1 and out[0]["n_events"] == 0
     assert out[1]["n_events"] == 2 and out[1]["n_risk"] == 2
     assert out[1]["survival"] == 0.0  # d == n_risk pins S to exactly 0
+
+
+def test_markov_entropy_rate_extremes(spark):
+    import datetime
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.windows import markov_entropy_rate
+
+    base = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    # deterministic cycle a->b->a->b: entropy rate 0
+    det = [(1, base + i * s, "a" if i % 2 == 0 else "b", i) for i in range(20)]
+    df = spark.createDataFrame(det, "user_id long, ts timestamp, event_type string, event_id long")
+    r = markov_entropy_rate(df, "user_id", "ts", "event_type", tie_col="event_id").collect()[0]
+    assert r["entropy_rate"] == 0.0 and r["norm_entropy_rate"] == 0.0
+    assert r["n_states"] == 2 and r["n_transitions"] == 19
+
+    # uniform 2-state chain: every from-state splits 50/50 -> H = ln 2, norm 1
+    uni = []
+    seq = ["a", "a", "b", "b"] * 10  # transitions: a->a, a->b, b->b, b->a equally
+    for i, t in enumerate(seq):
+        uni.append((1, base + i * s, t, i))
+    df2 = spark.createDataFrame(uni, "user_id long, ts timestamp, event_type string, event_id long")
+    r2 = markov_entropy_rate(df2, "user_id", "ts", "event_type", tie_col="event_id").collect()[0]
+    assert r2["entropy_rate"] == pytest.approx(math.log(2), abs=0.01)
+    assert r2["norm_entropy_rate"] == pytest.approx(1.0, abs=0.02)
+
+    # single state: normalization undefined
+    one = spark.createDataFrame(
+        [(1, base, "x", 0), (1, base + s, "x", 1)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    r3 = markov_entropy_rate(one, "user_id", "ts", "event_type", tie_col="event_id").collect()[0]
+    assert r3["entropy_rate"] == 0.0 and r3["norm_entropy_rate"] is None
