@@ -274,6 +274,8 @@ HEADLINE_R7 = [
     "term_pmi_docs",
     # Markov entropy rate (one lead window + |vocab|^2 table)
     "markov_entropy_rate_events",
+    # per-day per-column completeness (one conditional-sum day aggregate)
+    "completeness_by_day_events",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

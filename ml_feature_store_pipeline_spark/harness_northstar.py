@@ -5923,3 +5923,39 @@ def q_markov_entropy_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_ops.markov_entropy_rate(
         events, "user_id", "ts", "event_type", tie_col="event_id"
     )
+
+
+@register(
+    "completeness_by_day_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) AS nn_user_id,
+             CAST(COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT) AS nn_event_type,
+             CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT) AS nn_value,
+             CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS BIGINT) AS nn_props
+      FROM events GROUP BY 1
+    )
+    SELECT day, column_name, CAST(n AS BIGINT) AS n, n_null,
+           ROUND(n_null / n, 6) AS null_frac
+    FROM (
+      SELECT day, n, u.column_name, u.n_null
+      FROM daily, UNNEST([
+        struct_pack(column_name := 'user_id', n_null := nn_user_id),
+        struct_pack(column_name := 'event_type', n_null := nn_event_type),
+        struct_pack(column_name := 'value', n_null := nn_value),
+        struct_pack(column_name := 'props', n_null := nn_props)
+      ]) AS t(u)
+    )
+    """,
+)
+def q_completeness_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day per-column null fractions over the event log — the data-
+    downtime monitor; one conditional-sum day aggregate, long format on
+    the |days|-sized result."""
+    from .quality import completeness_by_day
+
+    events = read_table(spark, sf_dir, "events")
+    return completeness_by_day(
+        events, "ts", ["user_id", "event_type", "value", "props"]
+    )

@@ -522,3 +522,48 @@ def mad_outlier_profile(
             "outlier_frac"
         ),
     )
+
+
+def completeness_by_day(
+    df: DataFrame,
+    ts_col: str,
+    cols: list[str],
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-day, per-column completeness — the "data downtime" monitor: an
+    upstream producer that silently starts shipping NULLs shows up here
+    the day it breaks, long before a model degrades. One row per
+    (day, column): (day, column_name, n, n_null, null_frac). Rows with a NULL
+    timestamp are reported under a NULL day (they ARE the incident
+    sometimes).
+
+    Scale shape: ONE map-side-combinable day aggregate computing every
+    column's null count as a conditional sum (no unpivot of the fact
+    table — the explode to long format happens on the |days|-sized
+    aggregate).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).cast("long").alias(f"__nn_{c}")
+        )
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__nn_{c}").alias("n_null"),
+            )
+            for c in cols
+        ]
+    )
+    return daily.select(
+        "day", F.col("__n").alias("n"), F.explode(pairs).alias("__p")
+    ).select(
+        "day",
+        F.col("__p.column_name").alias("column_name"),
+        "n",
+        F.col("__p.n_null").alias("n_null"),
+        F.round(F.col("__p.n_null") / F.col("n"), round_digits).alias("null_frac"),
+    )

@@ -798,3 +798,26 @@ def test_cusum_matches_recursive_fold_and_detects_shift(spark):
     # alarm day consistent with the threshold
     alarm_days = [d for d, r in out.items() if r["is_alarm"]]
     assert all(expect[d] > 5 * sigma for d in alarm_days)
+
+
+def test_completeness_by_day_detects_null_burst(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.quality import completeness_by_day
+
+    d1 = datetime.datetime(2024, 6, 1, 10)
+    d2 = datetime.datetime(2024, 6, 2, 10)
+    rows = [
+        (d1, 1, "x"), (d1, 2, "y"),                 # day 1 clean
+        (d2, None, "z"), (d2, None, None), (d2, 3, "w"),  # day 2 broken
+        (None, 4, "q"),                              # NULL ts -> NULL day row
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, uid long, s string")
+    out = {
+        (r["day"].isoformat() if r["day"] else None, r["column_name"]): r
+        for r in completeness_by_day(df, "ts", ["uid", "s"]).collect()
+    }
+    assert out[("2024-06-01", "uid")]["null_frac"] == 0.0
+    assert out[("2024-06-02", "uid")]["null_frac"] == pytest.approx(2 / 3)
+    assert out[("2024-06-02", "s")]["null_frac"] == pytest.approx(1 / 3)
+    assert out[(None, "uid")]["n"] == 1  # NULL-ts rows reported, not hidden

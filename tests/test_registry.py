@@ -181,6 +181,7 @@ R8_WINDOW_QUEUE = [
     "cusum_daily_value",
     "term_pmi_docs",
     "markov_entropy_rate_events",
+    "completeness_by_day_events",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
