@@ -276,6 +276,8 @@ HEADLINE_R7 = [
     "markov_entropy_rate_events",
     # per-day per-column completeness (one conditional-sum day aggregate)
     "completeness_by_day_events",
+    # count/frequency encoding (category agg broadcast onto the scan)
+    "count_encode_event_type",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -5959,3 +5959,26 @@ def q_completeness_by_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return completeness_by_day(
         events, "ts", ["user_id", "event_type", "value", "props"]
     )
+
+
+@register(
+    "count_encode_event_type",
+    """
+    WITH counts AS (
+      SELECT event_type AS cat, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    total AS (SELECT COUNT(*) AS t FROM events)
+    SELECT e.event_id, e.event_type,
+           c.c AS event_type_count,
+           ROUND(c.c / CAST(t AS DOUBLE), 9) AS event_type_freq,
+           ROUND(LN(1.0 + c.c), 9) AS event_type_log_count
+    FROM events e
+    LEFT JOIN counts c ON e.event_type IS NOT DISTINCT FROM c.cat, total
+    """,
+)
+def q_count_encode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count/frequency encoding of event_type joined back per event —
+    one category aggregate broadcast onto the scan."""
+    events = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return fe_ops.count_encode(events, "event_type")

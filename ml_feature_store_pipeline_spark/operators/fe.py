@@ -807,3 +807,41 @@ def woe_iv(
         F.round(woe, round_digits).alias("woe"),
         F.round((p - q) * woe, round_digits).alias("iv_term"),
     )
+
+
+def count_encode(
+    df: DataFrame,
+    cat_col: str,
+    *,
+    out_prefix: str | None = None,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Count/frequency encoding of a categorical — replace the level with
+    how often it occurs (the cheapest supervision-free high-cardinality
+    encoder; tree models split on it directly). Appends
+    ``{prefix}_count``, ``{prefix}_freq`` and ``{prefix}_log_count``
+    (ln(1+count), the scale trees and linear models both tolerate);
+    NULL categories get encoded from their own (NULL-level) count —
+    missingness is signal.
+
+    Scale shape: one map-side-combinable category aggregate broadcast
+    back onto the scan — dimension-sized join, no fact shuffle.
+    """
+    p = out_prefix or cat_col
+    counts = df.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.count(F.lit(1)).cast("long").alias(f"{p}_count")
+    )
+    total = df.count()
+    enc = counts.select(
+        "__cat",
+        f"{p}_count",
+        F.round(F.col(f"{p}_count") / F.lit(float(total)), round_digits).alias(
+            f"{p}_freq"
+        ),
+        F.round(F.log(F.lit(1.0) + F.col(f"{p}_count")), round_digits).alias(
+            f"{p}_log_count"
+        ),
+    )
+    return df.join(
+        F.broadcast(enc), df[cat_col].eqNullSafe(enc["__cat"]), "left"
+    ).drop("__cat")

@@ -538,3 +538,21 @@ def test_woe_iv_empty_cell_stays_finite(spark):
     df = spark.createDataFrame(rows, "c string, y int")
     out = {r["category"]: r for r in woe_iv(df, "c", F.col("y") == 1).collect()}
     assert out["a"]["woe"] is not None and abs(out["a"]["woe"]) < 100
+
+
+def test_count_encode_null_category_is_signal(spark):
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.fe import count_encode
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None), (5, None), (6, None)],
+        "id long, c string",
+    )
+    out = {r["id"]: r for r in count_encode(df, "c").collect()}
+    assert out[1]["c_count"] == 2 and out[3]["c_count"] == 1
+    # NULL level encodes from its own count — missingness is signal
+    assert out[4]["c_count"] == 3
+    assert out[4]["c_freq"] == pytest.approx(0.5)
+    assert out[1]["c_log_count"] == pytest.approx(math.log(3), abs=1e-9)
+    assert len(out) == 6  # no row duplication or loss through the join

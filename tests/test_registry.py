@@ -182,6 +182,7 @@ R8_WINDOW_QUEUE = [
     "term_pmi_docs",
     "markov_entropy_rate_events",
     "completeness_by_day_events",
+    "count_encode_event_type",
 ]
 
 def test_window_is_exactly_the_first_50_entries():
