@@ -4762,12 +4762,15 @@ def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM keep
     ),
     g AS (
+      -- DECIMAL(38,6): the rank-product sum grows ≈ N³/3, which would
+      -- overflow DECIMAL(28,6) at ~3e7 rows (r7 ADVICE); 38,6 holds to
+      -- ~4e10 rows, matching the operator's widened accumulators
       SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(rx AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(rx * rx AS DECIMAL(28,6))) AS DOUBLE) AS qx,
-             CAST(SUM(CAST(ry AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(ry * ry AS DECIMAL(28,6))) AS DOUBLE) AS qy,
-             CAST(SUM(CAST(rx * ry AS DECIMAL(28,6))) AS DOUBLE) AS pxy
+             CAST(SUM(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS qx,
+             CAST(SUM(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS qy,
+             CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS pxy
       FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n,
@@ -4799,14 +4802,24 @@ def q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g, v, {_AVG_RANK.format(v='v')} AS r FROM keep
     ),
     sums AS (
-      SELECT g, COUNT(*) AS n,
-             CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS rs
-      FROM ranked GROUP BY g
+      -- conditional aggregation in ONE SELECT (mirrors the operator's
+      -- single conditional aggregate): always exactly one row, even when
+      -- a group is absent — the old per-group 1-row CTEs cross-joined to
+      -- ZERO rows on degenerate inputs, diverging from the operator's
+      -- documented one-row-NULL-z contract (r7 ADVICE)
+      SELECT COUNT(CASE WHEN g = 'view' THEN 1 END) AS na,
+             COALESCE(CAST(SUM(CASE WHEN g = 'view'
+                                    THEN CAST(r AS DECIMAL(28,6)) END)
+                           AS DOUBLE), 0.0) AS ra,
+             COUNT(CASE WHEN g <> 'view' THEN 1 END) AS nb,
+             COALESCE(CAST(SUM(CASE WHEN g <> 'view'
+                                    THEN CAST(r AS DECIMAL(28,6)) END)
+                           AS DOUBLE), 0.0) AS rb
+      FROM ranked
     ),
-    a AS (SELECT n AS na, rs AS ra FROM sums WHERE g = 'view'),
-    b AS (SELECT n AS nb, rs AS rb FROM sums WHERE g = 'purchase'),
     ties AS (
-      SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS tie_term
+      SELECT COALESCE(CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE),
+                      0.0) AS tie_term
       FROM (SELECT COUNT(*) AS t FROM keep GROUP BY v)
     ),
     m AS (
@@ -4816,7 +4829,7 @@ def q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
              na * nb / 2.0 AS mean_u,
              na * nb / 12.0 * (((na + nb) + 1)
                                - tie_term / ((na + nb) * ((na + nb) - 1))) AS var
-      FROM a, b, ties
+      FROM sums, ties
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            ROUND(u_a, 6) AS u_a, ROUND(u_b, 6) AS u_b,

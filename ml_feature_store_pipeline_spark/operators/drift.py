@@ -717,9 +717,11 @@ def spearman_corr(
 
     Exactness: ranks from :func:`banded_avg_rank` are half-integers, so
     the rank moments are decimal-exact; the closed form runs in identical
-    IEEE doubles both engines. Valid to ~3e8 rows before rank-product
-    sums (≈ N³) exhaust DECIMAL(28,6) — far past any population a single
-    Spearman readout should see; shard by group above that.
+    IEEE doubles both engines. The rank-product sum grows ≈ N³/3, so the
+    DECIMAL(38,6) accumulators (~1e32 of integer headroom) stay exact to
+    ~4e10 rows — far past any population a single Spearman readout
+    should see; shard by group above that. (DECIMAL(28,6) — ~1e22 —
+    would overflow at ~3e7 rows under ANSI mode, r7 ADVICE.)
 
     Scale shape: two banded rank passes (each: min/max probe + band-count
     probe + per-band window) and one combinable moment aggregate. No
@@ -730,7 +732,7 @@ def spearman_corr(
     )
     ranked = banded_avg_rank(keep, "__x", n_bands=n_bands, rank_col="__rx")
     ranked = banded_avg_rank(ranked, "__y", n_bands=n_bands, rank_col="__ry")
-    dec = lambda c: c.cast("decimal(28,6)")
+    dec = lambda c: c.cast("decimal(38,6)")
     rx, ry = F.col("__rx"), F.col("__ry")
     g = ranked.agg(
         F.count(F.lit(1)).alias("__n"),

@@ -825,17 +825,23 @@ def count_encode(
     missingness is signal.
 
     Scale shape: one map-side-combinable category aggregate broadcast
-    back onto the scan — dimension-sized join, no fact shuffle.
+    back onto the scan — dimension-sized join, no fact shuffle. The
+    denominator for ``_freq`` is the SUM of the per-category counts (a
+    1-row aggregate over the dimension-sized ``counts``, broadcast in),
+    not an eager ``df.count()`` — the old eager count charged a full
+    extra fact scan at plan-BUILD time and broke laziness (r7 ADVICE).
     """
     p = out_prefix or cat_col
     counts = df.groupBy(F.col(cat_col).alias("__cat")).agg(
         F.count(F.lit(1)).cast("long").alias(f"{p}_count")
     )
-    total = df.count()
-    enc = counts.select(
+    total = counts.agg(
+        F.sum(f"{p}_count").cast("double").alias("__total")
+    )
+    enc = counts.crossJoin(F.broadcast(total)).select(
         "__cat",
         f"{p}_count",
-        F.round(F.col(f"{p}_count") / F.lit(float(total)), round_digits).alias(
+        F.round(F.col(f"{p}_count") / F.col("__total"), round_digits).alias(
             f"{p}_freq"
         ),
         F.round(F.log(F.lit(1.0) + F.col(f"{p}_count")), round_digits).alias(

@@ -316,7 +316,16 @@ def ranking_metrics(
     q, it, rk = F.col(query_col), F.col(item_col), F.col(rank_col)
     spark = ranked.sparkSession
     term = lambda r: F.round(F.lit(1.0) / F.log2(r + F.lit(1.0)), 9)
-    rel = relevant.select(q.alias("__q"), it.alias("__i"), F.lit(1).alias("__rel"))
+    # distinct BEFORE the join and the n_rel count: a duplicated
+    # (query, item) relevance pair would otherwise fan out the left join
+    # (inflating hits and DCG) and double-count n_rel (r7 ADVICE). The
+    # dedup shuffles only the ground-truth pairs — eval-set-sized, tiny
+    # next to the ranking side.
+    rel = (
+        relevant.select(q.alias("__q"), it.alias("__i"))
+        .distinct()
+        .withColumn("__rel", F.lit(1))
+    )
     topk = ranked.filter(rk <= k).select(
         q.alias("__q"), it.alias("__i"), rk.alias("__rk")
     )

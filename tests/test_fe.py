@@ -556,3 +556,24 @@ def test_count_encode_null_category_is_signal(spark):
     assert out[4]["c_freq"] == pytest.approx(0.5)
     assert out[1]["c_log_count"] == pytest.approx(math.log(3), abs=1e-9)
     assert len(out) == 6  # no row duplication or loss through the join
+
+
+def test_count_encode_builds_lazily_no_eager_scan(spark):
+    """Plan construction must not launch a job: the _freq denominator is
+    derived from the per-category counts aggregate, not an eager
+    df.count() (r7 ADVICE — the eager count charged a full extra fact
+    scan per call at plan-BUILD time)."""
+    from ml_feature_store_pipeline_spark.operators.fe import count_encode
+
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, c string")
+    sc.setJobGroup("ce_lazy_probe", "count_encode plan build")
+    try:
+        out = count_encode(df, "c")  # build only — no action
+        assert sc.statusTracker().getJobIdsForGroup("ce_lazy_probe") == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # and the derived denominator still yields the same frequencies
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["c_freq"] == pytest.approx(2 / 3)
+    assert got[3]["c_freq"] == pytest.approx(1 / 3)

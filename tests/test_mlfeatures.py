@@ -231,3 +231,23 @@ def test_roc_auc_known_values(spark):
     # single-class input -> NULL
     one = spark.createDataFrame([(0.5, 1)], "s double, y int")
     assert roc_auc(one, "s", F.col("y") == 1).collect()[0]["auc"] is None
+
+
+def test_ranking_metrics_duplicate_relevance_pairs_are_deduped(spark):
+    """Duplicate (query, item) ground-truth rows must not fan out the
+    join (inflating hits/DCG) or double-count n_rel (r7 ADVICE)."""
+    from ml_feature_store_pipeline_spark.operators.mlfeatures import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2)],
+        "query_id string, item_id string, rank int",
+    )
+    rel = spark.createDataFrame(
+        [("q1", "a")] * 3 + [("q1", "c")] * 2,
+        "query_id string, item_id string",
+    )
+    r = ranking_metrics(ranked, rel, k=2).collect()[0]
+    assert r["n_rel"] == 2  # {a, c}, not 5
+    assert r["hits"] == 1   # a retrieved once, not 3×
+    assert r["precision_at_k"] == pytest.approx(0.5)
+    assert r["recall_at_k"] == pytest.approx(0.5)

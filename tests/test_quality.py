@@ -821,3 +821,26 @@ def test_completeness_by_day_detects_null_burst(spark):
     assert out[("2024-06-02", "uid")]["null_frac"] == pytest.approx(2 / 3)
     assert out[("2024-06-02", "s")]["null_frac"] == pytest.approx(1 / 3)
     assert out[(None, "uid")]["n"] == 1  # NULL-ts rows reported, not hidden
+
+
+def test_mann_whitney_oracle_matches_operator_on_degenerate_group(spark):
+    """The registered DuckDB oracle must agree with the operator when one
+    group is ABSENT: one row, nb=0, z NULL (r7 ADVICE — the old
+    per-group 1-row CTEs cross-joined to zero rows)."""
+    import duckdb
+
+    from ml_feature_store_pipeline_spark.harness import oracle_registry
+    from ml_feature_store_pipeline_spark.operators.drift import mann_whitney_u
+
+    rows = [("view", 1.0), ("view", 2.0), ("view", 2.0)]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    got = con.sql(oracle_registry()["mann_whitney_view_purchase"]).fetchall()
+    assert len(got) == 1  # the one-row contract, even with no 'purchase'
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    want = mann_whitney_u(df, "event_type", "value", "view", "purchase").collect()[0]
+    o = dict(zip(("n_a", "n_b", "u_a", "u_b", "z"), got[0]))
+    assert (o["n_a"], o["n_b"]) == (want["n_a"], want["n_b"]) == (3, 0)
+    assert o["u_a"] == want["u_a"] and o["u_b"] == want["u_b"] == 0.0
+    assert o["z"] is None and want["z"] is None
