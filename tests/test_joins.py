@@ -358,3 +358,26 @@ def test_pagerank_matches_unrolled_oracle(spark):
     sql = pagerank_sql("SELECT a, b FROM e", "a", "b", iterations=7)
     want = {int(n): float(r) for n, r in con.sql(sql).fetchall()}
     assert got == want
+
+
+def test_pagerank_copartitioned_path_bit_exact_and_no_edge_exchange(spark):
+    """Forcing the large-graph co-partitioned pin (edges_per_partition
+    small enough that n_part > 1) must (a) reproduce the gated small-
+    graph path's ranks bit-for-bit and (b) never re-exchange the pinned
+    edge or degree tables inside the iteration loop — the whole point of
+    the AQE-off hash(s) pin. The |nodes|-sized rank table MAY re-exchange
+    (dimension-sized, cheap by construction)."""
+    import re
+
+    from ml_feature_store_pipeline_spark.operators.graph import pagerank
+
+    rows = [(i, (i * 7 + 1) % 50) for i in range(200)]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    plain = {r["node"]: r["rank"] for r in pagerank(edges, "a", "b", iterations=5).collect()}
+    forced_df = pagerank(edges, "a", "b", iterations=5, edges_per_partition=50)
+    forced = {r["node"]: r["rank"] for r in forced_df.collect()}
+    assert forced == plain
+    plan = forced_df._jdf.queryExecution().executedPlan().toString()
+    # edge scans are ExistingRDD[s#N, d#N]; degree scans ExistingRDD[s#N, deg#N]
+    edge_or_deg_scan = r"Exchange[^\n]*\n\s*\+- Scan ExistingRDD\[s#\d+L?,(d|deg)#\d+L?\]"
+    assert not re.search(edge_or_deg_scan, plan), plan
