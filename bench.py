@@ -3,6 +3,21 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}. Each query is fully materialized
 via the no-op sink (computes everything, collects nothing to the driver).
+
+Two r7-verdict provisions against silent measurement corruption:
+
+- **Contention sentinel**: a fixed calibration query (sum over
+  ``spark.range(5e7)``, best-of-2) is timed before the suite and emitted
+  as ``sentinel_sec`` alongside ``loadavg_start``/``loadavg_end``. The
+  sentinel's cost is data-independent, so a round whose sentinel is 2×
+  another round's measured the BOX, not the engine — r7's driver numbers
+  were +35-46% on identical untouched queries (box contention) and cost a
+  full idle re-bench to disprove. Compare sentinels before comparing
+  query totals.
+- **Full-line persistence**: the driver's BENCH_r{N}.json keeps only a
+  2000-char tail, which destroyed r6's totals. The complete JSON line is
+  therefore also written to ``BENCH_r{N:02d}_full.json`` next to this
+  script (N inferred as max existing BENCH_r* round + 1).
 """
 
 from __future__ import annotations
@@ -303,6 +318,31 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _next_round() -> int:
+    """Infer the current round as max(BENCH_r{N}*.json) + 1 — the driver
+    writes BENCH_r{N}.json AFTER running this script, so the max on disk
+    is the previous round."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)(?:_full)?\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _sentinel_sec(spark) -> float:
+    """Fixed data-independent calibration query, best-of-2: ~0.1-0.3 s on
+    an idle local[32] box; scales with box contention, not with the
+    engine under test."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id) AS s").collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -331,6 +371,9 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    sentinel = _sentinel_sec(spark)
+
     # best-of-2 per query: the second run reuses compiled codegen and the
     # page cache, so min() reports steady-state engine time instead of
     # whichever run a noisy neighbor landed on. Both runs materialize fully.
@@ -345,12 +388,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "sentinel_sec": sentinel,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "queries": timings,
                 "r01_subset_total": round(sum(timings[n] for n in HEADLINE), 3),
                 "r02_headline_total": round(
@@ -380,7 +425,13 @@ def main() -> None:
                 "sf": sf,
             }
         )
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_r{_next_round():02d}_full.json",
     )
+    with open(full_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":
