@@ -45,86 +45,82 @@ def _ensure_loaded() -> None:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries, so the
-# registry is emitted in an explicit priority order. Round-7 rotation (the
-# r6 verdict's item 2): the r6 window was a verbatim re-run of r5's, so 37
-# queries' most recent DRIVER green aged to round ≤3 (3 from r2, 34 from
-# r3 — the full list reconstructed from CORRECTNESS_r0{1..6}.json). This
-# window is exactly those 37, oldest signal first, plus 13 anchors: the
-# flagship, every query whose code path round 7 touched (quantization
-# Arrow registration, SemDeDup auto-tune, vectorized video fold,
-# ewma guard, dense_index checkpoint gating behind index_encode /
-# negative_sample, the NEW serving_parity_audit), and the streaming-twin /
-# multimodal family representatives riding those same files. After
-# CORRECTNESS_r07, no registry query's latest driver green predates r6.
+# registry is emitted in an explicit priority order. Round-8 rotation (the
+# r7 verdict's item 1): 90 registry queries — every r6/r7 registration —
+# had never produced a driver-green row; the r7 verdict pinned them in
+# R8_WINDOW_QUEUE (registration order, oldest local verification first)
+# and mandated the r8 window rotate onto that queue with registrations
+# frozen. This window is the queue's first 45 plus the FIVE queue members
+# whose code round 8 touched (r7 ADVICE fixes + the PageRank
+# co-partitioned pin) pulled forward — a changed query's pending local
+# verification is stale, so it outranks queue order (the same rule the r7
+# rotation applied to its changed-code anchors):
+#   part_pagerank_top20        — size-gated co-partitioned edge pin
+#   spearman_price_quantity    — DECIMAL(38,6) rank-moment accumulators
+#   mann_whitney_view_purchase — one-SELECT conditional-aggregation oracle
+#   ranking_metrics_label_topk — relevance-pair dedup before the join
+#   count_encode_event_type    — lazy total derived from the counts agg
+# The five displaced queue names (hourly_seasonality_events,
+# daily_anomaly_profile_events, referential_integrity_lineitem_orders,
+# welch_ttest_view_purchase, conversion_latency_view_purchase) lead
+# tests/test_registry.py::R9_WINDOW_QUEUE (40 names) for the r9 window.
+# Every name here passed tools/verify_oracle.py at sf0.01 (the driver's
+# gate) this round — the five changed names at all three SFs — on top of
+# their round-7 3-SF verification; every query NOT in this window keeps
+# its r4-r7 driver green on code untouched since.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # last driver-green in ROUND 2 — the oldest hard signal, first
-    "embedding_near_dup",
-    "sample_events_10pct",
-    "train_test_split_counts",
-    # last driver-green in ROUND 3 (registry order)
-    "minhash_signatures",
-    "ivf_ann_topk",
-    "repetition_stats_docs",
-    "sliding_window_counts",
-    "dedup_survivors_docs",
-    "stratified_sample_counts",
-    "key_skew_profile_events",
-    "interval_join_price_buckets",
-    "tfidf_terms_docs",
-    "scd2_event_type_history",
-    "pit_scd2_orders_state",
-    "embedding_norm_stats",
-    "token_histogram_docs",
-    "kmv_distinct_orderkeys",
-    "weighted_sample_events",
-    "incremental_user_value_stats",
-    "near_dup_edit_distance",
-    "hist_quantile_prices",
-    "cms_heavy_hitters_events",
-    "cube_orders",
-    "tpch_q4_like",
-    "tpch_q18_like",
-    "tpch_q14",
-    "tpch_q7_like",
-    "tpch_q15_like",
-    "tpch_q19_like",
-    "filter_in_list",
-    "lineitem_quartiles",
-    "events_per_type",
-    "distinct_parts_per_flag",
-    "revenue_by_region",
-    "quartiles_by_priority",
-    "top3_orders_per_priority",
-    "distinct_users_per_type_2stage",
-    # flagship anchor
-    "user_features",
-    # r7-CHANGED previously-green queries: their old driver greens verified
-    # code that no longer exists (Arrow quantization twin, SemDeDup
-    # auto-tune, vectorized video fold, ewma runtime guard, dense_index
-    # checkpoint pin), so a fresh hard row outranks a never-checked new
-    # registration that carries this session's 3-SF local verification
-    "embedding_quantization_stats",
-    "semantic_dedup_embeddings",
-    "video_vhash_dup_groups",
-    "ewma_user_spend_prior",
-    "negative_sample_pairs",
-    # r7 NEW registrations, 7 of 27 (the window holds 50; the stale-37
-    # commitment from the r6 verdict binds first). Chosen for operator-risk
-    # and family diversity: the store-parity audit, the two cleverest
-    # equivalence claims (DSIR decimal-exact weights + Gumbel ranking;
-    # banded prefix sum = global window), chunk dedup + reassembly, the
-    # LSH-candidates kNN label audit, the Gopher rule filter, and the
-    # multi-epoch mixture plan. The other 20 r7 registrations — pinned in
-    # tests/test_registry.py::R8_WINDOW_QUEUE — all passed
-    # tools/verify_oracle.py at sf0.001 / 0.01 / 0.1 this round and rotate
-    # into the r8 window.
-    "serving_parity_audit",
-    "dsir_select_docs",
-    "budget_select_docs",
-    "chunk_dedup_docs",
-    "knn_label_audit",
-    "gopher_filter_docs",
-    "mixture_epochs_docs",
+    # R8_WINDOW_QUEUE[0:45] — registration order, oldest verification first
+    "table_profile_orders_approx",
+    "ml_quality_filter_docs",
+    "semantic_decontaminate_embeddings",
+    "training_shard_stats",
+    "dedup_survivors_priority_docs",
+    "hard_negative_pairs",
+    "prototypicality_scores",
+    "vocab_coverage_docs",
+    "quality_calibrated_docs",
+    "source_overlap_docs",
+    "bpe_token_stats_docs",
+    "bpe_pair_stats_docs",
+    "quality_calibrated_sketch_docs",
+    "funnel_view_click_purchase",
+    "trend_slope_user_value",
+    "cohort_retention_weekly",
+    "random_projection_embeddings",
+    "mmr_rerank_embeddings",
+    "maxsim_multivector_topk",
+    "event_type_affinity",
+    "corpus_duplication_rate_docs",
+    "zipf_fit_docs",
+    "active_users_daily",
+    "rfm_segments",
+    "touch_attribution_events",
+    "interpurchase_gaps",
+    "k_anonymity_events",
+    "resample_ffill_user_value",
+    "session_stats_events",
+    "session_window_agg_events",
+    "session_trigrams_events",
+    "user_event_entropy",
+    "benford_orders_totalprice",
+    "ohlc_user_value_daily",
+    "kmv_user_overlap_view_purchase",
+    "weighted_median_price_by_flag",
+    "l_diversity_events",
+    "part_copurchase_lift",
+    "event_transition_matrix",
+    "key_skew_gini_events",
+    "event_value_mutual_info",
+    "weighted_median_price_hist",
+    "pq_ann_topk",
+    "active_users_hll_daily",
+    "daily_value_percentiles",
+    # queue members whose code ROUND 8 changed — pulled forward
+    "part_pagerank_top20",
+    "spearman_price_quantity",
+    "mann_whitney_view_purchase",
+    "ranking_metrics_label_topk",
+    "count_encode_event_type",
 )
 
 

@@ -1,12 +1,13 @@
 """Driver-window invariants: the driver hash-verifies only the FIRST 50
-``queries()`` entries, so the registry order is load-bearing. Round-7
-rotation (VERDICT r6 item 2): the r6 window re-ran r5's verbatim, so the
-window must now contain every query whose most recent driver-green row is
-round 3 or older (the aging hard signal, reconstructed from
-CORRECTNESS_r0{1..6}.json), plus the flagship and every query whose code
-path round 7 touched (streaming-adjacent twins, the vectorized multimodal
-stack, quantization Arrow registration, SemDeDup auto-tune, ewma guard,
-dense_index gating, and the new serving-parity audit)."""
+``queries()`` entries, so the registry order is load-bearing. Round-8
+rotation (VERDICT r7 item 1): 90 registry queries — every r6/r7
+registration — had never produced a driver-green row; R8_WINDOW_QUEUE
+below pins them in registration order (oldest local verification first).
+The r8 window is the queue's first 45 plus the five queue members whose
+code round 8 changed (CHANGED_IN_R8, pulled forward because a changed
+query's pending verification is stale); the five displaced names lead
+R9_WINDOW_QUEUE for the next rotation. Registrations are frozen this
+round (VERDICT r7 item 2), so the queue shrinks 90 → 40."""
 
 from __future__ import annotations
 
@@ -16,80 +17,10 @@ from ml_feature_store_pipeline_spark.harness import (
     query_registry,
 )
 
-# Last driver-green row is round 2 (these three yielded r5-window slots to
-# round-5 registrations and aged another two rounds — oldest signal first).
-LAST_GREEN_LE_R2 = [
-    "embedding_near_dup",
-    "sample_events_10pct",
-    "train_test_split_counts",
-]
-
-# Last driver-green row is round 3 (34 queries; the r4 window spent its
-# slots on first-time verifications, and r5/r6 repeated one fixed window).
-LAST_GREEN_R3 = [
-    "minhash_signatures",
-    "ivf_ann_topk",
-    "repetition_stats_docs",
-    "sliding_window_counts",
-    "dedup_survivors_docs",
-    "stratified_sample_counts",
-    "key_skew_profile_events",
-    "interval_join_price_buckets",
-    "tfidf_terms_docs",
-    "scd2_event_type_history",
-    "pit_scd2_orders_state",
-    "embedding_norm_stats",
-    "token_histogram_docs",
-    "kmv_distinct_orderkeys",
-    "weighted_sample_events",
-    "incremental_user_value_stats",
-    "near_dup_edit_distance",
-    "hist_quantile_prices",
-    "cms_heavy_hitters_events",
-    "cube_orders",
-    "tpch_q4_like",
-    "tpch_q18_like",
-    "tpch_q14",
-    "tpch_q7_like",
-    "tpch_q15_like",
-    "tpch_q19_like",
-    "filter_in_list",
-    "lineitem_quartiles",
-    "events_per_type",
-    "distinct_parts_per_flag",
-    "revenue_by_region",
-    "quartiles_by_priority",
-    "top3_orders_per_priority",
-    "distinct_users_per_type_2stage",
-]
-
-# Round-7 anchor slots (50 − 37 stale − 1 flagship = 12). Priority: the
-# five r7-CHANGED previously-green queries (their old driver rows verified
-# code that no longer exists), then 7 of the 17 r7-new registrations chosen
-# for operator risk + family diversity. The 10 new registrations that did
-# not fit all passed tools/verify_oracle.py at sf0.001/0.01/0.1 in round 7
-# and rotate into the r8 window.
-CHANGED_OR_NEW_IN_R7 = [
-    "embedding_quantization_stats",   # registered query now runs the Arrow twin
-    "semantic_dedup_embeddings",      # auto-tuned n_cells + oracle cell-count rule
-    "video_vhash_dup_groups",         # batched pHash + majority fold + repartition
-    "ewma_user_spend_prior",          # runtime span/half-life guard in the expression
-    "negative_sample_pairs",          # dense_index checkpoint gating + lazy persist
-    "serving_parity_audit",           # NEW: store-lifecycle parity audit
-    "dsir_select_docs",               # NEW: DSIR decimal-exact weights + Gumbel top-k
-    "budget_select_docs",             # NEW: banded prefix sum = global-window claim
-    "chunk_dedup_docs",               # NEW: chunk dedup + doc reassembly
-    "knn_label_audit",                # NEW: kNN label-consistency audit
-    "gopher_filter_docs",             # NEW: Gopher rule filter
-    "mixture_epochs_docs",            # NEW: multi-epoch data mixture
-]
-
-# r7-new registrations awaiting their first driver row in the r8 window —
-# each locally 3-SF oracle-verified in round 7 (pinned here so the r8
-# rotation has its queue in code, not in a doc). The queue now exceeds one
-# 50-slot window: r8 should take them IN THIS ORDER (registration order,
-# oldest verification first) plus its own anchors, and roll the remainder
-# to r9 — the same aging discipline the r7 rotation applied.
+# The 90 r6/r7 registrations that entered round 8 without a driver-green
+# row, in registration order (oldest local verification first) — the r7
+# verdict's rotation queue, kept verbatim as the provenance record from
+# which the r8 window and the r9 queue both derive.
 R8_WINDOW_QUEUE = [
     "table_profile_orders_approx",
     "ml_quality_filter_docs",
@@ -197,18 +128,39 @@ def test_every_window_entry_has_an_oracle():
     assert missing == []
 
 
-def test_round7_rotation_policy_is_in_window():
-    for group in (LAST_GREEN_LE_R2, LAST_GREEN_R3, CHANGED_OR_NEW_IN_R7):
-        out = [n for n in group if n not in DRIVER_WINDOW]
-        assert out == []
-    # oldest hard signal first: the three round-2-only greens lead
-    assert list(DRIVER_WINDOW[:3]) == LAST_GREEN_LE_R2
-    # the 37 stale queries fill the front of the window before the anchors
-    assert set(DRIVER_WINDOW[:37]) == set(LAST_GREEN_LE_R2 + LAST_GREEN_R3)
-    # the r8 queue is disjoint from the window and fully registered+oracled
-    assert not set(R8_WINDOW_QUEUE) & set(DRIVER_WINDOW)
+# Queue members whose code round 8 touched (r7 ADVICE fixes + the
+# PageRank co-partitioned pin) — pulled to the window ahead of queue
+# order because their round-7 local verification no longer covers the
+# shipped code.
+CHANGED_IN_R8 = [
+    "part_pagerank_top20",
+    "spearman_price_quantity",
+    "mann_whitney_view_purchase",
+    "ranking_metrics_label_topk",
+    "count_encode_event_type",
+]
+
+_R8_FRONT = [n for n in R8_WINDOW_QUEUE if n not in CHANGED_IN_R8][:45]
+
+# The r9 rotation queue: the five names the changed-code pulls displaced,
+# then the rest of R8_WINDOW_QUEUE in order. All 40 were 3-SF locally
+# verified in r7 (and any the r8 round touches get re-verified + pulled).
+R9_WINDOW_QUEUE = [
+    n for n in R8_WINDOW_QUEUE if n not in _R8_FRONT and n not in CHANGED_IN_R8
+]
+
+
+def test_round8_rotation_policy_is_the_window():
+    assert list(DRIVER_WINDOW) == _R8_FRONT + CHANGED_IN_R8
+    # every window name comes from the never-driver-checked queue — the
+    # r7 verdict's "Done" criterion for the rotation
+    assert set(DRIVER_WINDOW) <= set(R8_WINDOW_QUEUE)
+    # the r9 queue is exactly the 40 queue names the window left behind
+    assert len(R9_WINDOW_QUEUE) == 40
+    assert not set(R9_WINDOW_QUEUE) & set(DRIVER_WINDOW)
+    assert set(R9_WINDOW_QUEUE) | set(DRIVER_WINDOW) == set(R8_WINDOW_QUEUE)
     oracles = oracle_registry()
-    assert all(n in oracles for n in R8_WINDOW_QUEUE)
+    assert all(n in oracles for n in R9_WINDOW_QUEUE)
 
 
 def test_every_oracle_has_a_query():
