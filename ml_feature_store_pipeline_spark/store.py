@@ -320,7 +320,17 @@ class FeatureStore:
         re-running after a fix re-checks the SAME entities. Returns
         ``{"version", "checked", "mismatches": [user_id, ...]}`` —
         empty mismatches is the pass condition. Driver cost is bounded by
-        ``sample_size`` (one N-row collect + N dict lookups)."""
+        ``sample_size`` (one N-row collect + N dict lookups).
+
+        Staleness SLA: with ``version=None`` the audit resolves and
+        checks the CURRENT latest version. The reference's TTL cache
+        serves a superseded version's frames for up to 3600 s (reference
+        `:350,412` — entries expire only by TTL); here that window is
+        ZERO because the serving index is version-scoped and
+        ``latest_version()`` is never cached — a stale index can only be
+        served if it is planted under the new version's key, which this
+        audit detects as a full-sample mismatch
+        (``test_serving_parity_audit_detects_stale_cache_epoch``)."""
         version = version or self.latest_version()
         if version is None:
             return {"version": None, "checked": 0, "mismatches": []}

@@ -362,3 +362,46 @@ def test_serving_parity_audit(spark, tmp_path):
     # resample the SAME deterministic keys; only flag if victim is sampled
     report2 = store.validate_serving_parity(version, sample_size=25)
     assert victim in report2["mismatches"]
+
+
+def test_serving_parity_audit_detects_stale_cache_epoch(spark, tmp_path):
+    """r7 verdict item 7 — the stale-cache epoch. The reference's TTL
+    cache serves a version's frames for up to 3600 s after a NEWER
+    version registers (reference `ML Feature Store Pipeline.py:350,412`:
+    cached reads are keyed without latest-resolution and expire only by
+    TTL). This store's staleness SLA is ZERO for latest-serving: the
+    serving index is VERSION-scoped and latest_version() is never
+    cached, so a new registration is served immediately even while the
+    old version's index is live in the cache. Prove the SLA, then
+    simulate the reference's failure mode (the old index smuggled under
+    the new version's key — what any non-version-scoped cache does) and
+    show the parity audit detects and quantifies that epoch."""
+    from ml_feature_store_pipeline_spark.cache import cache_key
+
+    store = FeatureStore(spark, str(tmp_path / "fs_stale"))
+    df1 = spark.createDataFrame(
+        [(i, float(i) + 1.0) for i in range(20)], "user_id long, spend double"
+    )
+    v1 = store.register_features(df1, _meta("epoch v1"))
+    assert store.serve_features(3)["spend"] == 4.0  # builds + caches v1 index
+
+    df2 = spark.createDataFrame(
+        [(i, (float(i) + 1.0) * 10) for i in range(20)], "user_id long, spend double"
+    )
+    v2 = store.register_features(df2, _meta("epoch v2"))
+
+    # zero-staleness SLA: latest serving reflects v2 IMMEDIATELY, even
+    # though v1's index is still live in the cache (TTL 3600 untouched)
+    assert store.serve_features(3)["spend"] == 40.0
+    assert store.cache.get(cache_key(v1) + "_serving_index") is not None
+    report = store.validate_serving_parity(sample_size=10)  # audits latest
+    assert report["version"] == v2 and report["mismatches"] == []
+
+    # the reference's stale epoch, reproduced: v1 bytes under v2's key
+    stale = store.cache.get(cache_key(v1) + "_serving_index")
+    store.cache.set(cache_key(v2) + "_serving_index", stale)
+    report2 = store.validate_serving_parity(sample_size=20)
+    # every sampled entity serves version-v1 bytes → the audit quantifies
+    # the epoch as a full-sample mismatch, not a silent pass
+    assert report2["version"] == v2
+    assert len(report2["mismatches"]) == report2["checked"] == 20
