@@ -43,7 +43,7 @@ def pagerank(
     iterations: int = 10,
     damping_pct: int = 85,
     checkpoint_every: int = 4,
-    edges_per_partition: int = 8_000_000,
+    edges_per_partition: int | None = None,
 ) -> DataFrame:
     """Undirected PageRank over an edge list (multi-edges collapse; each
     edge contributes both directions). Returns (node, rank) with SCALED
@@ -54,6 +54,23 @@ def pagerank(
     the fixed-point step is ``rank' = (100−d)·UNIT/100 + (d · Σ_in
     ⌊rank/deg⌋) div 100``, all in longs, exact on any engine.
     Undirected ⇒ no dangling nodes ⇒ no dangling-mass term.
+
+    ``edges_per_partition`` opts into the CO-PARTITIONED edge pin for
+    multi-node clusters (see the mechanics note below): the pinned edge
+    and degree tables are hash(s)-partitioned into
+    ⌈und_edges / edges_per_partition⌉ partitions so no iteration
+    re-exchanges them — at the price of one up-front edge shuffle and a
+    statically planned loop. Default None keeps the plain AQE loop,
+    which WON every local measurement (2M edges: 9.2 s vs 10.7-16.5 s;
+    20M edges: 102.6 s vs 119-135 s): in one JVM a shuffle is a local
+    memory/disk copy, so eliminating the per-iteration edge exchange
+    buys less than AQE's runtime re-planning. On a 1000-executor
+    cluster that same exchange crosses the NETWORK ~iterations× on the
+    fact-sized table — the regime the opt-in exists for (pick
+    edges_per_partition ≈ a few million: at least cores partitions,
+    ≤ ~128 MB of long pairs each). Both paths are bit-identical
+    (equivalence-tested) and the co-partitioned plan shape — zero
+    exchanges above the pinned scans — is pinned in test_joins.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be an integer in (0, 100)")
@@ -67,42 +84,27 @@ def pagerank(
     )
     # pin the (possibly expensive) edge derivation ONCE — lazily it
     # re-executes inside every iteration's plan (measured 24 s → the pin
-    # removes 10 recomputes of an 800k-edge self-join at sf0.1) — then
-    # RE-pin it hash(s)-partitioned so the in-loop edge⋈rank and
-    # edge⋈degree joins reuse that partitioning across all iterations
-    # instead of re-exchanging the EDGE table (the fact-sized side)
-    # every iteration. What still shuffles per iteration is the
-    # contribution transpose s→d (unavoidable) and the |nodes|-sized
-    # rank table — dimension-sized by construction.
-    #
-    # Mechanics (all measured on the executed plan / wall clock):
-    # - n_part is sized from the pinned edge count (the count is a
-    #   metadata fold over already-materialized blocks), the dense_index
-    #   recipe: ⌈und_edges / edges_per_partition⌉, capped at 2048; the
-    #   8M default keeps a partition at ~128 MB of long-pair edges.
-    # - SIZE GATE: when n_part == 1 the co-partitioned pin is SKIPPED
-    #   and the loop runs on the plain pinned table under AQE, which
-    #   dynamically coalesces/broadcasts the tiny per-iteration shuffles
-    #   — measured 9.2 s vs 10.7-16.5 s for every static co-partitioned
-    #   variant at sf0.1's 1.6M-edge graph, where task-scheduling
-    #   overhead dominates and shuffling 1.6M ids is free. The
-    #   co-partitioned path exists for the regime where it matters:
-    #   ≥ edges_per_partition edges, where re-exchanging the fact-sized
-    #   edge table 10× IS the job's cost. (Same discipline as dedup's
-    #   size-gated driver union-find — each regime gets the plan that
-    #   wins there, and the small-graph test forces the big-graph path
-    #   via edges_per_partition to keep it bit-exact and plan-shaped.)
-    # - the partitioned re-pin runs with AQE OFF: under an adaptive
-    #   plan, localCheckpoint's LogicalRDD records UNKNOWN output
-    #   partitioning (it is only final after runtime re-planning), so
-    #   every consumer would re-exchange the pinned table, which
-    #   defeats the point.
-    # The first pin's blocks stay resident behind the second (freed with
-    # the session) — transient 2× edge storage, the price of sizing
-    # n_part without recomputing the edge derivation.
+    # removes 10 recomputes of an 800k-edge self-join at sf0.1).
     und = und.localCheckpoint()
-    n_part = max(1, min(2048, -(-und.count() // edges_per_partition)))
-    if n_part > 1:
+    if edges_per_partition is not None:
+        # CO-PARTITIONED opt-in (see the docstring's trade note): re-pin
+        # the edge table hash(s)-partitioned and derive degrees on the
+        # same partitioning, so no iteration re-exchanges either — what
+        # still shuffles per iteration is the contribution transpose s→d
+        # (unavoidable) and the |nodes|-sized rank table. Mechanics:
+        # - n_part = ⌈und_edges / edges_per_partition⌉ (the count is a
+        #   metadata fold over already-materialized blocks), capped 2048.
+        # - the re-pin runs with AQE OFF: under an adaptive plan,
+        #   localCheckpoint's LogicalRDD records UNKNOWN output
+        #   partitioning (it is only final after runtime re-planning),
+        #   so every consumer would re-exchange the pinned table, which
+        #   defeats the point. Measured on the executed plan: the AQE-off
+        #   pin is what removes the per-iteration edge exchange (zero
+        #   exchanges above the pinned scans — pinned in test_joins).
+        # - the first pin's blocks stay resident behind the second
+        #   (freed with the session) — transient 2× edge storage, the
+        #   price of sizing n_part without recomputing the derivation.
+        n_part = max(1, min(2048, -(-und.count() // edges_per_partition)))
         spark = edges.sparkSession
         aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")

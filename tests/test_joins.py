@@ -361,12 +361,12 @@ def test_pagerank_matches_unrolled_oracle(spark):
 
 
 def test_pagerank_copartitioned_path_bit_exact_and_no_edge_exchange(spark):
-    """Forcing the large-graph co-partitioned pin (edges_per_partition
-    small enough that n_part > 1) must (a) reproduce the gated small-
-    graph path's ranks bit-for-bit and (b) never re-exchange the pinned
-    edge or degree tables inside the iteration loop — the whole point of
-    the AQE-off hash(s) pin. The |nodes|-sized rank table MAY re-exchange
-    (dimension-sized, cheap by construction)."""
+    """The opt-in co-partitioned pin (edges_per_partition set) must
+    (a) reproduce the default plain-loop ranks bit-for-bit and (b) never
+    re-exchange the pinned edge or degree tables inside the iteration
+    loop — the whole point of the AQE-off hash(s) pin. The |nodes|-sized
+    rank table MAY re-exchange (dimension-sized, cheap by
+    construction)."""
     import re
 
     from ml_feature_store_pipeline_spark.operators.graph import pagerank

@@ -144,7 +144,7 @@ EVENT_OPS = (
     "copurchase transition_matrix gini_skew mutual_info hll_actives "
     "daily_percentiles seasonality anomaly_profile welch_ttest "
     "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank "
-    "triangles "
+    "pagerank_copart triangles "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
     "woe_iv chi2 survival bootstrap cuped did_estimate seasonal "
     "trimmed_mean value_gini cusum"
@@ -157,7 +157,7 @@ DOC_OPS = (
     "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64 "
     "quality_classifier training_shards mixture_epochs priority_survivors "
     "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup "
-    "bpe_stats bpe_pairs bpe_train sketch_calibrate bm25 tfidf_doc_topk"
+    "bpe_stats bpe_pairs bpe_train bpe_encode sketch_calibrate bm25 tfidf_doc_topk"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
@@ -1184,6 +1184,35 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             log("pagerank_10iter_2m_edges", time.time() - t0, 2_000_000 * 10)
+        if events is not None and want("pagerank_copart"):
+            from ml_feature_store_pipeline_spark.operators import graph as _graph
+
+            # the plain-vs-co-partitioned trade, made measurable: the
+            # SAME 20M-edge graph through (a) the default plain-AQE loop
+            # (edge table re-exchanged every iteration — all local
+            # copies in one JVM) and (b) the opt-in co-partitioned
+            # hash(s) pin at full 32-way parallelism (edge table
+            # exchanged once). Locally (a) wins — shuffle never crosses
+            # a network — which is WHY plain is the default; the row
+            # documents the opt-in's cost model for cluster deployments.
+            big_edges = spark.range(20_000_000).select(
+                (F.xxhash64("id") % 2_000_000).alias("a"),
+                (F.xxhash64("id", F.lit(1)) % 200_000).alias("b"),
+            ).filter(F.col("a") != F.col("b"))
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _graph.pagerank(big_edges, "a", "b", iterations=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            log("pagerank_20m_edges_plain_aqe", time.time() - t0, 20_000_000 * 10)
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _graph.pagerank(
+                big_edges, "a", "b", iterations=10, edges_per_partition=1_250_000
+            ).write.format("noop").mode("overwrite").save()
+            log("pagerank_20m_edges_copartitioned", time.time() - t0, 20_000_000 * 10)
         if events is not None and want("triangles"):
             from ml_feature_store_pipeline_spark.operators import graph as _graph
 
@@ -1401,6 +1430,25 @@ def main() -> None:
                 "overwrite"
             ).save()
             log("bpe_train_4merges", time.time() - t0, args.docs)
+        if docs is not None and want("bpe_encode"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # serving half of BPE: learn 4 merges once on a bounded slice
+            # (the merge table is plan literals — training scale is
+            # bpe_train's row, not this one), then ONE fold-chained
+            # projection pass over the FULL corpus — encode must not
+            # inherit training's per-merge scans
+            merges = [
+                (r["left"], r["right"], r["merged"])
+                for r in _text.bpe_train(
+                    docs.limit(100_000), "text", n_merges=4
+                ).collect()
+            ]
+            timed(
+                "bpe_encode_4merges",
+                _text.bpe_encode_stats(docs, "doc_id", "text", merges),
+                args.docs,
+            )
         if docs is not None and want("bm25"):
             from ml_feature_store_pipeline_spark.operators import text as _text
 
