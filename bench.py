@@ -319,14 +319,17 @@ def materialize(df) -> None:
 
 
 def _next_round() -> int:
-    """Infer the current round as max(BENCH_r{N}*.json) + 1 — the driver
-    writes BENCH_r{N}.json AFTER running this script, so the max on disk
-    is the previous round."""
+    """Infer the current round as max(driver-written BENCH_r{N}.json) + 1
+    — the driver records that file AFTER running this script, so the max
+    on disk is the previous round. Our own BENCH_r{N}_full.json artifacts
+    are EXCLUDED: counting them made a second bench run within one round
+    bump itself to the next round (found when the sf0.1 line landed in
+    r09_full while the committed r08_full held a smoke run)."""
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(m.group(1))
         for f in os.listdir(here)
-        if (m := re.match(r"BENCH_r(\d+)(?:_full)?\.json$", f))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
     return (max(rounds) + 1) if rounds else 1
 
