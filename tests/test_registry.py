@@ -144,7 +144,9 @@ _R8_FRONT = [n for n in R8_WINDOW_QUEUE if n not in CHANGED_IN_R8][:45]
 
 # The r9 rotation queue: the five names the changed-code pulls displaced,
 # then the rest of R8_WINDOW_QUEUE in order. All 40 were 3-SF locally
-# verified in r7 (and any the r8 round touches get re-verified + pulled).
+# verified in r7 AND re-verified at sf0.001/0.01/0.1 in round 8's
+# full-registry sweeps (0 failures); any the r9 round touches get
+# re-verified + pulled into the window, same as r8 did.
 R9_WINDOW_QUEUE = [
     n for n in R8_WINDOW_QUEUE if n not in _R8_FRONT and n not in CHANGED_IN_R8
 ]
