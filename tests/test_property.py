@@ -672,3 +672,71 @@ def test_trimmed_mean_equals_sorted_slice(spark, vals, trim_pct):
         assert r["trimmed_mean"] == pytest.approx(sum(middle) / len(middle), abs=1e-6)
     else:
         assert r["trimmed_mean"] is None
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["wiki", "web", "code", "books", "junk"]),
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=5,
+    ),
+    st.dictionaries(
+        st.sampled_from(["wiki", "web", "code", "books", "junk"]),
+        st.integers(min_value=0, max_value=10**13),
+        max_size=5,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_epoch_mixture_plan_is_budget_exact_in_expectation(totals, targets):
+    """Pure integer identity behind the multi-epoch mixture: for every
+    source with tokens t > 0 and budget tgt > 0 the plan's
+    (base, num, den) satisfies base·t + num == tgt with den == t and
+    0 ≤ num < den — so the expected emitted tokens (base full copies +
+    an extra copy for a num/den share of rows) equal the budget EXACTLY,
+    for any magnitudes up to petatoken scale (no float in the path).
+    Sources with no tokens or no budget must be (0, 0, 1) — dropped."""
+    from ml_feature_store_pipeline_spark.operators.sampling import epoch_mixture_plan
+
+    plan = epoch_mixture_plan(None, "src", None, targets, totals=totals)
+    assert set(plan) == set(totals)
+    for src, t in totals.items():
+        base, num, den = plan[src]
+        tgt = int(targets.get(src, 0))
+        if t <= 0 or tgt <= 0:
+            assert (base, num, den) == (0, 0, 1)
+        else:
+            assert den == t and 0 <= num < den
+            assert base * t + num == tgt  # expectation == budget, exactly
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=5,
+    ),
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=0, max_value=10**6),
+        max_size=5,
+    ),
+    st.integers(min_value=0, max_value=10**13),
+)
+@settings(max_examples=200, deadline=None)
+def test_proportional_targets_floor_split_invariants(totals, weights, budget):
+    """proportional_targets never over-allocates (Σ targets ≤ budget —
+    floor division only), gives zero to token-less or zero-weight
+    sources, and is exact when one source holds all effective weight."""
+    from ml_feature_store_pipeline_spark.operators.sampling import proportional_targets
+
+    out = proportional_targets(totals, weights, budget)
+    assert set(out) == set(totals)
+    assert sum(out.values()) <= budget
+    eff = {s for s, w in weights.items() if w > 0 and totals.get(s, 0) > 0}
+    for s in totals:
+        if s not in eff:
+            assert out[s] == 0
+    if len(eff) == 1:
+        assert out[next(iter(eff))] == budget  # floor(budget·w/w)
