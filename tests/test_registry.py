@@ -235,3 +235,68 @@ def test_multimodal_decode_output_is_hashable(spark):
     df = fn(spark, "/root/testdata/sf0.001")
     bad = [f.name for f in df.schema.fields if f.dataType.typeName() in ("array", "map", "struct")]
     assert bad == []
+
+
+# The aging-signal ledger for ROUND 9's ~10 free window slots (the r9
+# window is R9_WINDOW_QUEUE's 40 + 10 anchors): these 47 queries' most
+# recent driver-green row is ROUND 4 — the oldest hard signal in the
+# registry once the r8 window lands (reconstructed from
+# CORRECTNESS_r0{1..7}.json exactly like the r7 rotation did). r9 should
+# fill its free slots from the FRONT of this list (registry order),
+# after any changed-code pulls, and roll the rest forward.
+R9_ANCHOR_CANDIDATES = [
+    "text_stats",
+    "dedup_exact_docs",
+    "minhash_candidate_pairs",
+    "incremental_minhash_pairs",
+    "simhash_docs",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "multimodal_decode",
+    "windowed_user_counts",
+    "ml_tfidf_vectors",
+    "ml_minhash_near_dup",
+    "ml_brp_ann_topk",
+    "pack_sequences_docs",
+    "token_mixture_sample_docs",
+    "corpus_curation_pipeline",
+    "near_dup_clusters",
+    "bloom_prune_lineitem",
+    "merge_upsert_orders",
+    "audio_decode_stats",
+    "video_frame_stats",
+    "image_resize_stats",
+    "psi_order_price_drift",
+    "tpch_q13_like",
+    "tpch_q17_like",
+    "tpch_q22_like",
+    "tpch_q11_like",
+    "tpch_q16_like",
+    "tpch_q21_like",
+    "tpch_q2_like",
+    "tpch_q8_like",
+    "tpch_q9_like",
+    "tpch_q20_like",
+    "tpch_q1",
+    "tpch_q3_topk",
+    "asof_events_orders",
+    "asof_events_orders_bucketed",
+    "asof_events_orders_auto",
+    "sessionize_events",
+    "training_set_pit",
+    "training_set_pit_bucketed",
+    "training_set_pit_auto",
+    "quantile_bin_orders",
+    "target_encode_events",
+    "hashed_cross_events",
+    "table_profile_orders",
+]
+
+
+def test_r9_anchor_candidates_are_registered_and_disjoint():
+    names = set(query_registry())
+    assert set(R9_ANCHOR_CANDIDATES) <= names
+    assert not set(R9_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
+    assert not set(R9_ANCHOR_CANDIDATES) & set(R9_WINDOW_QUEUE)
