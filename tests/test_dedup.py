@@ -528,3 +528,21 @@ def test_dedup_survivors_by_priority_keeps_best_member(spark):
     # the min-id rule keeps 1 instead of 2 — priorities really steer
     plain = dedup_survivors(docs, pairs, "doc_id")
     assert sorted(r["doc_id"] for r in plain.collect()) == [1, 10, 20]
+
+
+def test_token_hash_matches_md5_prefix_and_is_engine_portable(spark):
+    """token_hash = first 8 md5 hex chars as a base-16 integer — pinned
+    against hashlib so any engine (or the SQL twin) can replay it."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_pipeline_spark.operators.dedup import token_hash
+
+    toks = ["spark", "", "Ġtoken", "日本語", "a" * 1000]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = {r["t"]: r["h"] for r in df.select("t", token_hash(F.col("t")).alias("h")).collect()}
+    for t in toks:
+        want = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        assert got[t] == want
+        assert 0 <= got[t] < 2**32
