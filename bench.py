@@ -324,7 +324,18 @@ def _next_round() -> int:
     on disk is the previous round. Our own BENCH_r{N}_full.json artifacts
     are EXCLUDED: counting them made a second bench run within one round
     bump itself to the next round (found when the sf0.1 line landed in
-    r09_full while the committed r08_full held a smoke run)."""
+    r09_full while the committed r08_full held a smoke run).
+
+    ``SPARK_GRAFT_ROUND`` overrides the inference entirely (r8 ADVICE:
+    once the driver's BENCH_r{N}.json is committed mid-round, a same-round
+    re-run would otherwise label itself N+1 — export the round number to
+    pin the artifact name)."""
+    explicit = os.environ.get("SPARK_GRAFT_ROUND")
+    if explicit:
+        n = int(explicit)
+        if n < 1:
+            raise ValueError("SPARK_GRAFT_ROUND must be a positive integer")
+        return n
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(m.group(1))

@@ -1380,12 +1380,14 @@ def q_serving_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic silent feature-store failure, so "0" here is a real
     assertion, not a tautology (test_store.py proves the audit catches a
     poisoned serving index AND a stale-cache epoch). Staleness SLA: the
-    reference's TTL cache serves a version's frames up to 3600 s after a
-    newer version registers (reference `:350,412` — cache entries expire
-    only by TTL); this store's window is ZERO for latest-serving because
-    the serving index is version-scoped and latest_version() is never
-    cached, so the audit of `latest` always compares against the version
-    that should be served. The result frame is built from the report
+    reference resolves feature_version=None to the latest version from
+    the DB before its cache lookup, but cache entries are never
+    invalidated on re-registration — TTL-only expiry (reference
+    `:350,412`) — so a version's cached frames can lag that version's DB
+    rows by up to 3600 s; this store's window is ZERO because the
+    serving index is version-scoped, latest_version() is never cached,
+    and re-registration rebuilds the index, so the audit of `latest`
+    always compares against the version that should be served. The result frame is built from the report
     dict, so it has no lineage into the temp store, which is deleted
     before returning."""
     import shutil

@@ -71,9 +71,22 @@ def pagerank(
     ≤ ~128 MB of long pairs each). Both paths are bit-identical
     (equivalence-tested) and the co-partitioned plan shape — zero
     exchanges above the pinned scans — is pinned in test_joins.
+
+    NOT THREAD-SAFE while pinning: the co-partitioned path briefly flips
+    the session-global ``spark.sql.adaptive.enabled`` conf (restored in
+    ``finally``), so a concurrently planned query on the SAME session
+    loses AQE during that window. From a multi-threaded driver, call it
+    on a dedicated ``spark.newSession()`` (shared SparkContext, isolated
+    SQL conf).
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be an integer in (0, 100)")
+    if edges_per_partition is not None and edges_per_partition < 1:
+        # r8 ADVICE: 0 reached the ceil-division as ZeroDivisionError only
+        # AFTER paying the edge derivation + checkpoint + count, and a
+        # negative value silently collapsed the pin to n_part=1 (a
+        # single-partition edge table — the opposite of the opt-in's point).
+        raise ValueError("edges_per_partition must be a positive integer")
     base = (100 - damping_pct) * UNIT // 100
     und = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))

@@ -323,13 +323,16 @@ class FeatureStore:
         ``sample_size`` (one N-row collect + N dict lookups).
 
         Staleness SLA: with ``version=None`` the audit resolves and
-        checks the CURRENT latest version. The reference's TTL cache
-        serves a superseded version's frames for up to 3600 s (reference
-        `:350,412` — entries expire only by TTL); here that window is
-        ZERO because the serving index is version-scoped and
-        ``latest_version()`` is never cached — a stale index can only be
-        served if it is planted under the new version's key, which this
-        audit detects as a full-sample mismatch
+        checks the CURRENT latest version. The reference resolves
+        ``feature_version=None`` to the latest version from the DB
+        *before* its cache lookup, but cache entries are never
+        invalidated on re-registration — TTL-only expiry (reference
+        `:350,412`) — so a version's cached frames can lag the DB's rows
+        for that version by up to 3600 s. Here that window is ZERO: the
+        serving index is version-scoped, ``latest_version()`` is never
+        cached, and re-registration rebuilds the index — a stale index
+        can only be served if it is planted under the new version's key,
+        which this audit detects as a full-sample mismatch
         (``test_serving_parity_audit_detects_stale_cache_epoch``)."""
         version = version or self.latest_version()
         if version is None:

@@ -45,6 +45,27 @@ def test_next_round_empty_dir_starts_at_one(tmp_path, monkeypatch):
     assert bench._next_round() == 1
 
 
+def test_next_round_env_override_beats_inference(tmp_path, monkeypatch):
+    """r8 ADVICE: once the driver's BENCH_r{N}.json is committed mid-round,
+    any same-round re-run would infer N+1 and mislabel its artifact.
+    SPARK_GRAFT_ROUND pins the round explicitly."""
+    import pytest
+
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _p: str(tmp_path / "bench.py")
+    )
+    (tmp_path / "BENCH_r08.json").write_text("{}")  # would infer 9
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "8")
+    assert bench._next_round() == 8
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "0")
+    with pytest.raises(ValueError):
+        bench._next_round()
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    assert bench._next_round() == 9
+
+
 def _bench_line(sentinel, queries, **extra):
     d = {
         "metric": "headline_queries_total_wall",

@@ -360,6 +360,20 @@ def test_pagerank_matches_unrolled_oracle(spark):
     assert got == want
 
 
+def test_pagerank_rejects_nonpositive_edges_per_partition(spark):
+    """r8 ADVICE: 0 used to surface as ZeroDivisionError only after paying
+    the edge derivation + checkpoint + count, and a negative value silently
+    collapsed the pin to a single partition. Both must fail fast."""
+    import pytest
+
+    from ml_feature_store_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "a long, b long")
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="edges_per_partition"):
+            pagerank(edges, "a", "b", edges_per_partition=bad)
+
+
 def test_pagerank_copartitioned_path_bit_exact_and_no_edge_exchange(spark):
     """The opt-in co-partitioned pin (edges_per_partition set) must
     (a) reproduce the default plain-loop ranks bit-for-bit and (b) never
@@ -378,6 +392,31 @@ def test_pagerank_copartitioned_path_bit_exact_and_no_edge_exchange(spark):
     forced = {r["node"]: r["rank"] for r in forced_df.collect()}
     assert forced == plain
     plan = forced_df._jdf.queryExecution().executedPlan().toString()
-    # edge scans are ExistingRDD[s#N, d#N]; degree scans ExistingRDD[s#N, deg#N]
-    edge_or_deg_scan = r"Exchange[^\n]*\n\s*\+- Scan ExistingRDD\[s#\d+L?,(d|deg)#\d+L?\]"
-    assert not re.search(edge_or_deg_scan, plan), plan
+    # r8 ADVICE: the old check only matched an Exchange DIRECTLY above the
+    # pinned scan, so a regression inserting e.g. a Filter or Project
+    # between them would slip through. Walk each pinned scan's ancestor
+    # chain (indentation-parsed Final Plan) instead: between the scan and
+    # the first join/aggregate there must be NO exchange of any kind —
+    # unary ops (Filter/Project/Sort) are partition-preserving and fine.
+    final = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    parsed = []
+    for ln in final.splitlines():
+        m = re.match(r"^([ :]*(?:[+:]- )?)(?:\*\(\d+\) )?(.*)$", ln)
+        parsed.append((len(m.group(1)), m.group(2).strip()))
+    pinned = re.compile(r"Scan ExistingRDD\[s#\d+L?,(d|deg)#\d+L?\]")
+    barrier = re.compile(r"Join|HashAggregate|Union")
+    scans_checked = 0
+    for i, (ind, op) in enumerate(parsed):
+        if not pinned.match(op):
+            continue
+        scans_checked += 1
+        cur = ind
+        for j in range(i - 1, -1, -1):
+            jind, jop = parsed[j]
+            if not jop or jind >= cur:
+                continue  # sibling subtree, not an ancestor
+            cur = jind
+            if barrier.search(jop):
+                break  # past the join/agg, exchanges are the transpose's
+            assert "Exchange" not in jop, f"pinned scan re-exchanged via {jop}\n{plan}"
+    assert scans_checked >= 3, plan  # edge + both deg consumers visible
