@@ -314,6 +314,11 @@ HEADLINE_R5 = [
 ]
 
 
+#: Queries slower than this after best-of-2 get a third run (r8 verdict:
+#: the >3 s tail is where the demonstrated ~30% per-query noise band lives).
+BEST3_THRESHOLD_SEC = 3.0
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -357,6 +362,29 @@ def _sentinel_sec(spark) -> float:
     return round(best, 3)
 
 
+def _time_query(run) -> float:
+    """Best-of-2 wall time of ``run()``: the second run reuses compiled
+    codegen and the page cache, so min() reports steady-state engine time
+    instead of whichever run a noisy neighbor landed on. All runs
+    materialize fully. r8 verdict item 4: a query whose best-of-2 exceeds
+    ``BEST3_THRESHOLD_SEC`` gets a THIRD run — the two same-code r8 full
+    runs differed up to ~30% on individual heavy queries, and one extra
+    sample tightens the min estimator exactly there. min (not median)
+    stays the statistic so the series remains comparable with every prior
+    round's best-of-2 numbers: min-of-3 <= min-of-2 by construction,
+    never a definition-change jump."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    if best > BEST3_THRESHOLD_SEC:
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -388,18 +416,9 @@ def main() -> None:
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
     sentinel = _sentinel_sec(spark)
 
-    # best-of-2 per query: the second run reuses compiled codegen and the
-    # page cache, so min() reports steady-state engine time instead of
-    # whichever run a noisy neighbor landed on. Both runs materialize fully.
     timings: dict[str, float] = {}
     for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7:
-        fn = registry[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            materialize(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = _time_query(lambda: materialize(registry[name](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     line = json.dumps(
