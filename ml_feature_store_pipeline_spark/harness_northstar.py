@@ -5995,3 +5995,168 @@ def q_count_encode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     one category aggregate broadcast onto the scan."""
     events = read_table(spark, sf_dir, "events").select("event_id", "event_type")
     return fe_ops.count_encode(events, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# round 9: passage-level decontamination, split leakage audit, ANN eval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "substring_decontaminate_docs",
+    """
+    WITH tr AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 11 <> 0),
+    ev AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 11 = 0),
+    trw AS (
+      SELECT DISTINCT tr.doc_id AS train_id, substr(t, CAST(i AS INT), 30) AS passage
+      FROM tr, UNNEST(generate_series(1, len(t) - 29, 8)) AS u(i)
+      WHERE len(t) >= 30
+    ),
+    evw AS (
+      SELECT DISTINCT ev.doc_id AS eval_id, substr(t, CAST(i AS INT), 30) AS passage
+      FROM ev, UNNEST(generate_series(1, len(t) - 29, 1)) AS u(i)
+      WHERE len(t) >= 30
+    )
+    SELECT train_id, eval_id, COUNT(DISTINCT passage) AS n_shared_passages
+    FROM trw JOIN evw USING (passage)
+    GROUP BY train_id, eval_id
+    """,
+)
+def q_substring_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level EXACT substring decontamination (r9): the Lee et al.
+    2021 verbatim-run criterion at character grain — the contamination
+    mode the 13-gram token rule misses — as strided rolling windows
+    (train stride 8, eval dense) instead of a distributed suffix array.
+    Flags every (train, eval) pair sharing a verbatim run >= 37 chars;
+    every 11th doc plays the benchmark (the decontaminate_docs split).
+    Train windows hash-join map-side against the broadcast eval window
+    hashes, survivors exact-verified by a contains probe — zero train
+    shuffle before the bounded pair aggregate."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    tr = docs.filter(F.col("doc_id") % 11 != 0)
+    return dedup.substring_overlap_pairs(
+        tr, ev, "doc_id", "text", passage_len=30, stride=8
+    )
+
+
+@register(
+    "temporal_split_leakage_audit",
+    """
+    WITH b AS (
+      SELECT event_type AS stratum, user_id,
+             CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END AS te,
+             COUNT(*) OVER w AS feat_total,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END)
+               OVER w AS feat_test
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      )
+    ),
+    pe AS (
+      SELECT stratum, user_id,
+             SUM(1 - te) AS n_tr, SUM(te) AS n_te,
+             SUM(CASE WHEN te = 1 AND feat_test > 0 THEN 1 ELSE 0 END) AS n_leaky,
+             SUM(CAST(ROUND(CASE WHEN te = 1 AND feat_total > 0
+                                 THEN CAST(feat_test AS DOUBLE) / feat_total
+                                 ELSE 0.0 END, 9) AS DECIMAL(28,9))) AS share_sum
+      FROM b GROUP BY 1, 2
+    )
+    SELECT stratum,
+           CAST(SUM(n_tr) AS BIGINT) AS n_train,
+           CAST(SUM(n_te) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap_entities,
+           CAST(SUM(n_leaky) AS BIGINT) AS n_leaky_test_labels,
+           COALESCE(CAST(SUM(share_sum) AS DOUBLE) / NULLIF(SUM(n_te), 0), 0.0)
+             AS test_period_feature_share
+    FROM pe GROUP BY stratum
+    """,
+)
+def q_temporal_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split + leakage audit (r9): per event_type
+    stratum, boundary counts, entities straddling the cutoff (group
+    leakage), and — for each test label — whether its as-of-label feature
+    window (training_set PIT semantics) already contains test-period
+    rows, plus the mean test-period share. One microsecond-exact RANGE
+    window on the entity, one (stratum, entity) aggregate, one
+    |strata|-row rollup."""
+    from .operators import pit as pit_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return pit_ops.temporal_split_audit(
+        events,
+        entity_col="user_id",
+        time_col="ts",
+        stratum_col="event_type",
+        cutoff="2024-01-22 00:00:00",
+    )
+
+
+@register(
+    "ann_rerank_eval",
+    """
+    WITH nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+                FROM embeddings WHERE vec_id < 20)
+    SELECT 'ivf' AS variant, n_queries, CAST(5 AS INT) AS k,
+           TRUE AS recall_ok, TRUE AS mrr_ok FROM nq
+    UNION ALL
+    SELECT 'lsh', n_queries, CAST(5 AS INT), TRUE, TRUE FROM nq
+    UNION ALL
+    SELECT 'pq', n_queries, CAST(5 AS INT), TRUE, TRUE FROM nq
+    """,
+)
+def q_ann_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN re-rank eval harness (r9): recall@5 + MRR of every candidate
+    route (sign-LSH, IVF at nprobe 2/8, PQ+rerank) against the non-self
+    brute-force ground truth, one row per variant. Bounded-quality oracle
+    (the lsh_ann_topk pattern): all routes are md5/seed-deterministic, so
+    the booleans assert measured floors with margin — lsh >= 0.8/0.75,
+    ivf >= 0.4/0.45, pq >= 0.7/0.7 (measured at sf0.001/0.01/0.1:
+    lsh .90-.91/.90, ivf .50-.65/.55-.80, pq .83-.96/.85-1.0) — and a
+    recall collapse, query-set change, or tiebreak drift fails the hash.
+    Self-hits are excluded (each route trivially retrieves its own query
+    at rank 1, inflating both metrics toward 1)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # each top-k frame is |queries|*k rows but feeds 2-3 metric joins in
+    # the union plan — pin once or the brute-force scan / KMeans fit /
+    # PQ build re-executes per reference (measured 27 s -> ~7 s). The pin
+    # is a driver-side LocalRelation, not localCheckpoint: the RDD
+    # conversion path compiles the plan WITHOUT AQE (3-5x slower here),
+    # and |queries|*k rows are metric bookkeeping, not data.
+    def _pin(df: DataFrame) -> DataFrame:
+        return spark.createDataFrame(df.collect(), df.schema)
+
+    gt = _pin(similarity.nonself_topk(similarity.cosine_topk(queries, emb, k=6), k=5))
+    floors = {"lsh": (0.8, 0.75), "ivf": (0.4, 0.45), "pq": (0.7, 0.7)}
+    routes = {
+        "lsh": similarity.lsh_topk(queries, emb, k=6, dim=64, n_planes=4, n_tables=16),
+        "ivf": similarity.ivf_topk(queries, emb, k=6, n_cells=8, nprobe=2),
+        "pq": similarity.pq_topk_rerank(
+            queries, emb, k=6, m=16, k_codes=16, shortlist=100
+        ),
+    }
+    rows = []
+    for name, scored in routes.items():
+        r_floor, m_floor = floors[name]
+        metrics = similarity.rerank_eval(
+            gt, _pin(similarity.nonself_topk(scored, k=5)), k=5
+        )
+        rows.append(
+            metrics.select(
+                F.lit(name).alias("variant"),
+                F.col("n_queries"),
+                F.col("k"),
+                (F.col("recall_at_k") >= r_floor).alias("recall_ok"),
+                (F.col("mrr") >= m_floor).alias("mrr_ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .joins import asof_join, asof_join_auto, asof_join_bucketed
@@ -183,4 +183,84 @@ def scd2_read(
             for c in h.columns
             if c not in (key, valid_from, valid_to)
         ],
+    )
+
+
+def temporal_split_audit(
+    events: DataFrame,
+    *,
+    entity_col: str,
+    time_col: str,
+    stratum_col: str,
+    cutoff,
+) -> DataFrame:
+    """Temporal train/test split with the two leakage audits every
+    training-data pipeline needs before trusting an offline eval
+    (the split-side complement of :func:`training_set`'s PIT join):
+
+    - **boundary + stratification profile**: per stratum, train/test row
+      counts under ``time_col < cutoff`` — catches an unbalanced or
+      empty-side split before a model trains on it;
+    - **entity overlap** (``n_overlap_entities``): entities with rows on
+      BOTH sides of the cutoff inside the stratum. A temporal split
+      intentionally shares entities; an entity-level split must see 0
+      here — either way the number belongs in the eval report;
+    - **feature-window leakage** (``n_leaky_test_labels``,
+      ``test_period_feature_share``): for each test-side label row, its
+      as-of-label feature window (all the entity's STRICTLY earlier rows,
+      the :func:`training_set` semantics) is split into pre- and
+      post-cutoff mass. Labels whose window already contains test-period
+      rows are flagged, and the mean test-period share is reported —
+      as-of-label features on a temporal split silently evaluate the
+      model on test-period history (fine for online serving, leakage for
+      offline eval; Kaufman et al. 2012's target-leakage taxonomy).
+
+    Strictly-earlier is microsecond-exact: the window is RANGE-framed on
+    ``unix_micros`` up to -1, so same-microsecond rows exclude each other
+    symmetrically — deterministic on every engine.
+
+    Scale shape: one entity-hash exchange for the RANGE window, one
+    (stratum, entity) aggregate that rides partial aggregation, then a
+    |strata|-sized rollup. No self-join, no global sort; at 100 TB both
+    wide stages are plain hash shuffles on high-cardinality keys.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    us = F.unix_micros(F.col(time_col))
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(us)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    is_test = (F.col(time_col) >= cut).cast("int")
+    labeled = events.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(entity_col).alias("__ent"),
+        is_test.alias("__te"),
+        F.count(F.lit(1)).over(w).alias("__feat_total"),
+        F.sum(is_test).over(w).alias("__feat_test"),
+    )
+    share = F.when(
+        (F.col("__te") == 1) & (F.col("__feat_total") > 0),
+        F.col("__feat_test") / F.col("__feat_total"),
+    ).otherwise(F.lit(0.0))
+    per_entity = labeled.groupBy("stratum", "__ent").agg(
+        F.sum(1 - F.col("__te")).alias("__n_tr"),
+        F.sum("__te").alias("__n_te"),
+        F.sum(
+            F.when((F.col("__te") == 1) & (F.col("__feat_test") > 0), 1).otherwise(0)
+        ).alias("__n_leaky"),
+        F.sum(F.round(share, 9).cast("decimal(28,9)")).alias("__share_sum"),
+    )
+    return per_entity.groupBy("stratum").agg(
+        F.sum("__n_tr").cast("long").alias("n_train"),
+        F.sum("__n_te").cast("long").alias("n_test"),
+        F.sum(
+            F.when((F.col("__n_tr") > 0) & (F.col("__n_te") > 0), 1).otherwise(0)
+        ).cast("long").alias("n_overlap_entities"),
+        F.sum("__n_leaky").cast("long").alias("n_leaky_test_labels"),
+        F.coalesce(
+            F.sum("__share_sum").cast("double")
+            / F.nullif(F.sum("__n_te"), F.lit(0)),
+            F.lit(0.0),
+        ).alias("test_period_feature_share"),
     )

@@ -1800,3 +1800,92 @@ def kmeans_sample_sql(
       FROM a{n_iters + 1}
     ) WHERE pick <= {per_cluster}
     """
+
+
+def nonself_topk(
+    scored: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Drop each query's self-match from a scored top-k frame and re-rank
+    the remainder (cosine desc, id asc — the registry-wide tiebreak).
+    Needed for retrieval EVAL: when queries are drawn from the corpus,
+    the self-hit is a guaranteed rank-1 for every candidate route (it
+    shares every LSH bucket / IVF cell / PQ code with itself), so metrics
+    computed over self-inclusive lists are inflated toward 1. Pass k+1
+    to the variant, then cut back to k here. Query-bounded input — one
+    |queries|-keyed window, no corpus cost."""
+    f = scored.filter(F.col(corpus_id) != F.col(query_id))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        f.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def rerank_eval(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-quality scorecard of an ANN route against brute-force
+    ground truth — the cross-encoder-free re-rank eval every vector
+    pipeline runs before trusting a cheaper index (public convention:
+    recall@k as in Jégou et al. 2011; MRR of the true nearest neighbor):
+
+    - ``recall_at_k`` = |approx top-k ∩ exact top-k| / |exact top-k rows|
+      (denominator counts actual exact rows, so queries with fewer than
+      k neighbors don't deflate the metric);
+    - ``mrr`` = mean over queries of 1/rank of the exact #1 neighbor in
+      the approx list, 0 when the route missed it entirely.
+
+    Inputs are two (query_id, corpus_id, rank) frames as produced by
+    :func:`cosine_topk` and any variant (optionally through
+    :func:`nonself_topk`). Everything is |queries|·k-sized: the joins
+    and aggregates are metric-bookkeeping, never corpus work — at 100 TB
+    the cost lives in producing the top-k frames, not scoring them. The
+    MRR mean uses the decimal-sum recipe so the scalar is
+    order-insensitive."""
+    ex = exact.filter(F.col("rank") <= k).select(query_id, corpus_id, "rank")
+    ap = approx.filter(F.col("rank") <= k).select(
+        query_id, corpus_id, F.col("rank").alias("__arank")
+    )
+    totals = ex.agg(
+        F.count(F.lit(1)).alias("__n_exact"),
+        F.countDistinct(query_id).alias("n_queries"),
+    )
+    hits = ex.join(ap, [query_id, corpus_id]).agg(
+        F.count(F.lit(1)).alias("__n_hit")
+    )
+    rr = (
+        ex.filter(F.col("rank") == 1)
+        .select(query_id, corpus_id)
+        .join(ap, [query_id, corpus_id], "left")
+        .select(
+            F.when(F.col("__arank").isNotNull(), 1.0 / F.col("__arank"))
+            .otherwise(F.lit(0.0))
+            .alias("__rr")
+        )
+    )
+    mrr = rr.agg(
+        (
+            F.sum(F.round(F.col("__rr"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mrr")
+    )
+    return (
+        totals.crossJoin(hits)
+        .crossJoin(mrr)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.lit(k).cast("int").alias("k"),
+            (F.col("__n_hit") / F.col("__n_exact")).alias("recall_at_k"),
+            F.col("mrr"),
+        )
+    )

@@ -546,3 +546,65 @@ def test_token_hash_matches_md5_prefix_and_is_engine_portable(spark):
         want = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
         assert got[t] == want
         assert 0 <= got[t] < 2**32
+
+
+def test_substring_overlap_detects_guaranteed_run_and_counts_windows(spark):
+    """The stride guarantee: any shared verbatim run of length
+    passage_len + stride - 1 must be flagged; disjoint texts must not be.
+    Window counting is of DISTINCT matched train windows."""
+    from ml_feature_store_pipeline_spark.operators.dedup import (
+        substring_overlap_pairs,
+    )
+
+    L, S = 10, 4  # guarantee: shared runs >= 13 chars always caught
+    shared = "abcdefghijklm"      # exactly L + S - 1 = 13 chars
+    shared17 = "abcdefghijklmnopq"  # 17 chars -> strided windows at 1 and 5
+    train = spark.createDataFrame(
+        [
+            (1, "xxxxx" + shared + "yyyyy"),     # contains the run mid-text
+            (2, "zzzzzzzzzzzzzzzzzzzzzzzzzz"),   # no overlap
+            (3, shared17),                        # the run IS the text
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "padpadpad" + shared17 + "tailtail")], "doc_id long, text string"
+    )
+    out = {
+        (r["train_id"], r["eval_id"]): r["n_shared_passages"]
+        for r in substring_overlap_pairs(
+            train, eval_df, "doc_id", "text", passage_len=L, stride=S
+        ).collect()
+    }
+    assert (1, 100) in out and (3, 100) in out
+    assert all(tid != 2 for tid, _ in out)
+    # doc 3 = the bare 17-char run: strided window starts are
+    # sequence(1, 8, 4) = {1, 5}, both inside the run -> 2 distinct
+    # matched windows
+    assert out[(3, 100)] == 2
+
+
+def test_substring_overlap_is_case_insensitive_and_skips_short_docs(spark):
+    from ml_feature_store_pipeline_spark.operators.dedup import (
+        substring_overlap_pairs,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "The Quick Brown Fox Jumps"), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "zzz the quick brown fox jumps zzz"), (10, "abc")],
+        "doc_id long, text string",
+    )
+    rows = substring_overlap_pairs(
+        train, eval_df, "doc_id", "text", passage_len=20, stride=3
+    ).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in rows} == {(1, 9)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        substring_overlap_pairs(
+            train, eval_df, "doc_id", "text", passage_len=0, stride=3
+        )

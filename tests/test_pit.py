@@ -209,3 +209,78 @@ def test_training_set_skew_adaptive_matches_plain(spark):
     plain = _training_set_pit(spark, sf, None)
     auto = _training_set_pit(spark, sf, None, skew_adaptive=True)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, auto.collect()))
+
+
+def test_temporal_split_audit_hand_computed(spark):
+    """Hand-built events around a cutoff: boundary counts, straddling
+    entities, leaky as-of windows, and the share arithmetic — all against
+    values computed by hand."""
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.pit import temporal_split_audit
+
+    T = dt.datetime.fromisoformat
+    cutoff = "2024-01-10 00:00:00"
+    rows = [
+        # user 1, stratum 'a': 2 train rows, 2 test rows (straddles).
+        # test label at 01-11 sees feats {01-01, 01-05} -> 0 test-period;
+        # test label at 01-12 sees {01-01, 01-05, 01-11} -> 1/3 test-period.
+        (1, "a", T("2024-01-01 00:00:00")),
+        (1, "a", T("2024-01-05 00:00:00")),
+        (1, "a", T("2024-01-11 00:00:00")),
+        (1, "a", T("2024-01-12 00:00:00")),
+        # user 2, stratum 'a': test-only; first label has EMPTY window
+        # (share 0, not leaky), second sees 1/1 test-period (leaky).
+        (2, "a", T("2024-01-13 00:00:00")),
+        (2, "a", T("2024-01-14 00:00:00")),
+        # user 3, stratum 'b': train-only (no test labels, no overlap).
+        (3, "b", T("2024-01-02 00:00:00")),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["stratum"]: r
+        for r in temporal_split_audit(
+            events,
+            entity_col="user_id",
+            time_col="ts",
+            stratum_col="event_type",
+            cutoff=cutoff,
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_train"], a["n_test"]) == (2, 4)
+    assert a["n_overlap_entities"] == 1  # only user 1 straddles
+    # leaky test labels: user1@01-12 (window has 01-11) + user2@01-14
+    assert a["n_leaky_test_labels"] == 2
+    # shares: user1 -> 0 + 1/3; user2 -> 0 (empty window) + 1; mean over 4
+    expected = (0.0 + 1.0 / 3.0 + 0.0 + 1.0) / 4.0
+    assert abs(a["test_period_feature_share"] - expected) < 1e-8
+    assert (b["n_train"], b["n_test"], b["n_overlap_entities"]) == (1, 0, 0)
+    assert b["n_leaky_test_labels"] == 0 and b["test_period_feature_share"] == 0.0
+
+
+def test_temporal_split_audit_same_microsecond_ties_exclude_each_other(spark):
+    """The feature window is RANGE-framed on unix_micros up to -1: two
+    events of one user in the SAME microsecond must not see each other
+    (symmetric exclusion — no arbitrary row order can leak in)."""
+    import datetime as dt
+
+    from ml_feature_store_pipeline_spark.operators.pit import temporal_split_audit
+
+    t = dt.datetime.fromisoformat("2024-01-12 00:00:00.000001")
+    events = spark.createDataFrame(
+        [(1, "x", t), (1, "x", t)], "user_id long, event_type string, ts timestamp"
+    )
+    row = temporal_split_audit(
+        events,
+        entity_col="user_id",
+        time_col="ts",
+        stratum_col="event_type",
+        cutoff="2024-01-10 00:00:00",
+    ).collect()[0]
+    # both are test labels with EMPTY feature windows: nothing leaky
+    assert row["n_test"] == 2
+    assert row["n_leaky_test_labels"] == 0
+    assert row["test_period_feature_share"] == 0.0

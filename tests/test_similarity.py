@@ -865,3 +865,61 @@ def test_kmeans_balanced_sample_caps_every_cluster(spark):
     assert set(by_cluster) == set(sizes)
     # the head cluster cannot dominate: no cluster exceeds per_cluster rows
     assert max(len(p) for p in by_cluster.values()) <= 4
+
+
+def test_rerank_eval_hand_computed_metrics(spark):
+    """recall@k and MRR against hand-built exact/approx lists, including a
+    query whose GT#1 the route missed (reciprocal rank 0) and a query with
+    fewer than k exact rows (denominator counts actual rows)."""
+    from ml_feature_store_pipeline_spark.operators.similarity import rerank_eval
+
+    # q1: exact {a,b}, approx {a,b} with GT#1 'a' at approx rank 2 -> rr 1/2
+    # q2: exact {c,d}, approx {d,e} -> 1 hit of 2; GT#1 'c' missed -> rr 0
+    # q3: exact {f} (short list), approx {f} -> hit; GT#1 at rank 1 -> rr 1
+    exact = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "c", 1), (2, "d", 2), (3, "f", 1)],
+        "query_id long, vec_id string, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, "b", 1), (1, "a", 2), (2, "d", 1), (2, "e", 2), (3, "f", 1)],
+        "query_id long, vec_id string, rank int",
+    )
+    row = rerank_eval(exact, approx, k=2).collect()[0]
+    assert row["n_queries"] == 3 and row["k"] == 2
+    assert abs(row["recall_at_k"] - 4.0 / 5.0) < 1e-9
+    assert abs(row["mrr"] - (0.5 + 0.0 + 1.0) / 3.0) < 1e-9
+
+
+def test_nonself_topk_drops_self_and_reranks(spark):
+    from ml_feature_store_pipeline_spark.operators.similarity import nonself_topk
+
+    scored = spark.createDataFrame(
+        [
+            (1, 1, 1.0, 1),   # self hit — must vanish
+            (1, 7, 0.9, 2),
+            (1, 5, 0.8, 3),
+            (1, 9, 0.8, 4),   # cosine tie with 5 -> id asc puts 5 first
+        ],
+        "query_id long, vec_id long, cosine double, rank int",
+    )
+    rows = nonself_topk(scored, k=2).collect()
+    got = [(r["vec_id"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == [(7, 1), (5, 2)]
+
+
+def test_rerank_eval_full_probe_ivf_is_perfect(spark):
+    """IVF at full probe IS brute force, so the eval harness must score it
+    recall 1.0 / MRR 1.0 — the metric plumbing's own ground truth."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_pipeline_spark.operators import similarity as S
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = S.nonself_topk(S.cosine_topk(qs, emb, k=4), k=3)
+    full = S.nonself_topk(S.ivf_topk(qs, emb, k=4, n_cells=4, nprobe=4), k=3)
+    row = S.rerank_eval(gt, full, k=3).collect()[0]
+    assert row["recall_at_k"] == 1.0 and row["mrr"] == 1.0
