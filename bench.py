@@ -295,6 +295,20 @@ HEADLINE_R7 = [
     "count_encode_event_type",
 ]
 
+#: Added in round 9 (the post-freeze expansion wave): character-grain
+#: decontamination (strided rolling-hash windows against the broadcast
+#: eval side), the temporal-split leakage audit (one RANGE window + two
+#: aggregates), and the ANN re-rank eval harness (4 retrieval routes in
+#: one plan — the expensive one to watch; its cost is route construction
+#: + execution, all |queries|-bounded against the corpus scan).
+#: "r08_headline_total" covers exactly HEADLINE + R2 + R3 + R4 + R5 + R7
+#: — the round-7/8 definition — for round-over-round comparability.
+HEADLINE_R9 = [
+    "substring_decontaminate_docs",
+    "temporal_split_leakage_audit",
+    "ann_rerank_eval",
+]
+
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed
 #: negative sampler (two-level dense index — its cost vs r4's
 #: single-task window is the point), and the ANALYZE profile.
@@ -417,7 +431,10 @@ def main() -> None:
     sentinel = _sentinel_sec(spark)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7:
+    for name in (
+        HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4
+        + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9
+    ):
         timings[name] = _time_query(lambda: materialize(registry[name](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
@@ -452,6 +469,18 @@ def main() -> None:
                         + HEADLINE_R3
                         + HEADLINE_R4
                         + HEADLINE_R5
+                    ),
+                    3,
+                ),
+                "r08_headline_total": round(
+                    sum(
+                        timings[n]
+                        for n in HEADLINE
+                        + HEADLINE_R2
+                        + HEADLINE_R3
+                        + HEADLINE_R4
+                        + HEADLINE_R5
+                        + HEADLINE_R7
                     ),
                     3,
                 ),

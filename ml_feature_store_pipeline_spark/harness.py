@@ -45,82 +45,83 @@ def _ensure_loaded() -> None:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries, so the
-# registry is emitted in an explicit priority order. Round-8 rotation (the
-# r7 verdict's item 1): 90 registry queries — every r6/r7 registration —
-# had never produced a driver-green row; the r7 verdict pinned them in
-# R8_WINDOW_QUEUE (registration order, oldest local verification first)
-# and mandated the r8 window rotate onto that queue with registrations
-# frozen. This window is the queue's first 45 plus the FIVE queue members
-# whose code round 8 touched (r7 ADVICE fixes + the PageRank
-# co-partitioned pin) pulled forward — a changed query's pending local
-# verification is stale, so it outranks queue order (the same rule the r7
-# rotation applied to its changed-code anchors):
-#   part_pagerank_top20        — size-gated co-partitioned edge pin
-#   spearman_price_quantity    — DECIMAL(38,6) rank-moment accumulators
-#   mann_whitney_view_purchase — one-SELECT conditional-aggregation oracle
-#   ranking_metrics_label_topk — relevance-pair dedup before the join
-#   count_encode_event_type    — lazy total derived from the counts agg
-# The five displaced queue names (hourly_seasonality_events,
-# daily_anomaly_profile_events, referential_integrity_lineitem_orders,
-# welch_ttest_view_purchase, conversion_latency_view_purchase) lead
-# tests/test_registry.py::R9_WINDOW_QUEUE (40 names) for the r9 window.
-# Every name here passed tools/verify_oracle.py at sf0.01 (the driver's
-# gate) this round — the five changed names at all three SFs — on top of
-# their round-7 3-SF verification; every query NOT in this window keeps
-# its r4-r7 driver green on code untouched since.
+# registry is emitted in an explicit priority order. Round-9 rotation (the
+# r8 verdict's items 1-2): the window rotates onto ALL 40 names of
+# tests/test_registry.py::R9_WINDOW_QUEUE — the last registry queries
+# without a driver-green row — zeroing the never-driver-checked debt
+# (r8's CORRECTNESS window went 50/50 green on the other half of the r7
+# queue). The 10 remaining slots follow the standing priority rules:
+#
+# - THREE r9 registrations (the freeze lifted per r8 verdict item 2/5,
+#   each registered straight into the window as r8 did with its changed
+#   pulls): substring_decontaminate_docs, temporal_split_leakage_audit,
+#   ann_rerank_eval — all 3-SF verified via tools/verify_oracle.py this
+#   round, plan-audited 0 flags.
+# - TWO changed-code pulls (function text touched by the r9 ADVICE
+#   fixes, so their prior greens predate the shipped code):
+#   part_pagerank_top20 (edges_per_partition fail-fast validation +
+#   thread-safety note) and serving_parity_audit (staleness-SLA
+#   docstring corrected in store.validate_serving_parity).
+# - FIVE anchors from the FRONT of R9_ANCHOR_CANDIDATES (r8 verdict
+#   item 1: oldest driver signal first — their last greens are r4):
+#   text_stats, dedup_exact_docs, minhash_candidate_pairs,
+#   incremental_minhash_pairs, simhash_docs. The remaining 42
+#   candidates roll forward for r10's free slots.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # R8_WINDOW_QUEUE[0:45] — registration order, oldest verification first
-    "table_profile_orders_approx",
-    "ml_quality_filter_docs",
-    "semantic_decontaminate_embeddings",
-    "training_shard_stats",
-    "dedup_survivors_priority_docs",
-    "hard_negative_pairs",
-    "prototypicality_scores",
-    "vocab_coverage_docs",
-    "quality_calibrated_docs",
-    "source_overlap_docs",
-    "bpe_token_stats_docs",
-    "bpe_pair_stats_docs",
-    "quality_calibrated_sketch_docs",
-    "funnel_view_click_purchase",
-    "trend_slope_user_value",
-    "cohort_retention_weekly",
-    "random_projection_embeddings",
-    "mmr_rerank_embeddings",
-    "maxsim_multivector_topk",
-    "event_type_affinity",
-    "corpus_duplication_rate_docs",
-    "zipf_fit_docs",
-    "active_users_daily",
-    "rfm_segments",
-    "touch_attribution_events",
-    "interpurchase_gaps",
-    "k_anonymity_events",
-    "resample_ffill_user_value",
-    "session_stats_events",
-    "session_window_agg_events",
-    "session_trigrams_events",
-    "user_event_entropy",
-    "benford_orders_totalprice",
-    "ohlc_user_value_daily",
-    "kmv_user_overlap_view_purchase",
-    "weighted_median_price_by_flag",
-    "l_diversity_events",
-    "part_copurchase_lift",
-    "event_transition_matrix",
-    "key_skew_gini_events",
-    "event_value_mutual_info",
-    "weighted_median_price_hist",
-    "pq_ann_topk",
-    "active_users_hll_daily",
-    "daily_value_percentiles",
-    # queue members whose code ROUND 8 changed — pulled forward
+    # R9_WINDOW_QUEUE — all 40, registration order (never driver-checked)
+    "hourly_seasonality_events",
+    "daily_anomaly_profile_events",
+    "referential_integrity_lineitem_orders",
+    "welch_ttest_view_purchase",
+    "conversion_latency_view_purchase",
+    "ks_value_drift_halves",
+    "ab_assignment_srm_events",
+    "mad_outliers_order_price",
+    "calendar_features_events",
+    "classification_report_embeddings",
+    "label_centroid_distances",
+    "copurchase_degree_profile",
+    "bpe_train_merges",
+    "bpe_encode_stats_docs",
+    "corr_matrix_lineitem",
+    "acf_daily_value",
+    "bm25_topk_docs",
+    "hybrid_rrf_topk",
+    "quantile_transform_orders",
+    "woe_iv_event_type",
+    "chi2_event_type_hour",
+    "kmeans_embeddings",
+    "triangle_stats_copurchase",
+    "lang_confusion_docs",
+    "calibration_curve_embeddings",
+    "roc_auc_embeddings",
+    "kmeans_balanced_sample",
+    "survival_curve_users",
+    "did_event_value",
+    "tfidf_doc_similarity_topk",
+    "seasonal_decompose_daily_value",
+    "bootstrap_mean_ci_value",
+    "cuped_lift_value",
+    "robust_trend_daily_value",
+    "trimmed_mean_order_price",
+    "value_gini_order_price",
+    "cusum_daily_value",
+    "term_pmi_docs",
+    "markov_entropy_rate_events",
+    "completeness_by_day_events",
+    # r9 registrations — new operators enter the window immediately
+    "substring_decontaminate_docs",
+    "temporal_split_leakage_audit",
+    "ann_rerank_eval",
+    # changed-code pulls (r9 ADVICE fixes touched their function text)
     "part_pagerank_top20",
-    "spearman_price_quantity",
-    "mann_whitney_view_purchase",
-    "ranking_metrics_label_topk",
-    "count_encode_event_type",
+    "serving_parity_audit",
+    # oldest-signal anchors (last green r4) — R9_ANCHOR_CANDIDATES front
+    "text_stats",
+    "dedup_exact_docs",
+    "minhash_candidate_pairs",
+    "incremental_minhash_pairs",
+    "simhash_docs",
 )
 
 

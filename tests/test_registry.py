@@ -2,12 +2,13 @@
 ``queries()`` entries, so the registry order is load-bearing. Round-8
 rotation (VERDICT r7 item 1): 90 registry queries — every r6/r7
 registration — had never produced a driver-green row; R8_WINDOW_QUEUE
-below pins them in registration order (oldest local verification first).
-The r8 window is the queue's first 45 plus the five queue members whose
-code round 8 changed (CHANGED_IN_R8, pulled forward because a changed
-query's pending verification is stale); the five displaced names lead
-R9_WINDOW_QUEUE for the next rotation. Registrations are frozen this
-round (VERDICT r7 item 2), so the queue shrinks 90 → 40."""
+below pins them in registration order (oldest local verification first);
+r8's window (its first 45 + CHANGED_IN_R8) went 50/50 driver-green.
+Round-9 rotation (VERDICT r8 items 1-2): the window covers ALL 40
+remaining queue names (R9_WINDOW_QUEUE) — zeroing the
+never-driver-checked debt — plus the three post-freeze registrations
+(NEW_IN_R9), the two r9 changed-code pulls (CHANGED_IN_R9), and the five
+oldest-signal anchors from R9_ANCHOR_CANDIDATES' front."""
 
 from __future__ import annotations
 
@@ -141,28 +142,56 @@ CHANGED_IN_R8 = [
 ]
 
 _R8_FRONT = [n for n in R8_WINDOW_QUEUE if n not in CHANGED_IN_R8][:45]
+R8_DRIVER_WINDOW = _R8_FRONT + CHANGED_IN_R8  # provenance: went 50/50 green
 
 # The r9 rotation queue: the five names the changed-code pulls displaced,
 # then the rest of R8_WINDOW_QUEUE in order. All 40 were 3-SF locally
 # verified in r7 AND re-verified at sf0.001/0.01/0.1 in round 8's
-# full-registry sweeps (0 failures); any the r9 round touches get
-# re-verified + pulled into the window, same as r8 did.
+# full-registry sweeps (0 failures); the r9 window rotates onto ALL of
+# them (r8 verdict item 1), zeroing the never-driver-checked debt.
 R9_WINDOW_QUEUE = [
     n for n in R8_WINDOW_QUEUE if n not in _R8_FRONT and n not in CHANGED_IN_R8
 ]
 
+# Round-9 registrations (the freeze lifted per r8 verdict items 2/5) —
+# registered straight into the window, the rule r8 set for mid-round
+# additions.
+NEW_IN_R9 = [
+    "substring_decontaminate_docs",
+    "temporal_split_leakage_audit",
+    "ann_rerank_eval",
+]
 
-def test_round8_rotation_policy_is_the_window():
-    assert list(DRIVER_WINDOW) == _R8_FRONT + CHANGED_IN_R8
-    # every window name comes from the never-driver-checked queue — the
-    # r7 verdict's "Done" criterion for the rotation
-    assert set(DRIVER_WINDOW) <= set(R8_WINDOW_QUEUE)
-    # the r9 queue is exactly the 40 queue names the window left behind
+# Function text touched by the r9 ADVICE fixes — their previous greens
+# (r8 for pagerank, r7 for the serving audit) predate the shipped code.
+CHANGED_IN_R9 = [
+    "part_pagerank_top20",
+    "serving_parity_audit",
+]
+
+
+def test_round9_rotation_policy_is_the_window():
+    # r8 verdict item 1: the whole 40-name queue + priority fills —
+    # new registrations, changed-code pulls, then oldest anchors.
+    anchors_used = R9_ANCHOR_CANDIDATES[:5]
+    assert list(DRIVER_WINDOW) == (
+        R9_WINDOW_QUEUE + NEW_IN_R9 + CHANGED_IN_R9 + anchors_used
+    )
     assert len(R9_WINDOW_QUEUE) == 40
-    assert not set(R9_WINDOW_QUEUE) & set(DRIVER_WINDOW)
-    assert set(R9_WINDOW_QUEUE) | set(DRIVER_WINDOW) == set(R8_WINDOW_QUEUE)
+    # debt-zero criterion: every name that has EVER lacked a driver green
+    # (the r7 queue) is covered by the r8 window or this one
+    assert set(R8_WINDOW_QUEUE) <= set(R8_DRIVER_WINDOW) | set(DRIVER_WINDOW)
     oracles = oracle_registry()
-    assert all(n in oracles for n in R9_WINDOW_QUEUE)
+    assert all(n in oracles for n in DRIVER_WINDOW)
+
+
+def test_freeze_lifted_with_exactly_the_r9_registrations():
+    """The r8 freeze held at 232 oracle-backed queries; r9 lifts it with
+    exactly the three verdict-item-5 operators, all oracle-backed."""
+    queries, oracles = query_registry(), oracle_registry()
+    assert len(queries) == 232 + len(NEW_IN_R9) == 235
+    assert len(oracles) == 235
+    assert all(n in queries and n in oracles for n in NEW_IN_R9)
 
 
 def test_every_oracle_has_a_query():
@@ -295,8 +324,11 @@ R9_ANCHOR_CANDIDATES = [
 ]
 
 
-def test_r9_anchor_candidates_are_registered_and_disjoint():
+def test_r9_anchor_candidates_are_registered_and_front_consumed():
     names = set(query_registry())
     assert set(R9_ANCHOR_CANDIDATES) <= names
-    assert not set(R9_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
+    # the r9 window consumed exactly the list's front 5; the remaining 42
+    # roll forward as R10 anchor candidates (oldest driver signal first)
+    assert set(R9_ANCHOR_CANDIDATES[:5]) <= set(DRIVER_WINDOW)
+    assert not set(R9_ANCHOR_CANDIDATES[5:]) & set(DRIVER_WINDOW)
     assert not set(R9_ANCHOR_CANDIDATES) & set(R9_WINDOW_QUEUE)

@@ -144,7 +144,7 @@ EVENT_OPS = (
     "copurchase transition_matrix gini_skew mutual_info hll_actives "
     "daily_percentiles seasonality anomaly_profile welch_ttest "
     "ref_integrity conversion_latency ks_drift ab_srm mad_outliers pagerank "
-    "pagerank_copart triangles "
+    "pagerank_copart triangles triangles_20m temporal_split "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
     "woe_iv chi2 survival bootstrap cuped did_estimate seasonal "
     "trimmed_mean value_gini cusum"
@@ -157,13 +157,14 @@ DOC_OPS = (
     "afp vhash audio_fingerprint video_fingerprint ngram_jaccard_dense_posting_cap64 "
     "quality_classifier training_shards mixture_epochs priority_survivors "
     "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup "
-    "bpe_stats bpe_pairs bpe_train bpe_encode sketch_calibrate bm25 tfidf_doc_topk"
+    "bpe_stats bpe_pairs bpe_train bpe_encode sketch_calibrate bm25 tfidf_doc_topk "
+    "substr_decontaminate"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
     "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
     "semantic_decontaminate knn_label_audit hard_negatives prototypicality "
-    "random_projection mmr_rerank pq_rerank kmeans"
+    "random_projection mmr_rerank pq_rerank kmeans rerank_eval"
 ).split()
 
 
