@@ -15,6 +15,8 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from ml_feature_store_pipeline_spark import FeatureMetadata, UserEventExtractor, get_spark
 from ml_feature_store_pipeline_spark.generator import generate_events
 from ml_feature_store_pipeline_spark.store import FeatureStore
@@ -57,14 +59,31 @@ def main() -> None:
         extractor.extract(generate_events(spark, n_events=2000, n_users=100, seed=7)), meta
     )
     print(f"second version {v2[:8]}…")
+
+    # staleness SLA in the lifecycle: register → serve → re-register →
+    # serve must flip to v2 IMMEDIATELY (the serving index is
+    # version-scoped and latest_version() is never cached — unlike the
+    # reference's TTL cache, whose entries are never invalidated on
+    # re-registration and can lag a version's DB rows by up to 3600 s).
+    v2_rows = store.get_features(v2, use_cache=False)
+    fresh_user = v2_rows.select("user_id").limit(1).collect()[0][0]
+    served_now = store.serve_features(fresh_user)  # version=None -> latest
+    offline_v2 = {
+        int(r["user_id"]): r for r in v2_rows.filter(F.col("user_id") == fresh_user).collect()
+    }
+    assert served_now["total_events"] == offline_v2[int(fresh_user)]["total_events"], (
+        "stale serve: latest-version read did not reflect the re-registration"
+    )
+    audit = store.validate_serving_parity()  # latest = v2, md5-ordered sample
+    assert audit["version"] == v2 and audit["mismatches"] == [], audit
+    print(f"post-re-registration serve is v2-fresh; parity audit {audit['checked']}/"
+          f"{audit['checked']} entities byte-identical, staleness window 0 s")
     print("versions:", [(v["feature_version"][:8], v["description"][:30]) for v in store.list_feature_versions()])
     doomed = store.cleanup_old_versions(keep_n=1)
     print(f"cleanup removed {len(doomed)} version(s); dashboard: {store.get_monitoring_dashboard()['metrics']['total_creations']} creations, "
           f"partitions now {len(store.get_monitoring_dashboard()['partitions'])}")
 
     # --- training workflow on top of the store ---------------------------
-    from pyspark.sql import functions as F
-
     from ml_feature_store_pipeline_spark.operators import drift, sampling
     from ml_feature_store_pipeline_spark.operators.pit import FeatureView, training_set
 

@@ -94,10 +94,23 @@ class FeatureStore:
             stamped = stamped.sortWithinPartitions(self.sort_col)
         stamped.write.mode("append").partitionBy(VERSION_COLUMN).parquet(self.features_path)
 
-        metadata.feature_version = version
-        metadata.created_at = metadata.created_at or _utc_now_iso()
-        metadata.data_quality_metrics = metrics
-        self._upsert_metadata(metadata)
+        # stamp a COPY — mutating the caller's object made a REUSED
+        # FeatureMetadata carry the first registration's created_at into
+        # every later register call, so latest_version() (top-1 by
+        # created_at) could keep resolving to the superseded version: the
+        # exact staleness mode this store claims a zero window for (found
+        # by the demo's register→serve→re-register→serve assertion, r9).
+        # An EXPLICITLY pre-set created_at is still honored (backfill /
+        # time-travel); only the implicit stamp is per-registration now.
+        import dataclasses
+
+        stamped_meta = dataclasses.replace(
+            metadata,
+            feature_version=version,
+            created_at=metadata.created_at or _utc_now_iso(),
+            data_quality_metrics=metrics,
+        )
+        self._upsert_metadata(stamped_meta)
 
         n_rows = features.count()
         self.monitor.log_feature_creation(version, n_rows, metrics.overall_score)
@@ -148,11 +161,18 @@ class FeatureStore:
 
     # ------------------------------------------------------------------ K2
     def latest_version(self) -> str | None:
-        """F1 `:373-380`: top-1 by created_at (TakeOrderedAndProject, no full sort)."""
+        """F1 `:373-380`: top-1 by created_at (TakeOrderedAndProject, no full
+        sort). Version hash desc breaks created_at ties (two registrations
+        in one microsecond, or an explicit backfilled timestamp) so
+        resolution is deterministic rather than partition-order luck."""
         meta = self._read_metadata()
         if meta is None:
             return None
-        head = meta.orderBy(F.desc(CREATED_AT_COLUMN)).limit(1).collect()
+        head = (
+            meta.orderBy(F.desc(CREATED_AT_COLUMN), F.desc(VERSION_COLUMN))
+            .limit(1)
+            .collect()
+        )
         return head[0][VERSION_COLUMN] if head else None
 
     def version_as_of(self, as_of: str) -> str | None:
@@ -165,7 +185,7 @@ class FeatureStore:
             return None
         head = (
             meta.filter(F.col(CREATED_AT_COLUMN) <= as_of)
-            .orderBy(F.desc(CREATED_AT_COLUMN))
+            .orderBy(F.desc(CREATED_AT_COLUMN), F.desc(VERSION_COLUMN))
             .limit(1)
             .collect()
         )

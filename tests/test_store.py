@@ -405,3 +405,30 @@ def test_serving_parity_audit_detects_stale_cache_epoch(spark, tmp_path):
     # the epoch as a full-sample mismatch, not a silent pass
     assert report2["version"] == v2
     assert len(report2["mismatches"]) == report2["checked"] == 20
+
+
+def test_reused_metadata_object_does_not_freeze_latest_version(spark, tmp_path):
+    """r9 demo-caught bug: register_features stamped created_at by MUTATING
+    the caller's FeatureMetadata, so a reused object carried the FIRST
+    registration's timestamp into every later call and latest_version()
+    could keep resolving to the superseded version — the staleness mode
+    this store claims a zero window for. The caller's object must stay
+    unmutated and each implicit stamp must be per-registration."""
+    from ml_feature_store_pipeline_spark.config import FeatureMetadata
+    from ml_feature_store_pipeline_spark.store import FeatureStore
+
+    store = FeatureStore(spark, str(tmp_path / "store"))
+    meta = FeatureMetadata(description="reused across registrations")
+    f1 = spark.createDataFrame([(1, 10.0)], "user_id long, x double")
+    f2 = spark.createDataFrame([(1, 99.0), (2, 7.0)], "user_id long, x double")
+    v1 = store.register_features(f1, meta)
+    v2 = store.register_features(f2, meta)
+    assert v1 != v2
+    # the caller's object was not mutated by either call
+    assert meta.feature_version == "" and meta.created_at == ""
+    assert store.latest_version() == v2
+    # and the serving path reflects v2 immediately (zero-staleness SLA)
+    assert store.serve_features(1)["x"] == 99.0
+    # stored stamps are per-registration, strictly ordered
+    rows = {r["feature_version"]: r["created_at"] for r in store.list_feature_versions()}
+    assert rows[v2] >= rows[v1]

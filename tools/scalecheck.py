@@ -1232,6 +1232,44 @@ def main() -> None:
                 "overwrite"
             ).save()
             log("triangles_2m_edges", time.time() - t0, 2_000_000)
+        if events is not None and want("triangles_20m"):
+            from ml_feature_store_pipeline_spark.operators import graph as _graph
+
+            # r8 verdict item 6: the wedge shape at 10x — same hub profile
+            # (b side 10% of a side) as the 2M row, so the oriented
+            # out-degree bound is what's being stressed, not a sparser graph
+            tri_edges_20m = spark.range(20_000_000).select(
+                (F.xxhash64("id") % 2_000_000).alias("a"),
+                (F.xxhash64("id", F.lit(1)) % 200_000).alias("b"),
+            ).filter(F.col("a") != F.col("b"))
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _graph.triangle_stats(tri_edges_20m, "a", "b").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            log("triangles_20m_edges", time.time() - t0, 20_000_000)
+        if events is not None and want("temporal_split"):
+            from ml_feature_store_pipeline_spark.operators import pit as _pit
+
+            # r9: split + leakage audit — one entity RANGE window, one
+            # (stratum, entity) agg, one |strata| rollup. The cutoff is a
+            # driver-side scalar (one approx-percentile job, not timed as
+            # part of the operator).
+            cut = events.selectExpr(
+                "CAST(percentile_approx(timestamp, 0.7) AS STRING)"
+            ).first()[0]
+            timed(
+                "temporal_split_audit",
+                _pit.temporal_split_audit(
+                    events,
+                    entity_col="user_id",
+                    time_col="timestamp",
+                    stratum_col="event_type",
+                    cutoff=cut,
+                ),
+                args.events,
+            )
         if events is not None and want("mutual_info"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
@@ -1470,6 +1508,21 @@ def main() -> None:
                 _text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=10),
                 args.docs,
             )
+        if docs is not None and want("substr_decontaminate"):
+            from ml_feature_store_pipeline_spark.operators import dedup as _dedup
+
+            # r9: ~1% of docs play the benchmark (dense windows, broadcast
+            # hashes); the other 99% are the train side that must never
+            # shuffle raw text — only candidate rows reach the verify join
+            ev_docs = docs.filter(F.col("doc_id") % 101 == 0)
+            tr_docs = docs.filter(F.col("doc_id") % 101 != 0)
+            timed(
+                "substr_decontaminate_L30S8",
+                _dedup.substring_overlap_pairs(
+                    tr_docs, ev_docs, "doc_id", "text", passage_len=30, stride=8
+                ),
+                args.docs,
+            )
         if docs is not None and want("sketch_calibrate"):
             from ml_feature_store_pipeline_spark.operators import text as _text
 
@@ -1519,6 +1572,44 @@ def main() -> None:
                 "overwrite"
             ).save()
             log("kmeans_k8_3iters", time.time() - t0, args.vecs)
+        if vecs is not None and want("rerank_eval"):
+            from ml_feature_store_pipeline_spark.operators import similarity as _sim
+
+            # r9: the full eval harness — brute-force GT + 3 candidate
+            # routes + metric joins. Route construction, the pins, and the
+            # metric bookkeeping all run at plan-build/collect — time it
+            # all (the bpe_train rule). Cost scales with the corpus scans;
+            # the metric stage stays |queries|*k regardless of corpus size.
+            q20 = vecs.filter(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+
+            def _pin(df):
+                return spark.createDataFrame(df.collect(), df.schema)
+
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            gt = _pin(_sim.nonself_topk(_sim.cosine_topk(q20, vecs, k=6), k=5))
+            routes = {
+                "lsh": _sim.lsh_topk(q20, vecs, k=6, dim=64, n_planes=4, n_tables=16),
+                "ivf": _sim.ivf_topk(q20, vecs, k=6, n_cells=8, nprobe=2),
+                "pq": _sim.pq_topk_rerank(q20, vecs, k=6, m=16, k_codes=16, shortlist=100),
+            }
+            out = None
+            for vname, scored in routes.items():
+                m = _sim.rerank_eval(
+                    gt, _pin(_sim.nonself_topk(scored, k=5)), k=5
+                ).select(F.lit(vname).alias("variant"), "n_queries", "k", "recall_at_k", "mrr")
+                out = m if out is None else out.unionByName(m)
+            rows = out.collect()
+            log("rerank_eval_3routes_20q", time.time() - t0, args.vecs * 4)
+            for r in rows:
+                print(json.dumps({
+                    "op": f"rerank_eval.{r['variant']}",
+                    "recall_at_5": round(r["recall_at_k"], 4),
+                    "mrr": round(r["mrr"], 4),
+                }), flush=True)
         if vecs is not None and want("random_projection"):
             # pure codegen scan: out_dim x in_dim fused multiply-adds per row
             timed(
