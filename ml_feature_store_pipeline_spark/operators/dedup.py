@@ -1075,9 +1075,15 @@ def substring_overlap_pairs(
         F.col(id_col).alias("eval_id"),
         (F.lower(F.col(text_col)) if lowercase else F.col(text_col)).alias("__evt"),
     )
+    # plain count IS the distinct-passage count here: windows are deduped
+    # inside each train doc's array (array_distinct) and the broadcast
+    # hash table is distinct on (eval_id, hash), so one (train, eval)
+    # group never sees a passage twice — count_distinct would re-shuffle
+    # the candidate passages through an extra (…, passage)-keyed exchange
+    # for nothing.
     return (
         cand.join(F.broadcast(ev_txt), "eval_id")
         .filter(F.contains(F.col("__evt"), F.col("passage")))
         .groupBy("train_id", "eval_id")
-        .agg(F.count_distinct("passage").alias("n_shared_passages"))
+        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
     )
