@@ -35,6 +35,7 @@ SUBSETS = (
     "r03_headline_total",
     "r04_headline_total",
     "r06_headline_total",
+    "r08_headline_total",
     "value",
 )
 
