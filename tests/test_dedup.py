@@ -608,3 +608,36 @@ def test_substring_overlap_is_case_insensitive_and_skips_short_docs(spark):
         substring_overlap_pairs(
             train, eval_df, "doc_id", "text", passage_len=0, stride=3
         )
+
+
+def test_substring_overlap_guarantee_boundary_is_tight(spark):
+    """Tightness of the detection guarantee: a shared run of EXACTLY
+    passage_len + stride - 1 chars is always caught (proven above), while
+    a run one char shorter CAN be missed when positioned so no strided
+    window start lands inside it — the documented grain, not a bug. With
+    stride starts at 1+kS, a run starting at r covers start positions
+    [r, r+len-L]; at len = L+S-2 that interval spans S-1 residues mod S,
+    so r ≡ 2 (mod S) dodges every start."""
+    from ml_feature_store_pipeline_spark.operators.dedup import (
+        substring_overlap_pairs,
+    )
+
+    L, S = 10, 4
+    run12 = "abcdefghijkl"   # L + S - 2 = 12: miss-able
+    run13 = run12 + "m"       # L + S - 1 = 13: guaranteed
+    # train text: 5 z's -> run starts at char 6 = 4*1 + 2 ≡ 2 (mod 4)
+    train = spark.createDataFrame(
+        [(1, "zzzzz" + run12 + "zzzzz"), (2, "zzzzz" + run13 + "zzzzz")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "qqqq" + run13 + "qqqq")], "doc_id long, text string"
+    )
+    found = {
+        r["train_id"]
+        for r in substring_overlap_pairs(
+            train, eval_df, "doc_id", "text", passage_len=L, stride=S
+        ).collect()
+    }
+    assert 2 in found      # >= L+S-1: the guarantee
+    assert 1 not in found  # == L+S-2 at r ≡ 2 (mod S): outside the grain
