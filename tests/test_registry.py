@@ -324,6 +324,22 @@ R9_ANCHOR_CANDIDATES = [
 ]
 
 
+# The aging-signal ledger rolls forward: r9's window consumed the front 5
+# (their greens refresh when CORRECTNESS_r09 lands); these 42 remain the
+# oldest driver signal (r4-era greens) and are r10's anchor pool, in
+# order. r10 should fill its free window slots from THIS list's front —
+# after any changed-code pulls and new registrations, same priority rules
+# as r8/r9 — and roll the rest to r11.
+R10_ANCHOR_CANDIDATES = R9_ANCHOR_CANDIDATES[5:]
+
+
+def test_r10_anchor_pool_rolls_forward():
+    assert len(R10_ANCHOR_CANDIDATES) == 42
+    assert not set(R10_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
+    names = set(query_registry())
+    assert set(R10_ANCHOR_CANDIDATES) <= names
+
+
 def test_r9_anchor_candidates_are_registered_and_front_consumed():
     names = set(query_registry())
     assert set(R9_ANCHOR_CANDIDATES) <= names
