@@ -100,6 +100,20 @@ def main() -> None:
     n3b = survivors.count()
     print(f"after decontamination: {n3b} train docs ({contaminated.count()} dropped)")
 
+    # 3b'. passage-grain pass (r9): the n-gram rule misses verbatim runs
+    # that straddle tokenization — catch any shared character run >= 37
+    # chars against the same eval slice and drop those docs too
+    verbatim = dedup.substring_overlap_pairs(
+        survivors, ev, "doc_id", "text", passage_len=30, stride=8
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    survivors = survivors.join(verbatim, "doc_id", "left_anti")
+    # the curated lineage is now ~10 stages deep and every later count /
+    # join replays it in full — pin it once (the reused-subtree rule)
+    survivors = survivors.localCheckpoint()
+    n3c = survivors.count()
+    print(f"after passage-level decontamination: {n3c} train docs "
+          f"({n3b - n3c} verbatim-run carriers dropped)")
+
     # 3c. DSIR selection (r7): keep the half of the corpus that looks most
     # like the held-out eval slice (hashed-n-gram importance resampling)
     ratios = selection.dsir_log_ratios(ev, survivors, "text", n_buckets=512)
