@@ -641,3 +641,50 @@ def test_substring_overlap_guarantee_boundary_is_tight(spark):
     }
     assert 2 in found      # >= L+S-1: the guarantee
     assert 1 not in found  # == L+S-2 at r ≡ 2 (mod S): outside the grain
+
+
+def test_substring_overlap_matches_bruteforce_on_random_corpus(spark):
+    """Seeded random word-soup corpus: the operator's pair set and window
+    counts must equal a pure-Python recompute of the same definition
+    (distinct strided train windows contained in the eval text) — catches
+    any off-by-one in position sequences, casing, or hash/verify wiring."""
+    import random
+
+    from ml_feature_store_pipeline_spark.operators.dedup import (
+        substring_overlap_pairs,
+    )
+
+    rng = random.Random(90210)
+    vocab = ["key", "agg", "row", "scan", "slow", "fast", "table", "value"]
+    L, S = 12, 5
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 25)))
+
+    train_rows = [(i, doc()) for i in range(60)]
+    eval_rows = [(1000 + i, doc()) for i in range(8)]
+
+    def windows(text, step):
+        t = text.lower()
+        if len(t) < L:
+            return set()
+        return {t[p : p + L] for p in range(0, len(t) - L + 1, step)}
+
+    expected = {}
+    for tid, ttxt in train_rows:
+        tw = windows(ttxt, S)
+        for eid, etxt in eval_rows:
+            et = etxt.lower()
+            n = sum(1 for w in tw if w in et)
+            if n:
+                expected[(tid, eid)] = n
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared_passages"]
+        for r in substring_overlap_pairs(
+            train, eval_df, "doc_id", "text", passage_len=L, stride=S
+        ).collect()
+    }
+    assert got == expected and expected  # non-vacuous: the corpus collides

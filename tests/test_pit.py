@@ -284,3 +284,65 @@ def test_temporal_split_audit_same_microsecond_ties_exclude_each_other(spark):
     assert row["n_test"] == 2
     assert row["n_leaky_test_labels"] == 0
     assert row["test_period_feature_share"] == 0.0
+
+
+def test_temporal_split_audit_matches_bruteforce_on_random_frame(spark):
+    """Seeded random events: every output column must equal a pure-Python
+    recompute of the definition (strictly-earlier-by-microsecond feature
+    windows, per-stratum rollups) — catches RANGE-frame, tie, and
+    share-arithmetic regressions in one sweep."""
+    import datetime as dt
+    import random
+
+    from ml_feature_store_pipeline_spark.operators.pit import temporal_split_audit
+
+    rng = random.Random(417)
+    base = dt.datetime(2024, 1, 1)
+    cutoff = dt.datetime(2024, 1, 15)
+    rows = []
+    for _ in range(300):
+        u = rng.randint(1, 25)
+        s = rng.choice(["a", "b", "c"])
+        # second-grain ts with deliberate collisions (same user, same ts)
+        t = base + dt.timedelta(seconds=rng.randint(0, 28 * 86400) // 7 * 7)
+        rows.append((u, s, t))
+    events = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    # brute force: per event, feature window = same user's strictly-earlier rows
+    by_user = {}
+    for u, s, t in rows:
+        by_user.setdefault(u, []).append(t)
+    exp = {}
+    for u, s, t in rows:
+        te = t >= cutoff
+        hist = [x for x in by_user[u] if x < t]
+        ft, fte = len(hist), sum(1 for x in hist if x >= cutoff)
+        st = exp.setdefault(s, {"n_train": 0, "n_test": 0, "users": {}, "leaky": 0, "share": 0.0})
+        uu = st["users"].setdefault(u, [0, 0])
+        if te:
+            st["n_test"] += 1
+            uu[1] += 1
+            if fte > 0:
+                st["leaky"] += 1
+            if ft > 0:
+                st["share"] += round(fte / ft, 9)
+        else:
+            st["n_train"] += 1
+            uu[0] += 1
+    out = {
+        r["stratum"]: r
+        for r in temporal_split_audit(
+            events, entity_col="user_id", time_col="ts",
+            stratum_col="event_type", cutoff="2024-01-15 00:00:00",
+        ).collect()
+    }
+    assert set(out) == set(exp)
+    for s, e in exp.items():
+        r = out[s]
+        assert (r["n_train"], r["n_test"]) == (e["n_train"], e["n_test"])
+        assert r["n_overlap_entities"] == sum(
+            1 for tr, te in e["users"].values() if tr > 0 and te > 0
+        )
+        assert r["n_leaky_test_labels"] == e["leaky"]
+        want = e["share"] / e["n_test"] if e["n_test"] else 0.0
+        assert abs(r["test_period_feature_share"] - want) < 1e-9

@@ -923,3 +923,39 @@ def test_rerank_eval_full_probe_ivf_is_perfect(spark):
     full = S.nonself_topk(S.ivf_topk(qs, emb, k=4, n_cells=4, nprobe=4), k=3)
     row = S.rerank_eval(gt, full, k=3).collect()[0]
     assert row["recall_at_k"] == 1.0 and row["mrr"] == 1.0
+
+
+def test_rerank_eval_matches_bruteforce_on_random_lists(spark):
+    """Seeded random exact/approx top-k lists: recall@k and MRR must equal
+    the pure-Python definition, across missing GT#1s, short lists, and
+    disjoint results."""
+    import random
+
+    from ml_feature_store_pipeline_spark.operators.similarity import rerank_eval
+
+    rng = random.Random(7311)
+    k = 4
+    exact_rows, approx_rows = [], []
+    exact_by_q, approx_by_q = {}, {}
+    for q in range(30):
+        n_ex = rng.randint(1, k)
+        ex = rng.sample(range(100), n_ex)
+        ap = rng.sample(range(100), rng.randint(0, k))
+        exact_by_q[q], approx_by_q[q] = ex, ap
+        exact_rows += [(q, v, i + 1) for i, v in enumerate(ex)]
+        approx_rows += [(q, v, i + 1) for i, v in enumerate(ap)]
+    n_exact = sum(len(v) for v in exact_by_q.values())
+    hits = sum(
+        len(set(exact_by_q[q]) & set(approx_by_q[q])) for q in exact_by_q
+    )
+    rrs = []
+    for q, ex in exact_by_q.items():
+        gt1 = ex[0]
+        ap = approx_by_q[q]
+        rrs.append(round(1.0 / (ap.index(gt1) + 1), 9) if gt1 in ap else 0.0)
+    exact = spark.createDataFrame(exact_rows, "query_id long, vec_id long, rank int")
+    approx = spark.createDataFrame(approx_rows, "query_id long, vec_id long, rank int")
+    row = rerank_eval(exact, approx, k=k).collect()[0]
+    assert row["n_queries"] == 30
+    assert abs(row["recall_at_k"] - hits / n_exact) < 1e-9
+    assert abs(row["mrr"] - sum(rrs) / len(rrs)) < 1e-9
