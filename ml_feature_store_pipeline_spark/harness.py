@@ -57,16 +57,19 @@ def _ensure_loaded() -> None:
 #   pulls): substring_decontaminate_docs, temporal_split_leakage_audit,
 #   ann_rerank_eval — all 3-SF verified via tools/verify_oracle.py this
 #   round, plan-audited 0 flags.
-# - TWO changed-code pulls (function text touched by the r9 ADVICE
-#   fixes, so their prior greens predate the shipped code):
+# - THREE changed-code pulls (function text touched this round, so
+#   their prior greens predate the shipped code):
 #   part_pagerank_top20 (edges_per_partition fail-fast validation +
-#   thread-safety note) and serving_parity_audit (staleness-SLA
-#   docstring corrected in store.validate_serving_parity).
-# - FIVE anchors from the FRONT of R9_ANCHOR_CANDIDATES (r8 verdict
+#   thread-safety note), serving_parity_audit (staleness-SLA docstring
+#   + the register_features metadata-copy fix), and lsh_ann_topk
+#   (hyperplane_signature gained the name-based single-F.expr build —
+#   bit-identical signatures, unit-tested, but changed code is changed
+#   code).
+# - FOUR anchors from the FRONT of R9_ANCHOR_CANDIDATES (r8 verdict
 #   item 1: oldest driver signal first — their last greens are r4):
 #   text_stats, dedup_exact_docs, minhash_candidate_pairs,
-#   incremental_minhash_pairs, simhash_docs. The remaining 42
-#   candidates roll forward for r10's free slots.
+#   incremental_minhash_pairs. The remaining 43 candidates (led by the
+#   displaced simhash_docs) roll forward for r10's free slots.
 DRIVER_WINDOW: tuple[str, ...] = (
     # R9_WINDOW_QUEUE — all 40, registration order (never driver-checked)
     "hourly_seasonality_events",
@@ -113,15 +116,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "substring_decontaminate_docs",
     "temporal_split_leakage_audit",
     "ann_rerank_eval",
-    # changed-code pulls (r9 ADVICE fixes touched their function text)
+    # changed-code pulls (function text touched this round)
     "part_pagerank_top20",
     "serving_parity_audit",
+    "lsh_ann_topk",
     # oldest-signal anchors (last green r4) — R9_ANCHOR_CANDIDATES front
     "text_stats",
     "dedup_exact_docs",
     "minhash_candidate_pairs",
     "incremental_minhash_pairs",
-    "simhash_docs",
 )
 
 

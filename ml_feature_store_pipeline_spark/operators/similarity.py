@@ -59,7 +59,9 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
+def hyperplane_signature(
+    vec: Column | str, dim: int, n_planes: int, seed: int = 42
+) -> Column:
     """Sign-LSH bucket id: ``n_planes`` pseudo-random hyperplanes with
     deterministic ±1 weights derived from md5(seed, plane, dim-index) —
     reproducible across runs and engines.
@@ -71,18 +73,41 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int, seed: int = 42) -
     ROW — at 4 tables × 8 planes × 64 dims that was 2048 hashes per
     vector, ~20× the projection's useful flops. Signatures are
     bit-identical either way (same formula, same fold order).
+
+    Pass ``vec`` as a column NAME to take the single-``F.expr`` build: a
+    Column-object build crosses py4j once per literal and once per lambda
+    (n_planes × dim × tables × sides ≈ 10⁴ roundtrips for a 16-table LSH
+    frame, ~7 s of DRIVER time before any job starts); the SQL string
+    parses JVM-side in one call (measured 10×: 7.4 s → 0.75 s for 32
+    signatures). The generated expression tree is the same operators in
+    the same fold order, so signatures stay bit-identical
+    (``test_hyperplane_signature_expr_path_bit_identical``). The Column
+    path remains for composed expressions without a name.
     """
     import hashlib
 
-    bits = []
-    for p in range(n_planes):
-        signs = [
+    def plane_signs(p: int) -> list[float]:
+        return [
             1.0
             if int(hashlib.md5(f"{seed}_{p}_{j}".encode()).hexdigest()[:8], 16) & 1
             else -1.0
             for j in range(dim)
         ]
-        w = F.array(*[F.lit(s) for s in signs])
+
+    if isinstance(vec, str):
+        terms = []
+        for p in range(n_planes):
+            arr = "array(" + ", ".join(f"{s:.1f}D" for s in plane_signs(p)) + ")"
+            proj = (
+                f"aggregate(zip_with(`{vec}`, {arr}, (x, w) -> CAST(x AS DOUBLE) * w), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        return F.expr("CAST(" + " + ".join(terms) + " AS INT)")
+
+    bits = []
+    for p in range(n_planes):
+        w = F.array(*[F.lit(s) for s in plane_signs(p)])
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, wj: x.cast("double") * wj),
             F.lit(0.0),
@@ -116,7 +141,7 @@ def lsh_topk(
             *[
                 F.struct(
                     F.lit(t).alias("table_id"),
-                    hyperplane_signature(F.col(vec_col), dim, n_planes, seed=1000 + t).alias(
+                    hyperplane_signature(vec_col, dim, n_planes, seed=1000 + t).alias(
                         "bucket"
                     ),
                 )
@@ -313,7 +338,7 @@ def embedding_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(t).alias("table_id"),
-                        hyperplane_signature(F.col(v_name), dim, n_planes, seed=1000 + t).alias("bucket"),
+                        hyperplane_signature(v_name, dim, n_planes, seed=1000 + t).alias("bucket"),
                     )
                     for t in range(n_tables)
                 ]

@@ -162,18 +162,22 @@ NEW_IN_R9 = [
     "ann_rerank_eval",
 ]
 
-# Function text touched by the r9 ADVICE fixes — their previous greens
-# (r8 for pagerank, r7 for the serving audit) predate the shipped code.
+# Function text touched this round — their previous greens (r8 for
+# pagerank, r7 for the serving audit and the LSH recall gate) predate
+# the shipped code: the ADVICE fixes, the register_features
+# metadata-copy fix, and hyperplane_signature's single-F.expr build
+# (bit-identical signatures, but changed code is changed code).
 CHANGED_IN_R9 = [
     "part_pagerank_top20",
     "serving_parity_audit",
+    "lsh_ann_topk",
 ]
 
 
 def test_round9_rotation_policy_is_the_window():
     # r8 verdict item 1: the whole 40-name queue + priority fills —
     # new registrations, changed-code pulls, then oldest anchors.
-    anchors_used = R9_ANCHOR_CANDIDATES[:5]
+    anchors_used = R9_ANCHOR_CANDIDATES[:4]
     assert list(DRIVER_WINDOW) == (
         R9_WINDOW_QUEUE + NEW_IN_R9 + CHANGED_IN_R9 + anchors_used
     )
@@ -324,17 +328,23 @@ R9_ANCHOR_CANDIDATES = [
 ]
 
 
-# The aging-signal ledger rolls forward: r9's window consumed the front 5
-# (their greens refresh when CORRECTNESS_r09 lands); these 42 remain the
-# oldest driver signal (r4-era greens) and are r10's anchor pool, in
-# order. r10 should fill its free window slots from THIS list's front —
-# after any changed-code pulls and new registrations, same priority rules
-# as r8/r9 — and roll the rest to r11.
-R10_ANCHOR_CANDIDATES = R9_ANCHOR_CANDIDATES[5:]
+# The aging-signal ledger rolls forward: r9's window consumed the front 4
+# (their greens refresh when CORRECTNESS_r09 lands — the lsh_ann_topk
+# changed-code pull displaced the fifth, simhash_docs, which leads this
+# pool); these 43 remain the oldest driver signal (r4-era greens) and are
+# r10's anchor pool, in order. r10 should fill its free window slots from
+# THIS list's front — after any changed-code pulls and new registrations,
+# same priority rules as r8/r9 — and roll the rest to r11.
+# lsh_ann_topk sat in this pool too (an r4 green) — its changed-code pull
+# refreshes it through the window, so it leaves the pool as well.
+R10_ANCHOR_CANDIDATES = [
+    n for n in R9_ANCHOR_CANDIDATES[4:] if n not in CHANGED_IN_R9
+]
 
 
 def test_r10_anchor_pool_rolls_forward():
     assert len(R10_ANCHOR_CANDIDATES) == 42
+    assert R10_ANCHOR_CANDIDATES[0] == "simhash_docs"
     assert not set(R10_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
     names = set(query_registry())
     assert set(R10_ANCHOR_CANDIDATES) <= names
@@ -343,8 +353,12 @@ def test_r10_anchor_pool_rolls_forward():
 def test_r9_anchor_candidates_are_registered_and_front_consumed():
     names = set(query_registry())
     assert set(R9_ANCHOR_CANDIDATES) <= names
-    # the r9 window consumed exactly the list's front 5; the remaining 42
-    # roll forward as R10 anchor candidates (oldest driver signal first)
-    assert set(R9_ANCHOR_CANDIDATES[:5]) <= set(DRIVER_WINDOW)
-    assert not set(R9_ANCHOR_CANDIDATES[5:]) & set(DRIVER_WINDOW)
+    # the r9 window consumed the list's front 4 as anchors plus
+    # lsh_ann_topk as a changed-code pull; the remaining 42 roll forward
+    # as R10 anchor candidates (oldest driver signal first)
+    assert set(R9_ANCHOR_CANDIDATES[:4]) <= set(DRIVER_WINDOW)
+    assert set(R9_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW) == set(
+        R9_ANCHOR_CANDIDATES[:4]
+    ) | {"lsh_ann_topk"}
+    assert not set(R10_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
     assert not set(R9_ANCHOR_CANDIDATES) & set(R9_WINDOW_QUEUE)

@@ -959,3 +959,25 @@ def test_rerank_eval_matches_bruteforce_on_random_lists(spark):
     assert row["n_queries"] == 30
     assert abs(row["recall_at_k"] - hits / n_exact) < 1e-9
     assert abs(row["mrr"] - sum(rrs) / len(rrs)) < 1e-9
+
+
+def test_hyperplane_signature_expr_path_bit_identical(spark):
+    """The name-based single-F.expr build (r9: kills ~10^4 py4j roundtrips
+    of driver-side plan construction) must produce bit-identical bucket
+    ids to the Column-object build on every vector, every seed."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+    from ml_feature_store_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for seed in (1000, 1007, 42):
+        cols = emb.select(
+            "vec_id",
+            hyperplane_signature(F.col("embedding"), 64, 4, seed=seed).alias("a"),
+            hyperplane_signature("embedding", 64, 4, seed=seed).alias("b"),
+        )
+        assert cols.filter(F.col("a") != F.col("b")).count() == 0
+        assert cols.filter(F.col("a").isNull() != F.col("b").isNull()).count() == 0
