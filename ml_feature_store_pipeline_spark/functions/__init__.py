@@ -58,6 +58,23 @@ def safe_div(num: Column, den: Column) -> Column:
 # and DuckDB agree bit-for-bit regardless of parallelism.
 
 
+def pin_local(df):
+    """Materialize a SMALL DataFrame to a driver-side LocalRelation.
+
+    The pin for bounded frames (top-k lists, metric tables, codebooks)
+    that feed several downstream joins: referencing the lazy frame
+    re-executes its whole lineage per consumer, and ``localCheckpoint()``
+    is the wrong pin here — the RDD-conversion path compiles the plan
+    WITHOUT AQE (measured 3-5× slower on the ANN eval routes, r9).
+    A LocalRelation keeps AQE everywhere and the rows become plan
+    literals. Driver cost is the collect — callers own the "small by
+    contract" argument. (quality.py / operators/windows.py carry older
+    inline copies of this idiom; fold them in when their queries next
+    rotate through a verification window.)
+    """
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def dsum(col: Column, scale: int = 4, precision: int = 28) -> Column:
     """Order-insensitive, engine-stable sum of a double column."""
     return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")

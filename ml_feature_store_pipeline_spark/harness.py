@@ -68,8 +68,10 @@ def _ensure_loaded() -> None:
 # - FOUR anchors from the FRONT of R9_ANCHOR_CANDIDATES (r8 verdict
 #   item 1: oldest driver signal first — their last greens are r4):
 #   text_stats, dedup_exact_docs, minhash_candidate_pairs,
-#   incremental_minhash_pairs. The remaining 43 candidates (led by the
-#   displaced simhash_docs) roll forward for r10's free slots.
+#   incremental_minhash_pairs. The remaining 42 candidates (led by the
+#   displaced simhash_docs; lsh_ann_topk leaves the pool via its pull)
+#   roll forward for r10's free slots — pinned as
+#   tests/test_registry.py::R10_ANCHOR_CANDIDATES.
 DRIVER_WINDOW: tuple[str, ...] = (
     # R9_WINDOW_QUEUE — all 40, registration order (never driver-checked)
     "hourly_seasonality_events",

@@ -6125,12 +6125,9 @@ def q_ann_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # each top-k frame is |queries|*k rows but feeds 2-3 metric joins in
     # the union plan — pin once or the brute-force scan / KMeans fit /
-    # PQ build re-executes per reference (measured 27 s -> ~7 s). The pin
-    # is a driver-side LocalRelation, not localCheckpoint: the RDD
-    # conversion path compiles the plan WITHOUT AQE (3-5x slower here),
-    # and |queries|*k rows are metric bookkeeping, not data.
-    def _pin(df: DataFrame) -> DataFrame:
-        return spark.createDataFrame(df.collect(), df.schema)
+    # PQ build re-executes per reference (measured 27 s -> ~7 s); see
+    # functions.pin_local for why LocalRelation and not localCheckpoint.
+    from .functions import pin_local as _pin
 
     gt = _pin(similarity.nonself_topk(similarity.cosine_topk(queries, emb, k=6), k=5))
     floors = {"lsh": (0.8, 0.75), "ivf": (0.4, 0.45), "pq": (0.7, 0.7)}

@@ -84,8 +84,13 @@ class FeatureStore:
         metrics, _prof = self.validator.validate(features)
         version = content_version(features)
 
+        # one stamp for BOTH the feature rows and the metadata copy below:
+        # a backfill's explicit metadata.created_at must also be what the
+        # row-level column says, or version_as_of() time-travels to rows
+        # that self-describe a different creation time (r9 review).
+        created_at = metadata.created_at or _utc_now_iso()
         stamped = features.withColumn(VERSION_COLUMN, F.lit(version)).withColumn(
-            CREATED_AT_COLUMN, F.lit(_utc_now_iso())
+            CREATED_AT_COLUMN, F.lit(created_at)
         )
         if self.sort_col and self.sort_col in features.columns:
             # sort within output files so parquet row-group min/max stats make
@@ -101,13 +106,17 @@ class FeatureStore:
         # exact staleness mode this store claims a zero window for (found
         # by the demo's register→serve→re-register→serve assertion, r9).
         # An EXPLICITLY pre-set created_at is still honored (backfill /
-        # time-travel); only the implicit stamp is per-registration now.
+        # time-travel) — give CORRECTED backfills a strictly later stamp:
+        # two different-content registrations with an EQUAL explicit
+        # created_at are genuinely unordered in this schema, and
+        # latest_version() resolves the tie by version hash
+        # (deterministic, but not registration order).
         import dataclasses
 
         stamped_meta = dataclasses.replace(
             metadata,
             feature_version=version,
-            created_at=metadata.created_at or _utc_now_iso(),
+            created_at=created_at,
             data_quality_metrics=metrics,
         )
         self._upsert_metadata(stamped_meta)
@@ -164,7 +173,11 @@ class FeatureStore:
         """F1 `:373-380`: top-1 by created_at (TakeOrderedAndProject, no full
         sort). Version hash desc breaks created_at ties (two registrations
         in one microsecond, or an explicit backfilled timestamp) so
-        resolution is deterministic rather than partition-order luck."""
+        resolution is deterministic rather than partition-order luck — but
+        it is NOT registration order: two different-content registrations
+        carrying an EQUAL explicit created_at are unordered in this
+        schema, so give corrected backfills a strictly later stamp (a
+        monotonic registration sequence column is the schema-vNext fix)."""
         meta = self._read_metadata()
         if meta is None:
             return None

@@ -685,5 +685,7 @@ def test_temporal_split_audit_is_three_exchanges(spark, registry):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    n_shuffles = len(re.findall(r"(?m)^\s*(?:[+:]- )?Exchange ", final))
+    # prefix class [ :]* — a join's left-branch lines are ':'-prefixed and
+    # plain \s* would silently skip any Exchange living there (r9 review)
+    n_shuffles = len(re.findall(r"(?m)^[ :]*(?:[+:]- )?Exchange ", final))
     assert n_shuffles <= 3, final

@@ -432,3 +432,30 @@ def test_reused_metadata_object_does_not_freeze_latest_version(spark, tmp_path):
     # stored stamps are per-registration, strictly ordered
     rows = {r["feature_version"]: r["created_at"] for r in store.list_feature_versions()}
     assert rows[v2] >= rows[v1]
+
+
+def test_backfill_created_at_stamps_rows_and_metadata_identically(spark, tmp_path):
+    """r9 review: an explicitly pre-set (backfill) created_at was honored
+    by the metadata copy but the feature ROWS got fresh wall-clock stamps,
+    so version_as_of() time-traveled to rows self-describing a different
+    creation time. One stamp must serve both."""
+    from ml_feature_store_pipeline_spark.config import FeatureMetadata
+    from ml_feature_store_pipeline_spark.store import FeatureStore
+
+    store = FeatureStore(spark, str(tmp_path / "store"))
+    back = "2023-06-01T00:00:00"
+    v = store.register_features(
+        spark.createDataFrame([(1, 5.0)], "user_id long, x double"),
+        FeatureMetadata(description="backfill", created_at=back),
+    )
+    meta_stamp = {
+        r["feature_version"]: r["created_at"] for r in store.list_feature_versions()
+    }[v]
+    assert meta_stamp == back
+    rows = store.get_features(v, use_cache=False).collect()
+    # get_features drops bookkeeping columns in some paths; read raw
+    raw = spark.read.parquet(str(tmp_path / "store" / "features")).filter(
+        f"feature_version = '{v}'"
+    ).collect()
+    assert {r["created_at"] for r in raw} == {back}
+    assert store.version_as_of("2023-07-01T00:00:00") == v

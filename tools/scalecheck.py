@@ -1583,9 +1583,7 @@ def main() -> None:
             q20 = vecs.filter(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )
-
-            def _pin(df):
-                return spark.createDataFrame(df.collect(), df.schema)
+            from ml_feature_store_pipeline_spark.functions import pin_local as _pin
 
             if METER is not None:
                 METER.delta()
