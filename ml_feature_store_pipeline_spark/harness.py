@@ -52,11 +52,19 @@ def _ensure_loaded() -> None:
 # (r8's CORRECTNESS window went 50/50 green on the other half of the r7
 # queue). The 10 remaining slots follow the standing priority rules:
 #
-# - THREE r9 registrations (the freeze lifted per r8 verdict item 2/5,
-#   each registered straight into the window as r8 did with its changed
-#   pulls): substring_decontaminate_docs, temporal_split_leakage_audit,
-#   ann_rerank_eval — all 3-SF verified via tools/verify_oracle.py this
-#   round, plan-audited 0 flags.
+# - THREE r9 batch-1 registrations (the freeze lifted per r8 verdict
+#   item 2/5, each registered straight into the window as r8 did with
+#   its changed pulls): substring_decontaminate_docs,
+#   temporal_split_leakage_audit, ann_rerank_eval — all 3-SF verified
+#   via tools/verify_oracle.py this round, plan-audited 0 flags.
+# - FOUR r9 batch-2 registrations (same rule; never-checked new code
+#   outranks stale-but-green anchors): adamic_adar_parts_topk,
+#   holt_forecast_daily_value, dim_correlation_topk_embeddings,
+#   t_closeness_events — all 3-SF verified + plan-audited 0 flags this
+#   round. Batch 2's remaining two (item_item_cosine_topk,
+#   readability_docs — the simplest oracles of the six) do NOT fit the
+#   50-slot window; they lead the r10 rotation queue
+#   (tests/test_registry.py::R10_WINDOW_QUEUE).
 # - THREE changed-code pulls (function text touched this round, so
 #   their prior greens predate the shipped code):
 #   part_pagerank_top20 (edges_per_partition fail-fast validation +
@@ -65,13 +73,12 @@ def _ensure_loaded() -> None:
 #   (hyperplane_signature gained the name-based single-F.expr build —
 #   bit-identical signatures, unit-tested, but changed code is changed
 #   code).
-# - FOUR anchors from the FRONT of R9_ANCHOR_CANDIDATES (r8 verdict
-#   item 1: oldest driver signal first — their last greens are r4):
-#   text_stats, dedup_exact_docs, minhash_candidate_pairs,
-#   incremental_minhash_pairs. The remaining 42 candidates (led by the
-#   displaced simhash_docs; lsh_ann_topk leaves the pool via its pull)
-#   roll forward for r10's free slots — pinned as
-#   tests/test_registry.py::R10_ANCHOR_CANDIDATES.
+# - ZERO anchors: batch 2 consumed the four slots r9 had reserved for
+#   the oldest r4-era greens (text_stats, dedup_exact_docs,
+#   minhash_candidate_pairs, incremental_minhash_pairs) — those return
+#   to the FRONT of the r10 anchor pool
+#   (tests/test_registry.py::R10_ANCHOR_CANDIDATES), still the oldest
+#   driver signal in the registry.
 DRIVER_WINDOW: tuple[str, ...] = (
     # R9_WINDOW_QUEUE — all 40, registration order (never driver-checked)
     "hourly_seasonality_events",
@@ -114,19 +121,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "term_pmi_docs",
     "markov_entropy_rate_events",
     "completeness_by_day_events",
-    # r9 registrations — new operators enter the window immediately
+    # r9 batch-1 registrations — new operators enter the window immediately
     "substring_decontaminate_docs",
     "temporal_split_leakage_audit",
     "ann_rerank_eval",
+    # r9 batch-2 registrations (4 of 6 — see the priority note above)
+    "adamic_adar_parts_topk",
+    "holt_forecast_daily_value",
+    "dim_correlation_topk_embeddings",
+    "t_closeness_events",
     # changed-code pulls (function text touched this round)
     "part_pagerank_top20",
     "serving_parity_audit",
     "lsh_ann_topk",
-    # oldest-signal anchors (last green r4) — R9_ANCHOR_CANDIDATES front
-    "text_stats",
-    "dedup_exact_docs",
-    "minhash_candidate_pairs",
-    "incremental_minhash_pairs",
 )
 
 

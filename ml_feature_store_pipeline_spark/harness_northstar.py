@@ -6157,3 +6157,286 @@ def q_ann_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# round 9, batch 2: link prediction, collaborative filtering, forecasting,
+# representation audit, readability, t-closeness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "adamic_adar_parts_topk",
+    """
+    WITH kt AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS t FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    deg AS (SELECT k, COUNT(*) AS d FROM kt GROUP BY k HAVING COUNT(*) >= 2),
+    w AS (
+      SELECT kt.k, kt.t, ROUND(1.0 / LN(CAST(d AS DOUBLE)), 9) AS w
+      FROM kt JOIN deg ON deg.k = kt.k
+    ),
+    pairs AS (
+      SELECT x.t AS node_a, y.t AS node_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+             SUM(CAST(x.w AS DECIMAL(28,9))) AS aa
+      FROM w x JOIN w y ON x.k = y.k AND x.t < y.t
+      GROUP BY 1, 2
+    )
+    SELECT node_a, node_b, n_common_keys,
+           CAST(ROUND(aa, 6) AS DOUBLE) AS adamic_adar
+    FROM pairs
+    ORDER BY adamic_adar DESC, node_a ASC, node_b ASC
+    LIMIT 20
+    """,
+)
+def q_adamic_adar_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the order→part incidence: the 20
+    part pairs most likely to co-occur next, weighting shared orders by
+    1/ln(basket size) — part_copurchase_lift's predictive sibling."""
+    from .operators import graph as graph_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return graph_ops.adamic_adar_topk(li, "l_orderkey", "l_partkey", top_k=20)
+
+
+@register(
+    "item_item_cosine_topk",
+    """
+    WITH ci AS (
+      SELECT DISTINCT o.o_custkey AS k, l.l_partkey AS t
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+    ),
+    marg AS (SELECT t, COUNT(*) AS c FROM ci GROUP BY t),
+    pairs AS (
+      SELECT x.t AS a, y.t AS b, COUNT(*) AS nb
+      FROM ci x JOIN ci y ON x.k = y.k AND x.t < y.t
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT a AS item_a, b AS item_b, CAST(nb AS BIGINT) AS n_keys_both,
+           ROUND(nb / SQRT(CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)), 6) AS cosine
+    FROM pairs
+    JOIN marg ma ON ma.t = a
+    JOIN marg mb ON mb.t = b
+    ORDER BY cosine DESC, item_a ASC, item_b ASC
+    LIMIT 20
+    """,
+)
+def q_item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item–item cosine collaborative filtering over the CUSTOMER–part
+    incidence (who-bought-what, one hop wider than the per-order
+    basket): the top-20 recommendation pairs. The orders↔lineitem join
+    is key-keyed; the pair self-join co-keys on the customer."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    ci = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select("o_custkey", "l_partkey")
+    return (
+        windows_ops.cooccurrence_cosine(
+            ci, "o_custkey", "l_partkey", min_pair_keys=2
+        )
+        .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
+        .limit(20)
+    )
+
+
+#: Holt smoothing constants — rendered into BOTH engines from the same
+#: Python floats (repr round-trips the exact double).
+_HOLT_A, _HOLT_B, _HOLT_H = 0.5, 0.3, 7
+
+
+@register(
+    "holt_forecast_daily_value",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    idx AS (SELECT day, value, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+    rec AS (
+      SELECT i, day, value, value AS l, CAST(0.0 AS DOUBLE) AS b FROM idx WHERE i = 1
+      UNION ALL
+      SELECT q.i, q.day, q.value, q.l2 AS l,
+             ROUND({_HOLT_B!r} * (q.l2 - q.l1) + {1.0 - _HOLT_B!r} * q.b1, 9) AS b
+      FROM (
+        SELECT idx.i, idx.day, idx.value,
+               ROUND({_HOLT_A!r} * idx.value + {1.0 - _HOLT_A!r} * (rec.l + rec.b), 9) AS l2,
+               rec.l AS l1, rec.b AS b1
+        FROM rec JOIN idx ON idx.i = rec.i + 1
+      ) q
+    ),
+    insample AS (
+      SELECT r.day, ROUND(r.value, 6) AS value,
+             CAST(ROUND(CAST(r.l AS DECIMAL(28,9)), 6) AS DOUBLE) AS level,
+             CAST(ROUND(CAST(r.b AS DECIMAL(28,9)), 6) AS DOUBLE) AS trend,
+             CASE WHEN r.i > 1 THEN
+               CAST(ROUND(CAST(p.l + p.b AS DECIMAL(28,9)), 6) AS DOUBLE)
+             END AS fitted,
+             FALSE AS is_forecast
+      FROM rec r LEFT JOIN rec p ON p.i = r.i - 1
+    ),
+    fin AS (SELECT day, l, b FROM rec ORDER BY i DESC LIMIT 1)
+    SELECT * FROM insample
+    UNION ALL
+    SELECT fin.day + CAST(h.h AS INT) AS day,
+           CAST(NULL AS DOUBLE) AS value,
+           CAST(NULL AS DOUBLE) AS level,
+           CAST(NULL AS DOUBLE) AS trend,
+           CAST(ROUND(CAST(fin.l + CAST(h.h AS DOUBLE) * fin.b
+                AS DECIMAL(28,9)), 6) AS DOUBLE) AS fitted,
+           TRUE AS is_forecast
+    FROM fin CROSS JOIN (SELECT UNNEST(range(1, {_HOLT_H} + 1)) AS h) h
+    """,
+)
+def q_holt_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing of the daily value total with a 7-day
+    linear forecast — the heading readout next to cusum_daily_value's
+    shift alarm; the coupled recursion folds once over the |days| array
+    (the documented dimension-sized exception)."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.holt_forecast_daily(
+        events, "ts", "value", alpha=_HOLT_A, beta=_HOLT_B, horizon=_HOLT_H
+    )
+
+
+@register(
+    "dim_correlation_topk_embeddings",
+    """
+    WITH e AS (
+      SELECT ROW_NUMBER() OVER () AS rid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 2
+    ),
+    xs AS (SELECT rid, v, UNNEST(range(1, len(v) + 1)) AS i FROM e),
+    xe AS (SELECT rid, CAST(i - 1 AS INT) AS i, v[CAST(i AS INT)] AS x FROM xs),
+    dims AS (
+      SELECT i, CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM xe GROUP BY i
+    ),
+    p AS (
+      -- mirror the operator's integer-lattice path: ROUND(·,12) is the
+      -- exact 1e-12 lattice, ×1e12 + ROUND(·,0) recovers the integer,
+      -- the BIGINT sum is exact (HUGEINT-promoted), and double(S)/1e12
+      -- is the same two IEEE ops Spark performs
+      SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(ROUND(a.x * b.x, 12) * 1e12, 0) AS BIGINT))
+                  AS DOUBLE) / 1e12 AS sxy
+      FROM xe a JOIN xe b ON a.rid = b.rid AND a.i < b.i
+      GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT p.i, p.j, p.n,
+             sxy / p.n - (di.sx / p.n) * (dj.sx / p.n) AS cov,
+             di.sxx / p.n - (di.sx / p.n) * (di.sx / p.n) AS vi,
+             dj.sxx / p.n - (dj.sx / p.n) * (dj.sx / p.n) AS vj
+      FROM p JOIN dims di ON di.i = p.i JOIN dims dj ON dj.i = p.j
+    ),
+    r AS (
+      SELECT i AS dim_i, j AS dim_j, CAST(n AS BIGINT) AS n,
+             ROUND(cov, 6) AS covariance,
+             ROUND(CASE WHEN vi > 0 AND vj > 0
+                        THEN cov / SQRT(vi * vj) END, 6) AS correlation
+      FROM f
+    )
+    SELECT * FROM r
+    ORDER BY ABS(correlation) DESC NULLS LAST, dim_i ASC, dim_j ASC
+    LIMIT 20
+    """,
+)
+def q_dim_correlation_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-correlated embedding dimension pairs — the
+    representation-redundancy audit behind the PCA/whitening decision;
+    one flattened upper-triangle explode with map-side combine."""
+    emb = read_table(spark, sf_dir, "embeddings").repartition(_par(spark))
+    return similarity.dim_correlation_topk(emb, "embedding", top_k=20)
+
+
+@register(
+    "readability_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_SQL_TOKS.format(t='lower(text)')} AS toks,
+             GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(LEN(toks) AS BIGINT) AS n_words,
+             CAST(n_sent AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform(toks,
+                  w -> GREATEST(LEN(regexp_extract_all(w, '[aeiouy]+')), 1)))
+               AS BIGINT) AS syl
+      FROM t
+    )
+    SELECT doc_id, n_words, n_sentences,
+           CASE WHEN n_words > 0 THEN syl END AS n_syllables,
+           ROUND(CASE WHEN n_words > 0
+                 THEN CAST(n_words AS DOUBLE) / n_sentences END, 6) AS words_per_sentence,
+           ROUND(CASE WHEN n_words > 0
+                 THEN CAST(syl AS DOUBLE) / n_words END, 6) AS syllables_per_word,
+           ROUND(CASE WHEN n_words > 0
+                 THEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      - 84.6 * (CAST(syl AS DOUBLE) / n_words) END, 6) AS flesch_ease,
+           ROUND(CASE WHEN n_words > 0
+                 THEN 0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      + 11.8 * (CAST(syl AS DOUBLE) / n_words) - 15.59 END, 6) AS fk_grade
+    FROM s
+    """,
+)
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK grade per document — the surface-density
+    curation axis; zero-shuffle row-local regex projection."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return text.readability(docs, "doc_id", "text")
+
+
+@register(
+    "t_closeness_events",
+    """
+    WITH pv AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS s, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    gd AS (SELECT s, SUM(c) AS cs FROM pv GROUP BY s),
+    n AS (SELECT SUM(cs) AS nt FROM gd),
+    marg AS (SELECT s, CAST(cs AS DOUBLE) / nt AS p FROM gd, n),
+    j AS (
+      SELECT pv.day, pv.c, marg.p,
+             SUM(pv.c) OVER (PARTITION BY pv.day) AS ng
+      FROM pv JOIN marg ON marg.s IS NOT DISTINCT FROM pv.s
+    ),
+    g AS (
+      SELECT day, CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(ROUND(ABS(CAST(c AS DOUBLE) / ng - p), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sabs,
+             CAST(SUM(CAST(ROUND(p, 12) AS DECIMAL(38,12))) AS DOUBLE) AS spres
+      FROM j GROUP BY day
+    )
+    SELECT day, n_rows,
+           ROUND(0.5 * (sabs + 1.0 - spres), 6) AS tvd,
+           (ROUND(0.5 * (sabs + 1.0 - spres), 6) <= 0.2) AS meets_t
+    FROM g
+    """,
+)
+def q_t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-closeness of each day's event_type distribution vs the corpus —
+    the skewness-attack audit completing the k-anonymity / l-diversity
+    privacy trio; two combinable aggregates + broadcast marginals."""
+    from .quality import t_closeness_profile
+
+    events = read_table(spark, sf_dir, "events")
+    return t_closeness_profile(
+        events.select(F.to_date(F.col("ts")).alias("day"), "event_type"),
+        ["day"],
+        "event_type",
+        t=0.2,
+    )

@@ -1452,3 +1452,121 @@ def cusum_daily(
             & ((s_p > thr) | (s_n > thr))
         ).alias("is_alarm"),
     )
+
+
+def holt_forecast_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) on the
+    daily value total, with an ``horizon``-day linear forecast — the
+    capacity-planning companion to :func:`cusum_daily` (CUSUM says "the
+    level SHIFTED"; Holt says "and here is where it is HEADING").
+
+    Recursion: ``l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})``,
+    ``b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}``, seeded ``l_0 = x_0``,
+    ``b_0 = 0``. Per in-sample day: (day, value, level, trend, fitted,
+    is_forecast=false) with ``fitted`` the one-step-ahead prediction
+    ``l_{t−1}+b_{t−1}`` (null on day 0 — no prior state). Then
+    ``horizon`` rows (last_day+h, null, null, null, l_n + h·b_n, true).
+
+    Exactness: the coupled recursion has no windowed closed form (unlike
+    CUSUM's running-min identity), so it folds via ``aggregate`` over the
+    day-sorted array — each step's level/trend round to 9 dp, making the
+    state an exact function of the day sequence that a recursive CTE
+    reproduces double-for-double; α/β literals are injected from the same
+    Python floats on both engines; the 6 dp outputs round in DECIMAL
+    space (the lattice states hit double-round half-boundaries).
+
+    Scale shape: the daily aggregate is distributed and map-side
+    combinable; only the |days| series (the documented dimension-sized
+    exception — bounded by calendar, not data volume) funnels into the
+    single-task fold, and the whole output leaves as ONE projection +
+    explode over that row.
+    """
+    a, b_ = float(alpha), float(beta)
+    ca, cb = 1.0 - a, 1.0 - b_
+    dec = lambda c: c.cast("decimal(28,6)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.sum(dec(F.col(value_col))).cast("double").alias("value"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "value"))).alias("__s")
+    ).filter(F.size("__s") > 0)
+
+    init = F.struct(
+        F.expr("CAST(array() AS array<double>)").alias("ls"),
+        F.expr("CAST(array() AS array<double>)").alias("bs"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        first = F.size(acc["ls"]) == 0
+        l_prev, b_prev = F.element_at(acc["ls"], -1), F.element_at(acc["bs"], -1)
+        l_new = F.when(first, x["value"]).otherwise(
+            F.round(a * x["value"] + ca * (l_prev + b_prev), 9)
+        )
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            F.round(b_ * (l_new - l_prev) + cb * b_prev, 9)
+        )
+        return F.struct(
+            F.concat(acc["ls"], F.array(l_new)).alias("ls"),
+            F.concat(acc["bs"], F.array(b_new)).alias("bs"),
+        )
+
+    folded = series.select(
+        F.col("__s"), F.aggregate(F.col("__s"), init, step).alias("__f")
+    )
+    s, ls, bs = F.col("__s"), F.col("__f")["ls"], F.col("__f")["bs"]
+    insample = F.transform(
+        s,
+        lambda x, i: F.struct(
+            x["day"].alias("day"),
+            F.round(x["value"], round_digits).alias("value"),
+            # outputs round in DECIMAL space: the 9 dp states are
+            # 1e-9-lattice doubles, where a double-side round splits on
+            # exact half-boundaries between the engines (the PageRank
+            # lesson); decimal ROUND is HALF_UP on both.
+            F.round(F.element_at(ls, i + 1).cast("decimal(28,9)"), round_digits)
+            .cast("double")
+            .alias("level"),
+            F.round(F.element_at(bs, i + 1).cast("decimal(28,9)"), round_digits)
+            .cast("double")
+            .alias("trend"),
+            F.when(
+                i > 0,
+                F.round(
+                    (F.element_at(ls, i) + F.element_at(bs, i)).cast("decimal(28,9)"),
+                    round_digits,
+                ).cast("double"),
+            ).alias("fitted"),
+            F.lit(False).alias("is_forecast"),
+        ),
+    )
+    last = F.element_at(s, -1)
+    l_n, b_n = F.element_at(ls, -1), F.element_at(bs, -1)
+    fcst = F.transform(
+        F.sequence(F.lit(1), F.lit(int(horizon))),
+        lambda h: F.struct(
+            F.date_add(last["day"], h).alias("day"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("double").alias("level"),
+            F.lit(None).cast("double").alias("trend"),
+            F.round(
+                (l_n + h.cast("double") * b_n).cast("decimal(28,9)"), round_digits
+            )
+            .cast("double")
+            .alias("fitted"),
+            F.lit(True).alias("is_forecast"),
+        ),
+    )
+    return folded.select(
+        F.explode(F.concat(insample, fcst)).alias("r")
+    ).select("r.*")

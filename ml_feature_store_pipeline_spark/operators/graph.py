@@ -285,3 +285,76 @@ def triangle_stats(
         F.col("n_wedges").cast("long"),
         F.round(gcc, round_digits).alias("gcc"),
     )
+
+
+def adamic_adar_topk(
+    df: DataFrame,
+    key_col: str,
+    node_col: str,
+    *,
+    top_k: int = 20,
+    min_common_keys: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Adamic–Adar link prediction over the bipartite (key, node)
+    incidence — the classic "which two items will co-occur next"
+    score: for every unordered node pair, Σ over shared keys of
+    1/ln(key degree), so a pair tied together by many SMALL baskets
+    outranks one tied by a single huge basket (the co-occurrence
+    signal plain pair counts and lift both miss).
+
+    Returns the ``top_k`` (node_a, node_b, n_common_keys, adamic_adar)
+    rows by score (ties broken on the pair ids), pairs seen by
+    ≥ ``min_common_keys`` keys.
+
+    Exactness: each key's weight is ``round(1/ln(deg), 9)`` — identical
+    IEEE doubles on both engines — summed as DECIMAL(28,9) so the pair
+    total is order-insensitive and engine-stable; the final score
+    rounds to ``round_digits`` IN DECIMAL (both engines HALF_UP there,
+    where double-side rounding of lattice values splits on exact
+    half-boundaries).
+
+    Scale shape: the log reduces to DISTINCT (key, node) first; key
+    degrees are computed with one map-side-combinable count and joined
+    back ON THE KEY (co-partitioned with the pair self-join's shuffle —
+    one key-keyed exchange feeds both); degree-1 keys are dropped
+    before the self-join (they produce no pairs but would still pay
+    join fan-in). Pair fan-out per key is O(deg²) — bounded by basket
+    size, not corpus size, on order/session logs. The top-k is a
+    TakeOrderedAndProject over the pair aggregate, never a full sort.
+    """
+    kt = (
+        df.select(F.col(key_col).alias("__k"), F.col(node_col).alias("__t"))
+        .filter(F.col("__k").isNotNull() & F.col("__t").isNotNull())
+        .distinct()
+    )
+    deg = kt.groupBy("__k").agg(F.count(F.lit(1)).alias("__deg"))
+    weighted = (
+        kt.join(deg.filter(F.col("__deg") >= 2), "__k")
+        .withColumn("__w", F.round(F.lit(1.0) / F.log(F.col("__deg").cast("double")), 9))
+    )
+    pairs = (
+        weighted.alias("x")
+        .join(weighted.alias("y"), "__k")
+        .filter(F.col("x.__t") < F.col("y.__t"))
+        .groupBy(F.col("x.__t").alias("node_a"), F.col("y.__t").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common_keys"),
+            F.sum(F.col("x.__w").cast("decimal(28,9)")).alias("__aa"),
+        )
+        .filter(F.col("n_common_keys") >= min_common_keys)
+    )
+    return (
+        pairs.select(
+            "node_a",
+            "node_b",
+            "n_common_keys",
+            # round in DECIMAL space: the score is a 1e-9-lattice value, so
+            # a double-side round hits exact half-boundaries ~1/1000 per row
+            # where the engines disagree (the PageRank lesson above);
+            # decimal ROUND is HALF_UP on both.
+            F.round(F.col("__aa"), round_digits).cast("double").alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("node_a"), F.asc("node_b"))
+        .limit(top_k)
+    )

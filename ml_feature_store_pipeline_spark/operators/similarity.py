@@ -1914,3 +1914,140 @@ def rerank_eval(
             F.col("mrr"),
         )
     )
+
+
+def dim_correlation_topk(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    top_k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` most-correlated embedding DIMENSION pairs — the
+    feature-redundancy audit for learned representations (two dimensions
+    with |ρ| → 1 carry one dimension of information; the readout that
+    motivates PCA/whitening before a similarity index): for every dim
+    pair i<j, Pearson ρ and covariance across the corpus.
+
+    Requires a fixed-dimension corpus: the dimension is read from the
+    first row and rows of any other length are dropped (the flat-array
+    keying below relies on a uniform layout; mixed-dim corpora should be
+    split by dimension first).
+
+    Returns (dim_i, dim_j, n, covariance, correlation) ordered by
+    |ρ| (rounded) desc, ties on (dim_i, dim_j); zero-variance dims yield
+    null ρ and sort last.
+
+    Exactness: per-row products round to 12 dp; the rounded lattice
+    values are carried as EXACT int64s (×10¹²) through a per-partition
+    integer sum, then merged as DECIMAL(38,0) — order-insensitive and
+    engine-stable end to end. The int64 partial is exact while
+    rows-per-partition × max|xᵢxⱼ| < 9.2·10⁶ (10¹² units of a 64-bit
+    long) — repartition finer for larger-magnitude embeddings. Moments
+    round to 9 dp as DECIMAL(28,9); the closing cov/ρ arithmetic is
+    identical IEEE doubles on both engines.
+
+    Scale shape: ONE pass builds the flattened upper-triangle product
+    array per row (d(d−1)/2 plain doubles — no per-element structs, the
+    (i,j) key is recovered from the array position AFTER aggregation via
+    a d²-row broadcast map) and explodes it into a pos-keyed integer
+    aggregate. The first aggregate groups on (pos, partition), which is
+    partition-local — ALL combining happens map-side and the shuffle
+    carries O(partitions·d²) longs, never O(rows·d²); the second
+    aggregate and the d-row moment table are dimension-sized.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    first = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= 2)).select(
+        F.size(vec_col).alias("d")
+    ).first()
+    if first is None:
+        d = 2  # empty corpus: any d yields the empty result
+    else:
+        d = int(first["d"])
+    base = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == d))
+        .select(v.alias("__v"))
+    )
+    ex = base.select(F.posexplode("__v").alias("i", "x"))
+    dims = ex.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).cast("double").alias("__sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("__sxx"),
+    )
+    vc = F.col("__v")
+    # flat upper-triangle products as 1e-12-lattice int64s: round(p, 12)
+    # is the exact lattice double, ×1e12 lands within ~1e-4 of the
+    # integer, round(·, 0) recovers it exactly
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 2)),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.lit(d - 1)),
+                lambda j: F.round(
+                    F.round(F.element_at(vc, i + 1) * F.element_at(vc, j + 1), 12)
+                    * 1e12,
+                    0,
+                ).cast("long"),
+            ),
+        )
+    )
+    partials = (
+        base.select(F.posexplode(tri).alias("pos", "q"))
+        .groupBy("pos", F.spark_partition_id().alias("__pid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"), F.sum("q").alias("__q"))
+    )
+    pairs = partials.groupBy("pos").agg(
+        F.sum("__n").cast("long").alias("n"),
+        (F.sum(F.col("__q").cast("decimal(38,0)")).cast("double") / F.lit(1e12)).alias(
+            "__sxy"
+        ),
+    )
+    # pos -> (i, j) for the row-major upper triangle of a d×d matrix
+    posmap = (
+        dims.select(F.col("i"))
+        .crossJoin(dims.select(F.col("i").alias("j")))
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            (
+                F.col("i") * F.lit(d)
+                - (F.col("i") * (F.col("i") + 1)) / 2
+                + F.col("j")
+                - F.col("i")
+                - 1
+            ).cast("int").alias("pos"),
+            "i",
+            "j",
+        )
+    )
+    di = dims.select(F.col("i"), F.col("__sx").alias("__sxi"), F.col("__sxx").alias("__sxxi"))
+    dj = dims.select(
+        F.col("i").alias("j"), F.col("__sx").alias("__sxj"), F.col("__sxx").alias("__sxxj")
+    )
+    n = F.col("n").cast("double")
+    mi, mj = F.col("__sxi") / n, F.col("__sxj") / n
+    cov = F.col("__sxy") / n - mi * mj
+    var_i = F.col("__sxxi") / n - mi * mi
+    var_j = F.col("__sxxj") / n - mj * mj
+    corr = F.round(
+        F.when((var_i > 0) & (var_j > 0), cov / F.sqrt(var_i * var_j)), round_digits
+    )
+    return (
+        pairs.join(F.broadcast(posmap), "pos")
+        .join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            F.col("n"),
+            F.round(cov, round_digits).alias("covariance"),
+            corr.alias("correlation"),
+        )
+        .orderBy(
+            F.abs(F.col("correlation")).desc_nulls_last(),
+            F.asc("dim_i"),
+            F.asc("dim_j"),
+        )
+        .limit(top_k)
+    )

@@ -1397,3 +1397,55 @@ def term_pmi_topk(
     return scored.orderBy(
         F.desc("n_docs_both"), F.asc("term_a"), F.asc("term_b")
     ).limit(top_k)
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document — the
+    classic surface-readability pair, a cheap curation axis orthogonal
+    to :func:`quality_score`'s junk ratios (a page can be clean of
+    boilerplate yet written at graduate density, or vice versa).
+
+    Heuristics (all pure Column regex — JVM codegen, no UDF): words =
+    whitespace tokens; sentences = runs of ``[.!?]`` (clamped ≥ 1);
+    syllables per word = vowel-group count of the lowercased word
+    (``[aeiouy]+`` runs, clamped ≥ 1 — the standard cheap proxy).
+
+    Per doc: (id, n_words, n_sentences, n_syllables, words_per_sentence,
+    syllables_per_word, flesch_ease, fk_grade); empty docs yield nulls.
+    Ratios are double divisions of exact integers — identical IEEE on
+    both engines; outputs round to 6 dp.
+
+    Scale shape: embarrassingly parallel row-local projection — zero
+    shuffles, zero egress beyond the scored rows.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    syl = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), F.lit(0))), F.lit(1)
+        ),
+    ).cast("long")
+    wps = n_words.cast("double") / n_sent
+    spw = syl.cast("double") / n_words
+    has = n_words > 0
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        F.when(has, syl).alias("n_syllables"),
+        F.round(F.when(has, wps), 6).alias("words_per_sentence"),
+        F.round(F.when(has, spw), 6).alias("syllables_per_word"),
+        F.round(
+            F.when(has, F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw), 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.when(has, F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)), 6
+        ).alias("fk_grade"),
+    )

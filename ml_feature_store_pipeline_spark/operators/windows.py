@@ -1380,3 +1380,61 @@ def markov_entropy_rate(
         F.round(h, round_digits).alias("entropy_rate"),
         F.round(norm, round_digits).alias("norm_entropy_rate"),
     )
+
+
+def cooccurrence_cosine(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    *,
+    min_pair_keys: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Item–item cosine similarity over the binary (key, item) incidence
+    — the classic implicit-feedback collaborative-filtering kernel
+    (``sim(a,b) = |K(a)∩K(b)| / √(|K(a)|·|K(b)|)``): unlike
+    :func:`type_affinity`'s lift (a ratio vs independence that rewards
+    rare pairs), cosine normalizes by item popularity geometrically, the
+    form recommenders actually rank with.
+
+    Returns (item_a, item_b, n_keys_both, cosine) for unordered pairs
+    seen by ≥ ``min_pair_keys`` keys, item_a < item_b.
+
+    Exactness: cosine is one double division of exact integers —
+    ``√`` and ``/`` are correctly-rounded IEEE ops, identical on both
+    engines; output rounds to ``round_digits``.
+
+    Scale shape: identical to :func:`type_affinity` — DISTINCT
+    (key, item) first, the pair self-join co-keyed on the key (one
+    shuffle of the distinct set), item marginals broadcast. Pair
+    fan-out is O(items-per-key²), bounded by basket size.
+    """
+    kt = (
+        df.select(F.col(key_col).alias("__k"), F.col(item_col).alias("__t"))
+        .filter(F.col("__k").isNotNull() & F.col("__t").isNotNull())
+        .distinct()
+    )
+    marg = kt.groupBy(F.col("__t").alias("item_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    pairs = (
+        kt.alias("x")
+        .join(kt.alias("y"), "__k")
+        .filter(F.col("x.__t") < F.col("y.__t"))
+        .groupBy(F.col("x.__t").alias("item_a"), F.col("y.__t").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys_both"))
+        .filter(F.col("n_keys_both") >= min_pair_keys)
+    )
+    margb = marg.select(F.col("item_a").alias("item_b"), F.col("__na").alias("__nb"))
+    return pairs.join(F.broadcast(marg), "item_a").join(
+        F.broadcast(margb), "item_b"
+    ).select(
+        "item_a",
+        "item_b",
+        "n_keys_both",
+        F.round(
+            F.col("n_keys_both")
+            / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+            round_digits,
+        ).alias("cosine"),
+    )

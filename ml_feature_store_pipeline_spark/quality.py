@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from .config import DataQualityMetrics
 
@@ -566,4 +567,80 @@ def completeness_by_day(
         "n",
         F.col("__p.n_null").alias("n_null"),
         F.round(F.col("__p.n_null") / F.col("n"), round_digits).alias("null_frac"),
+    )
+
+
+def t_closeness_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t: float = 0.2,
+) -> DataFrame:
+    """T-closeness audit — the distributional tightening of
+    :func:`l_diversity_profile`: a group can exhibit many distinct
+    sensitive values (l-diverse) yet still leak if its sensitive
+    DISTRIBUTION diverges from the corpus-wide one (the skewness
+    attack). Per quasi-group, the total-variation distance between the
+    group's sensitive distribution and the global distribution must
+    stay ≤ ``t``.
+
+    Per group: quasi cols + (n_rows, tvd, meets_t). NULL quasi values
+    group together; NULL sensitive values count as a category (a
+    missingness skew is itself a leak).
+
+    TVD folds group-absent categories without enumerating them:
+    ``TVD = ½(Σ_{s∈g} |c_s/n_g − p_s| + 1 − Σ_{s∈g} p_s)`` — only
+    group-PRESENT rows are touched, the absent mass enters via the
+    complement identity.
+
+    Exactness: both per-group sums round each term to 12 dp and
+    accumulate as DECIMAL(38,12) (order-free); the closing ½(...)
+    arithmetic is identical IEEE doubles; ``tvd`` rounds to 6 dp.
+
+    Scale shape: two map-side-combinable aggregates — (quasi,
+    sensitive) counts, then the group fold — with the |categories|-row
+    global marginal broadcast onto the first; the group-total window
+    partitions the (quasi, sensitive)-grain table on the same quasi
+    keys the fold groups by (one exchange, reused). Never a raw-row
+    shuffle.
+    """
+    per_val = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    glob = per_val.groupBy("__s").agg(F.sum("__c").alias("__cs"))
+    n_total = glob.agg(F.sum("__cs").alias("__nt"))
+    marg = glob.crossJoin(F.broadcast(n_total)).select(
+        "__s", (F.col("__cs").cast("double") / F.col("__nt")).alias("__p")
+    )
+    joined = per_val.join(
+        F.broadcast(marg.withColumnRenamed("__s", "__sm")),
+        F.col("__s").eqNullSafe(F.col("__sm")),
+        "left",
+    ).withColumn(
+        "__ng",
+        F.sum("__c").over(W.partitionBy(*[F.col(c) for c in quasi_cols])),
+    )
+    g = joined.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.sum(
+            F.round(
+                F.abs(
+                    F.col("__c").cast("double") / F.col("__ng") - F.col("__p")
+                ),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("__sabs"),
+        F.sum(F.round(F.col("__p"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("__spres"),
+    )
+    tvd = F.round(0.5 * (F.col("__sabs") + 1.0 - F.col("__spres")), 6)
+    return g.select(
+        *[F.col(c) for c in quasi_cols],
+        F.col("n_rows"),
+        tvd.alias("tvd"),
+        (tvd <= F.lit(float(t))).alias("meets_t"),
     )

@@ -420,3 +420,48 @@ def test_pagerank_copartitioned_path_bit_exact_and_no_edge_exchange(spark):
                 break  # past the join/agg, exchanges are the transpose's
             assert "Exchange" not in jop, f"pinned scan re-exchanged via {jop}\n{plan}"
     assert scans_checked >= 3, plan  # edge + both deg consumers visible
+
+
+def test_adamic_adar_brute_force(spark):
+    """Adamic–Adar matches the textbook Σ 1/ln(deg) over shared keys, with
+    degree-1 keys contributing nothing and the 9 dp weight quantization."""
+    import itertools
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.graph import adamic_adar_topk
+
+    rows = [
+        (10, "a"), (10, "b"), (10, "c"),   # deg 3
+        (11, "a"), (11, "b"),              # deg 2
+        (12, "b"), (12, "c"),              # deg 2
+        (13, "a"),                          # deg 1 -> no pairs, no weight
+        (10, "a"),                          # duplicate collapses
+    ]
+    df = spark.createDataFrame(rows, "k int, t string")
+    out = {
+        (r["node_a"], r["node_b"]): r
+        for r in adamic_adar_topk(df, "k", "t", top_k=100).collect()
+    }
+    keys = {10: {"a", "b", "c"}, 11: {"a", "b"}, 12: {"b", "c"}, 13: {"a"}}
+    expect = {}
+    for x, y in itertools.combinations(sorted({t for s in keys.values() for t in s}), 2):
+        shared = [k for k, s in keys.items() if len(s) >= 2 and x in s and y in s]
+        if shared:
+            aa = sum(round(1.0 / math.log(len(keys[k])), 9) for k in shared)
+            expect[(x, y)] = (len(shared), round(aa, 6))
+    assert set(out) == set(expect)
+    for k, (n, aa) in expect.items():
+        assert out[k]["n_common_keys"] == n
+        assert out[k]["adamic_adar"] == pytest.approx(aa, abs=1e-9)
+
+
+def test_adamic_adar_small_baskets_outrank_one_huge(spark):
+    """The inverse-log weighting: a pair tied by two 2-item baskets must
+    outscore a pair tied only by one 5-item basket (counts say otherwise)."""
+    from ml_feature_store_pipeline_spark.operators.graph import adamic_adar_topk
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y")]  # two tiny baskets
+    rows += [(3, c) for c in ["p", "q", "r", "s", "t"]]  # one huge basket
+    df = spark.createDataFrame(rows, "k int, t string")
+    out = adamic_adar_topk(df, "k", "t", top_k=1).collect()
+    assert (out[0]["node_a"], out[0]["node_b"]) == ("x", "y")

@@ -844,3 +844,98 @@ def test_mann_whitney_oracle_matches_operator_on_degenerate_group(spark):
     assert (o["n_a"], o["n_b"]) == (want["n_a"], want["n_b"]) == (3, 0)
     assert o["u_a"] == want["u_a"] and o["u_b"] == want["u_b"] == 0.0
     assert o["z"] is None and want["z"] is None
+
+
+def test_holt_forecast_matches_reference_fold(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import holt_forecast_daily
+
+    base = datetime.datetime(2024, 5, 1, 12)
+    day = datetime.timedelta(days=1)
+    series = [100.0, 110.0, 105.0, 120.0, 130.0, 125.0, 140.0, 150.0]
+    rows = [(base + i * day, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {
+        (r["day"].isoformat(), r["is_forecast"]): r
+        for r in holt_forecast_daily(df, "ts", "value", alpha=0.5, beta=0.3).collect()
+    }
+
+    # the engines round HALF_UP in decimal space; python round() is
+    # banker's — the in-sample series hits a real 6 dp half-boundary
+    def r6(x):
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    # reference fold with the operator's 9 dp state quantization
+    a, b_ = 0.5, 0.3
+    l, b = series[0], 0.0
+    states = [(l, b)]
+    for x in series[1:]:
+        l_new = round(a * x + (1 - a) * (l + b), 9)
+        b = round(b_ * (l_new - l) + (1 - b_) * b, 9)
+        l = l_new
+        states.append((l, b))
+    for i, (lv, tr) in enumerate(states):
+        d = (base + i * day).date().isoformat()
+        r = out[(d, False)]
+        assert r["level"] == pytest.approx(r6(lv), abs=1e-9)
+        assert r["trend"] == pytest.approx(r6(tr), abs=1e-9)
+        if i == 0:
+            assert r["fitted"] is None
+        else:
+            lp, bp = states[i - 1]
+            assert r["fitted"] == pytest.approx(r6(lp + bp), abs=1e-9)
+    # 7 forecast rows extend the last level linearly along the trend
+    fc = [r for (d, is_f), r in out.items() if is_f]
+    assert len(fc) == 7
+    ln, bn = states[-1]
+    for r in fc:
+        h = (r["day"] - (base + (len(series) - 1) * day).date()).days
+        assert 1 <= h <= 7 and r["value"] is None and r["level"] is None
+        assert r["fitted"] == pytest.approx(r6(ln + h * bn), abs=1e-9)
+
+
+def test_holt_forecast_single_day_degenerates_flat(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import holt_forecast_daily
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 5, 1, 9), 42.0)], "ts timestamp, value double"
+    )
+    rows = holt_forecast_daily(df, "ts", "value").collect()
+    assert len(rows) == 8  # 1 in-sample + 7 forecast
+    fc = [r for r in rows if r["is_forecast"]]
+    assert all(r["fitted"] == pytest.approx(42.0) for r in fc)  # b0 = 0 -> flat
+
+
+def test_t_closeness_hand_computed(spark):
+    """TVD per group against the global distribution, including the
+    absent-category complement mass and the NULL sensitive category."""
+    from ml_feature_store_pipeline_spark.quality import t_closeness_profile
+
+    rows = (
+        [("g1", "a")] * 2 + [("g1", "b")] * 2          # g1 mirrors nothing exactly
+        + [("g2", "a")] * 4                            # g2 is pure-a (skew leak)
+        + [("g3", None)] * 2 + [("g3", "b")] * 2       # null sensitive is a category
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    out = {r["g"]: r for r in t_closeness_profile(df, ["g"], "s", t=0.3).collect()}
+    # global: a=6/12, b=4/12, null=2/12
+    pa, pb, pn = 6 / 12, 4 / 12, 2 / 12
+
+    def tvd(dist):
+        cats = {"a": pa, "b": pb, None: pn}
+        return 0.5 * sum(abs(dist.get(c, 0.0) - p) for c, p in cats.items())
+
+    assert out["g1"]["tvd"] == pytest.approx(tvd({"a": 0.5, "b": 0.5}), abs=1e-6)
+    assert out["g2"]["tvd"] == pytest.approx(tvd({"a": 1.0}), abs=1e-6)
+    assert out["g3"]["tvd"] == pytest.approx(tvd({None: 0.5, "b": 0.5}), abs=1e-6)
+    assert not out["g2"]["meets_t"] and out["g1"]["meets_t"]
+    assert all(r["n_rows"] == 4 for r in out.values())

@@ -162,6 +162,28 @@ NEW_IN_R9 = [
     "ann_rerank_eval",
 ]
 
+# Round-9 batch 2: link prediction, collaborative filtering, forecasting,
+# representation audit, readability, t-closeness — all six 3-SF verified
+# via tools/verify_oracle.py and plan-audited 0 flags. Only FOUR fit the
+# 50-slot window (never-checked new code outranks the stale-but-green r4
+# anchors, which return to the r10 pool); the two simplest oracles roll
+# to the r10 rotation queue.
+NEW_IN_R9B = [
+    "adamic_adar_parts_topk",
+    "holt_forecast_daily_value",
+    "dim_correlation_topk_embeddings",
+    "t_closeness_events",
+]
+NEW_IN_R9B_QUEUED = [
+    "item_item_cosine_topk",
+    "readability_docs",
+]
+
+# The r10 rotation queue: every registered query without a driver-green
+# row once CORRECTNESS_r09 lands — exactly batch 2's two overflow names.
+# r10 must window these FIRST (the standing never-checked-debt rule).
+R10_WINDOW_QUEUE = list(NEW_IN_R9B_QUEUED)
+
 # Function text touched this round — their previous greens (r8 for
 # pagerank, r7 for the serving audit and the LSH recall gate) predate
 # the shipped code: the ADVICE fixes, the register_features
@@ -176,10 +198,10 @@ CHANGED_IN_R9 = [
 
 def test_round9_rotation_policy_is_the_window():
     # r8 verdict item 1: the whole 40-name queue + priority fills —
-    # new registrations, changed-code pulls, then oldest anchors.
-    anchors_used = R9_ANCHOR_CANDIDATES[:4]
+    # new registrations (batches 1 and 2), then changed-code pulls;
+    # batch 2 consumed the four anchor slots.
     assert list(DRIVER_WINDOW) == (
-        R9_WINDOW_QUEUE + NEW_IN_R9 + CHANGED_IN_R9 + anchors_used
+        R9_WINDOW_QUEUE + NEW_IN_R9 + NEW_IN_R9B + CHANGED_IN_R9
     )
     assert len(R9_WINDOW_QUEUE) == 40
     # debt-zero criterion: every name that has EVER lacked a driver green
@@ -191,11 +213,16 @@ def test_round9_rotation_policy_is_the_window():
 
 def test_freeze_lifted_with_exactly_the_r9_registrations():
     """The r8 freeze held at 232 oracle-backed queries; r9 lifts it with
-    exactly the three verdict-item-5 operators, all oracle-backed."""
+    the three verdict-item-5 operators plus the six batch-2 operators,
+    all oracle-backed."""
     queries, oracles = query_registry(), oracle_registry()
-    assert len(queries) == 232 + len(NEW_IN_R9) == 235
-    assert len(oracles) == 235
-    assert all(n in queries and n in oracles for n in NEW_IN_R9)
+    n_new = len(NEW_IN_R9) + len(NEW_IN_R9B) + len(NEW_IN_R9B_QUEUED)
+    assert len(queries) == 232 + n_new == 241
+    assert len(oracles) == 241
+    assert all(
+        n in queries and n in oracles
+        for n in NEW_IN_R9 + NEW_IN_R9B + NEW_IN_R9B_QUEUED
+    )
 
 
 def test_every_oracle_has_a_query():
@@ -328,37 +355,34 @@ R9_ANCHOR_CANDIDATES = [
 ]
 
 
-# The aging-signal ledger rolls forward: r9's window consumed the front 4
-# (their greens refresh when CORRECTNESS_r09 lands — the lsh_ann_topk
-# changed-code pull displaced the fifth, simhash_docs, which leads this
-# pool); these 43 remain the oldest driver signal (r4-era greens) and are
-# r10's anchor pool, in order. r10 should fill its free window slots from
-# THIS list's front — after any changed-code pulls and new registrations,
-# same priority rules as r8/r9 — and roll the rest to r11.
-# lsh_ann_topk sat in this pool too (an r4 green) — its changed-code pull
-# refreshes it through the window, so it leaves the pool as well.
+# The aging-signal ledger rolls forward UNCONSUMED: batch 2's four window
+# entries displaced the anchor slots r9 had reserved, so the whole
+# R9_ANCHOR_CANDIDATES pool (minus lsh_ann_topk, refreshed via its
+# changed-code pull) remains the oldest driver signal (r4-era greens) and
+# is r10's anchor pool, in order — text_stats back at the front. r10
+# fills its free window slots from R10_WINDOW_QUEUE first (never-checked
+# debt), then changed-code pulls and new registrations, then THIS list's
+# front, and rolls the rest to r11.
 R10_ANCHOR_CANDIDATES = [
-    n for n in R9_ANCHOR_CANDIDATES[4:] if n not in CHANGED_IN_R9
+    n for n in R9_ANCHOR_CANDIDATES if n not in CHANGED_IN_R9
 ]
 
 
 def test_r10_anchor_pool_rolls_forward():
-    assert len(R10_ANCHOR_CANDIDATES) == 42
-    assert R10_ANCHOR_CANDIDATES[0] == "simhash_docs"
+    assert len(R10_ANCHOR_CANDIDATES) == 46
+    assert R10_ANCHOR_CANDIDATES[0] == "text_stats"
     assert not set(R10_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
     names = set(query_registry())
     assert set(R10_ANCHOR_CANDIDATES) <= names
 
 
-def test_r9_anchor_candidates_are_registered_and_front_consumed():
+def test_r9_anchor_candidates_rolled_forward_unconsumed():
     names = set(query_registry())
     assert set(R9_ANCHOR_CANDIDATES) <= names
-    # the r9 window consumed the list's front 4 as anchors plus
-    # lsh_ann_topk as a changed-code pull; the remaining 42 roll forward
-    # as R10 anchor candidates (oldest driver signal first)
-    assert set(R9_ANCHOR_CANDIDATES[:4]) <= set(DRIVER_WINDOW)
-    assert set(R9_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW) == set(
-        R9_ANCHOR_CANDIDATES[:4]
-    ) | {"lsh_ann_topk"}
-    assert not set(R10_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
+    # batch 2 displaced the anchors: only lsh_ann_topk (changed-code
+    # pull) refreshes from this pool in r9
+    assert set(R9_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW) == {"lsh_ann_topk"}
     assert not set(R9_ANCHOR_CANDIDATES) & set(R9_WINDOW_QUEUE)
+    # the r10 rotation queue is exactly the registry's never-checked tail
+    assert set(R10_WINDOW_QUEUE) == set(NEW_IN_R9B_QUEUED)
+    assert not set(R10_WINDOW_QUEUE) & set(DRIVER_WINDOW)

@@ -981,3 +981,39 @@ def test_hyperplane_signature_expr_path_bit_identical(spark):
         )
         assert cols.filter(F.col("a") != F.col("b")).count() == 0
         assert cols.filter(F.col("a").isNull() != F.col("b").isNull()).count() == 0
+
+
+def test_dim_correlation_matches_numpy(spark):
+    from ml_feature_store_pipeline_spark.operators.similarity import dim_correlation_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=12)
+    # dim0 ~ dim1 (perfectly correlated), dim2 independent, dim3 constant
+    vecs = [
+        [float(b), float(2 * b + 1), float(rng.normal()), 5.0] for b in base
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    out = {
+        (r["dim_i"], r["dim_j"]): r
+        for r in dim_correlation_topk(df, "v", top_k=10).collect()
+    }
+    m = np.array(vecs)
+    n = m.shape[0]
+    for (i, j), r in out.items():
+        cov = float((m[:, i] * m[:, j]).mean() - m[:, i].mean() * m[:, j].mean())
+        assert r["covariance"] == pytest.approx(cov, abs=1e-5)
+        vi = float((m[:, i] ** 2).mean() - m[:, i].mean() ** 2)
+        vj = float((m[:, j] ** 2).mean() - m[:, j].mean() ** 2)
+        if vi > 0 and vj > 0:
+            assert r["correlation"] == pytest.approx(
+                cov / (vi * vj) ** 0.5, abs=1e-5
+            )
+        else:
+            assert r["correlation"] is None
+        assert r["n"] == n
+    # the engineered redundancy must rank first with rho ~ 1
+    (ti, tj) = next(iter(out))
+    assert (ti, tj) == (0, 1)
+    assert out[(0, 1)]["correlation"] == pytest.approx(1.0, abs=1e-6)
+    # constant dim pairs exist but sort last with null rho
+    assert out[(2, 3)]["correlation"] is None

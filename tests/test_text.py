@@ -577,3 +577,31 @@ def test_term_pmi_hand_computed(spark):
     ag = out[("alpha", "gamma")]
     assert ag["n_docs_both"] == 1
     assert ag["pmi"] == pytest.approx(math.log((1 / 4) / ((3 / 4) * (1 / 4))), abs=1e-6)
+
+
+def test_readability_hand_computed(spark):
+    from ml_feature_store_pipeline_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),  # 6 words, 2 sentences
+            (2, ""),                            # empty -> nulls
+            (3, "beautiful"),                   # 1 word, no terminator -> 1 sentence
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(df, "doc_id", "text").collect()}
+
+    r = out[1]
+    # syllables (vowel-group runs, min 1/word): the=1 cat=1 sat=1 the=1 dog=1 ran=1
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    assert r["words_per_sentence"] == pytest.approx(3.0)
+    assert r["syllables_per_word"] == pytest.approx(1.0)
+    assert r["flesch_ease"] == pytest.approx(206.835 - 1.015 * 3 - 84.6 * 1, abs=1e-6)
+    assert r["fk_grade"] == pytest.approx(0.39 * 3 + 11.8 * 1 - 15.59, abs=1e-6)
+
+    assert out[2]["n_words"] == 0
+    assert out[2]["flesch_ease"] is None and out[2]["n_syllables"] is None
+
+    # beau-ti-ful -> vowel groups "eau", "i", "u" = 3 syllables
+    assert (out[3]["n_words"], out[3]["n_sentences"], out[3]["n_syllables"]) == (1, 1, 3)

@@ -755,3 +755,35 @@ def test_markov_entropy_rate_extremes(spark):
     )
     r3 = markov_entropy_rate(one, "user_id", "ts", "event_type", tie_col="event_id").collect()[0]
     assert r3["entropy_rate"] == 0.0 and r3["norm_entropy_rate"] is None
+
+
+def test_cooccurrence_cosine_brute_force(spark):
+    """Cosine over the binary incidence matches an explicit set reference
+    (duplicates collapse; item popularity normalizes geometrically)."""
+    import itertools
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.windows import cooccurrence_cosine
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"), (3, "c"),  # duplicate (3, c) must collapse
+        (4, "d"),
+        (None, "a"), (5, None),  # null key/item rows drop
+    ]
+    df = spark.createDataFrame(rows, "k int, t string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in cooccurrence_cosine(df, "k", "t").collect()
+    }
+    sets = {"a": {1, 2, 3}, "b": {1, 2}, "c": {1, 3}, "d": {4}}
+    expect = {}
+    for x, y in itertools.combinations(sorted(sets), 2):
+        both = len(sets[x] & sets[y])
+        if both:
+            expect[(x, y)] = (both, both / math.sqrt(len(sets[x]) * len(sets[y])))
+    assert set(out) == set(expect)
+    for k, (nb, cos) in expect.items():
+        assert out[k]["n_keys_both"] == nb
+        assert out[k]["cosine"] == pytest.approx(cos, abs=1e-6)

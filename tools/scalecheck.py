@@ -147,7 +147,7 @@ EVENT_OPS = (
     "pagerank_copart triangles triangles_20m temporal_split "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
     "woe_iv chi2 survival bootstrap cuped did_estimate seasonal "
-    "trimmed_mean value_gini cusum"
+    "trimmed_mean value_gini cusum holt_forecast t_closeness adamic_adar item_item_cosine"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -158,13 +158,13 @@ DOC_OPS = (
     "quality_classifier training_shards mixture_epochs priority_survivors "
     "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup "
     "bpe_stats bpe_pairs bpe_train bpe_encode sketch_calibrate bm25 tfidf_doc_topk "
-    "substr_decontaminate"
+    "substr_decontaminate readability"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
     "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
     "semantic_decontaminate knn_label_audit hard_negatives prototypicality "
-    "random_projection mmr_rerank pq_rerank kmeans rerank_eval"
+    "random_projection mmr_rerank pq_rerank kmeans rerank_eval dim_correlation"
 ).split()
 
 
@@ -1405,6 +1405,61 @@ def main() -> None:
                 _drift.value_gini(events, "amount"),
                 args.events,
             )
+        if events is not None and want("holt_forecast"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # r9: one day-grain agg; the coupled recursion folds on the
+            # |days| array in a single task (dimension-sized exception)
+            timed(
+                "holt_forecast_daily",
+                _drift.holt_forecast_daily(events, "timestamp", "amount"),
+                args.events,
+            )
+        if events is not None and want("t_closeness"):
+            from ml_feature_store_pipeline_spark import quality as _q
+
+            # r9: same shuffle discipline as k_anonymity/l_diversity —
+            # (group, category) count rows only, marginals broadcast
+            tdf = events.select(
+                F.date_trunc("day", F.col("timestamp")).cast("date").alias("d"),
+                "event_type",
+            )
+            timed(
+                "t_closeness_profile",
+                _q.t_closeness_profile(tdf, ["d"], "event_type"),
+                args.events,
+            )
+        if events is not None and want("adamic_adar"):
+            from ml_feature_store_pipeline_spark.operators import graph as _graph
+
+            # r9: same basket shape as copurchase (baskets of ~5, 5k
+            # items) — pair fan-out bounded by basket size
+            aa_baskets = _tied(events).select(
+                (F.col("event_id") % (args.events // 5 + 1)).alias("basket"),
+                (F.xxhash64("event_id") % 5000).alias("item"),
+            )
+            timed(
+                "adamic_adar_topk",
+                _graph.adamic_adar_topk(aa_baskets, "basket", "item", top_k=20),
+                args.events,
+            )
+        if events is not None and want("item_item_cosine"):
+            from ml_feature_store_pipeline_spark.operators import windows as _win
+
+            # r9: CUSTOMER-grain incidence (~40 distinct items of 5k per
+            # key): the heavy CF shape — C(40,2)=780 pair rows per key
+            # pre-combine, events/40 keys
+            cf = _tied(events).select(
+                (F.col("event_id") % (args.events // 40 + 1)).alias("cust"),
+                (F.xxhash64("event_id") % 5000).alias("item"),
+            )
+            timed(
+                "item_item_cosine",
+                _win.cooccurrence_cosine(cf, "cust", "item", min_pair_keys=2)
+                .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
+                .limit(20),
+                args.events,
+            )
         if events is not None and want("cusum"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
@@ -1488,6 +1543,15 @@ def main() -> None:
                 _text.bpe_encode_stats(docs, "doc_id", "text", merges),
                 args.docs,
             )
+        if docs is not None and want("readability"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # r9: zero-shuffle regex projection — the row-local floor
+            timed(
+                "readability",
+                _text.readability(docs, "doc_id", "text"),
+                args.docs,
+            )
         if docs is not None and want("bm25"):
             from ml_feature_store_pipeline_spark.operators import text as _text
 
@@ -1508,7 +1572,7 @@ def main() -> None:
                 _text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=10),
                 args.docs,
             )
-        if docs is not None and want("substr_decontaminate"):
+        if docs is not None and want("substr_decontaminate readability"):
             from ml_feature_store_pipeline_spark.operators import dedup as _dedup
 
             # r9: ~1% of docs play the benchmark (dense windows, broadcast
@@ -1572,6 +1636,18 @@ def main() -> None:
                 "overwrite"
             ).save()
             log("kmeans_k8_3iters", time.time() - t0, args.vecs)
+        if vecs is not None and want("dim_correlation"):
+            from ml_feature_store_pipeline_spark.operators import similarity as _sim
+
+            # r9: rows·d(d-1)/2 products explode into a d²-keyed hash agg
+            # whose map-side combine caps the shuffle at O(partitions·d²)
+            # — CPU-bound by construction (exact covariance touches every
+            # product); the gate prices that honestly
+            timed(
+                "dim_correlation_topk",
+                _sim.dim_correlation_topk(vecs, "embedding", top_k=20),
+                args.vecs,
+            )
         if vecs is not None and want("rerank_eval"):
             from ml_feature_store_pipeline_spark.operators import similarity as _sim
 
