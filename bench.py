@@ -307,6 +307,23 @@ HEADLINE_R9 = [
     "substring_decontaminate_docs",
     "temporal_split_leakage_audit",
     "ann_rerank_eval",
+    # batch 2: link prediction / CF (co-keyed pair self-joins), Holt
+    # forecast (day-grain fold), dimension-correlation (rows·d²/2
+    # integer-lattice products — the CPU-bound one to watch),
+    # readability (zero-shuffle regex floor), t-closeness (two
+    # combinable aggregates)
+    "adamic_adar_parts_topk",
+    "item_item_cosine_topk",
+    "holt_forecast_daily_value",
+    "dim_correlation_topk_embeddings",
+    "readability_docs",
+    "t_closeness_events",
+    # batch 3: changepoint (day-grain fold), layout pruning simulator
+    # (3 layouts × one scan each), PCA power iteration (shares the
+    # dim-correlation corpus pass + 10 dimension-sized iterations)
+    "best_split_daily_value",
+    "layout_pruning_audit_orders",
+    "pca_power_embeddings",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

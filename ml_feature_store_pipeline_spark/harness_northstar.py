@@ -6309,14 +6309,14 @@ def q_holt_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dim_correlation_topk_embeddings",
     """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER () AS rid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 2
     ),
     xs AS (SELECT rid, v, UNNEST(range(1, len(v) + 1)) AS i FROM e),
-    xe AS (SELECT rid, CAST(i - 1 AS INT) AS i, v[CAST(i AS INT)] AS x FROM xs),
-    dims AS (
+    xe AS MATERIALIZED (SELECT rid, CAST(i - 1 AS INT) AS i, v[CAST(i AS INT)] AS x FROM xs),
+    dims AS MATERIALIZED (
       SELECT i, CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
       FROM xe GROUP BY i
@@ -6440,3 +6440,228 @@ def q_t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         t=0.2,
     )
+
+
+@register(
+    "best_split_daily_value",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 0) AS DECIMAL(15,0)) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    pre AS (
+      -- integer-quantized totals: every moment is a scale-0 decimal, so
+      -- the SSE identity runs exactly and int->double casts agree
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             CAST(SUM(v) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,0)) AS s,
+             CAST(SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(31,0)) AS ss,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(v) OVER () AS DECIMAL(18,0)) AS st,
+             CAST(SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) OVER ()
+               AS DECIMAL(31,0)) AS sst
+      FROM daily
+    ),
+    cand AS (
+      SELECT day AS split_day,
+             CAST(n AS BIGINT) AS n_days,
+             ROUND(CAST(s AS DOUBLE) / i, 6) AS mean_left,
+             ROUND(CAST(st - s AS DOUBLE) / (n - i), 6) AS mean_right,
+             ROUND(CAST(CAST(n AS DECIMAL(6,0)) * sst - st * st AS DOUBLE) / n, 6)
+               AS sse_total,
+             ROUND(CAST(CAST(i AS DECIMAL(6,0)) * ss - s * s AS DOUBLE) / i
+                   + CAST(CAST(n - i AS DECIMAL(6,0)) * CAST(sst - ss AS DECIMAL(31,0))
+                          - CAST(st - s AS DECIMAL(18,0)) * CAST(st - s AS DECIMAL(18,0))
+                          AS DOUBLE) / (n - i), 6) AS sse_split,
+             CAST(CAST(n AS DECIMAL(6,0)) * sst - st * st AS DOUBLE) / n
+               - (CAST(CAST(i AS DECIMAL(6,0)) * ss - s * s AS DOUBLE) / i
+                  + CAST(CAST(n - i AS DECIMAL(6,0)) * CAST(sst - ss AS DECIMAL(31,0))
+                         - CAST(st - s AS DECIMAL(18,0)) * CAST(st - s AS DECIMAL(18,0))
+                         AS DOUBLE) / (n - i)) AS gain_raw
+      FROM pre WHERE i >= 2 AND n - i >= 2
+    )
+    SELECT split_day, n_days, mean_left, mean_right, sse_total, sse_split,
+           ROUND(gain_raw, 6) AS gain
+    FROM cand ORDER BY gain_raw DESC, split_day ASC LIMIT 1
+    """,
+)
+def q_best_split_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint of the daily value total by variance
+    reduction — binary segmentation's greedy first cut; one day-grain
+    aggregate, everything after runs on the |days| table."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.best_split_daily(events, "ts", "value")
+
+
+def _layout_audit_sql() -> str:
+    fr = ", ".join(repr(k / 16) for k in range(1, 16))
+    legs = []
+    for name, key in (
+        ("by_orderdate", "CAST(pday AS DOUBLE)"),
+        ("by_custkey", "CAST(o_custkey AS DOUBLE)"),
+        ("by_orderkey", "CAST(o_orderkey AS DOUBLE)"),
+    ):
+        legs.append(f"""
+    bs_{name} AS (
+      SELECT quantile_cont({key}, [{fr}]) AS bs
+      FROM keyed WHERE {key} IS NOT NULL
+    ),
+    f_{name} AS (
+      SELECT CAST(len(list_filter(bs.bs, b -> {key} > b)) AS INT) AS f,
+             pday AS p
+      FROM keyed, bs_{name} bs WHERE {key} IS NOT NULL
+    ),
+    a_{name} AS (
+      SELECT f, MIN(p) AS mn, MAX(p) AS mx, COUNT(*) AS nr
+      FROM f_{name} GROUP BY 1
+    ),
+    r_{name} AS (
+      SELECT '{name}' AS layout, pred_id, lo, hi,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+             CAST(SUM(CASE WHEN mx >= lo AND mn < hi THEN nr ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+             ROUND(1.0 - SUM(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END)
+                   / COUNT(*), 6) AS prune_frac
+      FROM a_{name} CROSS JOIN preds GROUP BY 1, 2, 3, 4
+    )""")
+    return f"""
+    WITH keyed AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS pday,
+             o_custkey, o_orderkey
+      FROM orders
+    ),
+    mnd AS (SELECT MIN(pday) AS d0 FROM keyed),
+    preds AS (
+      SELECT k AS pred_id, d0 + off AS lo, d0 + off + 30 AS hi
+      FROM mnd, (VALUES (0, 0), (1, 180), (2, 360)) AS t(k, off)
+    ),{",".join(legs)}
+    SELECT * FROM r_by_orderdate
+    UNION ALL SELECT * FROM r_by_custkey
+    UNION ALL SELECT * FROM r_by_orderkey
+    """
+
+
+@register("layout_pruning_audit_orders", _layout_audit_sql())
+def q_layout_pruning_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-pruning simulator over three candidate orders layouts
+    (date-sorted, customer-sorted, orderkey/arrival) against 30-day
+    date-range predicates — the measurement behind the §layout sort/
+    Z-order rewrite decision; one scan + one combinable aggregate per
+    layout, no global sort."""
+    from .operators.layout import pruning_audit
+
+    orders = read_table(spark, sf_dir, "orders")
+    pday = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    mn = orders.agg(F.min(pday).cast("long").alias("d0"))
+    preds = mn.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("pred_id"),
+                        (F.col("d0") + F.lit(off)).cast("long").alias("lo"),
+                        (F.col("d0") + F.lit(off) + 30).cast("long").alias("hi"),
+                    )
+                    for k, off in enumerate((0, 180, 360))
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pruning_audit(
+        orders,
+        {
+            "by_orderdate": pday,
+            "by_custkey": F.col("o_custkey"),
+            "by_orderkey": F.col("o_orderkey"),
+        },
+        pday.cast("long"),
+        preds,
+        n_files=16,
+    )
+
+
+def _pca_power_sql(iterations: int = 10) -> str:
+    """Unrolled power iteration over the exact covariance (the MMR/BPE
+    unrolled-CTE precedent): v_{t+1} = round(C·v_t / ‖C·v_t‖, 9) with
+    12 dp decimal product sums — every step double-for-double the plan
+    ``similarity.pca_power_embeddings`` executes."""
+    it = []
+    prev = "v0"
+    for t in range(1, iterations + 1):
+        it.append(f"""
+    u{t} AS MATERIALIZED (
+      SELECT cov.i,
+             CAST(SUM(CAST(ROUND(cov.c * {prev}.v, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS u
+      FROM cov JOIN {prev} ON {prev}.j = cov.j GROUP BY cov.i
+    ),
+    n{t} AS MATERIALIZED (
+      SELECT SQRT(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(38,12))) AS DOUBLE))
+               AS nrm
+      FROM u{t}
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT i AS j,
+             ROUND(CASE WHEN nrm > 0 THEN u / nrm ELSE 0.0 END, 9) AS v
+      FROM u{t}, n{t}
+    )""")
+        prev = f"v{t}"
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER () AS rid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 2
+    ),
+    xs AS (SELECT rid, v, UNNEST(range(1, len(v) + 1)) AS i FROM e),
+    xe AS MATERIALIZED (SELECT rid, CAST(i - 1 AS INT) AS i, v[CAST(i AS INT)] AS x FROM xs),
+    dims AS MATERIALIZED (
+      SELECT i, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM xe GROUP BY i
+    ),
+    p AS (
+      SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(ROUND(a.x * b.x, 12) * 1e12, 0) AS BIGINT))
+                  AS DOUBLE) / 1e12 AS sxy
+      FROM xe a JOIN xe b ON a.rid = b.rid AND a.i < b.i
+      GROUP BY 1, 2
+    ),
+    covu AS (
+      SELECT p.i, p.j,
+             sxy / p.n - (di.sx / p.n) * (dj.sx / p.n) AS c
+      FROM p JOIN dims di ON di.i = p.i JOIN dims dj ON dj.i = p.j
+    ),
+    cov AS MATERIALIZED (
+      SELECT i, j, c FROM covu
+      UNION ALL SELECT j AS i, i AS j, c FROM covu
+      UNION ALL SELECT i, i AS j, sxx / n - (sx / n) * (sx / n) AS c FROM dims
+    ),
+    dd AS (SELECT COUNT(*) AS d FROM dims),
+    v0 AS (SELECT i AS j, ROUND(1.0 / SQRT(d), 9) AS v FROM dims, dd),{",".join(it)}
+    SELECT v{iterations}.j AS dim,
+           CAST(ROUND(CAST(v{iterations}.v AS DECIMAL(28,9)), 6) AS DOUBLE)
+             AS loading,
+           ROUND(n{iterations}.nrm, 6) AS eigenvalue
+    FROM v{iterations}, n{iterations}
+    """
+
+
+@register("pca_power_embeddings", _pca_power_sql(10))
+def q_pca_power_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component + eigenvalue of the embedding corpus via
+    10 deterministic power iterations on the exact covariance — one
+    corpus pass builds C, the iterations are |d|-sized against the
+    pinned matrix."""
+    emb = read_table(spark, sf_dir, "embeddings").repartition(_par(spark))
+    return similarity.pca_power_embeddings(emb, "embedding", iterations=10)

@@ -1570,3 +1570,108 @@ def holt_forecast_daily(
     return folded.select(
         F.explode(F.concat(insample, fcst)).alias("r")
     ).select("r.*")
+
+
+def best_split_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    min_segment_days: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Single best CHANGEPOINT in the daily value series — binary
+    segmentation's first cut (the greedy step PELT/BinSeg iterate): the
+    split day minimizing total within-segment squared error, i.e.
+    maximizing the variance-reduction gain over the unsplit series.
+    Complements :func:`cusum_daily` (CUSUM detects online with a known
+    baseline; this finds the single best retrospective break with none).
+
+    One row: (split_day, n_days, mean_left, mean_right, sse_total,
+    sse_split, gain) where the split is the LAST day of the left
+    segment, both segments have ≥ ``min_segment_days`` days, and ties
+    on gain break to the earliest day. Fewer than 2·min_segment_days
+    days → zero rows.
+
+    Exactness: the detector consumes INTEGER-QUANTIZED daily totals
+    (HALF_UP to whole units — at analytic magnitudes sub-unit noise is
+    irrelevant; pre-scale the value if unit precision matters). That
+    makes every moment a scale-0 decimal: the SSE identity runs as
+    ``i·SS − S²`` in EXACT integer arithmetic, and scale-0 decimals
+    convert to double identically on both engines (one correctly-
+    rounded int→double; nonzero-scale decimals do NOT — DuckDB's
+    int128→double-then-÷10ˢ double-rounds, observed 1 ulp off Spark's
+    BigDecimal at 24 significant digits, which the ~ulp-sized SSE
+    cancellation then amplified to 1e-4). Bounds, documented not
+    checked: |daily total| < 10¹⁵ and n_days·max(total²) < 10³⁸.
+
+    Scale shape: one distributed day-grain aggregate; prefix sums and
+    the argmax run as windows on the |days| table (the documented
+    dimension-sized exception).
+    """
+    dec = lambda c: c.cast("decimal(28,6)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(
+            F.round(F.sum(dec(F.col(value_col))), 0)
+            .cast("decimal(15,0)")
+            .alias("__v")
+        )
+    )
+    w = Window.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sq = F.col("__v") * F.col("__v")  # (15,0)x(15,0) -> (31,0), exact
+    pre = daily.select(
+        F.col("day"),
+        F.row_number().over(Window.orderBy(F.asc("day"))).alias("__i"),
+        F.sum(F.col("__v")).over(w).cast("decimal(18,0)").alias("__s"),
+        F.sum(sq).over(w).cast("decimal(31,0)").alias("__ss"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum(F.col("__v")).over(w_all).cast("decimal(18,0)").alias("__st"),
+        F.sum(sq).over(w_all).cast("decimal(31,0)").alias("__sst"),
+    )
+    i, n = F.col("__i"), F.col("__n")
+    i6 = i.cast("decimal(6,0)")
+    n6 = n.cast("decimal(6,0)")
+    m6 = (n - i).cast("decimal(6,0)")
+    s, ss = F.col("__s"), F.col("__ss")
+    st, sst = F.col("__st"), F.col("__sst")
+    sr = (st - s).cast("decimal(18,0)")
+    ssr = (sst - ss).cast("decimal(31,0)")
+    # exact integer numerators: k·SS − S² as (38,0) − (37,0)
+    num_l = (i6 * ss - s * s).cast("double")
+    num_r = (m6 * ssr - sr * sr).cast("double")
+    num_t = (n6 * sst - st * st).cast("double")
+    m_l, m_r, m_n = i.cast("double"), (n - i).cast("double"), n.cast("double")
+    sse_l = num_l / m_l
+    sse_r = num_r / m_r
+    sse_t = num_t / m_n
+    cand = pre.filter(
+        (i >= F.lit(int(min_segment_days))) & (n - i >= F.lit(int(min_segment_days)))
+    ).select(
+        F.col("day").alias("split_day"),
+        n.cast("long").alias("n_days"),
+        F.round(s.cast("double") / m_l, round_digits).alias("mean_left"),
+        F.round(sr.cast("double") / m_r, round_digits).alias("mean_right"),
+        F.round(sse_t, round_digits).alias("sse_total"),
+        F.round(sse_l + sse_r, round_digits).alias("sse_split"),
+        (sse_t - (sse_l + sse_r)).alias("__gain"),
+    )
+    return (
+        cand.orderBy(F.desc("__gain"), F.asc("split_day"))
+        .limit(1)
+        .select(
+            "split_day",
+            "n_days",
+            "mean_left",
+            "mean_right",
+            "sse_total",
+            "sse_split",
+            F.round(F.col("__gain"), round_digits).alias("gain"),
+        )
+    )

@@ -148,3 +148,86 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def pruning_audit(
+    df: DataFrame,
+    layouts: dict[str, Column],
+    predicate_col: Column,
+    predicates: DataFrame,
+    *,
+    n_files: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Min/max scan-pruning simulator — the measurement that decides a
+    table's sort layout BEFORE paying the rewrite: for each candidate
+    ``layouts[name]`` sort expression, rows are assigned to ``n_files``
+    simulated files by the sort column's EXACT percentile boundaries
+    (what a range-partitioned sorted write produces), each file keeps
+    min/max of ``predicate_col`` (what parquet footers keep), and each
+    predicate in ``predicates`` — rows (pred_id, lo, hi), matching
+    ``lo ≤ p < hi`` — counts the files whose [min, max] it cannot skip.
+
+    Per (layout, predicate): (layout, pred_id, lo, hi, n_files,
+    files_scanned, rows_scanned, prune_frac). A layout sorted by the
+    predicate column prunes ~(1 − selectivity); an uncorrelated layout
+    prunes ~0 — the gap is the rewrite's worth.
+
+    Exactness: boundaries are one exact interpolated-percentile
+    aggregate per layout (broadcast back); file assignment counts
+    boundaries strictly below the value (identical double comparisons);
+    everything after is integer counts and one rounded ratio.
+
+    Scale shape: per layout ONE scan with a broadcast boundary array +
+    one combinable (file)-keyed min/max/count aggregate — no global
+    sort, no ntile window (the audit costs a scan; the sorted WRITE it
+    evaluates costs the range exchange). The |files|×|predicates|
+    overlap join is dimension-sized.
+    """
+    fr = [k / n_files for k in range(1, n_files)]
+    out = None
+    for name, sort_col in layouts.items():
+        keyed = df.select(
+            sort_col.cast("double").alias("__k"), predicate_col.alias("__p")
+        ).filter(F.col("__k").isNotNull())
+        bounds = keyed.agg(
+            F.expr(f"percentile(__k, array({', '.join(repr(f) for f in fr)}))").alias(
+                "__bs"
+            )
+        )
+        files = (
+            keyed.crossJoin(F.broadcast(bounds))
+            .select(
+                F.aggregate(
+                    F.col("__bs"),
+                    F.lit(0),
+                    lambda acc, b: acc + (F.col("__k") > b).cast("int"),
+                ).alias("__file"),
+                F.col("__p"),
+            )
+            .groupBy("__file")
+            .agg(
+                F.min("__p").alias("__mn"),
+                F.max("__p").alias("__mx"),
+                F.count(F.lit(1)).cast("long").alias("__rows"),
+            )
+        )
+        hit = (F.col("__mx") >= F.col("lo")) & (F.col("__mn") < F.col("hi"))
+        audit = (
+            files.crossJoin(F.broadcast(predicates))
+            .groupBy("pred_id", "lo", "hi")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(hit.cast("long")).cast("long").alias("files_scanned"),
+                F.sum(F.when(hit, F.col("__rows")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("rows_scanned"),
+                F.round(
+                    1.0 - F.sum(hit.cast("long")) / F.count(F.lit(1)), round_digits
+                ).alias("prune_frac"),
+            )
+            .select(F.lit(name).alias("layout"), "pred_id", "lo", "hi",
+                    "n_files", "files_scanned", "rows_scanned", "prune_frac")
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out

@@ -1916,27 +1916,15 @@ def rerank_eval(
     )
 
 
-def dim_correlation_topk(
-    df: DataFrame,
-    vec_col: str,
-    *,
-    top_k: int = 20,
-    round_digits: int = 6,
-) -> DataFrame:
-    """Top-``top_k`` most-correlated embedding DIMENSION pairs — the
-    feature-redundancy audit for learned representations (two dimensions
-    with |ρ| → 1 carry one dimension of information; the readout that
-    motivates PCA/whitening before a similarity index): for every dim
-    pair i<j, Pearson ρ and covariance across the corpus.
+def _pairwise_moments(df: DataFrame, vec_col: str):
+    """Shared corpus pass for :func:`dim_correlation_topk` and
+    :func:`pca_power_embeddings`: ONE flat upper-triangle product
+    explode + integer-lattice sums.
 
-    Requires a fixed-dimension corpus: the dimension is read from the
-    first row and rows of any other length are dropped (the flat-array
-    keying below relies on a uniform layout; mixed-dim corpora should be
-    split by dimension first).
-
-    Returns (dim_i, dim_j, n, covariance, correlation) ordered by
-    |ρ| (rounded) desc, ties on (dim_i, dim_j); zero-variance dims yield
-    null ρ and sort last.
+    Returns ``(d, dims, pairs)`` — the fixed dimension (from the first
+    row; rows of any other length are dropped), the per-dim moment
+    table (i, __n, __sx, __sxx), and the pair table (i, j, n, __sxy)
+    with exact order-insensitive sums. ``d`` is 0 on an empty corpus.
 
     Exactness: per-row products round to 12 dp; the rounded lattice
     values are carried as EXACT int64s (×10¹²) through a per-partition
@@ -1944,28 +1932,23 @@ def dim_correlation_topk(
     engine-stable end to end. The int64 partial is exact while
     rows-per-partition × max|xᵢxⱼ| < 9.2·10⁶ (10¹² units of a 64-bit
     long) — repartition finer for larger-magnitude embeddings. Moments
-    round to 9 dp as DECIMAL(28,9); the closing cov/ρ arithmetic is
-    identical IEEE doubles on both engines.
+    round to 9 dp as DECIMAL(28,9).
 
-    Scale shape: ONE pass builds the flattened upper-triangle product
-    array per row (d(d−1)/2 plain doubles — no per-element structs, the
-    (i,j) key is recovered from the array position AFTER aggregation via
-    a d²-row broadcast map) and explodes it into a pos-keyed integer
-    aggregate. The first aggregate groups on (pos, partition), which is
-    partition-local — ALL combining happens map-side and the shuffle
-    carries O(partitions·d²) longs, never O(rows·d²); the second
-    aggregate and the d-row moment table are dimension-sized.
+    Scale shape: the flat array carries d(d−1)/2 plain doubles — no
+    per-element structs; the (i,j) key is recovered from the array
+    position AFTER aggregation via a d²-row broadcast map. The first
+    aggregate groups on (pos, partition), which is partition-local —
+    ALL combining happens map-side and the shuffle carries
+    O(partitions·d²) longs, never O(rows·d²); everything downstream is
+    dimension-sized.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     first = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= 2)).select(
         F.size(vec_col).alias("d")
     ).first()
-    if first is None:
-        d = 2  # empty corpus: any d yields the empty result
-    else:
-        d = int(first["d"])
+    d = 0 if first is None else int(first["d"])
     base = (
-        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == d))
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == max(d, 2)))
         .select(v.alias("__v"))
     )
     ex = base.select(F.posexplode("__v").alias("i", "x"))
@@ -1982,9 +1965,9 @@ def dim_correlation_topk(
     # integer, round(·, 0) recovers it exactly
     tri = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.lit(d - 2)),
+            F.sequence(F.lit(0), F.lit(max(d, 2) - 2)),
             lambda i: F.transform(
-                F.sequence(i + 1, F.lit(d - 1)),
+                F.sequence(i + 1, F.lit(max(d, 2) - 1)),
                 lambda j: F.round(
                     F.round(F.element_at(vc, i + 1) * F.element_at(vc, j + 1), 12)
                     * 1e12,
@@ -1998,7 +1981,7 @@ def dim_correlation_topk(
         .groupBy("pos", F.spark_partition_id().alias("__pid"))
         .agg(F.count(F.lit(1)).cast("long").alias("__n"), F.sum("q").alias("__q"))
     )
-    pairs = partials.groupBy("pos").agg(
+    agg = partials.groupBy("pos").agg(
         F.sum("__n").cast("long").alias("n"),
         (F.sum(F.col("__q").cast("decimal(38,0)")).cast("double") / F.lit(1e12)).alias(
             "__sxy"
@@ -2021,6 +2004,33 @@ def dim_correlation_topk(
             "j",
         )
     )
+    pairs = agg.join(F.broadcast(posmap), "pos").drop("pos")
+    return d, dims, pairs
+
+
+def dim_correlation_topk(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    top_k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` most-correlated embedding DIMENSION pairs — the
+    feature-redundancy audit for learned representations (two dimensions
+    with |ρ| → 1 carry one dimension of information; the readout that
+    motivates PCA/whitening before a similarity index): for every dim
+    pair i<j, Pearson ρ and covariance across the corpus.
+
+    Requires a fixed-dimension corpus (see :func:`_pairwise_moments`,
+    which carries the exactness and scale arguments for the shared
+    corpus pass).
+
+    Returns (dim_i, dim_j, n, covariance, correlation) ordered by
+    |ρ| (rounded) desc, ties on (dim_i, dim_j); zero-variance dims yield
+    null ρ and sort last. The closing cov/ρ arithmetic is identical
+    IEEE doubles on both engines.
+    """
+    _, dims, pairs = _pairwise_moments(df, vec_col)
     di = dims.select(F.col("i"), F.col("__sx").alias("__sxi"), F.col("__sxx").alias("__sxxi"))
     dj = dims.select(
         F.col("i").alias("j"), F.col("__sx").alias("__sxj"), F.col("__sxx").alias("__sxxj")
@@ -2034,8 +2044,7 @@ def dim_correlation_topk(
         F.when((var_i > 0) & (var_j > 0), cov / F.sqrt(var_i * var_j)), round_digits
     )
     return (
-        pairs.join(F.broadcast(posmap), "pos")
-        .join(F.broadcast(di), "i")
+        pairs.join(F.broadcast(di), "i")
         .join(F.broadcast(dj), "j")
         .select(
             F.col("i").alias("dim_i"),
@@ -2050,4 +2059,113 @@ def dim_correlation_topk(
             F.asc("dim_j"),
         )
         .limit(top_k)
+    )
+
+
+def pca_power_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    iterations: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top principal component of the embedding corpus via POWER
+    ITERATION on the exact covariance matrix — the dimension-reduction
+    readout :func:`dim_correlation_topk` motivates: the direction
+    carrying the most corpus variance, plus its eigenvalue (the
+    variance explained). d rows: (dim, loading, eigenvalue).
+
+    Deterministic and engine-replayable: the corpus pass is
+    :func:`_pairwise_moments` (exact covariance — see there for the
+    exactness and scale arguments); the iteration starts from the
+    uniform unit vector 1/√d and runs a FIXED ``iterations`` count with
+    9 dp state quantization — ``u = C·v`` folds as a 12 dp-rounded
+    product sum in DECIMAL(38,12) (order-free), the norm as the same
+    decimal sum of squares, so an unrolled-CTE oracle reproduces every
+    step double-for-double. Loadings leave through a DECIMAL-space
+    6 dp round (9 dp-lattice states split double-side rounding on exact
+    half-boundaries); the eigenvalue is ‖C·v‖ of the last iterate
+    (Rayleigh quotient of a unit vector), non-lattice, plain round.
+
+    Sign is pinned by the deterministic start, not canonicalized — the
+    component is defined up to ±1 and both engines walk the same path.
+
+    Scale shape: ONE corpus pass builds C (d² values); the 10 iterations
+    are |d|-sized joins against the localCheckpoint-pinned covariance
+    (the PageRank pin discipline — without it every iteration re-scans
+    the corpus) — iteration cost is independent of the row count.
+    """
+    d, dims, pairs = _pairwise_moments(df, vec_col)
+    if d == 0:
+        return df.sparkSession.createDataFrame(
+            [], "dim int, loading double, eigenvalue double"
+        )
+    di = dims.select(F.col("i"), F.col("__sx").alias("__sxi"), F.col("__sxx").alias("__sxxi"))
+    dj = dims.select(
+        F.col("i").alias("j"), F.col("__sx").alias("__sxj"), F.col("__sxx").alias("__sxxj")
+    )
+    n = F.col("n").cast("double")
+    cov_u = (
+        pairs.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("__sxy") / n
+                - (F.col("__sxi") / n) * (F.col("__sxj") / n)
+            ).alias("c"),
+        )
+    )
+    nd = F.col("__n").cast("double")
+    diag = dims.select(
+        F.col("i"),
+        F.col("i").alias("j"),
+        (
+            F.col("__sxx") / nd - (F.col("__sx") / nd) * (F.col("__sx") / nd)
+        ).alias("c"),
+    )
+    cov = (
+        cov_u.unionByName(cov_u.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
+        .unionByName(diag)
+        .localCheckpoint()
+    )
+    # v0 rounds ENGINE-side (HALF_UP), not via Python's banker's round —
+    # the oracle computes ROUND(1/SQRT(d), 9) with the same semantics
+    v = dims.select(
+        F.col("i").alias("j"),
+        F.round(F.lit(1.0 / math.sqrt(d)), 9).alias("v"),
+    ).localCheckpoint()
+    norm_val = None
+    for _ in range(int(iterations)):
+        u = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(F.col("c") * F.col("v"), 12).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("u")
+            )
+        )
+        norm = u.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        stepped = u.crossJoin(F.broadcast(norm)).localCheckpoint()
+        v = stepped.select(
+            F.col("i").alias("j"),
+            F.round(
+                F.when(F.col("nrm") > 0, F.col("u") / F.col("nrm")).otherwise(0.0), 9
+            ).alias("v"),
+        )
+        norm_val = stepped.select(F.col("i"), F.col("nrm"))
+    return v.join(norm_val, v["j"] == norm_val["i"]).select(
+        F.col("j").alias("dim"),
+        F.round(F.col("v").cast("decimal(28,9)"), round_digits)
+        .cast("double")
+        .alias("loading"),
+        F.round(F.col("nrm"), round_digits).alias("eigenvalue"),
     )

@@ -117,3 +117,38 @@ def test_training_shards_balanced_reproducible_roundtrip(spark, tmp_path):
     expected = [r["doc_id"] for r in one.orderBy("shard_order").collect()]
     assert stored == expected
 
+
+
+def test_pruning_audit_sorted_layout_prunes_uncorrelated_does_not(spark):
+    """A layout sorted by the predicate column must skip most simulated
+    files for a narrow range; a random layout must scan nearly all."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_pipeline_spark.operators.layout import pruning_audit
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.xxhash64("id").alias("r"),
+    )
+    preds = spark.createDataFrame(
+        [(0, 0, 256)], "pred_id int, lo long, hi long"
+    )  # 1/16 of the key space
+    out = {
+        (row["layout"], row["pred_id"]): row
+        for row in pruning_audit(
+            df,
+            {"by_key": F.col("k"), "by_random": F.col("r")},
+            F.col("k"),
+            preds,
+            n_files=16,
+        ).collect()
+    }
+    sorted_row, random_row = out[("by_key", 0)], out[("by_random", 0)]
+    assert sorted_row["n_files"] == 16
+    assert sorted_row["files_scanned"] == 1          # perfect pruning
+    assert sorted_row["prune_frac"] == pytest.approx(15 / 16)
+    assert random_row["files_scanned"] == 16         # no pruning
+    assert random_row["prune_frac"] == pytest.approx(0.0)
+    # row accounting: the sorted layout scans exactly the selected file
+    assert sorted_row["rows_scanned"] == n // 16

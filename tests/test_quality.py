@@ -939,3 +939,39 @@ def test_t_closeness_hand_computed(spark):
     assert out["g3"]["tvd"] == pytest.approx(tvd({None: 0.5, "b": 0.5}), abs=1e-6)
     assert not out["g2"]["meets_t"] and out["g1"]["meets_t"]
     assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_best_split_finds_the_level_shift(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import best_split_daily
+
+    base = datetime.datetime(2024, 5, 1, 12)
+    day = datetime.timedelta(days=1)
+    series = [100.0] * 10 + [180.0] * 8  # clean break after day 10
+    rows = [(base + i * day, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = best_split_daily(df, "ts", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["split_day"].isoformat() == (base + 9 * day).date().isoformat()
+    assert r["n_days"] == 18
+    assert r["mean_left"] == pytest.approx(100.0)
+    assert r["mean_right"] == pytest.approx(180.0)
+    assert r["sse_split"] == pytest.approx(0.0)
+    # sse_total = sum((v - mean)^2), mean = (1000+1440)/18
+    mean = sum(series) / 18
+    sse_t = sum((v - mean) ** 2 for v in series)
+    assert r["sse_total"] == pytest.approx(sse_t, rel=1e-9)
+    assert r["gain"] == pytest.approx(sse_t, rel=1e-9)
+
+
+def test_best_split_too_short_series_is_empty(spark):
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import best_split_daily
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [(base + datetime.timedelta(days=i), 10.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    assert best_split_daily(df, "ts", "value").count() == 0  # needs >= 4 days

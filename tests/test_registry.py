@@ -179,10 +179,22 @@ NEW_IN_R9B_QUEUED = [
     "readability_docs",
 ]
 
+# Round-9 batch 3 (registered after the window filled): single best
+# changepoint by variance reduction, the min/max scan-pruning layout
+# simulator, and the top principal component via unrolled power
+# iteration — all 3-SF verified and plan-audited (best_split's |days|
+# windows carry a written ALLOW entry, the cusum class).
+NEW_IN_R9C = [
+    "best_split_daily_value",
+    "layout_pruning_audit_orders",
+    "pca_power_embeddings",
+]
+
 # The r10 rotation queue: every registered query without a driver-green
-# row once CORRECTNESS_r09 lands — exactly batch 2's two overflow names.
-# r10 must window these FIRST (the standing never-checked-debt rule).
-R10_WINDOW_QUEUE = list(NEW_IN_R9B_QUEUED)
+# row once CORRECTNESS_r09 lands — exactly the batch-2 overflow plus
+# batch 3. r10 must window these FIRST (the standing
+# never-checked-debt rule).
+R10_WINDOW_QUEUE = NEW_IN_R9B_QUEUED + NEW_IN_R9C
 
 # Function text touched this round — their previous greens (r8 for
 # pagerank, r7 for the serving audit and the LSH recall gate) predate
@@ -216,12 +228,14 @@ def test_freeze_lifted_with_exactly_the_r9_registrations():
     the three verdict-item-5 operators plus the six batch-2 operators,
     all oracle-backed."""
     queries, oracles = query_registry(), oracle_registry()
-    n_new = len(NEW_IN_R9) + len(NEW_IN_R9B) + len(NEW_IN_R9B_QUEUED)
-    assert len(queries) == 232 + n_new == 241
-    assert len(oracles) == 241
+    n_new = (
+        len(NEW_IN_R9) + len(NEW_IN_R9B) + len(NEW_IN_R9B_QUEUED) + len(NEW_IN_R9C)
+    )
+    assert len(queries) == 232 + n_new == 244
+    assert len(oracles) == 244
     assert all(
         n in queries and n in oracles
-        for n in NEW_IN_R9 + NEW_IN_R9B + NEW_IN_R9B_QUEUED
+        for n in NEW_IN_R9 + NEW_IN_R9B + NEW_IN_R9B_QUEUED + NEW_IN_R9C
     )
 
 
@@ -384,5 +398,5 @@ def test_r9_anchor_candidates_rolled_forward_unconsumed():
     assert set(R9_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW) == {"lsh_ann_topk"}
     assert not set(R9_ANCHOR_CANDIDATES) & set(R9_WINDOW_QUEUE)
     # the r10 rotation queue is exactly the registry's never-checked tail
-    assert set(R10_WINDOW_QUEUE) == set(NEW_IN_R9B_QUEUED)
+    assert set(R10_WINDOW_QUEUE) == set(NEW_IN_R9B_QUEUED) | set(NEW_IN_R9C)
     assert not set(R10_WINDOW_QUEUE) & set(DRIVER_WINDOW)

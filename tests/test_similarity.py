@@ -1017,3 +1017,37 @@ def test_dim_correlation_matches_numpy(spark):
     assert out[(0, 1)]["correlation"] == pytest.approx(1.0, abs=1e-6)
     # constant dim pairs exist but sort last with null rho
     assert out[(2, 3)]["correlation"] is None
+
+
+def test_pca_power_matches_numpy_dominant_eigenvector(spark):
+    """Power iteration on the exact covariance must align (up to sign)
+    with numpy's dominant eigenvector and reproduce its eigenvalue —
+    the 9/12 dp state quantization perturbs ~1e-9, far below tol."""
+    from ml_feature_store_pipeline_spark.operators.similarity import pca_power_embeddings
+
+    rng = np.random.default_rng(11)
+    # anisotropic corpus: one dominant direction
+    w = rng.normal(size=(40, 1)) @ rng.normal(size=(1, 6)) * 3.0
+    vecs = (w + rng.normal(size=(40, 6)) * 0.3).tolist()
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    out = sorted(
+        pca_power_embeddings(df, "v", iterations=30).collect(),
+        key=lambda r: r["dim"],
+    )
+    m = np.array(vecs)
+    c = np.cov(m, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    top = evecs[:, -1]
+    got = np.array([r["loading"] for r in out])
+    cos = abs(float(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top)))
+    assert cos > 0.9999
+    assert np.linalg.norm(got) == pytest.approx(1.0, abs=1e-5)
+    assert out[0]["eigenvalue"] == pytest.approx(float(evals[-1]), rel=1e-4)
+    assert len({r["eigenvalue"] for r in out}) == 1
+
+
+def test_pca_power_empty_corpus_is_empty(spark):
+    from ml_feature_store_pipeline_spark.operators.similarity import pca_power_embeddings
+
+    df = spark.createDataFrame([], "v array<double>")
+    assert pca_power_embeddings(df, "v").count() == 0

@@ -147,7 +147,7 @@ EVENT_OPS = (
     "pagerank_copart triangles triangles_20m temporal_split "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
     "woe_iv chi2 survival bootstrap cuped did_estimate seasonal "
-    "trimmed_mean value_gini cusum holt_forecast t_closeness adamic_adar item_item_cosine"
+    "trimmed_mean value_gini cusum holt_forecast t_closeness adamic_adar item_item_cosine best_split layout_pruning"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -164,7 +164,7 @@ VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
     "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
     "semantic_decontaminate knn_label_audit hard_negatives prototypicality "
-    "random_projection mmr_rerank pq_rerank kmeans rerank_eval dim_correlation"
+    "random_projection mmr_rerank pq_rerank kmeans rerank_eval dim_correlation pca_power"
 ).split()
 
 
@@ -1460,6 +1460,47 @@ def main() -> None:
                 .limit(20),
                 args.events,
             )
+        if events is not None and want("best_split"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # r9: one day-grain agg; prefix moments + argmax on |days|
+            timed(
+                "best_split_daily",
+                _drift.best_split_daily(events, "timestamp", "amount"),
+                args.events,
+            )
+        if events is not None and want("layout_pruning"):
+            from ml_feature_store_pipeline_spark.operators import layout as _layout
+
+            # r9: per layout ONE scan + one combinable (file) min/max agg
+            # against broadcast percentile boundaries — no global sort
+            pday = F.datediff(F.col("timestamp"), F.lit("1970-01-01"))
+            mn = events.agg(F.min(pday).cast("long").alias("d0"))
+            preds = mn.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(k).cast("int").alias("pred_id"),
+                                (F.col("d0") + F.lit(off)).cast("long").alias("lo"),
+                                (F.col("d0") + F.lit(off) + 2).cast("long").alias("hi"),
+                            )
+                            for k, off in enumerate((0, 10, 20))
+                        ]
+                    )
+                ).alias("p")
+            ).select("p.*")
+            timed(
+                "layout_pruning_audit",
+                _layout.pruning_audit(
+                    events,
+                    {"by_day": pday, "by_user": F.col("user_id")},
+                    pday.cast("long"),
+                    preds,
+                    n_files=16,
+                ),
+                args.events,
+            )
         if events is not None and want("cusum"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
@@ -1646,6 +1687,17 @@ def main() -> None:
             timed(
                 "dim_correlation_topk",
                 _sim.dim_correlation_topk(vecs, "embedding", top_k=20),
+                args.vecs,
+            )
+        if vecs is not None and want("pca_power"):
+            from ml_feature_store_pipeline_spark.operators import similarity as _sim
+
+            # r9: same corpus pass as dim_correlation (the shared
+            # _pairwise_moments explode) + 10 |d|-sized iterations against
+            # the pinned covariance
+            timed(
+                "pca_power",
+                _sim.pca_power_embeddings(vecs, "embedding", iterations=10),
                 args.vecs,
             )
         if vecs is not None and want("rerank_eval"):
