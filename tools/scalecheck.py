@@ -1694,12 +1694,16 @@ def main() -> None:
 
             # r9: same corpus pass as dim_correlation (the shared
             # _pairwise_moments explode) + 10 |d|-sized iterations against
-            # the pinned covariance
-            timed(
-                "pca_power",
-                _sim.pca_power_embeddings(vecs, "embedding", iterations=10),
-                args.vecs,
-            )
+            # the pinned covariance. The pass runs EAGERLY at plan build
+            # (localCheckpoint pins) — time the construction too, or the
+            # row reports only the final |d|-sized join
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _sim.pca_power_embeddings(vecs, "embedding", iterations=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            log("pca_power", time.time() - t0, args.vecs)
         if vecs is not None and want("rerank_eval"):
             from ml_feature_store_pipeline_spark.operators import similarity as _sim
 
