@@ -324,6 +324,10 @@ HEADLINE_R9 = [
     "best_split_daily_value",
     "layout_pruning_audit_orders",
     "pca_power_embeddings",
+    # batch 4: RAKE (token explode + doc-keyed islands), isotonic PAV
+    # (one bin aggregate + n_bins-sized minimax)
+    "rake_keyphrases_docs",
+    "isotonic_calibration_embeddings",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

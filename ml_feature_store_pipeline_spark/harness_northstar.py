@@ -6665,3 +6665,115 @@ def q_pca_power_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned matrix."""
     emb = read_table(spark, sf_dir, "embeddings").repartition(_par(spark))
     return similarity.pca_power_embeddings(emb, "embedding", iterations=10)
+
+
+@register(
+    "rake_keyphrases_docs",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    xs AS (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1)) AS i FROM tk),
+    w AS (SELECT doc_id AS doc, CAST(i AS INT) AS pos,
+                 toks[CAST(i AS INT)] AS w
+          FROM xs),
+    ns AS (
+      SELECT doc, pos, w,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS grp
+      FROM w WHERE w NOT IN ('the','a','and','of','to','in','is','it')
+    ),
+    ph AS (
+      SELECT doc, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS len
+      FROM ns GROUP BY 1, 2
+    ),
+    occ AS (SELECT phrase, len, UNNEST(string_split(phrase, ' ')) AS w FROM ph),
+    ws AS (
+      SELECT w, ROUND(CAST(SUM(len) AS DOUBLE) / COUNT(*), 9) AS ws
+      FROM occ GROUP BY w
+    ),
+    uniq AS (
+      SELECT phrase, MAX(len) AS n_words, COUNT(*) AS n_occurrences
+      FROM ph GROUP BY phrase
+    ),
+    uw AS (
+      SELECT phrase, n_words, n_occurrences,
+             UNNEST(string_split(phrase, ' ')) AS w
+      FROM uniq
+    )
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(ROUND(SUM(CAST(ws AS DECIMAL(28,9))), 6) AS DOUBLE) AS score
+    FROM uw JOIN ws USING (w)
+    GROUP BY 1, 2, 3
+    ORDER BY score DESC, phrase ASC
+    LIMIT 20
+    """,
+)
+def q_rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE top-20 keyphrases over the corpus — stopword-delimited
+    phrase islands under a doc-keyed window, combinable word stats
+    broadcast onto distinct phrase texts."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return text.rake_keyphrases(docs, "doc_id", "text", top_k=20)
+
+
+@register(
+    "isotonic_calibration_embeddings",
+    f"""
+    WITH scored AS (
+      SELECT CASE WHEN label >= 5
+                  THEN 0.3 + 0.7 * {_clf_hash_sql('cal')}
+                  ELSE 0.7 * {_clf_hash_sql('cal')} END AS s,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    bins AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(s * 10) AS INTEGER), 0), 9) AS bin,
+             COUNT(*) AS n, SUM(y) AS pos
+      FROM scored GROUP BY 1
+    ),
+    pref AS (
+      SELECT bin, n, pos,
+             SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cn,
+             SUM(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cp
+      FROM bins
+    ),
+    ij AS (
+      SELECT lo.bin AS i, hi.bin AS j,
+             CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+               / (hi.cn - (lo.cn - lo.n)) AS avg
+      FROM pref lo JOIN pref hi ON lo.bin <= hi.bin
+    ),
+    inner_min AS (
+      SELECT k.bin AS k, ij.i, MIN(ij.avg) AS minavg
+      FROM pref k JOIN ij ON ij.i <= k.bin AND ij.j >= k.bin
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT k, MAX(minavg) AS f FROM inner_min GROUP BY k)
+    SELECT pref.bin, CAST(pref.n AS BIGINT) AS n,
+           ROUND(CAST(pref.pos AS DOUBLE) / pref.n, 6) AS frac_pos,
+           ROUND(fit.f, 6) AS iso_fit
+    FROM pref JOIN fit ON fit.k = pref.bin
+    """,
+)
+def q_isotonic_calibration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration map of the deterministic
+    pseudo-probability from calibration_curve_embeddings — the minimax
+    closed form over the ≤10-row bin table; one scan aggregate."""
+    from .operators.mlfeatures import isotonic_calibration
+    from .operators.sketches import hash_fraction
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    h = hash_fraction(F.concat(F.lit("cal:"), F.col("vec_id").cast("string")))
+    y = F.col("label") >= 5
+    scored = emb.select(
+        F.when(y, F.lit(0.3) + F.lit(0.7) * h).otherwise(F.lit(0.7) * h).alias("score"),
+        F.col("label"),
+    )
+    return isotonic_calibration(scored, "score", F.col("label") >= 5, n_bins=10)

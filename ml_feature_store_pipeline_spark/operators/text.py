@@ -1449,3 +1449,91 @@ def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.when(has, F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)), 6
         ).alias("fk_grade"),
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    stopwords: list[str] | None = None,
+    top_k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus —
+    the unsupervised keyword lens next to TF-IDF's (TF-IDF ranks single
+    terms by corpus contrast; RAKE ranks multi-word PHRASES by internal
+    co-occurrence): candidate phrases are maximal stopword-free word
+    runs, each word scores deg/freq (deg = Σ phrase length over its
+    occurrences — long-phrase membership raises a word's degree), and a
+    phrase scores the sum of its words' scores.
+
+    Returns the ``top_k`` (phrase, n_words, n_occurrences, score) rows
+    by score (ties on phrase text). Words are lowercase ``[a-z]+`` runs;
+    anything else (punctuation, digits) delimits, as do the stopwords.
+
+    Exactness: word scores are one double division of exact integers
+    (identical IEEE); phrase scores quantize each word score to 9 dp and
+    sum as DECIMAL(28,9) (order-free, engine-stable); the output score
+    rounds in DECIMAL space (9 dp-lattice sums split double-side
+    rounding on exact half-boundaries).
+
+    Scale shape: tokens explode once; phrase islands form under a
+    doc-keyed window (gap-and-island on the word position — one
+    doc-keyed shuffle); word stats are a combinable aggregate whose
+    |vocab| result broadcasts onto the phrase-word join; identical
+    phrases collapse in a final phrase-keyed aggregate.
+    """
+    stops = stopwords if stopwords is not None else STOPWORDS["en"]
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda t: t != F.lit("")
+    )
+    words = df.select(F.col(id_col).alias("__doc"), F.posexplode(toks).alias("__pos", "__w"))
+    nonstop = words.filter(~F.col("__w").isin(*stops))
+    grp = F.col("__pos") - F.row_number().over(
+        Window.partitionBy("__doc").orderBy(F.asc("__pos"))
+    )
+    islands = nonstop.withColumn("__grp", grp)
+    phrases = islands.groupBy("__doc", "__grp").agg(
+        F.concat_ws(
+            " ", F.transform(F.sort_array(F.collect_list(F.struct("__pos", "__w"))), lambda s: s["__w"])
+        ).alias("__phrase"),
+        F.count(F.lit(1)).cast("long").alias("__len"),
+    )
+    occ = phrases.select(
+        "__phrase", "__len", F.explode(F.split(F.col("__phrase"), " ")).alias("__w")
+    )
+    wstats = occ.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum("__len").cast("long").alias("__deg"),
+    )
+    wscore = wstats.select(
+        "__w",
+        F.round(F.col("__deg").cast("double") / F.col("__freq"), 9).alias("__ws"),
+    )
+    # identical phrase text => identical word multiset => identical score:
+    # score once per DISTINCT phrase, count occurrences separately
+    uniq = phrases.groupBy("__phrase").agg(
+        F.max("__len").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    uwords = uniq.select(
+        "__phrase", "n_words", "n_occurrences",
+        F.explode(F.split(F.col("__phrase"), " ")).alias("__w"),
+    )
+    out = (
+        uwords.join(F.broadcast(wscore), "__w")
+        .groupBy("__phrase", "n_words", "n_occurrences")
+        .agg(
+            F.round(F.sum(F.col("__ws").cast("decimal(28,9)")), round_digits)
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        out.select(
+            F.col("__phrase").alias("phrase"), "n_words", "n_occurrences", "score"
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(top_k)
+    )

@@ -251,3 +251,30 @@ def test_ranking_metrics_duplicate_relevance_pairs_are_deduped(spark):
     assert r["hits"] == 1   # a retrieved once, not 3×
     assert r["precision_at_k"] == pytest.approx(0.5)
     assert r["recall_at_k"] == pytest.approx(0.5)
+
+
+def test_isotonic_calibration_pools_violators(spark):
+    """The minimax closed form must equal classic PAV pooling: a local
+    dip in the bin rates pools with its neighbor; monotone elsewhere."""
+    from pyspark.sql import functions as F
+
+    from ml_feature_store_pipeline_spark.operators.mlfeatures import isotonic_calibration
+
+    rows = []
+    # bin rates: 0.2, 0.6, 0.4, 0.8  (bins 0..3 of 4), 10 rows per bin
+    for b, rate in enumerate([0.2, 0.6, 0.4, 0.8]):
+        for i in range(10):
+            rows.append((b / 4 + 0.1, 1 if i < rate * 10 else 0))
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {
+        r["bin"]: r
+        for r in isotonic_calibration(df, "score", F.col("y") == 1, n_bins=4).collect()
+    }
+    # PAV pools bins 1 and 2 -> 0.5; ends untouched
+    assert out[0]["iso_fit"] == pytest.approx(0.2)
+    assert out[1]["iso_fit"] == pytest.approx(0.5)
+    assert out[2]["iso_fit"] == pytest.approx(0.5)
+    assert out[3]["iso_fit"] == pytest.approx(0.8)
+    fits = [out[b]["iso_fit"] for b in sorted(out)]
+    assert fits == sorted(fits)  # monotone
+    assert all(out[b]["n"] == 10 for b in out)

@@ -188,6 +188,11 @@ NEW_IN_R9C = [
     "best_split_daily_value",
     "layout_pruning_audit_orders",
     "pca_power_embeddings",
+    # batch 4: RAKE keyphrase extraction and isotonic (PAV) calibration
+    # via the exact minimax closed form — 3-SF verified, plan-audited
+    # (isotonic's n_bins-row windows carry an ALLOW entry)
+    "rake_keyphrases_docs",
+    "isotonic_calibration_embeddings",
 ]
 
 # The r10 rotation queue: every registered query without a driver-green
@@ -231,8 +236,8 @@ def test_freeze_lifted_with_exactly_the_r9_registrations():
     n_new = (
         len(NEW_IN_R9) + len(NEW_IN_R9B) + len(NEW_IN_R9B_QUEUED) + len(NEW_IN_R9C)
     )
-    assert len(queries) == 232 + n_new == 244
-    assert len(oracles) == 244
+    assert len(queries) == 232 + n_new == 246
+    assert len(oracles) == 246
     assert all(
         n in queries and n in oracles
         for n in NEW_IN_R9 + NEW_IN_R9B + NEW_IN_R9B_QUEUED + NEW_IN_R9C

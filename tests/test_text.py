@@ -605,3 +605,29 @@ def test_readability_hand_computed(spark):
 
     # beau-ti-ful -> vowel groups "eau", "i", "u" = 3 syllables
     assert (out[3]["n_words"], out[3]["n_sentences"], out[3]["n_syllables"]) == (1, 1, 3)
+
+
+def test_rake_keyphrases_hand_computed(spark):
+    """Textbook RAKE on a two-phrase doc: deg/freq word scores and the
+    phrase-sum, with stopwords delimiting islands and a repeated phrase
+    collapsing to one row with n_occurrences=2."""
+    from ml_feature_store_pipeline_spark.operators.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [
+            (1, "deep learning is deep learning of great power"),
+            (2, "great power!"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["phrase"]: r for r in rake_keyphrases(df, "doc_id", "text").collect()}
+    # islands: "deep learning" x2 (split on 'is'/'of'), "great power" x2
+    # word stats over phrase occurrences:
+    #   deep: freq 2, deg 2+2=4 -> 2.0 ; learning: same -> 2.0
+    #   great: freq 2, deg 4 -> 2.0 ; power: freq 2, deg 4 -> 2.0
+    assert out["deep learning"]["n_occurrences"] == 2
+    assert out["deep learning"]["n_words"] == 2
+    assert out["deep learning"]["score"] == pytest.approx(4.0)
+    assert out["great power"]["n_occurrences"] == 2
+    assert out["great power"]["score"] == pytest.approx(4.0)
+    assert set(out) == {"deep learning", "great power"}

@@ -59,6 +59,7 @@ ALLOW: dict[tuple[str, str], str] = {
     ("survival_curve_users", "window_1part"): "risk-set and KM-product cumulative windows over the |distinct durations| table (bounded by the corpus day span; the fact table reduces in the per-key span aggregate first)",
     ("cusum_daily_value", "window_1part"): "day-index, deviation-cumsum, and running-min windows over the |days| table (the fact table reduces in the day-grain aggregate first)",
     ("best_split_daily_value", "window_1part"): "day-index and prefix-moment windows over the |days| table (the fact table reduces in the day-grain aggregate first — same class as cusum_daily_value)",
+    ("isotonic_calibration_embeddings", "window_1part"): "prefix sums over the n_bins-row reliability table (constant-sized by construction — the hist_quantile_prices class)",
 }
 
 

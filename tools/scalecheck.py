@@ -147,7 +147,7 @@ EVENT_OPS = (
     "pagerank_copart triangles triangles_20m temporal_split "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
     "woe_iv chi2 survival bootstrap cuped did_estimate seasonal "
-    "trimmed_mean value_gini cusum holt_forecast t_closeness adamic_adar item_item_cosine best_split layout_pruning"
+    "trimmed_mean value_gini cusum holt_forecast t_closeness adamic_adar item_item_cosine best_split layout_pruning isotonic"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -158,7 +158,7 @@ DOC_OPS = (
     "quality_classifier training_shards mixture_epochs priority_survivors "
     "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup "
     "bpe_stats bpe_pairs bpe_train bpe_encode sketch_calibrate bm25 tfidf_doc_topk "
-    "substr_decontaminate readability"
+    "substr_decontaminate readability rake"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
@@ -1460,6 +1460,21 @@ def main() -> None:
                 .limit(20),
                 args.events,
             )
+        if events is not None and want("isotonic"):
+            from ml_feature_store_pipeline_spark.operators import mlfeatures as _mlf
+
+            # r9: one bin aggregate over the scan; the PAV minimax runs
+            # on the n_bins-row result
+            sc = events.select(
+                (F.pmod(F.xxhash64("user_id", "timestamp"), F.lit(10000)).cast("double")
+                 / 10000.0).alias("score"),
+                (F.col("amount") > 0).alias("y"),
+            )
+            timed(
+                "isotonic_calibration",
+                _mlf.isotonic_calibration(sc, "score", F.col("y"), n_bins=10),
+                args.events,
+            )
         if events is not None and want("best_split"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
@@ -1593,6 +1608,16 @@ def main() -> None:
                 _text.readability(docs, "doc_id", "text"),
                 args.docs,
             )
+        if docs is not None and want("rake"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # r9: token explode + doc-keyed island window + combinable
+            # word stats broadcast onto distinct phrases
+            timed(
+                "rake_keyphrases",
+                _text.rake_keyphrases(docs, "doc_id", "text", top_k=20),
+                args.docs,
+            )
         if docs is not None and want("bm25"):
             from ml_feature_store_pipeline_spark.operators import text as _text
 
@@ -1613,7 +1638,7 @@ def main() -> None:
                 _text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=10),
                 args.docs,
             )
-        if docs is not None and want("substr_decontaminate readability"):
+        if docs is not None and want("substr_decontaminate readability rake"):
             from ml_feature_store_pipeline_spark.operators import dedup as _dedup
 
             # r9: ~1% of docs play the benchmark (dense windows, broadcast
