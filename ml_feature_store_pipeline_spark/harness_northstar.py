@@ -6676,28 +6676,28 @@ def q_pca_power_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                          x -> x <> '') AS toks
       FROM documents
     ),
-    xs AS (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1)) AS i FROM tk),
-    w AS (SELECT doc_id AS doc, CAST(i AS INT) AS pos,
-                 toks[CAST(i AS INT)] AS w
-          FROM xs),
-    ns AS (
-      SELECT doc, pos, w,
-             pos - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS grp
-      FROM w WHERE w NOT IN ('the','a','and','of','to','in','is','it')
-    ),
+    -- row-local phrase islands: stopword tokens become a \x01 sentinel
+    -- (unreachable from [a-z]+ tokens), the joined string splits on it
     ph AS (
-      SELECT doc, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
-             COUNT(*) AS len
-      FROM ns GROUP BY 1, 2
+      SELECT UNNEST(list_filter(
+               list_transform(
+                 string_split(array_to_string(
+                   list_transform(toks, w -> CASE WHEN w IN
+                     ('the','a','and','of','to','in','is','it')
+                     THEN chr(1) ELSE w END), ' '), chr(1)),
+                 p -> trim(p)),
+               p -> p <> '')) AS phrase
+      FROM tk
     ),
-    occ AS (SELECT phrase, len, UNNEST(string_split(phrase, ' ')) AS w FROM ph),
+    phl AS (SELECT phrase, len(string_split(phrase, ' ')) AS len FROM ph),
+    occ AS (SELECT phrase, len, UNNEST(string_split(phrase, ' ')) AS w FROM phl),
     ws AS (
       SELECT w, ROUND(CAST(SUM(len) AS DOUBLE) / COUNT(*), 9) AS ws
       FROM occ GROUP BY w
     ),
     uniq AS (
       SELECT phrase, MAX(len) AS n_words, COUNT(*) AS n_occurrences
-      FROM ph GROUP BY phrase
+      FROM phl GROUP BY phrase
     ),
     uw AS (
       SELECT phrase, n_words, n_occurrences,
@@ -6714,9 +6714,9 @@ def q_pca_power_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAKE top-20 keyphrases over the corpus — stopword-delimited
-    phrase islands under a doc-keyed window, combinable word stats
-    broadcast onto distinct phrase texts."""
+    """RAKE top-20 keyphrases over the corpus — ROW-LOCAL sentinel-split
+    phrase islands (the fact-sized token stream never shuffles),
+    combinable word stats broadcast onto distinct phrase texts."""
     docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     return text.rake_keyphrases(docs, "doc_id", "text", top_k=20)
 

@@ -1478,27 +1478,31 @@ def rake_keyphrases(
     rounds in DECIMAL space (9 dp-lattice sums split double-side
     rounding on exact half-boundaries).
 
-    Scale shape: tokens explode once; phrase islands form under a
-    doc-keyed window (gap-and-island on the word position — one
-    doc-keyed shuffle); word stats are a combinable aggregate whose
-    |vocab| result broadcasts onto the phrase-word join; identical
-    phrases collapse in a final phrase-keyed aggregate.
+    Scale shape: phrase islands form ROW-LOCALLY — stopword tokens are
+    replaced by a \x01 sentinel (which ``[a-z]+`` tokenization makes
+    unreachable from the corpus) and the token string splits on it, so
+    the fact-sized token stream never shuffles (the window formulation
+    this replaces moved every token through a doc-keyed exchange —
+    1.7 GB at 2 M docs). What shuffles: the combinable word-stats
+    aggregate (|vocab| rows after map-side combine) and the
+    distinct-phrase aggregate; word scores broadcast onto the
+    phrase-word join.
     """
     stops = stopwords if stopwords is not None else STOPWORDS["en"]
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda t: t != F.lit("")
     )
-    words = df.select(F.col(id_col).alias("__doc"), F.posexplode(toks).alias("__pos", "__w"))
-    nonstop = words.filter(~F.col("__w").isin(*stops))
-    grp = F.col("__pos") - F.row_number().over(
-        Window.partitionBy("__doc").orderBy(F.asc("__pos"))
+    marked = F.transform(
+        toks, lambda w: F.when(w.isin(*stops), F.lit("\x01")).otherwise(w)
     )
-    islands = nonstop.withColumn("__grp", grp)
-    phrases = islands.groupBy("__doc", "__grp").agg(
-        F.concat_ws(
-            " ", F.transform(F.sort_array(F.collect_list(F.struct("__pos", "__w"))), lambda s: s["__w"])
-        ).alias("__phrase"),
-        F.count(F.lit(1)).cast("long").alias("__len"),
+    phr_arr = F.filter(
+        F.transform(
+            F.split(F.concat_ws(" ", marked), "\x01"), lambda p: F.trim(p)
+        ),
+        lambda p: p != F.lit(""),
+    )
+    phrases = df.select(F.explode(phr_arr).alias("__phrase")).withColumn(
+        "__len", F.size(F.split(F.col("__phrase"), " ")).cast("long")
     )
     occ = phrases.select(
         "__phrase", "__len", F.explode(F.split(F.col("__phrase"), " ")).alias("__w")
