@@ -328,6 +328,7 @@ HEADLINE_R9 = [
     # (one bin aggregate + n_bins-sized minimax)
     "rake_keyphrases_docs",
     "isotonic_calibration_embeddings",
+    "forecast_backtest_daily_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -1675,3 +1675,68 @@ def best_split_daily(
             F.round(F.col("__gain"), round_digits).alias("gain"),
         )
     )
+
+
+def forecast_backtest_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    season_lag: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """In-sample one-step backtest of :func:`holt_forecast_daily` against
+    the SEASONAL-NAIVE baseline (forecast_t = value_{t−lag}) — the eval
+    that decides whether the smoother earns its keep: a MASE ≥ 1 says
+    "ship the naive lag instead". One row: (n_days, mae_holt, mae_naive,
+    mase, mape_holt), scored over the days where BOTH forecasts exist
+    (t ≥ lag); zero rows when the series is shorter than the lag.
+
+    Exactness: errors difference the 6 dp-rounded published Holt fitted
+    values against 6 dp daily totals — a 1e-6 lattice, summed as
+    DECIMAL(28,9) after a 9 dp term round (no-op on the lattice, pins
+    the per-term MAPE divisions); the closing means/ratios are identical
+    IEEE doubles.
+
+    Scale shape: the day-grain Holt pass (see there) + one |days| lag
+    window + one scalar aggregate.
+    """
+    ins = holt_forecast_daily(
+        df, ts_col, value_col, alpha=alpha, beta=beta, horizon=1,
+        round_digits=round_digits,
+    ).filter(~F.col("is_forecast"))
+    w = Window.orderBy(F.asc("day"))
+    both = ins.select(
+        "day",
+        "value",
+        "fitted",
+        F.lag("value", season_lag).over(w).alias("__naive"),
+    ).filter(F.col("fitted").isNotNull() & F.col("__naive").isNotNull())
+    dec9 = lambda c: F.round(c, 9).cast("decimal(28,9)")
+    err_h = F.abs(F.col("value") - F.col("fitted"))
+    err_n = F.abs(F.col("value") - F.col("__naive"))
+    ape = F.when(F.col("value") != 0, err_h / F.abs(F.col("value")))
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(dec9(err_h)).cast("double").alias("__se_h"),
+        F.sum(dec9(err_n)).cast("double").alias("__se_n"),
+        F.sum(dec9(ape)).cast("double").alias("__sape"),
+        F.count(ape).cast("long").alias("__n_ape"),
+    )
+    n = F.col("n_days").cast("double")
+    mae_h = F.col("__se_h") / n
+    mae_n = F.col("__se_n") / n
+    return agg.filter(F.col("n_days") > 0).select(
+        "n_days",
+        F.round(mae_h, round_digits).alias("mae_holt"),
+        F.round(mae_n, round_digits).alias("mae_naive"),
+        F.round(
+            F.when(F.col("__se_n") > 0, mae_h / mae_n), round_digits
+        ).alias("mase"),
+        F.round(
+            F.when(F.col("__n_ape") > 0, F.col("__sape") / F.col("__n_ape")),
+            round_digits,
+        ).alias("mape_holt"),
+    )

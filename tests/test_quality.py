@@ -975,3 +975,34 @@ def test_best_split_too_short_series_is_empty(spark):
     rows = [(base + datetime.timedelta(days=i), 10.0) for i in range(3)]
     df = spark.createDataFrame(rows, "ts timestamp, value double")
     assert best_split_daily(df, "ts", "value").count() == 0  # needs >= 4 days
+
+
+def test_forecast_backtest_prefers_the_right_model(spark):
+    """On a pure weekly-seasonal series the 7-day naive is perfect
+    (mae_naive=0 -> mase NULL); on a pure linear trend Holt wins
+    (mase < 1)."""
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import forecast_backtest_daily
+
+    base = datetime.datetime(2024, 5, 1, 12)
+    day = datetime.timedelta(days=1)
+
+    weekly = [100.0, 120.0, 90.0, 110.0, 95.0, 130.0, 105.0] * 4
+    df_w = spark.createDataFrame(
+        [(base + i * day, v) for i, v in enumerate(weekly)],
+        "ts timestamp, value double",
+    )
+    r = forecast_backtest_daily(df_w, "ts", "value").collect()[0]
+    assert r["mae_naive"] == pytest.approx(0.0)
+    assert r["mase"] is None  # guarded division
+    assert r["n_days"] == len(weekly) - 7
+
+    trend = [100.0 + 10.0 * i for i in range(28)]
+    df_t = spark.createDataFrame(
+        [(base + i * day, v) for i, v in enumerate(trend)],
+        "ts timestamp, value double",
+    )
+    r = forecast_backtest_daily(df_t, "ts", "value").collect()[0]
+    assert r["mase"] is not None and r["mase"] < 1.0  # Holt tracks the trend
+    assert r["mae_naive"] == pytest.approx(70.0)  # lag-7 misses by 7x slope

@@ -193,6 +193,8 @@ NEW_IN_R9C = [
     # (isotonic's n_bins-row windows carry an ALLOW entry)
     "rake_keyphrases_docs",
     "isotonic_calibration_embeddings",
+    # batch 5: Holt-vs-seasonal-naive backtest (MAE/MAPE/MASE)
+    "forecast_backtest_daily_value",
 ]
 
 # The r10 rotation queue: every registered query without a driver-green
@@ -236,8 +238,8 @@ def test_freeze_lifted_with_exactly_the_r9_registrations():
     n_new = (
         len(NEW_IN_R9) + len(NEW_IN_R9B) + len(NEW_IN_R9B_QUEUED) + len(NEW_IN_R9C)
     )
-    assert len(queries) == 232 + n_new == 246
-    assert len(oracles) == 246
+    assert len(queries) == 232 + n_new == 247
+    assert len(oracles) == 247
     assert all(
         n in queries and n in oracles
         for n in NEW_IN_R9 + NEW_IN_R9B + NEW_IN_R9B_QUEUED + NEW_IN_R9C

@@ -60,6 +60,7 @@ ALLOW: dict[tuple[str, str], str] = {
     ("cusum_daily_value", "window_1part"): "day-index, deviation-cumsum, and running-min windows over the |days| table (the fact table reduces in the day-grain aggregate first)",
     ("best_split_daily_value", "window_1part"): "day-index and prefix-moment windows over the |days| table (the fact table reduces in the day-grain aggregate first — same class as cusum_daily_value)",
     ("isotonic_calibration_embeddings", "window_1part"): "prefix sums over the n_bins-row reliability table (constant-sized by construction — the hist_quantile_prices class)",
+    ("forecast_backtest_daily_value", "window_1part"): "the seasonal-naive lag window over the |days| table (the fact table reduces in the day-grain Holt pass first — the cusum class)",
 }
 
 

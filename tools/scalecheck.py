@@ -147,7 +147,7 @@ EVENT_OPS = (
     "pagerank_copart triangles triangles_20m temporal_split "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
     "woe_iv chi2 survival bootstrap cuped did_estimate seasonal "
-    "trimmed_mean value_gini cusum holt_forecast t_closeness adamic_adar item_item_cosine best_split layout_pruning isotonic"
+    "trimmed_mean value_gini cusum holt_forecast t_closeness adamic_adar item_item_cosine best_split layout_pruning isotonic forecast_backtest"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -1473,6 +1473,15 @@ def main() -> None:
             timed(
                 "isotonic_calibration",
                 _mlf.isotonic_calibration(sc, "score", F.col("y"), n_bins=10),
+                args.events,
+            )
+        if events is not None and want("forecast_backtest"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # r9: the Holt day-grain pass + one |days| lag window
+            timed(
+                "forecast_backtest_daily",
+                _drift.forecast_backtest_daily(events, "timestamp", "amount"),
                 args.events,
             )
         if events is not None and want("best_split"):
