@@ -6309,10 +6309,15 @@ def q_holt_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dim_correlation_topk_embeddings",
     """
-    WITH e AS MATERIALIZED (
+    WITH dmax AS (
+      SELECT MAX(len(embedding)) AS d FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= 2
+    ),
+    e AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER () AS rid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 2
+      FROM embeddings, dmax
+      WHERE embedding IS NOT NULL AND len(embedding) = dmax.d
     ),
     xs AS (SELECT rid, v, UNNEST(range(1, len(v) + 1)) AS i FROM e),
     xe AS MATERIALIZED (SELECT rid, CAST(i - 1 AS INT) AS i, v[CAST(i AS INT)] AS x FROM xs),
@@ -6617,10 +6622,15 @@ def _pca_power_sql(iterations: int = 10) -> str:
     )""")
         prev = f"v{t}"
     return f"""
-    WITH e AS MATERIALIZED (
+    WITH dmax AS (
+      SELECT MAX(len(embedding)) AS d FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= 2
+    ),
+    e AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER () AS rid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 2
+      FROM embeddings, dmax
+      WHERE embedding IS NOT NULL AND len(embedding) = dmax.d
     ),
     xs AS (SELECT rid, v, UNNEST(range(1, len(v) + 1)) AS i FROM e),
     xe AS MATERIALIZED (SELECT rid, CAST(i - 1 AS INT) AS i, v[CAST(i AS INT)] AS x FROM xs),

@@ -1490,6 +1490,12 @@ def holt_forecast_daily(
     single-task fold, and the whole output leaves as ONE projection +
     explode over that row.
     """
+    horizon = int(horizon)
+    if horizon < 0:
+        # F.sequence(1, h) auto-steps -1 below its start, so a negative
+        # (or zero, handled below) horizon would silently emit phantom
+        # forecast rows instead of none
+        raise ValueError("horizon must be a non-negative integer")
     a, b_ = float(alpha), float(beta)
     ca, cb = 1.0 - a, 1.0 - b_
     dec = lambda c: c.cast("decimal(28,6)")
@@ -1567,9 +1573,8 @@ def holt_forecast_daily(
             F.lit(True).alias("is_forecast"),
         ),
     )
-    return folded.select(
-        F.explode(F.concat(insample, fcst)).alias("r")
-    ).select("r.*")
+    rows = F.concat(insample, fcst) if horizon > 0 else insample
+    return folded.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def best_split_daily(

@@ -1921,10 +1921,13 @@ def _pairwise_moments(df: DataFrame, vec_col: str):
     :func:`pca_power_embeddings`: ONE flat upper-triangle product
     explode + integer-lattice sums.
 
-    Returns ``(d, dims, pairs)`` — the fixed dimension (from the first
-    row; rows of any other length are dropped), the per-dim moment
-    table (i, __n, __sx, __sxx), and the pair table (i, j, n, __sxy)
-    with exact order-insensitive sums. ``d`` is 0 on an empty corpus.
+    Returns ``(d, dims, pairs)`` — the fixed dimension (the MAX vector
+    length, a deterministic reduction — a first-row probe would be
+    order-undefined on a mixed-dimension corpus; rows of any other
+    length are dropped, and the oracles filter to the same max length),
+    the per-dim moment table (i, __n, __sx, __sxx), and the pair table
+    (i, j, n, __sxy) with exact order-insensitive sums. ``d`` is 0 on
+    an empty corpus.
 
     Exactness: per-row products round to 12 dp; the rounded lattice
     values are carried as EXACT int64s (×10¹²) through a per-partition
@@ -1943,10 +1946,10 @@ def _pairwise_moments(df: DataFrame, vec_col: str):
     dimension-sized.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    first = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= 2)).select(
-        F.size(vec_col).alias("d")
+    probe = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= 2)).agg(
+        F.max(F.size(vec_col)).alias("d")
     ).first()
-    d = 0 if first is None else int(first["d"])
+    d = 0 if probe is None or probe["d"] is None else int(probe["d"])
     base = (
         df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == max(d, 2)))
         .select(v.alias("__v"))
@@ -1987,22 +1990,16 @@ def _pairwise_moments(df: DataFrame, vec_col: str):
             "__sxy"
         ),
     )
-    # pos -> (i, j) for the row-major upper triangle of a d×d matrix
-    posmap = (
-        dims.select(F.col("i"))
-        .crossJoin(dims.select(F.col("i").alias("j")))
-        .filter(F.col("i") < F.col("j"))
-        .select(
-            (
-                F.col("i") * F.lit(d)
-                - (F.col("i") * (F.col("i") + 1)) / 2
-                + F.col("j")
-                - F.col("i")
-                - 1
-            ).cast("int").alias("pos"),
-            "i",
-            "j",
-        )
+    # pos -> (i, j) for the row-major upper triangle: d is in hand, so a
+    # LocalRelation beats deriving ids from the corpus-wide dims aggregate
+    # (which would evaluate an extra lineage of the moment scan)
+    posmap = df.sparkSession.createDataFrame(
+        [
+            (i * d - i * (i + 1) // 2 + j - i - 1, i, j)
+            for i in range(d)
+            for j in range(i + 1, d)
+        ],
+        "pos int, i int, j int",
     )
     pairs = agg.join(F.broadcast(posmap), "pos").drop("pos")
     return d, dims, pairs
@@ -2095,6 +2092,8 @@ def pca_power_embeddings(
     (the PageRank pin discipline — without it every iteration re-scans
     the corpus) — iteration cost is independent of the row count.
     """
+    if int(iterations) < 1:
+        raise ValueError("iterations must be a positive integer")
     d, dims, pairs = _pairwise_moments(df, vec_col)
     if d == 0:
         return df.sparkSession.createDataFrame(

@@ -1435,8 +1435,8 @@ def main() -> None:
             # r9: same basket shape as copurchase (baskets of ~5, 5k
             # items) — pair fan-out bounded by basket size
             aa_baskets = _tied(events).select(
-                (F.col("event_id") % (args.events // 5 + 1)).alias("basket"),
-                (F.xxhash64("event_id") % 5000).alias("item"),
+                F.pmod(F.col("event_id"), F.lit(args.events // 5 + 1)).alias("basket"),
+                F.pmod(F.xxhash64("event_id"), F.lit(5000)).alias("item"),
             )
             timed(
                 "adamic_adar_topk",
@@ -1450,8 +1450,8 @@ def main() -> None:
             # key): the heavy CF shape — C(40,2)=780 pair rows per key
             # pre-combine, events/40 keys
             cf = _tied(events).select(
-                (F.col("event_id") % (args.events // 40 + 1)).alias("cust"),
-                (F.xxhash64("event_id") % 5000).alias("item"),
+                F.pmod(F.col("event_id"), F.lit(args.events // 40 + 1)).alias("cust"),
+                F.pmod(F.xxhash64("event_id"), F.lit(5000)).alias("item"),
             )
             timed(
                 "item_item_cosine",
@@ -1647,7 +1647,7 @@ def main() -> None:
                 _text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=10),
                 args.docs,
             )
-        if docs is not None and want("substr_decontaminate readability rake"):
+        if docs is not None and want("substr_decontaminate"):
             from ml_feature_store_pipeline_spark.operators import dedup as _dedup
 
             # r9: ~1% of docs play the benchmark (dense windows, broadcast
