@@ -125,6 +125,46 @@ def main() -> None:
             f"S(t)={r['survival']}"
         )
 
+    # the time-series wave needs a multi-week span: exponential arrival
+    # gaps with a 96 h mean spread the same distribution over ~a month
+    # (decaying daily volume — a real trend for the smoother to chase)
+    ts_ev = generate_events(
+        spark, n_events=50_000, n_users=500, seed=11, gap_mean_hours=96.0
+    )
+
+    print("== where is the level heading: Holt forecast (last in-sample + 3 of 7 ahead) ==")
+    hf = drift.holt_forecast_daily(ts_ev, "timestamp", "amount").orderBy("day").collect()
+    for r in [x for x in hf if not x["is_forecast"]][-1:] + [x for x in hf if x["is_forecast"]][:3]:
+        tag = "forecast" if r["is_forecast"] else "fitted"
+        print(f"  {r['day']}: value={r['value']} level={r['level']} {tag}={r['fitted']}")
+
+    print("== does the smoother earn its keep: MAE/MASE vs the 7-day naive ==")
+    bt = drift.forecast_backtest_daily(ts_ev, "timestamp", "amount").collect()
+    if bt:
+        b = bt[0]
+        print(
+            f"  n={b['n_days']}  mae_holt={b['mae_holt']}  mae_naive={b['mae_naive']}  "
+            f"mase={b['mase']}  ({'ship the naive lag' if b['mase'] and b['mase'] >= 1 else 'Holt wins'})"
+        )
+
+    print("== single best changepoint by variance reduction ==")
+    for r in drift.best_split_daily(ts_ev, "timestamp", "amount").collect():
+        print(
+            f"  split after {r['split_day']}: mean {r['mean_left']} -> {r['mean_right']} "
+            f"(gain={r['gain']} of sse_total={r['sse_total']})"
+        )
+
+    print("== privacy: t-closeness of each day's event mix vs the corpus ==")
+    from ml_feature_store_pipeline_spark.quality import t_closeness_profile
+
+    tdf = ts_ev.select(F.to_date("timestamp").alias("day"), "event_type")
+    worst = (
+        t_closeness_profile(tdf, ["day"], "event_type", t=0.2)
+        .orderBy(F.desc("tvd")).limit(2).collect()
+    )
+    for r in worst:
+        print(f"  {r['day']}: tvd={r['tvd']} meets_t={r['meets_t']} (n={r['n_rows']})")
+
 
 if __name__ == "__main__":
     main()
