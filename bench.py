@@ -329,6 +329,8 @@ HEADLINE_R9 = [
     "rake_keyphrases_docs",
     "isotonic_calibration_embeddings",
     "forecast_backtest_daily_value",
+    "unigram_kl_sources_docs",
+    "stl_anomaly_days_value",
 ]
 
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed

@@ -6853,3 +6853,96 @@ def q_forecast_backtest_daily_value(spark: SparkSession, sf_dir: str) -> DataFra
     return drift_ops.forecast_backtest_daily(
         events, "ts", "value", alpha=_HOLT_A, beta=_HOLT_B, season_lag=7
     )
+
+
+@register(
+    "unigram_kl_sources_docs",
+    f"""
+    WITH tok AS (
+      SELECT source, UNNEST({_SQL_TOKS.format(t='lower(text)')}) AS w
+      FROM documents
+    ),
+    sw AS (SELECT source AS src, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    st AS (SELECT src, SUM(c) AS nt FROM sw GROUP BY 1),
+    cw AS (SELECT w, SUM(c) AS cwc FROM sw GROUP BY 1),
+    nc AS (SELECT SUM(cwc) AS nc FROM cw)
+    SELECT src AS source,
+           CAST(MAX(nt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(ROUND(SUM(CAST(ROUND(
+                 (CAST(c AS DOUBLE) / nt)
+                 * LN((CAST(c AS DOUBLE) / nt) / (CAST(cwc AS DOUBLE) / nc)), 12)
+               AS DECIMAL(38,12))), 6) AS DOUBLE) AS kl_vs_corpus
+    FROM sw JOIN st USING (src) JOIN cw USING (w), nc
+    GROUP BY src
+    """,
+)
+def q_unigram_kl_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL vs the pooled corpus — the mixture-skew
+    diagnostic; one (source, word) combinable aggregate, marginals
+    joined back word-keyed."""
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    return text.unigram_kl_by_source(docs, "source", "text")
+
+
+@register(
+    "stl_anomaly_days_value",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ks AS (SELECT CAST(r AS INTEGER) AS k FROM range(-3, 4) t(r)),
+    neigh AS (SELECT daily.day + k AS nday, value AS v FROM daily, ks),
+    trend AS (
+      SELECT nday AS day, COUNT(*) AS n7,
+             CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS t
+      FROM neigh GROUP BY 1
+    ),
+    based AS (
+      SELECT d.day, d.value, CASE WHEN t.n7 = 7 THEN t.t END AS trend
+      FROM daily d LEFT JOIN trend t USING (day)
+    ),
+    detr AS (
+      SELECT day, value, trend, CAST(isodow(day) AS INTEGER) AS dow,
+             value - trend AS detr
+      FROM based
+    ),
+    dowm AS (
+      SELECT dow,
+             CAST(SUM(CAST(ROUND(detr, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS dm
+      FROM detr WHERE detr IS NOT NULL GROUP BY 1
+    ),
+    grand AS (
+      SELECT CAST(SUM(CAST(ROUND(dm, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS gm
+      FROM dowm
+    ),
+    seas AS (SELECT dow, dm - gm AS s FROM dowm, grand),
+    res AS (
+      SELECT day, ROUND(value, 6) AS value,
+             ROUND(value - trend - s, 6) AS residual
+      FROM detr LEFT JOIN seas USING (dow)
+    ),
+    res2 AS (SELECT * FROM res WHERE residual IS NOT NULL),
+    med AS (SELECT quantile_cont(residual, 0.5) AS m FROM res2),
+    mad AS (SELECT quantile_cont(abs(residual - m), 0.5) AS d FROM res2, med)
+    SELECT day, value, residual,
+           ROUND(CASE WHEN d > 0
+                 THEN 0.6745 * (residual - m) / d END, 6) AS modified_z,
+           COALESCE(ABS(CASE WHEN d > 0
+                 THEN 0.6745 * (residual - m) / d END) > 3.5, FALSE) AS is_anomaly
+    FROM res2, med, mad
+    """,
+)
+def q_stl_anomaly_days_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly days: the additive decompose's
+    residual under the Iglewicz–Hoaglin modified-z test — flags only
+    what trend+weekday can't explain; |days|-sized after the day
+    aggregate."""
+    from .operators import drift as drift_ops
+
+    events = read_table(spark, sf_dir, "events")
+    return drift_ops.stl_anomaly_days(events, "ts", "value", threshold=3.5)

@@ -1745,3 +1745,57 @@ def forecast_backtest_daily(
             round_digits,
         ).alias("mape_holt"),
     )
+
+
+def stl_anomaly_days(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    threshold: float = 3.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Seasonally-adjusted day anomalies — :func:`seasonal_decompose_daily`
+    closed with the Iglewicz–Hoaglin modified-z test on the RESIDUAL
+    (the raw-value z of :func:`daily_anomaly_profile` flags every
+    weekend on a weekly-seasonal metric; testing the residual flags
+    only what the trend+weekday model CANNOT explain).
+
+    Per decomposed day (edge days without a full 7-day trend
+    neighborhood carry no residual and are excluded): (day, value,
+    residual, modified_z, is_anomaly), with
+    ``modified_z = 0.6745·(r − median(r)) / MAD(r)`` and the flag at
+    |z| > ``threshold``; a zero MAD yields null z and no flags.
+
+    Exactness: residuals are the decompose's 6 dp-rounded outputs
+    (identical doubles both engines); median/MAD are one exact
+    interpolated-percentile aggregate each; the closing ratio is
+    identical IEEE arithmetic.
+
+    Scale shape: the decompose's one day-grain aggregate; the
+    median/MAD scalars and the z projection run on the |days| table.
+    """
+    dec = seasonal_decompose_daily(df, ts_col, value_col).filter(
+        F.col("residual").isNotNull()
+    )
+    med = dec.agg(F.expr("percentile(residual, 0.5)").alias("__med"))
+    withmed = dec.crossJoin(F.broadcast(med))
+    mad = withmed.agg(
+        F.expr("percentile(abs(residual - __med), 0.5)").alias("__mad")
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745) * (F.col("residual") - F.col("__med")) / F.col("__mad"),
+    )
+    return (
+        withmed.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "value",
+            "residual",
+            F.round(z, round_digits).alias("modified_z"),
+            F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+    )

@@ -1541,3 +1541,56 @@ def rake_keyphrases(
         .orderBy(F.desc("score"), F.asc("phrase"))
         .limit(top_k)
     )
+
+
+def unigram_kl_by_source(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-source unigram KL divergence vs the pooled corpus — the
+    mixture diagnostic behind "which source is dragging the token
+    distribution": ``KL(P_src ‖ P_corpus) = Σ_w p_src(w)·ln(p_src/p_q)``
+    over the source's vocabulary (every source term exists in the
+    pooled distribution, so the divergence is always finite). A source
+    near 0 reads like the mixture; a large value is the candidate for
+    reweighting or exclusion (the DSIR/mixture dial's territory).
+
+    Per source: (source, n_tokens, vocab_size, kl_vs_corpus).
+
+    Exactness: both distributions are ratios of exact token counts;
+    each KL term rounds to 12 dp and sums as DECIMAL(38,12)
+    (order-free); the output rounds to ``round_digits``.
+
+    Scale shape: ONE (source, word) count aggregate over the exploded
+    tokens (map-side combinable — the shuffle carries vocab-sized
+    partials, never raw tokens); corpus marginals derive from the SAME
+    table with a second combinable aggregate and broadcast back; the
+    KL fold is a third aggregate on the (source, word) grain.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    sw = (
+        df.select(F.col(source_col).alias("__src"), F.explode(toks).alias("__w"))
+        .groupBy("__src", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    src_tot = sw.groupBy("__src").agg(F.sum("__c").cast("long").alias("__nt"))
+    corpus = sw.groupBy("__w").agg(F.sum("__c").cast("long").alias("__cw"))
+    corpus_tot = corpus.agg(F.sum("__cw").cast("long").alias("__nc"))
+    p = F.col("__c").cast("double") / F.col("__nt")
+    q = F.col("__cw").cast("double") / F.col("__nc")
+    term = F.round(p * F.log(p / q), 12).cast("decimal(38,12)")
+    return (
+        sw.join(F.broadcast(src_tot), "__src")
+        .join(corpus, "__w")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("__src")
+        .agg(
+            F.max("__nt").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.round(F.sum(term), round_digits).cast("double").alias("kl_vs_corpus"),
+        )
+        .select(F.col("__src").alias("source"), "n_tokens", "vocab_size", "kl_vs_corpus")
+    )

@@ -1006,3 +1006,42 @@ def test_forecast_backtest_prefers_the_right_model(spark):
     r = forecast_backtest_daily(df_t, "ts", "value").collect()[0]
     assert r["mase"] is not None and r["mase"] < 1.0  # Holt tracks the trend
     assert r["mae_naive"] == pytest.approx(70.0)  # lag-7 misses by 7x slope
+
+
+def test_stl_anomaly_flags_the_seasonal_break_not_the_weekends(spark):
+    """A weekly-seasonal series with one broken day: raw-value z would
+    flag every weekend; the residual test flags only the break."""
+    import datetime
+
+    from ml_feature_store_pipeline_spark.operators.drift import stl_anomaly_days
+
+    base = datetime.datetime(2024, 1, 1, 12)  # a Monday
+    day = datetime.timedelta(days=1)
+    pattern = [100.0, 100.0, 100.0, 100.0, 100.0, 300.0, 300.0]  # weekend spike
+    # deterministic jitter keeps the residuals continuous — a perfectly
+    # repeating series has MAD 0, where the modified-z test (correctly)
+    # abstains with null z
+    series = [v + (i * 37 % 11) * 0.8 for i, v in enumerate(pattern * 5)]
+    series[17] += 500.0  # one genuinely broken day (a Thursday)
+    rows = [(base + i * day, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = stl_anomaly_days(df, "ts", "value").collect()
+    by_day = {r["day"].isoformat(): r for r in out}
+    broken = (base + 17 * day).date().isoformat()
+    # the break is flagged and DOMINATES every seasonal imperfection (the
+    # centered MA bleeds the outlier into its neighborhood, so neighbors
+    # may also trip the 3.5 threshold — the test is the margin, not
+    # exclusivity)
+    assert by_day[broken]["is_anomaly"]
+    z_break = abs(by_day[broken]["modified_z"])
+    z_rest = max(
+        abs(r["modified_z"]) for r in out
+        if r["modified_z"] is not None and r["day"].isoformat() != broken
+    )
+    assert z_break > 2 * z_rest
+    # flag/threshold consistency
+    for r in out:
+        if r["is_anomaly"]:
+            assert abs(r["modified_z"]) > 3.5
+        if r["modified_z"] is None:
+            assert not r["is_anomaly"]

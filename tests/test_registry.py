@@ -195,6 +195,10 @@ NEW_IN_R9C = [
     "isotonic_calibration_embeddings",
     # batch 5: Holt-vs-seasonal-naive backtest (MAE/MAPE/MASE)
     "forecast_backtest_daily_value",
+    # batch 6: per-source unigram KL mixture diagnostic; seasonally-
+    # adjusted anomaly days (decompose residual under modified-z)
+    "unigram_kl_sources_docs",
+    "stl_anomaly_days_value",
 ]
 
 # The r10 rotation queue: every registered query without a driver-green
@@ -238,8 +242,8 @@ def test_freeze_lifted_with_exactly_the_r9_registrations():
     n_new = (
         len(NEW_IN_R9) + len(NEW_IN_R9B) + len(NEW_IN_R9B_QUEUED) + len(NEW_IN_R9C)
     )
-    assert len(queries) == 232 + n_new == 247
-    assert len(oracles) == 247
+    assert len(queries) == 232 + n_new == 249
+    assert len(oracles) == 249
     assert all(
         n in queries and n in oracles
         for n in NEW_IN_R9 + NEW_IN_R9B + NEW_IN_R9B_QUEUED + NEW_IN_R9C

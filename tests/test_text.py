@@ -631,3 +631,33 @@ def test_rake_keyphrases_hand_computed(spark):
     assert out["great power"]["n_occurrences"] == 2
     assert out["great power"]["score"] == pytest.approx(4.0)
     assert set(out) == {"deep learning", "great power"}
+
+
+def test_unigram_kl_skewed_source_diverges(spark):
+    """A source matching the pooled mixture reads ~0; a skewed one reads
+    the textbook Σ p·ln(p/q) computed by hand."""
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.text import unigram_kl_by_source
+
+    rows = (
+        [("a", "x y")] * 3            # source a: 3 docs of "x y"
+        + [("b", "x x x y z")]        # source b skews toward x and adds z
+    )
+    df = spark.createDataFrame(
+        [(s, t) for s, t in rows], "source string, text string"
+    )
+    out = {r["source"]: r for r in unigram_kl_by_source(df, "source", "text").collect()}
+    # corpus: x=6, y=4, z=1, N=11
+    qx, qy, qz = 6 / 11, 4 / 11, 1 / 11
+
+    def kl(dist):
+        q = {"x": qx, "y": qy, "z": qz}
+        return sum(p * math.log(p / q[w]) for w, p in dist.items())
+
+    assert out["a"]["n_tokens"] == 6 and out["a"]["vocab_size"] == 2
+    assert out["a"]["kl_vs_corpus"] == pytest.approx(kl({"x": 0.5, "y": 0.5}), abs=1e-6)
+    assert out["b"]["n_tokens"] == 5 and out["b"]["vocab_size"] == 3
+    assert out["b"]["kl_vs_corpus"] == pytest.approx(
+        kl({"x": 3 / 5, "y": 1 / 5, "z": 1 / 5}), abs=1e-6
+    )

@@ -147,7 +147,7 @@ EVENT_OPS = (
     "pagerank_copart triangles triangles_20m temporal_split "
     "corr_matrix spearman mann_whitney daily_acf quantile_transform "
     "woe_iv chi2 survival bootstrap cuped did_estimate seasonal "
-    "trimmed_mean value_gini cusum holt_forecast t_closeness adamic_adar item_item_cosine best_split layout_pruning isotonic forecast_backtest"
+    "trimmed_mean value_gini cusum holt_forecast t_closeness adamic_adar item_item_cosine best_split layout_pruning isotonic forecast_backtest stl_anomaly"
 ).split()
 DOC_OPS = (
     "minhash_lsh_pairs simhash simhash_near_pairs exact_dedup_digest "
@@ -158,7 +158,7 @@ DOC_OPS = (
     "quality_classifier training_shards mixture_epochs priority_survivors "
     "gopher_rules vocab_coverage dsir_select budget_select chunk_dedup "
     "bpe_stats bpe_pairs bpe_train bpe_encode sketch_calibrate bm25 tfidf_doc_topk "
-    "substr_decontaminate readability rake"
+    "substr_decontaminate readability rake unigram_kl"
 ).split()
 VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
@@ -1475,6 +1475,15 @@ def main() -> None:
                 _mlf.isotonic_calibration(sc, "score", F.col("y"), n_bins=10),
                 args.events,
             )
+        if events is not None and want("stl_anomaly"):
+            from ml_feature_store_pipeline_spark.operators import drift as _drift
+
+            # r9: the decompose's day-grain aggregate + |days| scalars
+            timed(
+                "stl_anomaly_days",
+                _drift.stl_anomaly_days(events, "timestamp", "amount"),
+                args.events,
+            )
         if events is not None and want("forecast_backtest"):
             from ml_feature_store_pipeline_spark.operators import drift as _drift
 
@@ -1615,6 +1624,19 @@ def main() -> None:
             timed(
                 "readability",
                 _text.readability(docs, "doc_id", "text"),
+                args.docs,
+            )
+        if docs is not None and want("unigram_kl"):
+            from ml_feature_store_pipeline_spark.operators import text as _text
+
+            # r9: one (source, word) combinable aggregate; marginals join
+            # back word-keyed
+            kd = docs.withColumn(
+                "source", F.concat(F.lit("s"), F.pmod(F.xxhash64("doc_id"), F.lit(20)))
+            )
+            timed(
+                "unigram_kl_by_source",
+                _text.unigram_kl_by_source(kd, "source", "text"),
                 args.docs,
             )
         if docs is not None and want("rake"):
