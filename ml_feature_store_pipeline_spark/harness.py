@@ -63,11 +63,11 @@ def _ensure_loaded() -> None:
 #   t_closeness_events — all 3-SF verified + plan-audited 0 flags this
 #   round. Batch 2's remaining two (item_item_cosine_topk,
 #   readability_docs — the simplest oracles of the six) do NOT fit the
-#   50-slot window, nor do the six batch-3/4/5 registrations that landed
-#   after it filled (best_split, layout_pruning, pca_power, rake,
-#   isotonic, forecast_backtest — all 3-SF verified + plan-audited);
-#   together they are the r10 rotation queue
-#   (tests/test_registry.py::R10_WINDOW_QUEUE, 8 names).
+#   50-slot window, nor do the eight batch-3/4/5/6 registrations that
+#   landed after it filled (best_split, layout_pruning, pca_power, rake,
+#   isotonic, forecast_backtest, unigram_kl, stl_anomaly — all 3-SF
+#   verified + plan-audited); together they are the r10 rotation queue
+#   (tests/test_registry.py::R10_WINDOW_QUEUE, 10 names).
 # - THREE changed-code pulls (function text touched this round, so
 #   their prior greens predate the shipped code):
 #   part_pagerank_top20 (edges_per_partition fail-fast validation +
