@@ -5495,7 +5495,7 @@ def q_did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
     n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
     w AS (
-      SELECT doc_id AS id, term,
+      SELECT doc_id AS id, term, tf,
              tf * (LN((1.0 + nd) / (1.0 + df_t)) + 1.0) AS w
       FROM tf JOIN dft USING (term), n
     ),
@@ -5505,11 +5505,19 @@ def q_did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w GROUP BY 1
     ),
     wq AS (SELECT id AS qid, term, w AS wq FROM w WHERE id < 10),
+    wc AS (
+      SELECT id, term, w FROM (
+        SELECT id, term, w,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, id ASC) AS pr
+        FROM w
+      ) WHERE pr <= 64
+    ),
     dots AS (
       SELECT qid, id, CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
-             CAST(SUM(CAST(ROUND(w.w * wq.wq, 9) AS DECIMAL(28,9)))
+             CAST(SUM(CAST(ROUND(wc.w * wq.wq, 9) AS DECIMAL(28,9)))
                   AS DOUBLE) AS dot
-      FROM w JOIN wq USING (term) WHERE w.id <> wq.qid GROUP BY 1, 2
+      FROM wc JOIN wq USING (term) WHERE wc.id <> wq.qid GROUP BY 1, 2
     ),
     scored AS (
       SELECT dots.qid, dots.id, dots.n_shared_terms,
@@ -5530,9 +5538,14 @@ def q_did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF document-to-document top-5 via an inverted-index
     join: 10 query docs' term vectors broadcast against the corpus —
-    topical-twin retrieval with exact decimal dot products."""
+    topical-twin retrieval with exact decimal dot products. Registered
+    WITH the r10 rank-bounded posting cap (top-64 per term by tf, id
+    tiebreak — the dense-vocab fan-out bound; see tfidf_doc_topk) so the
+    driver checks the capped path the 100 TB plan actually runs."""
     docs = read_table(spark, sf_dir, "documents")
-    return text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=5)
+    return text.tfidf_doc_topk(
+        docs, "doc_id", "text", list(range(10)), k=5, max_postings=64
+    )
 
 
 @register(
@@ -6382,7 +6395,8 @@ def q_dim_correlation_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataF
                AS BIGINT) AS syl
       FROM t
     )
-    SELECT doc_id, n_words, n_sentences,
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0 THEN n_sentences END AS n_sentences,
            CASE WHEN n_words > 0 THEN syl END AS n_syllables,
            ROUND(CASE WHEN n_words > 0
                  THEN CAST(n_words AS DOUBLE) / n_sentences END, 6) AS words_per_sentence,
@@ -6819,7 +6833,7 @@ def q_isotonic_calibration_embeddings(spark: SparkSession, sf_dir: str) -> DataF
     ),
     bt AS (
       SELECT i.value, i.fitted, l.value AS naive
-      FROM ins i JOIN ins l ON l.i = i.i - 7
+      FROM ins i JOIN ins l ON l.day + 7 = i.day
       WHERE i.fitted IS NOT NULL
     ),
     agg AS (
@@ -6844,9 +6858,10 @@ def q_isotonic_calibration_embeddings(spark: SparkSession, sf_dir: str) -> DataF
     """,
 )
 def q_forecast_backtest_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAE/MAPE/MASE of the Holt one-step fit vs the 7-day seasonal
-    naive — the eval that decides whether the smoother earns its keep;
-    the day-grain Holt pass + one |days| lag window + one scalar agg."""
+    """MAE/MAPE/MASE of the Holt one-step fit vs the 7-day CALENDAR
+    seasonal naive (self-join on day − 7, gap-safe) — the eval that
+    decides whether the smoother earns its keep; the day-grain Holt
+    pass + one |days|-sized shifted self-join + one scalar agg."""
     from .operators import drift as drift_ops
 
     events = read_table(spark, sf_dir, "events")

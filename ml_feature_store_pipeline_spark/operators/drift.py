@@ -1693,11 +1693,16 @@ def forecast_backtest_daily(
     round_digits: int = 6,
 ) -> DataFrame:
     """In-sample one-step backtest of :func:`holt_forecast_daily` against
-    the SEASONAL-NAIVE baseline (forecast_t = value_{t−lag}) — the eval
-    that decides whether the smoother earns its keep: a MASE ≥ 1 says
-    "ship the naive lag instead". One row: (n_days, mae_holt, mae_naive,
-    mase, mape_holt), scored over the days where BOTH forecasts exist
-    (t ≥ lag); zero rows when the series is shorter than the lag.
+    the SEASONAL-NAIVE baseline (forecast_d = value at CALENDAR day
+    d − ``season_lag``) — the eval that decides whether the smoother
+    earns its keep: a MASE ≥ 1 says "ship the naive lag instead". One
+    row: (n_days, mae_holt, mae_naive, mase, mape_holt), scored over the
+    days where BOTH forecasts exist; zero rows when no day has a
+    same-weekday predecessor. The naive lag is a calendar self-join on
+    ``date_sub(day, season_lag)``, NOT a row-position ``F.lag`` — on a
+    gapped daily series a positional lag silently slides off the weekday
+    and MASE stops comparing against the same-weekday naive; days whose
+    calendar predecessor is missing are excluded from the score.
 
     Exactness: errors difference the 6 dp-rounded published Holt fitted
     values against 6 dp daily totals — a 1e-6 lattice, summed as
@@ -1705,20 +1710,22 @@ def forecast_backtest_daily(
     the per-term MAPE divisions); the closing means/ratios are identical
     IEEE doubles.
 
-    Scale shape: the day-grain Holt pass (see there) + one |days| lag
-    window + one scalar aggregate.
+    Scale shape: the day-grain Holt pass (see there) + one |days|-sized
+    self-join on the shifted day + one scalar aggregate.
     """
     ins = holt_forecast_daily(
         df, ts_col, value_col, alpha=alpha, beta=beta, horizon=1,
         round_digits=round_digits,
     ).filter(~F.col("is_forecast"))
-    w = Window.orderBy(F.asc("day"))
-    both = ins.select(
-        "day",
-        "value",
-        "fitted",
-        F.lag("value", season_lag).over(w).alias("__naive"),
-    ).filter(F.col("fitted").isNotNull() & F.col("__naive").isNotNull())
+    naive = ins.select(
+        F.date_add(F.col("day"), int(season_lag)).alias("day"),
+        F.col("value").alias("__naive"),
+    )
+    both = (
+        ins.select("day", "value", "fitted")
+        .join(naive, "day")
+        .filter(F.col("fitted").isNotNull() & F.col("__naive").isNotNull())
+    )
     dec9 = lambda c: F.round(c, 9).cast("decimal(28,9)")
     err_h = F.abs(F.col("value") - F.col("fitted"))
     err_n = F.abs(F.col("value") - F.col("__naive"))

@@ -171,7 +171,14 @@ def pruning_audit(
     Per (layout, predicate): (layout, pred_id, lo, hi, n_files,
     files_scanned, rows_scanned, prune_frac). A layout sorted by the
     predicate column prunes ~(1 − selectivity); an uncorrelated layout
-    prunes ~0 — the gap is the rewrite's worth.
+    prunes ~0 — the gap is the rewrite's worth. ``n_files`` in the OUTPUT
+    is the count of OBSERVED (non-empty) simulated files, which can fall
+    below the ``n_files`` parameter when heavy sort-key duplication lands
+    several percentile boundaries on the same value (empty ranges produce
+    no file, exactly as a range-partitioned writer would emit none).
+    An empty ``layouts`` dict raises ``ValueError`` — there is no audit
+    to run, and a silent ``None`` return would defer the failure to the
+    caller's first method call.
 
     Exactness: boundaries are one exact interpolated-percentile
     aggregate per layout (broadcast back); file assignment counts
@@ -184,6 +191,8 @@ def pruning_audit(
     evaluates costs the range exchange). The |files|×|predicates|
     overlap join is dimension-sized.
     """
+    if not layouts:
+        raise ValueError("pruning_audit requires at least one candidate layout")
     fr = [k / n_files for k in range(1, n_files)]
     out = None
     for name, sort_col in layouts.items():

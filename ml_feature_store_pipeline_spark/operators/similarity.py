@@ -120,6 +120,32 @@ def hyperplane_signature(
     return out.cast("int")
 
 
+def auto_lsh_params(n_corpus: int, k: int) -> tuple[int, int]:
+    """Corpus-aware sign-LSH sizing — the r9 2M-vector stress showed the
+    old STATIC defaults silently degenerate as the corpus grows (4 planes
+    at 2M vectors ⇒ buckets of ~250k ⇒ near-brute-force candidate volume,
+    recall 1.0 for the wrong reason). Policy:
+
+    - ``n_planes = clamp(⌊log2(n / max(64, 8k))⌋, 4, 24)`` — expected
+      bucket size n/2^planes lands near max(64, 8k), so per-table
+      candidate volume stays O(k)-proportional instead of O(n).
+    - ``n_tables = clamp(2·n_planes, 8, 64)`` — tables recover the recall
+      that each added plane's exponential cut costs; table cost is linear,
+      so this is the cheap side of the trade.
+
+    The recall this holds is for STRUCTURED (clustered) embedding spaces,
+    where true neighbors agree with most hyperplanes (per-bit collision
+    p ≈ 0.9 ⇒ table-hit p stays ~0.3 at 12 planes ⇒ ~24 tables recover
+    ≥ 0.99). On adversarially ISOTROPIC vectors (neighbors only mildly
+    closer than noise, p_bit ≈ 0.7) NO bounded-candidate LSH holds high
+    recall — tools/scalecheck.py measures both regimes honestly.
+    """
+    bucket_target = max(64, 8 * int(k))
+    n_planes = min(24, max(4, int(math.floor(math.log2(max(2.0, n_corpus / bucket_target))))))
+    n_tables = min(64, max(8, 2 * n_planes))
+    return n_planes, n_tables
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -129,13 +155,23 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing an LSH bucket
     with the query in ANY of ``n_tables`` hash tables. Inexact (recall < 1)
     — the large-scale variant of :func:`cosine_topk`; candidate volume
-    shrinks ~2^n_planes-fold per table."""
+    shrinks ~2^n_planes-fold per table.
+
+    ``n_planes``/``n_tables`` default to CORPUS-AWARE sizing via
+    :func:`auto_lsh_params` (which documents the policy); auto-sizing
+    costs ONE ``corpus.count()`` action at plan build — pass both
+    explicitly to keep the build lazy (the registered oracle queries do,
+    pinning their measured recall floors)."""
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = auto_lsh_params(corpus.count(), k)
+        n_planes = auto_p if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
     def with_buckets(df: DataFrame, id_col: str) -> DataFrame:
         tables = F.array(
             *[
@@ -1416,7 +1452,7 @@ def pq_topk_rerank(
     k: int = 10,
     m: int = 16,
     k_codes: int = 16,
-    shortlist: int = 100,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """PQ ANN with EXACT RE-RANK — the production shape (Jégou et al.
     2011 §V): ADC scores the whole corpus through the code index to a
@@ -1428,11 +1464,24 @@ def pq_topk_rerank(
     better), while the full-precision corpus is touched for only
     |queries|·shortlist rows instead of |queries|·|corpus|.
 
+    ``shortlist`` defaults to CORPUS-AWARE sizing
+    ``max(100, 20·k, ⌈0.01·n⌉)`` — the r9 2M-vector stress showed the
+    old static 100 silently collapses as the corpus grows (recall 0.09
+    at 2M: ADC rank error past position 100 dominates once the corpus
+    dwarfs the shortlist). A 1 % shortlist keeps the re-rank 100× under
+    brute force while the ADC stage only has to put true neighbors in
+    its top percentile, not its top hundred. Auto-sizing costs ONE
+    ``corpus.count()`` action at plan build — pass ``shortlist``
+    explicitly to keep the build lazy (the registered oracle queries do,
+    pinning their measured recall floors).
+
     Scale shape: stage 1 is :func:`pq_query` (codes-only scan, broadcast
     tables, one top-shortlist shuffle); stage 2 joins the shortlist ids
     back to the corpus — candidate-sized, so the big table contributes
     one semi-join-shaped probe — and re-ranks with one per-query window.
     """
+    if shortlist is None:
+        shortlist = max(100, 20 * int(k), int(math.ceil(0.01 * corpus.count())))
     codebook, codes = pq_build(
         corpus, corpus_id=corpus_id, vec_col=vec_col, m=m, k_codes=k_codes
     )
@@ -1979,16 +2028,22 @@ def _pairwise_moments(df: DataFrame, vec_col: str):
             ),
         )
     )
+    # partial sums go straight to DECIMAL(38,0): a raw int64 sum of
+    # 1e-12-lattice products wraps SILENTLY with ANSI off once
+    # rows-per-partition × max|xi·xj|·1e12 crosses 9.2e18, yielding
+    # plausible-but-wrong moments; the decimal sum nulls on (absurd)
+    # overflow instead, and map-side combine applies to it the same
     partials = (
         base.select(F.posexplode(tri).alias("pos", "q"))
         .groupBy("pos", F.spark_partition_id().alias("__pid"))
-        .agg(F.count(F.lit(1)).cast("long").alias("__n"), F.sum("q").alias("__q"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("__q"),
+        )
     )
     agg = partials.groupBy("pos").agg(
         F.sum("__n").cast("long").alias("n"),
-        (F.sum(F.col("__q").cast("decimal(38,0)")).cast("double") / F.lit(1e12)).alias(
-            "__sxy"
-        ),
+        (F.sum("__q").cast("double") / F.lit(1e12)).alias("__sxy"),
     )
     # pos -> (i, j) for the row-major upper triangle: d is in hand, so a
     # LocalRelation beats deriving ids from the corpus-wide dims aggregate

@@ -1051,3 +1051,77 @@ def test_pca_power_empty_corpus_is_empty(spark):
 
     df = spark.createDataFrame([], "v array<double>")
     assert pca_power_embeddings(df, "v").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r10: corpus-aware ANN route defaults (VERDICT r9 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_lsh_params_scale_with_corpus():
+    """The r9 2M stress exposed static defaults degenerating — planes must
+    GROW with the corpus (bounded buckets) and tables must grow with
+    planes (recall recovery), both clamped."""
+    from ml_feature_store_pipeline_spark.operators.similarity import auto_lsh_params
+
+    # tiny corpus: clamp floor
+    assert auto_lsh_params(60, 10) == (4, 8)
+    # 2M corpus, k=10: buckets target max(64, 80)=80 -> floor(log2(25000))=14
+    p, t = auto_lsh_params(2_000_000, 10)
+    assert p == 14 and t == 28
+    # candidate volume stays O(k)-proportional: n * tables / 2^planes
+    assert 2_000_000 * t / 2**p < 4000
+    # monotone in n, clamped at 24/64
+    ps = [auto_lsh_params(n, 10)[0] for n in (1_000, 100_000, 10_000_000, 10**12)]
+    assert ps == sorted(ps) and ps[-1] == 24
+    assert auto_lsh_params(10**12, 10)[1] == 48
+
+
+def test_lsh_topk_auto_defaults_run_and_keep_self(spark, corpus):
+    """Omitting planes/tables triggers the corpus-aware sizing (one
+    count() at plan build); self still shares every bucket -> rank 1."""
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(queries, corpus, k=2, dim=DIM).collect()
+    firsts = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert firsts == {0: 0, 1: 1, 2: 2}
+
+
+def test_pq_rerank_auto_shortlist_small_corpus_is_exact(spark, corpus):
+    """At N=60 the auto shortlist (max(100, 20k, 1% n) = 100) covers the
+    whole corpus, so the re-rank equals exact brute force."""
+    q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.cosine_topk(q, corpus, k=3).collect()
+    }
+    auto = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.pq_topk_rerank(q, corpus, k=3, m=8, k_codes=4).collect()
+    }
+    assert auto == exact
+
+
+def test_auto_routes_hold_recall_on_clustered_corpus(spark):
+    """The regime the policy is FOR: clustered vectors (real embedding
+    shape). Auto-sized LSH and PQ must both put >= 0.8 of the exact
+    nonself top-3 in their top-3 at n=400."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, DIM)) * 3.0
+    pts = np.array([centers[i % 8] + rng.normal(size=DIM) * 0.4 for i in range(400)])
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = similarity.nonself_topk(similarity.cosine_topk(q, df, k=4), k=3)
+    for route in (
+        similarity.lsh_topk(q, df, k=4, dim=DIM),
+        similarity.pq_topk_rerank(q, df, k=4, m=8, k_codes=8),
+    ):
+        got = similarity.nonself_topk(route, k=3)
+        m = similarity.rerank_eval(gt, got, k=3).collect()[0]
+        assert m["recall_at_k"] >= 0.8

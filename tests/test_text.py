@@ -661,3 +661,87 @@ def test_unigram_kl_skewed_source_diverges(spark):
     assert out["b"]["kl_vs_corpus"] == pytest.approx(
         kl({"x": 3 / 5, "y": 1 / 5, "z": 1 / 5}), abs=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: rank-bounded posting cap (VERDICT r9 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_doc_topk_posting_cap_noop_when_loose(spark):
+    """A cap at/above every term's df keeps the full index — identical
+    output to the uncapped run (cosines, ranks, shared-term counts)."""
+    from ml_feature_store_pipeline_spark.operators.text import tfidf_doc_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry date"),
+            (1, "apple banana cherry"),
+            (2, "apple banana fig grape"),
+            (3, "cherry date fig"),
+            (4, "grape apple date"),
+        ],
+        "doc_id long, text string",
+    )
+    full = sorted(
+        tuple(r) for r in tfidf_doc_topk(docs, "doc_id", "text", [0], k=4).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in tfidf_doc_topk(
+            docs, "doc_id", "text", [0], k=4, max_postings=100
+        ).collect()
+    )
+    assert capped == full
+
+
+def test_tfidf_doc_topk_posting_cap_bounds_dense_vocab(spark):
+    """The dense-vocab worst case: ONE shared stop term across all docs.
+    max_df_frac would empty the index (zero results); the posting cap
+    keeps the term with its top-R docs — results survive, fan-out is
+    bounded, and kept cosines are a lower bound of the uncapped ones."""
+    from ml_feature_store_pipeline_spark.operators.text import tfidf_doc_topk
+
+    # every doc: the stop term 'the' + one rarer discriminator
+    rows = [(i, "the " * (i % 3 + 1) + ("red " if i % 2 == 0 else "blue ")) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dropped = tfidf_doc_topk(
+        docs, "doc_id", "text", [0], k=5, max_df_frac=0.03
+    ).collect()
+    assert dropped == []  # the stop-term CUT zeroes recall here
+    capped = tfidf_doc_topk(
+        docs, "doc_id", "text", [0], k=5, max_postings=8
+    ).collect()
+    assert len(capped) == 5
+    full = {
+        r["doc_id"]: r["cosine"]
+        for r in tfidf_doc_topk(docs, "doc_id", "text", [0], k=30).collect()
+    }
+    for r in capped:
+        assert r["cosine"] <= full[r["doc_id"]] + 1e-9  # pruned mass only shrinks dots
+
+
+def test_tfidf_doc_topk_posting_cap_recall_floor(spark):
+    """Moderate cap on a mixed corpus: the capped top-3 must recover most
+    of the uncapped top-3 (recall >= 0.8 over 5 queries) — the graceful
+    degradation the cap promises."""
+    from ml_feature_store_pipeline_spark.operators.text import tfidf_doc_topk
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(words[(i + j) % 6] for j in range(4)) + " common")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = list(range(5))
+    gt = {
+        (r["query_id"], r["doc_id"])
+        for r in tfidf_doc_topk(docs, "doc_id", "text", qs, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in tfidf_doc_topk(
+            docs, "doc_id", "text", qs, k=3, max_postings=16
+        ).collect()
+    }
+    assert len(got & gt) / len(gt) >= 0.8

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import shutil
 import sys
 import tempfile
@@ -164,7 +165,8 @@ VEC_OPS = (
     "cosine_topk_100q cosine_topk_blas_cold cosine_topk_blas_warm "
     "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
     "semantic_decontaminate knn_label_audit hard_negatives prototypicality "
-    "random_projection mmr_rerank pq_rerank kmeans rerank_eval dim_correlation pca_power"
+    "random_projection mmr_rerank pq_rerank kmeans rerank_eval dim_correlation pca_power "
+    "ann_autoscale"
 ).split()
 
 
@@ -1663,11 +1665,35 @@ def main() -> None:
             from ml_feature_store_pipeline_spark.operators import text as _text
 
             # 10 query docs' term vectors broadcast; corpus streams through
-            # one term-keyed join — the sparse-retrieval shape
-            timed(
-                "tfidf_doc_topk_10q",
-                _text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=10),
-                args.docs,
+            # one term-keyed join — the sparse-retrieval shape. The synth
+            # vocab is DEGENERATE (every term in ~every doc — the r9 heavy
+            # tail: 136 s / doc²-ish fan-out at 2M docs), which is exactly
+            # what the r10 rank-bounded posting cap bounds: fan-out
+            # ≤ |query terms|·cap regardless of vocabulary density. Run
+            # capped (the 100 TB default) AND uncapped, then assert the
+            # capped result still recovers the uncapped top-10 (recall
+            # floor — the cap must bound cost, not zero the metric).
+            results = {}
+            for label, cap in (("cap64", 64), ("uncapped", None)):
+                if METER is not None:
+                    METER.delta()
+                t0 = time.time()
+                rows = _text.tfidf_doc_topk(
+                    docs, "doc_id", "text", list(range(10)), k=10, max_postings=cap
+                ).collect()
+                log(f"tfidf_doc_topk_10q_{label}", time.time() - t0, args.docs)
+                results[label] = {(r["query_id"], r["doc_id"]) for r in rows}
+            n_gt = len(results["uncapped"])
+            print(
+                json.dumps(
+                    {
+                        "op": "tfidf_doc_topk.cap64_recall_vs_uncapped",
+                        "recall": round(
+                            len(results["cap64"] & results["uncapped"]) / max(n_gt, 1), 4
+                        ),
+                    }
+                ),
+                flush=True,
             )
         if docs is not None and want("substr_decontaminate"):
             from ml_feature_store_pipeline_spark.operators import dedup as _dedup
@@ -1739,12 +1765,17 @@ def main() -> None:
             # r9: rows·d(d-1)/2 products explode into a d²-keyed hash agg
             # whose map-side combine caps the shuffle at O(partitions·d²)
             # — CPU-bound by construction (exact covariance touches every
-            # product); the gate prices that honestly
-            timed(
-                "dim_correlation_topk",
-                _sim.dim_correlation_topk(vecs, "embedding", top_k=20),
-                args.vecs,
-            )
+            # product); the gate prices that honestly. The max-dimension
+            # probe .first() and the driver-side posmap build run EAGERLY
+            # at plan construction — time the construction too (the
+            # pca_power rule), or the row under-reports the real cost
+            if METER is not None:
+                METER.delta()
+            t0 = time.time()
+            _sim.dim_correlation_topk(vecs, "embedding", top_k=20).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            log("dim_correlation_topk", time.time() - t0, args.vecs)
         if vecs is not None and want("pca_power"):
             from ml_feature_store_pipeline_spark.operators import similarity as _sim
 
@@ -1796,6 +1827,86 @@ def main() -> None:
                     "recall_at_5": round(r["recall_at_k"], 4),
                     "mrr": round(r["mrr"], 4),
                 }), flush=True)
+        if vecs is not None and want("ann_autoscale"):
+            from ml_feature_store_pipeline_spark.operators import similarity as _sim
+            from ml_feature_store_pipeline_spark.functions import pin_local as _pin
+
+            # r10: corpus-aware route defaults (auto_lsh_params planes and
+            # tables; 1% PQ shortlist) measured in BOTH vector regimes —
+            # the isotropic synth corpus (sign-LSH's information-theoretic
+            # worst case: neighbors barely closer than noise, NO
+            # bounded-candidate scheme holds high recall there) and a
+            # 64-cluster corpus (the shape real embedding spaces have,
+            # where the auto defaults must hold the floors: lsh >= 0.8,
+            # pq >= 0.7 recall@5).
+            def _clustered_vecs(n: int, dim: int = 64, n_clusters: int = 64, noise: float = 0.25):
+                cid = F.col("id") % n_clusters
+                cent = F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: (F.xxhash64(cid, i) % 10000).cast("double") / 5000.0 - 1.0,
+                )
+                nz = F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: (F.xxhash64(F.col("id"), i, F.lit(77)) % 10000).cast("double")
+                    / 5000.0
+                    - 1.0,
+                )
+                return spark.range(n).select(
+                    F.col("id").alias("vec_id"),
+                    F.zip_with(cent, nz, lambda c, z: c + F.lit(noise) * z)
+                    .cast("array<float>")
+                    .alias("embedding"),
+                )
+
+            _clustered_vecs(args.vecs).write.mode("overwrite").parquet(f"{work}/cvecs")
+            cvecs = spark.read.parquet(f"{work}/cvecs")
+            auto_p, auto_t = _sim.auto_lsh_params(args.vecs, 6)
+            auto_sl = max(100, 20 * 6, int(math.ceil(0.01 * args.vecs)))
+            print(
+                json.dumps(
+                    {
+                        "op": "ann_autoscale.params",
+                        "n": args.vecs,
+                        "lsh_planes": auto_p,
+                        "lsh_tables": auto_t,
+                        "pq_shortlist": auto_sl,
+                        "lsh_cand_frac_est": round(auto_t / 2.0 ** auto_p, 5),
+                    }
+                ),
+                flush=True,
+            )
+            for regime, cdf in (("isotropic", vecs), ("clustered", cvecs)):
+                aq20 = cdf.filter(F.col("vec_id") < 20).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                )
+                if METER is not None:
+                    METER.delta()
+                t0 = time.time()
+                agt = _pin(_sim.nonself_topk(_sim.cosine_topk(aq20, cdf, k=6), k=5))
+                aroutes = {
+                    "lsh": _sim.lsh_topk(aq20, cdf, k=6, dim=64),  # auto planes/tables
+                    "pq": _sim.pq_topk_rerank(aq20, cdf, k=6, m=16, k_codes=16),  # auto shortlist
+                }
+                aout = None
+                for vname, scored in aroutes.items():
+                    m = _sim.rerank_eval(
+                        agt, _pin(_sim.nonself_topk(scored, k=5)), k=5
+                    ).select(
+                        F.lit(vname).alias("variant"), "n_queries", "k", "recall_at_k", "mrr"
+                    )
+                    aout = m if aout is None else aout.unionByName(m)
+                arows = aout.collect()
+                log(f"ann_autoscale_{regime}_2routes_20q", time.time() - t0, args.vecs * 3)
+                floors = {"lsh": 0.8, "pq": 0.7}
+                for r in arows:
+                    rec = {
+                        "op": f"ann_autoscale.{regime}.{r['variant']}",
+                        "recall_at_5": round(r["recall_at_k"], 4),
+                        "mrr": round(r["mrr"], 4),
+                    }
+                    if regime == "clustered":
+                        rec["floor_ok"] = bool(r["recall_at_k"] >= floors[r["variant"]])
+                    print(json.dumps(rec), flush=True)
         if vecs is not None and want("random_projection"):
             # pure codegen scan: out_dim x in_dim fused multiply-adds per row
             timed(
