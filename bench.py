@@ -333,6 +333,16 @@ HEADLINE_R9 = [
     "stl_anomaly_days_value",
 ]
 
+#: Added in round 10: the KL→mixture-weights loop closer (one vocab-
+#: partial KL aggregate + a metadata-scale plan collect + a pushed-down
+#: md5 filter scan — the corpus never shuffles).
+#: "r09_headline_total" covers exactly the full 161-query round-9
+#: definition (HEADLINE + R2..R5 + R7 + R9) for round-over-round
+#: comparability.
+HEADLINE_R10 = [
+    "kl_reweighted_mixture_docs",
+]
+
 #: Added in round 5: the schema-evolving CDC merge, the re-indexed
 #: negative sampler (two-level dense index — its cost vs r4's
 #: single-task window is the point), and the ANALYZE profile.
@@ -457,7 +467,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in (
         HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4
-        + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9
+        + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9 + HEADLINE_R10
     ):
         timings[name] = _time_query(lambda: materialize(registry[name](spark, sf_dir)))
 
@@ -505,6 +515,19 @@ def main() -> None:
                         + HEADLINE_R4
                         + HEADLINE_R5
                         + HEADLINE_R7
+                    ),
+                    3,
+                ),
+                "r09_headline_total": round(
+                    sum(
+                        timings[n]
+                        for n in HEADLINE
+                        + HEADLINE_R2
+                        + HEADLINE_R3
+                        + HEADLINE_R4
+                        + HEADLINE_R5
+                        + HEADLINE_R7
+                        + HEADLINE_R9
                     ),
                     3,
                 ),

@@ -45,98 +45,91 @@ def _ensure_loaded() -> None:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries, so the
-# registry is emitted in an explicit priority order. Round-9 rotation (the
-# r8 verdict's items 1-2): the window rotates onto ALL 40 names of
-# tests/test_registry.py::R9_WINDOW_QUEUE — the last registry queries
-# without a driver-green row — zeroing the never-driver-checked debt
-# (r8's CORRECTNESS window went 50/50 green on the other half of the r7
-# queue). The 10 remaining slots follow the standing priority rules:
+# registry is emitted in an explicit priority order. Round-10 rotation
+# (the r9 verdict's item 1): never-checked debt first, then changed-code
+# pulls and new registrations, then the oldest stale anchors.
 #
-# - THREE r9 batch-1 registrations (the freeze lifted per r8 verdict
-#   item 2/5, each registered straight into the window as r8 did with
-#   its changed pulls): substring_decontaminate_docs,
-#   temporal_split_leakage_audit, ann_rerank_eval — all 3-SF verified
-#   via tools/verify_oracle.py this round, plan-audited 0 flags.
-# - FOUR r9 batch-2 registrations (same rule; never-checked new code
-#   outranks stale-but-green anchors): adamic_adar_parts_topk,
-#   holt_forecast_daily_value, dim_correlation_topk_embeddings,
-#   t_closeness_events — all 3-SF verified + plan-audited 0 flags this
-#   round. Batch 2's remaining two (item_item_cosine_topk,
-#   readability_docs — the simplest oracles of the six) do NOT fit the
-#   50-slot window, nor do the eight batch-3/4/5/6 registrations that
-#   landed after it filled (best_split, layout_pruning, pca_power, rake,
-#   isotonic, forecast_backtest, unigram_kl, stl_anomaly — all 3-SF
-#   verified + plan-audited); together they are the r10 rotation queue
-#   (tests/test_registry.py::R10_WINDOW_QUEUE, 10 names).
-# - THREE changed-code pulls (function text touched this round, so
-#   their prior greens predate the shipped code):
-#   part_pagerank_top20 (edges_per_partition fail-fast validation +
-#   thread-safety note), serving_parity_audit (staleness-SLA docstring
-#   + the register_features metadata-copy fix), and lsh_ann_topk
-#   (hyperplane_signature gained the name-based single-F.expr build —
-#   bit-identical signatures, unit-tested, but changed code is changed
-#   code).
-# - ZERO anchors: batch 2 consumed the four slots r9 had reserved for
-#   the oldest r4-era greens (text_stats, dedup_exact_docs,
-#   minhash_candidate_pairs, incremental_minhash_pairs) — those return
-#   to the FRONT of the r10 anchor pool
-#   (tests/test_registry.py::R10_ANCHOR_CANDIDATES), still the oldest
-#   driver signal in the registry.
+# - TEN queue names (tests/test_registry.py::R10_WINDOW_QUEUE — the
+#   late-r9 registrations that outgrew the 50-slot window; the last
+#   registry queries without a driver-green row, so this window zeroes
+#   the never-checked debt): item_item_cosine_topk, readability_docs,
+#   best_split_daily_value, layout_pruning_audit_orders,
+#   pca_power_embeddings, rake_keyphrases_docs,
+#   isotonic_calibration_embeddings, forecast_backtest_daily_value,
+#   unigram_kl_sources_docs, stl_anomaly_days_value. Four of these also
+#   carry r10 code changes (readability null-gate, forecast_backtest
+#   calendar lag, layout_pruning empty-dict guard, pca_power's decimal
+#   partial sums) — the queue slot double-serves as the changed-code
+#   pull.
+# - ONE r10 registration (the standing new-code rule):
+#   kl_reweighted_mixture_docs — the unigram-KL→mixture-weights loop
+#   closer (r9 verdict item 6), 3-SF verified via tools/verify_oracle.py.
+# - FIVE changed-code pulls (function text touched this round, so their
+#   prior greens predate the shipped code): dim_correlation_topk_embeddings
+#   (shares _pairwise_moments' decimal partial sums),
+#   lsh_ann_topk / pq_ann_topk / ann_rerank_eval (the corpus-aware
+#   route-default signatures), and tfidf_doc_similarity_topk (registered
+#   onto the rank-bounded posting cap — code AND oracle changed).
+# - THIRTY-FOUR anchors from the FRONT of
+#   tests/test_registry.py::R10_ANCHOR_CANDIDATES (newest driver green
+#   r4 — the oldest hard signal in the registry); the remaining 12
+#   (tpch_q3_topk through table_profile_orders) roll to the r11 anchor
+#   pool.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # R9_WINDOW_QUEUE — all 40, registration order (never driver-checked)
-    "hourly_seasonality_events",
-    "daily_anomaly_profile_events",
-    "referential_integrity_lineitem_orders",
-    "welch_ttest_view_purchase",
-    "conversion_latency_view_purchase",
-    "ks_value_drift_halves",
-    "ab_assignment_srm_events",
-    "mad_outliers_order_price",
-    "calendar_features_events",
-    "classification_report_embeddings",
-    "label_centroid_distances",
-    "copurchase_degree_profile",
-    "bpe_train_merges",
-    "bpe_encode_stats_docs",
-    "corr_matrix_lineitem",
-    "acf_daily_value",
-    "bm25_topk_docs",
-    "hybrid_rrf_topk",
-    "quantile_transform_orders",
-    "woe_iv_event_type",
-    "chi2_event_type_hour",
-    "kmeans_embeddings",
-    "triangle_stats_copurchase",
-    "lang_confusion_docs",
-    "calibration_curve_embeddings",
-    "roc_auc_embeddings",
-    "kmeans_balanced_sample",
-    "survival_curve_users",
-    "did_event_value",
-    "tfidf_doc_similarity_topk",
-    "seasonal_decompose_daily_value",
-    "bootstrap_mean_ci_value",
-    "cuped_lift_value",
-    "robust_trend_daily_value",
-    "trimmed_mean_order_price",
-    "value_gini_order_price",
-    "cusum_daily_value",
-    "term_pmi_docs",
-    "markov_entropy_rate_events",
-    "completeness_by_day_events",
-    # r9 batch-1 registrations — new operators enter the window immediately
-    "substring_decontaminate_docs",
-    "temporal_split_leakage_audit",
-    "ann_rerank_eval",
-    # r9 batch-2 registrations (4 of 6 — see the priority note above)
-    "adamic_adar_parts_topk",
-    "holt_forecast_daily_value",
-    "dim_correlation_topk_embeddings",
-    "t_closeness_events",
+    # R10_WINDOW_QUEUE — all 10, registration order (never driver-checked)
+    "item_item_cosine_topk",
+    "readability_docs",
+    "best_split_daily_value",
+    "layout_pruning_audit_orders",
+    "pca_power_embeddings",
+    "rake_keyphrases_docs",
+    "isotonic_calibration_embeddings",
+    "forecast_backtest_daily_value",
+    "unigram_kl_sources_docs",
+    "stl_anomaly_days_value",
+    # r10 registration — new operators enter the window immediately
+    "kl_reweighted_mixture_docs",
     # changed-code pulls (function text touched this round)
-    "part_pagerank_top20",
-    "serving_parity_audit",
+    "dim_correlation_topk_embeddings",
     "lsh_ann_topk",
+    "pq_ann_topk",
+    "ann_rerank_eval",
+    "tfidf_doc_similarity_topk",
+    # anchors — R10_ANCHOR_CANDIDATES front, registry order (r4 greens)
+    "text_stats",
+    "dedup_exact_docs",
+    "minhash_candidate_pairs",
+    "incremental_minhash_pairs",
+    "simhash_docs",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "multimodal_decode",
+    "windowed_user_counts",
+    "ml_tfidf_vectors",
+    "ml_minhash_near_dup",
+    "ml_brp_ann_topk",
+    "pack_sequences_docs",
+    "token_mixture_sample_docs",
+    "corpus_curation_pipeline",
+    "near_dup_clusters",
+    "bloom_prune_lineitem",
+    "merge_upsert_orders",
+    "audio_decode_stats",
+    "video_frame_stats",
+    "image_resize_stats",
+    "psi_order_price_drift",
+    "tpch_q13_like",
+    "tpch_q17_like",
+    "tpch_q22_like",
+    "tpch_q11_like",
+    "tpch_q16_like",
+    "tpch_q21_like",
+    "tpch_q2_like",
+    "tpch_q8_like",
+    "tpch_q9_like",
+    "tpch_q20_like",
+    "tpch_q1",
 )
 
 

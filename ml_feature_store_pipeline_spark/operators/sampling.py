@@ -14,6 +14,8 @@ is flagged non-reproducible across engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -251,6 +253,42 @@ def proportional_targets(
         s: (total_budget * weights.get(s, 0)) // w_sum if totals.get(s, 0) > 0 else 0
         for s in totals
     }
+
+
+def kl_mixture_weights(
+    kl_by_source: dict[str, float], *, scale: int = 10000
+) -> dict[str, int]:
+    """Close the diagnose→act loop on mixture skew: turn the per-source
+    unigram KL readout (``text.unigram_kl_by_source`` — "which source is
+    dragging the token distribution") into the INTEGER weights that
+    :func:`token_mixture_plan` / :func:`mixture_sample_by_tokens` take as
+    targets. ``w_s = max(1, round_half_up(scale·e_s))`` with
+    ``e_s = round(exp(−KL_s), 6)`` — a source that reads like the pooled
+    corpus (KL → 0) keeps weight ≈ ``scale``; a source ``KL`` nats away
+    is exponentially down-weighted (the softmax-temperature shape of
+    DoReMi-style re-weighting, with the corpus itself as the reference
+    domain); the ``max(1, ·)`` floor keeps every source represented
+    rather than silently excluded.
+
+    Engine-portable by construction, so a SQL oracle can land on the
+    exact same integers: the input KL is the operator's 6 dp-rounded
+    output (an identical double in any engine), ``exp`` of an identical
+    double is libm-stable, the 6 dp round pins any residual last-ulp
+    drift, and the half-up round to an integer runs in DECIMAL space
+    (DuckDB twin:
+    ``GREATEST(1, CAST(ROUND(CAST(ROUND(EXP(-kl), 6) AS DECIMAL(18,6))
+    * scale, 0) AS BIGINT))``). Pure |sources|-sized driver arithmetic —
+    metadata-scale, like every mixture plan here."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out: dict[str, int] = {}
+    for src, kl in kl_by_source.items():
+        e6 = round(math.exp(-float(kl)), 6)
+        w = int(
+            (Decimal(str(e6)) * scale).to_integral_value(rounding=ROUND_HALF_UP)
+        )
+        out[src] = max(1, w)
+    return out
 
 
 def mixture_sample_epochs(

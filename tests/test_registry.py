@@ -4,11 +4,14 @@ rotation (VERDICT r7 item 1): 90 registry queries — every r6/r7
 registration — had never produced a driver-green row; R8_WINDOW_QUEUE
 below pins them in registration order (oldest local verification first);
 r8's window (its first 45 + CHANGED_IN_R8) went 50/50 driver-green.
-Round-9 rotation (VERDICT r8 items 1-2): the window covers ALL 40
-remaining queue names (R9_WINDOW_QUEUE) — zeroing the
-never-driver-checked debt — plus the three post-freeze registrations
-(NEW_IN_R9), the two r9 changed-code pulls (CHANGED_IN_R9), and the five
-oldest-signal anchors from R9_ANCHOR_CANDIDATES' front."""
+Round-9 rotation (VERDICT r8 items 1-2): the window covered ALL 40
+remaining queue names (R9_WINDOW_QUEUE) plus the r9 registrations and
+changed-code pulls — 50/50 green in CORRECTNESS_r09.json.
+Round-10 rotation (VERDICT r9 item 1): the 10-name never-checked queue
+(R10_WINDOW_QUEUE) first, then the single r10 registration (NEW_IN_R10)
+and five changed-code pulls (CHANGED_IN_R10), then 34 stale r4-era
+anchors from R10_ANCHOR_CANDIDATES' front; the 12-name tail is the r11
+anchor pool."""
 
 from __future__ import annotations
 
@@ -207,6 +210,45 @@ NEW_IN_R9C = [
 # never-checked-debt rule).
 R10_WINDOW_QUEUE = NEW_IN_R9B_QUEUED + NEW_IN_R9C
 
+# Round-10 registration: the unigram-KL→mixture-weights loop closer
+# (r9 verdict item 6) — the only r10 addition (item 8 froze growth).
+NEW_IN_R10 = [
+    "kl_reweighted_mixture_docs",
+]
+
+# Function text touched in round 10 (beyond the queue names that double
+# as changed-code pulls): the _pairwise_moments decimal partial sums,
+# the corpus-aware LSH/PQ route-default signatures, and the tfidf
+# rank-bounded posting cap (code AND oracle re-registered onto it).
+CHANGED_IN_R10 = [
+    "dim_correlation_topk_embeddings",
+    "lsh_ann_topk",
+    "pq_ann_topk",
+    "ann_rerank_eval",
+    "tfidf_doc_similarity_topk",
+]
+
+
+def test_round10_rotation_policy_is_the_window():
+    # r9 verdict item 1: the whole 10-name queue first, then the new
+    # registration and changed-code pulls, then 34 anchors from the
+    # R10_ANCHOR_CANDIDATES front (the r4-era greens); the remaining 12
+    # anchors roll to r11.
+    expected = (
+        R10_WINDOW_QUEUE
+        + NEW_IN_R10
+        + CHANGED_IN_R10
+        + [n for n in R10_ANCHOR_CANDIDATES if n not in CHANGED_IN_R10][:34]
+    )
+    assert list(DRIVER_WINDOW) == expected
+    # debt-zero criterion: every name ever registered without a driver
+    # green is covered by some window through this one
+    assert set(R10_WINDOW_QUEUE) <= set(DRIVER_WINDOW)
+    oracles = oracle_registry()
+    assert all(n in oracles for n in DRIVER_WINDOW)
+
+
+
 # Function text touched this round — their previous greens (r8 for
 # pagerank, r7 for the serving audit and the LSH recall gate) predate
 # the shipped code: the ADVICE fixes, the register_features
@@ -219,34 +261,32 @@ CHANGED_IN_R9 = [
 ]
 
 
-def test_round9_rotation_policy_is_the_window():
-    # r8 verdict item 1: the whole 40-name queue + priority fills —
-    # new registrations (batches 1 and 2), then changed-code pulls;
-    # batch 2 consumed the four anchor slots.
-    assert list(DRIVER_WINDOW) == (
-        R9_WINDOW_QUEUE + NEW_IN_R9 + NEW_IN_R9B + CHANGED_IN_R9
-    )
+# Provenance: the round-9 window exactly as it went 50/50 driver-green
+# in CORRECTNESS_r09.json (the R8_DRIVER_WINDOW pattern).
+R9_DRIVER_WINDOW = R9_WINDOW_QUEUE + NEW_IN_R9 + NEW_IN_R9B + CHANGED_IN_R9
+
+
+def test_round9_rotation_provenance():
+    assert len(R9_DRIVER_WINDOW) == 50
     assert len(R9_WINDOW_QUEUE) == 40
     # debt-zero criterion: every name that has EVER lacked a driver green
-    # (the r7 queue) is covered by the r8 window or this one
-    assert set(R8_WINDOW_QUEUE) <= set(R8_DRIVER_WINDOW) | set(DRIVER_WINDOW)
-    oracles = oracle_registry()
-    assert all(n in oracles for n in DRIVER_WINDOW)
+    # (the r7 queue) was covered by the r8 or r9 window
+    assert set(R8_WINDOW_QUEUE) <= set(R8_DRIVER_WINDOW) | set(R9_DRIVER_WINDOW)
 
 
 def test_freeze_lifted_with_exactly_the_r9_registrations():
-    """The r8 freeze held at 232 oracle-backed queries; r9 lifts it with
-    the three verdict-item-5 operators plus the six batch-2 operators,
-    all oracle-backed."""
+    """The r8 freeze held at 232 oracle-backed queries; r9 lifted it with
+    17 operators; r10 adds exactly ONE (the KL→mixture loop closer —
+    r9 verdict item 8 pins registry growth to genuine gaps only)."""
     queries, oracles = query_registry(), oracle_registry()
     n_new = (
         len(NEW_IN_R9) + len(NEW_IN_R9B) + len(NEW_IN_R9B_QUEUED) + len(NEW_IN_R9C)
     )
-    assert len(queries) == 232 + n_new == 249
-    assert len(oracles) == 249
+    assert len(queries) == 232 + n_new + len(NEW_IN_R10) == 250
+    assert len(oracles) == 250
     assert all(
         n in queries and n in oracles
-        for n in NEW_IN_R9 + NEW_IN_R9B + NEW_IN_R9B_QUEUED + NEW_IN_R9C
+        for n in NEW_IN_R9 + NEW_IN_R9B + NEW_IN_R9B_QUEUED + NEW_IN_R9C + NEW_IN_R10
     )
 
 
@@ -393,21 +433,33 @@ R10_ANCHOR_CANDIDATES = [
 ]
 
 
-def test_r10_anchor_pool_rolls_forward():
+def test_r10_anchor_pool_consumed_from_the_front():
     assert len(R10_ANCHOR_CANDIDATES) == 46
     assert R10_ANCHOR_CANDIDATES[0] == "text_stats"
-    assert not set(R10_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
     names = set(query_registry())
     assert set(R10_ANCHOR_CANDIDATES) <= names
+    # the r10 window refreshes the pool's FIRST 34 names (registry
+    # order); the 12-name tail rolls to r11
+    assert set(R10_ANCHOR_CANDIDATES[:34]) <= set(DRIVER_WINDOW)
+    assert not set(R10_ANCHOR_CANDIDATES[34:]) & set(DRIVER_WINDOW)
 
 
-def test_r9_anchor_candidates_rolled_forward_unconsumed():
+# The r11 anchor pool: the unrotated tail — after the r10 window lands,
+# the ONLY registry queries whose newest driver green predates r6.
+R11_ANCHOR_CANDIDATES = [
+    n for n in R10_ANCHOR_CANDIDATES if n not in set(R10_ANCHOR_CANDIDATES[:34])
+]
+
+
+def test_r11_anchor_pool_is_the_unrotated_tail():
+    assert len(R11_ANCHOR_CANDIDATES) == 12
+    assert R11_ANCHOR_CANDIDATES[0] == "tpch_q3_topk"
+    assert R11_ANCHOR_CANDIDATES[-1] == "table_profile_orders"
+    assert not set(R11_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
+
+
+def test_r9_anchor_candidates_all_still_registered():
     names = set(query_registry())
     assert set(R9_ANCHOR_CANDIDATES) <= names
-    # batch 2 displaced the anchors: only lsh_ann_topk (changed-code
-    # pull) refreshes from this pool in r9
-    assert set(R9_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW) == {"lsh_ann_topk"}
-    assert not set(R9_ANCHOR_CANDIDATES) & set(R9_WINDOW_QUEUE)
     # the r10 rotation queue is exactly the registry's never-checked tail
     assert set(R10_WINDOW_QUEUE) == set(NEW_IN_R9B_QUEUED) | set(NEW_IN_R9C)
-    assert not set(R10_WINDOW_QUEUE) & set(DRIVER_WINDOW)

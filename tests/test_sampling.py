@@ -389,3 +389,43 @@ def test_bootstrap_mean_ci_excludes_nulls(spark):
     )
     r = bootstrap_mean_ci(df, "v", "k", n_replicates=4).collect()[0]
     assert r["n"] == 2 and r["mean"] == 15.0
+
+
+def test_kl_mixture_weights_shape_and_floor():
+    """r10 loop-closer: exp(-KL) weights in decimal half-up space — KL 0
+    keeps full scale, ln(2) halves it (rounded), huge KL floors at 1, and
+    ordering is monotone-decreasing in KL."""
+    import math
+
+    from ml_feature_store_pipeline_spark.operators.sampling import kl_mixture_weights
+
+    w = kl_mixture_weights({"a": 0.0, "b": math.log(2), "c": 0.25, "d": 50.0})
+    assert w["a"] == 10000
+    assert w["b"] == 5000
+    assert w["c"] == round(10000 * round(math.exp(-0.25), 6))
+    assert w["d"] == 1  # floor: skewed sources stay represented, never dropped
+    assert w["a"] > w["c"] > w["b"] > w["d"]
+
+
+def test_kl_mixture_weights_feed_token_mixture_plan(spark):
+    """The derived weights slot straight into the existing mixture
+    machinery: the binding source keeps cut=buckets, others scale by the
+    exact integer rational."""
+    from ml_feature_store_pipeline_spark.operators.sampling import (
+        kl_mixture_weights,
+        token_mixture_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s0", 100), (2, "s0", 100), (3, "s1", 50)],
+        "id long, source string, nt long",
+    )
+    weights = kl_mixture_weights({"s0": 0.0, "s1": 2.0})
+    assert weights == {"s0": 10000, "s1": 1353}
+    plan = token_mixture_plan(df, "source", F.col("nt"), weights)
+    # binding source = min T/w: s0 at 200/10000=0.02 < s1 at 50/1353 ->
+    # s0 keeps everything, s1 downsamples to the exact integer rational
+    # (t_m*w_s)/(w_m*T_s) = (200*1353)/(10000*50)
+    num0, den0 = plan["s0"]
+    assert num0 == den0
+    assert plan["s1"] == (200 * 1353, 10000 * 50)
