@@ -1297,8 +1297,15 @@ def tfidf_doc_topk(
     stay FULL-vector (the true cosine denominator), so a capped pair's
     cosine only loses the dot-product mass of its pruned terms — reported
     similarity is a lower bound, recall degrades gracefully instead of
-    zeroing (floor asserted in tests/test_text.py). The oracle must
-    apply the same cap.
+    zeroing (floor asserted in tests/test_text.py).
+
+    The cap is a RECALL DIAL that must scale with the corpus (the same
+    lesson the PQ shortlist taught at 2M vectors): a Zipf vocabulary has
+    no sharp stop/content split, so at million-doc scale pick
+    ``max_postings ≈ max(64, n_docs // 1000)`` — every term with
+    idf ≥ ln(1000) keeps its whole posting list while the worst-case
+    join fan-out stays ≤ |query terms|·n/1000 (tools/scalecheck.py
+    sweeps the dial at 2M docs). The oracle must apply the same cap.
     """
     w = tfidf_terms(df, id_col, text_col, min_df=min_df).select(
         F.col(id_col).alias("__id"), F.col("term"), F.col("tfidf").alias("__w"),
