@@ -68,9 +68,9 @@ def test_cosine_topk_self_is_rank_one(corpus):
 
 
 def test_lsh_topk_recall_reasonable(spark, corpus, vectors):
-    """LSH is approximate; with 4 tables × 8 planes on 60 random vectors the
-    true nearest neighbor (self) must always be found, and results must be a
-    subset of scored candidates with correct ordering."""
+    """LSH is approximate; with the auto-sized params (4 planes × 8 tables
+    at N=60) the true nearest neighbor (self) must always be found, and
+    results must be a subset of scored candidates with correct ordering."""
     queries = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
