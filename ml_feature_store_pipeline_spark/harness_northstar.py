@@ -420,8 +420,10 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     result's recall@5 against the exact brute-force top-k (both computed
     here, deterministic — the hyperplanes are md5-seeded) must clear 0.8;
     measured 0.93 at sf0.01 with these params (4 planes × 16 tables —
-    recall-oriented for this small corpus; raise planes as the corpus
-    grows). The oracle asserts the bound + the query count, so a recall
+    recall-oriented for this small corpus; at scale the library's
+    corpus-aware defaults take over: similarity.auto_lsh_params grows
+    planes ~log2(n) and tables with planes — r10, 2M-vector-measured in
+    SCALE.md). The oracle asserts the bound + the query count, so a recall
     collapse or a query-set change fails the hash check — the per-row ANN
     output itself is approximate by design and has no exact twin."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -4053,9 +4055,12 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only). Bounded-quality oracle like lsh_ann_topk: recall@5 against the
     brute-force top-k must clear 0.7 — measured 0.96/0.93/0.89 at
     sf0.001/0.01/0.1 with m=16, k_codes=16, shortlist=100 on the
-    random-embedding corpus (the quantizer's worst case). Everything is
-    md5-deterministic (codebook = deterministic_centroids sample), so a
-    recall collapse or query-set change fails the hash."""
+    random-embedding corpus (the quantizer's worst case; at scale the
+    library's corpus-aware default shortlist max(100, 20k, 1% n) takes
+    over — r10, 2M-vector-measured in SCALE.md: 0.85 vs 0.09 at the old
+    static 100). Everything is md5-deterministic (codebook =
+    deterministic_centroids sample), so a recall collapse or query-set
+    change fails the hash."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
