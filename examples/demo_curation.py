@@ -153,6 +153,50 @@ def main() -> None:
     ):
         print(f"  {r['source']}: {r['tokens']} tokens")
 
+    # 6b. the r10 diagnose→act loop: per-source unigram KL (which source
+    # drags the token distribution) becomes the mixture weights — a
+    # skewed source is exponentially down-weighted in its TARGET SHARE.
+    # Note the sampler's contract carefully: targets are token shares
+    # ∝ weight, NOT per-source keep rates — a small-but-skewed source
+    # whose target exceeds what it has SATURATES (keeps 100%, marked *
+    # below) because the sampler is downsample-only. The loop's
+    # guaranteed direction is therefore in the WEIGHTS: monotone
+    # decreasing in KL, exactly.
+    kl_rows = (
+        text.unigram_kl_by_source(survivors, "source", "text")
+        .select("source", "kl_vs_corpus")
+        .collect()
+    )
+    kl = {r["source"]: float(r["kl_vs_corpus"]) for r in kl_rows}
+    kl_weights = sampling.kl_mixture_weights(kl)
+    with_nt = survivors.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    totals = {
+        r["source"]: r["t"]
+        for r in with_nt.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    rebalanced = sampling.mixture_sample_by_tokens(
+        with_nt, "doc_id", "source", kl_weights, n_tokens=F.col("n_tokens")
+    )
+    kept = {
+        r["source"]: r["tokens"]
+        for r in rebalanced.groupBy("source").agg(F.sum("n_tokens").alias("tokens")).collect()
+    }
+    print("KL-reweighted token mix (kl -> weight -> kept/total, * = saturated):")
+    for s in sorted(kl):
+        sat = "*" if kept.get(s, 0) == totals[s] else ""
+        print(
+            f"  {s}: kl={kl[s]:.4f} w={kl_weights[s]} "
+            f"kept={kept.get(s, 0)}/{totals[s]}{sat}"
+        )
+    ordered = sorted(kl, key=lambda s: (kl[s], s))
+    for a, b in zip(ordered, ordered[1:]):
+        assert kl_weights[a] >= kl_weights[b], (
+            f"KL loop inverted: {a} (kl {kl[a]:.4f}) got weight "
+            f"{kl_weights[a]} < {b} (kl {kl[b]:.4f}) {kl_weights[b]}"
+        )
+
     # 7. retrieval spot-check: MMR-diverse top-5 for two query embeddings
     queries = emb.filter(F.col("vec_id") < 2).select(
         F.col("vec_id").alias("query_id"), "embedding"
