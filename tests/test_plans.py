@@ -689,3 +689,54 @@ def test_temporal_split_audit_is_three_exchanges(spark, registry):
     # plain \s* would silently skip any Exchange living there (r9 review)
     n_shuffles = len(re.findall(r"(?m)^[ :]*(?:[+:]- )?Exchange ", final))
     assert n_shuffles <= 3, final
+
+
+def test_tfidf_posting_cap_has_no_single_partition_window(spark, registry):
+    """The r10 rank-bounded posting cap runs TWO windows (per-(term, pid)
+    superset cut, then exact per-term top-R) — both must partition by
+    their keys; a SinglePartition ENSURE_REQUIREMENTS exchange feeding a
+    Window means the two-phase skew split regressed to a global sort.
+    (The scalar countDistinct broadcast legitimately single-partitions —
+    the check walks each Window's own subtree, the plan-audit matcher.)"""
+    import re
+
+    tree_art = re.compile(r"^[\s:+|-]*")
+    depth = lambda line: len(tree_art.match(line).group(0))
+
+    df = registry["tfidf_doc_similarity_topk"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.split("== Initial Plan ==")[0].splitlines()
+    for i, line in enumerate(lines):
+        op = tree_art.sub("", line)
+        if not (op.startswith("Window ") or op.startswith("WindowGroupLimit ")):
+            continue
+        d = depth(line)
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and depth(nxt) <= d:
+                break
+            body = tree_art.sub("", nxt)
+            assert not body.startswith(
+                "Exchange SinglePartition, ENSURE_REQUIREMENTS"
+            ), line + "\n" + nxt
+            if body.startswith("Exchange "):
+                break
+
+
+def test_kl_mixture_sample_is_a_scan_filter_no_shuffle(spark):
+    """The r10 loop-closer's SAMPLE stage: once the weights are in hand
+    (metadata-scale plan arithmetic), membership is a pure md5 filter on
+    the scan — zero exchanges before the caller's own aggregate."""
+    import re
+
+    from ml_feature_store_pipeline_spark.functions import token_count
+    from ml_feature_store_pipeline_spark.operators import sampling
+
+    docs = read_table(spark, SF, "documents")
+    weights = sampling.kl_mixture_weights({"src0": 0.1, "src1": 1.2})
+    kept = sampling.mixture_sample_by_tokens(
+        docs, "doc_id", "source", weights, n_tokens=token_count(F.col("text"))
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert not re.search(r"(?m)^[ :]*(?:[+:]- )?Exchange ", final), final
