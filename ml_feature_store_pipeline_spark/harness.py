@@ -64,17 +64,18 @@ def _ensure_loaded() -> None:
 # - ONE r10 registration (the standing new-code rule):
 #   kl_reweighted_mixture_docs — the unigram-KL→mixture-weights loop
 #   closer (r9 verdict item 6), 3-SF verified via tools/verify_oracle.py.
-# - FIVE changed-code pulls (function text touched this round, so their
+# - SIX changed-code pulls (function text touched this round, so their
 #   prior greens predate the shipped code): dim_correlation_topk_embeddings
 #   (shares _pairwise_moments' decimal partial sums),
-#   lsh_ann_topk / pq_ann_topk / ann_rerank_eval (the corpus-aware
-#   route-default signatures), and tfidf_doc_similarity_topk (registered
-#   onto the rank-bounded posting cap — code AND oracle changed).
-# - THIRTY-FOUR anchors from the FRONT of
+#   lsh_ann_topk / pq_ann_topk / ivf_ann_topk / ann_rerank_eval (the
+#   corpus-aware route-default signatures; ivf also gained the
+#   partial-agg assignment fold), and tfidf_doc_similarity_topk
+#   (registered onto the rank-bounded posting cap — code AND oracle
+#   changed).
+# - THIRTY-THREE anchors from the FRONT of
 #   tests/test_registry.py::R10_ANCHOR_CANDIDATES (newest driver green
-#   r4 — the oldest hard signal in the registry); the remaining 12
-#   (tpch_q3_topk through table_profile_orders) roll to the r11 anchor
-#   pool.
+#   r4 — the oldest hard signal in the registry); the remaining 13
+#   (tpch_q1 through table_profile_orders) roll to the r11 anchor pool.
 DRIVER_WINDOW: tuple[str, ...] = (
     # R10_WINDOW_QUEUE — all 10, registration order (never driver-checked)
     "item_item_cosine_topk",
@@ -93,6 +94,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dim_correlation_topk_embeddings",
     "lsh_ann_topk",
     "pq_ann_topk",
+    "ivf_ann_topk",
     "ann_rerank_eval",
     "tfidf_doc_similarity_topk",
     # anchors — R10_ANCHOR_CANDIDATES front, registry order (r4 greens)
@@ -129,7 +131,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q8_like",
     "tpch_q9_like",
     "tpch_q20_like",
-    "tpch_q1",
 )
 
 

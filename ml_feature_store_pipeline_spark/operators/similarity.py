@@ -215,12 +215,28 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def auto_ivf_params(n_corpus: int) -> tuple[int, int]:
+    """Corpus-aware IVF sizing — the third route of the r10 parameter
+    policy (next to :func:`auto_lsh_params` and the PQ 1 % shortlist):
+
+    - ``n_cells = clamp(round(√n), 16, 65536)`` — the classic IVF rule:
+      cells of ~√n vectors balance the probe's two costs (centroid scan
+      is n_cells·dim, list scan is nprobe·n/n_cells·dim); a static cell
+      count silently degenerates both ways as the corpus grows (8 cells
+      at 2 M ⇒ 250 k-vector lists — each probe is 1/8 of brute force).
+    - ``nprobe = max(4, n_cells // 64)`` — candidate volume stays
+      ~1.6 % of the corpus at any scale.
+    """
+    n_cells = min(65536, max(16, int(round(math.sqrt(max(1, n_corpus))))))
+    return n_cells, max(4, n_cells // 64)
+
+
 def ivf_build(
     corpus: DataFrame,
     *,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     seed: int = 42,
     train_fraction: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -233,12 +249,35 @@ def ivf_build(
 
     ``centroids`` = (cell int, center array<double>); ``inverted_lists`` =
     (corpus_id, __cv normalized vector, cell). Both are engine-plain —
-    no MLlib model object to serialize."""
+    no MLlib model object to serialize.
+
+    ``n_cells=None`` sizes the index from the corpus via
+    :func:`auto_ivf_params` (one extra ``count()`` action at build) and
+    fits the quantizer on a ~100·n_cells-vector sample — at √n cells a
+    full-corpus KMeans fit would dominate the build, and the coarse
+    quantizer only needs enough points per cell to place centers.
+    Explicit ``n_cells`` keeps the original full-fit behavior (the
+    registered oracle queries pass it, pinning their results).
+
+    The assignment pass is a broadcast cross product folded by a
+    map-side-combinable ``min(struct(distance, cell))`` aggregate — NOT
+    a per-row window: a window's required hash distribution would
+    shuffle all n·n_cells expanded rows (2.8 B at 2 M × √n), while the
+    partial min collapses each vector's fan-out inside its input
+    partition, so the single exchange carries n rows. ``first(vec)`` is
+    safe in the aggregate — the vector is functionally dependent on the
+    id. The struct comparator breaks distance ties on the lower cell id,
+    deterministically."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
     cn = _normalized(corpus.select(F.col(corpus_id), F.col(vec_col)), vec_col)
+    if n_cells is None:
+        n = corpus.count()
+        n_cells, _ = auto_ivf_params(n)
+        if train_fraction is None and n > 100 * n_cells:
+            train_fraction = (100.0 * n_cells) / n
     train = cn if train_fraction is None else cn.sample(train_fraction, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
     model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__v")))
@@ -247,13 +286,19 @@ def ivf_build(
         "cell int, center array<double>",
     )
     # inverted lists: each corpus vector → its nearest centroid's cell
-    cw = Window.partitionBy(corpus_id).orderBy(F.asc("__d"), F.asc("cell"))
     assigned = (
         cn.crossJoin(F.broadcast(cent))
-        .withColumn("__d", _l2sq(F.col(vec_col), F.col("center")))
-        .withColumn("__r", F.row_number().over(cw))
-        .filter(F.col("__r") == 1)
-        .select(corpus_id, F.col(vec_col).alias("__cv"), "cell")
+        .select(
+            F.col(corpus_id),
+            F.col(vec_col),
+            F.struct(
+                _l2sq(F.col(vec_col), F.col("center")).alias("d"),
+                F.col("cell").alias("cell"),
+            ).alias("__dc"),
+        )
+        .groupBy(corpus_id)
+        .agg(F.min("__dc").alias("__m"), F.first(vec_col).alias("__cv"))
+        .select(corpus_id, "__cv", F.col("__m.cell").alias("cell"))
     )
     return cent, assigned
 
@@ -303,14 +348,20 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_cells: int = 16,
-    nprobe: int = 4,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
     seed: int = 42,
     train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k by cosine: the other classic
     scale path next to :func:`lsh_topk` — :func:`ivf_build` +
     :func:`ivf_query` in one call for one-shot use.
+
+    ``n_cells``/``nprobe`` default to CORPUS-AWARE sizing via
+    :func:`auto_ivf_params` (√n cells, ~1.6 % candidate volume — see
+    there for the policy; one ``corpus.count()`` action at plan build).
+    Pass both explicitly to keep the build lazy and full-fit (the
+    registered oracle queries do, pinning their measured behavior).
 
     Both sides are L2-normalized so Euclidean cell geometry matches cosine
     ranking; a KMeans coarse quantizer (MLlib, fit on an optional sample)
@@ -326,6 +377,16 @@ def ivf_topk(
     :func:`ivf_query` — the fit + assignment are then per-corpus, not
     per-batch.
     """
+    if n_cells is None or nprobe is None:
+        n = corpus.count()
+        auto_c, auto_p = auto_ivf_params(n)
+        if n_cells is None:
+            n_cells = auto_c
+            # mirror ivf_build's auto rule: a corpus-derived cell count
+            # pairs with a ~100·n_cells-vector sample fit
+            if train_fraction is None and n > 100 * n_cells:
+                train_fraction = (100.0 * n_cells) / n
+        nprobe = auto_p if nprobe is None else nprobe
     cent, assigned = ivf_build(
         corpus,
         corpus_id=corpus_id,

@@ -224,6 +224,7 @@ CHANGED_IN_R10 = [
     "dim_correlation_topk_embeddings",
     "lsh_ann_topk",
     "pq_ann_topk",
+    "ivf_ann_topk",
     "ann_rerank_eval",
     "tfidf_doc_similarity_topk",
 ]
@@ -231,14 +232,14 @@ CHANGED_IN_R10 = [
 
 def test_round10_rotation_policy_is_the_window():
     # r9 verdict item 1: the whole 10-name queue first, then the new
-    # registration and changed-code pulls, then 34 anchors from the
-    # R10_ANCHOR_CANDIDATES front (the r4-era greens); the remaining 12
+    # registration and changed-code pulls, then 33 anchors from the
+    # R10_ANCHOR_CANDIDATES front (the r4-era greens); the remaining 13
     # anchors roll to r11.
     expected = (
         R10_WINDOW_QUEUE
         + NEW_IN_R10
         + CHANGED_IN_R10
-        + [n for n in R10_ANCHOR_CANDIDATES if n not in CHANGED_IN_R10][:34]
+        + [n for n in R10_ANCHOR_CANDIDATES if n not in CHANGED_IN_R10][:33]
     )
     assert list(DRIVER_WINDOW) == expected
     # debt-zero criterion: every name ever registered without a driver
@@ -438,22 +439,23 @@ def test_r10_anchor_pool_consumed_from_the_front():
     assert R10_ANCHOR_CANDIDATES[0] == "text_stats"
     names = set(query_registry())
     assert set(R10_ANCHOR_CANDIDATES) <= names
-    # the r10 window refreshes the pool's FIRST 34 names (registry
-    # order); the 12-name tail rolls to r11
-    assert set(R10_ANCHOR_CANDIDATES[:34]) <= set(DRIVER_WINDOW)
-    assert not set(R10_ANCHOR_CANDIDATES[34:]) & set(DRIVER_WINDOW)
+    # the r10 window refreshes the pool's FIRST 33 names (registry
+    # order); the 13-name tail rolls to r11 (tpch_q1 was displaced by
+    # the ivf_ann_topk changed-code pull and leads the r11 pool)
+    assert set(R10_ANCHOR_CANDIDATES[:33]) <= set(DRIVER_WINDOW)
+    assert not set(R10_ANCHOR_CANDIDATES[33:]) & set(DRIVER_WINDOW)
 
 
 # The r11 anchor pool: the unrotated tail — after the r10 window lands,
 # the ONLY registry queries whose newest driver green predates r6.
 R11_ANCHOR_CANDIDATES = [
-    n for n in R10_ANCHOR_CANDIDATES if n not in set(R10_ANCHOR_CANDIDATES[:34])
+    n for n in R10_ANCHOR_CANDIDATES if n not in set(R10_ANCHOR_CANDIDATES[:33])
 ]
 
 
 def test_r11_anchor_pool_is_the_unrotated_tail():
-    assert len(R11_ANCHOR_CANDIDATES) == 12
-    assert R11_ANCHOR_CANDIDATES[0] == "tpch_q3_topk"
+    assert len(R11_ANCHOR_CANDIDATES) == 13
+    assert R11_ANCHOR_CANDIDATES[0] == "tpch_q1"
     assert R11_ANCHOR_CANDIDATES[-1] == "table_profile_orders"
     assert not set(R11_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
 

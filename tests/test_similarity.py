@@ -1125,3 +1125,38 @@ def test_auto_routes_hold_recall_on_clustered_corpus(spark):
         got = similarity.nonself_topk(route, k=3)
         m = similarity.rerank_eval(gt, got, k=3).collect()[0]
         assert m["recall_at_k"] >= 0.8
+
+
+def test_auto_ivf_params_scale_with_corpus():
+    """√n cells clamped [16, 65536]; nprobe holds ~1.6% candidate volume."""
+    from ml_feature_store_pipeline_spark.operators.similarity import auto_ivf_params
+
+    assert auto_ivf_params(60) == (16, 4)
+    c, p = auto_ivf_params(2_000_000)
+    assert c == 1414 and p == 22
+    assert abs(p / c - 0.016) < 0.005
+    assert auto_ivf_params(10**12)[0] == 65536
+    cs = [auto_ivf_params(n)[0] for n in (100, 10_000, 1_000_000, 10**10)]
+    assert cs == sorted(cs)
+
+
+def test_ivf_topk_auto_defaults_run_and_keep_self(spark, corpus):
+    """Omitting n_cells/nprobe triggers the corpus-aware sizing; at N=60
+    that is 16 cells / 4 probes — self must surface at rank 1."""
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(queries, corpus, k=2).collect()
+    firsts = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert firsts == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_assignment_is_partial_agg_not_window(spark, corpus):
+    """The r10 assignment refactor: the inverted-list build must fold the
+    n_cells fan-out with a map-side-combinable min aggregate — a Window
+    in the plan means the n·n_cells expanded rows shuffle again."""
+    _, assigned = similarity.ivf_build(corpus, n_cells=8)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final, final
+    assert "HashAggregate" in final or "ObjectHashAggregate" in final or "SortAggregate" in final

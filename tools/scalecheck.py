@@ -2000,6 +2000,7 @@ def main() -> None:
                 aroutes = {
                     "lsh": _sim.lsh_topk(aq20, cdf, k=6, dim=64),  # auto planes/tables
                     "pq": _sim.pq_topk_rerank(aq20, cdf, k=6, m=16, k_codes=16),  # auto shortlist
+                    "ivf": _sim.ivf_topk(aq20, cdf, k=6),  # auto √n cells, sample fit
                 }
                 aout = None
                 for vname, scored in aroutes.items():
@@ -2010,8 +2011,8 @@ def main() -> None:
                     )
                     aout = m if aout is None else aout.unionByName(m)
                 arows = aout.collect()
-                log(f"ann_autoscale_{regime}_2routes_20q", time.time() - t0, args.vecs * 3)
-                floors = {"lsh": 0.8, "pq": 0.7}
+                log(f"ann_autoscale_{regime}_3routes_20q", time.time() - t0, args.vecs * 4)
+                floors = {"lsh": 0.8, "pq": 0.7, "ivf": 0.7}
                 for r in arows:
                     rec = {
                         "op": f"ann_autoscale.{regime}.{r['variant']}",
