@@ -75,6 +75,33 @@ def pin_local(df):
     return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
+def pin_concurrent(builders):
+    """:func:`pin_local` over several INDEPENDENT frames at once.
+
+    ``builders`` maps name → zero-arg callable returning a DataFrame;
+    each callable runs its plan CONSTRUCTION and the pinning collect on
+    its own driver thread, so builds that contain eager driver work (a
+    KMeans fit, a codebook-seed collect, a brute-force ground-truth
+    scan) overlap as concurrent Spark jobs instead of serializing one
+    action at a time. This is the multi-route eval-harness shape: the
+    routes share input tables but not lineage, and concurrent job
+    submission is first-class in Spark's scheduler (locally AND on a
+    cluster — each job's stages interleave across the same executor
+    pool, so total work is unchanged while wall time approaches the
+    longest single route instead of the sum). Results are bit-identical
+    to sequential builds: threading changes WHEN each independent job
+    runs, never what it computes. Returns name → pinned LocalRelation.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(builders.items())
+    if not items:
+        return {}
+    with ThreadPoolExecutor(max_workers=len(items)) as ex:
+        futures = {name: ex.submit(lambda fn=fn: pin_local(fn())) for name, fn in items}
+        return {name: f.result() for name, f in futures.items()}
+
+
 def dsum(col: Column, scale: int = 4, precision: int = 28) -> Column:
     """Order-insensitive, engine-stable sum of a double column."""
     return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")

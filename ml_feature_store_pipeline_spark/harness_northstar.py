@@ -6145,23 +6145,39 @@ def q_ann_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union plan — pin once or the brute-force scan / KMeans fit /
     # PQ build re-executes per reference (measured 27 s -> ~7 s); see
     # functions.pin_local for why LocalRelation and not localCheckpoint.
-    from .functions import pin_local as _pin
+    # The four builds (ground truth + 3 routes) are lineage-independent,
+    # so they run as CONCURRENT Spark jobs (functions.pin_concurrent) —
+    # wall approaches the longest single route instead of the sum, with
+    # bit-identical pins (measured 19.6 s -> 8.8 s best-of-3 at sf0.1, r10).
+    from .functions import pin_concurrent as _pin_all
 
-    gt = _pin(similarity.nonself_topk(similarity.cosine_topk(queries, emb, k=6), k=5))
+    pins = _pin_all(
+        {
+            "gt": lambda: similarity.nonself_topk(
+                similarity.cosine_topk(queries, emb, k=6), k=5
+            ),
+            "lsh": lambda: similarity.nonself_topk(
+                similarity.lsh_topk(
+                    queries, emb, k=6, dim=64, n_planes=4, n_tables=16
+                ),
+                k=5,
+            ),
+            "ivf": lambda: similarity.nonself_topk(
+                similarity.ivf_topk(queries, emb, k=6, n_cells=8, nprobe=2), k=5
+            ),
+            "pq": lambda: similarity.nonself_topk(
+                similarity.pq_topk_rerank(
+                    queries, emb, k=6, m=16, k_codes=16, shortlist=100
+                ),
+                k=5,
+            ),
+        }
+    )
+    gt = pins["gt"]
     floors = {"lsh": (0.8, 0.75), "ivf": (0.4, 0.45), "pq": (0.7, 0.7)}
-    routes = {
-        "lsh": similarity.lsh_topk(queries, emb, k=6, dim=64, n_planes=4, n_tables=16),
-        "ivf": similarity.ivf_topk(queries, emb, k=6, n_cells=8, nprobe=2),
-        "pq": similarity.pq_topk_rerank(
-            queries, emb, k=6, m=16, k_codes=16, shortlist=100
-        ),
-    }
     rows = []
-    for name, scored in routes.items():
-        r_floor, m_floor = floors[name]
-        metrics = similarity.rerank_eval(
-            gt, _pin(similarity.nonself_topk(scored, k=5)), k=5
-        )
+    for name, (r_floor, m_floor) in floors.items():
+        metrics = similarity.rerank_eval(gt, pins[name], k=5)
         rows.append(
             metrics.select(
                 F.lit(name).alias("variant"),

@@ -1160,3 +1160,46 @@ def test_ivf_assignment_is_partial_agg_not_window(spark, corpus):
     final = plan.split("== Initial Plan ==")[0]
     assert "Window" not in final, final
     assert "HashAggregate" in final or "ObjectHashAggregate" in final or "SortAggregate" in final
+
+
+def test_pin_concurrent_matches_sequential_pins(spark, corpus):
+    """functions.pin_concurrent (r10, the ann_rerank_eval wall cut) must
+    return bit-identical LocalRelations to one-at-a-time pin_local: the
+    threads change WHEN each independent job runs, never what it
+    computes. Exercised on two builds with eager plan-time work (a PQ
+    codebook collect) plus a plain top-k."""
+    from ml_feature_store_pipeline_spark.functions import pin_concurrent, pin_local
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def brute():
+        return similarity.nonself_topk(
+            similarity.cosine_topk(queries, corpus, k=4), k=3
+        )
+
+    def pq():
+        return similarity.nonself_topk(
+            similarity.pq_topk_rerank(queries, corpus, k=4, m=8, k_codes=8), k=3
+        )
+
+    pins = pin_concurrent({"gt": brute, "pq": pq})
+    assert set(pins) == {"gt", "pq"}
+    for name, build in (("gt", brute), ("pq", pq)):
+        seq = pin_local(build())
+        assert pins[name].schema == seq.schema
+        assert sorted(map(tuple, pins[name].collect())) == sorted(
+            map(tuple, seq.collect())
+        )
+
+
+def test_pin_concurrent_propagates_builder_errors(spark):
+    from ml_feature_store_pipeline_spark.functions import pin_concurrent
+
+    def boom():
+        raise ValueError("route build failed")
+
+    with pytest.raises(ValueError, match="route build failed"):
+        pin_concurrent({"bad": boom})
+    assert pin_concurrent({}) == {}
