@@ -1916,22 +1916,34 @@ def main() -> None:
             q20 = vecs.filter(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )
-            from ml_feature_store_pipeline_spark.functions import pin_local as _pin
+            from ml_feature_store_pipeline_spark.functions import pin_concurrent as _pin_all
 
             if METER is not None:
                 METER.delta()
             t0 = time.time()
-            gt = _pin(_sim.nonself_topk(_sim.cosine_topk(q20, vecs, k=6), k=5))
-            routes = {
-                "lsh": _sim.lsh_topk(q20, vecs, k=6, dim=64, n_planes=4, n_tables=16),
-                "ivf": _sim.ivf_topk(q20, vecs, k=6, n_cells=8, nprobe=2),
-                "pq": _sim.pq_topk_rerank(q20, vecs, k=6, m=16, k_codes=16, shortlist=100),
-            }
+            # r10: the four lineage-independent builds run as concurrent
+            # jobs (the q_ann_rerank_eval change) — same routes, same
+            # pins, overlapped wall (r9 sequential row: 836.2 s at 2 M)
+            pins = _pin_all(
+                {
+                    "gt": lambda: _sim.nonself_topk(_sim.cosine_topk(q20, vecs, k=6), k=5),
+                    "lsh": lambda: _sim.nonself_topk(
+                        _sim.lsh_topk(q20, vecs, k=6, dim=64, n_planes=4, n_tables=16), k=5
+                    ),
+                    "ivf": lambda: _sim.nonself_topk(
+                        _sim.ivf_topk(q20, vecs, k=6, n_cells=8, nprobe=2), k=5
+                    ),
+                    "pq": lambda: _sim.nonself_topk(
+                        _sim.pq_topk_rerank(q20, vecs, k=6, m=16, k_codes=16, shortlist=100),
+                        k=5,
+                    ),
+                }
+            )
             out = None
-            for vname, scored in routes.items():
-                m = _sim.rerank_eval(
-                    gt, _pin(_sim.nonself_topk(scored, k=5)), k=5
-                ).select(F.lit(vname).alias("variant"), "n_queries", "k", "recall_at_k", "mrr")
+            for vname in ("lsh", "ivf", "pq"):
+                m = _sim.rerank_eval(pins["gt"], pins[vname], k=5).select(
+                    F.lit(vname).alias("variant"), "n_queries", "k", "recall_at_k", "mrr"
+                )
                 out = m if out is None else out.unionByName(m)
             rows = out.collect()
             log("rerank_eval_3routes_20q", time.time() - t0, args.vecs * 4)
