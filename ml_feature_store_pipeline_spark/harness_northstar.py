@@ -430,10 +430,23 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.cosine_topk(queries, emb, k=5).select("query_id", "vec_id")
-    approx = similarity.lsh_topk(
-        queries, emb, k=5, dim=64, n_planes=4, n_tables=16
-    ).select("query_id", "vec_id")
+    # exact + approx are lineage-independent corpus passes, and exact
+    # feeds BOTH the intersect and the totals — the concurrent pin
+    # overlaps the two scans and stops the brute subtree from executing
+    # twice in one plan (functions.pin_concurrent; |queries|*k pins)
+    from .functions import pin_concurrent as _pin_all
+
+    pins = _pin_all(
+        {
+            "exact": lambda: similarity.cosine_topk(queries, emb, k=5).select(
+                "query_id", "vec_id"
+            ),
+            "approx": lambda: similarity.lsh_topk(
+                queries, emb, k=5, dim=64, n_planes=4, n_tables=16
+            ).select("query_id", "vec_id"),
+        }
+    )
+    exact, approx = pins["exact"], pins["approx"]
     hits = exact.intersect(approx).agg(F.count(F.lit(1)).alias("n_hit"))
     totals = exact.agg(
         F.count(F.lit(1)).alias("n_exact"), F.countDistinct("query_id").alias("n_queries")
@@ -4065,10 +4078,22 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.cosine_topk(queries, emb, k=5).select("query_id", "vec_id")
-    approx = similarity.pq_topk_rerank(
-        queries, emb, k=5, m=16, k_codes=16, shortlist=100
-    ).select("query_id", "vec_id")
+    # same concurrent exact/approx pin as lsh_ann_topk: overlap the
+    # brute scan with the PQ build+probe and reuse the exact pin in
+    # both the intersect and the totals
+    from .functions import pin_concurrent as _pin_all
+
+    pins = _pin_all(
+        {
+            "exact": lambda: similarity.cosine_topk(queries, emb, k=5).select(
+                "query_id", "vec_id"
+            ),
+            "approx": lambda: similarity.pq_topk_rerank(
+                queries, emb, k=5, m=16, k_codes=16, shortlist=100
+            ).select("query_id", "vec_id"),
+        }
+    )
+    exact, approx = pins["exact"], pins["approx"]
     hits = exact.intersect(approx).agg(F.count(F.lit(1)).alias("n_hit"))
     totals = exact.agg(
         F.count(F.lit(1)).alias("n_exact"),
