@@ -69,8 +69,10 @@ def pin_local(df):
     A LocalRelation keeps AQE everywhere and the rows become plan
     literals. Driver cost is the collect — callers own the "small by
     contract" argument. (quality.py / operators/windows.py carry older
-    inline copies of this idiom; fold them in when their queries next
-    rotate through a verification window.)
+    inline copies of this idiom; q_ml_brp_ann_topk still builds its
+    exact/approx intersect un-pinned, double-executing the brute
+    subtree — fold all three into pin_local/pin_concurrent when their
+    queries next rotate through a verification window.)
     """
     return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
