@@ -218,8 +218,11 @@ NEW_IN_R10 = [
 
 # Function text touched in round 10 (beyond the queue names that double
 # as changed-code pulls): the _pairwise_moments decimal partial sums,
-# the corpus-aware LSH/PQ route-default signatures, and the tfidf
-# rank-bounded posting cap (code AND oracle re-registered onto it).
+# the corpus-aware LSH/PQ route-default signatures, the tfidf
+# rank-bounded posting cap (code AND oracle re-registered onto it), and
+# — late-round — the concurrent exact/approx pins in ann_rerank_eval /
+# lsh_ann_topk / pq_ann_topk (functions.pin_concurrent; bit-identical
+# results, 3-SF re-verified, names already in this list).
 CHANGED_IN_R10 = [
     "dim_correlation_topk_embeddings",
     "lsh_ann_topk",
