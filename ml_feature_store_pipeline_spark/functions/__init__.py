@@ -58,6 +58,16 @@ def safe_div(num: Column, den: Column) -> Column:
 # and DuckDB agree bit-for-bit regardless of parallelism.
 
 
+#: When tools/plan_audit.py installs a list here, every ``pin_local``
+#: appends the executed-plan string of the frame it collected. Pinning
+#: replaces a subtree with a LocalRelation, so the FINAL plan the audit
+#: sweeps no longer contains the builders — without this hook a bad plan
+#: shape inside a pinned route (r10 ADVICE: lsh_topk/pq_topk_rerank under
+#: the concurrent pins) would silently escape the sweep. Appends are
+#: GIL-atomic, so concurrent pins share one sink safely.
+_PIN_PLAN_SINK: list[str] | None = None
+
+
 def pin_local(df):
     """Materialize a SMALL DataFrame to a driver-side LocalRelation.
 
@@ -69,12 +79,13 @@ def pin_local(df):
     A LocalRelation keeps AQE everywhere and the rows become plan
     literals. Driver cost is the collect — callers own the "small by
     contract" argument. (quality.py / operators/windows.py carry older
-    inline copies of this idiom; q_ml_brp_ann_topk still builds its
-    exact/approx intersect un-pinned, double-executing the brute
-    subtree — fold all three into pin_local/pin_concurrent when their
+    inline copies of this idiom — fold them into pin_local when their
     queries next rotate through a verification window.)
     """
-    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+    rows = df.collect()
+    if _PIN_PLAN_SINK is not None:
+        _PIN_PLAN_SINK.append(df._jdf.queryExecution().executedPlan().toString())
+    return df.sparkSession.createDataFrame(rows, df.schema)
 
 
 def pin_concurrent(builders):
@@ -105,15 +116,69 @@ def pin_concurrent(builders):
     (there are none) nor pays a measurable cost. Multi-executor
     clusters sit closer to the first regime: stage barriers and
     stragglers leave gaps concurrent jobs fill.
+
+    Threading mechanics (r10 ADVICE): builders run on
+    ``pyspark.InheritableThread``, NOT plain executor threads — in the
+    default pinned-thread mode a plain thread neither inherits the
+    caller's SparkContext local properties (job group/description,
+    scheduler pool) nor cleans up its paired JVM thread on exit, a slow
+    JVM-thread leak across a long bench run. The builds also share one
+    job group set here with ``interruptOnCancel``: the FIRST builder
+    failure cancels the group, so sibling routes abort within a task
+    boundary instead of running minutes to completion before the error
+    surfaces (fail-fast; a cancelled sibling's own error is recorded
+    after the root cause, which is what re-raises).
     """
-    from concurrent.futures import ThreadPoolExecutor
+    import threading
+    import uuid
+
+    from pyspark import InheritableThread
+    from pyspark.sql import SparkSession
 
     items = list(builders.items())
     if not items:
         return {}
-    with ThreadPoolExecutor(max_workers=len(items)) as ex:
-        futures = {name: ex.submit(lambda fn=fn: pin_local(fn())) for name, fn in items}
-        return {name: f.result() for name, f in futures.items()}
+    spark = SparkSession.getActiveSession()
+    sc = spark.sparkContext if spark is not None else None
+    group = f"pin_concurrent-{uuid.uuid4().hex[:12]}"
+    results: dict = {}
+    failures: list[tuple[str, BaseException]] = []
+    fail_lock = threading.Lock()
+
+    def run(name, fn):
+        try:
+            results[name] = pin_local(fn())
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            with fail_lock:
+                first = not failures
+                failures.append((name, exc))
+            if first and sc is not None:
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:  # noqa: BLE001 — cancel is best-effort
+                    pass
+
+    prev_group = prev_desc = None
+    if sc is not None:
+        prev_group = sc.getLocalProperty("spark.jobGroup.id")
+        prev_desc = sc.getLocalProperty("spark.job.description")
+        sc.setJobGroup(group, f"pin_concurrent({len(items)} builds)", True)
+    threads = [
+        InheritableThread(run, name=f"pin-{name}", args=(name, fn))
+        for name, fn in items
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        if sc is not None:
+            sc.setLocalProperty("spark.jobGroup.id", prev_group)
+            sc.setLocalProperty("spark.job.description", prev_desc)
+    if failures:
+        raise failures[0][1]
+    return {name: results[name] for name, _ in items}
 
 
 def dsum(col: Column, scale: int = 4, precision: int = 28) -> Column:

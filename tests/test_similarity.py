@@ -1203,3 +1203,64 @@ def test_pin_concurrent_propagates_builder_errors(spark):
     with pytest.raises(ValueError, match="route build failed"):
         pin_concurrent({"bad": boom})
     assert pin_concurrent({}) == {}
+
+
+def test_pin_concurrent_builders_inherit_local_properties(spark):
+    """r10 ADVICE: builders must run on pyspark.InheritableThread — in the
+    default pinned-thread mode a plain pool thread inherits NO SparkContext
+    local properties (scheduler pool, job group), so builds would escape
+    the caller's pool assignment and the shared fail-fast job group."""
+    from ml_feature_store_pipeline_spark.functions import pin_concurrent
+
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", "pin-test-pool")
+    seen = {}
+
+    def probe():
+        seen["pool"] = sc.getLocalProperty("spark.scheduler.pool")
+        seen["group"] = sc.getLocalProperty("spark.jobGroup.id")
+        return spark.range(1).select(F.lit(1).alias("one"))
+
+    try:
+        pins = pin_concurrent({"probe": probe})
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
+    assert pins["probe"].collect()[0]["one"] == 1
+    assert seen["pool"] == "pin-test-pool"
+    assert seen["group"] is not None and seen["group"].startswith("pin_concurrent-")
+    # the shared job group is scoped to the call — restored on exit
+    assert sc.getLocalProperty("spark.jobGroup.id") is None
+
+
+def test_pin_concurrent_first_failure_cancels_siblings(spark):
+    """r10 ADVICE fail-fast: a builder failure must cancel the shared job
+    group so a long sibling build aborts promptly instead of running to
+    completion before the error surfaces. The sibling here would sleep
+    ~20 s across 2 tasks if left alone; the failing route raises after
+    ~1 s, and the root-cause error (not the sibling's cancellation) is
+    what propagates."""
+    import time
+
+    from ml_feature_store_pipeline_spark.functions import pin_concurrent
+
+    def slow():
+        def naps(batches):
+            for b in batches:
+                time.sleep(20)
+                yield b
+
+        return (
+            spark.range(2)
+            .repartition(2)
+            .mapInPandas(naps, "id long")
+            .select(F.sum("id").alias("s"))
+        )
+
+    def boom():
+        time.sleep(1)
+        raise ValueError("fast route failed")
+
+    t0 = time.time()
+    with pytest.raises(ValueError, match="fast route failed"):
+        pin_concurrent({"slow": slow, "bad": boom})
+    assert time.time() - t0 < 15, "sibling build was not cancelled promptly"

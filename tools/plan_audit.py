@@ -111,20 +111,34 @@ def _single_partition_windows(plan: str) -> int:
 _WSCG_ID = re.compile(r"\*\((\d+)\)")
 
 
-def audit_one(name: str, df, *, execute: bool = True) -> dict:
+def audit_one(name: str, df, *, execute: bool = True, pin_plans: list[str] | None = None) -> dict:
+    """Audit a query's FINAL executed plan plus any PRE-PIN builder plans.
+
+    ``pin_plans``: executed-plan strings captured by
+    ``functions._PIN_PLAN_SINK`` while the query function built its
+    pinned frames (pin_local / pin_concurrent). Pinning replaces those
+    subtrees with LocalRelations, so without this the audited final plan
+    would no longer contain the route builds at all (r10 ADVICE: the
+    exchanges drop on lsh_ann_topk/pq_ann_topk reflected removed
+    VISIBILITY, not only removed work) — a scale anti-pattern inside a
+    pinned builder must still flag on the owning query.
+    """
     if execute:
         df.collect()  # drives AQE to the final plan; audit SF is small
+    plans = [_final_plan(p) for p in (pin_plans or [])]
     plan = _final_plan(df._jdf.queryExecution().executedPlan().toString())
+    plans.append(plan)
     return {
         "query": name,
         "final": "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan,
-        "cartesian": plan.count("CartesianProduct"),
-        "bnlj": plan.count("BroadcastNestedLoopJoin"),
-        "python_row": plan.count("BatchEvalPython"),
-        "exchanges": plan.count("Exchange") - plan.count("ReusedExchange"),
-        "smj": plan.count("SortMergeJoin"),
-        "wscg": len(set(_WSCG_ID.findall(plan))),
-        "window_1part": _single_partition_windows(plan),
+        "pin_plans": len(plans) - 1,
+        "cartesian": sum(p.count("CartesianProduct") for p in plans),
+        "bnlj": sum(p.count("BroadcastNestedLoopJoin") for p in plans),
+        "python_row": sum(p.count("BatchEvalPython") for p in plans),
+        "exchanges": sum(p.count("Exchange") - p.count("ReusedExchange") for p in plans),
+        "smj": sum(p.count("SortMergeJoin") for p in plans),
+        "wscg": len({(i, m) for i, p in enumerate(plans) for m in _WSCG_ID.findall(p)}),
+        "window_1part": sum(_single_partition_windows(p) for p in plans),
     }
 
 
@@ -133,6 +147,7 @@ def main() -> None:
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
+    import ml_feature_store_pipeline_spark.functions as _fx
     from ml_feature_store_pipeline_spark.harness import query_registry
     from ml_feature_store_pipeline_spark.session import get_spark
 
@@ -140,9 +155,14 @@ def main() -> None:
     registry = query_registry()
     names = only or list(registry)
     bad: list[str] = []
+    # capture executed builder plans behind pin_local/pin_concurrent so
+    # pinned subtrees stay inside the sweep (see audit_one)
+    _fx._PIN_PLAN_SINK = sink = []
     for name in names:
         try:
-            rec = audit_one(name, registry[name](spark, sf_dir))
+            sink.clear()
+            df = registry[name](spark, sf_dir)
+            rec = audit_one(name, df, pin_plans=list(sink))
         except Exception as e:  # noqa: BLE001 — audit must not die mid-sweep
             print(json.dumps({"query": name, "error": str(e)[:200]}), flush=True)
             bad.append(name)
