@@ -81,6 +81,14 @@ def pin_local(df):
     contract" argument. (quality.py / operators/windows.py carry older
     inline copies of this idiom — fold them into pin_local when their
     queries next rotate through a verification window.)
+
+    When NOT to pin (r11, measured): if the repeated subtree already
+    sits under ONE job, Spark's exchange reuse deduplicates it for free
+    (ReusedExchange in the executed plan) and pinning only adds collect
+    barriers — q_ml_brp_ann_topk read 1.21 s un-pinned vs 2.0 s pinned
+    at sf0.1. Pin when consumers run as SEPARATE jobs/actions, or when
+    builds carry driver-eager plan-time work worth overlapping
+    (:func:`pin_concurrent`); check the plan for ReusedExchange first.
     """
     rows = df.collect()
     if _PIN_PLAN_SINK is not None:

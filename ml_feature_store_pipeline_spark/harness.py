@@ -45,92 +45,87 @@ def _ensure_loaded() -> None:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries, so the
-# registry is emitted in an explicit priority order. Round-10 rotation
-# (the r9 verdict's item 1): never-checked debt first, then changed-code
-# pulls and new registrations, then the oldest stale anchors.
+# registry is emitted in an explicit priority order. Round-11 rotation
+# (the r10 verdict's item 1): with never-checked debt at zero since r10
+# and registry growth frozen, the window is pure provenance refresh —
+# the oldest stale anchors first, then this round's changed-code pulls,
+# then the next-oldest anchors.
 #
-# - TEN queue names (tests/test_registry.py::R10_WINDOW_QUEUE — the
-#   late-r9 registrations that outgrew the 50-slot window; the last
-#   registry queries without a driver-green row, so this window zeroes
-#   the never-checked debt): item_item_cosine_topk, readability_docs,
-#   best_split_daily_value, layout_pruning_audit_orders,
-#   pca_power_embeddings, rake_keyphrases_docs,
-#   isotonic_calibration_embeddings, forecast_backtest_daily_value,
-#   unigram_kl_sources_docs, stl_anomaly_days_value. Four of these also
-#   carry r10 code changes (readability null-gate, forecast_backtest
-#   calendar lag, layout_pruning empty-dict guard, pca_power's decimal
-#   partial sums) — the queue slot double-serves as the changed-code
-#   pull.
-# - ONE r10 registration (the standing new-code rule):
-#   kl_reweighted_mixture_docs — the unigram-KL→mixture-weights loop
-#   closer (r9 verdict item 6), 3-SF verified via tools/verify_oracle.py.
+# - THIRTEEN r4-era anchors (tests/test_registry.py::
+#   R11_ANCHOR_CANDIDATES — the r10 rotation's planned remainder; after
+#   this window no registry query's newest driver green predates r6):
+#   tpch_q1, tpch_q3_topk, the as-of/PIT family, sessionize_events,
+#   quantile_bin_orders, target_encode_events, hashed_cross_events,
+#   table_profile_orders.
 # - SIX changed-code pulls (function text touched this round, so their
-#   prior greens predate the shipped code): dim_correlation_topk_embeddings
-#   (shares _pairwise_moments' decimal partial sums),
-#   lsh_ann_topk / pq_ann_topk / ivf_ann_topk / ann_rerank_eval (the
-#   corpus-aware route-default signatures; ivf also gained the
-#   partial-agg assignment fold), and tfidf_doc_similarity_topk
-#   (registered onto the rank-bounded posting cap — code AND oracle
-#   changed).
-# - THIRTY-THREE anchors from the FRONT of
-#   tests/test_registry.py::R10_ANCHOR_CANDIDATES (newest driver green
-#   r4 — the oldest hard signal in the registry); the remaining 13
-#   (tpch_q1 through table_profile_orders) roll to the r11 anchor pool.
+#   prior greens predate the shipped code): lsh_ann_topk / pq_ann_topk /
+#   ann_rerank_eval (pin_concurrent now runs builders on
+#   InheritableThread with fail-fast job-group cancel; bit-identical
+#   pins), ivf_ann_topk (ivf_topk/ivf_build gained the shared-count
+#   n_corpus parameter, as did lsh_topk/pq_topk_rerank),
+#   tfidf_doc_similarity_topk (max_postings now DEFAULTS to the
+#   corpus-aware max(64, n//1000) plan-side cap — code AND oracle
+#   changed), and ml_brp_ann_topk (docstring-only: records the measured
+#   decision NOT to pin — exchange reuse already deduplicates its brute
+#   subtree; pulled anyway under the changed-code rule).
+# - THIRTY-ONE anchors from the FRONT of tests/test_registry.py::
+#   R11_R6_POOL (the 45 queries whose newest driver green is r6 — the
+#   oldest signal once the r4 anchors above land); the remaining 14
+#   (running_revenue through index_encode_event_types) roll to r12.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # R10_WINDOW_QUEUE — all 10, registration order (never driver-checked)
-    "item_item_cosine_topk",
-    "readability_docs",
-    "best_split_daily_value",
-    "layout_pruning_audit_orders",
-    "pca_power_embeddings",
-    "rake_keyphrases_docs",
-    "isotonic_calibration_embeddings",
-    "forecast_backtest_daily_value",
-    "unigram_kl_sources_docs",
-    "stl_anomaly_days_value",
-    # r10 registration — new operators enter the window immediately
-    "kl_reweighted_mixture_docs",
+    # R11_ANCHOR_CANDIDATES — all 13 r4-era greens, registry order
+    "tpch_q1",
+    "tpch_q3_topk",
+    "asof_events_orders",
+    "asof_events_orders_bucketed",
+    "asof_events_orders_auto",
+    "sessionize_events",
+    "training_set_pit",
+    "training_set_pit_bucketed",
+    "training_set_pit_auto",
+    "quantile_bin_orders",
+    "target_encode_events",
+    "hashed_cross_events",
+    "table_profile_orders",
     # changed-code pulls (function text touched this round)
-    "dim_correlation_topk_embeddings",
     "lsh_ann_topk",
-    "pq_ann_topk",
     "ivf_ann_topk",
+    "pq_ann_topk",
     "ann_rerank_eval",
     "tfidf_doc_similarity_topk",
-    # anchors — R10_ANCHOR_CANDIDATES front, registry order (r4 greens)
-    "text_stats",
-    "dedup_exact_docs",
-    "minhash_candidate_pairs",
-    "incremental_minhash_pairs",
-    "simhash_docs",
-    "simhash_near_pairs",
-    "ngram_jaccard_pairs",
-    "cosine_topk",
-    "multimodal_decode",
-    "windowed_user_counts",
-    "ml_tfidf_vectors",
-    "ml_minhash_near_dup",
     "ml_brp_ann_topk",
-    "pack_sequences_docs",
-    "token_mixture_sample_docs",
-    "corpus_curation_pipeline",
-    "near_dup_clusters",
-    "bloom_prune_lineitem",
-    "merge_upsert_orders",
-    "audio_decode_stats",
-    "video_frame_stats",
-    "image_resize_stats",
-    "psi_order_price_drift",
-    "tpch_q13_like",
-    "tpch_q17_like",
-    "tpch_q22_like",
-    "tpch_q11_like",
-    "tpch_q16_like",
-    "tpch_q21_like",
-    "tpch_q2_like",
-    "tpch_q8_like",
-    "tpch_q9_like",
-    "tpch_q20_like",
+    # anchors — R11_R6_POOL front, registry order (r6 greens)
+    "language_id",
+    "doc_quality_scores",
+    "image_phash_dup_groups",
+    "audio_afp_dup_groups",
+    "chunk_documents",
+    "cosine_topk_blas",
+    "scrub_pii_docs",
+    "decontaminate_docs",
+    "decayed_user_spend",
+    "lm_quality_score_docs",
+    "merge_upsert_orders_evolve",
+    "rollup_lineitem",
+    "pivot_event_values",
+    "unpivot_lineitem",
+    "tpch_q6",
+    "tpch_q5_like",
+    "tpch_q12_like",
+    "tpch_q10_like",
+    "order_price_rank_stats",
+    "rolling_hour_user_spend",
+    "scan_filter_project",
+    "iqr_outlier_summary",
+    "quality_null_dup_stats",
+    "topk_latest_events",
+    "latest_event_per_user",
+    "customer_order_counts",
+    "semi_join_customers",
+    "anti_join_customers",
+    "asof_events_orders_stale30d",
+    "asof_prev_order",
+    "band_join_price_tiers",
 )
 
 

@@ -940,7 +940,17 @@ def q_ml_brp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by a BOUNDED-QUALITY oracle: recall@5 against the exact
     brute-force Euclidean top-k (computed here — corpus scan × broadcast
     queries, the cosine_topk shape) must clear 0.9; measured 0.98 at
-    sf0.01 / 0.94 at sf0.001 with seed 42."""
+    sf0.01 / 0.94 at sf0.001 with seed 42.
+
+    Deliberately UN-pinned (the r10 fold-in list suggested the
+    lsh_ann_topk concurrent-pin shape here, but the measured A/B says
+    no): this plan keeps exact + approx in ONE job, where Spark's
+    exchange reuse already deduplicates the brute subtree
+    (ReusedExchange=1 on the executed plan — no double execution to
+    save), so the pins only add two collect barriers — 2.0 s pinned vs
+    1.21 s un-pinned best-of-3 at sf0.1. lsh_ann_topk differs because
+    its routes carry DRIVER-EAGER plan-build work that serializes ahead
+    of any job; BRP's fit is cheap."""
     from pyspark.sql.window import Window
 
     from .operators import mlfeatures
@@ -5541,7 +5551,7 @@ def q_did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY term
                                   ORDER BY tf DESC, id ASC) AS pr
         FROM w
-      ) WHERE pr <= 64
+      ), n WHERE pr <= GREATEST(64, nd // 1000)
     ),
     dots AS (
       SELECT qid, id, CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
@@ -5569,13 +5579,13 @@ def q_tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF document-to-document top-5 via an inverted-index
     join: 10 query docs' term vectors broadcast against the corpus —
     topical-twin retrieval with exact decimal dot products. Registered
-    WITH the r10 rank-bounded posting cap (top-64 per term by tf, id
-    tiebreak — the dense-vocab fan-out bound; see tfidf_doc_topk) so the
-    driver checks the capped path the 100 TB plan actually runs."""
+    on the r11 CORPUS-AWARE default posting cap (top-max(64, n//1000)
+    per term by tf, id tiebreak — computed plan-side from the broadcast
+    n_docs scalar; see tfidf_doc_topk) so the driver checks exactly the
+    auto-capped path the 100 TB plan runs; the oracle mirrors the same
+    formula."""
     docs = read_table(spark, sf_dir, "documents")
-    return text.tfidf_doc_topk(
-        docs, "doc_id", "text", list(range(10)), k=5, max_postings=64
-    )
+    return text.tfidf_doc_topk(docs, "doc_id", "text", list(range(10)), k=5)
 
 
 @register(

@@ -157,6 +157,7 @@ def lsh_topk(
     k: int = 10,
     n_planes: int | None = None,
     n_tables: int | None = None,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing an LSH bucket
     with the query in ANY of ``n_tables`` hash tables. Inexact (recall < 1)
@@ -167,9 +168,14 @@ def lsh_topk(
     :func:`auto_lsh_params` (which documents the policy); auto-sizing
     costs ONE ``corpus.count()`` action at plan build — pass both
     explicitly to keep the build lazy (the registered oracle queries do,
-    pinning their measured recall floors)."""
+    pinning their measured recall floors), or pass ``n_corpus`` when the
+    caller already knows the corpus size (a multi-route harness counts
+    once and shares it — r10 VERDICT: three auto routes over one corpus
+    were paying three identical count scans)."""
     if n_planes is None or n_tables is None:
-        auto_p, auto_t = auto_lsh_params(corpus.count(), k)
+        auto_p, auto_t = auto_lsh_params(
+            corpus.count() if n_corpus is None else int(n_corpus), k
+        )
         n_planes = auto_p if n_planes is None else n_planes
         n_tables = auto_t if n_tables is None else n_tables
     def with_buckets(df: DataFrame, id_col: str) -> DataFrame:
@@ -239,6 +245,7 @@ def ivf_build(
     n_cells: int | None = 16,
     seed: int = 42,
     train_fraction: float | None = None,
+    n_corpus: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build a persistable IVF index over an embedding corpus: returns
     ``(centroids, inverted_lists)`` — two plain DataFrames a pipeline
@@ -252,7 +259,8 @@ def ivf_build(
     no MLlib model object to serialize.
 
     ``n_cells=None`` sizes the index from the corpus via
-    :func:`auto_ivf_params` (one extra ``count()`` action at build) and
+    :func:`auto_ivf_params` (one extra ``count()`` action at build —
+    skipped when the caller passes a known ``n_corpus``) and
     fits the quantizer on a ~100·n_cells-vector sample — at √n cells a
     full-corpus KMeans fit would dominate the build, and the coarse
     quantizer only needs enough points per cell to place centers.
@@ -274,7 +282,7 @@ def ivf_build(
     spark = corpus.sparkSession
     cn = _normalized(corpus.select(F.col(corpus_id), F.col(vec_col)), vec_col)
     if n_cells is None:
-        n = corpus.count()
+        n = corpus.count() if n_corpus is None else int(n_corpus)
         n_cells, _ = auto_ivf_params(n)
         if train_fraction is None and n > 100 * n_cells:
             train_fraction = (100.0 * n_cells) / n
@@ -352,6 +360,7 @@ def ivf_topk(
     nprobe: int | None = None,
     seed: int = 42,
     train_fraction: float | None = None,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k by cosine: the other classic
     scale path next to :func:`lsh_topk` — :func:`ivf_build` +
@@ -359,9 +368,11 @@ def ivf_topk(
 
     ``n_cells``/``nprobe`` default to CORPUS-AWARE sizing via
     :func:`auto_ivf_params` (√n cells, ~1.6 % candidate volume — see
-    there for the policy; one ``corpus.count()`` action at plan build).
-    Pass both explicitly to keep the build lazy and full-fit (the
-    registered oracle queries do, pinning their measured behavior).
+    there for the policy; one ``corpus.count()`` action at plan build,
+    skipped when ``n_corpus`` is passed — shared-count rule, see
+    :func:`lsh_topk`). Pass both explicitly to keep the build lazy and
+    full-fit (the registered oracle queries do, pinning their measured
+    behavior).
 
     Both sides are L2-normalized so Euclidean cell geometry matches cosine
     ranking; a KMeans coarse quantizer (MLlib, fit on an optional sample)
@@ -378,7 +389,7 @@ def ivf_topk(
     per-batch.
     """
     if n_cells is None or nprobe is None:
-        n = corpus.count()
+        n = corpus.count() if n_corpus is None else int(n_corpus)
         auto_c, auto_p = auto_ivf_params(n)
         if n_cells is None:
             n_cells = auto_c
@@ -1514,6 +1525,7 @@ def pq_topk_rerank(
     m: int = 16,
     k_codes: int = 16,
     shortlist: int | None = None,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """PQ ANN with EXACT RE-RANK — the production shape (Jégou et al.
     2011 §V): ADC scores the whole corpus through the code index to a
@@ -1534,7 +1546,8 @@ def pq_topk_rerank(
     its top percentile, not its top hundred. Auto-sizing costs ONE
     ``corpus.count()`` action at plan build — pass ``shortlist``
     explicitly to keep the build lazy (the registered oracle queries do,
-    pinning their measured recall floors).
+    pinning their measured recall floors), or ``n_corpus`` when the size
+    is already known (shared-count rule, see :func:`lsh_topk`).
 
     Scale shape: stage 1 is :func:`pq_query` (codes-only scan, broadcast
     tables, one top-shortlist shuffle); stage 2 joins the shortlist ids
@@ -1542,7 +1555,8 @@ def pq_topk_rerank(
     one semi-join-shaped probe — and re-ranks with one per-query window.
     """
     if shortlist is None:
-        shortlist = max(100, 20 * int(k), int(math.ceil(0.01 * corpus.count())))
+        n = corpus.count() if n_corpus is None else int(n_corpus)
+        shortlist = max(100, 20 * int(k), int(math.ceil(0.01 * n)))
     codebook, codes = pq_build(
         corpus, corpus_id=corpus_id, vec_col=vec_col, m=m, k_codes=k_codes
     )

@@ -9,9 +9,14 @@ remaining queue names (R9_WINDOW_QUEUE) plus the r9 registrations and
 changed-code pulls — 50/50 green in CORRECTNESS_r09.json.
 Round-10 rotation (VERDICT r9 item 1): the 10-name never-checked queue
 (R10_WINDOW_QUEUE) first, then the single r10 registration (NEW_IN_R10)
-and five changed-code pulls (CHANGED_IN_R10), then 34 stale r4-era
-anchors from R10_ANCHOR_CANDIDATES' front; the 12-name tail is the r11
-anchor pool."""
+and five changed-code pulls (CHANGED_IN_R10), then 33 stale r4-era
+anchors from R10_ANCHOR_CANDIDATES' front — 50/50 green in
+CORRECTNESS_r10.json; cumulatively every registered query has a
+driver-green row. Round-11 rotation (VERDICT r10 item 1): pure
+provenance refresh — the 13-name r4-era tail (R11_ANCHOR_CANDIDATES)
+first, then six changed-code pulls (CHANGED_IN_R11), then 31 of the 45
+r6-era greens (R11_R6_POOL front); the 14-name tail is the r12 anchor
+pool."""
 
 from __future__ import annotations
 
@@ -233,23 +238,18 @@ CHANGED_IN_R10 = [
 ]
 
 
-def test_round10_rotation_policy_is_the_window():
-    # r9 verdict item 1: the whole 10-name queue first, then the new
-    # registration and changed-code pulls, then 33 anchors from the
-    # R10_ANCHOR_CANDIDATES front (the r4-era greens); the remaining 13
-    # anchors roll to r11.
-    expected = (
-        R10_WINDOW_QUEUE
-        + NEW_IN_R10
-        + CHANGED_IN_R10
-        + [n for n in R10_ANCHOR_CANDIDATES if n not in CHANGED_IN_R10][:33]
-    )
-    assert list(DRIVER_WINDOW) == expected
+# R10_DRIVER_WINDOW (the round-10 window exactly as it went 50/50
+# driver-green in CORRECTNESS_r10.json — the R8/R9_DRIVER_WINDOW
+# pattern) is defined below R10_ANCHOR_CANDIDATES, which it derives from.
+
+
+def test_round10_rotation_provenance():
+    assert len(R10_DRIVER_WINDOW) == 50
     # debt-zero criterion: every name ever registered without a driver
-    # green is covered by some window through this one
-    assert set(R10_WINDOW_QUEUE) <= set(DRIVER_WINDOW)
+    # green was covered by some window through r10
+    assert set(R10_WINDOW_QUEUE) <= set(R10_DRIVER_WINDOW)
     oracles = oracle_registry()
-    assert all(n in oracles for n in DRIVER_WINDOW)
+    assert all(n in oracles for n in R10_DRIVER_WINDOW)
 
 
 
@@ -436,21 +436,32 @@ R10_ANCHOR_CANDIDATES = [
     n for n in R9_ANCHOR_CANDIDATES if n not in CHANGED_IN_R9
 ]
 
+# Provenance: the round-10 window exactly as it went 50/50 driver-green
+# in CORRECTNESS_r10.json (the R8/R9_DRIVER_WINDOW pattern).
+R10_DRIVER_WINDOW = (
+    R10_WINDOW_QUEUE
+    + NEW_IN_R10
+    + CHANGED_IN_R10
+    + [n for n in R10_ANCHOR_CANDIDATES if n not in CHANGED_IN_R10][:33]
+)
+
 
 def test_r10_anchor_pool_consumed_from_the_front():
     assert len(R10_ANCHOR_CANDIDATES) == 46
     assert R10_ANCHOR_CANDIDATES[0] == "text_stats"
     names = set(query_registry())
     assert set(R10_ANCHOR_CANDIDATES) <= names
-    # the r10 window refreshes the pool's FIRST 33 names (registry
-    # order); the 13-name tail rolls to r11 (tpch_q1 was displaced by
+    # the r10 window refreshed the pool's FIRST 33 names (registry
+    # order); the 13-name tail rolled to r11 (tpch_q1 was displaced by
     # the ivf_ann_topk changed-code pull and leads the r11 pool)
-    assert set(R10_ANCHOR_CANDIDATES[:33]) <= set(DRIVER_WINDOW)
-    assert not set(R10_ANCHOR_CANDIDATES[33:]) & set(DRIVER_WINDOW)
+    assert set(R10_ANCHOR_CANDIDATES[:33]) <= set(R10_DRIVER_WINDOW)
+    assert not set(R10_ANCHOR_CANDIDATES[33:]) & set(R10_DRIVER_WINDOW)
 
 
-# The r11 anchor pool: the unrotated tail — after the r10 window lands,
-# the ONLY registry queries whose newest driver green predates r6.
+# The r11 anchor pool: the unrotated tail — after the r10 window landed
+# (50/50 green), the ONLY registry queries whose newest driver green
+# predates r6. The r11 window consumes ALL 13, finishing the refresh the
+# r9/r10 rotations started: no query's newest green older than r6.
 R11_ANCHOR_CANDIDATES = [
     n for n in R10_ANCHOR_CANDIDATES if n not in set(R10_ANCHOR_CANDIDATES[:33])
 ]
@@ -460,7 +471,99 @@ def test_r11_anchor_pool_is_the_unrotated_tail():
     assert len(R11_ANCHOR_CANDIDATES) == 13
     assert R11_ANCHOR_CANDIDATES[0] == "tpch_q1"
     assert R11_ANCHOR_CANDIDATES[-1] == "table_profile_orders"
-    assert not set(R11_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
+    assert set(R11_ANCHOR_CANDIDATES) <= set(DRIVER_WINDOW)
+
+
+# Function text touched in round 11 — their r10 greens predate the
+# shipped code: pin_concurrent rebuilt on InheritableThread with
+# fail-fast job-group cancellation (bit-identical pins, property-tested)
+# pulls its three consumers; the shared-count ``n_corpus`` parameter
+# landed on lsh_topk/ivf_build/ivf_topk/pq_topk_rerank (signature
+# additions — the registered queries pass explicit params, but changed
+# code is changed code); tfidf_doc_topk's ``max_postings`` now DEFAULTS
+# to the corpus-aware plan-side cap and the registered query + oracle
+# moved onto the auto default; ml_brp_ann_topk is docstring-only (the
+# measured do-NOT-pin finding) but pulled under the same rule.
+CHANGED_IN_R11 = [
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "pq_ann_topk",
+    "ann_rerank_eval",
+    "tfidf_doc_similarity_topk",
+    "ml_brp_ann_topk",
+]
+
+# The 45 registry queries whose newest driver green is r6 (reconstructed
+# from CORRECTNESS_r0{1..10}.json exactly like the r7/r9 ledgers) — the
+# oldest hard signal once the r4-era anchors above land. Registry order.
+# r11 consumes the FIRST 31; the 14-name tail is the r12 anchor pool.
+R11_R6_POOL = [
+    "language_id",
+    "doc_quality_scores",
+    "image_phash_dup_groups",
+    "audio_afp_dup_groups",
+    "chunk_documents",
+    "cosine_topk_blas",
+    "scrub_pii_docs",
+    "decontaminate_docs",
+    "decayed_user_spend",
+    "lm_quality_score_docs",
+    "merge_upsert_orders_evolve",
+    "rollup_lineitem",
+    "pivot_event_values",
+    "unpivot_lineitem",
+    "tpch_q6",
+    "tpch_q5_like",
+    "tpch_q12_like",
+    "tpch_q10_like",
+    "order_price_rank_stats",
+    "rolling_hour_user_spend",
+    "scan_filter_project",
+    "iqr_outlier_summary",
+    "quality_null_dup_stats",
+    "topk_latest_events",
+    "latest_event_per_user",
+    "customer_order_counts",
+    "semi_join_customers",
+    "anti_join_customers",
+    "asof_events_orders_stale30d",
+    "asof_prev_order",
+    "band_join_price_tiers",
+    "running_revenue",
+    "lag_lead_events",
+    "set_ops_summary",
+    "json_props_extract",
+    "doc_fingerprints",
+    "backfill_snapshots",
+    "incremental_distinct_users_per_type",
+    "robust_scale_orders",
+    "target_encode_oof_events",
+    "jsd_event_type_drift",
+    "standard_scale_events",
+    "group_scale_events",
+    "winsorize_orders",
+    "index_encode_event_types",
+]
+
+# The r12 anchor pool: the unconsumed r6-green tail.
+R12_ANCHOR_CANDIDATES = R11_R6_POOL[31:]
+
+
+def test_round11_rotation_policy_is_the_window():
+    # r10 verdict item 1: ALL 13 r4-era anchors first (finishing the
+    # provenance refresh), then the changed-code pulls, then 31 r6-era
+    # anchors from the R11_R6_POOL front; the 14-name tail rolls to r12.
+    expected = R11_ANCHOR_CANDIDATES + CHANGED_IN_R11 + R11_R6_POOL[:31]
+    assert list(DRIVER_WINDOW) == expected
+    assert len(R11_R6_POOL) == 45
+    assert len(R12_ANCHOR_CANDIDATES) == 14
+    assert R12_ANCHOR_CANDIDATES[0] == "running_revenue"
+    assert R12_ANCHOR_CANDIDATES[-1] == "index_encode_event_types"
+    assert not set(R12_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
+    names = set(query_registry())
+    assert set(R11_R6_POOL) <= names
+    oracles = oracle_registry()
+    assert all(n in oracles for n in DRIVER_WINDOW)
 
 
 def test_r9_anchor_candidates_all_still_registered():

@@ -1205,6 +1205,36 @@ def test_pin_concurrent_propagates_builder_errors(spark):
     assert pin_concurrent({}) == {}
 
 
+def test_ann_routes_share_caller_supplied_corpus_count(spark, corpus):
+    """n_corpus pass-through (r11): auto-sizing must not run its own
+    count() action when the caller already knows the corpus size — a
+    multi-route harness counts once and shares — and the shared-count
+    path must produce exactly the self-counted result."""
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = corpus.count()
+    self_counted = sorted(
+        map(tuple, similarity.lsh_topk(queries, corpus, k=3, dim=DIM).collect())
+    )
+    # a count() on this frame now trips the assertion — n_corpus must
+    # keep every auto-sized route's plan build count-free
+    guarded = corpus.alias("guarded")
+    guarded.count = lambda: pytest.fail("auto-sizing ran its own count()")
+    shared = sorted(
+        map(
+            tuple,
+            similarity.lsh_topk(queries, guarded, k=3, dim=DIM, n_corpus=n).collect(),
+        )
+    )
+    assert shared == self_counted
+    for route, kwargs in (
+        (similarity.ivf_topk, {}),
+        (similarity.pq_topk_rerank, {"m": 8, "k_codes": 8}),
+    ):
+        assert route(queries, guarded, k=3, n_corpus=n, **kwargs).count() > 0
+
+
 def test_pin_concurrent_builders_inherit_local_properties(spark):
     """r10 ADVICE: builders must run on pyspark.InheritableThread — in the
     default pinned-thread mode a plain pool thread inherits NO SparkContext

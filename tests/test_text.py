@@ -721,6 +721,61 @@ def test_tfidf_doc_topk_posting_cap_bounds_dense_vocab(spark):
         assert r["cosine"] <= full[r["doc_id"]] + 1e-9  # pruned mass only shrinks dots
 
 
+def test_tfidf_doc_topk_auto_cap_is_default_lazy_and_binding(spark):
+    """r11 (r10 VERDICT item 3): max_postings defaults to the corpus-aware
+    max(64, n_docs // 1000) — computed PLAN-SIDE (no eager count action at
+    build), present in the default plan (the cap window + the broadcast
+    n_docs scalar), equal to an explicit 64 below 64k docs, and actually
+    binding on a >64-df term."""
+    from ml_feature_store_pipeline_spark.operators.text import tfidf_doc_topk
+
+    # 80 docs sharing the stop term 'the' (df=80 > 64; all tf=1, so the
+    # cap keeps ids 0..63 and prunes 64..79). Query doc 0 is pure "the";
+    # docs 64..79 are also pure "the" (cosine 1.0 — the uncapped BEST
+    # matches) while 1..63 carry an extra term (bigger norm, lower
+    # cosine) — so the cap visibly changes the top-10, not just the tail.
+    rows = [(i, "the" if i == 0 or i >= 64 else f"the w{i % 7}") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf-lazy-probe", "plan build must run no jobs")
+    try:
+        auto = tfidf_doc_topk(docs, "doc_id", "text", [0], k=10)
+        probe_jobs = sc.statusTracker().getJobIdsForGroup("tfidf-lazy-probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert list(probe_jobs) == [], "auto cap ran an eager action at plan build"
+
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "__ppr" in plan and "__nd" in plan, plan  # cap windows + n_docs scalar
+    uncapped_plan = (
+        tfidf_doc_topk(docs, "doc_id", "text", [0], k=10, max_postings=None)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "__ppr" not in uncapped_plan
+
+    got_auto = sorted(map(tuple, auto.collect()))
+    got_64 = sorted(
+        map(
+            tuple,
+            tfidf_doc_topk(
+                docs, "doc_id", "text", [0], k=10, max_postings=64
+            ).collect(),
+        )
+    )
+    assert got_auto == got_64  # auto == max(64, 80//1000) == 64 here
+    got_full = sorted(
+        map(
+            tuple,
+            tfidf_doc_topk(
+                docs, "doc_id", "text", [0], k=10, max_postings=None
+            ).collect(),
+        )
+    )
+    assert got_auto != got_full  # df=80 stop term: the 64-cap binds
+
+
 def test_tfidf_doc_topk_posting_cap_recall_floor(spark):
     """Moderate cap on a mixed corpus: the capped top-3 must recover most
     of the uncapped top-3 (recall >= 0.8 over 5 queries) — the graceful

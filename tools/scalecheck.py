@@ -1781,7 +1781,7 @@ def main() -> None:
                 METER.delta()
             t0 = time.time()
             gt_rows = _text.tfidf_doc_topk(
-                mixed, "doc_id", "text", list(range(10)), k=100
+                mixed, "doc_id", "text", list(range(10)), k=100, max_postings=None
             ).collect()
             log("tfidf_doc_topk_10q_zipfvocab_uncapped_k100", time.time() - t0, args.docs)
             gt10 = {(r["query_id"], r["doc_id"]) for r in gt_rows if r["rank"] <= 10}
@@ -2008,11 +2008,17 @@ def main() -> None:
                 if METER is not None:
                     METER.delta()
                 t0 = time.time()
+                # shared-count rule (r10 VERDICT item 4): the three auto
+                # routes size themselves from ONE corpus count instead of
+                # each running its own identical count scan at plan build
+                n_known = cdf.count()
                 agt = _pin(_sim.nonself_topk(_sim.cosine_topk(aq20, cdf, k=6), k=5))
                 aroutes = {
-                    "lsh": _sim.lsh_topk(aq20, cdf, k=6, dim=64),  # auto planes/tables
-                    "pq": _sim.pq_topk_rerank(aq20, cdf, k=6, m=16, k_codes=16),  # auto shortlist
-                    "ivf": _sim.ivf_topk(aq20, cdf, k=6),  # auto √n cells, sample fit
+                    "lsh": _sim.lsh_topk(aq20, cdf, k=6, dim=64, n_corpus=n_known),
+                    "pq": _sim.pq_topk_rerank(
+                        aq20, cdf, k=6, m=16, k_codes=16, n_corpus=n_known
+                    ),
+                    "ivf": _sim.ivf_topk(aq20, cdf, k=6, n_corpus=n_known),
                 }
                 aout = None
                 for vname, scored in aroutes.items():
