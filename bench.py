@@ -398,6 +398,12 @@ def _next_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+#: Best idle fresh-boot sentinel on record (r10 idle line, commit e3999f9):
+#: the denominator for ``sentinel_ratio`` in the output. Update only from a
+#: measured idle run, never downward from a lucky sample mid-suite.
+IDLE_SENTINEL = 0.124
+
+
 def _sentinel_sec(spark) -> float:
     """Fixed data-independent calibration query, best-of-2: ~0.1-0.3 s on
     an idle local[32] box; scales with box contention, not with the
@@ -478,6 +484,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sentinel_sec": sentinel,
+                # r10 verdict item 6: publish the box-state correction with
+                # the raw number. IDLE_SENTINEL is the best idle fresh-boot
+                # sentinel on record (r10, commit e3999f9); sentinel_ratio
+                # > ~1.1 means the BOX was loaded and value_sentinel_norm
+                # (value / ratio) is the fairer cross-round comparator —
+                # a first-order correction only, never a substitute for an
+                # idle re-run when one is possible.
+                "sentinel_ratio": round(sentinel / IDLE_SENTINEL, 3),
+                "value_sentinel_norm": round(total / max(sentinel / IDLE_SENTINEL, 1.0), 3),
                 "loadavg_start": loadavg_start,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "queries": timings,

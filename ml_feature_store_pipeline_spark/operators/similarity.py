@@ -237,6 +237,80 @@ def auto_ivf_params(n_corpus: int) -> tuple[int, int]:
     return n_cells, max(4, n_cells // 64)
 
 
+def _nearest_cells(
+    df: DataFrame,
+    centers: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    n_nearest: int = 1,
+    cell_ids: list[int] | None = None,
+) -> DataFrame:
+    """(id, vec) → (id, vec, cell) × n_nearest: the ``n_nearest`` closest
+    centroids per vector (squared-L2, ties to the lower cell id) via an
+    Arrow-batched BLAS kernel (``mapInPandas``), NOT a crossJoin.
+
+    The r11 2M-vector stress killed the declarative shape this replaces
+    in ``ivf_build`` — a ``crossJoin(broadcast(centroids))`` expansion
+    folded by ``min(struct(distance, cell))`` + ``first(vec)``:
+    struct-valued and variable-width aggregation buffers are not
+    HashAggregate-compatible, so Spark planned a SortAggregate whose
+    partial pass SORTS the full n·n_cells expansion (2.8 B rows each
+    dragging a 64-double vector at 2 M × √n cells ≈ 800 GB of sort
+    input) — the run died spilling the disk full. The old docstring had
+    priced the exchange (n rows — true) but not the pre-exchange sort
+    (n·n_cells rows — the actual bottleneck). ``ivf_query``'s probe
+    carried the same expansion through a per-query rank window.
+
+    Here no expansion ever materializes: each Arrow batch computes
+    ``|x|² − 2·X·Cᵀ + |c|²`` as one float64 matmul against the broadcast
+    (n_cells × dim) center matrix — the classic BLAS-3 nearest-centroid
+    kernel, O(batch·cells·dim) flops but O(batch·cells) memory, chunked
+    so the distance block stays ≤ ~32 MB even at the 65536-cell cap.
+    ``n_nearest == 1`` uses ``argmin`` (first minimum → lowest cell id,
+    the struct comparator's tiebreak); ``n_nearest > 1`` a STABLE argsort
+    prefix (same tie rule as the rank window it replaces: distance asc,
+    cell asc). ``cell_ids`` maps matrix row → cell id when centers come
+    from a DataFrame whose cell numbering may not be positional.
+    """
+    import numpy as np
+
+    id_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
+    vec_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[vec_col]
+    out_schema = f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, cell int"
+    c_mat = np.asarray(centers, dtype="float64")  # (n_cells, dim)
+    c_sq = (c_mat * c_mat).sum(axis=1)  # (n_cells,)
+    ids = np.asarray(
+        cell_ids if cell_ids is not None else range(len(centers)), dtype="int32"
+    )
+    nn = min(int(n_nearest), len(centers))
+    # chunk rows so the (rows × n_cells) float64 distance block is ~32 MB
+    chunk = max(1, (4 << 20) // max(len(centers), 1))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype="float64")  # (b, dim)
+            cells = np.empty((len(pdf), nn), dtype="int32")
+            for lo in range(0, len(pdf), chunk):
+                xb = x[lo : lo + chunk]
+                d = (xb * xb).sum(axis=1, keepdims=True) - 2.0 * (xb @ c_mat.T) + c_sq
+                if nn == 1:
+                    cells[lo : lo + chunk, 0] = ids[np.argmin(d, axis=1)]
+                else:
+                    cells[lo : lo + chunk] = ids[
+                        np.argsort(d, axis=1, kind="stable")[:, :nn]
+                    ]
+            out = pdf[[id_col, vec_col]].iloc[
+                np.repeat(np.arange(len(pdf)), nn)
+            ].copy()
+            out["cell"] = cells.ravel()
+            yield out
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(assign, out_schema)
+
+
 def ivf_build(
     corpus: DataFrame,
     *,
@@ -267,15 +341,14 @@ def ivf_build(
     Explicit ``n_cells`` keeps the original full-fit behavior (the
     registered oracle queries pass it, pinning their results).
 
-    The assignment pass is a broadcast cross product folded by a
-    map-side-combinable ``min(struct(distance, cell))`` aggregate — NOT
-    a per-row window: a window's required hash distribution would
-    shuffle all n·n_cells expanded rows (2.8 B at 2 M × √n), while the
-    partial min collapses each vector's fan-out inside its input
-    partition, so the single exchange carries n rows. ``first(vec)`` is
-    safe in the aggregate — the vector is functionally dependent on the
-    id. The struct comparator breaks distance ties on the lower cell id,
-    deterministically."""
+    The assignment pass is an Arrow-batched BLAS argmin against the
+    broadcast center matrix (:func:`_assign_nearest_cell`) — zero
+    shuffle, zero expansion. It replaced a crossJoin +
+    ``min(struct(distance, cell))`` fold whose partial aggregate Spark
+    had to plan as a SortAggregate (struct buffers aren't
+    hash-aggregable), sorting the full n·n_cells expansion — measured
+    fatal at 2 M × 1414 cells (r11; see the helper's docstring).
+    Distance ties break on the lower cell id either way."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -293,21 +366,13 @@ def ivf_build(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, center array<double>",
     )
-    # inverted lists: each corpus vector → its nearest centroid's cell
-    assigned = (
-        cn.crossJoin(F.broadcast(cent))
-        .select(
-            F.col(corpus_id),
-            F.col(vec_col),
-            F.struct(
-                _l2sq(F.col(vec_col), F.col("center")).alias("d"),
-                F.col("cell").alias("cell"),
-            ).alias("__dc"),
-        )
-        .groupBy(corpus_id)
-        .agg(F.min("__dc").alias("__m"), F.first(vec_col).alias("__cv"))
-        .select(corpus_id, "__cv", F.col("__m.cell").alias("cell"))
-    )
+    # inverted lists: each corpus vector → its nearest centroid's cell,
+    # via the BLAS argmin kernel (see _nearest_cells for why the former
+    # crossJoin + min(struct) fold was a SortAggregate scale-killer)
+    assigned = _nearest_cells(
+        cn, [[float(x) for x in c] for c in model.clusterCenters()],
+        id_col=corpus_id, vec_col=vec_col,
+    ).select(corpus_id, F.col(vec_col).alias("__cv"), "cell")
     return cent, assigned
 
 
@@ -324,17 +389,26 @@ def ivf_query(
 ) -> DataFrame:
     """Probe a prebuilt IVF index (:func:`ivf_build`, possibly read back
     from parquet): each query scores only the inverted lists of its
-    ``nprobe`` nearest centroids. Centroids broadcast (n_cells×dim driver
-    floats); the only shuffle is the final per-query top-k."""
+    ``nprobe`` nearest centroids. Centroids are COLLECTED to the driver
+    (n_cells × dim floats — index metadata, bounded by the 65536-cell
+    cap; the pin_local "small by contract" class) and probed via the
+    same zero-expansion BLAS kernel as the build (:func:`_nearest_cells`
+    — the former crossJoin + per-query rank window shuffled and sorted
+    the |queries|·n_cells expansion, the r11 SortAggregate lesson's
+    window-shaped twin). The only shuffle left is the final per-query
+    top-k."""
     qn = _normalized(queries.select(F.col(query_id), F.col(vec_col)), vec_col)
-    qw = Window.partitionBy(query_id).orderBy(F.asc("__d"), F.asc("cell"))
-    probes = (
-        qn.crossJoin(F.broadcast(centroids))
-        .withColumn("__d", _l2sq(F.col(vec_col), F.col("center")))
-        .withColumn("__r", F.row_number().over(qw))
-        .filter(F.col("__r") <= nprobe)
-        .select(query_id, F.col(vec_col).alias("__qv"), "cell")
-    )
+    # row order sorted by cell id so the stable-argsort tiebreak matches
+    # the (distance asc, cell asc) rank-window rule this replaces
+    crows = sorted(centroids.select("cell", "center").collect(), key=lambda r: r["cell"])
+    probes = _nearest_cells(
+        qn,
+        [[float(x) for x in r["center"]] for r in crows],
+        id_col=query_id,
+        vec_col=vec_col,
+        n_nearest=nprobe,
+        cell_ids=[int(r["cell"]) for r in crows],
+    ).select(query_id, F.col(vec_col).alias("__qv"), "cell")
     scored = probes.join(inverted_lists, "cell").select(
         query_id,
         corpus_id,

@@ -1151,15 +1151,19 @@ def test_ivf_topk_auto_defaults_run_and_keep_self(spark, corpus):
     assert firsts == {0: 0, 1: 1, 2: 2}
 
 
-def test_ivf_assignment_is_partial_agg_not_window(spark, corpus):
-    """The r10 assignment refactor: the inverted-list build must fold the
-    n_cells fan-out with a map-side-combinable min aggregate — a Window
-    in the plan means the n·n_cells expanded rows shuffle again."""
+def test_ivf_assignment_is_zero_expansion_blas_kernel(spark, corpus):
+    """r11 assignment refactor: the inverted-list build must contain NO
+    n·n_cells expansion at all — the r10 crossJoin + min(struct) fold
+    planned a SortAggregate (struct buffers aren't hash-aggregable) that
+    sorted the full expansion and died spilling at 2 M × 1414 cells. The
+    plan must be one Arrow-batched MapInPandas over the corpus scan:
+    no Window, no sort-based aggregate, no join, no exchange."""
     _, assigned = similarity.ivf_build(corpus, n_cells=8)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert "Window" not in final, final
-    assert "HashAggregate" in final or "ObjectHashAggregate" in final or "SortAggregate" in final
+    assert "MapInPandas" in final, final
+    for bad in ("Window", "SortAggregate", "CartesianProduct", "Join", "Exchange"):
+        assert bad not in final, (bad, final)
 
 
 def test_pin_concurrent_matches_sequential_pins(spark, corpus):
@@ -1203,6 +1207,57 @@ def test_pin_concurrent_propagates_builder_errors(spark):
     with pytest.raises(ValueError, match="route build failed"):
         pin_concurrent({"bad": boom})
     assert pin_concurrent({}) == {}
+
+
+def test_nearest_cells_blas_kernel_matches_brute_force(spark):
+    """r11: the BLAS mapInPandas nearest-centroid kernel (which replaced
+    the SortAggregate-fatal crossJoin folds in ivf_build/ivf_query) must
+    reproduce exact brute-force assignment — including the tie rules:
+    argmin → lowest cell id at n_nearest=1, stable (distance, cell)
+    order for the top-nprobe prefix — and honor non-positional cell ids."""
+    from ml_feature_store_pipeline_spark.operators.similarity import _nearest_cells
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(7, 4)).astype("float64")
+    # duplicate center 5 onto row 6 → rows 5/6 tie exactly on every vector
+    centers[6] = centers[5]
+    vecs = rng.normal(size=(25, 4)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(25)],
+        "vid long, embedding array<double>",
+    )
+
+    def brute(v, nn):
+        d = ((centers - v) ** 2).sum(axis=1)
+        return [c for _, c in sorted((float(d[c]), c) for c in range(7))[:nn]]
+
+    one = {
+        r["vid"]: r["cell"]
+        for r in _nearest_cells(df, centers.tolist(), id_col="vid", vec_col="embedding").collect()
+    }
+    assert one == {i: brute(vecs[i], 1)[0] for i in range(25)}
+
+    got3 = {}
+    rows = _nearest_cells(
+        df, centers.tolist(), id_col="vid", vec_col="embedding", n_nearest=3
+    ).collect()
+    for r in rows:
+        got3.setdefault(r["vid"], []).append(r["cell"])
+    assert {k: sorted(v) for k, v in got3.items()} == {
+        i: sorted(brute(vecs[i], 3)) for i in range(25)
+    }
+    # any vector nearest the duplicated center must pick cell 5, never 6
+    assert all(c != 6 for c in one.values())
+
+    # non-positional cell ids: rows relabeled 10..16 map through cell_ids
+    relabeled = {
+        r["vid"]: r["cell"]
+        for r in _nearest_cells(
+            df, centers.tolist(), id_col="vid", vec_col="embedding",
+            cell_ids=[10, 11, 12, 13, 14, 15, 16],
+        ).collect()
+    }
+    assert relabeled == {k: v + 10 for k, v in one.items()}
 
 
 def test_ann_routes_share_caller_supplied_corpus_count(spark, corpus):
