@@ -272,6 +272,9 @@ def _nearest_cells(
     prefix (same tie rule as the rank window it replaces: distance asc,
     cell asc). ``cell_ids`` maps matrix row → cell id when centers come
     from a DataFrame whose cell numbering may not be positional.
+    Measured at 2 M × 1414 cells: the assignment materializes in 49.6 s
+    with zero spill, where the old fold died after ~28 min having filled
+    ~80 GB of disk with sort spills (SCALE.md r11).
     """
     import numpy as np
 
