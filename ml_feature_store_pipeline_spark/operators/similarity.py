@@ -458,7 +458,9 @@ def ivf_topk(
     probes everything and is EXACTLY :func:`cosine_topk` (property-tested).
 
     Scale shape: centroids are n_cells×dim driver-side floats broadcast to
-    executors — assignment and probing are narrow broadcast joins; the only
+    executors — assignment and probing run through the zero-expansion BLAS
+    kernel (:func:`_nearest_cells`; r11 — the former declarative folds
+    planned SortAggregates over the n·n_cells expansion); the only
     shuffle is the final per-query top-k. Candidate volume per query is
     ~``nprobe/n_cells`` of the corpus. For repeated query batches against
     one corpus, persist :func:`ivf_build`'s output and call
