@@ -295,6 +295,10 @@ def _nearest_cells(
             if not len(pdf):
                 continue
             x = np.asarray(pdf[vec_col].tolist(), dtype="float64")  # (b, dim)
+            # NULL vectors (e.g. _normalized's zero-norm rows) are dropped
+            # BEFORE this via isNotNull below — they can never score
+            # (cosine against them is NULL), and the old fold made them
+            # invisible the slow way (NULL distance sorts last)
             cells = np.empty((len(pdf), nn), dtype="int32")
             for lo in range(0, len(pdf), chunk):
                 xb = x[lo : lo + chunk]
@@ -311,7 +315,11 @@ def _nearest_cells(
             out["cell"] = cells.ravel()
             yield out
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(assign, out_schema)
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(assign, out_schema)
+    )
 
 
 def ivf_build(

@@ -1249,6 +1249,21 @@ def test_nearest_cells_blas_kernel_matches_brute_force(spark):
     # any vector nearest the duplicated center must pick cell 5, never 6
     assert all(c != 6 for c in one.values())
 
+    # zero vectors: _normalized yields NULL for them; the kernel must drop
+    # those rows (they can never score — cosine against NULL is NULL)
+    # instead of crashing numpy on a None entry
+    from ml_feature_store_pipeline_spark.operators.similarity import _normalized
+
+    with_zero = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vid long, embedding array<double>",
+    )
+    survived = _nearest_cells(
+        _normalized(with_zero, "embedding"), centers.tolist(),
+        id_col="vid", vec_col="embedding",
+    ).collect()
+    assert [r["vid"] for r in survived] == [0]
+
     # non-positional cell ids: rows relabeled 10..16 map through cell_ids
     relabeled = {
         r["vid"]: r["cell"]
