@@ -78,9 +78,9 @@ def pin_local(df):
     WITHOUT AQE (measured 3-5× slower on the ANN eval routes, r9).
     A LocalRelation keeps AQE everywhere and the rows become plan
     literals. Driver cost is the collect — callers own the "small by
-    contract" argument. (quality.py / operators/windows.py carry older
-    inline copies of this idiom — fold them into pin_local when their
-    queries next rotate through a verification window.)
+    contract" argument. (The former inline copies in quality.py /
+    operators/windows.py were folded in here in r12, so their builder
+    plans sit under the ``_PIN_PLAN_SINK`` audit too.)
 
     When NOT to pin (r11, measured): if the repeated subtree already
     sits under ONE job, Spark's exchange reuse deduplicates it for free
@@ -166,10 +166,15 @@ def pin_concurrent(builders):
                 except Exception:  # noqa: BLE001 — cancel is best-effort
                     pass
 
-    prev_group = prev_desc = None
+    prev_group = prev_desc = prev_interrupt = None
     if sc is not None:
         prev_group = sc.getLocalProperty("spark.jobGroup.id")
         prev_desc = sc.getLocalProperty("spark.job.description")
+        # setJobGroup(..., True) also flips spark.job.interruptOnCancel on
+        # this thread's local properties; restore it too, or a later
+        # cancel of the CALLER's own restored job group would interrupt
+        # its tasks (r11 ADVICE)
+        prev_interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
         sc.setJobGroup(group, f"pin_concurrent({len(items)} builds)", True)
     threads = [
         InheritableThread(run, name=f"pin-{name}", args=(name, fn))
@@ -184,6 +189,7 @@ def pin_concurrent(builders):
         if sc is not None:
             sc.setLocalProperty("spark.jobGroup.id", prev_group)
             sc.setLocalProperty("spark.job.description", prev_desc)
+            sc.setLocalProperty("spark.job.interruptOnCancel", prev_interrupt)
     if failures:
         raise failures[0][1]
     return {name: results[name] for name, _ in items}

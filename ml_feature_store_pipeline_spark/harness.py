@@ -45,87 +45,82 @@ def _ensure_loaded() -> None:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries, so the
-# registry is emitted in an explicit priority order. Round-11 rotation
-# (the r10 verdict's item 1): with never-checked debt at zero since r10
-# and registry growth frozen, the window is pure provenance refresh —
-# the oldest stale anchors first, then this round's changed-code pulls,
-# then the next-oldest anchors.
+# registry is emitted in an explicit priority order. Round-12 rotation
+# (the r11 verdict's item 1): finish the provenance refresh — after this
+# window no registry query's newest driver green predates r7, i.e. every
+# query has been re-verified within five rounds of its shipping code.
 #
-# - THIRTEEN r4-era anchors (tests/test_registry.py::
-#   R11_ANCHOR_CANDIDATES — the r10 rotation's planned remainder; after
-#   this window no registry query's newest driver green predates r6):
-#   tpch_q1, tpch_q3_topk, the as-of/PIT family, sessionize_events,
-#   quantile_bin_orders, target_encode_events, hashed_cross_events,
-#   table_profile_orders.
+# - FOURTEEN r6-era anchors (tests/test_registry.py::
+#   R12_ANCHOR_CANDIDATES — the unconsumed tail of the r11 pool;
+#   running_revenue through index_encode_event_types, registry order).
 # - SIX changed-code pulls (function text touched this round, so their
-#   prior greens predate the shipped code): lsh_ann_topk / pq_ann_topk /
-#   ann_rerank_eval (pin_concurrent now runs builders on
-#   InheritableThread with fail-fast job-group cancel; bit-identical
-#   pins), ivf_ann_topk (ivf_topk/ivf_build gained the shared-count
-#   n_corpus parameter, as did lsh_topk/pq_topk_rerank),
-#   tfidf_doc_similarity_topk (max_postings now DEFAULTS to the
-#   corpus-aware max(64, n//1000) plan-side cap — code AND oracle
-#   changed), and ml_brp_ann_topk (docstring-only: records the measured
-#   decision NOT to pin — exchange reuse already deduplicates its brute
-#   subtree; pulled anyway under the changed-code rule).
-# - THIRTY-ONE anchors from the FRONT of tests/test_registry.py::
-#   R11_R6_POOL (the 45 queries whose newest driver green is r6 — the
-#   oldest signal once the r4 anchors above land); the remaining 14
-#   (running_revenue through index_encode_event_types) roll to r12.
+#   prior greens predate the shipped code): ivf_ann_topk /
+#   ann_rerank_eval (similarity._nearest_cells gained the empty-centers
+#   short-circuit, ivf_query the pre-collected-centers pass-through —
+#   bit-identical, plan-probed), lsh_ann_topk / pq_ann_topk /
+#   ann_rerank_eval again (pin_concurrent now restores
+#   spark.job.interruptOnCancel alongside the other two thread-local
+#   properties), mad_outliers_order_price and weighted_median_price_hist
+#   (their inline driver-pin copies folded into functions.pin_local, so
+#   their builder plans now sit under the _PIN_PLAN_SINK audit).
+# - THIRTY anchors from the FRONT of tests/test_registry.py::
+#   R12_R7_POOL (the 48 queries whose newest driver green is r7 — the
+#   oldest signal once the r6 anchors above land); the remaining 18
+#   roll to r13.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # R11_ANCHOR_CANDIDATES — all 13 r4-era greens, registry order
-    "tpch_q1",
-    "tpch_q3_topk",
-    "asof_events_orders",
-    "asof_events_orders_bucketed",
-    "asof_events_orders_auto",
-    "sessionize_events",
-    "training_set_pit",
-    "training_set_pit_bucketed",
-    "training_set_pit_auto",
-    "quantile_bin_orders",
-    "target_encode_events",
-    "hashed_cross_events",
-    "table_profile_orders",
+    # R12_ANCHOR_CANDIDATES — all 14 remaining r6-era greens
+    "running_revenue",
+    "lag_lead_events",
+    "set_ops_summary",
+    "json_props_extract",
+    "doc_fingerprints",
+    "backfill_snapshots",
+    "incremental_distinct_users_per_type",
+    "robust_scale_orders",
+    "target_encode_oof_events",
+    "jsd_event_type_drift",
+    "standard_scale_events",
+    "group_scale_events",
+    "winsorize_orders",
+    "index_encode_event_types",
     # changed-code pulls (function text touched this round)
     "lsh_ann_topk",
     "ivf_ann_topk",
     "pq_ann_topk",
     "ann_rerank_eval",
-    "tfidf_doc_similarity_topk",
-    "ml_brp_ann_topk",
-    # anchors — R11_R6_POOL front, registry order (r6 greens)
-    "language_id",
-    "doc_quality_scores",
-    "image_phash_dup_groups",
-    "audio_afp_dup_groups",
-    "chunk_documents",
-    "cosine_topk_blas",
-    "scrub_pii_docs",
-    "decontaminate_docs",
-    "decayed_user_spend",
-    "lm_quality_score_docs",
-    "merge_upsert_orders_evolve",
-    "rollup_lineitem",
-    "pivot_event_values",
-    "unpivot_lineitem",
-    "tpch_q6",
-    "tpch_q5_like",
-    "tpch_q12_like",
-    "tpch_q10_like",
-    "order_price_rank_stats",
-    "rolling_hour_user_spend",
-    "scan_filter_project",
-    "iqr_outlier_summary",
-    "quality_null_dup_stats",
-    "topk_latest_events",
-    "latest_event_per_user",
-    "customer_order_counts",
-    "semi_join_customers",
-    "anti_join_customers",
-    "asof_events_orders_stale30d",
-    "asof_prev_order",
-    "band_join_price_tiers",
+    "mad_outliers_order_price",
+    "weighted_median_price_hist",
+    # anchors — R12_R7_POOL front, registry order (r7 greens)
+    "user_features",
+    "minhash_signatures",
+    "embedding_near_dup",
+    "video_vhash_dup_groups",
+    "embedding_quantization_stats",
+    "mixture_epochs_docs",
+    "repetition_stats_docs",
+    "ewma_user_spend_prior",
+    "sliding_window_counts",
+    "dedup_survivors_docs",
+    "stratified_sample_counts",
+    "key_skew_profile_events",
+    "interval_join_price_buckets",
+    "tfidf_terms_docs",
+    "scd2_event_type_history",
+    "pit_scd2_orders_state",
+    "embedding_norm_stats",
+    "token_histogram_docs",
+    "kmv_distinct_orderkeys",
+    "weighted_sample_events",
+    "incremental_user_value_stats",
+    "near_dup_edit_distance",
+    "hist_quantile_prices",
+    "cms_heavy_hitters_events",
+    "semantic_dedup_embeddings",
+    "knn_label_audit",
+    "gopher_filter_docs",
+    "dsir_select_docs",
+    "budget_select_docs",
+    "chunk_dedup_docs",
 )
 
 

@@ -281,6 +281,15 @@ def _nearest_cells(
     id_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
     vec_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[vec_col]
     out_schema = f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, cell int"
+    if not len(centers):
+        # empty index (e.g. centroids read back from an empty parquet):
+        # the crossJoin shape this kernel replaced joined against zero
+        # rows and returned empty — preserve that, rather than letting
+        # numpy raise AxisError on a shape-(0,) center matrix (r11
+        # ADVICE)
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.lit(None).cast("int").alias("cell")
+        ).filter(F.lit(False))
     c_mat = np.asarray(centers, dtype="float64")  # (n_cells, dim)
     c_sq = (c_mat * c_mat).sum(axis=1)  # (n_cells,)
     ids = np.asarray(
@@ -331,6 +340,7 @@ def ivf_build(
     seed: int = 42,
     train_fraction: float | None = None,
     n_corpus: int | None = None,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, DataFrame]:
     """Build a persistable IVF index over an embedding corpus: returns
     ``(centroids, inverted_lists)`` — two plain DataFrames a pipeline
@@ -353,7 +363,7 @@ def ivf_build(
     registered oracle queries pass it, pinning their results).
 
     The assignment pass is an Arrow-batched BLAS argmin against the
-    broadcast center matrix (:func:`_assign_nearest_cell`) — zero
+    broadcast center matrix (:func:`_nearest_cells`) — zero
     shuffle, zero expansion. It replaced a crossJoin +
     ``min(struct(distance, cell))`` fold whose partial aggregate Spark
     had to plan as a SortAggregate (struct buffers aren't
@@ -371,7 +381,15 @@ def ivf_build(
         if train_fraction is None and n > 100 * n_cells:
             train_fraction = (100.0 * n_cells) / n
     train = cn if train_fraction is None else cn.sample(train_fraction, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    # max_iter: the coarse-quantizer fit dominates the build at auto
+    # params (177 s of the 2 M build at k=1414, r11 SCALE.md) — the dial
+    # exists so the fit cost can be traded against centroid quality;
+    # recall gates for lowering the default live in the 2 M clustered
+    # stress (tools/scalecheck.py, ivf_fit_dial)
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="__v", predictionCol="__cell",
+    )
     model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__v")))
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
@@ -387,9 +405,21 @@ def ivf_build(
     return cent, assigned
 
 
+def collect_centers(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """One-time driver-side materialization of an IVF centroid table for
+    :func:`ivf_query`'s ``collected_centers`` pass-through: a
+    repeated-probe caller collects once per index lifetime instead of
+    once per probe. Bounded by the 65536-cell cap ("small by
+    contract")."""
+    return [
+        (int(r[0]), list(r[1]))
+        for r in centroids.select("cell", "center").collect()
+    ]
+
+
 def ivf_query(
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     inverted_lists: DataFrame,
     *,
     query_id: str = "query_id",
@@ -397,6 +427,7 @@ def ivf_query(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 4,
+    collected_centers: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Probe a prebuilt IVF index (:func:`ivf_build`, possibly read back
     from parquet): each query scores only the inverted lists of its
@@ -407,18 +438,31 @@ def ivf_query(
     — the former crossJoin + per-query rank window shuffled and sorted
     the |queries|·n_cells expansion, the r11 SortAggregate lesson's
     window-shaped twin). The only shuffle left is the final per-query
-    top-k."""
+    top-k.
+
+    ``collected_centers`` — optional (cell, center) rows, e.g.
+    ``collect_centers(centroids)`` — skips the per-call centroid collect:
+    a repeated-probe caller (many query batches against one standing
+    index) pays ONE collect per index lifetime instead of one per probe
+    (the shared-count ``n_corpus`` pattern, r11 verdict). Results are
+    bit-identical: rows are re-sorted by cell id here either way.
+    """
     qn = _normalized(queries.select(F.col(query_id), F.col(vec_col)), vec_col)
     # row order sorted by cell id so the stable-argsort tiebreak matches
     # the (distance asc, cell asc) rank-window rule this replaces
-    crows = sorted(centroids.select("cell", "center").collect(), key=lambda r: r["cell"])
+    raw = (
+        collected_centers
+        if collected_centers is not None
+        else centroids.select("cell", "center").collect()
+    )
+    crows = sorted((int(r[0]), r[1]) for r in raw)
     probes = _nearest_cells(
         qn,
-        [[float(x) for x in r["center"]] for r in crows],
+        [[float(x) for x in center] for _, center in crows],
         id_col=query_id,
         vec_col=vec_col,
         n_nearest=nprobe,
-        cell_ids=[int(r["cell"]) for r in crows],
+        cell_ids=[cell for cell, _ in crows],
     ).select(query_id, F.col(vec_col).alias("__qv"), "cell")
     scored = probes.join(inverted_lists, "cell").select(
         query_id,
@@ -446,6 +490,7 @@ def ivf_topk(
     seed: int = 42,
     train_fraction: float | None = None,
     n_corpus: int | None = None,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k by cosine: the other classic
     scale path next to :func:`lsh_topk` — :func:`ivf_build` +
@@ -492,6 +537,7 @@ def ivf_topk(
         n_cells=n_cells,
         seed=seed,
         train_fraction=train_fraction,
+        max_iter=max_iter,
     )
     return ivf_query(
         queries,

@@ -991,8 +991,11 @@ def weighted_quantile_hist(
     # downstream subplans, and a lazy plan would re-scan the fact table
     # for each (measured 6 scans → 3). Bounded by |groups| — the
     # few-group regime is exactly what this operator exists for.
-    spark = df.sparkSession
-    spans = spark.createDataFrame(spans.collect(), spans.schema)
+    # Exchange reuse can't dedup the consumers (different join wrappers),
+    # so the check-ReusedExchange-first rule still says pin (r11).
+    from ..functions import pin_local
+
+    spans = pin_local(spans)
     # bin the value against ITS group's span (degenerate span → bin 0)
     with_span = clean.join(F.broadcast(spans), group_cols)
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
@@ -1032,7 +1035,7 @@ def weighted_quantile_hist(
     )
     # same pinning: crossing is |groups| rows and gates the pass-3 scan —
     # leaving it lazy would re-run the histogram pass inside that plan
-    crossing = spark.createDataFrame(crossing.collect(), crossing.schema)
+    crossing = pin_local(crossing)
     # pass 3: only the crossing bin's rows; the within-bin decimal cumsum
     # plus the decimal bin prefix equals the window form's global cumsum
     cand = (

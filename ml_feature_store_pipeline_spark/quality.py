@@ -493,7 +493,8 @@ def mad_outlier_profile(
     group outgrows one.
     """
     v = F.col(value_col)
-    spark = df.sparkSession
+    from .functions import pin_local
+
     clean = df.filter(v.isNotNull()).select(*group_cols, v.alias("__v"))
     med = clean.groupBy(*group_cols).agg(
         F.expr("percentile(__v, 0.5)").alias("__med"),
@@ -502,15 +503,19 @@ def mad_outlier_profile(
     # pin the |groups|-row medians through the driver: lazy, they sit
     # inside BOTH downstream scans and the expensive exact-percentile
     # aggregate re-executes per consumer (measured 36.7 s → the pin cuts
-    # the median pass count from 3 to 1 at 20 M rows × 5 groups)
-    med = spark.createDataFrame(med.collect(), med.schema)
+    # the median pass count from 3 to 1 at 20 M rows × 5 groups). The
+    # consumers run as separate subtrees of ONE final job, but exchange
+    # reuse cannot dedup them (each consumer wraps the medians in a
+    # DIFFERENT join), so the check-ReusedExchange-first rule still says
+    # pin (r11).
+    med = pin_local(med)
     with_med = clean.join(F.broadcast(med), group_cols)
     mad = (
         with_med.select(*group_cols, F.abs(F.col("__v") - F.col("__med")).alias("__ad"))
         .groupBy(*group_cols)
         .agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
     )
-    mad = spark.createDataFrame(mad.collect(), mad.schema)
+    mad = pin_local(mad)
     staged = with_med.join(F.broadcast(mad), group_cols)
     mz = F.lit(0.6745) * (F.col("__v") - F.col("__med")) / F.col("__mad")
     is_out = (F.col("__mad") > 0) & (F.abs(mz) > z_threshold)

@@ -471,7 +471,8 @@ def test_r11_anchor_pool_is_the_unrotated_tail():
     assert len(R11_ANCHOR_CANDIDATES) == 13
     assert R11_ANCHOR_CANDIDATES[0] == "tpch_q1"
     assert R11_ANCHOR_CANDIDATES[-1] == "table_profile_orders"
-    assert set(R11_ANCHOR_CANDIDATES) <= set(DRIVER_WINDOW)
+    # consumed by the r11 window (historical; r11 went 50/50 green)
+    assert set(R11_ANCHOR_CANDIDATES) <= set(query_registry())
 
 
 # Function text touched in round 11 — their r10 greens predate the
@@ -548,20 +549,122 @@ R11_R6_POOL = [
 # The r12 anchor pool: the unconsumed r6-green tail.
 R12_ANCHOR_CANDIDATES = R11_R6_POOL[31:]
 
+# The r11 window as shipped (50/50 green in CORRECTNESS_r11.json) —
+# historical record, the R8/R9/R10_DRIVER_WINDOW pattern.
+R11_DRIVER_WINDOW = R11_ANCHOR_CANDIDATES + CHANGED_IN_R11 + R11_R6_POOL[:31]
 
-def test_round11_rotation_policy_is_the_window():
+
+def test_round11_rotation_landed_as_planned():
     # r10 verdict item 1: ALL 13 r4-era anchors first (finishing the
     # provenance refresh), then the changed-code pulls, then 31 r6-era
-    # anchors from the R11_R6_POOL front; the 14-name tail rolls to r12.
-    expected = R11_ANCHOR_CANDIDATES + CHANGED_IN_R11 + R11_R6_POOL[:31]
-    assert list(DRIVER_WINDOW) == expected
+    # anchors from the R11_R6_POOL front; the 14-name tail rolled to r12.
+    assert len(R11_DRIVER_WINDOW) == 50
     assert len(R11_R6_POOL) == 45
     assert len(R12_ANCHOR_CANDIDATES) == 14
     assert R12_ANCHOR_CANDIDATES[0] == "running_revenue"
     assert R12_ANCHOR_CANDIDATES[-1] == "index_encode_event_types"
-    assert not set(R12_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
     names = set(query_registry())
     assert set(R11_R6_POOL) <= names
+
+
+# Function text touched in round 12 — their r11 greens predate the
+# shipped code: similarity._nearest_cells gained the empty-centers
+# short-circuit and ivf_query the pre-collected-centers pass-through
+# (r11 verdict item 5 / ADVICE — bit-identical, two-probe/one-collect
+# plan-probed in test_similarity), pulling ivf_ann_topk and
+# ann_rerank_eval; pin_concurrent now restores
+# spark.job.interruptOnCancel alongside jobGroup.id/description (r11
+# ADVICE), pulling its three consumers lsh_ann_topk / pq_ann_topk /
+# ann_rerank_eval; and the inline driver-pin copies in
+# quality.mad_outlier_profile and windows.weighted_quantile_hist were
+# folded into functions.pin_local (r11 verdict item 7 — identical
+# collect→LocalRelation idiom, now under the _PIN_PLAN_SINK audit),
+# pulling mad_outliers_order_price and weighted_median_price_hist.
+CHANGED_IN_R12 = [
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "pq_ann_topk",
+    "ann_rerank_eval",
+    "mad_outliers_order_price",
+    "weighted_median_price_hist",
+]
+
+# The 48 registry queries whose newest driver green is r7 (reconstructed
+# from CORRECTNESS_r0{1..11}.json exactly like the r7/r9/r11 ledgers) —
+# the oldest hard signal once the r6-era anchors above land. Registry
+# order. r12 consumes the FIRST 30; the 18-name tail is the r13 pool.
+R12_R7_POOL = [
+    "user_features",
+    "minhash_signatures",
+    "embedding_near_dup",
+    "video_vhash_dup_groups",
+    "embedding_quantization_stats",
+    "mixture_epochs_docs",
+    "repetition_stats_docs",
+    "ewma_user_spend_prior",
+    "sliding_window_counts",
+    "dedup_survivors_docs",
+    "stratified_sample_counts",
+    "key_skew_profile_events",
+    "interval_join_price_buckets",
+    "tfidf_terms_docs",
+    "scd2_event_type_history",
+    "pit_scd2_orders_state",
+    "embedding_norm_stats",
+    "token_histogram_docs",
+    "kmv_distinct_orderkeys",
+    "weighted_sample_events",
+    "incremental_user_value_stats",
+    "near_dup_edit_distance",
+    "hist_quantile_prices",
+    "cms_heavy_hitters_events",
+    "semantic_dedup_embeddings",
+    "knn_label_audit",
+    "gopher_filter_docs",
+    "dsir_select_docs",
+    "budget_select_docs",
+    "chunk_dedup_docs",
+    "cube_orders",
+    "tpch_q4_like",
+    "tpch_q18_like",
+    "tpch_q14",
+    "tpch_q7_like",
+    "tpch_q15_like",
+    "tpch_q19_like",
+    "filter_in_list",
+    "lineitem_quartiles",
+    "events_per_type",
+    "distinct_parts_per_flag",
+    "revenue_by_region",
+    "sample_events_10pct",
+    "train_test_split_counts",
+    "quartiles_by_priority",
+    "top3_orders_per_priority",
+    "distinct_users_per_type_2stage",
+    "negative_sample_pairs",
+]
+
+# The r13 anchor pool: the unconsumed r7-green tail.
+R13_ANCHOR_CANDIDATES = R12_R7_POOL[30:]
+
+
+def test_round12_rotation_policy_is_the_window():
+    # r11 verdict item 1: ALL 14 remaining r6-era anchors first
+    # (finishing the provenance refresh — after this window no registry
+    # query's newest driver green predates r7), then the changed-code
+    # pulls, then 30 r7-era anchors from the R12_R7_POOL front; the
+    # 18-name tail rolls to r13.
+    expected = R12_ANCHOR_CANDIDATES + CHANGED_IN_R12 + R12_R7_POOL[:30]
+    assert list(DRIVER_WINDOW) == expected
+    assert len(DRIVER_WINDOW) == 50
+    assert len(R12_R7_POOL) == 48
+    assert len(R13_ANCHOR_CANDIDATES) == 18
+    assert R13_ANCHOR_CANDIDATES[0] == "cube_orders"
+    assert R13_ANCHOR_CANDIDATES[-1] == "negative_sample_pairs"
+    assert not set(R13_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
+    assert not set(R12_R7_POOL) & set(R11_R6_POOL)  # disjoint provenance strata
+    names = set(query_registry())
+    assert set(R12_R7_POOL) <= names
     oracles = oracle_registry()
     assert all(n in oracles for n in DRIVER_WINDOW)
 

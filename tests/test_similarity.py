@@ -1364,3 +1364,79 @@ def test_pin_concurrent_first_failure_cancels_siblings(spark):
     with pytest.raises(ValueError, match="fast route failed"):
         pin_concurrent({"slow": slow, "bad": boom})
     assert time.time() - t0 < 15, "sibling build was not cancelled promptly"
+
+
+def test_ivf_query_collected_centers_one_collect_per_index(spark, corpus):
+    """r12 (r11 VERDICT item 5): a repeated-probe caller passes
+    ``collect_centers(centroids)`` once per index lifetime; each
+    subsequent ``ivf_query`` call is then fully LAZY at plan build (the
+    per-call centroid collect is gone) and bit-identical to the
+    collect-per-probe path."""
+    cent, lists = similarity.ivf_build(corpus, n_cells=8)
+    q1 = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q2 = corpus.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = similarity.collect_centers(cent)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-probe-lazy", "pre-collected centers: no plan-build jobs")
+    try:
+        a1 = similarity.ivf_query(
+            q1, None, lists, k=3, nprobe=3, collected_centers=centers
+        )
+        a2 = similarity.ivf_query(
+            q2, None, lists, k=3, nprobe=3, collected_centers=centers
+        )
+        probe_jobs = sc.statusTracker().getJobIdsForGroup("ivf-probe-lazy")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert list(probe_jobs) == [], "pre-collected probe ran a job at plan build"
+
+    for q, got in ((q1, a1), (q2, a2)):
+        ref = similarity.ivf_query(q, cent, lists, k=3, nprobe=3)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_ivf_query_empty_centroids_returns_empty(spark, corpus):
+    """r11 ADVICE: an empty centroid table (e.g. read back from an empty
+    parquet) must yield an empty result — the old crossJoin shape joined
+    against zero rows; the BLAS kernel must short-circuit instead of
+    raising numpy AxisError on a shape-(0,) center matrix."""
+    from ml_feature_store_pipeline_spark.operators.similarity import _nearest_cells
+
+    empty_cent = spark.createDataFrame([], "cell int, center array<double>")
+    _, lists = similarity.ivf_build(corpus, n_cells=4)
+    q = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_query(q, empty_cent, lists, k=3, nprobe=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "cosine", "rank",
+    ]
+    direct = _nearest_cells(q, [], id_col="query_id", vec_col="embedding")
+    assert direct.count() == 0
+    assert direct.schema.fieldNames() == ["query_id", "embedding", "cell"]
+
+
+def test_pin_concurrent_restores_interrupt_on_cancel(spark):
+    """r11 ADVICE: setJobGroup(..., True) inside pin_concurrent also sets
+    spark.job.interruptOnCancel on the caller thread's local properties;
+    the finally block must restore it (else a later cancel of the
+    caller's own restored job group would interrupt its tasks)."""
+    from ml_feature_store_pipeline_spark.functions import pin_concurrent
+
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.job.interruptOnCancel", None)
+    pin_concurrent({"one": lambda: spark.range(3).select(F.sum("id").alias("s"))})
+    assert sc.getLocalProperty("spark.job.interruptOnCancel") is None
+
+    # and a caller-set value round-trips unchanged
+    sc.setLocalProperty("spark.job.interruptOnCancel", "false")
+    try:
+        pin_concurrent({"one": lambda: spark.range(3).select(F.sum("id").alias("s"))})
+        assert sc.getLocalProperty("spark.job.interruptOnCancel") == "false"
+    finally:
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)

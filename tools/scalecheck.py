@@ -133,6 +133,29 @@ def synth_vecs(spark, n: int, dim: int = 64):
     return spark.range(n).select(F.col("id").alias("vec_id"), arr.cast("array<float>").alias("embedding"))
 
 
+def synth_clustered_vecs(spark, n: int, dim: int = 64, n_clusters: int = 64, noise: float = 0.25):
+    """64-cluster corpus — the shape real embedding spaces have (vs the
+    isotropic synth_vecs worst case). Shared by ann_autoscale and
+    ivf_fit_dial so both measure the same geometry."""
+    cid = F.col("id") % n_clusters
+    cent = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.xxhash64(cid, i) % 10000).cast("double") / 5000.0 - 1.0,
+    )
+    nz = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.xxhash64(F.col("id"), i, F.lit(77)) % 10000).cast("double")
+        / 5000.0
+        - 1.0,
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(cent, nz, lambda c, z: c + F.lit(noise) * z)
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+
+
 EVENT_OPS = (
     "flagship_extract_exact flagship_extract_approx sessionize asof_join "
     "deterministic_sample_10pct training_set_1view asof_join_bucketed_1key "
@@ -166,7 +189,7 @@ VEC_OPS = (
     "semantic_dedup semantic_dedup_auto_0.1x semantic_dedup_auto_1x quantization "
     "semantic_decontaminate knn_label_audit hard_negatives prototypicality "
     "random_projection mmr_rerank pq_rerank kmeans rerank_eval dim_correlation pca_power "
-    "ann_autoscale"
+    "ann_autoscale ivf_fit_dial"
 ).split()
 
 
@@ -1965,26 +1988,7 @@ def main() -> None:
             # 64-cluster corpus (the shape real embedding spaces have,
             # where the auto defaults must hold the floors: lsh >= 0.8,
             # pq >= 0.7 recall@5).
-            def _clustered_vecs(n: int, dim: int = 64, n_clusters: int = 64, noise: float = 0.25):
-                cid = F.col("id") % n_clusters
-                cent = F.transform(
-                    F.sequence(F.lit(1), F.lit(dim)),
-                    lambda i: (F.xxhash64(cid, i) % 10000).cast("double") / 5000.0 - 1.0,
-                )
-                nz = F.transform(
-                    F.sequence(F.lit(1), F.lit(dim)),
-                    lambda i: (F.xxhash64(F.col("id"), i, F.lit(77)) % 10000).cast("double")
-                    / 5000.0
-                    - 1.0,
-                )
-                return spark.range(n).select(
-                    F.col("id").alias("vec_id"),
-                    F.zip_with(cent, nz, lambda c, z: c + F.lit(noise) * z)
-                    .cast("array<float>")
-                    .alias("embedding"),
-                )
-
-            _clustered_vecs(args.vecs).write.mode("overwrite").parquet(f"{work}/cvecs")
+            synth_clustered_vecs(spark, args.vecs).write.mode("overwrite").parquet(f"{work}/cvecs")
             cvecs = spark.read.parquet(f"{work}/cvecs")
             auto_p, auto_t = _sim.auto_lsh_params(args.vecs, 6)
             auto_sl = max(100, 20 * 6, int(math.ceil(0.01 * args.vecs)))
@@ -2040,6 +2044,68 @@ def main() -> None:
                     if regime == "clustered":
                         rec["floor_ok"] = bool(r["recall_at_k"] >= floors[r["variant"]])
                     print(json.dumps(rec), flush=True)
+        if vecs is not None and want("ivf_fit_dial"):
+            # r11 VERDICT item 3: with the BLAS assignment kernel in
+            # place, the k=√n KMeans fit DOMINATES ivf_build at auto
+            # params (177 s of the 2 M build; ~80 % of the 3-route
+            # stress's growth). Sweep the two fit dials — maxIter and the
+            # 100·n_cells sample rule — on the CLUSTERED corpus (the
+            # geometry real embedding spaces have), gating any defaults
+            # change on recall@5 >= 0.9 holding. Brute ground truth is
+            # computed once and pinned; each config pays fit + assignment
+            # + probe.
+            from ml_feature_store_pipeline_spark.functions import pin_local as _pin
+            from ml_feature_store_pipeline_spark.operators import similarity as _sim
+
+            cpath = f"{work}/cvecs_dial"
+            synth_clustered_vecs(spark, args.vecs).write.mode("overwrite").parquet(cpath)
+            cdf = spark.read.parquet(cpath)
+            n_known = cdf.count()
+            dial_cells, dial_probe = _sim.auto_ivf_params(n_known)
+            dq20 = cdf.filter(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            dial_gt = _pin(_sim.nonself_topk(_sim.cosine_topk(dq20, cdf, k=6), k=5))
+            for mi, spc in ((20, 100), (10, 100), (5, 100), (10, 50)):
+                frac = min(1.0, (spc * dial_cells) / max(n_known, 1))
+                if METER is not None:
+                    METER.delta()
+                t0 = time.time()
+                dcent, dlists = _sim.ivf_build(
+                    cdf,
+                    n_cells=dial_cells,
+                    train_fraction=frac,
+                    max_iter=mi,
+                )
+                fit_sec = time.time() - t0
+                t1 = time.time()
+                dm = _sim.rerank_eval(
+                    dial_gt,
+                    _pin(
+                        _sim.nonself_topk(
+                            _sim.ivf_query(dq20, dcent, dlists, k=6, nprobe=dial_probe),
+                            k=5,
+                        )
+                    ),
+                    k=5,
+                ).collect()[0]
+                probe_sec = time.time() - t1
+                print(
+                    json.dumps(
+                        {
+                            "op": f"ivf_fit_dial.mi{mi}.s{spc}",
+                            "n": n_known,
+                            "n_cells": dial_cells,
+                            "nprobe": dial_probe,
+                            "fit_sec": round(fit_sec, 1),
+                            "probe_sec": round(probe_sec, 1),
+                            "recall_at_5": round(dm["recall_at_k"], 4),
+                            "mrr": round(dm["mrr"], 4),
+                            "recall_ok": bool(dm["recall_at_k"] >= 0.9),
+                        }
+                    ),
+                    flush=True,
+                )
         if vecs is not None and want("random_projection"):
             # pure codegen scan: out_dim x in_dim fused multiply-adds per row
             timed(
