@@ -398,10 +398,11 @@ def _next_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-#: Best idle fresh-boot sentinel on record (r10 idle line, commit e3999f9):
-#: the denominator for ``sentinel_ratio`` in the output. Update only from a
+#: Best idle fresh-boot sentinel on record (r12 canonical idle line,
+#: loadavg 0.42 at suite start — supersedes the r10 0.124 reading): the
+#: denominator for ``sentinel_ratio`` in the output. Update only from a
 #: measured idle run, never downward from a lucky sample mid-suite.
-IDLE_SENTINEL = 0.124
+IDLE_SENTINEL = 0.112
 
 
 def _sentinel_sec(spark) -> float:
