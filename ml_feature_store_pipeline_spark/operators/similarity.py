@@ -341,6 +341,8 @@ def ivf_build(
     train_fraction: float | None = None,
     n_corpus: int | None = None,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
+    init_steps: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Build a persistable IVF index over an embedding corpus: returns
     ``(centroids, inverted_lists)`` — two plain DataFrames a pipeline
@@ -381,16 +383,30 @@ def ivf_build(
         if train_fraction is None and n > 100 * n_cells:
             train_fraction = (100.0 * n_cells) / n
     train = cn if train_fraction is None else cn.sample(train_fraction, seed=seed)
-    # max_iter: the coarse-quantizer fit dominates the build at auto
-    # params (177 s of the 2 M build at k=1414, r11 SCALE.md) — the dial
-    # exists so the fit cost can be traded against centroid quality;
-    # recall gates for lowering the default live in the 2 M clustered
-    # stress (tools/scalecheck.py, ivf_fit_dial)
     km = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter,
+        initMode=init_mode, initSteps=init_steps,
         featuresCol="__v", predictionCol="__cell",
     )
-    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__v")))
+    # PERSIST the fit input for the fit's duration: MLlib's KMeans does
+    # not effectively cache its input DataFrame in this Spark version,
+    # so every init pass and Lloyd iteration re-executed the full
+    # corpus-scan → normalize → sample pipeline. The r12 decomposition
+    # at 2 M × 1414 cells: uncached fit ~193 s and FLAT across every
+    # dial (maxIter 5/10/20, init_mode, init_steps — the 7-config sweep
+    # read 167-223 s, all pipeline re-execution); cached, the pipeline
+    # runs ONCE (48.9 s) and the fit itself is 39.2 s at 20 iterations
+    # (16.7 s at 5) — ~2.2× faster overall, and the dials become live
+    # again. Memory is bounded by construction on the sampled path
+    # (~100·n_cells vectors); the full-fit path (train_fraction=None)
+    # is persisted too — explicit full-corpus fits are small-corpus
+    # calls by contract (the auto path always samples past
+    # 100·n_cells).
+    fit_input = train.select(array_to_vector(F.col(vec_col)).alias("__v")).persist()
+    try:
+        model = km.fit(fit_input)
+    finally:
+        fit_input.unpersist()
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, center array<double>",
@@ -491,6 +507,8 @@ def ivf_topk(
     train_fraction: float | None = None,
     n_corpus: int | None = None,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
+    init_steps: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k by cosine: the other classic
     scale path next to :func:`lsh_topk` — :func:`ivf_build` +
@@ -538,6 +556,8 @@ def ivf_topk(
         seed=seed,
         train_fraction=train_fraction,
         max_iter=max_iter,
+        init_mode=init_mode,
+        init_steps=init_steps,
     )
     return ivf_query(
         queries,

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import shutil
 import sys
 import tempfile
@@ -2066,7 +2067,28 @@ def main() -> None:
                 F.col("vec_id").alias("query_id"), "embedding"
             )
             dial_gt = _pin(_sim.nonself_topk(_sim.cosine_topk(dq20, cdf, k=6), k=5))
-            for mi, spc in ((20, 100), (10, 100), (5, 100), (10, 50)):
+            # (max_iter, sample_per_cell, init_mode, init_steps). The r12
+            # 2 M sweep showed max_iter is a DEAD dial (fit flat at
+            # 193/223/203 s for 20/10/5 — Lloyd converges on tol in a few
+            # iterations); the fit cost sits in k-means|| INIT, so the
+            # live dials are init_mode=random and init_steps=1.
+            # SCALECHECK_IVF_DIAL overrides the sweep (JSON list of
+            # [max_iter, sample_per_cell, init_mode, init_steps]) so a
+            # re-run can target new configs without re-paying measured
+            # ones.
+            dial_configs = [
+                (20, 100, "k-means||", 2),
+                (10, 100, "k-means||", 2),
+                (5, 100, "k-means||", 2),
+                (10, 50, "k-means||", 2),
+                (20, 100, "k-means||", 1),
+                (20, 100, "random", 2),
+                (5, 100, "random", 2),
+            ]
+            env_configs = os.environ.get("SCALECHECK_IVF_DIAL")
+            if env_configs:
+                dial_configs = [tuple(c) for c in json.loads(env_configs)]
+            for mi, spc, imode, isteps in dial_configs:
                 frac = min(1.0, (spc * dial_cells) / max(n_known, 1))
                 if METER is not None:
                     METER.delta()
@@ -2076,6 +2098,8 @@ def main() -> None:
                     n_cells=dial_cells,
                     train_fraction=frac,
                     max_iter=mi,
+                    init_mode=imode,
+                    init_steps=isteps,
                 )
                 fit_sec = time.time() - t0
                 t1 = time.time()
@@ -2093,7 +2117,7 @@ def main() -> None:
                 print(
                     json.dumps(
                         {
-                            "op": f"ivf_fit_dial.mi{mi}.s{spc}",
+                            "op": f"ivf_fit_dial.mi{mi}.s{spc}.{imode}.i{isteps}",
                             "n": n_known,
                             "n_cells": dial_cells,
                             "nprobe": dial_probe,
