@@ -338,7 +338,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.3 via inverted-index self-join, with the
     stop-shingle document-frequency cut active (and mirrored in the oracle)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallelize=True)
     out = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.3,
         max_doc_frequency=_NGRAM_MAX_DF, parallelism=_par(spark)
@@ -378,7 +378,7 @@ _COS_SQL = (
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-k cosine (the ANN baseline): corpus scanned once,
     queries broadcast, all math codegen'd."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -541,7 +541,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary) can hash-verify the decode; the float feature path
     (decode_image_features) is a pure function of these sums and stays
     pytest-verified (test_multimodal_streaming)."""
-    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
     out = multimodal.decode_image_stats(payloads)
     # sha1 is decode-side only (DuckDB can't reconstruct the binary blob
@@ -771,7 +771,7 @@ def q_semantic_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> Dat
     array_max(transform(...)) on the train scan. The oracle replays the
     exact max-cosine per train vector and the threshold on the rounded
     value."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     ev = emb.filter(F.col("vec_id") % 50 == 0)
     tr = emb.filter(F.col("vec_id") % 50 != 0)
     out = similarity.semantic_decontaminate(tr, ev, threshold=0.98)
@@ -814,7 +814,7 @@ def q_ml_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import mlfeatures
 
     docs = (
-        read_table(spark, sf_dir, "documents")
+        read_table(spark, sf_dir, "documents", parallelize=True)
         .repartition(_par(spark))
         .withColumn(
             "is_quality",
@@ -1004,7 +1004,7 @@ def q_ml_brp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token chunks, 16 overlap) —
     the LLM-pipeline pre-tokenizer step; pure array codegen, no UDF."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallelize=True)
     return text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
 
 
@@ -1034,7 +1034,7 @@ def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Breaking any of these — dropped docs, split docs, budget overflow, or
     degenerate one-doc-per-pack output — fails the hash check."""
     budget = 128
-    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
     assign = text.pack_sequences(docs, "doc_id", "text", token_budget=budget, n_groups=64)
     packs = text.pack_stats(assign, token_budget=budget)
     doc_side = assign.agg(
@@ -1213,7 +1213,7 @@ def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (emails → urls → long digit runs, chained) with per-kind
     audit counts — chained regexp_replace, all codegen."""
-    return text.scrub_pii(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return text.scrub_pii(read_table(spark, sf_dir, "documents", parallelize=True), "doc_id", "text")
 
 
 @register(
@@ -1362,7 +1362,7 @@ def q_lm_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-entropy under it — the odd half exercises the unseen-gram path.
     Real pipelines gate/bucket pretraining text on exactly this signal
     (model from a trusted reference corpus, score the crawl)."""
-    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
     model = text.char_ngram_model(docs.filter(F.col("doc_id") % 2 == 0), "text")
     return text.lm_score(docs, model, "doc_id", "text")
 
@@ -1434,7 +1434,7 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graph). In the r4 driver window."""
     from .functions import token_count
 
-    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
     base = docs.withColumn("nt", token_count(F.col("text"))).filter(
         (F.col("lang") == "en") & (F.col("nt") >= 20)
     )
@@ -1545,7 +1545,7 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup output: the corpus minus every non-minimum
     member of each Jaccard>=0.3 cluster (pairs → components → anti-join)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallelize=True)
     pairs = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.3,
         max_doc_frequency=_NGRAM_MAX_DF, parallelism=_par(spark),
@@ -2054,10 +2054,10 @@ def q_bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership must travel as a sketch, not a key list."""
     from .operators import sketches
 
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders", parallelize=True)
     keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey").distinct()
     state = sketches.bloom_state(keys, "o_orderkey")
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    li = read_table(spark, sf_dir, "lineitem", parallelize=True).select("l_orderkey", "l_returnflag")
     probed = sketches.bloom_probe(li, state, "l_orderkey")
     marked = probed.join(
         F.broadcast(
@@ -2254,7 +2254,7 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     least similar to its centroid survives per group. The oracle replays
     the cell-count rule, centroid pick, argmax assignment, pairing, the
     recursive-CTE component closure, and the survivor rule exactly."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     out = similarity.semantic_dedup(emb, threshold=0.4, target_cell_size=128)
     return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
 
@@ -2375,7 +2375,7 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (energy, zero crossings, duration). The oracle re-derives the PCM from
     the generator formula in SQL — any parser defect (chunk offset,
     endianness, sign handling) shifts a statistic."""
-    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
     payloads = multimodal.attach_fake_audio(docs, "doc_id", "text")
     return multimodal.decode_audio_stats(payloads)
 
@@ -2498,7 +2498,7 @@ def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor (the contrastive-training negatives a uniform sampler misses).
     Label filter precedes the top-k window — ids+rank compared, cosine
     dropped (float summation-order, the cosine_topk_blas precedent)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     anchors = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("anchor_id"), "embedding", "label"
     )
@@ -2576,7 +2576,7 @@ def q_gopher_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule filter (Rae et al. 2021 §A1.1): per-rule booleans +
     conjunction ``keep``. Pure codegen scan, zero shuffles — the audit
     twin of quality_score's blended ranking number."""
-    return text.gopher_rules(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return text.gopher_rules(read_table(spark, sf_dir, "documents", parallelize=True), "doc_id", "text")
 
 
 @register(
@@ -2709,7 +2709,7 @@ def q_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the top of the quality ranking (score desc, id tiebreak). The
     operator's banded prefix sum must equal the oracle's single global
     window — band assignment is provably order-preserving."""
-    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
     qs = text.quality_score(docs, "doc_id", "text")
     return selection.select_by_budget(
         qs, "doc_id", score_col="quality_score", weight_col="n_tokens", budget=3000
@@ -3178,7 +3178,7 @@ def q_mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares 6-dp-rounded scores with id tiebreak, so the oracle's
     UNROLLED greedy (one CTE per step) reproduces the selection exactly;
     the operator itself takes any k via checkpointed iterations."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3217,7 +3217,7 @@ def q_maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 3 vectors each against 50 multi-vector documents (embeddings
     grouped by vec_id % 50). Per-pair cosines round BEFORE the max, the
     per-doc sum is decimal-exact — both engines agree bit-for-bit."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     docs = emb.select((F.col("vec_id") % 50).alias("doc_id"), "embedding")
     queries = emb.filter(F.col("vec_id") < 6).select(
         (F.col("vec_id") % 2).alias("query_id"),
@@ -3253,7 +3253,7 @@ def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, co-occurrence support across users and lift vs independence.
     Events reduce to DISTINCT (user, type) before any join — ≤ |types|
     rows per user regardless of event volume."""
-    events = read_table(spark, sf_dir, "events").repartition(_par(spark))
+    events = read_table(spark, sf_dir, "events", parallelize=True).repartition(_par(spark))
     return windows_ops.type_affinity(events, "user_id", "event_type")
 
 
@@ -4084,7 +4084,7 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     static 100). Everything is md5-deterministic (codebook =
     deterministic_centroids sample), so a recall collapse or query-set
     change fails the hash."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -4458,7 +4458,7 @@ def q_mad_outliers_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     extremes cannot drag, next to the IQR band the profile already has."""
     from .quality import mad_outlier_profile
 
-    orders = read_table(spark, sf_dir, "orders")
+    orders = read_table(spark, sf_dir, "orders", parallelize=True)
     return mad_outlier_profile(orders, ["o_orderpriority"], "o_totalprice")
 
 
@@ -4687,7 +4687,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents corpus: per merge one pair-count scan, a pinned argmax,
     and the exact list-walk fold application — the learned merge table
     replays bit-for-bit in the unrolled-CTE oracle."""
-    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
     return text.bpe_train(docs, "text", n_merges=4)
 
 
@@ -4783,7 +4783,7 @@ def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE decimal-moment aggregate, the pair fan-out on the single agg row."""
     from .operators import drift as drift_ops
 
-    li = read_table(spark, sf_dir, "lineitem")
+    li = read_table(spark, sf_dir, "lineitem", parallelize=True)
     return drift_ops.correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
@@ -5216,7 +5216,7 @@ def q_lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix vs the documents table's ground-truth
     lang column — the classifier-calibration readout; one codegen guess
     projection + one (truth, guess) aggregate."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallelize=True)
     return text.lang_confusion(docs, "doc_id", "text", "lang")
 
 
@@ -5515,7 +5515,7 @@ def q_did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import drift as drift_ops
     from .operators.sketches import hash_fraction
 
-    events = read_table(spark, sf_dir, "events")
+    events = read_table(spark, sf_dir, "events", parallelize=True)
     treat = hash_fraction(
         F.concat(F.lit("did:"), F.col("user_id").cast("string"))
     ) < 0.5
@@ -5647,7 +5647,7 @@ def q_bootstrap_mean_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed bootstrap (no resampled copies, no shuffle)."""
     from .operators.sampling import bootstrap_mean_ci
 
-    events = read_table(spark, sf_dir, "events")
+    events = read_table(spark, sf_dir, "events", parallelize=True)
     return bootstrap_mean_ci(events, "value", "event_id", n_replicates=16)
 
 
@@ -6172,7 +6172,7 @@ def q_ann_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall collapse, query-set change, or tiebreak drift fails the hash.
     Self-hits are excluded (each route trivially retrieves its own query
     at rank 1, inflating both metrics toward 1)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -6298,8 +6298,8 @@ def q_item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidence (who-bought-what, one hop wider than the per-order
     basket): the top-20 recommendation pairs. The orders↔lineitem join
     is key-keyed; the pair self-join co-keys on the customer."""
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem", parallelize=True)
+    orders = read_table(spark, sf_dir, "orders", parallelize=True)
     ci = li.join(
         orders.select("o_orderkey", "o_custkey"),
         li["l_orderkey"] == orders["o_orderkey"],
@@ -6429,7 +6429,7 @@ def q_dim_correlation_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataF
     """Top-20 most-correlated embedding dimension pairs — the
     representation-redundancy audit behind the PCA/whitening decision;
     one flattened upper-triangle explode with map-side combine."""
-    emb = read_table(spark, sf_dir, "embeddings").repartition(_par(spark))
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True).repartition(_par(spark))
     return similarity.dim_correlation_topk(emb, "embedding", top_k=20)
 
 
@@ -6743,7 +6743,7 @@ def q_pca_power_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 deterministic power iterations on the exact covariance — one
     corpus pass builds C, the iterations are |d|-sized against the
     pinned matrix."""
-    emb = read_table(spark, sf_dir, "embeddings").repartition(_par(spark))
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True).repartition(_par(spark))
     return similarity.pca_power_embeddings(emb, "embedding", iterations=10)
 
 

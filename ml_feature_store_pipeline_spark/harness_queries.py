@@ -1330,7 +1330,7 @@ def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bit-parity oracle."""
     from .operators.profile import table_profile
 
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders", parallelize=True)
     return table_profile(o)
 
 
