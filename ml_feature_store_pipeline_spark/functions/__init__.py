@@ -90,13 +90,36 @@ def pin_local(df):
     builds carry driver-eager plan-time work worth overlapping
     (:func:`pin_concurrent`); check the plan for ReusedExchange first.
     """
+    return df.sparkSession.createDataFrame(pin_rows(df), df.schema)
+
+
+def pin_rows(df):
+    """:func:`pin_local`'s collect-only half: materialize a SMALL frame to
+    its driver-side row list (same "small by contract" bar, same
+    ``_PIN_PLAN_SINK`` audit hook). For consumers that fold the rows on
+    the driver (metric scorecards over |queries|·k pins) the LocalRelation
+    round-trip of :func:`pin_local` is pure overhead — every downstream
+    join/aggregate over a few hundred literal rows still costs plan
+    analysis + codegen + stage scheduling per run (measured ~3 s for the
+    ANN eval's 3-route scorecard at sf0.1, r12) — so they take the rows
+    and skip Spark for the bookkeeping, per the optimization-guide §8
+    rule: decide with small rows, keep the heavy passes distributed."""
     rows = df.collect()
     if _PIN_PLAN_SINK is not None:
         _PIN_PLAN_SINK.append(df._jdf.queryExecution().executedPlan().toString())
-    return df.sparkSession.createDataFrame(rows, df.schema)
+    return rows
 
 
-def pin_concurrent(builders):
+def collect_concurrent(builders):
+    """:func:`pin_concurrent` with :func:`pin_rows` as the materializer:
+    same concurrent-build overlap and fail-fast job group, but returns
+    name → driver-side row list instead of name → LocalRelation. For
+    callers that fold the pinned rows on the driver (see
+    :func:`pin_rows`)."""
+    return pin_concurrent(builders, _materialize=pin_rows)
+
+
+def pin_concurrent(builders, _materialize=None):
     """:func:`pin_local` over several INDEPENDENT frames at once.
 
     ``builders`` maps name → zero-arg callable returning a DataFrame;
@@ -143,6 +166,8 @@ def pin_concurrent(builders):
     from pyspark import InheritableThread
     from pyspark.sql import SparkSession
 
+    if _materialize is None:
+        _materialize = pin_local
     items = list(builders.items())
     if not items:
         return {}
@@ -155,7 +180,7 @@ def pin_concurrent(builders):
 
     def run(name, fn):
         try:
-            results[name] = pin_local(fn())
+            results[name] = _materialize(fn())
         except BaseException as exc:  # noqa: BLE001 — re-raised below
             with fail_lock:
                 first = not failures

@@ -406,6 +406,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
 
+def _recall_row(spark, exact_rows, approx_rows, *, k: int, floor: float):
+    """Driver-side replay of the bounded-quality recall row the ANN
+    queries used to compute as ``intersect → count / count`` over pinned
+    LocalRelations (plan bookkeeping over |queries|·k rows — see
+    functions.pin_rows): n_hit counts the distinct (query, corpus) pairs
+    both lists share (INTERSECT's set semantics), n_exact counts exact
+    rows, and the recall comparison is the same single IEEE double
+    division. NULL-mirrors: an empty exact frame yields a NULL boolean
+    exactly like SQL's 0/0."""
+    ex = [(r[0], r[1]) for r in exact_rows]
+    n_exact = len(ex)
+    n_queries = len({q for q, _ in ex})
+    n_hit = len(set(ex) & {(r[0], r[1]) for r in approx_rows})
+    ok = None if n_exact == 0 else bool(n_hit / n_exact >= floor)
+    return spark.createDataFrame(
+        [(n_queries, k, ok)], "n_queries bigint, k int, recall_ok boolean"
+    )
+
+
 @register(
     "lsh_ann_topk",
     """
@@ -430,13 +449,14 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # exact + approx are lineage-independent corpus passes, and exact
-    # feeds BOTH the intersect and the totals — the concurrent pin
-    # overlaps the two scans and stops the brute subtree from executing
-    # twice in one plan (functions.pin_concurrent; |queries|*k pins)
-    from .functions import pin_concurrent as _pin_all
+    # exact + approx are lineage-independent corpus passes — the
+    # concurrent build overlaps the two scans and stops the brute
+    # subtree from executing twice in one plan; r12 folds the recall
+    # bookkeeping on the driver (see _recall_row — the pins are
+    # |queries|*k rows already)
+    from .functions import collect_concurrent as _collect_all
 
-    pins = _pin_all(
+    pins = _collect_all(
         {
             "exact": lambda: similarity.cosine_topk(queries, emb, k=5).select(
                 "query_id", "vec_id"
@@ -446,16 +466,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("query_id", "vec_id"),
         }
     )
-    exact, approx = pins["exact"], pins["approx"]
-    hits = exact.intersect(approx).agg(F.count(F.lit(1)).alias("n_hit"))
-    totals = exact.agg(
-        F.count(F.lit(1)).alias("n_exact"), F.countDistinct("query_id").alias("n_queries")
-    )
-    return hits.crossJoin(totals).select(
-        F.col("n_queries").cast("long").alias("n_queries"),
-        F.lit(5).cast("int").alias("k"),
-        (F.col("n_hit") / F.col("n_exact") >= 0.8).alias("recall_ok"),
-    )
+    return _recall_row(spark, pins["exact"], pins["approx"], k=5, floor=0.8)
 
 
 _TOPK_IDS_SQL = f"""
@@ -4089,11 +4100,12 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     # same concurrent exact/approx pin as lsh_ann_topk: overlap the
-    # brute scan with the PQ build+probe and reuse the exact pin in
-    # both the intersect and the totals
-    from .functions import pin_concurrent as _pin_all
+    # brute scan with the PQ build+probe; r12 folds the recall
+    # bookkeeping on the driver (see _recall_row — the pins are
+    # |queries|·k rows already)
+    from .functions import collect_concurrent as _collect_all
 
-    pins = _pin_all(
+    pins = _collect_all(
         {
             "exact": lambda: similarity.cosine_topk(queries, emb, k=5).select(
                 "query_id", "vec_id"
@@ -4103,17 +4115,7 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("query_id", "vec_id"),
         }
     )
-    exact, approx = pins["exact"], pins["approx"]
-    hits = exact.intersect(approx).agg(F.count(F.lit(1)).alias("n_hit"))
-    totals = exact.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.countDistinct("query_id").alias("n_queries"),
-    )
-    return hits.crossJoin(totals).select(
-        F.col("n_queries").cast("long").alias("n_queries"),
-        F.lit(5).cast("int").alias("k"),
-        (F.col("n_hit") / F.col("n_exact") >= 0.7).alias("recall_ok"),
-    )
+    return _recall_row(spark, pins["exact"], pins["approx"], k=5, floor=0.7)
 
 
 @register(
@@ -6148,6 +6150,49 @@ def q_temporal_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _rerank_metrics_local(
+    exact_rows, approx_rows, *, k: int
+) -> tuple[int, float | None, float | None]:
+    """Driver-side replay of :func:`similarity.rerank_eval` over pinned
+    row lists — operation-for-operation identical arithmetic so the two
+    paths agree on every output bit (pytest-pinned in
+    test_similarity.py):
+
+    - recall = n_hit / n_exact: both int counts, ONE IEEE double division
+      — same in CPython and the JVM;
+    - mrr: per exact rank-1 row, rr = 1.0/approx_rank (double division) or
+      0.0 when missed; Spark rounds rr HALF_UP at 9 dp via
+      ``BigDecimal.valueOf(double)`` (shortest-repr string), replayed here
+      as ``Decimal(repr(rr)).quantize(1e-9, HALF_UP)`` (``repr`` is the
+      same shortest round-trip decimal); the exact decimal sum then casts
+      to double (both sides correctly rounded) and divides by the rank-1
+      row count.
+
+    Returns (n_queries, recall, mrr); the ratios are None on an empty
+    exact frame, mirroring the SQL NULL of a 0/0 division."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ex = [(r[0], r[1], r[3]) for r in exact_rows if r[3] <= k]
+    ap = {(r[0], r[1]): r[3] for r in approx_rows if r[3] <= k}
+    n_exact = len(ex)
+    n_queries = len({q for q, _, _ in ex})
+    if n_exact == 0:
+        return n_queries, None, None
+    n_hit = sum(1 for q, c, _ in ex if (q, c) in ap)
+    lattice = Decimal("1e-9")
+    rr_sum = Decimal(0)
+    n_rank1 = 0
+    for qid, cid, rank in ex:
+        if rank == 1:
+            n_rank1 += 1
+            arank = ap.get((qid, cid))
+            rr = 1.0 / arank if arank is not None else 0.0
+            rr_sum += Decimal(repr(rr)).quantize(lattice, ROUND_HALF_UP)
+    recall = n_hit / n_exact
+    mrr = float(rr_sum) / n_rank1 if n_rank1 else None
+    return n_queries, recall, mrr
+
+
 @register(
     "ann_rerank_eval",
     """
@@ -6176,17 +6221,23 @@ def q_ann_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # each top-k frame is |queries|*k rows but feeds 2-3 metric joins in
-    # the union plan — pin once or the brute-force scan / KMeans fit /
-    # PQ build re-executes per reference (measured 27 s -> ~7 s); see
-    # functions.pin_local for why LocalRelation and not localCheckpoint.
-    # The four builds (ground truth + 3 routes) are lineage-independent,
-    # so they run as CONCURRENT Spark jobs (functions.pin_concurrent) —
-    # wall approaches the longest single route instead of the sum, with
-    # bit-identical pins (measured 19.6 s -> 8.8 s best-of-3 at sf0.1, r10).
-    from .functions import pin_concurrent as _pin_all
+    # each top-k frame is |queries|*k rows but used to feed 2-3 metric
+    # joins in a union plan — pinning once stopped the brute-force scan /
+    # KMeans fit / PQ build re-executing per reference (measured 27 s ->
+    # ~7 s, r9). The four builds (ground truth + 3 routes) are
+    # lineage-independent, so they run as CONCURRENT Spark jobs — wall
+    # approaches the longest single route instead of the sum (19.6 s ->
+    # 8.8 s best-of-3 at sf0.1, r10). r12: the metric bookkeeping itself
+    # moved OFF Spark — the pins are |queries|·k driver rows already, and
+    # the 3-route scorecard plan (9 joins/aggregates over ~100-row
+    # LocalRelations) cost ~3 s/run in analysis + codegen + stage
+    # scheduling while computing nothing corpus-sized. collect_concurrent
+    # keeps the overlapped builds and the plan-audit hook;
+    # _rerank_metrics_local replays similarity.rerank_eval's exact
+    # arithmetic (pytest-pinned equivalent on the same pins).
+    from .functions import collect_concurrent as _collect_all
 
-    pins = _pin_all(
+    pins = _collect_all(
         {
             "gt": lambda: similarity.nonself_topk(
                 similarity.cosine_topk(queries, emb, k=6), k=5
@@ -6208,24 +6259,23 @@ def q_ann_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         }
     )
-    gt = pins["gt"]
     floors = {"lsh": (0.8, 0.75), "ivf": (0.4, 0.45), "pq": (0.7, 0.7)}
-    rows = []
+    out = []
     for name, (r_floor, m_floor) in floors.items():
-        metrics = similarity.rerank_eval(gt, pins[name], k=5)
-        rows.append(
-            metrics.select(
-                F.lit(name).alias("variant"),
-                F.col("n_queries"),
-                F.col("k"),
-                (F.col("recall_at_k") >= r_floor).alias("recall_ok"),
-                (F.col("mrr") >= m_floor).alias("mrr_ok"),
+        n_queries, recall, mrr = _rerank_metrics_local(pins["gt"], pins[name], k=5)
+        out.append(
+            (
+                name,
+                n_queries,
+                5,
+                None if recall is None else bool(recall >= r_floor),
+                None if mrr is None else bool(mrr >= m_floor),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return spark.createDataFrame(
+        out,
+        "variant string, n_queries bigint, k int, recall_ok boolean, mrr_ok boolean",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -107,7 +107,7 @@ def hyperplane_signature(
 
     bits = []
     for p in range(n_planes):
-        w = F.array(*[F.lit(s) for s in plane_signs(p)])
+        w = _lit_vector(plane_signs(p))
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, wj: x.cast("double") * wj),
             F.lit(0.0),
@@ -1328,7 +1328,7 @@ def random_projection(
             else -1.0
             for i in range(in_dim)
         ]
-        w = F.array(*[F.lit(s) for s in signs])
+        w = _lit_vector(signs)
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, wj: x.cast("double") * wj),
             F.lit(0.0),
@@ -1552,9 +1552,29 @@ def pq_build(
     return codebook, codes
 
 
+def _lit_vector(values) -> Column:
+    """A literal array<double> in ONE ``F.expr`` call — same rationale
+    (and same exact-double guarantee) as :func:`_lit_matrix`: the
+    per-element ``F.lit`` path pays one py4j round trip per value, which
+    at 16-table LSH / 8×64 kmeans scale is seconds of plan-build time."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+
+
 def _lit_matrix(rows: list[list[float]]) -> Column:
-    """A k × d literal array-of-arrays — plan-time data, zero per-row cost."""
-    return F.array(*[F.array(*[F.lit(float(v)) for v in r]) for r in rows])
+    """A k × d literal array-of-arrays — plan-time data, zero per-row cost.
+
+    Built as ONE ``F.expr`` over a SQL literal string instead of k·d
+    nested ``F.lit``/``F.array`` calls: every Column constructor is a
+    py4j round trip, and at PQ scale (m=16 codebooks × 16×4 each, twice
+    per query plan) the per-literal path spent ~3 s per plan BUILD in
+    py4j chatter (guide §4's boundary cost, paid at plan time — measured
+    r12). ``repr`` round-trips every finite double exactly and the ``D``
+    suffix parses as DoubleType, so the literal VALUES are bit-identical
+    to the old path (pytest-pinned)."""
+    body = ",".join(
+        "array(" + ",".join(repr(float(v)) + "D" for v in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")
 
 
 def _pq_code(vec: Column, sub_centroids: list[list[float]], start: int, sub: int) -> Column:
@@ -1933,7 +1953,7 @@ def _kmeans_final_assignment(
         dxx = dot(x, x)
         cands = []
         for ci, comps in cents:
-            c_arr = F.array(*[F.lit(c) for c in comps])
+            c_arr = _lit_vector(comps)
             # python left-fold == both engines' sequential dot fold on the
             # same exact doubles (no FMA anywhere in the three)
             dcc = 0.0

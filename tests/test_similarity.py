@@ -1440,3 +1440,117 @@ def test_pin_concurrent_restores_interrupt_on_cancel(spark):
         assert sc.getLocalProperty("spark.job.interruptOnCancel") == "false"
     finally:
         sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+
+def test_rerank_metrics_local_matches_rerank_eval(spark, corpus):
+    """harness_northstar._rerank_metrics_local (r12: the ANN eval's metric
+    bookkeeping folded onto the driver) must reproduce
+    similarity.rerank_eval bit-for-bit on the same pinned rows — recall,
+    mrr, and n_queries, including the HALF_UP 9 dp lattice on each
+    reciprocal rank."""
+    from ml_feature_store_pipeline_spark.harness_northstar import (
+        _rerank_metrics_local,
+    )
+
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = similarity.nonself_topk(similarity.cosine_topk(queries, corpus, k=4), k=3)
+    ap = similarity.nonself_topk(
+        similarity.lsh_topk(queries, corpus, k=4, dim=8, n_planes=2, n_tables=4),
+        k=3,
+    )
+    want = similarity.rerank_eval(gt, ap, k=3).collect()[0]
+    got_nq, got_recall, got_mrr = _rerank_metrics_local(
+        gt.collect(), ap.collect(), k=3
+    )
+    assert got_nq == want["n_queries"]
+    assert got_recall == want["recall_at_k"]
+    assert got_mrr == want["mrr"]
+
+
+def test_recall_row_matches_intersect_plan(spark, corpus):
+    """harness_northstar._recall_row must reproduce the old
+    intersect→count/count Spark plan on the same pins (set semantics on
+    the hit count, raw count on the denominator, one double division)."""
+    from ml_feature_store_pipeline_spark.harness_northstar import _recall_row
+
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(queries, corpus, k=3).select("query_id", "vec_id")
+    approx = similarity.lsh_topk(
+        queries, corpus, k=3, dim=8, n_planes=2, n_tables=4
+    ).select("query_id", "vec_id")
+    hits = exact.intersect(approx).agg(F.count(F.lit(1)).alias("n_hit"))
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.countDistinct("query_id").alias("n_queries"),
+    )
+    want = (
+        hits.crossJoin(totals)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.lit(3).cast("int").alias("k"),
+            (F.col("n_hit") / F.col("n_exact") >= 0.5).alias("recall_ok"),
+        )
+        .collect()[0]
+    )
+    got = _recall_row(
+        spark, exact.collect(), approx.collect(), k=3, floor=0.5
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    # empty exact frame mirrors SQL's NULL boolean
+    empty = _recall_row(spark, [], [], k=3, floor=0.5).collect()[0]
+    assert empty["recall_ok"] is None and empty["n_queries"] == 0
+
+
+def test_collect_concurrent_matches_pin_rows(spark, corpus):
+    """functions.collect_concurrent = pin_concurrent with the rows-only
+    materializer: same overlapped builds, same rows as sequential
+    pin_rows."""
+    from ml_feature_store_pipeline_spark.functions import (
+        collect_concurrent,
+        pin_rows,
+    )
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def brute():
+        return similarity.nonself_topk(
+            similarity.cosine_topk(queries, corpus, k=4), k=3
+        )
+
+    got = collect_concurrent({"gt": brute})
+    assert sorted(map(tuple, got["gt"])) == sorted(map(tuple, pin_rows(brute())))
+
+
+def test_lit_vector_matrix_bit_identical_to_per_lit_path(spark):
+    """_lit_vector/_lit_matrix (r12: one F.expr per literal array instead
+    of one py4j call per element) must produce bit-identical VALUES to
+    the per-element F.lit path for awkward doubles (subnormal-ish,
+    negative, scientific-notation reprs)."""
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        _lit_matrix,
+        _lit_vector,
+    )
+
+    vals = [1.0, -1.0, 0.1, 2.5e-17, -3.75, 1e300, 5e-324, 0.30000000000000004]
+    df = spark.range(1).select(
+        _lit_vector(vals).alias("v"),
+        F.array(*[F.lit(float(x)) for x in vals]).alias("v_ref"),
+        _lit_matrix([vals, vals[::-1]]).alias("m"),
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in r]) for r in [vals, vals[::-1]]]
+        ).alias("m_ref"),
+    )
+    r = df.collect()[0]
+    import struct
+    def bits(x):
+        return struct.pack("<d", x)
+    assert [bits(a) for a in r["v"]] == [bits(a) for a in r["v_ref"]]
+    assert [[bits(a) for a in row] for row in r["m"]] == [
+        [bits(a) for a in row] for row in r["m_ref"]
+    ]
