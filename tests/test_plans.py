@@ -427,10 +427,19 @@ def test_target_encode_single_category_shuffle(spark, registry):
 
 def test_gopher_filter_is_exchange_free(spark, registry):
     """gopher_rules claims a pure codegen scan — any Exchange in the plan
-    means a rule started aggregating."""
+    means a rule started aggregating. r12: the split-starved-scan rescue
+    (read_table parallelize=True — a no-op on healthily-split input) adds
+    one DELIBERATE RoundRobin repartition so the regex rules don't
+    serialize onto the single-row-group testdata scan; the invariant
+    stays "no aggregation/join shuffle", so only non-round-robin
+    exchanges are banned."""
     df = registry["gopher_filter_docs"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    bad = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert not bad, bad
 
 
 def test_bpe_token_stats_is_exchange_free(spark, registry):
@@ -576,7 +585,15 @@ def test_corr_matrix_single_moment_aggregate(spark, registry):
     joins, no windows, a single exchange for the final 1-row combine."""
     df = registry["corr_matrix_lineitem"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
+    # r12: one extra DELIBERATE RoundRobin exchange may sit between the
+    # scan and the partial aggregate (read_table's split-starved-scan
+    # rescue, no-op at healthy split counts) — the pinned claim stays
+    # "exactly one combine exchange, no joins, no windows"
+    combine = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert len(combine) == 1, combine
     assert "Join" not in plan and "Window" not in plan
 
 
