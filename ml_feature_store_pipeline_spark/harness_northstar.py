@@ -1373,7 +1373,7 @@ def q_lm_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-entropy under it — the odd half exercises the unseen-gram path.
     Real pipelines gate/bucket pretraining text on exactly this signal
     (model from a trusted reference corpus, score the crawl)."""
-    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     model = text.char_ngram_model(docs.filter(F.col("doc_id") % 2 == 0), "text")
     return text.lm_score(docs, model, "doc_id", "text")
 
@@ -4689,7 +4689,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents corpus: per merge one pair-count scan, a pinned argmax,
     and the exact list-walk fold application — the learned merge table
     replays bit-for-bit in the unrolled-CTE oracle."""
-    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents").repartition(_par(spark))
     return text.bpe_train(docs, "text", n_merges=4)
 
 
@@ -6348,8 +6348,8 @@ def q_item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidence (who-bought-what, one hop wider than the per-order
     basket): the top-20 recommendation pairs. The orders↔lineitem join
     is key-keyed; the pair self-join co-keys on the customer."""
-    li = read_table(spark, sf_dir, "lineitem", parallelize=True)
-    orders = read_table(spark, sf_dir, "orders", parallelize=True)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
     ci = li.join(
         orders.select("o_orderkey", "o_custkey"),
         li["l_orderkey"] == orders["o_orderkey"],
