@@ -5126,10 +5126,10 @@ def q_chi2_event_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("kmeans_embeddings", None)  # generated oracle installed below
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means (k=8, 3 iterations, md5 seeds) over the
-    embedding corpus — assignment is a zero-shuffle codegen projection
-    against literal centroids; each update shuffles k×dim decimal
+    embedding corpus — assignment is a zero-join projection against the
+    broadcast centroid model; each update shuffles k×dim decimal
     partials; the whole trajectory replays in the unrolled-CTE oracle."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return similarity.kmeans_stats(emb, k=8, n_iters=3)
 
 
@@ -5401,7 +5401,7 @@ def q_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced subset off the k-means trajectory: 5 md5-picked
     members per surviving cluster — the diversity-preserving curation
     sampler; one per-cluster top-m window on top of the kmeans scans."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallelize=True)
     return similarity.kmeans_balanced_sample(emb, k=8, n_iters=3, per_cluster=5)
 
 

@@ -1930,12 +1930,30 @@ def _kmeans_final_assignment(
     """The shared Lloyd trajectory behind :func:`kmeans_stats` and
     :func:`kmeans_balanced_sample`: returns the final per-row assignment
     (__id, __x, __cluster, __d2) under the ``n_iters``-times-updated
-    centroids. See :func:`kmeans_stats` for the determinism contract."""
+    centroids. See :func:`kmeans_stats` for the determinism contract.
+
+    ONE lazy plan, zero driver round trips: the trajectory used to
+    collect the seeds and every update's centroids to the driver and
+    re-bake them as literals into a FRESH assignment plan per iteration
+    — ``n_iters + 1`` analyzed/codegen'd plans and ``n_iters + 1``
+    blocking jobs per call. Each iteration's k×dim centroid model is
+    instead packed into a single-row frame (sorted array of (cluster,
+    centroid) structs) that broadcast-cross-joins back onto the corpus,
+    so the whole trajectory is one unrolled plan and the bench action is
+    its only job. Bit-exactness is unchanged: the in-plan ``dot(c, c)``
+    is the same 0.0-seeded sequential left fold the old Python
+    ``dcc += c*c`` loop computed, ``dot(x, c)`` is the identical
+    expression either way, and the update aggregate feeds its exact
+    doubles straight into the next assignment instead of round-tripping
+    them through ``collect`` + ``repr`` literals (which preserved bits —
+    so both paths see the same IEEE values; pinned by
+    ``test_kmeans_single_plan_matches_driver_loop_trajectory``).
+    """
     from ..functions import dot
 
     x = F.col("__x")
     # NOT pinned: an A/B at sf0.1 showed localCheckpoint-ing the parsed
-    # vector table buys nothing here (per-job latency dominates the 8 small
+    # vector table buys nothing here (per-job latency dominates the small
     # scans) while pinning non-replicated blocks for the session. At real
     # scale, persist the input ONCE caller-side (MLlib's kmeans caches its
     # training matrix) — the operator composes with that.
@@ -1944,30 +1962,40 @@ def _kmeans_final_assignment(
         F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("__x"),
     )
     h = F.md5(F.concat(F.lit("km:"), F.col("__id").cast("string")))
-    seeds = v.select(h.alias("__h"), "__id", "__x").orderBy("__h", "__id").limit(k).collect()
-    centroids: list[tuple[int, list[float]]] = [
-        (i, [float(c) for c in r["__x"]]) for i, r in enumerate(seeds)
-    ]
+    # seeds packed in ONE aggregate: collect the ≤k winners of the
+    # (h, id) order and index them in place (cluster = 0-based position,
+    # exactly the old enumerate(collect)) — no row_number window stage
+    seeds = v.select(h.alias("__h"), "__id", "__x").orderBy("__h", "__id").limit(k)
+    cents = seeds.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__h", "__id", "__x"))),
+            lambda s, i: F.struct(i.alias("__cluster"), s["__x"].alias("__c")),
+        ).alias("__cents")
+    )
 
-    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
+    def assign(cents: DataFrame) -> DataFrame:
         dxx = dot(x, x)
-        cands = []
-        for ci, comps in cents:
-            c_arr = _lit_vector(comps)
-            # python left-fold == both engines' sequential dot fold on the
-            # same exact doubles (no FMA anywhere in the three)
-            dcc = 0.0
-            for c in comps:
-                dcc += c * c
-            d2 = (dxx - F.lit(2.0) * dot(x, c_arr)) + F.lit(dcc)
-            cands.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cluster")))
-        best = F.array_min(F.array(*cands))
-        return v.select(
+        best = F.array_min(
+            F.transform(
+                F.col("__cents"),
+                # dot(c, c) == the old python left-fold dcc (0.0 seed,
+                # same add order, no FMA in either); lexicographic min of
+                # (d2, cluster) — ties to the lowest cluster id
+                lambda cs: F.struct(
+                    (
+                        (dxx - F.lit(2.0) * dot(x, cs["__c"]))
+                        + dot(cs["__c"], cs["__c"])
+                    ).alias("d2"),
+                    cs["__cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return v.crossJoin(F.broadcast(cents)).select(
             "__id", "__x", best["cluster"].alias("__cluster"), best["d2"].alias("__d2")
         )
 
     for _ in range(n_iters):
-        assigned = assign(centroids)
+        assigned = assign(cents)
         comp = (
             assigned.select("__cluster", F.posexplode("__x").alias("__pos", "__v"))
             .groupBy("__cluster", "__pos")
@@ -1978,14 +2006,32 @@ def _kmeans_final_assignment(
                 ).alias("__cv")
             )
         )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in comp.collect():
-            by_cluster.setdefault(r["__cluster"], {})[r["__pos"]] = r["__cv"]
-        centroids = [
-            (ci, [comps[p] for p in sorted(comps)]) for ci, comps in sorted(by_cluster.items())
-        ]
+        # gather the k×dim model in ONE global aggregate and reshape the
+        # flat (cluster, pos, cv) list into per-cluster pos-ordered arrays
+        # inside the 1-row projection — one exchange instead of the
+        # groupBy(cluster) + pack pair. (cluster, pos) is unique, so the
+        # sort orders by cluster then pos; array_distinct keeps first
+        # occurrence (ascending clusters) and filter preserves pos order —
+        # the exact reshape the old driver loop did with sorted() dicts.
+        flat = F.col("__flat")
+        cents = comp.agg(
+            F.sort_array(
+                F.collect_list(F.struct("__cluster", "__pos", "__cv"))
+            ).alias("__flat")
+        ).select(
+            F.transform(
+                F.array_distinct(F.transform(flat, lambda s: s["__cluster"])),
+                lambda c: F.struct(
+                    c.alias("__cluster"),
+                    F.transform(
+                        F.filter(flat, lambda s: s["__cluster"] == c),
+                        lambda s: s["__cv"],
+                    ).alias("__c"),
+                ),
+            ).alias("__cents")
+        )
 
-    return assign(centroids)
+    return assign(cents)
 
 
 def kmeans_balanced_sample(

@@ -1554,3 +1554,105 @@ def test_lit_vector_matrix_bit_identical_to_per_lit_path(spark):
     assert [[bits(a) for a in row] for row in r["m"]] == [
         [bits(a) for a in row] for row in r["m_ref"]
     ]
+
+
+def test_kmeans_single_plan_matches_driver_loop_trajectory(spark):
+    """r13: `_kmeans_final_assignment` became ONE lazy plan (seeds and
+    every Lloyd update packed into broadcast single-row centroid frames)
+    instead of a driver loop that collected centroids and re-baked them
+    as literals into a fresh assignment plan per iteration. The replay
+    must be bit-exact: the in-plan ``dot(c, c)`` is the same 0.0-seeded
+    sequential left fold the old Python ``dcc += c*c`` computed, and the
+    update aggregate feeds the identical IEEE doubles forward. Pin the
+    full final assignment (ids, clusters, and the raw __d2 bits) against
+    an inline copy of the old driver-loop implementation."""
+    import struct
+
+    from ml_feature_store_pipeline_spark.functions import dot
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        _kmeans_final_assignment,
+        _lit_vector,
+    )
+
+    def reference(df, id_col, vec_col, k, n_iters):
+        # the pre-r13 driver-loop trajectory, verbatim
+        x = F.col("__x")
+        v = df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("__x"),
+        )
+        h = F.md5(F.concat(F.lit("km:"), F.col("__id").cast("string")))
+        seeds = (
+            v.select(h.alias("__h"), "__id", "__x")
+            .orderBy("__h", "__id")
+            .limit(k)
+            .collect()
+        )
+        centroids = [(i, [float(c) for c in r["__x"]]) for i, r in enumerate(seeds)]
+
+        def assign(cents):
+            dxx = dot(x, x)
+            cands = []
+            for ci, comps in cents:
+                c_arr = _lit_vector(comps)
+                dcc = 0.0
+                for c in comps:
+                    dcc += c * c
+                d2 = (dxx - F.lit(2.0) * dot(x, c_arr)) + F.lit(dcc)
+                cands.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cluster")))
+            best = F.array_min(F.array(*cands))
+            return v.select(
+                "__id", "__x", best["cluster"].alias("__cluster"), best["d2"].alias("__d2")
+            )
+
+        for _ in range(n_iters):
+            assigned = assign(centroids)
+            comp = (
+                assigned.select("__cluster", F.posexplode("__x").alias("__pos", "__v"))
+                .groupBy("__cluster", "__pos")
+                .agg(
+                    (
+                        F.sum(F.col("__v").cast("decimal(28,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("__cv")
+                )
+            )
+            by_cluster = {}
+            for r in comp.collect():
+                by_cluster.setdefault(r["__cluster"], {})[r["__pos"]] = r["__cv"]
+            centroids = [
+                (ci, [comps[p] for p in sorted(comps)])
+                for ci, comps in sorted(by_cluster.items())
+            ]
+        return assign(centroids)
+
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    pts = rng.randn(60, 5) * 3.0
+    rows = [(int(i), [float(a) for a in p]) for i, p in enumerate(pts)]
+    # a few awkward values: zeros, subnormals, repr-edge doubles (values
+    # stay inside decimal(28,12)'s range — the update cast both
+    # implementations share overflows identically outside it)
+    rows += [
+        (100, [0.0, 0.0, 0.0, 0.0, 0.0]),
+        (101, [5e-324, -5e-324, 123456789.5, -123456789.5, 0.1]),
+        (102, [0.1, 0.2, 0.30000000000000004, -0.7, 2.5e-17]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def snap(out):
+        return sorted(
+            (
+                r["__id"],
+                r["__cluster"],
+                struct.pack("<d", r["__d2"]),
+                tuple(struct.pack("<d", e) for e in r["__x"]),
+            )
+            for r in out.collect()
+        )
+
+    for k, n_iters in ((4, 3), (3, 1), (5, 0)):
+        got = snap(_kmeans_final_assignment(df, "vec_id", "embedding", k, n_iters))
+        want = snap(reference(df, "vec_id", "embedding", k, n_iters))
+        assert got == want, (k, n_iters)
