@@ -6249,7 +6249,14 @@ def q_ann_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k=5,
             ),
             "ivf": lambda: similarity.nonself_topk(
-                similarity.ivf_topk(queries, emb, k=6, n_cells=8, nprobe=2), k=5
+                # n_corpus feeds ivf_build's fit-partition clamp (r13);
+                # the count runs inside this builder thread, overlapped
+                # with the other routes' builds
+                similarity.ivf_topk(
+                    queries, emb, k=6, n_cells=8, nprobe=2,
+                    n_corpus=emb.count(),
+                ),
+                k=5,
             ),
             "pq": lambda: similarity.nonself_topk(
                 similarity.pq_topk_rerank(

@@ -377,8 +377,10 @@ def ivf_build(
 
     spark = corpus.sparkSession
     cn = _normalized(corpus.select(F.col(corpus_id), F.col(vec_col)), vec_col)
+    n = int(n_corpus) if n_corpus is not None else None
     if n_cells is None:
-        n = corpus.count() if n_corpus is None else int(n_corpus)
+        if n is None:
+            n = corpus.count()
         n_cells, _ = auto_ivf_params(n)
         if train_fraction is None and n > 100 * n_cells:
             train_fraction = (100.0 * n_cells) / n
@@ -402,7 +404,34 @@ def ivf_build(
     # is persisted too — explicit full-corpus fits are small-corpus
     # calls by contract (the auto path always samples past
     # 100·n_cells).
-    fit_input = train.select(array_to_vector(F.col(vec_col)).alias("__v")).persist()
+    fit_input = train.select(array_to_vector(F.col(vec_col)).alias("__v"))
+    # FIT-PARTITION POLICY (r13): clamp the persisted fit input to
+    # ~1M distance evaluations (n_train·n_cells pairs) per task, capped
+    # at the cluster parallelism — MLlib schedules ~25 driver jobs per
+    # fit (init passes + Lloyd), and at small n_train each job otherwise
+    # launches `defaultParallelism` near-empty tasks (measured 2.4 →
+    # 1.9 s warm for the 2000×8 eval-route fit at local[32]). coalesce
+    # only ever NARROWS (no exchange, never splits), and the clamp needs
+    # a known corpus size: the auto path counted it, explicit callers
+    # opt in via ``n_corpus``. At the 2M×1414 SCALE.md stress the target
+    # is min(P, ceil(141400·1414/1e6)=200) = P — the clamp is a no-op by
+    # construction, so large fits keep full parallelism. Centroids can
+    # shift when the partitioning changes (MLlib aggregation order);
+    # every registered consumer is either partition-invariant
+    # (ivf_ann_topk probes all cells = brute force, property-tested) or
+    # bounded-quality (ann_rerank_eval's floor booleans).
+    if n is not None:
+        n_train = n if train_fraction is None else int(n * train_fraction)
+        target = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                -(-(n_train * n_cells) // 1_000_000),
+            ),
+        )
+        if fit_input.rdd.getNumPartitions() > target:
+            fit_input = fit_input.coalesce(target)
+    fit_input = fit_input.persist()
     try:
         model = km.fit(fit_input)
     finally:
@@ -539,14 +568,14 @@ def ivf_topk(
     per-batch.
     """
     if n_cells is None or nprobe is None:
-        n = corpus.count() if n_corpus is None else int(n_corpus)
-        auto_c, auto_p = auto_ivf_params(n)
+        n_corpus = corpus.count() if n_corpus is None else int(n_corpus)
+        auto_c, auto_p = auto_ivf_params(n_corpus)
         if n_cells is None:
             n_cells = auto_c
             # mirror ivf_build's auto rule: a corpus-derived cell count
             # pairs with a ~100·n_cells-vector sample fit
-            if train_fraction is None and n > 100 * n_cells:
-                train_fraction = (100.0 * n_cells) / n
+            if train_fraction is None and n_corpus > 100 * n_cells:
+                train_fraction = (100.0 * n_cells) / n_corpus
         nprobe = auto_p if nprobe is None else nprobe
     cent, assigned = ivf_build(
         corpus,
@@ -555,6 +584,7 @@ def ivf_topk(
         n_cells=n_cells,
         seed=seed,
         train_fraction=train_fraction,
+        n_corpus=n_corpus,
         max_iter=max_iter,
         init_mode=init_mode,
         init_steps=init_steps,
