@@ -26,6 +26,24 @@ def _par(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+def _par_rows(
+    spark: SparkSession, sf_dir: str, table: str, rows_per_task: int = 1000
+) -> int:
+    """Row-proportional parallelism for Python-boundary (mapInPandas /
+    Arrow) stages, capped at the cluster parallelism: each task should
+    see at least ~``rows_per_task`` rows so worker fork + Arrow batch
+    framing amortize. The r12 scaling block showed the decode queries
+    FASTER at 8 cores than 32 (ratios 0.23/0.36) — 32-way splits of a
+    5000-row corpus starve every task; the measured knee at sf0.1 is
+    4-8 partitions (0.36 s vs 0.7-1.1 s at 32). At production row counts
+    the cap saturates to ``defaultParallelism``, so this is
+    scale-adaptive, not a local constant. Costs one session-cached
+    column-pruned count job (:func:`table_rows`)."""
+    from .sources.readers import table_rows
+
+    return max(1, min(_par(spark), -(-table_rows(spark, sf_dir, table) // rows_per_task)))
+
+
 #: DuckDB token list identical to functions.tokens()
 _SQL_TOKS = "list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> x <> '')"
 
@@ -552,7 +570,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary) can hash-verify the decode; the float feature path
     (decode_image_features) is a pure function of these sums and stays
     pytest-verified (test_multimodal_streaming)."""
-    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        _par_rows(spark, sf_dir, "documents")
+    )
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "text")
     out = multimodal.decode_image_stats(payloads)
     # sha1 is decode-side only (DuckDB can't reconstruct the binary blob
@@ -582,7 +602,7 @@ def q_image_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the binary — any decode or DCT bug shifts a group."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit("img"), (F.col("doc_id") % 40)).alias("imgkey")
-    ).repartition(_par(spark))  # slim (id, key) shuffle BEFORE payloads exist
+    ).repartition(_par_rows(spark, sf_dir, "documents"))  # slim (id, key) shuffle BEFORE payloads exist
     payloads = multimodal.attach_fake_payload(docs, "doc_id", "imgkey")
     hashes = multimodal.phash_images(payloads, "doc_id")
     groups = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("group_size"))
@@ -608,7 +628,7 @@ def q_audio_afp_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle never touches a byte of audio."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit("aud"), (F.col("doc_id") % 40)).alias("audkey")
-    ).repartition(_par(spark))
+    ).repartition(_par_rows(spark, sf_dir, "documents"))
     payloads = multimodal.attach_fake_audio(docs, "doc_id", "audkey")
     fps = multimodal.afp_audio(payloads, "doc_id")
     groups = fps.groupBy("afp").agg(F.count(F.lit(1)).alias("group_size"))
@@ -632,7 +652,7 @@ def q_video_vhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the text/image/audio/video dedup quartet."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit("vid"), (F.col("doc_id") % 40)).alias("vidkey")
-    ).repartition(_par(spark))
+    ).repartition(_par_rows(spark, sf_dir, "documents"))
     payloads = multimodal.attach_fake_video(docs, "doc_id", "vidkey", n_frames=6)
     fps = multimodal.vhash_video(payloads, "doc_id")
     groups = fps.groupBy("vhash").agg(F.count(F.lit(1)).alias("group_size"))
@@ -2386,7 +2406,9 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (energy, zero crossings, duration). The oracle re-derives the PCM from
     the generator formula in SQL — any parser defect (chunk offset,
     endianness, sign handling) shifts a statistic."""
-    docs = read_table(spark, sf_dir, "documents", parallelize=True).repartition(_par(spark))
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        _par_rows(spark, sf_dir, "documents")
+    )
     payloads = multimodal.attach_fake_audio(docs, "doc_id", "text")
     return multimodal.decode_audio_stats(payloads)
 

@@ -25,9 +25,27 @@ TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
     "lineitem": ("l_shipdate",),
 }
 
-#: (session id, sf_dir, table) -> scan partition count, so the
+#: (application id, sf_dir, table) -> scan partition count, so the
 #: ``parallelize`` probe plans each scan once per session, not per query.
-_SCAN_PARTITIONS: dict[tuple[int, str, str], int] = {}
+#: Keyed by applicationId (not id(spark)): CPython reuses object ids after
+#: GC, so a new SparkSession could alias a dead session's cached probe.
+_SCAN_PARTITIONS: dict[tuple[str, str, str], int] = {}
+
+#: (application id, sf_dir, table) -> row count: one column-pruned count
+#: job per session feeds row-proportional parallelism caps (the
+#: Python-boundary decode queries' knee — see harness `_par_rows`).
+_TABLE_ROWS: dict[tuple[str, str, str], int] = {}
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Session-cached row count of one test table. The first call pays a
+    column-pruned count job; the cache is keyed by applicationId so a new
+    session re-probes. This is a size PROBE (like ``_SCAN_PARTITIONS``),
+    never a result cache — every query still computes from the parquet."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _TABLE_ROWS:
+        _TABLE_ROWS[key] = read_table(spark, sf_dir, name).count()
+    return _TABLE_ROWS[key]
 
 
 def read_table(
@@ -52,7 +70,7 @@ def read_table(
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if parallelize:
         target = spark.sparkContext.defaultParallelism
-        key = (id(spark), sf_dir, name)
+        key = (spark.sparkContext.applicationId, sf_dir, name)
         if key not in _SCAN_PARTITIONS:  # probe plans the scan; cache it
             _SCAN_PARTITIONS[key] = df.rdd.getNumPartitions()
         if _SCAN_PARTITIONS[key] < target:
