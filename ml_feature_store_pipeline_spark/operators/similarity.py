@@ -1582,12 +1582,26 @@ def pq_build(
     return codebook, codes
 
 
+def _lit_double(v) -> str:
+    """One double rendered as a SQL literal. ``repr`` round-trips every
+    FINITE double exactly; non-finite values render as ``nanD``/``infD``
+    which do NOT parse (r12 ADVICE) — all current callers pass
+    construction-finite values (codebooks, sign planes, centroids), so
+    fail loudly with a diagnosable error instead of a ParseException."""
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(
+            f"_lit_vector/_lit_matrix require finite doubles, got {f!r}"
+        )
+    return repr(f) + "D"
+
+
 def _lit_vector(values) -> Column:
     """A literal array<double> in ONE ``F.expr`` call — same rationale
     (and same exact-double guarantee) as :func:`_lit_matrix`: the
     per-element ``F.lit`` path pays one py4j round trip per value, which
     at 16-table LSH / 8×64 kmeans scale is seconds of plan-build time."""
-    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+    return F.expr("array(" + ",".join(_lit_double(v) for v in values) + ")")
 
 
 def _lit_matrix(rows: list[list[float]]) -> Column:
@@ -1602,7 +1616,7 @@ def _lit_matrix(rows: list[list[float]]) -> Column:
     suffix parses as DoubleType, so the literal VALUES are bit-identical
     to the old path (pytest-pinned)."""
     body = ",".join(
-        "array(" + ",".join(repr(float(v)) + "D" for v in r) + ")" for r in rows
+        "array(" + ",".join(_lit_double(v) for v in r) + ")" for r in rows
     )
     return F.expr(f"array({body})")
 
@@ -2466,84 +2480,97 @@ def pca_power_embeddings(
     Sign is pinned by the deterministic start, not canonicalized — the
     component is defined up to ±1 and both engines walk the same path.
 
-    Scale shape: ONE corpus pass builds C (d² values); the 10 iterations
-    are |d|-sized joins against the localCheckpoint-pinned covariance
-    (the PageRank pin discipline — without it every iteration re-scans
-    the corpus) — iteration cost is independent of the row count.
+    Scale shape: ONE corpus pass builds the moments (d² values — bounded
+    by the embedding DIMENSION, never the row count); the iteration then
+    folds ON THE DRIVER over the collected d×d covariance (guide §8:
+    decide with small rows — the corpus passes stay distributed, the
+    |d|-sized fixed-point loop is bookkeeping). The replay is
+    operation-for-operation the arithmetic the former in-plan loop ran
+    (pytest-pinned bit-identical in test_similarity.py): plain IEEE
+    doubles for the covariance, ``u = C·v`` as an exact DECIMAL sum of
+    HALF_UP-12dp-rounded products (``Decimal(repr(x))`` is the same
+    shortest-repr decimal as ``BigDecimal.valueOf(double)`` — the
+    _rerank_metrics_local discipline), 9 dp state quantization between
+    iterations, and the DECIMAL-space 6 dp exit round for loadings.
     """
     if int(iterations) < 1:
         raise ValueError("iterations must be a positive integer")
+    import decimal
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..functions import collect_concurrent
+
     d, dims, pairs = _pairwise_moments(df, vec_col)
+    spark = df.sparkSession
     if d == 0:
-        return df.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], "dim int, loading double, eigenvalue double"
         )
-    di = dims.select(F.col("i"), F.col("__sx").alias("__sxi"), F.col("__sxx").alias("__sxxi"))
-    dj = dims.select(
-        F.col("i").alias("j"), F.col("__sx").alias("__sxj"), F.col("__sxx").alias("__sxxj")
-    )
-    n = F.col("n").cast("double")
-    cov_u = (
-        pairs.join(F.broadcast(di), "i")
-        .join(F.broadcast(dj), "j")
-        .select(
-            "i",
-            "j",
-            (
-                F.col("__sxy") / n
-                - (F.col("__sxi") / n) * (F.col("__sxj") / n)
-            ).alias("c"),
+    # dims (d rows) and pairs (d(d−1)/2 rows) share the corpus scan but
+    # not lineage — overlap the two collect jobs; both go through the
+    # pin_rows plan-audit hook
+    pinned = collect_concurrent({"dims": lambda: dims, "pairs": lambda: pairs})
+    moments = {int(r["i"]): r for r in pinned["dims"]}
+    idx = sorted(moments)
+    cov: dict = {}
+    for r in pinned["pairs"]:
+        n = float(r["n"])
+        c = r["__sxy"] / n - (moments[int(r["i"])]["__sx"] / n) * (
+            moments[int(r["j"])]["__sx"] / n
         )
-    )
-    nd = F.col("__n").cast("double")
-    diag = dims.select(
-        F.col("i"),
-        F.col("i").alias("j"),
+        cov[(int(r["i"]), int(r["j"]))] = c
+        cov[(int(r["j"]), int(r["i"]))] = c
+    for i in idx:
+        m = moments[i]
+        nd = float(m["__n"])
+        cov[(i, i)] = m["__sxx"] / nd - (m["__sx"] / nd) * (m["__sx"] / nd)
+
+    lat12, lat9 = Decimal("1e-12"), Decimal("1e-9")
+    lat_out = Decimal(1).scaleb(-int(round_digits))
+
+    def _round_dbl(x: float, lat: Decimal) -> float:
+        # Spark's round(double, n): BigDecimal.valueOf (shortest repr)
+        # → setScale(n, HALF_UP) → doubleValue, replayed exactly
+        return float(Decimal(repr(x)).quantize(lat, ROUND_HALF_UP))
+
+    def _dec12(x: float) -> Decimal:
+        # cast(double as decimal(38,12)): shortest-repr decimal at scale 12
+        return Decimal(repr(x)).quantize(lat12, ROUND_HALF_UP)
+
+    # v0 = ROUND(1/SQRT(d), 9) with engine HALF_UP semantics
+    v = {i: _round_dbl(1.0 / math.sqrt(d), lat9) for i in idx}
+    nrm = 0.0
+    # prec 50 > the 38 digits of Spark's decimal(38,12) accumulator, so
+    # the exact decimal sums below never silently round at Python's
+    # default prec 28 (the in-plan sum nulls on overflow at 38 — any
+    # corpus anywhere near that regime fails the equivalence test, not
+    # silently here)
+    with decimal.localcontext() as ctx:
+        ctx.prec = 50
+        for _ in range(int(iterations)):
+            u = {}
+            for i in idx:
+                acc = Decimal(0)  # exact decimal sum — order-free
+                for j in idx:
+                    acc += _dec12(_round_dbl(cov[(i, j)] * v[j], lat12))
+                u[i] = float(acc)
+            sq = Decimal(0)
+            for i in idx:
+                sq += _dec12(_round_dbl(u[i] * u[i], lat12))
+            nrm = math.sqrt(float(sq))
+            v = {i: (_round_dbl(u[i] / nrm, lat9) if nrm > 0 else 0.0) for i in idx}
+    eig = _round_dbl(nrm, lat_out)
+    out = [
         (
-            F.col("__sxx") / nd - (F.col("__sx") / nd) * (F.col("__sx") / nd)
-        ).alias("c"),
-    )
-    cov = (
-        cov_u.unionByName(cov_u.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
-        .unionByName(diag)
-        .localCheckpoint()
-    )
-    # v0 rounds ENGINE-side (HALF_UP), not via Python's banker's round —
-    # the oracle computes ROUND(1/SQRT(d), 9) with the same semantics
-    v = dims.select(
-        F.col("i").alias("j"),
-        F.round(F.lit(1.0 / math.sqrt(d)), 9).alias("v"),
-    ).localCheckpoint()
-    norm_val = None
-    for _ in range(int(iterations)):
-        u = (
-            cov.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(
-                F.sum(F.round(F.col("c") * F.col("v"), 12).cast("decimal(38,12)"))
-                .cast("double")
-                .alias("u")
-            )
+            i,
+            # round(cast(v as decimal(28,9)), round_digits) cast double
+            float(
+                Decimal(repr(v[i]))
+                .quantize(lat9, ROUND_HALF_UP)
+                .quantize(lat_out, ROUND_HALF_UP)
+            ),
+            eig,
         )
-        norm = u.agg(
-            F.sqrt(
-                F.sum(F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")).cast(
-                    "double"
-                )
-            ).alias("nrm")
-        )
-        stepped = u.crossJoin(F.broadcast(norm)).localCheckpoint()
-        v = stepped.select(
-            F.col("i").alias("j"),
-            F.round(
-                F.when(F.col("nrm") > 0, F.col("u") / F.col("nrm")).otherwise(0.0), 9
-            ).alias("v"),
-        )
-        norm_val = stepped.select(F.col("i"), F.col("nrm"))
-    return v.join(norm_val, v["j"] == norm_val["i"]).select(
-        F.col("j").alias("dim"),
-        F.round(F.col("v").cast("decimal(28,9)"), round_digits)
-        .cast("double")
-        .alias("loading"),
-        F.round(F.col("nrm"), round_digits).alias("eigenvalue"),
-    )
+        for i in idx
+    ]
+    return spark.createDataFrame(out, "dim int, loading double, eigenvalue double")

@@ -1053,6 +1053,125 @@ def test_pca_power_empty_corpus_is_empty(spark):
     assert pca_power_embeddings(df, "v").count() == 0
 
 
+def test_pca_power_driver_fold_matches_inplan_loop(spark):
+    """r13: the power iteration became a DRIVER fold over the collected
+    d²-bounded covariance (guide §8) instead of iterations+2 eager
+    localCheckpoint plans. The replay must be bit-exact against an inline
+    copy of the old in-plan loop — same HALF_UP 12/9 dp lattices, same
+    exact decimal sums, same IEEE division/sqrt — on every output bit."""
+    import struct
+
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        _pairwise_moments,
+        pca_power_embeddings,
+    )
+
+    def reference(df, vec_col, iterations, round_digits=6):
+        # the pre-r13 in-plan trajectory, verbatim
+        import math as _math
+
+        d, dims, pairs = _pairwise_moments(df, vec_col)
+        di = dims.select(
+            F.col("i"), F.col("__sx").alias("__sxi"), F.col("__sxx").alias("__sxxi")
+        )
+        dj = dims.select(
+            F.col("i").alias("j"),
+            F.col("__sx").alias("__sxj"),
+            F.col("__sxx").alias("__sxxj"),
+        )
+        n = F.col("n").cast("double")
+        cov_u = (
+            pairs.join(F.broadcast(di), "i")
+            .join(F.broadcast(dj), "j")
+            .select(
+                "i",
+                "j",
+                (F.col("__sxy") / n - (F.col("__sxi") / n) * (F.col("__sxj") / n)).alias(
+                    "c"
+                ),
+            )
+        )
+        nd = F.col("__n").cast("double")
+        diag = dims.select(
+            F.col("i"),
+            F.col("i").alias("j"),
+            (F.col("__sxx") / nd - (F.col("__sx") / nd) * (F.col("__sx") / nd)).alias("c"),
+        )
+        cov = (
+            cov_u.unionByName(
+                cov_u.select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
+            )
+            .unionByName(diag)
+            .localCheckpoint()
+        )
+        v = dims.select(
+            F.col("i").alias("j"),
+            F.round(F.lit(1.0 / _math.sqrt(d)), 9).alias("v"),
+        ).localCheckpoint()
+        norm_val = None
+        for _ in range(int(iterations)):
+            u = (
+                cov.join(F.broadcast(v), "j")
+                .groupBy("i")
+                .agg(
+                    F.sum(F.round(F.col("c") * F.col("v"), 12).cast("decimal(38,12)"))
+                    .cast("double")
+                    .alias("u")
+                )
+            )
+            norm = u.agg(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")
+                    ).cast("double")
+                ).alias("nrm")
+            )
+            stepped = u.crossJoin(F.broadcast(norm)).localCheckpoint()
+            v = stepped.select(
+                F.col("i").alias("j"),
+                F.round(
+                    F.when(F.col("nrm") > 0, F.col("u") / F.col("nrm")).otherwise(0.0), 9
+                ).alias("v"),
+            )
+            norm_val = stepped.select(F.col("i"), F.col("nrm"))
+        return v.join(norm_val, v["j"] == norm_val["i"]).select(
+            F.col("j").alias("dim"),
+            F.round(F.col("v").cast("decimal(28,9)"), round_digits)
+            .cast("double")
+            .alias("loading"),
+            F.round(F.col("nrm"), round_digits).alias("eigenvalue"),
+        )
+
+    def bits(x):
+        return struct.pack("<d", x).hex()
+
+    def snap(rows):
+        return {int(r["dim"]): (bits(r["loading"]), bits(r["eigenvalue"])) for r in rows}
+
+    rng = np.random.default_rng(29)
+    w = rng.normal(size=(50, 1)) @ rng.normal(size=(1, 7)) * 2.0
+    vecs = (w + rng.normal(size=(50, 7)) * 0.4).tolist()
+    # awkward rows: a zero vector, repr-edge doubles, a large-magnitude row
+    vecs += [
+        [0.0] * 7,
+        [0.1, 0.2, 0.30000000000000004, -0.7, 2.5e-17, 1.0, -1.0],
+        [123.456, -98.7, 5e-12, 3.25, -3.25, 0.5, 7.75],
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    for iters in (1, 3):
+        got = snap(pca_power_embeddings(df, "v", iterations=iters).collect())
+        want = snap(reference(df, "v", iters).collect())
+        assert got == want
+    # a rank-deficient corpus where the norm path hits small magnitudes
+    tiny = spark.createDataFrame(
+        [([1e-9, -1e-9, 1e-9],), ([1e-9, -1e-9, 1e-9],), ([2e-9, -2e-9, 2e-9],)],
+        "v array<double>",
+    )
+    assert snap(pca_power_embeddings(tiny, "v", iterations=2).collect()) == snap(
+        reference(tiny, "v", 2).collect()
+    )
+
+
 # ---------------------------------------------------------------------------
 # r10: corpus-aware ANN route defaults (VERDICT r9 item 2)
 # ---------------------------------------------------------------------------
@@ -1554,6 +1673,24 @@ def test_lit_vector_matrix_bit_identical_to_per_lit_path(spark):
     assert [[bits(a) for a in row] for row in r["m"]] == [
         [bits(a) for a in row] for row in r["m_ref"]
     ]
+
+
+def test_lit_vector_rejects_non_finite(spark):
+    """r12 ADVICE: ``nan``/``inf`` render as invalid SQL (``nanD`` does
+    not parse) — the guard must raise a diagnosable ValueError instead of
+    a downstream ParseException."""
+    import pytest as _pytest
+
+    from ml_feature_store_pipeline_spark.operators.similarity import (
+        _lit_matrix,
+        _lit_vector,
+    )
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with _pytest.raises(ValueError, match="finite"):
+            _lit_vector([1.0, bad])
+        with _pytest.raises(ValueError, match="finite"):
+            _lit_matrix([[1.0], [bad]])
 
 
 def test_kmeans_single_plan_matches_driver_loop_trajectory(spark):
