@@ -6195,7 +6195,18 @@ def _rerank_metrics_local(
     from decimal import ROUND_HALF_UP, Decimal
 
     ex = [(r[0], r[1], r[3]) for r in exact_rows if r[3] <= k]
+    # PRECONDITION (r12 ADVICE): approx rows must be unique per
+    # (query, corpus) — every registered route emits row_number top-k,
+    # which guarantees it. A duplicate-bearing frame would silently keep
+    # the LAST rank here while rerank_eval's join counts every match;
+    # assert so a future non-top-k caller fails diagnosably instead.
     ap = {(r[0], r[1]): r[3] for r in approx_rows if r[3] <= k}
+    n_ap = sum(1 for r in approx_rows if r[3] <= k)
+    if len(ap) != n_ap:
+        raise ValueError(
+            "_rerank_metrics_local requires unique (query, corpus) approx "
+            f"rows (row_number top-k frames); got {n_ap} rows, {len(ap)} keys"
+        )
     n_exact = len(ex)
     n_queries = len({q for q, _, _ in ex})
     if n_exact == 0:

@@ -440,6 +440,9 @@ def test_gopher_filter_is_exchange_free(spark, registry):
         if "Exchange" in ln and "RoundRobinPartitioning" not in ln
     ]
     assert not bad, bad
+    # r12 ADVICE: the allowance is ONE deliberate rescue exchange — a
+    # second RoundRobin means an accidental repartition crept in
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
 
 
 def test_bpe_token_stats_is_exchange_free(spark, registry):
@@ -594,6 +597,9 @@ def test_corr_matrix_single_moment_aggregate(spark, registry):
         if "Exchange" in ln and "RoundRobinPartitioning" not in ln
     ]
     assert len(combine) == 1, combine
+    # r12 ADVICE: at most the ONE deliberate rescue exchange — a second
+    # RoundRobin means an accidental repartition crept in
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
     assert "Join" not in plan and "Window" not in plan
 
 
