@@ -852,9 +852,24 @@ def q_ml_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_contains(_tokens(F.lower(F.col("text"))), "spark"),
         )
     )
-    scored = mlfeatures.quality_classifier_scores(
-        docs, "doc_id", "text", "is_quality"
-    ).localCheckpoint(eager=False)  # AUC eval + 3 aggregates share the fit
+    from .sources.readers import table_rows
+
+    n_docs = table_rows(spark, sf_dir, "documents")
+    # the checkpointed scorecard feeds 4 separate downstream jobs (AUC
+    # eval + 3 aggregates) — coalesce it to the same work-proportional
+    # target as the fit so each of those jobs schedules ~n_docs/2000
+    # tasks instead of defaultParallelism near-empty ones (no-op at
+    # corpus scale, same clamp rationale as quality_classifier_scores)
+    scored_parts = max(
+        1, min(spark.sparkContext.defaultParallelism, -(-n_docs // 2000))
+    )
+    scored = (
+        mlfeatures.quality_classifier_scores(
+            docs, "doc_id", "text", "is_quality", n_docs=n_docs
+        )
+        .coalesce(scored_parts)
+        .localCheckpoint(eager=False)
+    )  # AUC eval + 3 aggregates share the fit
     auc = BinaryClassificationEvaluator(
         labelCol="is_quality", rawPredictionCol="quality_score",
         metricName="areaUnderROC",

@@ -158,6 +158,7 @@ def quality_classifier_scores(
     num_features: int = 1 << 12,
     max_iter: int = 25,
     reg_param: float = 0.01,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """GPT-3-style classifier quality filter, stage 1: train a logistic
     regression on hashed TF-IDF features against a weak binary label
@@ -183,7 +184,30 @@ def quality_classifier_scores(
         featuresCol="tfidf", labelCol="__label", maxIter=max_iter,
         regParam=reg_param, standardization=True,
     )
-    model = lr.fit(train)
+    # FIT-PARTITION POLICY (r13, the ivf_build clamp): LBFGS schedules
+    # one treeAggregate job per iteration (+ line searches) over the
+    # internally persisted instance RDD — at small row counts each job
+    # otherwise launches `defaultParallelism` near-empty tasks whose
+    # per-task cost (scheduling + a 2×num_features dense gradient
+    # allocation) dwarfs the ~2k-row gradient work. Clamp the FIT input
+    # to ~2000 rows/task, capped at the cluster parallelism, so
+    # corpus-scale fits keep full parallelism (the clamp needs a known
+    # row count — callers opt in via ``n_docs``); scoring stays on the
+    # caller's partitioning. coalesce only ever NARROWS (no exchange).
+    # Coefficients can shift at last-ulp with aggregation order; the
+    # registered consumer's outputs are partition-invariant counts plus
+    # bounded-margin booleans (see q_ml_quality_filter_docs), and the
+    # oracle stays green at 3 SFs.
+    fit_input = train
+    if n_docs is not None:
+        spark = docs.sparkSession
+        target = max(
+            1,
+            min(spark.sparkContext.defaultParallelism, -(-int(n_docs) // 2000)),
+        )
+        if fit_input.rdd.getNumPartitions() > target:
+            fit_input = fit_input.coalesce(target)
+    model = lr.fit(fit_input)
     scored = model.transform(train)
     prob = vector_to_array("probability")[1]
     return scored.select(
