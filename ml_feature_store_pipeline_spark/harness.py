@@ -45,82 +45,75 @@ def _ensure_loaded() -> None:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries, so the
-# registry is emitted in an explicit priority order. Round-12 rotation
-# (the r11 verdict's item 1): finish the provenance refresh — after this
-# window no registry query's newest driver green predates r7, i.e. every
-# query has been re-verified within five rounds of its shipping code.
+# registry is emitted in an explicit priority order. Round-13 rotation
+# (the r12 verdict's item 7 + the standing policy): after this window no
+# registry query's newest driver green predates r8.
 #
-# - FOURTEEN r6-era anchors (tests/test_registry.py::
-#   R12_ANCHOR_CANDIDATES — the unconsumed tail of the r11 pool;
-#   running_revenue through index_encode_event_types, registry order).
-# - SIX changed-code pulls (function text touched this round, so their
-#   prior greens predate the shipped code): ivf_ann_topk /
-#   ann_rerank_eval (similarity._nearest_cells gained the empty-centers
-#   short-circuit, ivf_query the pre-collected-centers pass-through —
-#   bit-identical, plan-probed), lsh_ann_topk / pq_ann_topk /
-#   ann_rerank_eval again (pin_concurrent now restores
-#   spark.job.interruptOnCancel alongside the other two thread-local
-#   properties), mad_outliers_order_price and weighted_median_price_hist
-#   (their inline driver-pin copies folded into functions.pin_local, so
-#   their builder plans now sit under the _PIN_PLAN_SINK audit).
-# - THIRTY anchors from the FRONT of tests/test_registry.py::
-#   R12_R7_POOL (the 48 queries whose newest driver green is r7 — the
-#   oldest signal once the r6 anchors above land); the remaining 18
-#   roll to r13.
+# - EIGHTEEN r7-era anchors (tests/test_registry.py::
+#   R13_ANCHOR_CANDIDATES — the unconsumed tail of the r12 pool;
+#   cube_orders through negative_sample_pairs, registry order).
+# - EIGHTEEN changed-code pulls (function text touched this
+#   optimization round, so their prior greens predate the shipped code;
+#   the per-change mapping is documented at
+#   tests/test_registry.py::CHANGED_IN_R13 and OPTIMIZATION_r13.md).
+# - FOURTEEN anchors from the FRONT of tests/test_registry.py::
+#   R13_R8_POOL (the 45 queries whose newest driver green is r8 — the
+#   oldest signal once the r7 anchors above land); the remaining 31
+#   roll to r14.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # R12_ANCHOR_CANDIDATES — all 14 remaining r6-era greens
-    "running_revenue",
-    "lag_lead_events",
-    "set_ops_summary",
-    "json_props_extract",
-    "doc_fingerprints",
-    "backfill_snapshots",
-    "incremental_distinct_users_per_type",
-    "robust_scale_orders",
-    "target_encode_oof_events",
-    "jsd_event_type_drift",
-    "standard_scale_events",
-    "group_scale_events",
-    "winsorize_orders",
-    "index_encode_event_types",
+    # R13_ANCHOR_CANDIDATES — all 18 remaining r7-era greens
+    "cube_orders",
+    "tpch_q4_like",
+    "tpch_q18_like",
+    "tpch_q14",
+    "tpch_q7_like",
+    "tpch_q15_like",
+    "tpch_q19_like",
+    "filter_in_list",
+    "lineitem_quartiles",
+    "events_per_type",
+    "distinct_parts_per_flag",
+    "revenue_by_region",
+    "sample_events_10pct",
+    "train_test_split_counts",
+    "quartiles_by_priority",
+    "top3_orders_per_priority",
+    "distinct_users_per_type_2stage",
+    "negative_sample_pairs",
     # changed-code pulls (function text touched this round)
-    "lsh_ann_topk",
+    "item_item_cosine_topk",
+    "bpe_train_merges",
+    "lm_quality_score_docs",
+    "bpe_encode_stats_docs",
+    "kmeans_embeddings",
+    "kmeans_balanced_sample",
     "ivf_ann_topk",
-    "pq_ann_topk",
     "ann_rerank_eval",
-    "mad_outliers_order_price",
-    "weighted_median_price_hist",
-    # anchors — R12_R7_POOL front, registry order (r7 greens)
-    "user_features",
-    "minhash_signatures",
-    "embedding_near_dup",
+    "lsh_ann_topk",
+    "pq_ann_topk",
+    "multimodal_decode",
+    "audio_decode_stats",
+    "image_phash_dup_groups",
+    "audio_afp_dup_groups",
     "video_vhash_dup_groups",
-    "embedding_quantization_stats",
-    "mixture_epochs_docs",
-    "repetition_stats_docs",
-    "ewma_user_spend_prior",
-    "sliding_window_counts",
-    "dedup_survivors_docs",
-    "stratified_sample_counts",
-    "key_skew_profile_events",
-    "interval_join_price_buckets",
-    "tfidf_terms_docs",
-    "scd2_event_type_history",
-    "pit_scd2_orders_state",
-    "embedding_norm_stats",
-    "token_histogram_docs",
-    "kmv_distinct_orderkeys",
-    "weighted_sample_events",
-    "incremental_user_value_stats",
-    "near_dup_edit_distance",
-    "hist_quantile_prices",
-    "cms_heavy_hitters_events",
-    "semantic_dedup_embeddings",
-    "knn_label_audit",
-    "gopher_filter_docs",
-    "dsir_select_docs",
-    "budget_select_docs",
-    "chunk_dedup_docs",
+    "pca_power_embeddings",
+    "ml_quality_filter_docs",
+    "random_projection_embeddings",
+    # anchors — R13_R8_POOL front, registry order (r8 greens)
+    "semantic_decontaminate_embeddings",
+    "dedup_survivors_priority_docs",
+    "hard_negative_pairs",
+    "prototypicality_scores",
+    "vocab_coverage_docs",
+    "quality_calibrated_docs",
+    "source_overlap_docs",
+    "bpe_token_stats_docs",
+    "bpe_pair_stats_docs",
+    "quality_calibrated_sketch_docs",
+    "trend_slope_user_value",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "mmr_rerank_embeddings",
 )
 
 

@@ -647,24 +647,142 @@ R12_R7_POOL = [
 # The r13 anchor pool: the unconsumed r7-green tail.
 R13_ANCHOR_CANDIDATES = R12_R7_POOL[30:]
 
+# The r12 window as shipped (50/50 green in CORRECTNESS_r12.json) —
+# historical record, the R8..R11_DRIVER_WINDOW pattern.
+R12_DRIVER_WINDOW = R12_ANCHOR_CANDIDATES + CHANGED_IN_R12 + R12_R7_POOL[:30]
 
-def test_round12_rotation_policy_is_the_window():
+
+def test_round12_rotation_landed_as_planned():
     # r11 verdict item 1: ALL 14 remaining r6-era anchors first
     # (finishing the provenance refresh — after this window no registry
     # query's newest driver green predates r7), then the changed-code
     # pulls, then 30 r7-era anchors from the R12_R7_POOL front; the
-    # 18-name tail rolls to r13.
-    expected = R12_ANCHOR_CANDIDATES + CHANGED_IN_R12 + R12_R7_POOL[:30]
-    assert list(DRIVER_WINDOW) == expected
-    assert len(DRIVER_WINDOW) == 50
+    # 18-name tail rolled to r13.
+    assert len(R12_DRIVER_WINDOW) == 50
     assert len(R12_R7_POOL) == 48
     assert len(R13_ANCHOR_CANDIDATES) == 18
     assert R13_ANCHOR_CANDIDATES[0] == "cube_orders"
     assert R13_ANCHOR_CANDIDATES[-1] == "negative_sample_pairs"
-    assert not set(R13_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
     assert not set(R12_R7_POOL) & set(R11_R6_POOL)  # disjoint provenance strata
     names = set(query_registry())
     assert set(R12_R7_POOL) <= names
+
+
+# Function text touched in round 13 (optimization round 2) — their prior
+# greens predate the shipped code:
+# - the scan-rescue revert on three sites (item_item_cosine_topk,
+#   bpe_train_merges, lm_quality_score_docs);
+# - text.bpe_train's lazy corpus checkpoints (bpe_train_merges,
+#   bpe_encode_stats_docs);
+# - similarity._kmeans_final_assignment's single-lazy-plan unroll + the
+#   two kmeans read sites (kmeans_embeddings, kmeans_balanced_sample);
+# - similarity.ivf_build's fit-input partition clamp (ivf_ann_topk,
+#   ann_rerank_eval);
+# - the _par_rows decode-parallelism cap (multimodal_decode,
+#   audio_decode_stats, image_phash/audio_afp/video_vhash dup groups);
+# - similarity.pca_power_embeddings' driver fold (pca_power_embeddings);
+# - mlfeatures.quality_classifier_scores' LR fit clamp
+#   (ml_quality_filter_docs);
+# - the _lit_vector/_lit_matrix finite guard and the
+#   _rerank_metrics_local uniqueness assert (lsh_ann_topk, pq_ann_topk,
+#   ann_rerank_eval, random_projection_embeddings).
+CHANGED_IN_R13 = [
+    "item_item_cosine_topk",
+    "bpe_train_merges",
+    "lm_quality_score_docs",
+    "bpe_encode_stats_docs",
+    "kmeans_embeddings",
+    "kmeans_balanced_sample",
+    "ivf_ann_topk",
+    "ann_rerank_eval",
+    "lsh_ann_topk",
+    "pq_ann_topk",
+    "multimodal_decode",
+    "audio_decode_stats",
+    "image_phash_dup_groups",
+    "audio_afp_dup_groups",
+    "video_vhash_dup_groups",
+    "pca_power_embeddings",
+    "ml_quality_filter_docs",
+    "random_projection_embeddings",
+]
+
+# The 45 registry queries whose newest driver green is r8 (reconstructed
+# from CORRECTNESS_r0{1..12}.json exactly like the r6/r7 ledgers),
+# EXCLUDING ml_quality_filter_docs and random_projection_embeddings —
+# both r8-green but already pulled into r13 as changed code. Registry
+# order. r13 consumes the FIRST 14; the 31-name tail is the r14 pool.
+R13_R8_POOL = [
+    "semantic_decontaminate_embeddings",
+    "dedup_survivors_priority_docs",
+    "hard_negative_pairs",
+    "prototypicality_scores",
+    "vocab_coverage_docs",
+    "quality_calibrated_docs",
+    "source_overlap_docs",
+    "bpe_token_stats_docs",
+    "bpe_pair_stats_docs",
+    "quality_calibrated_sketch_docs",
+    "trend_slope_user_value",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "mmr_rerank_embeddings",
+    "maxsim_multivector_topk",
+    "event_type_affinity",
+    "corpus_duplication_rate_docs",
+    "zipf_fit_docs",
+    "active_users_daily",
+    "rfm_segments",
+    "touch_attribution_events",
+    "interpurchase_gaps",
+    "k_anonymity_events",
+    "resample_ffill_user_value",
+    "session_stats_events",
+    "session_window_agg_events",
+    "session_trigrams_events",
+    "user_event_entropy",
+    "benford_orders_totalprice",
+    "ohlc_user_value_daily",
+    "kmv_user_overlap_view_purchase",
+    "weighted_median_price_by_flag",
+    "l_diversity_events",
+    "part_copurchase_lift",
+    "event_transition_matrix",
+    "key_skew_gini_events",
+    "event_value_mutual_info",
+    "active_users_hll_daily",
+    "daily_value_percentiles",
+    "spearman_price_quantity",
+    "mann_whitney_view_purchase",
+    "ranking_metrics_label_topk",
+    "count_encode_event_type",
+    "table_profile_orders_approx",
+    "training_shard_stats",
+]
+
+# The r14 anchor pool: the unconsumed r8-green tail.
+R14_ANCHOR_CANDIDATES = R13_R8_POOL[14:]
+
+
+def test_round13_rotation_policy_is_the_window():
+    # r12 verdict item 7 + the standing policy: ALL 18 remaining r7-era
+    # anchors first (after this window no registry query's newest driver
+    # green predates r8), then this round's changed-code pulls, then 14
+    # r8-era anchors from the R13_R8_POOL front; the 31-name tail rolls
+    # to r14.
+    expected = R13_ANCHOR_CANDIDATES + CHANGED_IN_R13 + R13_R8_POOL[:14]
+    assert list(DRIVER_WINDOW) == expected
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert len(R13_R8_POOL) == 45
+    assert len(R14_ANCHOR_CANDIDATES) == 31
+    assert R14_ANCHOR_CANDIDATES[0] == "maxsim_multivector_topk"
+    assert R14_ANCHOR_CANDIDATES[-1] == "training_shard_stats"
+    assert not set(R14_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
+    # disjoint provenance strata (changed-code pulls excepted by design)
+    assert not set(R13_R8_POOL) & set(R12_R7_POOL)
+    names = set(query_registry())
+    assert set(R13_R8_POOL) <= names
     oracles = oracle_registry()
     assert all(n in oracles for n in DRIVER_WINDOW)
 
