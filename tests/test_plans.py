@@ -620,14 +620,26 @@ def test_spearman_ranks_are_banded_not_global(spark, registry):
     assert "hashpartitioning(__band" in plan
 
 
-def test_kmeans_assignment_is_zero_join(spark, registry):
-    """k-means assignment evaluates literal centroids inside codegen: the
-    final-assignment plan has NO join of any kind and exactly one
-    exchange (the stats aggregate)."""
+def test_kmeans_assignment_has_no_shuffle_join(spark, registry):
+    """r13: the Lloyd trajectory is ONE unrolled lazy plan — each
+    iteration's centroid model is a SINGLE-ROW packed frame that
+    broadcast-cross-joins onto the corpus (IdentityBroadcastMode), so
+    the former per-iteration collect+literal rebuild is gone. The pinned
+    invariant: centroids attach by broadcast ONLY — no shuffle join of
+    any kind — and every hash exchange is a dimension-keyed aggregate
+    (__cluster[, __pos]), never a fact-keyed join exchange."""
     df = registry["kmeans_embeddings"](spark, SF)
+    df.collect()  # pin the FINAL adaptive plan, not the unresolved one
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only broadcasts are the one-row centroid packs
+    for ln in plan.splitlines():
+        if "BroadcastExchange" in ln:
+            assert "IdentityBroadcastMode" in ln, ln
+        if "Exchange hashpartitioning" in ln:
+            assert "__cluster" in ln, ln
 
 
 def test_bm25_topk_is_take_ordered(spark, registry):
