@@ -81,52 +81,71 @@ class FeatureStore:
         """
         if enforce_schema and metadata.features_config:
             self._check_schema(features, metadata)
-        metrics, _prof = self.validator.validate(features)
-        version = content_version(features)
+        # Register runs SEVERAL separate actions over the same (often
+        # aggregate-shaped) feature lineage — the validator's profile
+        # jobs, the content hash, the partitioned write, the monitor
+        # count. Unpersisted, each re-computes the extractor from the
+        # source scan (guide §5; measured ~2.5-2.9 s warm for the
+        # serving-parity fixture, dominated by these recomputes). Persist
+        # for the register's duration only — a within-run pin of an
+        # intermediate (the ivf_build pattern), never a cross-run cache —
+        # and unpersist in finally so the store never holds storage
+        # memory past the call.
+        features = features.persist()
+        try:
+            metrics, _prof = self.validator.validate(features)
+            version = content_version(features)
 
-        # one stamp for BOTH the feature rows and the metadata copy below:
-        # a backfill's explicit metadata.created_at must also be what the
-        # row-level column says, or version_as_of() time-travels to rows
-        # that self-describe a different creation time (r9 review).
-        created_at = metadata.created_at or _utc_now_iso()
-        stamped = features.withColumn(VERSION_COLUMN, F.lit(version)).withColumn(
-            CREATED_AT_COLUMN, F.lit(created_at)
-        )
-        if self.sort_col and self.sort_col in features.columns:
-            # sort within output files so parquet row-group min/max stats make
-            # later user_id point-lookups skip row groups (the scalable stand-in
-            # for the reference's intended INDEX(user_id))
-            stamped = stamped.sortWithinPartitions(self.sort_col)
-        stamped.write.mode("append").partitionBy(VERSION_COLUMN).parquet(self.features_path)
+            # one stamp for BOTH the feature rows and the metadata copy
+            # below: a backfill's explicit metadata.created_at must also be
+            # what the row-level column says, or version_as_of()
+            # time-travels to rows that self-describe a different creation
+            # time (r9 review).
+            created_at = metadata.created_at or _utc_now_iso()
+            stamped = features.withColumn(VERSION_COLUMN, F.lit(version)).withColumn(
+                CREATED_AT_COLUMN, F.lit(created_at)
+            )
+            if self.sort_col and self.sort_col in features.columns:
+                # sort within output files so parquet row-group min/max
+                # stats make later user_id point-lookups skip row groups
+                # (the scalable stand-in for the reference's intended
+                # INDEX(user_id))
+                stamped = stamped.sortWithinPartitions(self.sort_col)
+            stamped.write.mode("append").partitionBy(VERSION_COLUMN).parquet(
+                self.features_path
+            )
 
-        # stamp a COPY — mutating the caller's object made a REUSED
-        # FeatureMetadata carry the first registration's created_at into
-        # every later register call, so latest_version() (top-1 by
-        # created_at) could keep resolving to the superseded version: the
-        # exact staleness mode this store claims a zero window for (found
-        # by the demo's register→serve→re-register→serve assertion, r9).
-        # An EXPLICITLY pre-set created_at is still honored (backfill /
-        # time-travel) — give CORRECTED backfills a strictly later stamp:
-        # two different-content registrations with an EQUAL explicit
-        # created_at are genuinely unordered in this schema, and
-        # latest_version() resolves the tie by version hash
-        # (deterministic, but not registration order).
-        import dataclasses
+            # stamp a COPY — mutating the caller's object made a REUSED
+            # FeatureMetadata carry the first registration's created_at into
+            # every later register call, so latest_version() (top-1 by
+            # created_at) could keep resolving to the superseded version: the
+            # exact staleness mode this store claims a zero window for (found
+            # by the demo's register→serve→re-register→serve assertion, r9).
+            # An EXPLICITLY pre-set created_at is still honored (backfill /
+            # time-travel) — give CORRECTED backfills a strictly later stamp:
+            # two different-content registrations with an EQUAL explicit
+            # created_at are genuinely unordered in this schema, and
+            # latest_version() resolves the tie by version hash
+            # (deterministic, but not registration order).
+            import dataclasses
 
-        stamped_meta = dataclasses.replace(
-            metadata,
-            feature_version=version,
-            created_at=created_at,
-            data_quality_metrics=metrics,
-        )
-        self._upsert_metadata(stamped_meta)
+            stamped_meta = dataclasses.replace(
+                metadata,
+                feature_version=version,
+                created_at=created_at,
+                data_quality_metrics=metrics,
+            )
+            self._upsert_metadata(stamped_meta)
 
-        n_rows = features.count()
-        self.monitor.log_feature_creation(version, n_rows, metrics.overall_score)
-        # The reference eagerly caches the whole frame at register (`:349-350`);
-        # at scale that collect is wrong, so the serving cache fills lazily on
-        # first read instead (same hit behavior from the second access on).
-        return version
+            n_rows = features.count()
+            self.monitor.log_feature_creation(version, n_rows, metrics.overall_score)
+            # The reference eagerly caches the whole frame at register
+            # (`:349-350`); at scale that collect is wrong, so the serving
+            # cache fills lazily on first read instead (same hit behavior
+            # from the second access on).
+            return version
+        finally:
+            features.unpersist()
 
     def _check_schema(self, features: DataFrame, metadata: FeatureMetadata) -> None:
         """Declared configs must exist in the frame with the declared dtype."""
