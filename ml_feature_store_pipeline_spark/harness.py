@@ -52,13 +52,13 @@ def _ensure_loaded() -> None:
 # - EIGHTEEN r7-era anchors (tests/test_registry.py::
 #   R13_ANCHOR_CANDIDATES — the unconsumed tail of the r12 pool;
 #   cube_orders through negative_sample_pairs, registry order).
-# - EIGHTEEN changed-code pulls (function text touched this
+# - NINETEEN changed-code pulls (function text touched this
 #   optimization round, so their prior greens predate the shipped code;
 #   the per-change mapping is documented at
 #   tests/test_registry.py::CHANGED_IN_R13 and OPTIMIZATION_r13.md).
-# - FOURTEEN anchors from the FRONT of tests/test_registry.py::
+# - THIRTEEN anchors from the FRONT of tests/test_registry.py::
 #   R13_R8_POOL (the 45 queries whose newest driver green is r8 — the
-#   oldest signal once the r7 anchors above land); the remaining 31
+#   oldest signal once the r7 anchors above land); the remaining 32
 #   roll to r14.
 DRIVER_WINDOW: tuple[str, ...] = (
     # R13_ANCHOR_CANDIDATES — all 18 remaining r7-era greens
@@ -99,6 +99,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pca_power_embeddings",
     "ml_quality_filter_docs",
     "random_projection_embeddings",
+    "serving_parity_audit",
     # anchors — R13_R8_POOL front, registry order (r8 greens)
     "semantic_decontaminate_embeddings",
     "dedup_survivors_priority_docs",
@@ -113,7 +114,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "trend_slope_user_value",
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
-    "mmr_rerank_embeddings",
 )
 
 

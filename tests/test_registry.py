@@ -685,7 +685,9 @@ def test_round12_rotation_landed_as_planned():
 #   (ml_quality_filter_docs);
 # - the _lit_vector/_lit_matrix finite guard and the
 #   _rerank_metrics_local uniqueness assert (lsh_ann_topk, pq_ann_topk,
-#   ann_rerank_eval, random_projection_embeddings).
+#   ann_rerank_eval, random_projection_embeddings);
+# - store.register_features' within-call feature-frame persist
+#   (serving_parity_audit).
 CHANGED_IN_R13 = [
     "item_item_cosine_topk",
     "bpe_train_merges",
@@ -705,13 +707,14 @@ CHANGED_IN_R13 = [
     "pca_power_embeddings",
     "ml_quality_filter_docs",
     "random_projection_embeddings",
+    "serving_parity_audit",
 ]
 
 # The 45 registry queries whose newest driver green is r8 (reconstructed
 # from CORRECTNESS_r0{1..12}.json exactly like the r6/r7 ledgers),
 # EXCLUDING ml_quality_filter_docs and random_projection_embeddings —
 # both r8-green but already pulled into r13 as changed code. Registry
-# order. r13 consumes the FIRST 14; the 31-name tail is the r14 pool.
+# order. r13 consumes the FIRST 13; the 32-name tail is the r14 pool.
 R13_R8_POOL = [
     "semantic_decontaminate_embeddings",
     "dedup_survivors_priority_docs",
@@ -761,22 +764,22 @@ R13_R8_POOL = [
 ]
 
 # The r14 anchor pool: the unconsumed r8-green tail.
-R14_ANCHOR_CANDIDATES = R13_R8_POOL[14:]
+R14_ANCHOR_CANDIDATES = R13_R8_POOL[13:]
 
 
 def test_round13_rotation_policy_is_the_window():
     # r12 verdict item 7 + the standing policy: ALL 18 remaining r7-era
     # anchors first (after this window no registry query's newest driver
-    # green predates r8), then this round's changed-code pulls, then 14
-    # r8-era anchors from the R13_R8_POOL front; the 31-name tail rolls
+    # green predates r8), then this round's changed-code pulls, then 13
+    # r8-era anchors from the R13_R8_POOL front; the 32-name tail rolls
     # to r14.
-    expected = R13_ANCHOR_CANDIDATES + CHANGED_IN_R13 + R13_R8_POOL[:14]
+    expected = R13_ANCHOR_CANDIDATES + CHANGED_IN_R13 + R13_R8_POOL[:13]
     assert list(DRIVER_WINDOW) == expected
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert len(R13_R8_POOL) == 45
-    assert len(R14_ANCHOR_CANDIDATES) == 31
-    assert R14_ANCHOR_CANDIDATES[0] == "maxsim_multivector_topk"
+    assert len(R14_ANCHOR_CANDIDATES) == 32
+    assert R14_ANCHOR_CANDIDATES[0] == "mmr_rerank_embeddings"
     assert R14_ANCHOR_CANDIDATES[-1] == "training_shard_stats"
     assert not set(R14_ANCHOR_CANDIDATES) & set(DRIVER_WINDOW)
     # disjoint provenance strata (changed-code pulls excepted by design)
